@@ -1,13 +1,611 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleanse, TextFns, VectorFns}
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-training-data extension ops), each with a
+  * DuckDB-equivalent `oracleSql` where the semantics are SQL-expressible.
+  *
+  * Float discipline (driver hash-compares values): aggregations whose
+  * result depends on summation ORDER (double sums) run through an exact
+  * DECIMAL accumulator and are cast back to double; purely row-wise
+  * arithmetic is emitted raw (bitwise-identical across engines); window
+  * stats (avg/stddev) are rounded to 2dp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact order-independent sum of a 2dp/4dp money column. */
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) read as long (nanosAsLong);
+    * integer epoch-seconds keep the arithmetic engine-agnostic. */
+  private val tsSec: Column = expr("ts div 1000000000")
+
+  // ===========================================================================
+  // Flagship: composite scoring pipeline on sf0.001 (scan → broadcast joins →
+  // hierarchical z-score windows → weighted blend → band → rank)
+  // ===========================================================================
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_composite_zscore")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S1-S4 scans, A1/A2 aggregation (ref calfundamentalscore.py:437-444)
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // ---- P1-P3/F1/F2/F7 cleansing + parsing (ref uploadtodb.py:126-151,
+    // sectorscore.py:64-70, sectormerged_improved.py:115-148)
+    "q02_cleanse_parse" -> ((s, dir) => {
+      val p = T(s, dir, "part").filter(Cleanse.validKey(col("p_name")))
+      p.select(
+        col("p_partkey"),
+        Cleanse.nullifEmpty(col("p_brand")).as("brand_clean"),
+        Cleanse.cleanDouble(col("p_retailprice")).as("retail_2dp"),
+        Cleanse.cleanNumber(
+          concat(lit("−"), col("p_size").cast("string"), lit(".5%"))).as("neg_pct"),
+        Cleanse.cleanNumber(
+          concat(col("p_size").cast("string"), lit("T INR"))).as("unit_stripped"),
+        Cleanse.cleanNumber(
+          concat(col("p_size").cast("string"), lit(",250.75"))).as("comma_parsed"),
+        Cleanse.cleanText(
+          concat(lit("â€™"), col("p_brand"), lit("  –  x"))).as("moji_fixed"))
+    }),
+
+    // ---- J1/J2 broadcast-join chain + grouped revenue (TPC-H Q5 shape;
+    // ref calcompositescore.py:362-368)
+    "q03_regional_revenue" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // ---- J3 full-outer + coalesce union-by-key (ref sectormerged_improved
+    // .py:449-465,547-556)
+    "q04_open_done_fullouter" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_open"), decSum(col("o_totalprice")).as("open_total"))
+      val b = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_done"), decSum(col("o_totalprice")).as("done_total"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("open_total"), lit(0.0)).as("open_total"),
+          coalesce(col("n_done"), lit(0L)).as("n_done"),
+          coalesce(col("done_total"), lit(0.0)).as("done_total"))
+    }),
+
+    // ---- J6 left-anti (ref newsflow_scraper.py:281-311)
+    "q05_customers_no_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      Dedup.antiJoinAppend(
+        c.select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        o.select(col("o_custkey").as("c_custkey")), "c_custkey")
+    }),
+
+    // ---- W1 global rank banding (ref calcompositescore.py:207-218)
+    "q06_band_by_balance" -> ((s, dir) => {
+      RankOps.bandByRank(
+        T(s, dir, "customer"), col("c_acctbal"), col("c_custkey"),
+        Seq(100L -> "Large", 250L -> "Mid", 500L -> "Small"), "Micro")
+        .select(col("c_custkey"), col("c_acctbal"), col("band"))
+    }),
+
+    // ---- W2 hierarchical z-score composite (ref calcompositescore.py:202-302)
+    "q07_composite_zscore" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val ostats = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          decSum(col("o_totalprice")).as("order_total"))
+      val base = c.join(ostats, c("c_custkey") === ostats("o_custkey"), "left")
+        .drop("o_custkey")
+      HierarchicalZScore(base,
+        metrics = Seq("c_acctbal" -> 0.5, "order_total" -> 0.3, "n_orders" -> 0.2),
+        inner = Seq("c_mktsegment", "c_nationkey"),
+        outer = Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("composite_score"))
+    }),
+
+    // ---- W3 peer percentile with fallback (ref calfundamentalscore.py:137-296)
+    "q08_peer_percentile" -> ((s, dir) => {
+      val inner = Seq(col("c_mktsegment"), col("c_nationkey"))
+      val outer = Seq(col("c_mktsegment"))
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        PeerPercentile.peerLevel(inner, outer).as("peer_level"),
+        PeerPercentile.percentile(col("c_acctbal"), inner, outer).as("pct_bal"),
+        PeerPercentile.percentile(col("c_acctbal"), inner, outer,
+          valuation = true).as("pct_val"))
+    }),
+
+    // ---- W4 rank within group (ref calfundamentalscore.py:339-346)
+    "q09_rank_in_segment" -> ((s, dir) => {
+      T(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        RankOps.rankInGroup(col("c_acctbal"), col("c_custkey"),
+          col("c_mktsegment")).cast("long").as("seg_rank"))
+    }),
+
+    // ---- W5 min-max normalize per group (ref sectorscore.py:72-78)
+    "q10_minmax_brand" -> ((s, dir) => {
+      T(s, dir, "part").select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        RankOps.minMaxNorm(col("p_retailprice"), col("p_brand")).as("norm_price"))
+    }),
+
+    // ---- A6/A7 weighted sum + renormalized weighted average
+    // (ref calcompositescore.py:161-198, calfundamentalscore.py:206-228)
+    "q11_weighted_blend" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val ostats = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          decSum(col("o_totalprice")).as("order_total"))
+      c.join(ostats, c("c_custkey") === ostats("o_custkey"), "left")
+        .select(col("c_custkey"),
+          WeightedScore.weightedSum(Seq(
+            col("c_acctbal") -> 0.4, col("order_total") -> 0.35,
+            col("n_orders") -> 0.25)).as("wsum"),
+          WeightedScore.renormalizedWeightedAvg(Seq(
+            col("c_acctbal") -> 0.4, col("order_total") -> 0.35,
+            col("n_orders") -> 0.25)).as("wavg"))
+    }),
+
+    // ---- T2/T3 deterministic top-k (ref calcompositescore.py:397)
+    "q12_top_orders" -> ((s, dir) => {
+      RankOps.topK(T(s, dir, "orders"), 10, col("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+
+    // ---- F3 ordinal rating map + grouped stats (ref calcompositescore
+    // .py:100-109); priorities play the role of analyst ratings
+    "q13_priority_ordinal" -> ((s, dir) => {
+      val ord = Map("1-URGENT" -> 5, "2-HIGH" -> 4, "3-MEDIUM" -> 3,
+        "4-NOT SPECIFIED" -> 2, "5-LOW" -> 1)
+      val mapped = ord.toSeq.sortBy(_._1).foldRight(lit(3): Column) {
+        case ((k, v), acc) => when(col("o_orderpriority") === k, lit(v)).otherwise(acc)
+      }
+      T(s, dir, "orders").select(col("o_orderstatus"), mapped.as("prio_ord"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("prio_ord")).cast("long").as("sum_ord"),
+          (sum(col("prio_ord")) / count(lit(1))).as("avg_ord"))
+    }),
+
+    // ---- F1-ish JSON-ish numeric extraction + event aggregation
+    "q14_props_parse" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          (sum(col("k")) / count(col("k"))).as("avg_k"),
+          decSum(col("value")).as("value_sum"))
+    }),
+
+    // ---- gap sessionization (streaming-shaped batch; §2.9)
+    "q15_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(
+        T(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("value"), tsSec.as("ts_s")),
+        "user_id", col("ts_s"), 1800L, col("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_s")) - min(col("ts_s"))).as("span"),
+          decSum(col("value")).as("value_sum"))
+    }),
+
+    // ---- tumbling-window aggregation (batch twin of streaming agg; §2.9)
+    "q16_hourly_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(expr("(ts div 1000000000) div 3600 * 3600").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
+    }),
+
+    // ---- text analysis: token counting
+    "q17_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- text analysis: quality scoring
+    "q18_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(T(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- text analysis: language-ID (marker heuristic)
+    "q19_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(T(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- text analysis: fingerprint + surrogate key (F8)
+    "q20_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(T(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- dedup: exact content hash
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- dedup: exact n-gram Jaccard near-dup pairs
+    "q22_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardNearDup(T(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    // ---- dedup: MinHash+LSH candidates, verified — r=2/b=32 gives
+    // recall ≈ 1-(1-s²)³² ≈ 0.99995 at s=0.5, so it must reproduce the
+    // exact-Jaccard oracle
+    "q23_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLSH(T(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
+
+    // ---- dedup: SimHash banded near-dup (no SQL oracle: rows-only)
+    "q24_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhash(T(s, dir, "documents"), "doc_id", "text",
+        bands = 4, maxHamming = 3)),
+
+    // ---- similarity: exact brute-force cosine top-k
+    "q25_ann_bruteforce" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(T(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    // ---- similarity: LSH-bucketed ANN (approximate: rows-only)
+    "q26_ann_lsh" -> ((s, dir) =>
+      SimilaritySearch.lshTopK(T(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    // ---- multimodal: binary payload + per-partition stub decode
+    "q27_multimodal_meta" -> ((s, dir) => {
+      val withPayload = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+    }),
+
+    // ---- F4/F5/F10 feature math + scaled-integer codec
+    "q28_features_codec" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Cleanse.volEncode(col("l_discount")).as("disc_enc"),
+        Cleanse.volDecode(Cleanse.volEncode(col("l_discount"))).as("disc_dec"),
+        Cleanse.relDiff(col("l_extendedprice") * (lit(1.0) + col("l_tax")),
+          col("l_extendedprice")).as("rel_tax"),
+        Cleanse.macdHistogram(col("l_discount"), col("l_tax")).as("macd_h"))
+    }))
+
+  // ===========================================================================
+  // DuckDB oracle (ANSI-ish SQL over the same parquet tables). Omitted for
+  // q24/q26 (approximate candidate generation — driver rows-only check) and
+  // none else.
+  // ===========================================================================
+
+  /** Shared SQL fragments. */
+  private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val wordsSql = s"string_split($wsNorm, ' ')"
+
+  private val jaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
+       |  FROM t WHERE len(ws) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_quantity) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_cleanse_parse" ->
+      """SELECT p_partkey,
+        |  CASE WHEN len(trim(p_brand)) = 0 THEN NULL ELSE trim(p_brand) END AS brand_clean,
+        |  round(p_retailprice, 2) AS retail_2dp,
+        |  -(CAST(p_size AS DOUBLE) + 0.5) AS neg_pct,
+        |  CAST(p_size AS DOUBLE) AS unit_stripped,
+        |  CAST(p_size AS DOUBLE) * 1000 + 250.75 AS comma_parsed,
+        |  '''' || p_brand || ' - x' AS moji_fixed
+        |FROM part
+        |WHERE p_name IS NOT NULL AND len(trim(p_name)) > 0""".stripMargin,
+
+    "q03_regional_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q04_open_done_fullouter" ->
+      """SELECT o_custkey,
+        |  coalesce(n_open, 0) AS n_open, coalesce(open_total, 0.0) AS open_total,
+        |  coalesce(n_done, 0) AS n_done, coalesce(done_total, 0.0) AS done_total
+        |FROM (SELECT o_custkey, count(*) AS n_open,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
+        |      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) a
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_done,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS done_total
+        |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b
+        |USING (o_custkey)""".stripMargin,
+
+    "q05_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q06_band_by_balance" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal IS NULL THEN NULL
+        |       WHEN rn <= 100 THEN 'Large' WHEN rn <= 250 THEN 'Mid'
+        |       WHEN rn <= 500 THEN 'Small' ELSE 'Micro' END AS band
+        |FROM (SELECT c_custkey, c_acctbal,
+        |        row_number() OVER (ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
+        |      FROM customer)""".stripMargin,
+
+    "q07_composite_zscore" -> {
+      def zc(m: String, lvl: String) =
+        s"""CASE WHEN $m IS NOT NULL AND cnt_${m}_$lvl >= 3
+           | AND sd_${m}_$lvl IS NOT NULL AND sd_${m}_$lvl <> 0
+           | THEN ($m - mu_${m}_$lvl) / sd_${m}_$lvl ELSE 0.0 END""".stripMargin
+          .replace("\n", "")
+      def contrib(m: String, w: Double) =
+        s"CASE WHEN size_i >= 2 THEN ${zc(m, "i")} * $w ELSE ${zc(m, "o")} * $w * 0.8 END"
+      val stats = Seq("c_acctbal", "order_total", "n_orders").flatMap(m =>
+        Seq("i", "o").map(l =>
+          s"""count($m) OVER w$l AS cnt_${m}_$l,
+             | avg($m) OVER w$l AS mu_${m}_$l,
+             | stddev_samp($m) OVER w$l AS sd_${m}_$l""".stripMargin
+            .replace("\n", ""))).mkString(",\n  ")
+      s"""WITH os AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+         |  FROM orders GROUP BY 1),
+         |base AS (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
+         |    os.n_orders, os.order_total
+         |  FROM customer LEFT JOIN os ON c_custkey = o_custkey),
+         |w AS (SELECT c_custkey, c_acctbal, order_total, n_orders,
+         |  count(*) OVER wi AS size_i,
+         |  $stats
+         |  FROM base
+         |  WINDOW wi AS (PARTITION BY c_mktsegment, c_nationkey),
+         |         wo AS (PARTITION BY c_mktsegment))
+         |SELECT c_custkey,
+         |  round(${contrib("c_acctbal", 0.5)} + ${contrib("order_total", 0.3)}
+         |    + ${contrib("n_orders", 0.2)}, 2) AS composite_score
+         |FROM w""".stripMargin
+    },
+
+    "q08_peer_percentile" -> {
+      def pctSql(v: String, rk: String, size: String, nn: String) =
+        s"""CASE WHEN $v IS NULL THEN NULL
+           | WHEN $nn < 2 THEN 50.0
+           | ELSE 100.0 * ($rk - 1 - ($size - $nn)) / $nn END""".stripMargin
+          .replace("\n", "")
+      def pick(v: String, p: String) =
+        s"""CASE WHEN size_i >= 5 THEN ${pctSql(v, s"rk_${p}_i", "size_i", s"nn_${p}_i")}
+           | WHEN size_o >= 5 THEN ${pctSql(v, s"rk_${p}_o", "size_o", s"nn_${p}_o")}
+           | ELSE ${pctSql(v, s"rk_${p}_g", "size_g", s"nn_${p}_g")} END""".stripMargin
+          .replace("\n", "")
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+         |    c_acctbal AS v, CASE WHEN c_acctbal > 0 THEN c_acctbal END AS vp
+         |  FROM customer),
+         |w AS (SELECT c_custkey, v, vp,
+         |    count(*) OVER wi AS size_i, count(*) OVER wo AS size_o,
+         |    count(*) OVER wg AS size_g,
+         |    count(v) OVER wi AS nn_b_i, count(v) OVER wo AS nn_b_o,
+         |    count(v) OVER wg AS nn_b_g,
+         |    count(vp) OVER wi AS nn_v_i, count(vp) OVER wo AS nn_v_o,
+         |    count(vp) OVER wg AS nn_v_g,
+         |    rank() OVER (PARTITION BY seg, nat ORDER BY v ASC NULLS FIRST) AS rk_b_i,
+         |    rank() OVER (PARTITION BY seg ORDER BY v ASC NULLS FIRST) AS rk_b_o,
+         |    rank() OVER (ORDER BY v ASC NULLS FIRST) AS rk_b_g,
+         |    rank() OVER (PARTITION BY seg, nat ORDER BY vp DESC NULLS FIRST) AS rk_v_i,
+         |    rank() OVER (PARTITION BY seg ORDER BY vp DESC NULLS FIRST) AS rk_v_o,
+         |    rank() OVER (ORDER BY vp DESC NULLS FIRST) AS rk_v_g
+         |  FROM c
+         |  WINDOW wi AS (PARTITION BY seg, nat), wo AS (PARTITION BY seg), wg AS ())
+         |SELECT c_custkey,
+         |  CASE WHEN size_i >= 5 THEN 'inner' WHEN size_o >= 5 THEN 'outer'
+         |       ELSE 'all' END AS peer_level,
+         |  ${pick("v", "b")} AS pct_bal,
+         |  CASE WHEN v IS NULL THEN NULL WHEN v <= 0 THEN 0.0
+         |       ELSE ${pick("vp", "v")} END AS pct_val
+         |FROM w""".stripMargin
+    },
+
+    "q09_rank_in_segment" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS seg_rank
+        |FROM customer""".stripMargin,
+
+    "q10_minmax_brand" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |  CASE WHEN p_retailprice IS NULL THEN NULL
+        |       WHEN mx = mn THEN 1.0
+        |       ELSE (p_retailprice - mn) / (mx - mn) END AS norm_price
+        |FROM (SELECT p_partkey, p_brand, p_retailprice,
+        |        min(p_retailprice) OVER w AS mn, max(p_retailprice) OVER w AS mx
+        |      FROM part WINDOW w AS (PARTITION BY p_brand))""".stripMargin,
+
+    "q11_weighted_blend" ->
+      """WITH os AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey,
+        |  coalesce(c_acctbal, 0.0) * 0.4 + coalesce(order_total, 0.0) * 0.35
+        |    + coalesce(n_orders, 0.0) * 0.25 AS wsum,
+        |  CASE WHEN (CASE WHEN c_acctbal IS NOT NULL THEN 0.4 ELSE 0.0 END
+        |      + CASE WHEN order_total IS NOT NULL THEN 0.35 ELSE 0.0 END
+        |      + CASE WHEN n_orders IS NOT NULL THEN 0.25 ELSE 0.0 END) = 0.0 THEN NULL
+        |    ELSE (CASE WHEN c_acctbal IS NOT NULL THEN c_acctbal * 0.4 ELSE 0.0 END
+        |      + CASE WHEN order_total IS NOT NULL THEN order_total * 0.35 ELSE 0.0 END
+        |      + CASE WHEN n_orders IS NOT NULL THEN n_orders * 0.25 ELSE 0.0 END)
+        |      / (CASE WHEN c_acctbal IS NOT NULL THEN 0.4 ELSE 0.0 END
+        |      + CASE WHEN order_total IS NOT NULL THEN 0.35 ELSE 0.0 END
+        |      + CASE WHEN n_orders IS NOT NULL THEN 0.25 ELSE 0.0 END) END AS wavg
+        |FROM customer LEFT JOIN os ON c_custkey = o_custkey""".stripMargin,
+
+    "q12_top_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 10""".stripMargin,
+
+    "q13_priority_ordinal" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(prio_ord) AS BIGINT) AS sum_ord,
+        |  CAST(sum(prio_ord) AS DOUBLE) / count(*) AS avg_ord
+        |FROM (SELECT o_orderstatus,
+        |        CASE o_orderpriority WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+        |          WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+        |          WHEN '5-LOW' THEN 1 ELSE 3 END AS prio_ord
+        |      FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    "q14_props_parse" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k, value
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q15_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |        OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s2 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(ts_s) - min(ts_s) AS span,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
+
+    "q16_hourly_events" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q17_token_counts" ->
+      s"""SELECT doc_id, len($wordsSql) AS n_words,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         |  length(text) AS n_chars_obs
+         |FROM documents""".stripMargin,
+
+    "q18_quality_score" -> {
+      val nWords = s"CAST(len($wordsSql) AS DOUBLE)"
+      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
+        "OR w = 'of' OR w = 'to' OR w = 'and')) AS DOUBLE)"
+      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)"
+      s"""SELECT doc_id, len($wordsSql) AS n_words,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / $nWords, 4) AS avg_word_len,
+         |  round($stopHits / $nWords, 4) AS stop_ratio,
+         |  round($punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+         |  round(least($nWords / 100.0, 1.0)
+         |    * (1.0 - $punct / CAST(length(text) AS DOUBLE))
+         |    * (0.5 + 0.5 * least(($stopHits / $nWords) * 5.0, 1.0)), 4) AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "q19_langid" -> {
+      def cnt(ms: Seq[String]) =
+        s"len(list_filter($wordsSql, w -> ${ms.map(m => s"w = '$m'").mkString(" OR ")}))"
+      val langs = TextAnalysis.langMarkers
+      val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }.mkString(",\n  ")
+      val mx = s"greatest(${langs.map(l => s"cnt_${l._1}").mkString(", ")})"
+      val cases = langs.map { case (l, _) =>
+        s"WHEN $mx > 0 AND cnt_$l = $mx THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $cols
+         |FROM documents)""".stripMargin
+    },
+
+    "q20_fingerprint" ->
+      s"""SELECT doc_id, md5($wsNorm) AS fp,
+         |  'tv_' || substring(md5(text), 1, 20) AS skey
+         |FROM documents""".stripMargin,
+
+    "q21_dedup_exact" ->
+      s"""SELECT md5($wsNorm) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_jaccard_pairs" -> jaccardSql,
+    "q23_minhash_pairs" -> jaccardSql,
+
+    "q25_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qx AS (SELECT generate_subscripts(qv, 1) AS i,
+        |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id <> 0),
+        |dots AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na
+        |  FROM ex JOIN qx USING (i) GROUP BY 1),
+        |nq AS (SELECT sum(y * y) AS nb FROM qx)
+        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM dots, nq
+        |ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q27_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  ascii(substring(text, length(text), 1)) AS last_byte,
+        |  CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_width,
+        |  CAST(1 + strlen(text) % 48 AS INTEGER) AS fake_height
+        |FROM documents""".stripMargin,
+
+    "q28_features_codec" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_discount * 1000, 0) AS BIGINT) AS disc_enc,
+        |  CAST(CAST(round(l_discount * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS disc_dec,
+        |  CASE WHEN l_extendedprice <> 0 AND l_extendedprice IS NOT NULL
+        |    THEN (l_extendedprice * (1.0 + l_tax) - l_extendedprice) / l_extendedprice
+        |    ELSE 0.0 END AS rel_tax,
+        |  coalesce(l_discount, 0.0) - coalesce(l_tax, 0.0) AS macd_h
+        |FROM lineitem""".stripMargin)
 }

