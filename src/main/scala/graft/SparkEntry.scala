@@ -203,7 +203,7 @@ object SparkEntry {
     "q14_props_parse" -> ((s, dir) => {
       T(s, dir, "events")
         .select(col("event_type"),
-          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"),
+          regexp_extract(col("props"), "([0-9]+)", 1).try_cast("long").as("k"),
           col("value"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),

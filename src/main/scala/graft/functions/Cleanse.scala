@@ -19,7 +19,9 @@ object Cleanse {
   def cleanNumber(c: Column): Column = {
     val ascii = regexp_replace(c, "−", "-") // unicode minus
     val stripped = regexp_replace(ascii, "[%,+]|\\s*[KMBT]?\\s*INR\\s*$", "")
-    trim(stripped).cast("double")
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes CAST throw on
+    // malformed input; the reference's errors='coerce' wants NULL.
+    trim(stripped).try_cast("double")
   }
 
   /** F2 `clean_data` text normalizer (ref sectormerged_improved.py:115-148):

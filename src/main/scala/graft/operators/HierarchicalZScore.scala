@@ -47,8 +47,14 @@ object HierarchicalZScore {
         (metric - mu) / sd).otherwise(lit(0.0))
     }
     val innerSize = count(lit(1)).over(wI)
-    when(innerSize >= minInnerSize, z(wI) * weight)
-      .otherwise(z(wO) * weight * fallbackWeight)
+    // Null group keys: the reference's group loops skip NaN categories
+    // entirely (calcompositescore.py:273-291) — a row with a null inner
+    // key falls to the outer level; null outer keys contribute 0.
+    val innerKeysOk = inner.map(_.isNotNull).reduce(_ && _)
+    val outerKeysOk = outer.map(_.isNotNull).reduce(_ && _)
+    when(innerKeysOk && innerSize >= minInnerSize, z(wI) * weight)
+      .when(outerKeysOk, z(wO) * weight * fallbackWeight)
+      .otherwise(lit(0.0))
   }
 
   /** Weighted composite score over several metrics (A6, ref :161-198).

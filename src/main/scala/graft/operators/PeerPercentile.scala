@@ -71,8 +71,12 @@ object PeerPercentile {
       pct(m, w, count(lit(1)).over(w), count(m).over(w), hib)
     val sizeI = count(lit(1)).over(wI)
     val sizeO = count(lit(1)).over(wO)
-    val chosen = when(sizeI >= minPeers, level(wI))
-      .when(sizeO >= minPeers, level(wO))
+    // Null peer-group keys fall through, matching the reference's
+    // pd.notna(industry) guards (calfundamentalscore.py:168-176).
+    val innerKeysOk = inner.map(_.isNotNull).reduce(_ && _)
+    val outerKeysOk = outer.map(_.isNotNull).reduce(_ && _)
+    val chosen = when(innerKeysOk && sizeI >= minPeers, level(wI))
+      .when(outerKeysOk && sizeO >= minPeers, level(wO))
       .otherwise(level(wG))
     if (valuation)
       when(metric.isNull, lit(null).cast("double"))
@@ -88,8 +92,10 @@ object PeerPercentile {
       inner: Seq[Column], outer: Seq[Column], minPeers: Int = 5): Column = {
     val sizeI = count(lit(1)).over(Window.partitionBy(inner: _*))
     val sizeO = count(lit(1)).over(Window.partitionBy(outer: _*))
-    when(sizeI >= minPeers, lit("inner"))
-      .when(sizeO >= minPeers, lit("outer"))
+    val innerKeysOk = inner.map(_.isNotNull).reduce(_ && _)
+    val outerKeysOk = outer.map(_.isNotNull).reduce(_ && _)
+    when(innerKeysOk && sizeI >= minPeers, lit("inner"))
+      .when(outerKeysOk && sizeO >= minPeers, lit("outer"))
       .otherwise(lit("all"))
   }
 }

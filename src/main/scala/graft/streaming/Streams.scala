@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.sinks.MergeByKey
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's two incremental flows map directly:
+  *  1. news ingestion (ref newsflow_scraper.py): repeated scrape → dedup
+  *     against all-time seen URLs → append. Here: `readStream` →
+  *     `withWatermark` + `dropDuplicatesWithinWatermark` → append sink.
+  *     The watermark bounds the seen-key state store — the scalable
+  *     replacement for the reference's re-reading the full URL set from
+  *     the DB each run (newsflow_scraper.py:243-272).
+  *  2. batch-cadence upsert (ref cron + uploadtodb.py): `foreachBatch` +
+  *     the MergeByKey sink gives exactly-once-per-batch merge semantics,
+  *     with Trigger.AvailableNow for catch-up runs.
+  */
+object Streams {
+
+  /** Watermarked streaming dedup on `key`. `eventTime` must be a
+    * timestamp column; keys older than the watermark are evicted from
+    * state, keeping memory bounded at any scale. */
+  def dedupByKey(stream: DataFrame, key: String, eventTime: String,
+      watermark: String): DataFrame =
+    stream.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** Watermarked tumbling-window counts/sums per key — the streaming twin
+    * of `Sessionize.tumbling`. */
+  def windowedAgg(stream: DataFrame, eventTime: String, windowLen: String,
+      watermark: String, keyCols: Seq[String], valueCol: String): DataFrame =
+    stream.withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_sum"))
+
+  /** Upsert sink: every micro-batch merges into the parquet dir by key
+    * (S7 as a streaming sink; ref batched REST upsert). */
+  def mergeSink(stream: DataFrame, path: String, key: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeByKey.upsert(batch.sparkSession, batch, path, key)
+      }
+
+  /** One-shot catch-up run (the cron-cadence shape): process whatever is
+    * available, then stop. */
+  def runAvailableNow(writer: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
+    writer.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

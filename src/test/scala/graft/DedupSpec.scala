@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "THE  quick   Brown fox jumps over the lazy dog"),   // dup after normalize
+    (4L, "the quick brown fox jumps over the sleepy dog"),    // near-dup of 1
+    (5L, "completely different text with other words inside here"),
+    (6L, "short text")                                        // < 3 words -> no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates under min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select($"rep_id", $"n_dups").rowsSet
+    assert(out.contains(Seq(1L, 3L))) // docs 1,2,3 collapse
+    assert(out.contains(Seq(4L, 1L)))
+    assert(out.contains(Seq(5L, 1L)))
+    assert(out.contains(Seq(6L, 1L)))
+  }
+
+  test("jaccard near-dup finds planted pairs, strict threshold") {
+    val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").rowsSet
+    // 1-2, 1-3, 2-3 identical (jaccard 1.0); 4 vs 1/2/3 share 5 of 9
+    // distinct trigrams -> j = 5/9 ≈ 0.56 >= 0.5
+    assert(pairs == Set(Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L),
+      Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L)))
+  }
+
+  test("minhash LSH reproduces exact-jaccard pairs on well-separated data") {
+    val exact = Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").rowsSet
+    val lsh = Dedup.minhashLSH(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"doc_a", $"doc_b").rowsSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0; distinct text does not match") {
+    val out = Dedup.simhash(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .select($"doc_a", $"doc_b", $"hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zero = out.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    assert(zero.contains((1L, 2L)) && zero.contains((1L, 3L)) && zero.contains((2L, 3L)))
+    assert(!out.exists(t => t._1 == 5L || t._2 == 5L))
+  }
+
+  test("antiJoinAppend keeps only unseen keys") {
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val existing = Seq(Tuple1(2L)).toDF("k")
+    val out = Dedup.antiJoinAppend(incoming, existing, "k").select($"k").rowsSet
+    assert(out == Set(Seq(1L), Seq(3L)))
+  }
+
+  test("embedding near-dup (exact verify path) finds planted high-cosine pair") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // cos ~0.995 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.embeddingNearDup(vecs, "vec_id", "embedding",
+      threshold = 0.9, bits = 8, bands = 4)
+    val ids = out.select($"id_a", $"id_b").rowsSet
+    assert(ids == Set(Seq(1L, 2L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.operators.{Multimodal, SimilaritySearch}
+
+class SimilarityMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.1f, 0.0f)),    // closest to 0
+    (2L, Array(0.5f, 0.5f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))    // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine math in double precision") {
+    val out = vecs.filter($"vec_id" === 3L)
+      .crossJoin(vecs.filter($"vec_id" === 0L).select($"embedding".as("q")))
+      .select(VectorFns.cosine($"embedding", $"q").as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(out) < 1e-12)
+  }
+
+  test("bruteForceTopK orders by cosine desc with id tie-break") {
+    val out = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK returns a subset of true ranking, query excluded") {
+    val out = SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", 0L, 5,
+      bits = 8, bands = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(0L))
+    assert(out.contains(1L)) // near-identical vector must share a band
+  }
+
+  test("multimodal stub decode extracts deterministic features incl. null payload") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
+      .select($"doc_id", $"txt".cast("binary").as("payload"))
+      .union(Seq((3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload"))
+    val out = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getInt(4), r.getInt(5))).toMap
+    assert(out(1L) == ((3L, Some(97), Some(99), 4, 4))) // 'a'=97, 'c'=99
+    assert(out(2L) == ((0L, None, None, 1, 1)))
+    assert(out(3L) == ((0L, None, None, 1, 1)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming dedup by key with watermark drops in-stream duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, String)]
+    val df = input.toDF().toDF("article_url", "event_ts", "headline")
+    val deduped = Streams.dedupByKey(df, "article_url", "event_ts", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("news_dedup").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+      input.addData(("u1", t0, "first"), ("u2", t0, "second"))
+      q.processAllAvailable()
+      input.addData(("u1", t1, "dup of u1"), ("u3", t1, "third"))
+      q.processAllAvailable()
+      val urls = spark.table("news_dedup").select($"article_url")
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(urls == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_ts", "event_type", "value")
+    val agg = Streams.windowedAgg(df, "event_ts", "1 hour", "2 hours",
+      Seq("event_type"), "value")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:50:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select($"event_type", $"n_events", $"value_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("click", 1L, 4.0)))
+    } finally q.stop()
+  }
+}

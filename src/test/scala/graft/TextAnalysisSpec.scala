@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat of the mat and a hat"),
+    (2L, "der hund und die katze"),
+    (3L, "xyzzy plugh !!!"),
+    (4L, "one")
+  ).toDF("doc_id", "text")
+
+  test("tokenCounts: whitespace words vs regex tokens vs chars") {
+    val out = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == 9L)
+    assert(out(4L) == ((1L, 1L, 3L)))
+    // "xyzzy plugh !!!" -> regex tokens: xyzzy, plugh, !, !, ! = 5
+    assert(out(3L) == ((3L, 5L, 15L)))
+  }
+
+  test("languageId: marker argmax with alphabetical tie-break and und fallback") {
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en") // the, of, the, a, and -> en markers dominate
+    assert(out(2L) == "de") // der, und, die
+    assert(out(3L) == "und") // no markers at all
+  }
+
+  test("qualityScore: ratios are consistent and bounded") {
+    val out = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (n1, stop1, punct1, q1) = out(1L)
+    assert(n1 == 9L)
+    assert(stop1 == math.rint(5.0 / 9.0 * 10000) / 10000)
+    assert(punct1 == 0.0)
+    assert(q1 > 0.0 && q1 <= 1.0)
+    val (_, _, punct3, _) = out(3L)
+    assert(punct3 > 0.0)
+  }
+
+  test("fingerprints stable under whitespace/case noise") {
+    val noisy = Seq((1L, "Hello  World"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(noisy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1L)._1 == fp(2L)._1)       // normalized fingerprint matches
+    assert(fp(1L)._2 != fp(2L)._2)       // raw surrogate key differs
+    assert(fp(1L)._1 != fp(3L)._1)
+    assert(fp(1L)._2.startsWith("tv_"))
+  }
+}
