@@ -102,14 +102,20 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = explodedShingles(df, idCol, textCol, n)
-    val laneHashes = sh.select(col("doc"),
-      posexplode(array((0 until numHashes).map(j =>
-        xxhash64(lit(j), col("shingle"))): _*)).as(Seq("lane", "h")))
-    val sig = laneHashes.groupBy(col("doc"), col("lane")).agg(min(col("h")).as("mh"))
-    val bkeys = sig
-      .groupBy(col("doc"), (col("lane") / rowsPerBand).cast("int").as("band"))
-      .agg(xxhash64(concat_ws(",",
-        sort_array(collect_list(concat_ws(":", col("lane"), col("mh")))))).as("bkey"))
+    // Signature = ONE hash-aggregate with `numHashes` codegen'd min()
+    // columns (no 64x row blowup, no interpreted lambdas): each lane j is
+    // min(xxhash64(j, shingle)) over the doc's shingles. Shingle-set size
+    // rides along in the same pass.
+    val laneAggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) :+
+      count(lit(1)).as("n_sh")
+    val sig = sh.groupBy(col("doc")).agg(laneAggs.head, laneAggs.tail: _*)
+    val bandExprs = (0 until bands).map { b =>
+      val lanes = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      xxhash64(lit(b) +: lanes: _*)
+    }
+    val bkeys = sig.select(col("doc"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
     val a = bkeys.as("a")
     val b = bkeys.as("b")
     val pairs = a.join(b,
@@ -118,16 +124,17 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Exact verification: intersection counts via the inverted index,
-    // restricted to candidate pairs (semi-join keeps it linear).
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val sa = sh.select(col("doc").as("doc_a"), col("shingle"))
-      .join(pairs.select("doc_a").distinct(), Seq("doc_a"), "left_semi")
-    val sb = sh.select(col("doc").as("doc_b"), col("shingle"))
-      .join(pairs.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
-    val inter = sa.join(sb, "shingle")
+    // restricted to candidate docs (semi-join keeps it linear).
+    val candDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+    val shc = sh.join(candDocs, Seq("doc"), "left_semi")
+    val inter = shc.select(col("doc").as("doc_a"), col("shingle"))
+      .join(shc.select(col("doc").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
       .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc"), col("n_sh"))
     pairs.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -140,21 +147,40 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprint over word tokens, banded
     * into `bands` exact-match chunks (pigeonhole guarantees recall for
     * hamming < bands), verified by exact hamming distance <= maxHamming.
-    */
+    *
+    * Everything lives in scalar long arithmetic: the fingerprint is ONE
+    * LongType column assembled from 64 codegen'd conditional-sum bit
+    * votes (term frequency weights votes, per Charikar'02/Manku'07);
+    * band keys are shift+mask chunks; hamming = bit_count(a XOR b). No
+    * arrays, no interpreted lambdas anywhere in the hot path. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val withBits = df.select(col(idCol).as("doc"),
-        TextFns.simhashBits(TextFns.words(col(textCol))).as("bits"))
-    val buckets = withBits.select(col("doc"), col("bits"),
-      posexplode(TextFns.simhashBandKeys(col("bits"), bands)).as(Seq("band", "bkey")))
+    require(64 % bands == 0, "bands must divide 64")
+    val chunk = 64 / bands
+    val tok = df.select(col(idCol).as("doc"),
+      explode(TextFns.words(col(textCol))).as("t"))
+    val h = xxhash64(col("t"))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = tok.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fpExpr = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    // one row + one long per doc: cheap to cache, expensive to recompute
+    val withFp = votes.select(col("doc"), fpExpr.as("fp")).persist()
+    val mask = (1L << chunk) - 1
+    val buckets = withFp.select(col("doc"), col("fp"),
+      posexplode(array((0 until bands).map(c =>
+        shiftright(col("fp"), c * chunk).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", TextFns.hamming(col("bits_a"), col("bits_b")))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -71,6 +71,8 @@ object SimilaritySearch {
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), concat_ws("", slice(col("sig"), b * chunk + 1, chunk)
             .cast("array<string>")))): _*)).as(Seq("band", "bkey")))
+      .persist() // both sides of the bucket self-join
+
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

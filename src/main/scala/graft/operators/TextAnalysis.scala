@@ -32,37 +32,50 @@ object TextAnalysis {
     size(filter(wordsArr, w => markers.map(m => w === m).reduce(_ || _)))
 
   /** Language-ID: argmax of marker hit-rate, alphabetical-first tie-break,
-    * 'und' (undetermined) when no marker hits at all. */
+    * 'und' (undetermined) when no marker hits at all.
+    *
+    * Marker counts and the max are STAGED as columns: interpreted
+    * list-filter lambdas referenced repeatedly inside one projection
+    * would otherwise be re-evaluated per reference (Catalyst only keeps
+    * multi-referenced projections un-collapsed across Project nodes). */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = TextFns.words(col(textCol))
-    val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(w, ms) }
+    val staged = langMarkers.foldLeft(
+      df.select(col(idCol), TextFns.words(col(textCol)).as("w__"))) {
+      case (d, (lang, ms)) => d.withColumn(s"cnt_$lang", markerHits(col("w__"), ms))
+    }.withColumn("mx__", greatest(langMarkers.map(l => col(s"cnt_${l._1}")): _*))
     // argmax with alphabetical-first tie-break: langMarkers is sorted, and
     // a when-chain takes the FIRST branch that matches the max.
-    val maxHits = greatest(hits.map(_._2): _*)
-    val pred = hits.foldRight(lit("und")) { case ((lang, cnt), acc) =>
-      when(maxHits > 0 && cnt === maxHits, lit(lang)).otherwise(acc)
+    val pred = langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col("mx__") > 0 && col(s"cnt_$lang") === col("mx__"), lit(lang))
+        .otherwise(acc)
     }
-    df.select(col(idCol), pred.as("pred_lang"))
+    staged.select(col(idCol), pred.as("pred_lang"))
   }
 
   /** Quality scoring (length / punctuation / stopword signals), one
-    * deterministic 0-1 score per doc. */
+    * deterministic 0-1 score per doc. Tokenizer/regex signals are staged
+    * as columns so each is evaluated once per row (see languageId note).
+    */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val w = TextFns.words(t)
-    val nWords = size(w).cast("double")
     val stop = Seq("the", "a", "of", "to", "and")
-    val stopHits = markerHits(w, stop).cast("double")
-    val punct = (length(t) - length(regexp_replace(t, "[^a-z0-9\\s]", ""))).cast("double")
-    val avgWordLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val staged = df
+      .select(col(idCol), col(textCol).as("t__"))
+      .withColumn("w__", TextFns.words(col("t__")))
+      .withColumn("nw__", size(col("w__")).cast("double"))
+      .withColumn("stop__", markerHits(col("w__"), stop).cast("double"))
+      .withColumn("nsp__",
+        length(regexp_replace(col("t__"), "\\s+", "")).cast("double"))
+      .withColumn("punct__", (length(col("t__")) -
+        length(regexp_replace(col("t__"), "[^a-z0-9\\s]", ""))).cast("double"))
+    val nWords = col("nw__")
     val lenScore = least(nWords / lit(100.0), lit(1.0))
-    val stopRatio = stopHits / nWords
-    val punctRatio = punct / length(t).cast("double")
+    val stopRatio = col("stop__") / nWords
+    val punctRatio = col("punct__") / length(col("t__")).cast("double")
     val score = lenScore * (lit(1.0) - punctRatio) *
       (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0)))
-    df.select(col(idCol),
-      size(w).cast("long").as("n_words"),
-      round(avgWordLen, 4).as("avg_word_len"),
+    staged.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(col("nsp__") / nWords, 4).as("avg_word_len"),
       round(stopRatio, 4).as("stop_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
       round(score, 4).as("quality"))
