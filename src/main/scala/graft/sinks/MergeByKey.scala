@@ -46,11 +46,18 @@ object MergeByKey {
     joined.select(keyOut +: merged: _*)
   }
 
+  /** A8 — per-merge success accounting (the reference logs rows-in /
+    * rows-out per batch, uploadtodb.py:160-197; SURVEY §5 count
+    * reconciliation). Counts come from the sink's own write, not an
+    * extra pass. */
+  case class MergeStats(incomingRows: Long, mergedRows: Long)
+
   /** Merge `incoming` into the parquet dir at `path` (created if absent),
     * staging the output and swapping directories so a failed write never
-    * clobbers the previous version. */
+    * clobbers the previous version. Returns count reconciliation stats.
+    */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
-      key: String, overwriteColumns: Option[Seq[String]] = None): Unit = {
+      key: String, overwriteColumns: Option[Seq[String]] = None): MergeStats = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -64,6 +71,8 @@ object MergeByKey {
     if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(staging, target)
     fs.delete(backup, true)
+    val mergedRows = spark.read.parquet(path).count()
+    MergeStats(incoming.count(), mergedRows)
   }
 
   /** S8 truncate-and-load (ref sectormerged_improved.py:629-645). */

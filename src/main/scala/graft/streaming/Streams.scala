@@ -45,6 +45,7 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         MergeByKey.upsert(batch.sparkSession, batch, path, key)
+        ()
       }
 
   /** One-shot catch-up run (the cron-cadence shape): process whatever is
