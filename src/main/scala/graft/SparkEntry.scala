@@ -285,6 +285,22 @@ object SparkEntry {
       Multimodal.extractFeatures(withPayload, "doc_id", "payload")
     }),
 
+    // ---- dedup: exact embedding-cosine near-dup pairs (O(n²·d)
+    // baseline; q30 is the LSH scale path)
+    "q29_embedding_neardup" -> ((s, dir) =>
+      SimilaritySearch.embeddingNearDupExact(T(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)),
+
+    // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only)
+    "q30_embedding_neardup_lsh" -> ((s, dir) =>
+      SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)),
+
+    // ---- similarity: IVF coarse-quantizer ANN (approximate: rows-only)
+    "q31_ann_ivf" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(T(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+
     // ---- F4/F5/F10 feature math + scaled-integer codec
     "q28_features_codec" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
@@ -590,6 +606,18 @@ object SparkEntry {
         |FROM dots, nq
         |ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    "q29_embedding_neardup" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
+        |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45""".stripMargin,
 
     "q27_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
