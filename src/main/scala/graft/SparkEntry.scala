@@ -231,6 +231,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
     }),
 
+    // ---- built-in session windows (the native Spark sessionization
+    // operator; q15 is the lag/cumsum formulation of the same thing)
+    "q32_session_window" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("value_sum"))
+    }),
+
     // ---- text analysis: token counting
     "q17_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")),
@@ -542,6 +555,19 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q32_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |        OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s2 GROUP BY user_id, sid""".stripMargin,
 
     "q17_token_counts" ->
       s"""SELECT doc_id, len($wordsSql) AS n_words,

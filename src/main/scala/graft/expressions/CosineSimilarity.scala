@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity between two numeric
+  * array columns, computed in double precision in one fused loop.
+  *
+  * Why a custom Expression (SURVEY §2.10 preference order): the built-in
+  * alternatives both lose at scale — higher-order functions
+  * (aggregate/zip_with) are interpreted per element, and statically
+  * expanded element_at chains blow up codegen/JIT for wide vectors and
+  * get re-evaluated wherever Catalyst pushes them (e.g. into join
+  * conditions). This generates ONE tight Java loop via `doGenCode`, so
+  * it stays inside whole-stage codegen wherever the operator sits.
+  *
+  * Accumulation order matches the HOF formulation (index-order left
+  * fold; cos = dot / (sqrt(na)*sqrt(nb))) so results are bit-identical
+  * with `VectorFns.cosine`. Array elements must be non-null
+  * (embedding vectors); lengths are taken from the left side.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val lFloat = elemType(left) == FloatType
+    val rFloat = elemType(right) == FloatType
+    val n = ad.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (rFloat) bd.getFloat(i).toDouble else bd.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(arr: String, e: Expression, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(a, left, i)};
+         |  double $y = ${getter(b, right, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column API + SQL registration for the custom expressions. */
+object GraftExpressions {
+  import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Make `cosine_similarity(a, b)` usable from spark.sql(...). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+}

@@ -17,7 +17,13 @@ object VectorFns {
   def norm(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, v) => acc + v * v))
 
+  /** HOF reference implementation (interpreted; kept for cross-checks). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Production cosine: the native codegen'd Catalyst expression
+    * (bit-identical to `cosine`, one fused loop). */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.expressions.GraftExpressions.cosine_similarity(a, b)
 
   /** Statically-expanded (known-dimension) variants: element_at chains
     * are whole-stage-codegen'd while higher-order-function lambdas are

@@ -28,7 +28,7 @@ object SimilaritySearch {
       .select(col(vecCol).as("q_vec"))
     val scored = df.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorFns.cosine(col(vecCol), col("q_vec")))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
     scored
       .orderBy(round(col("cosine"), 6).desc, col(idCol).asc)
       .limit(k)
@@ -53,7 +53,7 @@ object SimilaritySearch {
       .join(broadcast(q), Seq("band", "bkey"))
       .dropDuplicates(idCol)
     candidates
-      .withColumn("cosine", VectorFns.cosine(col(vecCol), col("q_vec")))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
       .orderBy(round(col("cosine"), 6).desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
@@ -168,7 +168,7 @@ object SimilaritySearch {
     val qLit = array(qv.map(lit): _*)
     assigned
       .filter(col("c").isInCollection(probes) && col("id") =!= queryId)
-      .withColumn("cosine", VectorFns.cosine(col("v"), qLit))
+      .withColumn("cosine", VectorFns.cosineNative(col("v"), qLit))
       .orderBy(round(col("cosine"), 6).desc, col("id").asc)
       .limit(k)
       .select(col("id").as(idCol), round(col("cosine"), 4).as("cosine"))
@@ -197,7 +197,7 @@ object SimilaritySearch {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", VectorFns.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
