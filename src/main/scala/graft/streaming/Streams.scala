@@ -38,6 +38,45 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("value_sum"))
 
+  /** Custom-state stateful streaming: gap-based sessionization with
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset custom-state
+    * API). A session CLOSES — and emits — when a later event arrives
+    * more than `gapSec` after the session's last event; the open session
+    * rides in the state store (one small record per active user, bounded
+    * state). The batch twin is `operators/Sessionize`.
+    */
+  case class SessionEvent(userId: Long, tsSec: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class ClosedSession(userId: Long, start: Long, end: Long, n: Long, sum: Double)
+
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.tsSec, e.value))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsSec - s.last > gapSec =>
+                closed += ClosedSession(userId, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, e.tsSec),
+                  s.n + 1, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Upsert sink: every micro-batch merges into the parquet dir by key
     * (S7 as a streaming sink; ref batched REST upsert). */
   def mergeSink(stream: DataFrame, path: String, key: String): DataStreamWriter[Row] =

@@ -28,6 +28,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization emits closed sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.statefulSessions(input.toDS(), gapSec = 1800L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("stateful_sessions").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.SessionEvent(10L, 0L, 1.0),
+        Streams.SessionEvent(10L, 100L, 2.0),
+        Streams.SessionEvent(20L, 50L, 5.0))
+      q.processAllAvailable()
+      // nothing closed yet — both sessions still open in state
+      assert(spark.table("stateful_sessions").count() == 0)
+      // user 10: event 2500s after last -> closes first session
+      input.addData(Streams.SessionEvent(10L, 2500L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_sessions")
+        .as[Streams.ClosedSession].collect().toSet
+      assert(rows == Set(Streams.ClosedSession(10L, 0L, 100L, 2L, 3.0)))
+      // user 10 again far later -> closes the second session
+      input.addData(Streams.SessionEvent(10L, 9999L, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("stateful_sessions").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
