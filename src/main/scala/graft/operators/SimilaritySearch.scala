@@ -40,13 +40,14 @@ object SimilaritySearch {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
     val chunk = bits / bands
+    val mask = (1L << chunk) - 1
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     val sig = df.select(col(idCol), col(vecCol),
-      VectorFns.hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+      graft.expressions.HyperplaneSignature(col(vecCol), bits, dim).as("sig"))
     val banded = sig.select(col(idCol), col(vecCol),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), concat_ws("", slice(col("sig"), b * chunk + 1, chunk)
-          .cast("array<string>")))): _*)).as(Seq("band", "bkey")))
+        shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
     val q = banded.filter(col(idCol) === queryId)
       .select(col("band"), col("bkey"), col(vecCol).as("q_vec"))
     val candidates = banded.filter(col(idCol) =!= queryId)
@@ -181,14 +182,14 @@ object SimilaritySearch {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
     val chunk = bits / bands
+    val mask = (1L << chunk) - 1
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        VectorFns.hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+        graft.expressions.HyperplaneSignature(col(vecCol), bits, dim).as("sig"))
       .select(col("id"), col("vec"),
         posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), concat_ws("", slice(col("sig"), b * chunk + 1, chunk)
-            .cast("array<string>")))): _*)).as(Seq("band", "bkey")))
-      .persist() // both sides of the bucket self-join
+          shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
 
     val a = banded.as("a")
     val b = banded.as("b")
