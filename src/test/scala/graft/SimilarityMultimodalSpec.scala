@@ -37,6 +37,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(out.contains(1L)) // near-identical vector must share a band
   }
 
+  test("multimodal resize and frame-sample plumbing") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "txt")
+      .select($"doc_id", $"txt".cast("binary").as("payload"))
+    val resized = Multimodal.resize(df, "doc_id", "payload", 4, 3)
+      .collect()(0)
+    assert(resized.getAs[Array[Byte]](1).length == 12)
+    assert(resized.getInt(2) == 4 && resized.getInt(3) == 3)
+    val frames = Multimodal.frameSample(df, "doc_id", "payload",
+      frameLen = 3, stride = 2)
+      .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+    // 10 bytes / 3 = 3 frames (0,1,2), stride 2 keeps 0 and 2
+    assert(frames.toSeq == Seq((0, "abc"), (2, "ghi")))
+  }
+
   test("multimodal stub decode extracts deterministic features incl. null payload") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
       .select($"doc_id", $"txt".cast("binary").as("payload"))
