@@ -104,12 +104,16 @@ object Dedup {
     val sh = explodedShingles(df, idCol, textCol, n)
     // Signature = ONE hash-aggregate with `numHashes` codegen'd min()
     // columns (no 64x row blowup, no interpreted lambdas): each lane j is
-    // min(xxhash64(j, shingle)) over the doc's shingles. Shingle-set size
-    // rides along in the same pass.
+    // min(xxhash64(j, shingle)) over the doc's shingles. The shingle-set
+    // size AND the set itself (needed only for the few candidate pairs'
+    // exact verification) ride along in the same pass; persisting the
+    // per-doc signature table (small: 64 longs + the doc's shingles)
+    // means the tokenize+window lineage runs exactly once.
     val laneAggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) :+
-      count(lit(1)).as("n_sh")
+      min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) ++
+      Seq(count(lit(1)).as("n_sh"), collect_set(col("shingle")).as("shset"))
     val sig = sh.groupBy(col("doc")).agg(laneAggs.head, laneAggs.tail: _*)
+      .persist()
     val bandExprs = (0 until bands).map { b =>
       val lanes = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
       xxhash64(lit(b) +: lanes: _*)
@@ -123,21 +127,16 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact verification: intersection counts via the inverted index,
-    // restricted to candidate docs (semi-join keeps it linear).
-    val candDocs = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
-    val shc = sh.join(candDocs, Seq("doc"), "left_semi")
-    val inter = shc.select(col("doc").as("doc_a"), col("shingle"))
-      .join(shc.select(col("doc").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("doc"), col("n_sh"))
-    pairs.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // Exact verification: candidate pairs are few (bucket-collisions
+    // only), so join their shingle SETS back and intersect per pair —
+    // no second pass over the corpus, no posting-list re-join.
+    val payload = sig.select(col("doc"), col("n_sh"), col("shset"))
+    pairs
+      .join(payload.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
+        col("shset").as("sh_a")), "doc_a")
+      .join(payload.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+        col("shset").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

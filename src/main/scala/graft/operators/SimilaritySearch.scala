@@ -124,19 +124,20 @@ object SimilaritySearch {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     def centroidLit(c: Array[Double]) = array(c.map(lit): _*)
     def dist2(v: Column, c: Array[Double]): Column =
-      aggregate(zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
+      graft.expressions.SquaredDistance(v, centroidLit(c))
     // Deterministic farthest-point init: seed with the lowest id, then
-    // repeatedly take the point farthest from the chosen set. k scans of
-    // the data; at corpus scale run the same loop on a sample.
+    // repeatedly take the point farthest from the chosen set. Runs on a
+    // bounded id-ordered sample (init needs spread, not the full corpus).
+    val initSample = vecs.orderBy(col("id").asc).limit(4096).persist()
     var centroids: Array[Array[Double]] = Array(
-      vecs.orderBy(col("id").asc).limit(1).collect()(0).getSeq[Double](1).toArray)
+      initSample.limit(1).collect()(0).getSeq[Double](1).toArray)
     while (centroids.length < nCentroids) {
       val ds = centroids.map(c => dist2(col("v"), c)).toIndexedSeq
       val minDist = if (ds.length == 1) ds.head else least(ds: _*)
-      val far = vecs.orderBy(minDist.desc, col("id").asc).limit(1).collect()(0)
+      val far = initSample.orderBy(minDist.desc, col("id").asc).limit(1).collect()(0)
       centroids :+= far.getSeq[Double](1).toArray
     }
+    initSample.unpersist(blocking = false)
     def assignExpr: Column = {
       // argmin over centroids as a when-chain on the running minimum
       val ds = centroids.zipWithIndex.map { case (c, ci) => (ci, dist2(col("v"), c)) }
