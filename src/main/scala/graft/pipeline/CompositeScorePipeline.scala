@@ -56,23 +56,30 @@ object CompositeScorePipeline {
     Seq(100L -> "Large Cap", 250L -> "Mid Cap", 500L -> "Small Cap")
 
   /** Feature projection: rating ordinal (F3), price-relative features
-    * (F4), MACD histogram (F5) — calcompositescore.py:100-139. */
+    * (F4), MACD histogram (F5) — calcompositescore.py:100-139. Absent
+    * input columns read as NULL, mirroring the reference's
+    * missing-column tolerance (its scoring loop skips columns not in
+    * the frame). */
   def features(df: DataFrame): DataFrame = {
-    val price = col("price")
+    def c(name: String) =
+      if (df.columns.contains(name)) col(name) else lit(null).cast("double")
+    val price = c("price")
     df
       .withColumn("analyst_rating_score",
-        Cleanse.ratingOrdinal(col("analyst_rating")).cast("double"))
-      .withColumn("sma50_relative", Cleanse.relDiff(col("sma_50_1_day"), price))
-      .withColumn("sma200_relative", Cleanse.relDiff(col("sma_200_1_day"), price))
+        Cleanse.ratingOrdinal(
+          if (df.columns.contains("analyst_rating")) col("analyst_rating")
+          else lit(null).cast("string")).cast("double"))
+      .withColumn("sma50_relative", Cleanse.relDiff(c("sma_50_1_day"), price))
+      .withColumn("sma200_relative", Cleanse.relDiff(c("sma_200_1_day"), price))
       .withColumn("bollinger_upper_relative",
-        Cleanse.relDiff(col("bollinger_upper_20_1_day"), price))
+        Cleanse.relDiff(c("bollinger_upper_20_1_day"), price))
       .withColumn("bollinger_middle_relative",
-        Cleanse.relDiff(col("bollinger_basis_20_1_day"), price))
+        Cleanse.relDiff(c("bollinger_basis_20_1_day"), price))
       .withColumn("bollinger_lower_relative",
-        Cleanse.relDiff(col("bollinger_lower_20_1_day"), price))
+        Cleanse.relDiff(c("bollinger_lower_20_1_day"), price))
       .withColumn("macd_histogram",
-        Cleanse.macdHistogram(col("macd_12_26_level_1_day"),
-          col("macd_12_26_signal_1_day")))
+        Cleanse.macdHistogram(c("macd_12_26_level_1_day"),
+          c("macd_12_26_signal_1_day")))
   }
 
   def apply(stockData: DataFrame): DataFrame = {

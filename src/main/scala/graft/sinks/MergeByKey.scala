@@ -67,12 +67,18 @@ object MergeByKey {
     val staging = new org.apache.hadoop.fs.Path(path + "._staging")
     val backup = new org.apache.hadoop.fs.Path(path + "._old")
     out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // count BEFORE the swap: the incoming lineage may itself read `path`
+    // (e.g. a score column derived from the previous table version), and
+    // re-executing it after the swap would hit replaced files
+    val incomingRows = incoming.count()
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(staging, target)
     fs.delete(backup, true)
+    // the swap replaced every file under `path`: drop any cached listing
+    spark.catalog.refreshByPath(path)
     val mergedRows = spark.read.parquet(path).count()
-    MergeStats(incoming.count(), mergedRows)
+    MergeStats(incomingRows, mergedRows)
   }
 
   /** S8 truncate-and-load (ref sectormerged_improved.py:629-645). */
