@@ -260,6 +260,11 @@ object SparkEntry {
     "q20_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(T(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- winnowing fingerprints (rolling-hash k-grams, window minima)
+    "q33_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(T(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4)),
+
     // ---- dedup: exact content hash
     "q21_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
@@ -614,6 +619,16 @@ object SparkEntry {
     "q21_dedup_exact" ->
       s"""SELECT md5($wsNorm) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q33_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $wsNorm AS tn FROM documents
+         |    WHERE length($wsNorm) >= 8),
+         |g AS (SELECT doc_id, i, md5(substr(tn, CAST(i AS INTEGER), 8)) AS h
+         |  FROM t, unnest(range(1, length(tn) - 6)) AS r(i))
+         |SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+         |FROM g""".stripMargin,
 
     "q22_jaccard_pairs" -> jaccardSql,
     "q23_minhash_pairs" -> jaccardSql,

@@ -81,9 +81,39 @@ object TextAnalysis {
       round(score, 4).as("quality"))
   }
 
-  /** Rolling-hash-style document fingerprint + surrogate key. */
+  /** Whole-document fingerprint + surrogate key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       TextFns.fingerprint(col(textCol)).as("fp"),
       graft.functions.Cleanse.surrogateKey(col(textCol)).as("skey"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS
+    * scheme): hash every character k-gram (the rolling-hash step), then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams — guaranteeing any match of length >= w+k-1 shares a
+    * fingerprint. Relational all the way: posexplode positions, one
+    * doc-partitioned window min, distinct. The hash is an md5 prefix so
+    * "minimum" is engine-agnostic lexicographic order. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // build the k-gram array per doc, then explode — only 8-char grams
+    // travel through the explode, not the whole document per position.
+    // length(t__) in the same projection keeps the normalized text
+    // multi-referenced so CollapseProject cannot inline the regex chain
+    // into the per-element lambda.
+    val grams = df
+      .select(col(idCol), norm.as("t__"))
+      .filter(length(col("t__")) >= k)
+      .select(col(idCol), length(col("t__")).as("len__"),
+        posexplode(transform(sequence(lit(1), length(col("t__")) - (k - 1)),
+          i => col("t__").substr(i, lit(k)))).as(Seq("p__", "g")))
+      .select(col(idCol), (col("p__") + 1).as("i"), md5(col("g")).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i").asc)
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col(idCol), min(col("h")).over(win).as("fingerprint"))
+      .distinct()
+  }
 }

@@ -43,6 +43,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(punct3 > 0.0)
   }
 
+  test("winnowing fingerprints overlap for shared substrings, not for disjoint text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "something else first but the quick brown fox jumps over it"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // docs 1 and 2 share "the quick brown fox jumps over" (len 30 >= w+k-1)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // winnowing compresses: far fewer fingerprints than k-gram positions
+    assert(byDoc(1L).size < 51 - 7)
+  }
+
   test("fingerprints stable under whitespace/case noise") {
     val noisy = Seq((1L, "Hello  World"), (2L, "hello world"),
       (3L, "different")).toDF("doc_id", "text")
