@@ -244,6 +244,20 @@ object SparkEntry {
           col("n_events"), col("value_sum"))
     }),
 
+    // ---- as-of join: each purchase to the user's latest prior click
+    "q34_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+      AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("click_event_id", "ts"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("right_click_event_id").as("prior_click_id"),
+          expr("(ts - right_ts) div 1000000000").as("gap_s"))
+    }),
+
     // ---- text analysis: token counting
     "q17_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")),
@@ -573,6 +587,14 @@ object SparkEntry {
         |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, sid""".stripMargin,
+
+    "q34_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |  c.event_id AS prior_click_id,
+        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q17_token_counts" ->
       s"""SELECT doc_id, len($wordsSql) AS n_words,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — attach to each left row the most recent right row with
+  * rightTs <= leftTs for the same key (the market-data trade↔quote
+  * join; also the "latest feature value as of event time" join in
+  * feature-store pipelines).
+  *
+  * Spark has no native as-of join; the scalable formulation is the
+  * union + carry-forward trick (SURVEY §7 custom-operator preference
+  * (a): compose existing ops):
+  *   1. tag both sides, union on (key, ts, side), right payload packed
+  *      into ONE struct so the whole matching ROW carries together
+  *      (column-wise carry would mix rows when a right column is null);
+  *   2. one window per key ordered by (ts, side):
+  *      last(struct, ignoreNulls) over rows unbounded preceding;
+  *   3. keep left rows, unpack the struct.
+  * ONE shuffle on the key (both inputs flow into the same exchange) and
+  * one in-partition sort — sort-merge-join cost, no range explosion, no
+  * driver loops. Right rows with ts equal to a left row sort BEFORE it,
+  * so equality matches (>=), standard ASOF semantics.
+  */
+object AsOfJoin {
+
+  def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightStruct = struct(rightPayload.map(col): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("asof_ts__"),
+        lit(0).as("asof_side__"),
+        rightStruct.as("asof_r__")): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("asof_ts__"),
+        lit(1).as("asof_side__")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col): _*)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("asof_ts__").asc, col("asof_side__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("asof_r__",
+      last(col("asof_r__"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.foldLeft(
+      carried.filter(col("asof_side__") === 1)) { (d, c) =>
+      d.withColumn(s"right_$c", col(s"asof_r__.$c"))
+    }
+    unpacked
+      .drop("asof_side__", "asof_r__")
+      .withColumnRenamed("asof_ts__", leftTs)
+  }
+}
