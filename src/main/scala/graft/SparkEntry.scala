@@ -244,6 +244,20 @@ object SparkEntry {
           col("n_events"), col("value_sum"))
     }),
 
+    // ---- exact quantiles per group (sort-based percentile aggregate).
+    // Computed over integer cents: midpoint interpolation of 2dp doubles
+    // lands exactly on round-half boundaries where engines disagree;
+    // integer inputs make the lerp exact in binary, so no rounding at
+    // all is needed.
+    "q35_quantiles" -> ((s, dir) => {
+      val cents = "cast(round(l_extendedprice * 100, 0) as bigint)"
+      def p(q: Double) = expr(s"percentile($cents, $q) / 100.0")
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(p(0.25).as("p25"), p(0.5).as("p50"),
+          p(0.75).as("p75"), p(0.95).as("p95"))
+    }),
+
     // ---- as-of join: each purchase to the user's latest prior click
     "q34_asof_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -587,6 +601,14 @@ object SparkEntry {
         |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, sid""".stripMargin,
+
+    "q35_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
+        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS p50,
+        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75,
+        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.95) / 100.0 AS p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q34_asof_join" ->
       """SELECT p.event_id, p.user_id, p.value,
