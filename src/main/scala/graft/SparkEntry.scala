@@ -250,6 +250,10 @@ object SparkEntry {
     // integer inputs make the lerp exact in binary, so no rounding at
     // all is needed.
     "q35_quantiles" -> ((s, dir) => {
+      // direct sort-based percentile; a value-frequency pre-aggregation
+      // was measured SLOWER here because prices are near-unique (the
+      // histogram doesn't compress) — it pays off only on low-cardinality
+      // measures
       val cents = "cast(round(l_extendedprice * 100, 0) as bigint)"
       def p(q: Double) = expr(s"percentile($cents, $q) / 100.0")
       T(s, dir, "lineitem")
