@@ -33,6 +33,24 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L)))
   }
 
+  test("jaccard maxDocFreq drops hot shingles from candidate generation") {
+    // every doc shares the same leading trigram; only 1-2 share more
+    val hot = Seq(
+      (1L, "common lead phrase alpha beta gamma"),
+      (2L, "common lead phrase alpha beta delta"),
+      (3L, "common lead phrase zz yy xx"),
+      (4L, "common lead phrase qq rr ss")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardNearDup(hot, "doc_id", "text",
+      n = 3, threshold = 0.1).select($"doc_a", $"doc_b").rowsSet
+    assert(uncapped.contains(Seq(1L, 3L))) // via the hot shingle alone
+    val capped = Dedup.jaccardNearDup(hot, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDocFreq = 3).select($"doc_a", $"doc_b").rowsSet
+    // 'common lead phrase' has df=4 > 3 -> dropped; 1-3 share nothing else
+    assert(!capped.contains(Seq(1L, 3L)))
+    assert(capped.contains(Seq(1L, 2L))) // still linked by their rarer trigrams
+  }
+
   test("minhash LSH reproduces exact-jaccard pairs on well-separated data") {
     val exact = Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select($"doc_a", $"doc_b").rowsSet
