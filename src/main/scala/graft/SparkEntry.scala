@@ -250,16 +250,36 @@ object SparkEntry {
     // integer inputs make the lerp exact in binary, so no rounding at
     // all is needed.
     "q35_quantiles" -> ((s, dir) => {
-      // direct sort-based percentile; a value-frequency pre-aggregation
-      // was measured SLOWER here because prices are near-unique (the
-      // histogram doesn't compress) — it pays off only on low-cardinality
-      // measures
-      val cents = "cast(round(l_extendedprice * 100, 0) as bigint)"
-      def p(q: Double) = expr(s"percentile($cents, $q) / 100.0")
-      T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(p(0.25).as("p25"), p(0.5).as("p50"),
-          p(0.75).as("p75"), p(0.95).as("p95"))
+      // window-rank exact quantiles: one in-group sort + boundary-row
+      // pick + type-7 lerp (lo + (hi-lo)*frac — the formula both Spark's
+      // percentile() and DuckDB's quantile_cont use), over integer cents
+      // so the lerp is engine-exact. Beats the builtin percentile()
+      // aggregate, which serializes every group value through its
+      // partial buffers. (Exact per-group quantiles inherently
+      // concentrate each group; approx_percentile is the at-scale path.)
+      import org.apache.spark.sql.expressions.Window
+      val cents = expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+      val wSort = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents.as("cents"))
+        .withColumn("rn", row_number().over(wSort).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+      val aggs = qs.flatMap { case (nm, q) =>
+        val pos = lit(q) * (col("n") - 1).cast("double") // 0-based position
+        Seq(
+          max(when(col("rn") === (floor(pos) + 1), col("cents"))).as(s"${nm}_lo"),
+          max(when(col("rn") === (ceil(pos) + 1), col("cents"))).as(s"${nm}_hi"),
+          max(pos - floor(pos)).as(s"${nm}_f"))
+      }
+      val picked = ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      val outs = qs.map { case (nm, _) =>
+        ((col(s"${nm}_lo") +
+          (col(s"${nm}_hi") - col(s"${nm}_lo")).cast("double") * col(s"${nm}_f"))
+          / 100.0).as(nm)
+      }
+      picked.select(col("l_returnflag") +: outs: _*)
     }),
 
     // ---- as-of join: each purchase to the user's latest prior click
