@@ -87,6 +87,14 @@ object Streams {
         ()
       }
 
+  /** Stream-static enrichment: join a stream against a (small) dimension
+    * table with a broadcast hint — each micro-batch hash-joins against
+    * the broadcast dim, no stream-side state. The streaming twin of the
+    * J1/J2 sector/industry score joins. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
+
   /** One-shot catch-up run (the cron-cadence shape): process whatever is
     * available, then stop. */
   def runAvailableNow(writer: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -28,6 +28,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch to the dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Double)]
+    val dim = Seq(("Energy", 0.9), ("Tech", 0.4)).toDF("sector", "sector_score")
+    val enriched = Streams.enrich(
+      input.toDF().toDF("sector", "value"), dim, "sector")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(("Energy", 1.0), ("Pharma", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"sector", $"sector_score").collect()
+        .map(r => r.getString(0) -> Option(r.get(1))).toMap
+      assert(rows("Energy") == Some(0.9))
+      assert(rows("Pharma") == None) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
