@@ -282,6 +282,25 @@ object SparkEntry {
       picked.select(col("l_returnflag") +: outs: _*)
     }),
 
+    // ---- distinct aggregation (expand-based multi-distinct)
+    "q36_distinct_users" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(expr("(ts div 1000000000) div 86400")).as("n_days"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- KMV sketch distinct estimate (custom TypedImperativeAggregate;
+    // estimator has no SQL oracle: rows-only + spec-pinned error bounds)
+    "q37_approx_distinct_kmv" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.expressions.KMVSketch
+          .approx_distinct_kmv(col("user_id"), k = 256).as("approx_users"))
+    }),
+
     // ---- as-of join: each purchase to the user's latest prior click
     "q34_asof_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -633,6 +652,13 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75,
         |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.95) / 100.0 AS p95
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q36_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT (epoch_ns(ts) // 1000000000) // 86400) AS n_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q34_asof_join" ->
       """SELECT p.event_id, p.user_id, p.value,
