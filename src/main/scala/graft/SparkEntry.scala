@@ -380,10 +380,12 @@ object SparkEntry {
       SimilaritySearch.embeddingNearDupExact(T(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)),
 
-    // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only)
+    // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only;
+    // 32 bits / 8 bands lifts candidate recall at cos 0.45 to ~0.8 vs
+    // ~0.55 at the 16/4 default)
     "q30_embedding_neardup_lsh" -> ((s, dir) =>
       SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)),
+        "vec_id", "embedding", threshold = 0.45, bits = 32, bands = 8)),
 
     // ---- similarity: IVF coarse-quantizer ANN (approximate: rows-only)
     "q31_ann_ivf" -> ((s, dir) =>
@@ -717,7 +719,8 @@ object SparkEntry {
     "q33_winnowing" ->
       s"""WITH t AS (SELECT doc_id, $wsNorm AS tn FROM documents
          |    WHERE length($wsNorm) >= 8),
-         |g AS (SELECT doc_id, i, md5(substr(tn, CAST(i AS INTEGER), 8)) AS h
+         |g AS (SELECT doc_id, i,
+         |    substr(md5(substr(tn, CAST(i AS INTEGER), 8)), 1, 16) AS h
          |  FROM t, unnest(range(1, length(tn) - 6)) AS r(i))
          |SELECT DISTINCT doc_id,
          |  min(h) OVER (PARTITION BY doc_id ORDER BY i

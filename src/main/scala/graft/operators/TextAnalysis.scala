@@ -109,7 +109,10 @@ object TextAnalysis {
       .select(col(idCol), length(col("t__")).as("len__"),
         posexplode(transform(sequence(lit(1), length(col("t__")) - (k - 1)),
           i => col("t__").substr(i, lit(k)))).as(Seq("p__", "g")))
-      .select(col(idCol), (col("p__") + 1).as("i"), md5(col("g")).as("h"))
+      .select(col(idCol), (col("p__") + 1).as("i"),
+        // 64-bit md5 prefix: halves the window-shuffle payload; min
+        // selection stays engine-agnostic lexicographic order
+        substring(md5(col("g")), 1, 16).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("i").asc)
       .rowsBetween(Window.currentRow, w - 1)
     grams
