@@ -138,12 +138,17 @@ object SparkEntry {
     "q08_peer_percentile" -> ((s, dir) => {
       val inner = Seq(col("c_mktsegment"), col("c_nationkey"))
       val outer = Seq(col("c_mktsegment"))
-      T(s, dir, "customer").select(
+      val c = T(s, dir, "customer")
+      // adaptive: drop the single-partition global window when no row
+      // can reach the 'all' fallback (identical results)
+      val g = PeerPercentile.needsGlobalLevel(c, outer)
+      c.select(
         col("c_custkey"),
         PeerPercentile.peerLevel(inner, outer).as("peer_level"),
-        PeerPercentile.percentile(col("c_acctbal"), inner, outer).as("pct_bal"),
         PeerPercentile.percentile(col("c_acctbal"), inner, outer,
-          valuation = true).as("pct_val"))
+          includeGlobal = g).as("pct_bal"),
+        PeerPercentile.percentile(col("c_acctbal"), inner, outer,
+          valuation = true, includeGlobal = g).as("pct_val"))
     }),
 
     // ---- W4 rank within group (ref calfundamentalscore.py:339-346)

@@ -61,12 +61,12 @@ object PeerPercentile {
       outer: Seq[Column],
       minPeers: Int = 5,
       higherIsBetter: Boolean = true,
-      valuation: Boolean = false): Column = {
+      valuation: Boolean = false,
+      includeGlobal: Boolean = true): Column = {
     val m = if (valuation) when(metric > 0, metric) else metric
     val hib = if (valuation) false else higherIsBetter
     val wI = Window.partitionBy(inner: _*)
     val wO = Window.partitionBy(outer: _*)
-    val wG = Window.partitionBy()
     def level(w: WindowSpec): Column =
       pct(m, w, count(lit(1)).over(w), count(m).over(w), hib)
     val sizeI = count(lit(1)).over(wI)
@@ -75,14 +75,33 @@ object PeerPercentile {
     // pd.notna(industry) guards (calfundamentalscore.py:168-176).
     val innerKeysOk = inner.map(_.isNotNull).reduce(_ && _)
     val outerKeysOk = outer.map(_.isNotNull).reduce(_ && _)
+    // The global level is a single-partition window; Spark evaluates
+    // every window in the plan for every row, so when the caller KNOWS
+    // no row falls through to 'all' (see `auto`), dropping it removes
+    // the one non-scalable exchange from the plan.
+    val globalLevel =
+      if (includeGlobal) level(Window.partitionBy())
+      else lit(null).cast("double")
     val chosen = when(innerKeysOk && sizeI >= minPeers, level(wI))
       .when(outerKeysOk && sizeO >= minPeers, level(wO))
-      .otherwise(level(wG))
+      .otherwise(globalLevel)
     if (valuation)
       when(metric.isNull, lit(null).cast("double"))
         .when(metric <= 0, lit(0.0))
         .otherwise(chosen)
     else chosen
+  }
+
+  /** True if any row would land on the global 'all' fallback — i.e. some
+    * row's outer group is smaller than minPeers or has a null outer key.
+    * One cheap aggregate; lets callers drop the single-partition global
+    * window from the plan when it cannot be reached. */
+  def needsGlobalLevel(df: org.apache.spark.sql.DataFrame,
+      outer: Seq[Column], minPeers: Int = 5): Boolean = {
+    val outerKeysOk = outer.map(_.isNotNull).reduce(_ && _)
+    if (df.filter(!outerKeysOk).limit(1).count() > 0) true
+    else !df.groupBy(outer: _*).count()
+      .filter(col("count") < minPeers).isEmpty
   }
 
   /** Which fallback level a row lands in — the reference logs this

@@ -61,12 +61,14 @@ object FundamentalScorePipeline {
     // 2. per-metric percentile, rounded to 2dp like the reference
     // (ref calculate_percentile :159). Inverted metrics: for valuation
     // the loss-maker rule also applies; plain lower-is-better metrics
-    // (debt_to_equity) invert without peer filtering.
+    // (debt_to_equity) invert without peer filtering. The global 'all'
+    // level enters the plan only if some row can actually reach it.
+    val g = PeerPercentile.needsGlobalLevel(capped, outer, minPeers)
     val withPct = present.foldLeft(capped) { (d, m) =>
       d.withColumn(pctCol(m),
         round(PeerPercentile.percentile(col(m.name), inner, outer,
           minPeers = minPeers, higherIsBetter = m.higherIsBetter,
-          valuation = m.valuation), 2))
+          valuation = m.valuation, includeGlobal = g), 2))
     }
     val withLevel = withPct.withColumn("peer_level",
       PeerPercentile.peerLevel(inner, outer, minPeers))

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{HierarchicalZScore, PeerPercentile, RankOps}
+
+/** Scale probe: run the core window operators on generated data 100-1000x
+  * the correctness-gate size, with a deliberately skewed group, and print
+  * wall times. Deterministic (hash-derived values, no RNG).
+  * Usage: runMain graft.tools.ScaleProbe [rows]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // skew: segment 0 holds ~40% of all rows; 120 nations; ~8% null metric
+    val h = xxhash64(col("id"))
+    val df = spark.range(n)
+      .withColumn("seg",
+        when(pmod(h, lit(10)) < 4, lit("S0"))
+          .otherwise(concat(lit("S"), pmod(h, lit(7)).cast("string"))))
+      .withColumn("nat", pmod(xxhash64(col("id"), lit(1)), lit(120)).cast("int"))
+      .withColumn("m1", when(pmod(h, lit(12)) === 0, lit(null))
+        .otherwise((pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100.0)))
+      .withColumn("m2", (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 10.0))
+
+    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    time("hierarchical_zscore") {
+      HierarchicalZScore(df, Seq("m1" -> 0.6, "m2" -> 0.4),
+        inner = Seq("seg", "nat"), outer = Seq("seg"))
+        .select(col("id"), col("composite_score"))
+    }
+    time("peer_percentile") {
+      val g = PeerPercentile.needsGlobalLevel(df, Seq(col("seg")))
+      df.select(col("id"),
+        PeerPercentile.percentile(col("m1"),
+          Seq(col("seg"), col("nat")), Seq(col("seg")),
+          includeGlobal = g).as("p"))
+    }
+    time("band_by_rank_scalable") {
+      RankOps.bandByRankScalable(df.select(col("id"), col("m2")), "m2", "id",
+        Seq(100L -> "L", 250L -> "M", 500L -> "S"), "X")
+    }
+    spark.stop()
+  }
+}
