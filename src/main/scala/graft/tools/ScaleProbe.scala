@@ -48,6 +48,10 @@ object ScaleProbe {
           Seq(col("seg"), col("nat")), Seq(col("seg")),
           includeGlobal = g).as("p"))
     }
+    time("group_percentile_scalable") {
+      graft.operators.ScalableRank.groupPercentile(
+        df.select(col("id"), col("seg"), col("m1")), Seq("seg"), "m1")
+    }
     time("band_by_rank_scalable") {
       RankOps.bandByRankScalable(df.select(col("id"), col("m2")), "m2", "id",
         Seq(100L -> "L", 250L -> "M", 500L -> "S"), "X")

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.ScalableRank
+
+/** The distributed rank/percentile must be value-identical to the window
+  * formulations on data with ties, nulls, skew, and multiple groups. */
+class ScalableRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).map { i =>
+      val g = if (rnd.nextInt(10) < 6) "hot" else s"g${rnd.nextInt(5)}" // skew
+      val v = if (rnd.nextInt(8) == 0) None
+        else Some((rnd.nextInt(50) * 10).toDouble) // heavy ties
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v")
+  }
+
+  test("groupRank equals window rank() under ties, nulls, and skew") {
+    val df = fixture
+    val windowRank = df.withColumn("expected",
+      rank().over(Window.partitionBy($"g").orderBy($"v".asc_nulls_first))
+        .cast("long"))
+    val scalable = ScalableRank.groupRank(df, Seq("g"), "v", "got")
+    val joined = windowRank.join(scalable.select($"id", $"got"), "id")
+    assert(joined.filter($"expected" =!= $"got").isEmpty)
+    assert(scalable.count() == 2000)
+  }
+
+  test("groupPercentile equals the window strict-percentile") {
+    val df = fixture
+    val expected = df.select($"id",
+      graft.operators.PeerPercentile.percentile($"v", Seq($"g"), Seq($"g"),
+        minPeers = 1, includeGlobal = false).as("expected"))
+    val got = ScalableRank.groupPercentile(df, Seq("g"), "v", "got")
+      .select($"id", $"got")
+    val joined = expected.join(got, "id")
+    assert(joined.filter(
+      !($"expected" <=> $"got")).isEmpty)
+  }
+}
