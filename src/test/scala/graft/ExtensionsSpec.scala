@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** A session built with spark.sql.extensions=graft.GraftExtensions gets
+  * the custom functions in pure SQL. Builds a second session over the
+  * shared SparkContext, restores the suite session afterwards. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extension-injected functions resolve from SQL") {
+    val base = spark // force TestSpark init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf read from the SparkContext at
+    // launch; over a shared test context the programmatic hook applies
+    // the same class
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+        (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+        .toDF("id", "a", "b").createOrReplaceTempView("ext_vecs")
+      val cos = ext.sql(
+        "SELECT id, cosine_similarity(a, b) c, squared_distance(a, b) d FROM ext_vecs")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(math.abs(cos(1L)._1 - 1.0) < 1e-12 && cos(1L)._2 == 0.0)
+      assert(cos(2L)._1 == 0.0 && cos(2L)._2 == 2.0)
+      val sig = ext.sql(
+        "SELECT hyperplane_signature(a, 8, 2) s FROM ext_vecs WHERE id = 1")
+        .collect()(0).getLong(0)
+      assert(sig >= 0L && sig < 256L)
+      val kmv = ext.sql(
+        "SELECT approx_distinct_kmv(id, 16) FROM ext_vecs")
+        .collect()(0).getLong(0)
+      assert(kmv == 2L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
