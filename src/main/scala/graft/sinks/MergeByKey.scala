@@ -57,13 +57,21 @@ object MergeByKey {
     * clobbers the previous version. Returns count reconciliation stats.
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
-      key: String, overwriteColumns: Option[Seq[String]] = None): MergeStats = {
+      key: String, overwriteColumns: Option[Seq[String]] = None,
+      outputPartitions: Int = 0): MergeStats = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    val out =
+    val merged =
       if (!fs.exists(target)) incoming
       else merge(spark.read.parquet(path), incoming, key, overwriteColumns)
+    // repeated merges otherwise accumulate shuffle-partition-many small
+    // files per cycle; hash-repartitioning on the key also keeps rows
+    // with the same key in one file (compact + predictable)
+    val out =
+      if (outputPartitions > 0)
+        merged.repartition(outputPartitions, org.apache.spark.sql.functions.col(key))
+      else merged
     val staging = new org.apache.hadoop.fs.Path(path + "._staging")
     val backup = new org.apache.hadoop.fs.Path(path + "._old")
     out.write.mode(SaveMode.Overwrite).parquet(staging.toString)

@@ -40,6 +40,15 @@ class MergeByKeySpec extends SparkSpec {
     assert(!new java.io.File(dir + "._old").exists())
   }
 
+  test("upsert with outputPartitions bounds the file count") {
+    val dir = Files.createTempDirectory("graft_merge_parts").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    MergeByKey.upsert(spark, df, dir, "k", outputPartitions = 2)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("overwrite: truncate-and-load") {
     val dir = Files.createTempDirectory("graft_ovw").toString + "/t"
     MergeByKey.overwrite(Seq(("A", 1)).toDF("k", "v"), dir)
