@@ -287,6 +287,28 @@ object SparkEntry {
       picked.select(col("l_returnflag") +: outs: _*)
     }),
 
+    // ---- set operations: INTERSECT / EXCEPT (§2.7 — the reference only
+    // has the anti-join form; these are the explicit relational twins)
+    "q38_set_ops" -> ((s, dir) => {
+      val rich = T(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val buyers = T(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val both = rich.intersect(buyers).withColumn("set_op", lit("rich_buyer"))
+      val idle = rich.except(buyers).withColumn("set_op", lit("rich_idle"))
+      both.unionByName(idle)
+    }),
+
+    // ---- pivot: event counts by type across hour-of-day buckets
+    "q39_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      T(s, dir, "events")
+        .withColumn("hod", expr("(ts div 1000000000) div 3600 % 24"))
+        .groupBy(col("hod"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    }),
+
     // ---- distinct aggregation (expand-based multi-distinct)
     "q36_distinct_users" -> ((s, dir) => {
       T(s, dir, "events")
@@ -659,6 +681,24 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75,
         |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.95) / 100.0 AS p95
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q38_set_ops" ->
+      """SELECT c_custkey, 'rich_buyer' AS set_op
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |      INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_idle' AS set_op
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |      EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 % 24 AS hod,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q36_distinct_users" ->
       """SELECT event_type,
