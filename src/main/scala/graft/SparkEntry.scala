@@ -12,8 +12,10 @@ import graft.operators._
   * Float discipline (driver hash-compares values): aggregations whose
   * result depends on summation ORDER (double sums) run through an exact
   * DECIMAL accumulator and are cast back to double; purely row-wise
-  * arithmetic is emitted raw (bitwise-identical across engines); window
-  * stats (avg/stddev) are rounded to 2dp.
+  * arithmetic is emitted raw (bitwise-identical across engines);
+  * mean/std statistics derive from decimal Σx / Σx² through one double
+  * formula mirrored verbatim in the oracle SQL (never engine-native
+  * avg/stddev, whose partial-agg order is nondeterministic).
   */
 object SparkEntry {
 
@@ -515,18 +517,28 @@ object SparkEntry {
         |      FROM customer)""".stripMargin,
 
     "q07_composite_zscore" -> {
-      def zc(m: String, lvl: String) =
+      // Mirrors HierarchicalZScore exactly: Σx / Σx² as exact decimals
+      // (order-independent), varnum = n·Σx² − (Σx)² exact (0 iff the
+      // group is constant), then ONE double formula for mu/sd shared
+      // verbatim with the Spark side so both engines emit identical bits.
+      def vn(m: String, lvl: String) =
+        s"(CAST(cnt_${m}_$lvl AS DECIMAL(10,0)) * sxx_${m}_$lvl" +
+          s" - sx_${m}_$lvl * sx_${m}_$lvl)"
+      def zc(m: String, lvl: String) = {
+        val cd = s"CAST(cnt_${m}_$lvl AS DOUBLE)"
         s"""CASE WHEN $m IS NOT NULL AND cnt_${m}_$lvl >= 3
-           | AND sd_${m}_$lvl IS NOT NULL AND sd_${m}_$lvl <> 0
-           | THEN ($m - mu_${m}_$lvl) / sd_${m}_$lvl ELSE 0.0 END""".stripMargin
-          .replace("\n", "")
+           | AND ${vn(m, lvl)} > 0
+           | THEN ($m - CAST(sx_${m}_$lvl AS DOUBLE) / $cd)
+           |  / sqrt(CAST(${vn(m, lvl)} AS DOUBLE) / ($cd * ($cd - 1.0)))
+           | ELSE 0.0 END""".stripMargin.replace("\n", "")
+      }
       def contrib(m: String, w: Double) =
         s"CASE WHEN size_i >= 2 THEN ${zc(m, "i")} * $w ELSE ${zc(m, "o")} * $w * 0.8 END"
       val stats = Seq("c_acctbal", "order_total", "n_orders").flatMap(m =>
         Seq("i", "o").map(l =>
           s"""count($m) OVER w$l AS cnt_${m}_$l,
-             | avg($m) OVER w$l AS mu_${m}_$l,
-             | stddev_samp($m) OVER w$l AS sd_${m}_$l""".stripMargin
+             | CAST(sum(CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(18,2)) AS sx_${m}_$l,
+             | CAST(sum(CAST($m AS DECIMAL(18,2)) * CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(18,4)) AS sxx_${m}_$l""".stripMargin
             .replace("\n", ""))).mkString(",\n  ")
       s"""WITH os AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total

@@ -45,11 +45,19 @@ object HierarchicalZScore {
       minPeers: Int = 3,
       fallbackWeight: Double = 0.8): DataFrame = {
 
+    // Engine-exact, order-independent statistics: the inputs are 2dp
+    // money / integer counts, so Σx and Σx² are EXACT when accumulated
+    // as decimals — summation order (task scheduling, partial aggs)
+    // cannot change them, unlike raw-double avg/stddev whose partial
+    // sums reassociate nondeterministically. mu and sd are then derived
+    // in double with one fixed formula mirrored verbatim by the oracle
+    // SQL, so both engines compute bit-identical values.
     def statAggs(level: String) =
       count(lit(1)).as(s"size_$level") +: metrics.flatMap { case (m, _) =>
+        val xd = col(m).cast("decimal(18,2)")
         Seq(count(col(m)).as(s"cnt_${m}_$level"),
-          avg(col(m)).as(s"mu_${m}_$level"),
-          stddev_samp(col(m)).as(s"sd_${m}_$level"))
+          sum(xd).cast("decimal(18,2)").as(s"sx_${m}_$level"),
+          sum(xd * xd).cast("decimal(18,4)").as(s"sxx_${m}_$level"))
       }
 
     // stats per level via groupBy: null group keys form their own group
@@ -64,12 +72,20 @@ object HierarchicalZScore {
       .join(innerStats, inner, "left")
       .join(outerStats, outer, "left")
 
+    // varnum = n·Σx² − (Σx)² is an EXACT decimal (Cauchy-Schwarz ⇒ ≥ 0,
+    // and = 0 iff the group is constant, so the std≠0 guard is exact
+    // too — no epsilon). mu/sd come out of it in double arithmetic with
+    // operand order fixed by this one expression tree.
     def z(m: String, level: String): Column = {
       val v = col(m)
       val cnt = col(s"cnt_${m}_$level")
-      val mu = col(s"mu_${m}_$level")
-      val sd = col(s"sd_${m}_$level")
-      when(v.isNotNull && cnt >= minPeers && sd.isNotNull && sd =!= 0.0,
+      val sx = col(s"sx_${m}_$level")
+      val sxx = col(s"sxx_${m}_$level")
+      val varnum = cnt.cast("decimal(10,0)") * sxx - sx * sx
+      val cntD = cnt.cast("double")
+      val mu = sx.cast("double") / cntD
+      val sd = sqrt(varnum.cast("double") / (cntD * (cntD - lit(1.0))))
+      when(v.isNotNull && cnt >= minPeers && varnum > 0,
         (v - mu) / sd).otherwise(lit(0.0))
     }
 
@@ -86,7 +102,7 @@ object HierarchicalZScore {
       .drop("size_i" +: "size_o" +:
         metrics.flatMap { case (m, _) =>
           Seq("i", "o").flatMap(l =>
-            Seq(s"cnt_${m}_$l", s"mu_${m}_$l", s"sd_${m}_$l"))
+            Seq(s"cnt_${m}_$l", s"sx_${m}_$l", s"sxx_${m}_$l"))
         }: _*)
   }
 
