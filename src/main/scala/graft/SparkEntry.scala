@@ -521,8 +521,13 @@ object SparkEntry {
       // (order-independent), varnum = n·Σx² − (Σx)² exact (0 iff the
       // group is constant), then ONE double formula for mu/sd shared
       // verbatim with the Spark side so both engines emit identical bits.
+      // Widths sized so every DuckDB product stays ≤ 38 digits AND every
+      // operand is ≥ DECIMAL(19) where squared (DuckDB multiplies int64
+      // decimals in int64 physical storage and overflows otherwise):
+      // (7,0)·(30,4) → (37,4); (19,2)² → (38,4); difference → (38,4).
+      // All exact, matching the Spark side's natural-width decimals.
       def vn(m: String, lvl: String) =
-        s"(CAST(cnt_${m}_$lvl AS DECIMAL(10,0)) * sxx_${m}_$lvl" +
+        s"(CAST(cnt_${m}_$lvl AS DECIMAL(7,0)) * sxx_${m}_$lvl" +
           s" - sx_${m}_$lvl * sx_${m}_$lvl)"
       def zc(m: String, lvl: String) = {
         val cd = s"CAST(cnt_${m}_$lvl AS DOUBLE)"
@@ -537,8 +542,8 @@ object SparkEntry {
       val stats = Seq("c_acctbal", "order_total", "n_orders").flatMap(m =>
         Seq("i", "o").map(l =>
           s"""count($m) OVER w$l AS cnt_${m}_$l,
-             | CAST(sum(CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(18,2)) AS sx_${m}_$l,
-             | CAST(sum(CAST($m AS DECIMAL(18,2)) * CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(18,4)) AS sxx_${m}_$l""".stripMargin
+             | CAST(sum(CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(19,2)) AS sx_${m}_$l,
+             | CAST(sum(CAST($m AS DECIMAL(19,2)) * CAST($m AS DECIMAL(19,2))) OVER w$l AS DECIMAL(30,4)) AS sxx_${m}_$l""".stripMargin
             .replace("\n", ""))).mkString(",\n  ")
       s"""WITH os AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total

@@ -52,12 +52,19 @@ object HierarchicalZScore {
     // sums reassociate nondeterministically. mu and sd are then derived
     // in double with one fixed formula mirrored verbatim by the oracle
     // SQL, so both engines compute bit-identical values.
+    // Widths: keep Spark's NATURAL widened sum types — sum(decimal(18,2))
+    // = decimal(28,2), sum(decimal(37,4)) = decimal(38,4). Down-casting
+    // them (as an earlier revision did, to decimal(18,4)) caps Σx² at
+    // ~1e14 and overflows under ANSI at realistic money magnitudes
+    // (Σx² ≈ 2e16 observed at 15k customers). All derived products below
+    // stay within 38 digits with scale preserved, so the arithmetic
+    // remains EXACT end to end.
     def statAggs(level: String) =
       count(lit(1)).as(s"size_$level") +: metrics.flatMap { case (m, _) =>
         val xd = col(m).cast("decimal(18,2)")
         Seq(count(col(m)).as(s"cnt_${m}_$level"),
-          sum(xd).cast("decimal(18,2)").as(s"sx_${m}_$level"),
-          sum(xd * xd).cast("decimal(18,4)").as(s"sxx_${m}_$level"))
+          sum(xd).as(s"sx_${m}_$level"),
+          sum(xd * xd).as(s"sxx_${m}_$level"))
       }
 
     // stats per level via groupBy: null group keys form their own group
@@ -81,7 +88,10 @@ object HierarchicalZScore {
       val cnt = col(s"cnt_${m}_$level")
       val sx = col(s"sx_${m}_$level")
       val sxx = col(s"sxx_${m}_$level")
-      val varnum = cnt.cast("decimal(10,0)") * sxx - sx * sx
+      // decimal(20,0)·decimal(38,4) and decimal(28,2)² both resolve to
+      // decimal(38,4) with scale 4 PRESERVED (Spark reduces scale only
+      // when integer digits exceed 38), so varnum is exact.
+      val varnum = cnt.cast("decimal(20,0)") * sxx - sx * sx
       val cntD = cnt.cast("double")
       val mu = sx.cast("double") / cntD
       val sd = sqrt(varnum.cast("double") / (cntD * (cntD - lit(1.0))))
@@ -119,11 +129,19 @@ object HierarchicalZScore {
       fallbackWeight: Double = 0.8): Column = {
     val wI = Window.partitionBy(inner: _*)
     val wO = Window.partitionBy(outer: _*)
+    // Same decimal Σx/Σx² formulation as `apply` (order-independent,
+    // overflow-safe at natural sum widths) so both forms are engine-exact
+    // and mutually consistent.
     def z(w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val xd = metric.cast("decimal(18,2)")
       val cnt = count(metric).over(w)
-      val mu = avg(metric).over(w)
-      val sd = stddev_samp(metric).over(w)
-      when(metric.isNotNull && cnt >= minPeers && sd.isNotNull && sd =!= 0.0,
+      val sx = sum(xd).over(w)
+      val sxx = sum(xd * xd).over(w)
+      val varnum = cnt.cast("decimal(20,0)") * sxx - sx * sx
+      val cntD = cnt.cast("double")
+      val mu = sx.cast("double") / cntD
+      val sd = sqrt(varnum.cast("double") / (cntD * (cntD - lit(1.0))))
+      when(metric.isNotNull && cnt >= minPeers && varnum > 0,
         (metric - mu) / sd).otherwise(lit(0.0))
     }
     val innerSize = count(lit(1)).over(wI)

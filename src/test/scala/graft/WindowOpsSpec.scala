@@ -72,6 +72,39 @@ class WindowOpsSpec extends SparkSpec {
     (8L, "B", 3, Some(1.0)), (9L, "B", 3, Some(2.0)), (10L, "B", 4, Some(3.0))
   ).toDF("id", "seg", "nat", "v")
 
+  test("hierarchical z-score: money-magnitude groups don't overflow the decimal accumulators") {
+    // Σx² ≈ 3,500 × (1.4e6)² ≈ 6.9e15 — above the ~1e14 cap of a
+    // DECIMAL(18,4) accumulator (the round-2 regression: ANSI
+    // NUMERIC_VALUE_OUT_OF_RANGE at sf0.01; silent all-zero scores with
+    // ANSI off). Values are exact multiples of 0.25 so both the 2dp
+    // decimals and the doubles are exact, and the expected z-scores can
+    // be recomputed locally with the identical formula.
+    val n = 3500
+    val vals = (1 to n).map(i => 1000000.0 + i * 137.25)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "L", "s1", "i1", v) }
+      .toDF("id", "cap", "sector", "industry", "m")
+    val out = HierarchicalZScore(df, Seq("m" -> 1.0),
+      inner = Seq("cap", "sector", "industry"), outer = Seq("cap", "sector"))
+      .select($"id", $"composite_score").as[(Long, Double)].collect().toMap
+    assert(out.size == n)
+    // local exact mirror: decimal Σx/Σx², varnum = n·Σx² − (Σx)², one
+    // double formula, HALF_UP 2dp round — same as the operator
+    val sx = vals.map(v => BigDecimal(v).setScale(2)).sum
+    val sxx = vals.map { v => val d = BigDecimal(v).setScale(2); d * d }.sum
+    val varnum = BigDecimal(n) * sxx - sx * sx
+    assert(varnum > 0, "variance numerator must be positive (not overflowed/nulled)")
+    val cntD = n.toDouble
+    val mu = sx.toDouble / cntD
+    val sd = math.sqrt(varnum.toDouble / (cntD * (cntD - 1.0)))
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val exp = new java.math.BigDecimal((v - mu) / sd)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(math.abs(out(i.toLong) - exp) < 1e-12,
+        s"id=$i spark=${out(i.toLong)} expected=$exp")
+    }
+    assert(out.values.exists(_ != 0.0), "z-scores must not be silently zeroed")
+  }
+
   test("peer percentile: strict-less with ties, nulls excluded from denominator") {
     val out = pctFixture.select($"id",
       PeerPercentile.percentile($"v", Seq($"seg", $"nat"), Seq($"seg")).as("p"))
