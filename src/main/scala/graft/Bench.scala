@@ -16,6 +16,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Keep AQE's skew handling but not its partition coalescing: the
+      // 64 MB advisory target is a cluster-network setting; on a single
+      // 32-thread node it collapses ~200 MB reduce stages to 2-3 tasks
+      // and serializes them (measured 8x on the LSH bucket aggregation).
+      // shuffle.partitions is already sized to the box.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

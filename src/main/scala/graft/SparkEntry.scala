@@ -391,10 +391,13 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(T(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
-    // ---- similarity: LSH-bucketed ANN (approximate: rows-only)
+    // ---- similarity: LSH-bucketed ANN (approximate: rows-only).
+    // bands=8192: the synthetic corpus's true top-10 sit at cos
+    // 0.28-0.41 — the random-noise tail, LSH's hardest regime — so band
+    // count is sized up to hold per-neighbor recall ~0.9 there.
     "q26_ann_lsh" -> ((s, dir) =>
       SimilaritySearch.lshTopK(T(s, dir, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 10)),
+        "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192)),
 
     // ---- multimodal: binary payload + per-partition stub decode
     "q27_multimodal_meta" -> ((s, dir) => {
@@ -410,11 +413,12 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)),
 
     // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only;
-    // 32 bits / 8 bands lifts candidate recall at cos 0.45 to ~0.8 vs
-    // ~0.55 at the 16/4 default)
+    // 16-bit band keys × 2048 bands over a 256-bit base signature —
+    // recall ≈ 0.9 at cos 0.45 with false candidates at the birthday
+    // floor; see HyperplaneBandKeys scaladoc for the r/b math)
     "q30_embedding_neardup_lsh" -> ((s, dir) =>
       SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45, bits = 32, bands = 8)),
+        "vec_id", "embedding", threshold = 0.45)),
 
     // ---- similarity: IVF coarse-quantizer ANN (approximate: rows-only)
     "q31_ann_ivf" -> ((s, dir) =>

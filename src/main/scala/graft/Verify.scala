@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.scala: coalescing serializes mid-size reduce stages
+      // on a single node; partitions are already sized to the box
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long nanos (queries do integer epoch math).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

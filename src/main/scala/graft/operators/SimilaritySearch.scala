@@ -35,25 +35,33 @@ object SimilaritySearch {
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** LSH-bucketed ANN: score only rows whose hyperplane signature shares
-    * at least one band with the query's. */
+  /** LSH-bucketed ANN: score only rows whose banded hyperplane keys
+    * intersect the query's ([[graft.expressions.HyperplaneBandKeys]] —
+    * 16-bit band keys, so each band prunes to ~n/65,536 of the corpus
+    * and the scored fraction is ~bands·n/2¹⁶ plus the true neighbors).
+    * The query's key set broadcasts (bands longs); candidates shuffle
+    * ids only, vectors join back for exact cosine scoring. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
-    val chunk = bits / bands
-    val mask = (1L << chunk) - 1
+      queryId: Long, k: Int, baseBits: Int = 512, bands: Int = 4096,
+      bitsPerBand: Int = 16): DataFrame = {
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val sig = df.select(col(idCol), col(vecCol),
-      graft.expressions.HyperplaneSignature(col(vecCol), bits, dim).as("sig"))
-    val banded = sig.select(col(idCol), col(vecCol),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*))
-        .as(Seq("band", "bkey")))
-    val q = banded.filter(col(idCol) === queryId)
-      .select(col("band"), col("bkey"), col(vecCol).as("q_vec"))
-    val candidates = banded.filter(col(idCol) =!= queryId)
-      .join(broadcast(q), Seq("band", "bkey"))
-      .dropDuplicates(idCol)
+    // same single-split guard as embeddingNearDup
+    val spread =
+      if (df.rdd.getNumPartitions >=
+          df.sparkSession.sessionState.conf.numShufflePartitions) df
+      else df.repartition(col(idCol))
+    val keyed = spread.select(col(idCol), explode(
+      graft.expressions.HyperplaneBandKeys(
+        col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
+    val q = keyed.filter(col(idCol) === queryId).select(col("pkey"))
+    val candidates = keyed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), Seq("pkey"))
+      .select(col(idCol)).dropDuplicates(idCol)
+    val qVec = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
     candidates
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(qVec))
       .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
       .orderBy(round(col("cosine"), 6).desc, col(idCol).asc)
       .limit(k)
@@ -177,28 +185,58 @@ object SimilaritySearch {
   }
 
   /** Embedding-cosine near-dup pairs among ALL rows (id_a < id_b,
-    * cosine >= threshold) — LSH-bucketed so no full cross product:
-    * pairs are generated only within shared (band, bkey) buckets, then
-    * verified exactly. */
+    * cosine >= threshold) — LSH-bucketed so no full cross product.
+    *
+    * Shape, sized for a corpus that does NOT fit anywhere:
+    *   1. one pass emits `bands` packed 16-bit band keys per vector
+    *      ([[graft.expressions.HyperplaneBandKeys]]) — explode to
+    *      (id, pkey) rows carrying NO payload;
+    *   2. ids-only self-join on pkey → candidate (id_a, id_b), dedup —
+    *      the shuffle moves two longs per candidate, never vectors;
+    *   3. vectors join back by id (two shuffled equi-joins) and the
+    *      codegen'd cosine verifies exactly.
+    *
+    * Tuning (see HyperplaneBandKeys scaladoc for the math): 16-bit band
+    * keys give 65,536 buckets/band, so false candidates sit at the
+    * birthday floor ~bands·n²/2¹⁷ while recall at per-bit collision
+    * probability p is 1−(1−p¹⁶)^bands. The defaults (256 base bits,
+    * 2048 bands) hold recall ≈ 0.85-0.95 down to cosine ≈ 0.45 — the
+    * hardest useful regime, where p ≈ 0.65 — with ~20× fewer false
+    * candidates than the narrow-band (4-bit) layout at equal recall.
+    * For a routine near-dup threshold (cosine ≥ 0.8, p ≥ 0.8) recall
+    * is ≈ 1 even at bands = 256; lower `bands` accordingly. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
-    val chunk = bits / bands
-    val mask = (1L << chunk) - 1
+      threshold: Double, baseBits: Int = 512, bands: Int = 4096,
+      bitsPerBand: Int = 16): DataFrame = {
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        graft.expressions.HyperplaneSignature(col(vecCol), bits, dim).as("sig"))
-      .select(col("id"), col("vec"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*))
-        .as(Seq("band", "bkey")))
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+    // The signature+explode map stage parallelizes per input split; a
+    // small/single-file corpus would otherwise run it in one task, so
+    // spread it first (at real scale the source already has splits and
+    // this branch never fires).
+    val spread =
+      if (df.rdd.getNumPartitions >=
+          df.sparkSession.sessionState.conf.numShufflePartitions) df
+      else df.repartition(col(idCol))
+    val keyed = spread.select(col(idCol).as("id"),
+      explode(graft.expressions.HyperplaneBandKeys(
+        col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
+    // Bucket by key with ONE shuffle and expand pairs locally (a self-join
+    // would shuffle the exploded key table twice and recompute its
+    // lineage). Buckets are near-singleton by construction (birthday
+    // floor), so the local s² expansion is bounded; a genuinely hot
+    // bucket means near-identical vectors — real duplicates you must
+    // emit anyway.
+    val pairs = keyed.groupBy(col("pkey"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cosine", VectorFns.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))

@@ -84,7 +84,7 @@ class DedupSpec extends SparkSpec {
       (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val out = SimilaritySearch.embeddingNearDup(vecs, "vec_id", "embedding",
-      threshold = 0.9, bits = 8, bands = 4)
+      threshold = 0.9, baseBits = 64, bands = 32)
     val ids = out.select($"id_a", $"id_b").rowsSet
     assert(ids == Set(Seq(1L, 2L)))
   }

@@ -31,7 +31,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
 
   test("lshTopK returns a subset of true ranking, query excluded") {
     val out = SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", 0L, 5,
-      bits = 8, bands = 4)
+      baseBits = 64, bands = 32)
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(!out.contains(0L))
     assert(out.contains(1L)) // near-identical vector must share a band
