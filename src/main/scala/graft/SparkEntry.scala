@@ -425,6 +425,12 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(T(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
+    // q37) re-checked against its exact twin; the oracle is the constant
+    // all-true table, so a recall collapse fails the gate as a hash
+    // mismatch instead of hiding behind a row count
+    "q40_accuracy_audit" -> ((s, dir) => AccuracyAudit(s, dir)),
+
     // ---- F4/F5/F10 feature math + scaled-integer codec
     "q28_features_codec" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
@@ -830,6 +836,13 @@ object SparkEntry {
         |  CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_width,
         |  CAST(1 + strlen(text) % 48 AS INTEGER) AS fake_height
         |FROM documents""".stripMargin,
+
+    "q40_accuracy_audit" ->
+      """SELECT 'simhash_pigeonhole_exact' AS check, true AS pass
+        |UNION ALL SELECT 'ann_lsh_top10_overlap', true
+        |UNION ALL SELECT 'ann_ivf_top10_overlap', true
+        |UNION ALL SELECT 'embedding_lsh_recall', true
+        |UNION ALL SELECT 'kmv_rel_err_bound', true""".stripMargin,
 
     "q28_features_codec" ->
       """SELECT l_orderkey, l_linenumber,

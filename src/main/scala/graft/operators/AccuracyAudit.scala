@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-visible accuracy gate for the approximate operators
+  * (SimHash, ANN-LSH, embedding-LSH near-dup, IVF, KMV sketch).
+  *
+  * Each check recomputes the operator's EXACT twin on the same input and
+  * thresholds the recall / error, emitting one (check, pass) row. The
+  * mirrored oracle is the constant all-true table, so a recall collapse
+  * or band-shift bug flips the row to false and fails the correctness
+  * gate as a hash mismatch — the approximate queries stop being
+  * row-count-only signals.
+  *
+  * Thresholds are intentionally below the measured values (see each
+  * check) so run-to-run data growth across scale factors doesn't flap,
+  * while regressions of the kind that matter (halved recall, unbounded
+  * sketch error) trip immediately. Exact twins are O(n²) by nature —
+  * this is an audit over the gate corpus, not a production path; at
+  * fleet scale the same checks run over a sampled slice.
+  */
+object AccuracyAudit {
+
+  def apply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val emb = Tables(s, dir, "embeddings")
+    val events = Tables(s, dir, "events")
+
+    // --- SimHash banding is pigeonhole-exact: hamming <= 3 over 4 bands
+    // of 16 bits MUST collide in >= 1 band, so recall is exactly 1.0.
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .persist()
+    val exactSim = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val lshSim = Dedup.simhash(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    fps.unpersist(blocking = false)
+    val simhashOk = exactSim == lshSim // banding may neither miss nor invent
+
+    // --- ANN: exact top-10 once, both approximate variants against it.
+    def ids(df: DataFrame): Set[Long] = df.select(col("vec_id"))
+      .as[Long].collect().toSet
+    val exactTop = ids(SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    // measured 9/10 at sf0.01 and sf0.1 (true neighbors at cos 0.28-0.41,
+    // the random-noise tail); threshold half that
+    val lshTop = ids(SimilaritySearch.lshTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192))
+    val annLshOk = (exactTop & lshTop).size >= 5
+    // IVF probes 2 of 8 cells: geometric recall, measured per TESTDATA
+    val ivfTop = ids(SimilaritySearch.ivfTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    val ivfOk = (exactTop & ivfTop).size >= 4
+
+    // --- embedding near-dup LSH recall vs the exact O(n²) kernel
+    // (measured 1.0 at sf0.01, 0.958 at sf0.1; vacuous-pass if the
+    // corpus has no true pairs)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exactPairs = pairs(SimilaritySearch.embeddingNearDupExact(
+      emb, "vec_id", "embedding", threshold = 0.45))
+    val lshPairs = pairs(SimilaritySearch.embeddingNearDup(
+      emb, "vec_id", "embedding", threshold = 0.45))
+    val neardupOk = exactPairs.isEmpty ||
+      (exactPairs & lshPairs).size.toDouble / exactPairs.size >= 0.8
+
+    // --- KMV distinct sketch vs exact count-distinct: k=256 keeps the
+    // relative error ~1/sqrt(k-2) ≈ 6.3% (1σ); gate at 4σ
+    val exactD = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_d"))
+    val kmvD = events.groupBy(col("event_type"))
+      .agg(graft.expressions.KMVSketch
+        .approx_distinct_kmv(col("user_id"), k = 256).as("kmv_d"))
+    val worstErr = exactD.join(kmvD, "event_type")
+      .select(max(abs(col("kmv_d") - col("exact_d")) /
+        col("exact_d").cast("double")))
+      .as[Double].collect().head
+    val kmvOk = worstErr <= 0.25
+
+    Seq(
+      ("simhash_pigeonhole_exact", simhashOk),
+      ("ann_lsh_top10_overlap", annLshOk),
+      ("ann_ivf_top10_overlap", ivfOk),
+      ("embedding_lsh_recall", neardupOk),
+      ("kmv_rel_err_bound", kmvOk)
+    ).toDF("check", "pass")
+  }
+}

@@ -152,10 +152,9 @@ object Dedup {
     * votes (term frequency weights votes, per Charikar'02/Manku'07);
     * band keys are shift+mask chunks; hamming = bit_count(a XOR b). No
     * arrays, no interpreted lambdas anywhere in the hot path. */
-  def simhash(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val chunk = 64 / bands
+  /** 64-bit SimHash fingerprint per doc as (doc, fp) — the shared kernel
+    * of `simhash` and of exact hamming-distance audits. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(TextFns.words(col(textCol))).as("t"))
     val h = xxhash64(col("t"))
@@ -165,8 +164,15 @@ object Dedup {
     val fpExpr = (0 until 64).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+    votes.select(col("doc"), fpExpr.as("fp"))
+  }
+
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val chunk = 64 / bands
     // one row + one long per doc: cheap to cache, expensive to recompute
-    val withFp = votes.select(col("doc"), fpExpr.as("fp")).persist()
+    val withFp = simhashFingerprints(df, idCol, textCol).persist()
     val mask = (1L << chunk) - 1
     val buckets = withFp.select(col("doc"), col("fp"),
       posexplode(array((0 until bands).map(c =>
