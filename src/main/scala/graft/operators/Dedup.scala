@@ -101,17 +101,19 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = explodedShingles(df, idCol, textCol, n)
+    // The exploded (doc, shingle) rows are the shared kernel of both the
+    // signature pass and the candidate verification, so they persist
+    // once; per-doc state is NEVER collected into an array — the widest
+    // row anywhere is 64 lane minima + a count, bounded regardless of
+    // document length (a collect_set(shingle) payload would grow with
+    // the document and OOM executors on long docs at corpus scale).
+    val sh = explodedShingles(df, idCol, textCol, n).persist()
     // Signature = ONE hash-aggregate with `numHashes` codegen'd min()
     // columns (no 64x row blowup, no interpreted lambdas): each lane j is
-    // min(xxhash64(j, shingle)) over the doc's shingles. The shingle-set
-    // size AND the set itself (needed only for the few candidate pairs'
-    // exact verification) ride along in the same pass; persisting the
-    // per-doc signature table (small: 64 longs + the doc's shingles)
-    // means the tokenize+window lineage runs exactly once.
+    // min(xxhash64(j, shingle)) over the doc's shingles.
     val laneAggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) ++
-      Seq(count(lit(1)).as("n_sh"), collect_set(col("shingle")).as("shset"))
+      min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) :+
+      count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(laneAggs.head, laneAggs.tail: _*)
       .persist()
     val bandExprs = (0 until bands).map { b =>
@@ -127,16 +129,27 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact verification: candidate pairs are few (bucket-collisions
-    // only), so join their shingle SETS back and intersect per pair —
-    // no second pass over the corpus, no posting-list re-join.
-    val payload = sig.select(col("doc"), col("n_sh"), col("shset"))
+    // Exact verification via the inverted index, RESTRICTED to candidate
+    // docs first: the (tiny) candidate-doc set semi-joins the posting
+    // rows down to the docs that matter, the posting-list self-join
+    // counts intersections among those, and the candidate-pair inner
+    // join discards coincidental same-bucket doc pairs. A candidate pair
+    // sharing no shingle simply drops out (jaccard 0 < threshold).
+    val candDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+    val shC = sh.join(broadcast(candDocs), Seq("doc"), "left_semi")
+    val inter = shC.as("x").join(shC.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc"), col("n_sh"))
     pairs
-      .join(payload.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
-        col("shset").as("sh_a")), "doc_a")
-      .join(payload.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
-        col("shset").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
