@@ -113,10 +113,13 @@ object SparkEntry {
         o.select(col("o_custkey").as("c_custkey")), "c_custkey")
     }),
 
-    // ---- W1 global rank banding (ref calcompositescore.py:207-218)
+    // ---- W1 global rank banding (ref calcompositescore.py:207-218).
+    // Declared via the scalable path: range-partitioned global sort +
+    // per-partition offsets — identical output to the single-partition
+    // window form, which survives only in the oracle SQL.
     "q06_band_by_balance" -> ((s, dir) => {
-      RankOps.bandByRank(
-        T(s, dir, "customer"), col("c_acctbal"), col("c_custkey"),
+      RankOps.bandByRankScalable(
+        T(s, dir, "customer"), "c_acctbal", "c_custkey",
         Seq(100L -> "Large", 250L -> "Mid", 500L -> "Small"), "Micro")
         .select(col("c_custkey"), col("c_acctbal"), col("band"))
     }),

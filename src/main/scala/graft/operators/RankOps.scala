@@ -49,8 +49,13 @@ object RankOps {
       lastLabel: String,
       outCol: String = "band"): DataFrame = {
     val spark = df.sparkSession
+    // Persist the range-sorted data once: the offset pass and the rank
+    // pass both read it, and without the persist the second pass would
+    // re-run the full global sort (zipWithIndex's standard trade — one
+    // spill-able materialization instead of sorting twice).
     val sorted = df.repartitionByRange(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
       .sortWithinPartitions(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1)

@@ -31,8 +31,11 @@ object ScalableRank {
     val sortCols = groups.map(col) :+ col(valueCol).asc_nulls_first
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // persisted once: both the offset pass and the position pass read it
+    // (otherwise the second pass re-runs the global sort)
     val sorted = df.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition row counts -> global offsets (tiny driver array)
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }

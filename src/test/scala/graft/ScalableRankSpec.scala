@@ -30,6 +30,18 @@ class ScalableRankSpec extends SparkSpec {
     assert(scalable.count() == 2000)
   }
 
+  test("q06's declared plan has no single-partition exchange") {
+    // the scalable banding must never funnel all rows through one task —
+    // a regression back to the un-partitioned window form would show as
+    // Exchange SinglePartition in the physical plan
+    val q06 = SparkEntry.queries("q06_band_by_balance")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q06.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in q06 plan:\n$plan")
+    assert(q06.count() > 0)
+  }
+
   test("groupPercentile equals the window strict-percentile") {
     val df = fixture
     val expected = df.select($"id",
