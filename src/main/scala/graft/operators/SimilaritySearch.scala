@@ -75,44 +75,57 @@ object SimilaritySearch {
     * O(n²·d) work — at corpus scale use `embeddingNearDup` (LSH) and
     * keep this for verification samples. */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Normalize once, broadcast the corpus, and run the O(n²·d) kernel as
-    // a tight per-partition loop over row ranges (the blocked-BLAS shape
-    // MLlib uses for column similarities). Expression-tree forms lose
-    // here: Catalyst pushes the threshold filter into the pair-join
-    // condition where a 64-term cosine evaluates interpreted per
-    // candidate pair (measured 5x slower than even the explode/self-join
-    // formulation). Work is still distributed — each partition owns a
-    // slice of `i` — but the corpus itself is broadcast, which is the
-    // exact variant's documented bound; beyond broadcastable corpora use
-    // `embeddingNearDup` (LSH).
-    val rows: Array[(Long, Array[Double])] = df
+    // Blocked triangle join: vectors hash into `blocks` blocks by id;
+    // every unordered block pair (i <= j) becomes one task holding two
+    // blocks, and a tight double loop scores its cross product. Nothing
+    // is ever collected to the driver and no single task sees more than
+    // 2·n/blocks vectors — `blocks` is the memory/parallelism knob
+    // (square-root scaling: task count grows as blocks², matching the
+    // inherently quadratic work). The inner loop stays a raw array
+    // kernel: Catalyst expression forms evaluate the 64-term cosine
+    // interpreted per candidate pair once the threshold filter is pushed
+    // into the join condition (measured 5× slower).
+    val bN = blocks
+    val norm = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-      .map { case (id, v) =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        (id, if (n == 0) v else v.map(_ / n))
+      .rdd.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), if (nrm == 0) v else v.map(_ / nrm))
       }
-    val bc = spark.sparkContext.broadcast(rows)
-    val n = rows.length
-    val pairs = spark.sparkContext
-      .parallelize(0 until n, math.max(1, math.min(n, 256)))
-      .mapPartitions { it =>
-        val arr = bc.value
-        it.flatMap { i =>
-          val (ida, va) = arr(i)
-          (i + 1 until arr.length).iterator.flatMap { j =>
-            val (idb, vb) = arr(j)
-            var s = 0.0
-            var k = 0
-            while (k < va.length) { s += va(k) * vb(k); k += 1 }
-            if (s >= threshold)
-              Iterator((ida, idb, math.rint(s * 10000) / 10000))
-            else Iterator.empty
+    val keyed = norm.flatMap { case (id, v) =>
+      val b = (((id % bN) + bN) % bN).toInt
+      (0 until bN).map { o =>
+        ((math.min(b, o), math.max(b, o)), (b == math.min(b, o), (id, v)))
+      }
+    }
+    def score(ida: Long, va: Array[Double], idb: Long, vb: Array[Double]) = {
+      var s = 0.0
+      var k = 0
+      while (k < va.length) { s += va(k) * vb(k); k += 1 }
+      if (s >= threshold) {
+        val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+        Iterator((lo, hi, math.rint(s * 10000) / 10000))
+      } else Iterator.empty
+    }
+    val pairs = keyed
+      .groupByKey(numPartitions = bN * (bN + 1) / 2)
+      .flatMap { case ((i, j), rows) =>
+        if (i == j) {
+          val arr = rows.map(_._2).toArray
+          arr.indices.iterator.flatMap { a =>
+            (a + 1 until arr.length).iterator.flatMap { c =>
+              score(arr(a)._1, arr(a)._2, arr(c)._1, arr(c)._2)
+            }
+          }
+        } else {
+          val left = rows.iterator.filter(_._1).map(_._2).toArray
+          val right = rows.iterator.filterNot(_._1).map(_._2).toArray
+          left.iterator.flatMap { case (ida, va) =>
+            right.iterator.flatMap { case (idb, vb) => score(ida, va, idb, vb) }
           }
         }
       }
@@ -133,19 +146,32 @@ object SimilaritySearch {
     def centroidLit(c: Array[Double]) = array(c.map(lit): _*)
     def dist2(v: Column, c: Array[Double]): Column =
       graft.expressions.SquaredDistance(v, centroidLit(c))
-    // Deterministic farthest-point init: seed with the lowest id, then
-    // repeatedly take the point farthest from the chosen set. Runs on a
-    // bounded id-ordered sample (init needs spread, not the full corpus).
-    val initSample = vecs.orderBy(col("id").asc).limit(4096).persist()
-    var centroids: Array[Array[Double]] = Array(
-      initSample.limit(1).collect()(0).getSeq[Double](1).toArray)
-    while (centroids.length < nCentroids) {
-      val ds = centroids.map(c => dist2(col("v"), c)).toIndexedSeq
-      val minDist = if (ds.length == 1) ds.head else least(ds: _*)
-      val far = initSample.orderBy(minDist.desc, col("id").asc).limit(1).collect()(0)
-      centroids :+= far.getSeq[Double](1).toArray
+    // Deterministic farthest-point init on a bounded id-ordered sample
+    // (init needs spread, not the full corpus): ONE collect of the
+    // sample, then farthest-point runs locally — k sequential Spark jobs
+    // for a k-centroid seed would pay k scheduling round-trips for
+    // driver-side state that is tiny by definition.
+    val sample: Array[Array[Double]] = vecs.orderBy(col("id").asc)
+      .limit(4096).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var centroids: Array[Array[Double]] = Array(sample(0))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
-    initSample.unpersist(blocking = false)
+    while (centroids.length < nCentroids) {
+      // strict > keeps the earliest (lowest-id) point on ties, matching
+      // the previous (minDist desc, id asc) ordering
+      var bestIdx = 0
+      var bestD = -1.0
+      for (idx <- sample.indices) {
+        val d = centroids.map(c => d2(sample(idx), c)).min
+        if (d > bestD) { bestD = d; bestIdx = idx }
+      }
+      centroids :+= sample(bestIdx)
+    }
     def assignExpr: Column = {
       // argmin over centroids as a when-chain on the running minimum
       val ds = centroids.zipWithIndex.map { case (c, ci) => (ci, dist2(col("v"), c)) }
