@@ -537,17 +537,26 @@ object SparkEntry {
       // Widths sized so every DuckDB product stays ≤ 38 digits AND every
       // operand is ≥ DECIMAL(19) where squared (DuckDB multiplies int64
       // decimals in int64 physical storage and overflows otherwise):
-      // (7,0)·(30,4) → (37,4); (19,2)² → (38,4); difference → (38,4).
+      // (9,0)·(29,4) → (38,4); (19,2)² → (38,4); difference → (38,4).
       // All exact, matching the Spark side's natural-width decimals.
+      // Scale ceiling of these widths: <1e9 rows per (outer) window
+      // partition and Σx² < 1e25 — far beyond any per-segment cardinality
+      // in this schema; re-derive if a partition could exceed either.
+      // The final decimal→double conversions go via VARCHAR: DuckDB's
+      // direct CAST(DECIMAL AS DOUBLE) is double-rounded above 2^53
+      // (int128→double then ÷10^scale), while Spark's Decimal.toDouble is
+      // correctly rounded; varnum reaches ~1e16 at sf0.1 and the 1-ulp
+      // drift flips round(score, 2) on .005-boundary rows.
+      def d(expr: String) = s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
       def vn(m: String, lvl: String) =
-        s"(CAST(cnt_${m}_$lvl AS DECIMAL(7,0)) * sxx_${m}_$lvl" +
+        s"(CAST(cnt_${m}_$lvl AS DECIMAL(9,0)) * sxx_${m}_$lvl" +
           s" - sx_${m}_$lvl * sx_${m}_$lvl)"
       def zc(m: String, lvl: String) = {
         val cd = s"CAST(cnt_${m}_$lvl AS DOUBLE)"
         s"""CASE WHEN $m IS NOT NULL AND cnt_${m}_$lvl >= 3
            | AND ${vn(m, lvl)} > 0
-           | THEN ($m - CAST(sx_${m}_$lvl AS DOUBLE) / $cd)
-           |  / sqrt(CAST(${vn(m, lvl)} AS DOUBLE) / ($cd * ($cd - 1.0)))
+           | THEN ($m - ${d(s"sx_${m}_$lvl")} / $cd)
+           |  / sqrt(${d(vn(m, lvl))} / ($cd * ($cd - 1.0)))
            | ELSE 0.0 END""".stripMargin.replace("\n", "")
       }
       def contrib(m: String, w: Double) =
@@ -556,7 +565,7 @@ object SparkEntry {
         Seq("i", "o").map(l =>
           s"""count($m) OVER w$l AS cnt_${m}_$l,
              | CAST(sum(CAST($m AS DECIMAL(18,2))) OVER w$l AS DECIMAL(19,2)) AS sx_${m}_$l,
-             | CAST(sum(CAST($m AS DECIMAL(19,2)) * CAST($m AS DECIMAL(19,2))) OVER w$l AS DECIMAL(30,4)) AS sxx_${m}_$l""".stripMargin
+             | CAST(sum(CAST($m AS DECIMAL(19,2)) * CAST($m AS DECIMAL(19,2))) OVER w$l AS DECIMAL(29,4)) AS sxx_${m}_$l""".stripMargin
             .replace("\n", ""))).mkString(",\n  ")
       s"""WITH os AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total

@@ -36,11 +36,31 @@ object Screeners {
   def toJsonRecords(result: DataFrame, limit: Int = 1000): Seq[String] =
     result.limit(limit).toJSON.collect().toSeq
 
-  /** Response envelope mirroring the reference's
-    * {success, data, count, screener_type, timestamp}. */
-  def respond(spark: SparkSession, name: String, scored: DataFrame): String = {
-    val rows = toJsonRecords(run(name, scored))
+  /** Response envelope with the reference's exact `ScreenerResponse`
+    * fields, in model order and always present (pydantic serializes
+    * every field, null included): {success, data, count, screener_type,
+    * timestamp, error} — `tradingview_api_server` bytecode,
+    * `ScreenerResponse` model. On failure the reference answers
+    * success=false with data null, count 0, and the error message
+    * (`"Failed to fetch data for screener: {type}"` / `str(e)`). */
+  def envelope(name: String, rows: Seq[String], error: Option[String]): String = {
     val ts = java.time.Instant.now().toString
-    s"""{"success":true,"count":${rows.size},"screener_type":"$name","timestamp":"$ts","data":[${rows.mkString(",")}]}"""
+    val data = if (error.isDefined) "null" else rows.mkString("[", ",", "]")
+    val count = if (error.isDefined) 0 else rows.size
+    val err = error.map(e =>
+      "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+    s"""{"success":${error.isEmpty},"data":$data,"count":$count,""" +
+      s""""screener_type":"$name","timestamp":"$ts","error":$err}"""
   }
+
+  def respond(spark: SparkSession, name: String, scored: DataFrame): String =
+    registry.get(name) match {
+      case Some(_) =>
+        try envelope(name, toJsonRecords(run(name, scored)), None)
+        catch { case e: Exception =>
+          envelope(name, Nil, Some(e.toString))
+        }
+      case None =>
+        envelope(name, Nil, Some(s"Failed to fetch data for screener: $name"))
+    }
 }

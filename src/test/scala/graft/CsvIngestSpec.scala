@@ -32,6 +32,37 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows("INFY")._3 == None)           // garbage numeric -> null
   }
 
+  test("schema drift: unknown extra column dropped AND missing mapped column tolerated") {
+    // Mirrors the reference's intersection select (uploadtodb.py:147-151):
+    // a CSV drop that grew a new unmapped column and lost a mapped one
+    // ('Sector', 'Price') must still load — unmapped silently dropped,
+    // missing mapped simply absent from the output, no error, row count
+    // and surviving columns unaffected.
+    val dir = Files.createTempDirectory("graft_csv_drift")
+    val csv = Seq(
+      "Symbol,Description,Relative Strength Index (14) 1 day,Brand New Col",
+      "RELIANCE,Reliance Industries,61.25,surprise",
+      "TCS,Tata Consultancy,55.5,surprise").mkString("\n")
+    val p = dir.resolve("Technicals_drift.csv")
+    Files.writeString(p, csv)
+    val out = CsvIngest.canonicalize(
+      CsvIngest.readCsv(spark, p.toString), CsvIngest.technicalMap)
+    // intersection only, in map order; neither the unknown column nor the
+    // missing mapped ones ('sector', 'price') appear
+    assert(out.columns.toSeq ==
+      Seq("symbol", "description", "rsi_14_1_day", "last_modified_date"))
+    assert(out.count() == 2)
+    assert(out.filter($"rsi_14_1_day" === 61.25).count() == 1)
+
+    // degenerate drift: ONLY the key column survives the intersection
+    val p2 = dir.resolve("Technicals_keyonly.csv")
+    Files.writeString(p2, "Symbol,Mystery\nINFY,x\n,y")
+    val keyOnly = CsvIngest.canonicalize(
+      CsvIngest.readCsv(spark, p2.toString), CsvIngest.technicalMap)
+    assert(keyOnly.columns.toSeq == Seq("symbol", "last_modified_date"))
+    assert(keyOnly.select($"symbol").collect().map(_.getString(0)).toSeq == Seq("INFY"))
+  }
+
   test("latest-file-by-mtime resolution (S2)") {
     val dir = Files.createTempDirectory("graft_latest")
     Files.writeString(dir.resolve("Technicals_a.csv"), "Symbol\nX")
