@@ -416,9 +416,13 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)),
 
     // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only;
-    // 16-bit band keys × 2048 bands over a 256-bit base signature —
-    // recall ≈ 0.9 at cos 0.45 with false candidates at the birthday
-    // floor; see HyperplaneBandKeys scaladoc for the r/b math)
+    // 16-bit band keys over a 512-bit base signature, band count derived
+    // from the threshold — adaptiveBands(0.45) = 3,061 targeting recall
+    // 0.95 at exactly-threshold pairs (measured 0.91 at sf0.1 — bands
+    // share base bits, so realized recall sits slightly below the
+    // independent-band formula), false candidates at the birthday floor;
+    // see SimilaritySearch.adaptiveBands for the r/b math. The q40 audit
+    // measures realized recall vs the exact kernel every run.)
     "q30_embedding_neardup_lsh" -> ((s, dir) =>
       SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)),

@@ -116,6 +116,7 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, baseBits: Int,
       val key = ctx.freshName("key")
       val s = ctx.freshName("s")
       val plane = ctx.freshName("plane")
+      val x = ctx.freshName("x")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
          |boolean[] $bitsArr = new boolean[$baseBits];
@@ -123,8 +124,8 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, baseBits: Int,
          |  boolean[] $plane = $planesRef[$j];
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double x = (double) $a.$getter($i);
-         |    $proj += $plane[$i] ? x : -x;
+         |    double $x = (double) $a.$getter($i);
+         |    $proj += $plane[$i] ? $x : -$x;
          |  }
          |  $bitsArr[$j] = $proj >= 0;
          |}

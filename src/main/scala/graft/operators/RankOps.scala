@@ -48,27 +48,13 @@ object RankOps {
       bands: Seq[(Long, String)],
       lastLabel: String,
       outCol: String = "band"): DataFrame = {
-    val spark = df.sparkSession
-    // Persist the range-sorted data once: the offset pass and the rank
-    // pass both read it, and without the persist the second pass would
-    // re-run the full global sort (zipWithIndex's standard trade — one
-    // spill-able materialization instead of sorting twice).
-    val sorted = df.repartitionByRange(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
-      .sortWithinPartitions(col(valueCol).desc_nulls_last, col(tieBreakCol).asc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
-    val offsetMap = counts.map(_._1).zip(offsets).toMap
-    val bc = spark.sparkContext.broadcast(offsetMap)
-    val schema = sorted.schema
-    val withRn = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var rn = bc.value(i)
-      it.map { row => rn += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rn) }
-    }
-    val out = spark.createDataFrame(withRn,
-      schema.add("graft_rn", org.apache.spark.sql.types.LongType))
+    // Global rank via ScalableRank.withGlobalPosition: range partition +
+    // in-partition sort, per-partition counts as one codegen'd aggregate,
+    // positions from a broadcast offset join — the whole pass stays in
+    // Tungsten (no RDD conversion, no Row materialization). One persist
+    // of the sorted data serves both the count and rank passes.
+    val out = ScalableRank.withGlobalPosition(df,
+      Seq(col(valueCol).desc_nulls_last, col(tieBreakCol).asc), 0, "graft_rn")
     val banded = bands.foldRight(lit(lastLabel)) { case ((thresh, label), acc) =>
       when(col("graft_rn") <= thresh, lit(label)).otherwise(acc)
     }

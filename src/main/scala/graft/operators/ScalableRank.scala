@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Distributed group-wise rank — the skew-proof twin of
   * `rank().over(Window.partitionBy(groups).orderBy(value))`.
@@ -25,29 +24,50 @@ import org.apache.spark.sql.types.LongType
   */
 object ScalableRank {
 
+  /** Range-sort `df` by `sortCols` and attach its global 1-based
+    * position in that order as `posCol` — the zipWithIndex shape, kept
+    * entirely in Tungsten. `monotonically_increasing_id` embeds
+    * (partition id << 33 | record number) during the sorted
+    * materialization, so per-partition counts become ONE codegen'd
+    * aggregate over the embedded partition id (no `it.size` pass
+    * materializing rows), and the position is offset + record number via
+    * a broadcast join of the tiny (pid, offset) table — no RDD
+    * round-trip, no Row.fromSeq, rows stay in unsafe format end to end.
+    * The returned frame is persisted (MEMORY_AND_DISK): the count pass
+    * and every downstream pass read the same materialized sort, which
+    * also pins the nondeterministic ids. The id layout caps partitions
+    * at 2^33 rows — far beyond any memory-sized partition. */
+  private[operators] def withGlobalPosition(df: DataFrame,
+      sortCols: Seq[Column], nParts: Int, posCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val repart = if (nParts > 0) df.repartitionByRange(nParts, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    val sorted = repart.sortWithinPartitions(sortCols: _*)
+      .withColumn("graft_mid__", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .groupBy(shiftright(col("graft_mid__"), 33).as("graft_pid__"))
+      .agg(count(lit(1)).as("graft_cnt__"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val offsetsDf = counts.map(_._1).zip(offsets).toSeq
+      .toDF("graft_pid__", "graft_off__")
+    sorted
+      .withColumn("graft_pid__", shiftright(col("graft_mid__"), 33))
+      .join(broadcast(offsetsDf), "graft_pid__")
+      .withColumn(posCol, col("graft_off__") +
+        col("graft_mid__").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("graft_pid__", "graft_off__", "graft_mid__")
+  }
+
   def groupRank(df: DataFrame, groups: Seq[String], valueCol: String,
       outCol: String = "rank", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val sortCols = groups.map(col) :+ col(valueCol).asc_nulls_first
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    // persisted once: both the offset pass and the position pass read it
-    // (otherwise the second pass re-runs the global sort)
-    val sorted = df.repartitionByRange(nParts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-partition row counts -> global offsets (tiny driver array)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val schema = sorted.schema.add("graft_pos__", LongType)
-    val withPos = spark.createDataFrame(
-      sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-        var pos = bc.value(i)
-        it.map { r => pos += 1; Row.fromSeq(r.toSeq :+ pos) }
-      }, schema)
+    val withPos = withGlobalPosition(df, sortCols, nParts, "graft_pos__")
     val groupStart = withPos.groupBy(groups.map(col): _*)
       .agg(min(col("graft_pos__")).as("graft_gstart__"))
     val tieStart = withPos.groupBy((groups :+ valueCol).map(col): _*)

@@ -19,6 +19,25 @@ import graft.functions.VectorFns
   */
 object SimilaritySearch {
 
+  /** Smallest band count whose LSH recall at per-bit collision
+    * probability p = 1 − arccos(threshold)/π (Goemans–Williamson) meets
+    * `targetRecall` for a pair sitting EXACTLY at the threshold — pairs
+    * above it collide more often, so this is the worst case. From
+    * recall = 1 − (1 − p^r)^b:  b = ln(1−R) / ln(1−p^r). The cost of the
+    * whole operator is linear in b (b exploded keys per vector), so
+    * paying the cos-0.45 worst case (~3k bands) at a routine 0.8
+    * threshold (~120 bands) would be ~25× wasted shuffle. */
+  def adaptiveBands(threshold: Double, bitsPerBand: Int = 16,
+      targetRecall: Double = 0.95): Int = {
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    val pr = math.pow(p, bitsPerBand)
+    require(pr > 0 && pr < 1 && targetRecall > 0 && targetRecall < 1,
+      s"degenerate LSH regime: p^r = $pr, targetRecall = $targetRecall")
+    val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt
+    math.max(16, math.min(8192, b))
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * Ordering is pinned on (round(cos,6) desc, id asc) so results are
     * deterministic under floating-point reassociation. */
@@ -35,14 +54,14 @@ object SimilaritySearch {
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** LSH-bucketed ANN: score only rows whose banded hyperplane keys
-    * intersect the query's ([[graft.expressions.HyperplaneBandKeys]] —
-    * 16-bit band keys, so each band prunes to ~n/65,536 of the corpus
-    * and the scored fraction is ~bands·n/2¹⁶ plus the true neighbors).
-    * The query's key set broadcasts (bands longs); candidates shuffle
-    * ids only, vectors join back for exact cosine scoring. */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, baseBits: Int = 512, bands: Int = 4096,
+  /** Build the LSH key table for `lshProbe`: (idCol, pkey) rows, one
+    * per (vector, band). This is the expensive side — bands exploded
+    * keys per corpus vector — and it depends only on the corpus, so
+    * build it ONCE, persist or write it out (it buckets/partitions
+    * cleanly by pkey), and amortize across every probe; re-keying the
+    * whole corpus per query would pay the full map+explode each call. */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String,
+      baseBits: Int = 512, bands: Int = 4096,
       bitsPerBand: Int = 16): DataFrame = {
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     // same single-split guard as embeddingNearDup
@@ -50,11 +69,23 @@ object SimilaritySearch {
       if (df.rdd.getNumPartitions >=
           df.sparkSession.sessionState.conf.numShufflePartitions) df
       else df.repartition(col(idCol))
-    val keyed = spread.select(col(idCol), explode(
+    spread.select(col(idCol), explode(
       graft.expressions.HyperplaneBandKeys(
         col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
-    val q = keyed.filter(col(idCol) === queryId).select(col("pkey"))
-    val candidates = keyed.filter(col(idCol) =!= queryId)
+  }
+
+  /** Probe a prebuilt [[lshIndex]] table: score only rows whose banded
+    * hyperplane keys intersect the query's (16-bit band keys ⇒ each band
+    * prunes to ~n/65,536 of the corpus, so the scored fraction is
+    * ~bands·n/2¹⁶ plus the true neighbors). The query's key set
+    * broadcasts (bands longs); candidates shuffle ids only, vectors join
+    * back for exact cosine scoring. Per-probe cost is one broadcast
+    * semi-join over the index plus a k-row merge — the index build never
+    * re-runs. */
+  def lshProbe(index: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, k: Int): DataFrame = {
+    val q = index.filter(col(idCol) === queryId).select(col("pkey"))
+    val candidates = index.filter(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("pkey"))
       .select(col(idCol)).dropDuplicates(idCol)
     val qVec = df.filter(col(idCol) === queryId)
@@ -67,6 +98,16 @@ object SimilaritySearch {
       .limit(k)
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** One-shot convenience over [[lshIndex]] + [[lshProbe]] — builds the
+    * key table for a SINGLE query, so the build cost is not amortized.
+    * Fine for tests and ad-hoc lookups; a serving path should hold the
+    * index from `lshIndex` and call `lshProbe` per query. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, baseBits: Int = 512, bands: Int = 4096,
+      bitsPerBand: Int = 16): DataFrame =
+    lshProbe(lshIndex(df, idCol, vecCol, baseBits, bands, bitsPerBand),
+      df, idCol, vecCol, queryId, k)
 
   /** EXACT embedding-cosine near-dup pairs (id_a < id_b, cosine >=
     * threshold) — the correctness baseline. Relational formulation:
@@ -225,15 +266,26 @@ object SimilaritySearch {
     * Tuning (see HyperplaneBandKeys scaladoc for the math): 16-bit band
     * keys give 65,536 buckets/band, so false candidates sit at the
     * birthday floor ~bands·n²/2¹⁷ while recall at per-bit collision
-    * probability p is 1−(1−p¹⁶)^bands. The defaults (256 base bits,
-    * 2048 bands) hold recall ≈ 0.85-0.95 down to cosine ≈ 0.45 — the
-    * hardest useful regime, where p ≈ 0.65 — with ~20× fewer false
-    * candidates than the narrow-band (4-bit) layout at equal recall.
-    * For a routine near-dup threshold (cosine ≥ 0.8, p ≥ 0.8) recall
-    * is ≈ 1 even at bands = 256; lower `bands` accordingly. */
+    * probability p is 1−(1−p¹⁶)^bands. The band count is derived from
+    * the threshold by default ([[adaptiveBands]], target recall 0.95 at
+    * exactly-threshold similarity): cosine 0.45 — the hardest useful
+    * regime, p ≈ 0.65 — needs ~3,100 bands, while a routine near-dup
+    * threshold of 0.8 (p ≈ 0.8) needs ~120, a ~25× cost difference the
+    * operator should not hard-code away. Pass `bands` explicitly to pin
+    * a configuration. Base signature is 512 bits throughout — its cost
+    * (512·dim multiply-adds per vector, computed once) is negligible
+    * next to the per-band explode. Realized recall runs slightly below
+    * the formula when bands·bitsPerBand ≫ baseBits (bands reuse base
+    * bits, so their collisions are positively correlated): measured vs
+    * the exact kernel at threshold 0.45 with derived bands = 3,061 —
+    * recall 1.0 at sf0.01, 0.91 at sf0.1 (131/144 pairs, 0 false
+    * positives; was 0.958 at the old fixed 4,096 bands). The q40 audit
+    * re-measures recall against the exact kernel every gate run. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, baseBits: Int = 512, bands: Int = 4096,
-      bitsPerBand: Int = 16): DataFrame = {
+      threshold: Double, baseBits: Int = 512, bands: Int = 0,
+      bitsPerBand: Int = 16, targetRecall: Double = 0.95): DataFrame = {
+    val nBands =
+      if (bands > 0) bands else adaptiveBands(threshold, bitsPerBand, targetRecall)
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     // The signature+explode map stage parallelizes per input split; a
     // small/single-file corpus would otherwise run it in one task, so
@@ -245,7 +297,7 @@ object SimilaritySearch {
       else df.repartition(col(idCol))
     val keyed = spread.select(col(idCol).as("id"),
       explode(graft.expressions.HyperplaneBandKeys(
-        col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
+        col(vecCol), dim, baseBits, nBands, bitsPerBand)).as("pkey"))
     // Bucket by key with ONE shuffle and expand pairs locally (a self-join
     // would shuffle the exploded key table twice and recompute its
     // lineage). Buckets are near-singleton by construction (birthday

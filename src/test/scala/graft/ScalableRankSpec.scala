@@ -39,6 +39,10 @@ class ScalableRankSpec extends SparkSpec {
     val plan = q06.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in q06 plan:\n$plan")
+    // ... and stays in Tungsten: the offset/position passes must not
+    // round-trip through an RDD (Scan ExistingRDD = Row materialization)
+    assert(!plan.contains("ExistingRDD"),
+      s"RDD round-trip in q06 plan:\n$plan")
     assert(q06.count() > 0)
   }
 
