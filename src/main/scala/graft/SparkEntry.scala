@@ -314,6 +314,46 @@ object SparkEntry {
         .na.fill(0L, types)
     }),
 
+    // ---- S7/S9 upsert merge as a query: per-customer order aggregates
+    // merged onto customer rows by key — incoming wins per column where
+    // non-null, existing-only columns survive, incoming-only columns
+    // append (MergeByKey.merge, the sink's transform core; the
+    // staging-swap write path around it is spec-covered)
+    "q41_merge_upsert" -> ((s, dir) => {
+      val existing = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val incoming = T(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(decSum(col("o_totalprice")).as("c_acctbal"),
+          count(lit(1)).as("n_orders"))
+      graft.sinks.MergeByKey.merge(existing, incoming, "c_custkey")
+    }),
+
+    // ---- A8 merge accounting: count reconciliation over the same merge
+    // (updated = key present on both sides; untouched = existing-only)
+    "q42_merge_stats" -> ((s, dir) => {
+      val merged = queries("q41_merge_upsert")(s, dir)
+      merged.agg(
+        count(lit(1)).as("merged_rows"),
+        count(col("n_orders")).as("updated_rows"),
+        (count(lit(1)) - count(col("n_orders"))).as("untouched_rows"))
+    }),
+
+    // ---- F6 metric cap + F11 truncation as column functions
+    "q43_caps_truncate" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"),
+        Cleanse.capAt(col("p_retailprice"), 1500.0).as("capped_price"),
+        Cleanse.truncateTo(col("p_name"), 12).as("short_name"))),
+
+    // ---- P4 scrape-noise predicate over a name column (p_name lengths
+    // span 7-12 on this corpus, so maxLen = 9 makes the length clause
+    // actually drop rows instead of vacuously passing everything)
+    "q44_scrape_filter" -> ((s, dir) =>
+      T(s, dir, "part")
+        .filter(graft.sources.CsvIngest.scrapeNoiseFilter(
+          col("p_name"), maxLen = 9))
+        .select(col("p_partkey"), col("p_name"))),
+
     // ---- distinct aggregation (expand-based multi-distinct)
     "q36_distinct_users" -> ((s, dir) => {
       T(s, dir, "events")
@@ -394,13 +434,20 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(T(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
-    // ---- similarity: LSH-bucketed ANN (approximate: rows-only).
+    // ---- similarity: LSH-bucketed ANN (approximate: rows-only),
+    // declared through the amortized index/probe split: lshIndex keys
+    // the corpus ONCE (the expensive side — a serving path persists or
+    // writes it), lshProbe answers each query with a broadcast semi-join.
     // bands=8192: the synthetic corpus's true top-10 sit at cos
     // 0.28-0.41 — the random-noise tail, LSH's hardest regime — so band
     // count is sized up to hold per-neighbor recall ~0.9 there.
-    "q26_ann_lsh" -> ((s, dir) =>
-      SimilaritySearch.lshTopK(T(s, dir, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192)),
+    "q26_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val index = SimilaritySearch.lshIndex(emb,
+        "vec_id", "embedding", bands = 8192)
+      SimilaritySearch.lshProbe(index, emb,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+    }),
 
     // ---- multimodal: binary payload + per-partition stub decode
     "q27_multimodal_meta" -> ((s, dir) => {
@@ -749,6 +796,46 @@ object SparkEntry {
         |  count(DISTINCT (epoch_ns(ts) // 1000000000) // 86400) AS n_days,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors MergeByKey.merge: full-outer on the key, incoming wins per
+    // column where non-null, existing-only columns survive, incoming-only
+    // columns append. Per-customer sums stay < 1e8 ≪ 2^53, so the direct
+    // decimal→double cast is exact (see README: above 2^53 go via VARCHAR).
+    "q41_merge_upsert" ->
+      """WITH inc AS (SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS i_acctbal,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(i.c_custkey, e.c_custkey) AS c_custkey,
+        |  e.c_name AS c_name,
+        |  coalesce(i.i_acctbal, e.c_acctbal) AS c_acctbal,
+        |  i.n_orders AS n_orders
+        |FROM customer e FULL JOIN inc i ON e.c_custkey = i.c_custkey""".stripMargin,
+
+    "q42_merge_stats" ->
+      """WITH inc AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1),
+        |m AS (SELECT e.c_custkey, i.c_custkey AS ic
+        |  FROM customer e FULL JOIN inc i ON e.c_custkey = i.c_custkey)
+        |SELECT count(*) AS merged_rows,
+        |  count(ic) AS updated_rows,
+        |  count(*) - count(ic) AS untouched_rows
+        |FROM m""".stripMargin,
+
+    "q43_caps_truncate" ->
+      """SELECT p_partkey,
+        |  least(p_retailprice, 1500.0) AS capped_price,
+        |  substr(p_name, 1, 12) AS short_name
+        |FROM part""".stripMargin,
+
+    "q44_scrape_filter" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name IS NOT NULL AND length(p_name) <= 9
+        |  AND NOT contains(p_name, 'Sector')
+        |  AND NOT contains(p_name, '0001-01-01')
+        |  AND NOT contains(p_name, 'Strengths:')
+        |  AND NOT contains(p_name, 'Neutral')
+        |  AND length(trim(p_name)) > 0
+        |  AND NOT regexp_matches(p_name, '^\d{4}-\d{2}-\d{2}')""".stripMargin,
 
     "q34_asof_join" ->
       """SELECT p.event_id, p.user_id, p.value,
