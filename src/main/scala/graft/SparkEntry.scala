@@ -464,7 +464,7 @@ object SparkEntry {
 
     // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only;
     // 16-bit band keys over a 512-bit base signature, band count derived
-    // from the threshold — adaptiveBands(0.45) = 3,061 targeting recall
+    // from the threshold — adaptiveBands(0.45) = 3,055 targeting recall
     // 0.95 at exactly-threshold pairs (measured 0.91 at sf0.1 — bands
     // share base bits, so realized recall sits slightly below the
     // independent-band formula), false candidates at the birthday floor;

@@ -277,7 +277,7 @@ object SimilaritySearch {
     * next to the per-band explode. Realized recall runs slightly below
     * the formula when bands·bitsPerBand ≫ baseBits (bands reuse base
     * bits, so their collisions are positively correlated): measured vs
-    * the exact kernel at threshold 0.45 with derived bands = 3,061 —
+    * the exact kernel at threshold 0.45 with derived bands = 3,055 —
     * recall 1.0 at sf0.01, 0.91 at sf0.1 (131/144 pairs, 0 false
     * positives; was 0.958 at the old fixed 4,096 bands). The q40 audit
     * re-measures recall against the exact kernel every gate run. */

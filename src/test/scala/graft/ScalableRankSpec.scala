@@ -46,6 +46,17 @@ class ScalableRankSpec extends SparkSpec {
     assert(q06.count() > 0)
   }
 
+  test("groupRank survives rows ≪ partitions (empty range partitions)") {
+    // repartitionByRange on 3 rows leaves most shuffle partitions empty;
+    // the offset aggregate sees no row for them and the scan positions
+    // must still be globally consecutive
+    val tiny = Seq((1L, "a", Some(10.0)), (2L, "a", Some(10.0)),
+      (3L, "a", Some(5.0))).toDF("id", "g", "v")
+    val got = ScalableRank.groupRank(tiny, Seq("g"), "v", "r")
+      .select($"id", $"r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L)) // ties share first pos
+  }
+
   test("groupPercentile equals the window strict-percentile") {
     val df = fixture
     val expected = df.select($"id",

@@ -37,6 +37,37 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(out.contains(1L)) // near-identical vector must share a band
   }
 
+  test("adaptiveBands tracks the amplification math") {
+    // hand-computed from b = ln(1-R)/ln(1-p^16), p = 1 - acos(t)/pi
+    assert(SimilaritySearch.adaptiveBands(0.45) == 3055)
+    assert(SimilaritySearch.adaptiveBands(0.8) == 116)
+    // harder thresholds need more bands; higher targets need more bands
+    assert(SimilaritySearch.adaptiveBands(0.3) >
+      SimilaritySearch.adaptiveBands(0.6))
+    assert(SimilaritySearch.adaptiveBands(0.45, targetRecall = 0.99) >
+      SimilaritySearch.adaptiveBands(0.45, targetRecall = 0.9))
+    // clamped: near-identical threshold needs almost no bands, floor 16
+    assert(SimilaritySearch.adaptiveBands(0.999) == 16)
+    // wider bands (more bits) collide less per band -> need more bands
+    assert(SimilaritySearch.adaptiveBands(0.6, bitsPerBand = 20) >
+      SimilaritySearch.adaptiveBands(0.6, bitsPerBand = 16))
+  }
+
+  test("lshIndex + lshProbe equals one-shot lshTopK, index reusable across queries") {
+    val index = SimilaritySearch.lshIndex(vecs, "vec_id", "embedding",
+      baseBits = 64, bands = 32)
+    val oneShot = SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", 0L, 5,
+      baseBits = 64, bands = 32).collect().map(_.getLong(0)).toSeq
+    val probed = SimilaritySearch.lshProbe(index, vecs, "vec_id", "embedding",
+      0L, 5).collect().map(_.getLong(0)).toSeq
+    assert(probed == oneShot)
+    // the SAME index answers a different query without re-keying: vec 1
+    // is near-identical to vec 0 (cos ≈ 0.995), so 0 must surface
+    val probed1 = SimilaritySearch.lshProbe(index, vecs, "vec_id", "embedding",
+      1L, 5).collect().map(_.getLong(0)).toSet
+    assert(!probed1.contains(1L) && probed1.contains(0L))
+  }
+
   test("multimodal resize and frame-sample plumbing") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "txt")
       .select($"doc_id", $"txt".cast("binary").as("payload"))
