@@ -18,15 +18,26 @@ import graft.Tables
   * check) so run-to-run data growth across scale factors doesn't flap,
   * while regressions of the kind that matter (halved recall, unbounded
   * sketch error) trip immediately. Exact twins are O(n²) by nature —
-  * this is an audit over the gate corpus, not a production path; at
-  * fleet scale the same checks run over a sampled slice.
+  * this is an audit over the gate corpus, not a production path.
+  * `maxAuditRows` bounds the corpus the quadratic twins see: a
+  * deterministic lowest-id slice (TakeOrdered — no full sort), the
+  * SAME slice on both the exact and approximate side of each check, so
+  * recall over the slice is a true paired comparison. At fleet scale
+  * pass a bound (e.g. 10⁴-10⁵) and the audit cost stays constant no
+  * matter the corpus; the gate default leaves the gate corpora whole.
+  * The KMV check is linear and always runs over the full input.
   */
 object AccuracyAudit {
 
-  def apply(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic bounded corpus slice for the quadratic twins. */
+  private def slice(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(col(idCol).asc).limit(n)
+
+  def apply(s: SparkSession, dir: String,
+      maxAuditRows: Int = 1000000): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-    val emb = Tables(s, dir, "embeddings")
+    val docs = slice(Tables(s, dir, "documents"), "doc_id", maxAuditRows)
+    val emb = slice(Tables(s, dir, "embeddings"), "vec_id", maxAuditRows)
     val events = Tables(s, dir, "events")
 
     // --- SimHash banding is pigeonhole-exact: hamming <= 3 over 4 bands

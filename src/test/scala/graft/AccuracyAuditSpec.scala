@@ -16,6 +16,16 @@ class AccuracyAuditSpec extends SparkSpec {
     out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
   }
 
+  test("bounded audit slice still yields all five checks, consistently paired") {
+    // at fleet scale the quadratic twins run over a deterministic
+    // lowest-id slice; both sides of each check must see the SAME slice,
+    // so every check still passes (possibly vacuously for near-dups)
+    val out = AccuracyAudit(spark, "/root/testdata/sf0.001", maxAuditRows = 40)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 5)
+    out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
+  }
+
   test("embedding LSH near-dup recovers planted pairs across the threshold band") {
     // deterministic corpus: 60 random 32-dim vectors + planted near-dups
     // of three of them at descending cosine (~0.97 / ~0.85 / ~0.55) —
