@@ -354,6 +354,26 @@ object SparkEntry {
           col("p_name"), maxLen = 9))
         .select(col("p_partkey"), col("p_name"))),
 
+    // ---- skew tooling: two-phase salted aggregate must equal the plain
+    // groupBy (l_quantity is integral, so double sums are exact and
+    // order-independent — the oracle can be the unsalted SQL aggregate)
+    "q45_skew_two_phase" -> ((s, dir) =>
+      SkewJoin.twoPhaseAgg(T(s, dir, "lineitem"),
+        "l_returnflag", salts = 8, valueCol = "l_quantity")
+        .withColumnRenamed("n", "n_rows")
+        .withColumnRenamed("sum", "sum_qty")),
+
+    // ---- skew tooling: salted replicate-join must equal the plain join
+    "q46_salted_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      SkewJoin.saltedJoin(o, c, "c_custkey", salts = 8,
+        bigUnique = col("o_orderkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    }),
+
     // ---- distinct aggregation (expand-based multi-distinct)
     "q36_distinct_users" -> ((s, dir) => {
       T(s, dir, "events")
@@ -479,6 +499,25 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(T(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // ---- dedup: transitive near-dup clustering — connected components
+    // (min-id label) over the exact pair list; pair lists say who matches
+    // whom, dropping duplicates needs the transitive grouping
+    "q47_neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        SimilaritySearch.embeddingNearDupExact(T(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45),
+        "id_a", "id_b")),
+
+    // ---- dedup: keep ONE representative (min id) per near-dup cluster;
+    // singletons pass through untouched via the left-anti join
+    "q48_dedup_representatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Dedup.keepRepresentatives(emb.select(col("vec_id")), "vec_id",
+        SimilaritySearch.embeddingNearDupExact(emb,
+          "vec_id", "embedding", threshold = 0.45),
+        "id_a", "id_b")
+    }),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
     // q37) re-checked against its exact twin; the oracle is the constant
     // all-true table, so a recall collapse fails the gate as a hash
@@ -506,6 +545,22 @@ object SparkEntry {
   /** Shared SQL fragments. */
   private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($wsNorm, ' ')"
+
+  /** Exact embedding near-dup pairs (q29's pair math minus the cosine
+    * output) plus the undirected edge list `e` — shared by the q47/q48
+    * clustering oracles. */
+  private val embPairCtes: String =
+    """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |nm AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+      |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |p AS (SELECT id_a, id_b FROM d
+      |  JOIN nm na ON na.vec_id = id_a JOIN nm nb ON nb.vec_id = id_b
+      |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p
+      |  UNION SELECT id_b, id_a FROM p)""".stripMargin
 
   private val jaccardSql: String =
     s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
@@ -812,6 +867,15 @@ object SparkEntry {
         |  i.n_orders AS n_orders
         |FROM customer e FULL JOIN inc i ON e.c_custkey = i.c_custkey""".stripMargin,
 
+    "q45_skew_two_phase" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q46_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "q42_merge_stats" ->
       """WITH inc AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1),
         |m AS (SELECT e.c_custkey, i.c_custkey AS ic
@@ -931,6 +995,26 @@ object SparkEntry {
         |  round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
         |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
         |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45""".stripMargin,
+
+    // Transitive closure by recursive CTE over the exact near-dup pair
+    // list (same pair SQL as q29 minus the cosine), then component =
+    // min reachable id — the declarative twin of the engine's
+    // path-halving label propagation.
+    "q47_neardup_components" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a)
+         |SELECT node, least(node, min(r)) AS component
+         |FROM cl GROUP BY node""".stripMargin,
+
+    "q48_dedup_representatives" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node != component)""".stripMargin,
 
     "q27_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,

@@ -209,4 +209,94 @@ object Dedup {
     * seen-set. */
   def antiJoinAppend(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
     incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Connected components over an undirected candidate-pair edge list:
+    * (node, component) for every node that appears in a pair, where
+    * component = the minimum node id reachable — the cluster key a
+    * training-data dedup needs (pair lists say who matches whom; dropping
+    * duplicates needs the transitive grouping).
+    *
+    * Min-label propagation with path halving: each round every node
+    * adopts min(own label, neighbors' labels), then labels jump to their
+    * label's label (pointer doubling), so convergence is O(log diameter)
+    * rounds rather than O(diameter) — near-dup clusters are shallow, but
+    * a chain of borderline pairs must not serialize the job. Each round
+    * is two shuffle joins + one aggregate over (long, long) rows; the
+    * edge list is persisted once, labels roll over round to round.
+    * Labels are eagerly `localCheckpoint`ed every round: the halving
+    * self-join embeds the previous round's LOGICAL PLAN twice, so
+    * without truncation the plan tree grows 2^rounds and Catalyst
+    * itself OOMs stringifying it long before any data pressure (hit at
+    * a 2,000-node chain). Checkpointing replaces the lineage with the
+    * materialized rows — the standard iterative-graph pattern; swap to
+    * reliable `checkpoint` (HDFS dir) when executor loss must be
+    * survivable mid-computation. Deterministic: min is order-free.
+    * Converged when no label improves; `maxIter` bounds the worst case
+    * (a 2^maxIter-diameter chain). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Persisted hash-partitioned by dst: the per-round neighbor join
+    // reuses the cached partitioning (InMemoryRelation preserves it), so
+    // each iteration shuffles only the labels side — the edge list, the
+    // big side at corpus scale, moves once.
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
+        .withColumnRenamed("src", "node")
+      val joined = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp"),
+          coalesce(col("nmin"), col("comp")).as("nm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Convergence = min-propagation fixpoint: no neighbor improves any
+      // label. (Path halving below only accelerates; at the propagation
+      // fixpoint labels are component-constant, so halving is identity —
+      // testing the delta here saves a halved-vs-old join per round.)
+      converged = joined.filter(col("nm") < col("comp")).isEmpty
+      if (!converged) {
+        val propagated = joined
+          .select(col("node"), least(col("comp"), col("nm")).as("comp"))
+        // path halving: comp := comp's comp (labels always point at
+        // nodes); eager localCheckpoint materializes AND truncates the
+        // doubled plan (see scaladoc) — superseded checkpoint blocks are
+        // reclaimed by the ContextCleaner once dereferenced
+        labels = propagated
+          .join(propagated.select(col("node").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+      joined.unpersist(blocking = false)
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node"), col("comp").as("component"))
+  }
+
+  /** Keep ONE representative (the minimum id) per near-dup cluster: rows
+    * of `df` minus every pair-list node that is not its component's
+    * minimum. Nodes not in any pair are singletons and always kept. The
+    * drop set is a left-anti join — `df` itself streams through
+    * untouched, so this composes with any pair producer (exact kernel,
+    * MinHash, SimHash, embedding LSH) at full corpus scale. */
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val nonReps = connectedComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(nonReps, Seq(idCol), "left_anti")
+  }
 }

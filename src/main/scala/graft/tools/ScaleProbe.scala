@@ -30,10 +30,15 @@ object ScaleProbe {
         .otherwise((pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100.0)))
       .withColumn("m2", (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 10.0))
 
-    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    // by-name: operators with eager internals (checkpointing iterative
+    // loops) must run INSIDE the timer, not at argument evaluation
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      // scalable rank/percentile and clustering persist internally;
+      // isolate probes like Verify/Bench do
+      spark.catalog.clearCache()
     }
 
     time("hierarchical_zscore") {
@@ -55,6 +60,18 @@ object ScaleProbe {
     time("band_by_rank_scalable") {
       RankOps.bandByRankScalable(df.select(col("id"), col("m2")), "m2", "id",
         Seq(100L -> "L", 250L -> "M", 500L -> "S"), "X")
+    }
+    // near-dup clustering at n/5 edges: clusters of 5 consecutive ids
+    // (chain-linked, so transitivity is exercised) plus one n/100-long
+    // chain — the worst case for naive propagation; path halving must
+    // close it in O(log) rounds, not O(n/100).
+    time("connected_components") {
+      val clusterEdges = spark.range(n).filter(pmod(col("id"), lit(5)) =!= 4)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val chain = spark.range(n / 100)
+        .select((col("id") + n).as("id_a"), (col("id") + n + 1).as("id_b"))
+      graft.operators.Dedup.connectedComponents(
+        clusterEdges.union(chain), "id_a", "id_b")
     }
     spark.stop()
   }

@@ -88,4 +88,28 @@ class DedupSpec extends SparkSpec {
     val ids = out.select($"id_a", $"id_b").rowsSet
     assert(ids == Set(Seq(1L, 2L)))
   }
+
+  test("connected components resolve transitive chains and disjoint clusters") {
+    // chain 1-2-3-4 (no direct 1-4 pair: transitivity required), disjoint
+    // pair 10-11, triangle 20-21-22 with redundant edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("keepRepresentatives keeps min id per cluster plus singletons") {
+    val corpus = (1L to 6L).toDF("id")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepRepresentatives(corpus, "id", pairs, "id_a", "id_b")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 6L)) // 4,5 collapse into 2; 1,3,6 untouched
+  }
+
+  test("connected components of an empty pair list is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b").isEmpty)
+  }
 }
