@@ -173,15 +173,31 @@ object SimilaritySearch {
     pairs.toDF("id_a", "id_b", "cosine")
   }
 
+  /** A built IVF coarse quantizer: the k×d centroid table (driver
+    * state, tiny by definition) plus the cell-assigned corpus. Build
+    * once with [[ivfIndex]], persist or write `assigned` out
+    * (partitioning by `c` colocates each posting list), probe many
+    * times with [[ivfProbe]] — same amortization contract as
+    * [[lshIndex]]/[[lshProbe]]. */
+  case class IvfQuantizer(centroids: Array[Array[Double]], assigned: DataFrame)
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer built with a few
     * Lloyd iterations (deterministic init: lowest ids), then the query
     * probes only the `nProbe` nearest centroids' posting lists. The
     * assignment/aggregation steps are plain explode+groupBy — linear,
     * shuffle-parallel; centroids (k×d doubles) are the only driver-side
-    * state, exactly what a coarse quantizer is supposed to be. */
+    * state, exactly what a coarse quantizer is supposed to be.
+    * One-shot convenience over [[ivfIndex]] + [[ivfProbe]]; a serving
+    * path builds the index once and probes per query. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2): DataFrame =
+    ivfProbe(ivfIndex(df, idCol, vecCol, nCentroids, iterations),
+      idCol, queryId, k, nProbe)
+
+  /** Build the IVF coarse quantizer (the expensive, corpus-only side). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, iterations: Int = 2): IvfQuantizer = {
     val vecs = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     def centroidLit(c: Array[Double]) = array(c.map(lit): _*)
@@ -234,10 +250,20 @@ object SimilaritySearch {
         }
       }
     }
-    val assigned = vecs.withColumn("c", assignExpr)
+    IvfQuantizer(centroids, vecs.withColumn("c", assignExpr))
+  }
+
+  /** Probe a prebuilt [[IvfQuantizer]]: rank the query's distance to
+    * each centroid driver-side (k×d floats — trivial), then scan ONLY
+    * the `nProbe` nearest cells' posting lists. Per-probe cost is one
+    * filtered scan of the assigned table plus a k-row merge; the
+    * quantizer build (sampling + Lloyd) never re-runs. */
+  def ivfProbe(index: IvfQuantizer, idCol: String, queryId: Long,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val assigned = index.assigned
     val q = assigned.filter(col("id") === queryId).collect()(0)
     val qv = q.getSeq[Double](1).toArray
-    val probes = centroids.zipWithIndex
+    val probes = index.centroids.zipWithIndex
       .map { case (c, ci) =>
         ci -> c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
       }

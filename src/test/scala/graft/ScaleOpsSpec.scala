@@ -33,6 +33,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!out.contains(0L))
   }
 
+  test("ivfIndex + ivfProbe equals one-shot ivfTopK, quantizer reusable") {
+    val index = SimilaritySearch.ivfIndex(vecs, "vec_id", "embedding",
+      nCentroids = 3, iterations = 2)
+    val oneShot = SimilaritySearch.ivfTopK(vecs, "vec_id", "embedding",
+      queryId = 0L, k = 3, nCentroids = 3, nProbe = 1, iterations = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = SimilaritySearch.ivfProbe(index, "vec_id", 0L, 3, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed == oneShot)
+    // the SAME quantizer answers a different query without rebuilding:
+    // query 3's own cell holds 4 (cos 0.9939) — nProbe=1 must surface it
+    val probed3 = SimilaritySearch.ivfProbe(index, "vec_id", 3L, 3, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed3.headOption.contains(4L) && !probed3.contains(3L))
+  }
+
   test("salted join equals plain join; two-phase agg equals plain agg") {
     val big = (1L to 1000L).map(i => (i, s"k${i % 3}", i.toDouble)).toDF("id", "k", "v")
     val small = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "z")).toDF("k", "tag")
