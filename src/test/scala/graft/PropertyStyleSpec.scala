@@ -61,6 +61,33 @@ class PropertyStyleSpec extends SparkSpec {
     }
   }
 
+  test("connected components equals driver union-find on random graphs") {
+    // differential oracle: a classic path-compressed union-find over the
+    // same random edge lists must produce identical min-id components
+    for (trial <- 1 to 5) {
+      val nNodes = 30 + rnd.nextInt(50)
+      val nEdges = 10 + rnd.nextInt(60)
+      val edges = (1 to nEdges).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $nNodes nodes, $nEdges edges")
+    }
+  }
+
   test("renormalized weighted average stays within the span of present metrics") {
     val rows = (1 to 300).map { _ =>
       def m = if (rnd.nextInt(4) == 0) None else Some(rnd.nextDouble() * 100)
