@@ -31,6 +31,11 @@ object Screeners {
   def run(name: String, scored: DataFrame): DataFrame =
     registry(name)(scored)
 
+  /** `/screeners` discovery analog — the reference's
+    * `list_available_screeners` returns its name→source map
+    * (`SCREENER_URLS.copy()`); here the registry's names, sorted. */
+  def listScreeners: Seq[String] = registry.keys.toSeq.sorted
+
   /** S11 CSV→JSON emit (`csv_to_json` in the recovered bytecode): one
     * JSON object per row, driver-side only for final small results. */
   def toJsonRecords(result: DataFrame, limit: Int = 1000): Seq[String] =

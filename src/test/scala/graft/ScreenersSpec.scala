@@ -14,6 +14,10 @@ class ScreenersSpec extends SparkSpec {
   private def keyOrder(json: String): Seq[Int] =
     keys.map(k => json.indexOf("\"" + k + "\":"))
 
+  test("screener discovery lists the registry's btst/swing/position set") {
+    assert(Screeners.listScreeners == Seq("btst", "position", "swing"))
+  }
+
   test("success envelope carries all six ScreenerResponse keys in model order") {
     val scored = Seq(("AAA", 9.1, 8.0), ("BBB", 7.2, 6.5))
       .toDF("symbol", "composite_score", "fundamental_score")
