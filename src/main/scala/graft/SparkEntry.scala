@@ -329,13 +329,15 @@ object SparkEntry {
       graft.sinks.MergeByKey.merge(existing, incoming, "c_custkey")
     }),
 
-    // ---- A8 merge accounting: count reconciliation over the same merge
-    // (updated = key present on both sides; untouched = existing-only)
+    // ---- A8 merge accounting: count reconciliation over the same merge.
+    // upserted = rows an incoming key landed on (updated OR appended —
+    // this schema's FK makes them all updates, but the metric must not
+    // claim to distinguish); untouched = existing-only rows.
     "q42_merge_stats" -> ((s, dir) => {
       val merged = queries("q41_merge_upsert")(s, dir)
       merged.agg(
         count(lit(1)).as("merged_rows"),
-        count(col("n_orders")).as("updated_rows"),
+        count(col("n_orders")).as("upserted_rows"),
         (count(lit(1)) - count(col("n_orders"))).as("untouched_rows"))
     }),
 
@@ -881,7 +883,7 @@ object SparkEntry {
         |m AS (SELECT e.c_custkey, i.c_custkey AS ic
         |  FROM customer e FULL JOIN inc i ON e.c_custkey = i.c_custkey)
         |SELECT count(*) AS merged_rows,
-        |  count(ic) AS updated_rows,
+        |  count(ic) AS upserted_rows,
         |  count(*) - count(ic) AS untouched_rows
         |FROM m""".stripMargin,
 

@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names for local iteration.
+    // NOTE: unselected queries' outputs from earlier runs stay in outDir
+    // and compare.py will judge them as current — compare only the
+    // selected names, or use a fresh outDir.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    only.foreach(o => System.err.println(
+      s"[verify] partial run (${o.size} queries) — stale outputs of other " +
+        "queries in outDir are NOT refreshed"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -29,9 +29,16 @@ import graft.Tables
   */
 object AccuracyAudit {
 
-  /** Deterministic bounded corpus slice for the quadratic twins. */
+  /** Deterministic bounded corpus slice for the quadratic twins. The
+    * TakeOrdered funnels everything through one final partition, so it
+    * is applied ONLY when the corpus actually exceeds the bound (the
+    * count is a cheap column-pruned scan), and the sliced frame is
+    * persisted because each audit check references it from several
+    * collecting actions. */
   private def slice(df: DataFrame, idCol: String, n: Int): DataFrame =
-    df.orderBy(col(idCol).asc).limit(n)
+    if (df.count() <= n) df
+    else df.orderBy(col(idCol).asc).limit(n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def apply(s: SparkSession, dir: String,
       maxAuditRows: Int = 1000000): DataFrame = {

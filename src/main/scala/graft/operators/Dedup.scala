@@ -283,6 +283,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // A silent non-converged return would hand back labels where one
+    // component carries several ids — keepRepresentatives would then
+    // under-dedup with no signal. Fail loudly instead; the default
+    // maxIter=20 covers any diameter up to ~2^20.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds the halving horizon)")
     labels.select(col("node"), col("comp").as("component"))
   }
 

@@ -26,7 +26,17 @@ object SimilaritySearch {
     * recall = 1 − (1 − p^r)^b:  b = ln(1−R) / ln(1−p^r). The cost of the
     * whole operator is linear in b (b exploded keys per vector), so
     * paying the cos-0.45 worst case (~3k bands) at a routine 0.8
-    * threshold (~120 bands) would be ~25× wasted shuffle. */
+    * threshold (~120 bands) would be ~25× wasted shuffle.
+    *
+    * The result is clamped to [16, 8192]. The ceiling matters: below
+    * cosine ≈ 0.42 the demanded band count exceeds 8192 and the
+    * DELIVERED recall at exactly-threshold pairs falls under the target
+    * (e.g. threshold 0.3 wants ~11.5k bands; at 8192 expected recall ≈
+    * 0.88 for a 0.95 ask). LSH amplification is simply the wrong tool
+    * that deep into the random-similarity regime — callers needing
+    * guaranteed recall there should use the exact kernel or raise the
+    * threshold; the clamp keeps the explode from silently exploding
+    * cost instead. */
   def adaptiveBands(threshold: Double, bitsPerBand: Int = 16,
       targetRecall: Double = 0.95): Int = {
     val t = math.max(-1.0, math.min(1.0, threshold))

@@ -50,5 +50,8 @@ class ScreenersSpec extends SparkSpec {
     assert(resp.contains("\"success\":false"))
     assert(resp.contains("\"data\":null"))
     assert(resp.startsWith("{\"success\":false,\"data\":null,\"count\":0,"))
+    // Spark analysis errors span multiple lines — the envelope must stay
+    // valid JSON, i.e. no raw control characters survive the escape
+    assert(!resp.exists(_ < ' '), "raw control char leaked into envelope")
   }
 }

@@ -42,6 +42,10 @@ def canon_hash(qdir: str):
 def main(dir_a, dir_b, json_out=None):
     names = sorted({d.split("/")[-1] for d in glob.glob(f"{dir_a}/q*")}
                    | {d.split("/")[-1] for d in glob.glob(f"{dir_b}/q*")})
+    if not names:
+        # a typo'd path must not read as a green gate
+        print(f"ERROR: no q* outputs under {dir_a} or {dir_b}")
+        return 2
     report, n_fail = {}, 0
     for name in names:
         ha, ra = canon_hash(f"{dir_a}/{name}")
