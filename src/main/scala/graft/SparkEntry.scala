@@ -520,6 +520,20 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // ---- curation: reproducible hash-sample (keyed md5-prefix filter —
+    // same rows every rerun/repartition, unlike RNG df.sample)
+    "q49_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(T(s, dir, "customer"), "c_custkey", rate256 = 64)
+        .select(col("c_custkey"), col("c_name"))),
+
+    // ---- curation: deterministic train/val/test split (200/32/24 of
+    // 256) — the same doc lands in the same split everywhere, the
+    // no-leakage property an RNG split cannot give
+    "q50_split_by_hash" -> ((s, dir) =>
+      Sampling.splitByHash(T(s, dir, "documents").select(col("doc_id")),
+        "doc_id", weights = Seq(200, 32, 24),
+        labels = Seq("train", "val", "test"))),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
     // q37) re-checked against its exact twin; the oracle is the constant
     // all-true table, so a recall collapse fails the gate as a hash
@@ -868,6 +882,17 @@ object SparkEntry {
         |  coalesce(i.i_acctbal, e.c_acctbal) AS c_acctbal,
         |  i.n_orders AS n_orders
         |FROM customer e FULL JOIN inc i ON e.c_custkey = i.c_custkey""".stripMargin,
+
+    "q49_hash_sample" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '40'""".stripMargin,
+
+    "q50_split_by_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c8' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q45_skew_two_phase" ->
       """SELECT l_returnflag, count(*) AS n_rows,

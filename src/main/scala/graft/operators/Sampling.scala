@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for dataset curation: reproducible downsampling
+  * and train/val/test splits keyed on a hash of the row's id, NOT an RNG.
+  *
+  * `df.sample()` draws from a seeded RNG over the current partitioning —
+  * re-partition the input and the sample changes, which makes pipeline
+  * reruns unreproducible and train/eval splits unauditable. Hashing the
+  * KEY instead gives the same decision for the same row everywhere: a
+  * pure filter/projection (no shuffle, pushdown-friendly, codegen'd),
+  * stable across partitionings, cluster sizes, and engines — the md5
+  * prefix math reproduces bit-identically in the DuckDB oracle (same
+  * digest of the same key string; cf. the q20 surrogate key).
+  *
+  * Rates are expressed in 256ths via the first two hex digits of
+  * md5(key): digit-string comparison over lowercase hex is order-
+  * isomorphic to the numeric value, so `prefix < "40"` keeps exactly the
+  * 64/256 of key-space hashing below 0x40 — in expectation 25% of rows,
+  * exact per key. */
+object Sampling {
+
+  private def prefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  private def hexThreshold(rate256: Int): String = f"$rate256%02x"
+
+  /** Keep rows whose key hashes under `rate256`/256 — a reproducible
+    * ~`rate256/256` sample (exact membership per key, binomial count). */
+  def hashSample(df: DataFrame, keyCol: String, rate256: Int): DataFrame = {
+    require(rate256 >= 0 && rate256 <= 256, "rate256 in [0, 256]")
+    if (rate256 == 256) df
+    else df.filter(prefix(col(keyCol)) < lit(hexThreshold(rate256)))
+  }
+
+  /** Assign each row a deterministic split label from consecutive
+    * key-space bands: `weights` in 256ths (must sum to 256), one label
+    * per weight. The same key always lands in the same split — across
+    * reruns, repartitions, and engines — which is the property a
+    * train/val/test separation must have to prevent leakage. */
+  def splitByHash(df: DataFrame, keyCol: String,
+      weights: Seq[Int], labels: Seq[String],
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.size == labels.size,
+      "one label per weight")
+    require(weights.forall(_ > 0) && weights.sum == 256,
+      "weights are 256ths and must sum to 256")
+    val cuts = weights.scanLeft(0)(_ + _).tail.init // cumulative, last open
+    val p = prefix(col(keyCol))
+    val expr = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((cut, label), acc) =>
+        when(p < lit(hexThreshold(cut)), lit(label)).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+}

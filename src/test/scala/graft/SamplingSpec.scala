@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic curation sampling: same key → same decision, everywhere. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  test("hashSample is reproducible and partitioning-independent") {
+    val a = Sampling.hashSample(ids, "id", 64).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(17), "id", 64)
+      .as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // 64/256 = 25% expected; binomial bounds at n=2000 (±5σ ≈ ±97)
+    assert(a.size > 400 && a.size < 600, s"sample size ${a.size}")
+    // edge rates
+    assert(Sampling.hashSample(ids, "id", 0).isEmpty)
+    assert(Sampling.hashSample(ids, "id", 256).count() == 2000)
+  }
+
+  test("splitByHash partitions rows completely, disjointly, and stably") {
+    val split = Sampling.splitByHash(ids, "id",
+      Seq(200, 32, 24), Seq("train", "val", "test"))
+    val byLabel = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 2000) // complete and disjoint
+    // expected 1562.5 / 250 / 187.5; allow ±5σ
+    assert(byLabel("train") > 1450 && byLabel("train") < 1680)
+    assert(byLabel("val") > 160 && byLabel("val") < 340)
+    assert(byLabel("test") > 110 && byLabel("test") < 270)
+    // a row's split never changes when the frame is transformed around it
+    val again = Sampling.splitByHash(ids.repartition(7), "id",
+      Seq(200, 32, 24), Seq("train", "val", "test"))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    // the sample IS the leading band: hashSample(200) == the train split
+    val sampled = Sampling.hashSample(ids, "id", 200).as[Long].collect().toSet
+    val train = split.filter($"split" === "train").select($"id")
+      .as[Long].collect().toSet
+    assert(sampled == train)
+  }
+
+  test("splitByHash validates weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, "id", Seq(100, 100), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, "id", Seq(256), Seq("a", "b"))
+    }
+  }
+}
