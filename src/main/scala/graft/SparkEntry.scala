@@ -889,7 +889,8 @@ object SparkEntry {
 
     "q50_split_by_hash" ->
       """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c8' THEN 'train'
+        |  CASE WHEN doc_id IS NULL THEN NULL
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c8' THEN 'train'
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,

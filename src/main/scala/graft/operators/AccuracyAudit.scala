@@ -34,17 +34,25 @@ object AccuracyAudit {
     * is applied ONLY when the corpus actually exceeds the bound (the
     * count is a cheap column-pruned scan), and the sliced frame is
     * persisted because each audit check references it from several
-    * collecting actions. */
-  private def slice(df: DataFrame, idCol: String, n: Int): DataFrame =
+    * collecting actions. Persisted slices are collected into `cached`
+    * so `apply` can unpersist them before returning — the final result
+    * is a LocalRelation, so nothing downstream re-reads them. */
+  private def slice(df: DataFrame, idCol: String, n: Int,
+      cached: scala.collection.mutable.Buffer[DataFrame]): DataFrame =
     if (df.count() <= n) df
-    else df.orderBy(col(idCol).asc).limit(n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else {
+      val s = df.orderBy(col(idCol).asc).limit(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += s
+      s
+    }
 
   def apply(s: SparkSession, dir: String,
       maxAuditRows: Int = 1000000): DataFrame = {
     import s.implicits._
-    val docs = slice(Tables(s, dir, "documents"), "doc_id", maxAuditRows)
-    val emb = slice(Tables(s, dir, "embeddings"), "vec_id", maxAuditRows)
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    val docs = slice(Tables(s, dir, "documents"), "doc_id", maxAuditRows, cached)
+    val emb = slice(Tables(s, dir, "embeddings"), "vec_id", maxAuditRows, cached)
     val events = Tables(s, dir, "events")
 
     // --- SimHash banding is pigeonhole-exact: hamming <= 3 over 4 bands
@@ -100,6 +108,9 @@ object AccuracyAudit {
         col("exact_d").cast("double")))
       .as[Double].collect().head
     val kmvOk = worstErr <= 0.25
+
+    // every check above has collected its booleans — the slices are done
+    cached.foreach(_.unpersist(blocking = false))
 
     Seq(
       ("simhash_pigeonhole_exact", simhashOk),

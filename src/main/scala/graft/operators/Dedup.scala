@@ -252,7 +252,11 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // <= maxIter: convergence is only ever OBSERVED one round after the
+    // last improvement (the delta test runs at the top), so a graph
+    // whose labels settle exactly on round maxIter needs the confirming
+    // no-op round maxIter+1 — without it, a correct result would throw.
+    while (!converged && iter <= maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))

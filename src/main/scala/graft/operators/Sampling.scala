@@ -28,18 +28,29 @@ object Sampling {
   private def hexThreshold(rate256: Int): String = f"$rate256%02x"
 
   /** Keep rows whose key hashes under `rate256`/256 — a reproducible
-    * ~`rate256/256` sample (exact membership per key, binomial count). */
+    * ~`rate256/256` sample (exact membership per key, binomial count).
+    * NULL keys are always excluded, at every rate including 256/256 —
+    * a null id cannot be given a stable decision, and silently flipping
+    * between kept (full rate, where the hash is never consulted) and
+    * dropped (any partial rate, where the null predicate filters) would
+    * make the sample discontinuous in the rate. */
   def hashSample(df: DataFrame, keyCol: String, rate256: Int): DataFrame = {
     require(rate256 >= 0 && rate256 <= 256, "rate256 in [0, 256]")
-    if (rate256 == 256) df
-    else df.filter(prefix(col(keyCol)) < lit(hexThreshold(rate256)))
+    val nonNull = col(keyCol).isNotNull
+    if (rate256 == 256) df.filter(nonNull)
+    else df.filter(nonNull &&
+      prefix(col(keyCol)) < lit(hexThreshold(rate256)))
   }
 
   /** Assign each row a deterministic split label from consecutive
     * key-space bands: `weights` in 256ths (must sum to 256), one label
     * per weight. The same key always lands in the same split — across
     * reruns, repartitions, and engines — which is the property a
-    * train/val/test separation must have to prevent leakage. */
+    * train/val/test separation must have to prevent leakage. A NULL key
+    * gets a NULL split, never a silent default label: md5(null) is null,
+    * so every band predicate would fall through to the last label and
+    * quietly skew exactly the separation this operator exists to make
+    * auditable. */
   def splitByHash(df: DataFrame, keyCol: String,
       weights: Seq[Int], labels: Seq[String],
       outCol: String = "split"): DataFrame = {
@@ -49,10 +60,11 @@ object Sampling {
       "weights are 256ths and must sum to 256")
     val cuts = weights.scanLeft(0)(_ + _).tail.init // cumulative, last open
     val p = prefix(col(keyCol))
-    val expr = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+    val banded = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
       case ((cut, label), acc) =>
         when(p < lit(hexThreshold(cut)), lit(label)).otherwise(acc)
     }
-    df.withColumn(outCol, expr)
+    df.withColumn(outCol,
+      when(col(keyCol).isNotNull, banded).otherwise(lit(null).cast("string")))
   }
 }

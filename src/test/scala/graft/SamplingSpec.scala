@@ -43,6 +43,20 @@ class SamplingSpec extends SparkSpec {
     assert(sampled == train)
   }
 
+  test("null keys: always excluded from samples, null split — never a default label") {
+    val withNulls = (Seq(Some(1L), Some(2L), None, None))
+      .toDF("id")
+    // excluded at a partial rate AND at the full rate (no discontinuity)
+    assert(Sampling.hashSample(withNulls, "id", 128)
+      .filter($"id".isNull).isEmpty)
+    assert(Sampling.hashSample(withNulls, "id", 256).count() == 2)
+    // null key -> null split, not silently the last band's label
+    val split = Sampling.splitByHash(withNulls, "id",
+      Seq(128, 128), Seq("a", "b"))
+    assert(split.filter($"id".isNull && $"split".isNotNull).isEmpty)
+    assert(split.filter($"id".isNotNull && $"split".isNull).isEmpty)
+  }
+
   test("splitByHash validates weights") {
     intercept[IllegalArgumentException] {
       Sampling.splitByHash(ids, "id", Seq(100, 100), Seq("a", "b"))
