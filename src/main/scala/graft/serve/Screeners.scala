@@ -48,26 +48,15 @@ object Screeners {
     * `ScreenerResponse` model. On failure the reference answers
     * success=false with data null, count 0, and the error message
     * (`"Failed to fetch data for screener: {type}"` / `str(e)`). */
-  /** Full JSON string escape (quote, backslash, ALL control chars —
-    * Spark exception messages span lines and would otherwise emit a
-    * literal newline inside the "error" string, invalid JSON). */
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
   def envelope(name: String, rows: Seq[String], error: Option[String]): String = {
     val ts = java.time.Instant.now().toString
     val data = if (error.isDefined) "null" else rows.mkString("[", ",", "]")
     val count = if (error.isDefined) 0 else rows.size
-    val err = error.map(e => "\"" + jsonEscape(e) + "\"").getOrElse("null")
+    // full escape via JsonText: Spark exception messages span lines and
+    // would otherwise emit a raw newline inside the "error" string
+    val err = error.map(graft.functions.JsonText.quote).getOrElse("null")
     s"""{"success":${error.isEmpty},"data":$data,"count":$count,""" +
-      s""""screener_type":"${jsonEscape(name)}","timestamp":"$ts","error":$err}"""
+      s""""screener_type":${graft.functions.JsonText.quote(name)},"timestamp":"$ts","error":$err}"""
   }
 
   def respond(spark: SparkSession, name: String, scored: DataFrame): String =
