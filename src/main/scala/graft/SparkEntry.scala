@@ -669,6 +669,12 @@ object SparkEntry {
       // (int128→double then ÷10^scale), while Spark's Decimal.toDouble is
       // correctly rounded; varnum reaches ~1e16 at sf0.1 and the 1-ulp
       // drift flips round(score, 2) on .005-boundary rows.
+      // The final `+ 0.0` normalizes signed zero: DuckDB's round() keeps
+      // the sign of a tiny negative sum (round(-0.001, 2) = -0.0) while
+      // Spark's round() goes through BigDecimal, which has no signed zero
+      // and always yields +0.0. The two compare equal as floats but hash
+      // differently in the gate; `x + 0.0` is the IEEE identity except
+      // -0.0 + 0.0 = +0.0, so it canonicalizes without changing values.
       def d(expr: String) = s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
       def vn(m: String, lvl: String) =
         s"(CAST(cnt_${m}_$lvl AS DECIMAL(9,0)) * sxx_${m}_$lvl" +
@@ -703,7 +709,7 @@ object SparkEntry {
          |         wo AS (PARTITION BY c_mktsegment))
          |SELECT c_custkey,
          |  round(${contrib("c_acctbal", 0.5)} + ${contrib("order_total", 0.3)}
-         |    + ${contrib("n_orders", 0.2)}, 2) AS composite_score
+         |    + ${contrib("n_orders", 0.2)}, 2) + 0.0 AS composite_score
          |FROM w""".stripMargin
     },
 

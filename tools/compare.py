@@ -47,13 +47,18 @@ def main(sf_dir, out_dir):
         for c in s.columns:
             a, b = s[c], o[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                aa, bb = a.astype(float), b.astype(float)
-                both_nan = aa.isna() & bb.isna()
-                eq = (aa == bb) | both_nan
+                # Bitwise compare, mirroring the driver's value-hash gate:
+                # float == would pass -0.0 vs 0.0 (and would need NaN
+                # special-casing), but the driver hashes rendered values,
+                # so signed zeros and NaNs must match bit-for-bit.
+                import numpy as np
+                aa = a.astype(float).to_numpy()
+                bb = b.astype(float).to_numpy()
+                eq = aa.view(np.uint64) == bb.view(np.uint64)
                 exact_bad = int((~eq).sum())
                 if exact_bad:
-                    diff = (aa - bb).abs()
-                    mx = float(diff[~eq].max()) if exact_bad else 0.0
+                    diff = np.abs(aa - bb)
+                    mx = float(np.nanmax(diff[~eq]))
                     bad.append((c, exact_bad, mx))
             else:
                 av = a.where(pd.notna(a), None)
