@@ -534,6 +534,18 @@ object SparkEntry {
         "doc_id", weights = Seq(200, 32, 24),
         labels = Seq("train", "val", "test"))),
 
+    // ---- curation: benchmark decontamination — per-doc 5-gram
+    // containment against a held-out benchmark slice (the hash-sampled
+    // ~26/256 of docs), flagged at 0.3. The benchmark gram set is
+    // broadcast: benchmark suites are small by construction.
+    "q51_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val corpus = docs.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Decontaminate.overlapReport(corpus, bench, "doc_id", "text",
+        n = 5, threshold = 0.3)
+    }),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
     // q37) re-checked against its exact twin; the oracle is the constant
     // all-true table, so a recall collapse fails the gate as a hash
@@ -577,6 +589,12 @@ object SparkEntry {
       |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45),
       |e AS (SELECT id_a AS a, id_b AS b FROM p
       |  UNION SELECT id_b, id_a FROM p)""".stripMargin
+
+  /** Distinct 5-gram list comprehension over a words array `ws` —
+    * mirrors Dedup.explodedShingles(n = 5) for the q51 oracle. */
+  private val gram5Sql: String =
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || " +
+      "ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws)-3)])"
 
   private val jaccardSql: String =
     s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
@@ -900,6 +918,32 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q51_decontaminate" -> {
+      // ratio shared by `overlap` (rounded) and `contaminated`
+      // (unrounded threshold) — small-int division, bit-identical
+      // across engines
+      val ratio = """CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                    | ELSE CAST(coalesce(n_hit, 0) AS DOUBLE) / coalesce(n_grams, 0) END"""
+        .stripMargin.replace("\n", "")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
+         |bg AS (SELECT DISTINCT unnest($gram5Sql) AS shingle
+         |  FROM t JOIN bench USING (doc_id) WHERE len(ws) >= 5),
+         |cg AS (SELECT doc_id, unnest($gram5Sql) AS shingle
+         |  FROM t ANTI JOIN bench USING (doc_id) WHERE len(ws) >= 5),
+         |sz AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+         |hit AS (SELECT cg.doc_id, count(*) AS n_hit
+         |  FROM cg JOIN bg USING (shingle) GROUP BY 1),
+         |corpus AS (SELECT doc_id FROM documents ANTI JOIN bench USING (doc_id))
+         |SELECT corpus.doc_id,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  round($ratio, 4) AS overlap,
+         |  ($ratio) >= 0.3 AS contaminated
+         |FROM corpus LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+    },
 
     "q45_skew_two_phase" ->
       """SELECT l_returnflag, count(*) AS n_rows,

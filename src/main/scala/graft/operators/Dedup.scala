@@ -29,8 +29,8 @@ object Dedup {
     * no codegen) and re-evaluates the tokenizer per element — measured
     * ~10× slower. The window shuffle partitions by doc id, so this
     * scales linearly and stays skew-free (docs are bounded). */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  private[operators] def explodedShingles(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc"),
       posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w0")))
