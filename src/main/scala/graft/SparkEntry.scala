@@ -534,6 +534,14 @@ object SparkEntry {
         "doc_id", weights = Seq(200, 32, 24),
         labels = Seq("train", "val", "test"))),
 
+    // ---- curation: stratified sample, exact per-language quotas —
+    // min(20, |stratum|) docs per lang, hash-order members (same docs
+    // every rerun/repartition/engine), two-phase to avoid the
+    // one-reducer-per-stratum window shuffle
+    "q52_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
+        k = 20).select(col("doc_id"), col("lang"))),
+
     // ---- curation: benchmark decontamination — per-doc 5-gram
     // containment against a held-out benchmark slice (the hash-sampled
     // ~26/256 of docs), flagged at 0.3. The benchmark gram set is
@@ -918,6 +926,14 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |WHERE rn <= 20""".stripMargin,
 
     "q51_decontaminate" -> {
       // ratio shared by `overlap` (rounded) and `contaminated`

@@ -42,6 +42,48 @@ object Sampling {
       prefix(col(keyCol)) < lit(hexThreshold(rate256)))
   }
 
+  /** Stratified sample with EXACT per-stratum quotas: within each
+    * stratum, keep the `k` rows whose key hashes smallest — i.e.
+    * min(k, |stratum|) rows, deterministically, the same rows on every
+    * rerun, repartition, and engine. Quota sampling by RNG gives the
+    * right COUNT but different MEMBERS each run; hash-order selection
+    * gives both, and composes with the other hash-keyed curation ops
+    * (the same doc is consistently in or out across pipeline stages).
+    *
+    * Two-phase selection, because the obvious single window
+    * (PARTITION BY stratum) shuffles the ENTIRE corpus into one task
+    * per stratum — with a handful of language strata at corpus scale
+    * that is a few reducers doing all the work:
+    *   1. per input partition, keep each stratum's local top-k by hash
+    *      (window keyed by (stratum, partition-id) — as many groups as
+    *      tasks × strata, well distributed). Any row in the global
+    *      top-k is necessarily in its partition's top-k, so phase 1
+    *      never discards a winner; the nondeterministic partition-id
+    *      only shapes the CANDIDATE set, never the result.
+    *   2. the exact per-stratum window over the surviving ≤ k·P rows
+    *      per stratum — bounded, skew-free.
+    *
+    * Ordering is (md5(key), key): the hex digest is engine-agnostic and
+    * the raw key breaks the (vanishingly unlikely) digest tie. NULL
+    * keys are excluded as in [[hashSample]]; a NULL stratum is its own
+    * stratum (SQL PARTITION BY semantics — a real pipeline wants the
+    * "language unknown" bucket sampled too, not silently dropped). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string"))
+    val base = df.filter(col(keyCol).isNotNull)
+    val w1 = Window.partitionBy(col(stratumCol), col("pid__"))
+      .orderBy(h.asc, col(keyCol).asc)
+    val cand = base.withColumn("pid__", spark_partition_id())
+      .withColumn("rn__", row_number().over(w1))
+      .filter(col("rn__") <= k).drop("rn__", "pid__")
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
+    cand.withColumn("rn__", row_number().over(w2))
+      .filter(col("rn__") <= k).drop("rn__")
+  }
+
   /** Assign each row a deterministic split label from consecutive
     * key-space bands: `weights` in 256ths (must sum to 256), one label
     * per weight. The same key always lands in the same split — across

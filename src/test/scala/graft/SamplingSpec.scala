@@ -57,6 +57,38 @@ class SamplingSpec extends SparkSpec {
     assert(split.filter($"id".isNotNull && $"split".isNull).isEmpty)
   }
 
+  test("stratifiedSample takes exact quotas, deterministically") {
+    val rows = (1L to 900L).map(i => (i, s"lang${i % 3}")) ++
+      Seq((901L, "rare")) // stratum smaller than k
+    val df = rows.toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", "id", k = 25)
+    val counts = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("lang0" -> 25L, "lang1" -> 25L, "lang2" -> 25L,
+      "rare" -> 1L))
+    // members (not just counts) are partitioning-independent
+    val again = Sampling.stratifiedSample(df.repartition(13), "lang", "id", 25)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // selection order is the hash order: equals the brute-force pick
+    val brute = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap { g =>
+        g.sortBy { case (id, _) =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+        }.take(25)
+      }.toSet
+    assert(out.as[(Long, String)].collect().toSet == brute)
+  }
+
+  test("stratifiedSample: null keys excluded, null stratum is a stratum") {
+    val df = Seq((Some(1L), Some("a")), (Some(2L), Some("a")),
+      (None, Some("a")), (Some(3L), None), (Some(4L), None))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", "id", k = 10)
+    assert(out.filter($"id".isNull).isEmpty)
+    assert(out.filter($"lang".isNull).count() == 2)
+    assert(out.count() == 4)
+  }
+
   test("splitByHash validates weights") {
     intercept[IllegalArgumentException] {
       Sampling.splitByHash(ids, "id", Seq(100, 100), Seq("a", "b"))
