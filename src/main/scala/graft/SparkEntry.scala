@@ -542,6 +542,17 @@ object SparkEntry {
       Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
         k = 20).select(col("doc_id"), col("lang"))),
 
+    // ---- curation: sequence packing — greedy next-fit of token-counted
+    // docs into 256-token context windows, 16 hash buckets as the
+    // parallelism unit (packing is sequential per bucket by nature)
+    "q53_sequence_pack" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      SequencePack.packGreedy(toks, "doc_id", "n_tokens",
+        capacity = 256L, nBuckets = 16)
+    }),
+
     // ---- curation: benchmark decontamination — per-doc 5-gram
     // containment against a held-out benchmark slice (the hash-sampled
     // ~26/256 of docs), flagged at 0.3. The benchmark gram set is
@@ -934,6 +945,33 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents WHERE doc_id IS NOT NULL)
         |WHERE rn <= 20""".stripMargin,
+
+    // Greedy next-fit is a running state with reset — not prefix-sum
+    // decomposable, so the oracle is a recursive CTE stepping doc-by-doc
+    // within each bucket, the same fits-test the Spark scan applies.
+    "q53_sequence_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |    doc_id % 16 AS bucket
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |ordered AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |packed AS (
+        |  SELECT doc_id, n_tokens, bucket, rn,
+        |    CAST(0 AS BIGINT) AS pack_seq,
+        |    CAST(0 AS BIGINT) AS pack_offset,
+        |    n_tokens AS used
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tokens, o.bucket, o.rn,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.pack_seq ELSE p.pack_seq + 1 END,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
+        |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+        |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
 
     "q51_decontaminate" -> {
       // ratio shared by `overlap` (rounded) and `contaminated`

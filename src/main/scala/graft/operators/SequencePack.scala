@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: assign token-counted documents to
+  * fixed-capacity context windows ("packs") so batches carry minimal
+  * padding. Greedy NEXT-FIT in a deterministic document order — walk
+  * docs by ascending id, append to the current pack while it fits, else
+  * open a new pack.
+  *
+  * Packing is inherently sequential (each decision depends on the
+  * running fill), so the parallelism unit is a BUCKET: docs are
+  * bucketed by `id mod nBuckets` and each bucket packs independently.
+  * Bucket count is the scale knob — at corpus scale use
+  * O(cluster cores) buckets; each bucket's scan is a single pass over
+  * its docs. The cross-bucket packing loss vs one global sequence is
+  * the tail pack of each bucket (≤ nBuckets · capacity tokens total) —
+  * negligible, and global next-fit order would serialize the corpus.
+  *
+  * This is one of the rare genuinely imperative per-partition
+  * operators (running state with reset — not prefix-sum decomposable,
+  * so no window formulation exists): buckets are hash-shuffled,
+  * sorted (bucket, id) within partitions, and a `mapPartitions` scan
+  * carries (bucket, used, seq) state, resetting on bucket change.
+  * Deterministic: the scan order is the sort order, and state never
+  * crosses buckets, so the result is independent of which buckets
+  * co-reside in a partition.
+  *
+  * Oversize documents (tokens > capacity) open a pack of their own and
+  * the next document always starts fresh — they fall out of the same
+  * fits-test with no special case; callers wanting truncation should
+  * cap the token column upstream (Cleanse.capMetric).
+  */
+object SequencePack {
+
+  /** Pack by greedy next-fit: returns (idCol, n_tokens, bucket,
+    * pack_seq, pack_offset) — pack_seq numbers packs within a bucket
+    * from 0, pack_offset is the doc's first token slot in its pack.
+    * Rows with a NULL id or NULL token count are dropped (a doc without
+    * a measured length cannot be placed deterministically). */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Long, nBuckets: Int = 16): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("toks"))
+      .filter(col("id").isNotNull && col("toks").isNotNull)
+      .select(col("id"), col("toks"),
+        pmod(col("id"), lit(nBuckets.toLong)).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Long, Long, Long)]
+    val packed = prepared.mapPartitions { it =>
+      var curBucket = -1L
+      var used = 0L
+      var seq = -1L
+      it.map { case (id, toks, bucket) =>
+        if (bucket != curBucket) { curBucket = bucket; used = 0L; seq = -1L }
+        if (seq < 0L || used + toks > capacity) { seq += 1; used = 0L }
+        val off = used
+        used += toks
+        (id, toks, bucket, seq, off)
+      }
+    }
+    packed.toDF(idCol, "n_tokens", "bucket", "pack_seq", "pack_offset")
+  }
+
+  /** Pack-level summary: per (bucket, pack_seq), the doc count, token
+    * fill, and utilization against `capacity` — the padding-waste
+    * metric a packing run is judged by. */
+  def packStats(packs: DataFrame, capacity: Long): DataFrame =
+    packs.groupBy(col("bucket"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill"))
+      .withColumn("utilization",
+        round(least(col("fill"), lit(capacity)).cast("double") / capacity, 4))
+}
