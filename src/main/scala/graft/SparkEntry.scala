@@ -542,6 +542,12 @@ object SparkEntry {
       Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
         k = 20).select(col("doc_id"), col("lang"))),
 
+    // ---- retrieval: BM25-family term relevance (rational idf — the
+    // engine-exact variant; see TermRelevance scaladoc)
+    "q54_term_relevance" -> ((s, dir) =>
+      TermRelevance.bm25(T(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "window"))),
+
     // ---- curation: sequence packing — greedy next-fit of token-counted
     // docs into 256-token context windows, 16 hash buckets as the
     // parallelism unit (packing is sequential per bucket by nature)
@@ -972,6 +978,40 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    "q54_term_relevance" -> {
+      // Formula mirrored verbatim from TermRelevance.bm25 (k1=1.2,
+      // b=0.75, rational idf — no transcendentals, so every double op
+      // is IEEE-exact in both engines). Constants are interpolated from
+      // the SAME Scala doubles the engine uses: "k1 + 1.0" computed in
+      // Scala need not be the double the literal "2.2" parses to, but
+      // Double.toString round-trips, so the rendered literal is
+      // bit-identical. HUGEINT sums (DuckDB) cast exactly to double
+      // below 2^53 — doc-length sums are far under that at any SF here.
+      val k1 = 1.2; val b = 0.75
+      val terms = Seq("spark", "join", "window")
+      def tfCol(i: Int) = s"CAST(len(list_filter(ws, w -> w = '${terms(i)}')) AS BIGINT) AS tf$i"
+      val norm = s"(${1.0 - b} + (($b * CAST(dl AS DOUBLE)) / " +
+        "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+      def contrib(i: Int) =
+        s"(((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+          s" * ((CAST(tf$i AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf$i AS DOUBLE) + ($k1 * $norm))))"
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents
+         |  WHERE text IS NOT NULL),
+         |l AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         |  ${terms.indices.map(tfCol).mkString(",\n  ")}
+         |  FROM t),
+         |g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |  ${terms.indices.map(i =>
+              s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n  ")}
+         |  FROM l)
+         |SELECT doc_id, dl AS doc_len,
+         |  CAST(${terms.indices.map(i =>
+              s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_hit_terms,
+         |  round(${terms.indices.map(contrib).mkString(" + ")}, 4) AS score
+         |FROM l, g
+         |WHERE ${terms.indices.map(i => s"tf$i").mkString(" + ")} > 0""".stripMargin
+    },
 
     "q51_decontaminate" -> {
       // ratio shared by `overlap` (rounded) and `contaminated`
