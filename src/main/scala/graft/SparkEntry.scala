@@ -884,13 +884,37 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, sid""".stripMargin,
 
-    "q35_quantiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
-        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS p50,
-        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75,
-        |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.95) / 100.0 AS p95
-        |FROM lineitem GROUP BY 1""".stripMargin,
+    // Explicit type-7 lerp rather than DuckDB's quantile_cont builtin:
+    // the builtin's internal interpolation differs from lo + (hi-lo)*f
+    // in float op ORDER at some group sizes (observed 1.46e-11 on p95
+    // at sf0.1 — same class as the q07 signed-zero/cast flaps). The
+    // formula below mirrors the Spark side token-for-token.
+    "q35_quantiles" -> {
+      val qs = Seq("p25" -> "0.25", "p50" -> "0.5", "p75" -> "0.75",
+        "p95" -> "0.95")
+      def pos(q: String) = s"$q * CAST(n - 1 AS DOUBLE)"
+      val picks = qs.map { case (nm, q) =>
+        s"""max(CASE WHEN rn = CAST(floor(${pos(q)}) AS BIGINT) + 1 THEN cents END) AS ${nm}_lo,
+           |  max(CASE WHEN rn = CAST(ceil(${pos(q)}) AS BIGINT) + 1 THEN cents END) AS ${nm}_hi,
+           |  max(${pos(q)} - floor(${pos(q)})) AS ${nm}_f""".stripMargin
+      }.mkString(",\n  ")
+      val outs = qs.map { case (nm, _) =>
+        s"(CAST(${nm}_lo AS DOUBLE) + CAST(${nm}_hi - ${nm}_lo AS DOUBLE) * ${nm}_f) / 100.0 AS $nm"
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, cents,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM c),
+         |p AS (SELECT l_returnflag,
+         |  $picks
+         |  FROM r GROUP BY 1)
+         |SELECT l_returnflag,
+         |  $outs
+         |FROM p""".stripMargin
+    },
 
     "q38_set_ops" ->
       """SELECT c_custkey, 'rich_buyer' AS set_op
