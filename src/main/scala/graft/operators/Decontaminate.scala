@@ -36,7 +36,14 @@ object Decontaminate {
 
   /** Per-doc overlap report: (id, n_grams, n_hit, overlap, contaminated).
     * `threshold` applies to the UNROUNDED containment ratio; `overlap` is
-    * reported rounded to 4dp. */
+    * reported rounded to 4dp.
+    *
+    * Single-pass shape: each corpus gram is marked hit/miss by ONE
+    * broadcast left join against the benchmark gram set, and n_grams /
+    * n_hit come out of the SAME groupBy — the corpus explode pipeline
+    * (the expensive part at scale) runs once, not once per statistic
+    * (separate size and hit aggregates would make Spark recompute the
+    * whole explode→shuffle→window shingle subtree per branch). */
   def overlapReport(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.3,
@@ -45,17 +52,17 @@ object Decontaminate {
     val benchGrams = {
       val g = Dedup.explodedShingles(bench, idCol, textCol, n)
         .select(col("shingle")).distinct()
+        .withColumn("hit__", lit(1L))
       if (broadcastBench) broadcast(g) else g
     }
-    val sizes = corpusGrams.groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = corpusGrams.join(benchGrams, "shingle")
-      .groupBy(col("doc")).agg(count(lit(1)).as("n_hit"))
+    val stats = corpusGrams.join(benchGrams, Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit__"), lit(0L))).as("n_hit"))
     val ratio = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double"))
     corpus.select(col(idCol))
-      .join(sizes.withColumnRenamed("doc", idCol), Seq(idCol), "left")
-      .join(hits.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
