@@ -50,18 +50,16 @@ object Sampling {
     * gives both, and composes with the other hash-keyed curation ops
     * (the same doc is consistently in or out across pipeline stages).
     *
-    * Two-phase selection, because the obvious single window
-    * (PARTITION BY stratum) shuffles the ENTIRE corpus into one task
-    * per stratum — with a handful of language strata at corpus scale
-    * that is a few reducers doing all the work:
-    *   1. per input partition, keep each stratum's local top-k by hash
-    *      (window keyed by (stratum, partition-id) — as many groups as
-    *      tasks × strata, well distributed). Any row in the global
-    *      top-k is necessarily in its partition's top-k, so phase 1
-    *      never discards a winner; the nondeterministic partition-id
-    *      only shapes the CANDIDATE set, never the result.
-    *   2. the exact per-stratum window over the surviving ≤ k·P rows
-    *      per stratum — bounded, skew-free.
+    * The single per-stratum window here is NOT the naive
+    * one-reducer-per-stratum shuffle it looks like: a row_number filter
+    * directly above a window triggers Catalyst's WindowGroupLimit rule
+    * (Spark ≥ 3.5), which inserts a map-side partial top-k BEFORE the
+    * exchange — each input task forwards at most k rows per stratum, so
+    * the stratum reducer sorts ≤ k·P candidates, not the corpus. The
+    * plan is audited in ScaleOpsSpec: a partial WindowGroupLimit must
+    * sit below the exchange (a hand-rolled two-phase window gives the
+    * same bound at the cost of a second shuffle — that formulation
+    * predates the optimizer rule).
     *
     * Ordering is (md5(key), key): the hex digest is engine-agnostic and
     * the raw key breaks the (vanishingly unlikely) digest tie. NULL
@@ -73,14 +71,9 @@ object Sampling {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val h = md5(col(keyCol).cast("string"))
-    val base = df.filter(col(keyCol).isNotNull)
-    val w1 = Window.partitionBy(col(stratumCol), col("pid__"))
-      .orderBy(h.asc, col(keyCol).asc)
-    val cand = base.withColumn("pid__", spark_partition_id())
-      .withColumn("rn__", row_number().over(w1))
-      .filter(col("rn__") <= k).drop("rn__", "pid__")
-    val w2 = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
-    cand.withColumn("rn__", row_number().over(w2))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("rn__", row_number().over(w))
       .filter(col("rn__") <= k).drop("rn__")
   }
 

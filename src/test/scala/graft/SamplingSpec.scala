@@ -79,6 +79,18 @@ class SamplingSpec extends SparkSpec {
     assert(out.as[(Long, String)].collect().toSet == brute)
   }
 
+  test("stratifiedSample plan has a map-side partial top-k below the shuffle") {
+    val df = (1L to 100L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val plan = Sampling.stratifiedSample(df, "lang", "id", 5)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit(Partial) before the exchange is what bounds the
+    // per-stratum reducer to k*P candidate rows instead of the corpus
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(plan.indexOf("WindowGroupLimit", partialIdx + 1) > 0,
+      "expected both partial and final WindowGroupLimit nodes")
+  }
+
   test("stratifiedSample: null keys excluded, null stratum is a stratum") {
     val df = Seq((Some(1L), Some("a")), (Some(2L), Some("a")),
       (None, Some("a")), (Some(3L), None), (Some(4L), None))
