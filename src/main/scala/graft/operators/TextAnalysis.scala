@@ -98,21 +98,22 @@ object TextAnalysis {
       k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    // build the k-gram array per doc, then explode — only 8-char grams
-    // travel through the explode, not the whole document per position.
-    // length(t__) in the same projection keeps the normalized text
-    // multi-referenced so CollapseProject cannot inline the regex chain
-    // into the per-element lambda.
+    // explode POSITIONS (an int array), then slice the k-gram in the
+    // projection above the Generate: the whole chain stays in
+    // whole-stage codegen. The earlier form materialized the gram array
+    // with a `transform` lambda — higher-order functions are
+    // interpreted, so every doc built `len` UTF8Strings outside
+    // codegen. (Modest at sf0.1 where the window shuffle dominates;
+    // the lambda cost scales with corpus size, the fix is free.)
     val grams = df
       .select(col(idCol), norm.as("t__"))
       .filter(length(col("t__")) >= k)
-      .select(col(idCol), length(col("t__")).as("len__"),
-        posexplode(transform(sequence(lit(1), length(col("t__")) - (k - 1)),
-          i => col("t__").substr(i, lit(k)))).as(Seq("p__", "g")))
-      .select(col(idCol), (col("p__") + 1).as("i"),
+      .select(col(idCol), col("t__"),
+        explode(sequence(lit(1), length(col("t__")) - (k - 1))).as("i"))
+      .select(col(idCol), col("i"),
         // 64-bit md5 prefix: halves the window-shuffle payload; min
         // selection stays engine-agnostic lexicographic order
-        substring(md5(col("g")), 1, 16).as("h"))
+        substring(md5(col("t__").substr(col("i"), lit(k))), 1, 16).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("i").asc)
       .rowsBetween(Window.currentRow, w - 1)
     grams
