@@ -542,6 +542,13 @@ object SparkEntry {
       Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
         k = 20).select(col("doc_id"), col("lang"))),
 
+    // ---- text analysis: Gopher/C4-family repetition signals —
+    // duplicate 2/3-gram fractions + top-word dominance, one stacked
+    // explode feeding every statistic
+    "q55_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(T(s, dir, "documents"),
+        "doc_id", "text")),
+
     // ---- retrieval: BM25-family term relevance (rational idf — the
     // engine-exact variant; see TermRelevance scaladoc)
     "q54_term_relevance" -> ((s, dir) =>
@@ -1002,6 +1009,36 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    "q55_repetition" -> {
+      val d2raw = "CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
+      val d3raw = "CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)"
+      val twraw = "CAST(mx AS DOUBLE) / CAST(nw AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |wc AS (SELECT doc_id, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+         |wstat AS (SELECT doc_id, sum(c) AS nw, max(c) AS mx FROM wc GROUP BY 1),
+         |s2 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS t2,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS d2
+         |  FROM (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS l
+         |        FROM t WHERE len(ws) >= 2)),
+         |s3 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS t3,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS d3
+         |  FROM (SELECT doc_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)] AS l
+         |        FROM t WHERE len(ws) >= 3))
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+         |  round(coalesce($d2raw, 0.0), 4) AS dup_2gram,
+         |  round(coalesce($d3raw, 0.0), 4) AS dup_3gram,
+         |  round(coalesce($twraw, 0.0), 4) AS top_word,
+         |  (coalesce(nw, 0) >= 10 AND (coalesce($d2raw, 0.0) > 0.2
+         |    OR coalesce($d3raw, 0.0) > 0.18
+         |    OR coalesce($twraw, 0.0) > 0.2)) AS repetitive
+         |FROM documents d
+         |LEFT JOIN wstat USING (doc_id)
+         |LEFT JOIN s2 USING (doc_id)
+         |LEFT JOIN s3 USING (doc_id)""".stripMargin
+    },
 
     "q54_term_relevance" -> {
       // Formula mirrored verbatim from TermRelevance.bm25 (k1=1.2,

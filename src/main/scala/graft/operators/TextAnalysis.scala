@@ -81,6 +81,77 @@ object TextAnalysis {
       round(score, 4).as("quality"))
   }
 
+  /** Repetition signals per document — the Gopher/C4 family of
+    * repetitiveness filters (count-based analogs): duplicate 2-gram and
+    * 3-gram fractions and top-word dominance, plus a combined flag.
+    *
+    * One explode pass feeds EVERY statistic: the lead-window frame
+    * emits (n, gram) rows for n ∈ {1,2,3} stacked via one array
+    * explode — n=1 rows are the words themselves, so word totals and
+    * the top-word count come from the SAME two-level aggregate as the
+    * gram stats. A separate word-stats branch off the token explode
+    * would make Spark recompute the exploded subtree per branch (the
+    * Decontaminate lesson); here the whole operator is one linear
+    * pipeline. Aggregation is two-level: groupBy(doc, n, gram) counts
+    * occurrences, then groupBy(doc, n) derives totals/distincts/max
+    * map-side-combinably — `countDistinct` in one level would carry
+    * every gram into one hash set per group.
+    *
+    * dup ratio = (total − distinct)/total over gram OCCURRENCES;
+    * top-word = max word count / word count. Docs too short for a gram
+    * size (or with NULL text) report 0.0, and the combined flag only
+    * fires at `minWords` or more — a three-word document has top-word
+    * dominance 1/3 by pigeonhole, not by repetition; shortness is
+    * `qualityScore`'s job. Flags compare the UNROUNDED ratios. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      dup2Threshold: Double = 0.2, dup3Threshold: Double = 0.18,
+      topWordThreshold: Double = 0.2, minWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w0")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val withLeads = toks.select(col("doc"), col("w0"),
+      lead(col("w0"), 1).over(w).as("w1"),
+      lead(col("w0"), 2).over(w).as("w2"))
+    val stacked = withLeads.select(col("doc"),
+      explode(array(
+        struct(lit(1).as("n"), col("w0").as("g")),
+        when(col("w1").isNotNull,
+          struct(lit(2).as("n"), concat_ws(" ", col("w0"), col("w1")).as("g"))),
+        when(col("w2").isNotNull,
+          struct(lit(3).as("n"),
+            concat_ws(" ", col("w0"), col("w1"), col("w2")).as("g")))))
+        .as("ng"))
+      .filter(col("ng").isNotNull)
+      .select(col("doc"), col("ng.n").as("n"), col("ng.g").as("g"))
+    val gramStats = stacked.groupBy(col("doc"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"), col("n"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("nd"),
+        max(col("c")).as("mxc"))
+    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    val stats = gramStats.groupBy(col("doc")).agg(
+      pick(1, "total").as("nw"), pick(1, "mxc").as("mxw"),
+      pick(2, "total").as("t2"), pick(2, "nd").as("d2"),
+      pick(3, "total").as("t3"), pick(3, "nd").as("d3"))
+    val joined = df.select(col(idCol))
+      .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    def ratio(t: String, d: String) = coalesce(
+      (col(t) - col(d)).cast("double") / col(t).cast("double"), lit(0.0))
+    val d2 = ratio("t2", "d2")
+    val d3 = ratio("t3", "d3")
+    val tw = coalesce(
+      col("mxw").cast("double") / col("nw").cast("double"), lit(0.0))
+    joined.select(col(idCol),
+      coalesce(col("nw"), lit(0L)).as("n_words"),
+      round(d2, 4).as("dup_2gram"),
+      round(d3, 4).as("dup_3gram"),
+      round(tw, 4).as("top_word"),
+      (coalesce(col("nw"), lit(0L)) >= minWords &&
+        (d2 > dup2Threshold || d3 > dup3Threshold || tw > topWordThreshold))
+        .as("repetitive"))
+  }
+
   /** Whole-document fingerprint + surrogate key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

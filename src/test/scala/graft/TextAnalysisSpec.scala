@@ -6,6 +6,39 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetitionSignals: dup-gram fractions, top-word dominance, flag") {
+    val docs = Seq(
+      (1L, "a a a a b a a a a b a a"),                    // heavy repetition
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),     // all distinct
+      (3L, "x y z"),                                      // short: no flag
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text").rowsSet
+    // doc 1: words a*10 b*2 -> top 10/12; 2-grams 11 total 3 distinct
+    // -> 8/11; 3-grams 10 total 4 distinct -> 0.6
+    assert(out == Set(
+      Seq(1L, 12L, 0.7273, 0.6, 0.8333, true),
+      Seq(2L, 12L, 0.0, 0.0, 0.0833, false),
+      Seq(3L, 3L, 0.0, 0.0, 0.3333, false),
+      Seq(4L, 1L, 0.0, 0.0, 1.0, false)))
+  }
+
+  test("repetitionSignals: thresholds compare raw ratios; minWords gates") {
+    // 10 words, top word 3/10 = 0.3 -> NOT > 0.3 threshold (strict)
+    val docs = Seq((1L, "a a a b c d e f g h")).toDF("doc_id", "text")
+    val strict = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+      dup2Threshold = 1.0, dup3Threshold = 1.0, topWordThreshold = 0.3)
+    assert(strict.select($"repetitive").rowsSet == Set(Seq(false)))
+    val loose = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+      dup2Threshold = 1.0, dup3Threshold = 1.0, topWordThreshold = 0.29)
+    assert(loose.select($"repetitive").rowsSet == Set(Seq(true)))
+    // same doc under a higher minWords: never flagged
+    val gated = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+      dup2Threshold = 1.0, dup3Threshold = 1.0, topWordThreshold = 0.29,
+      minWords = 11)
+    assert(gated.select($"repetitive").rowsSet == Set(Seq(false)))
+  }
+
   private val docs = Seq(
     (1L, "the cat sat of the mat and a hat"),
     (2L, "der hund und die katze"),
