@@ -549,6 +549,27 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(T(s, dir, "documents"),
         "doc_id", "text")),
 
+    // ---- curation: PII scrub — deterministic injection (the synthetic
+    // corpus carries no PII) followed by ordered mask + count; the
+    // injection is keyed on doc_id and mirrored in the oracle
+    "q56_pii_scrub" -> ((s, dir) => {
+      val injected = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" call +91 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+              pmod(col("doc_id") * 7, lit(256)).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      PiiScrub.scrub(injected, "doc_id", "text")
+    }),
+
     // ---- retrieval: BM25-family term relevance (rational idf — the
     // engine-exact variant; see TermRelevance scaladoc)
     "q54_term_relevance" -> ((s, dir) =>
@@ -1009,6 +1030,39 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    "q56_pii_scrub" -> {
+      // Rules and injection mirrored from PiiScrub.defaultRules / the
+      // q56 query. DuckDB regexp_replace is first-match-only without
+      // the 'g' flag; patterns are Java ∩ RE2 common dialect.
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+?[0-9]{2,3}[- ][0-9]{3}[- ][0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0
+         |    THEN ' call +91 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 0
+         |    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |    ELSE '' END AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_email,
+         |    regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM inj),
+         |s2 AS (SELECT doc_id, n_email,
+         |    CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT) AS n_phone,
+         |    regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, n_email, n_phone,
+         |    CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip,
+         |    regexp_replace(t2, '$ip', '<IP>', 'g') AS t3
+         |  FROM s2)
+         |SELECT doc_id, t3 AS text_clean, n_email, n_phone, n_ip FROM s3""".stripMargin
+    },
 
     "q55_repetition" -> {
       val d2raw = "CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
