@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{HierarchicalZScore, PeerPercentile, RankOps}
+import graft.operators.{Decontaminate, HierarchicalZScore, PeerPercentile,
+  PiiScrub, RankOps, Sampling, SequencePack, TermRelevance, TextAnalysis}
 
 /** Scale probe: run the core window operators on generated data 100-1000x
   * the correctness-gate size, with a deliberately skewed group, and print
@@ -72,6 +73,48 @@ object ScaleProbe {
         .select((col("id") + n).as("id_a"), (col("id") + n + 1).as("id_b"))
       graft.operators.Dedup.connectedComponents(
         clusterEdges.union(chain), "id_a", "id_b")
+    }
+
+    // ---- curation-operator probes over synthetic docs (n/10 docs of 12
+    // hash-derived words; positions 0-5 draw from a 6-word vocab so
+    // distinct docs DO share 5-grams — decontamination and repetition
+    // see real overlap, not a degenerate all-unique corpus). concat_ws
+    // of scalar expressions: codegen'd generation, no HOF lambdas.
+    val nDocs = math.max(n / 10, 1000L)
+    val wordCols = (0 until 12).map { i =>
+      val v = if (i < 6) 6 else 40
+      concat(lit("w"),
+        pmod(xxhash64(col("id"), lit(i)), lit(v)).cast("string"))
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", wordCols: _*).as("text"),
+        concat(lit("L"), pmod(xxhash64(col("id"), lit(99)), lit(30))
+          .cast("string")).as("lang"))
+
+    time("decontaminate") {
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val corpus = docs.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Decontaminate.overlapReport(corpus, bench, "doc_id", "text", n = 5)
+    }
+    time("repetition_signals") {
+      TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+    }
+    time("stratified_sample") {
+      Sampling.stratifiedSample(docs, "lang", "doc_id", k = 1000)
+    }
+    time("sequence_pack") {
+      // full n rows through the packer: token counts are the input, the
+      // probe measures the bucketed mapPartitions scan itself
+      val toks = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(400)) + 1).as("toks"))
+      SequencePack.packGreedy(toks, "id", "toks", capacity = 2048L,
+        nBuckets = 64)
+    }
+    time("term_relevance") {
+      TermRelevance.bm25(docs, "doc_id", "text", Seq("w0", "w3", "w17"))
+    }
+    time("pii_scrub") {
+      PiiScrub.scrub(docs, "doc_id", "text")
     }
     spark.stop()
   }
