@@ -549,6 +549,13 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(T(s, dir, "documents"),
         "doc_id", "text")),
 
+    // ---- retrieval: sliding-window chunking — 16-token windows,
+    // 4-token overlap (stride 12); short tail, whole-doc chunk for
+    // short docs, closed-form chunk count (no shuffle anywhere)
+    "q57_chunking" -> ((s, dir) =>
+      Chunking.slidingWindows(T(s, dir, "documents"), "doc_id", "text",
+        size = 16, overlap = 4)),
+
     // ---- curation: PII scrub — deterministic injection (the synthetic
     // corpus carries no PII) followed by ordered mask + count; the
     // injection is keyed on doc_id and mirrored in the oracle
@@ -1030,6 +1037,23 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    "q57_chunking" -> {
+      // stride 12 = size 16 − overlap 4; integer floor-division on a
+      // non-negative numerator both sides (// in DuckDB, div in Spark)
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents
+         |  WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nt,
+         |    greatest((greatest(CAST(len(ws) AS BIGINT) - 4, 0) + 11) // 12, 1) AS k
+         |  FROM t WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws, nt, unnest(range(0, k)) AS chunk_idx FROM s)
+         |SELECT doc_id,
+         |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 12 AS BIGINT) AS start_tok,
+         |  CAST(least(16, nt - chunk_idx * 12) AS BIGINT) AS n_tok,
+         |  array_to_string(ws[chunk_idx * 12 + 1 : chunk_idx * 12 + least(16, nt - chunk_idx * 12)], ' ') AS chunk_text
+         |FROM c""".stripMargin
+    },
 
     "q56_pii_scrub" -> {
       // Rules and injection mirrored from PiiScrub.defaultRules / the
