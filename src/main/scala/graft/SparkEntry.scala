@@ -549,6 +549,18 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(T(s, dir, "documents"),
         "doc_id", "text")),
 
+    // ---- §2.4 extension: ROLLUP subtotals — per (flag, status), per
+    // flag, and grand total in one pass; grouping_id disambiguates
+    // subtotal NULLs from data NULLs
+    "q58_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("sum_qty"))),
+
     // ---- retrieval: sliding-window chunking — 16-token windows,
     // 4-token overlap (stride 12); short tail, whole-doc chunk for
     // short docs, closed-form chunk count (no shuffle anywhere)
@@ -1037,6 +1049,14 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    "q58_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q57_chunking" -> {
       // stride 12 = size 16 − overlap 4; integer floor-division on a
