@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout/stderr verbatim: the default
+// LoggedOutput strategy prefixes every line with [info]/[error], which
+// breaks downstream parsers expecting Bench's bare one-line JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
