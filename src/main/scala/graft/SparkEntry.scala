@@ -618,10 +618,77 @@ object SparkEntry {
         n = 5, threshold = 0.3)
     }),
 
+    // ---- curation: token-budget selection — keep the highest-quality
+    // docs (q18's score, already gate-proven bit-exact) until a 10k
+    // running token budget is spent; two-phase range-partitioned prefix
+    // sum, no single-partition window
+    "q59_token_budget" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val costed = docs
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.words(col("text"))).cast("long")
+            .as("n_tokens"))
+        .join(quality, "doc_id")
+      BudgetSelect.selectUnderBudget(costed, col("n_tokens"),
+          Seq(col("quality").desc, col("doc_id").asc), budget = 10000L,
+          runningOut = "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
+    // ---- curation: source-mix resampling — per-source keep rates in
+    // 256ths (a target domain mixture), every decision keyed on
+    // md5(doc_id) so the kept set is reproducible and monotonic in the
+    // rate; pure filter, no shuffle
+    "q60_source_mix" -> ((s, dir) =>
+      Sampling.mixBySource(T(s, dir, "documents"),
+          "source", "doc_id",
+          rates = Map("src0" -> 256, "src1" -> 256, "src2" -> 192,
+            "src3" -> 128, "src4" -> 128),
+          defaultRate256 = 64)
+        .select(col("doc_id"), col("source"))),
+
+    // ---- curation: Bloom-filter decontamination — the memory-constant
+    // scale twin of q51 (approximate: rows-only; fail-safe one-sided
+    // error, superset + excess bound pinned by the q40 audit)
+    "q61_bloom_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val corpus = docs.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Decontaminate.bloomOverlapReport(corpus, bench, "doc_id", "text",
+        n = 5, threshold = 0.3, fpp = 0.01)
+    }),
+
+    // ---- dedup: SemDeDup-style semantic near-dup — k-means cells from
+    // the IVF quantizer, cosine verified within cells only (approximate:
+    // rows-only; realized recall + exact precision pinned by q40)
+    "q62_semantic_dedup" -> ((s, dir) =>
+      SimilaritySearch.semanticNearDup(T(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)),
+
+    // ---- text analysis: winnowing fingerprint-overlap pairs — docs
+    // sharing >= 2 rare fingerprints (substring-level containment, the
+    // MOSS aggregation over q33); boilerplate fingerprints capped at
+    // doc-frequency 5 so the posting-list join stays linear
+    "q63_fingerprint_overlap" -> ((s, dir) =>
+      TextAnalysis.fingerprintOverlapPairs(T(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4, maxDocFreq = 5L, minShared = 2L)),
+
+    // ---- sketch: per-group approx quantiles with the GK rank
+    // guarantee verified in-query — sketch VALUES are not oracle-able
+    // (in-tolerance wiggle), the guarantee is; same constant-true
+    // discipline as q40
+    "q64_approx_quantiles" -> ((s, dir) =>
+      ApproxQuantiles.rankErrorAudit(T(s, dir, "lineitem"),
+        "l_returnflag",
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        qs = Seq(0.25, 0.5, 0.75), accuracy = 10000, maxRankErr = 0.02)),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
-    // q37) re-checked against its exact twin; the oracle is the constant
-    // all-true table, so a recall collapse fails the gate as a hash
-    // mismatch instead of hiding behind a row count
+    // q37/q61/q62) re-checked against its exact twin; the oracle is the
+    // constant all-true table, so a recall collapse fails the gate as a
+    // hash mismatch instead of hiding behind a row count
     "q40_accuracy_audit" -> ((s, dir) => AccuracyAudit(s, dir)),
 
     // ---- F4/F5/F10 feature math + scaled-integer codec
@@ -1360,7 +1427,67 @@ object SparkEntry {
         |UNION ALL SELECT 'ann_lsh_top10_overlap', true
         |UNION ALL SELECT 'ann_ivf_top10_overlap', true
         |UNION ALL SELECT 'embedding_lsh_recall', true
+        |UNION ALL SELECT 'semantic_dedup_recall', true
+        |UNION ALL SELECT 'bloom_decontaminate_superset', true
         |UNION ALL SELECT 'kmv_rel_err_bound', true""".stripMargin,
+
+    // q59: quality formula mirrored from q18 (gate-proven bit-exact at
+    // 4dp), integer token cumsum — DuckDB sum(BIGINT) widens to
+    // HUGEINT, so the window sum casts back
+    "q59_token_budget" -> {
+      val nWords = s"CAST(len($wordsSql) AS DOUBLE)"
+      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
+        "OR w = 'of' OR w = 'to' OR w = 'and')) AS DOUBLE)"
+      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)"
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+         |    round(least($nWords / 100.0, 1.0)
+         |      * (1.0 - $punct / CAST(length(text) AS DOUBLE))
+         |      * (0.5 + 0.5 * least(($stopHits / $nWords) * 5.0, 1.0)), 4) AS quality
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 10000""".stripMargin
+    },
+
+    "q60_source_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id IS NOT NULL AND (
+        |  CASE WHEN source = 'src0' THEN true
+        |       WHEN source = 'src1' THEN true
+        |       WHEN source = 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |       WHEN source = 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |       WHEN source = 'src4' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' END)""".stripMargin,
+
+    // q63: the q33 winnowing CTE + doc-frequency cap + posting-list
+    // pair count — same fingerprints, same cap, same threshold
+    "q63_fingerprint_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $wsNorm AS tn FROM documents
+         |    WHERE length($wsNorm) >= 8),
+         |g AS (SELECT doc_id, i,
+         |    substr(md5(substr(tn, CAST(i AS INTEGER), 8)), 1, 16) AS h
+         |  FROM t, unnest(range(1, length(tn) - 6)) AS r(i)),
+         |f AS (SELECT DISTINCT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+         |  FROM g),
+         |rare AS (SELECT fingerprint FROM f GROUP BY 1 HAVING count(*) <= 5),
+         |fr AS (SELECT f.doc_id, f.fingerprint FROM f JOIN rare USING (fingerprint))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fr a JOIN fr b
+         |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q64: the oracle is the guarantee, not the sketch values (see
+    // ApproxQuantiles scaladoc) — constant-true per (group, q)
+    "q64_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(q AS DOUBLE) AS q, true AS pass
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+        |     (SELECT unnest([0.25, 0.5, 0.75]) AS q)""".stripMargin,
 
     "q28_features_codec" ->
       """SELECT l_orderkey, l_linenumber,

@@ -96,6 +96,36 @@ object AccuracyAudit {
     val neardupOk = exactPairs.isEmpty ||
       (exactPairs & lshPairs).size.toDouble / exactPairs.size >= 0.8
 
+    // --- SemDeDup recall vs the same exact kernel: within-cluster
+    // verification misses only boundary-straddling pairs (measured 1.0
+    // at sf0.01 and sf0.1 — the synthetic corpus clusters cleanly);
+    // gate at 0.6, where a broken assignment or collapsed clustering
+    // lands near 1/nClusters. Precision is exact by construction
+    // (cosine-verified), so invented pairs also fail.
+    val semPairs = pairs(SimilaritySearch.semanticNearDup(
+      emb, "vec_id", "embedding", threshold = 0.45))
+    val semOk = (semPairs -- exactPairs).isEmpty &&
+      (exactPairs.isEmpty ||
+        (exactPairs & semPairs).size.toDouble / exactPairs.size >= 0.6)
+
+    // --- Bloom decontamination vs the exact gram join: no false
+    // negatives is a HARD Bloom guarantee (exact-flagged ⊆
+    // bloom-flagged, checked as a set), and the false-positive side is
+    // bounded — at fpp=0.01 a doc needs many coincidental bit hits to
+    // cross the 0.3 containment threshold (measured 0 excess docs at
+    // sf0.01/sf0.1; gate allows 2% of the corpus).
+    val benchB = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+    val corpusB = docs.join(benchB.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    def flagged(df: DataFrame): Set[Long] = df.filter(col("contaminated"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val exactFlag = flagged(Decontaminate.overlapReport(
+      corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3))
+    val bloomFlag = flagged(Decontaminate.bloomOverlapReport(
+      corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3, fpp = 0.01))
+    val nCorpus = corpusB.count()
+    val bloomOk = exactFlag.subsetOf(bloomFlag) &&
+      (bloomFlag -- exactFlag).size <= math.max(2L, nCorpus / 50).toInt
+
     // --- KMV distinct sketch vs exact count-distinct: k=256 keeps the
     // relative error ~1/sqrt(k-2) ≈ 6.3% (1σ); gate at 4σ
     val exactD = events.groupBy(col("event_type"))
@@ -117,6 +147,8 @@ object AccuracyAudit {
       ("ann_lsh_top10_overlap", annLshOk),
       ("ann_ivf_top10_overlap", ivfOk),
       ("embedding_lsh_recall", neardupOk),
+      ("semantic_dedup_recall", semOk),
+      ("bloom_decontaminate_superset", bloomOk),
       ("kmv_rel_err_bound", kmvOk)
     ).toDF("check", "pass")
   }

@@ -59,6 +59,13 @@ object Decontaminate {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit__"), lit(0L))).as("n_hit"))
+    assembleReport(corpus, stats, idCol, threshold)
+  }
+
+  /** Shared report tail: rejoin per-doc gram stats to the full corpus
+    * (docs too short for any gram report 0), derive ratio + flag. */
+  private def assembleReport(corpus: DataFrame, stats: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val ratio = when(col("n_grams") === 0, lit(0.0))
       .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double"))
     corpus.select(col(idCol))
@@ -69,6 +76,54 @@ object Decontaminate {
       .select(col(idCol), col("n_grams"), col("n_hit"),
         round(ratio, 4).as("overlap"),
         (ratio >= threshold).as("contaminated"))
+  }
+
+  /** Bloom-filter decontamination — the memory-constant scale path of
+    * [[overlapReport]]. The benchmark gram set is folded into ONE Bloom
+    * filter (a bit array sized by `fpp`, ~10 bits/gram at 1%) instead
+    * of a broadcast hash relation (~50+ bytes/gram): at a 10⁸-gram
+    * benchmark the sketch is ~120 MB where the exact relation would be
+    * gigabytes per executor, and the probe is a codegen'd bit test
+    * (the same [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * expression Spark's runtime row-level filters inject) — no join at
+    * all on the corpus side, just scan+aggregate.
+    *
+    * Direction of error is one-sided by construction: Bloom filters
+    * have NO false negatives, so `n_hit` >= the exact count per doc and
+    * the flagged set is a SUPERSET of the exact flagged set —
+    * decontamination fails safe (never ships a leaked doc, may drop a
+    * few clean ones; the q40 audit pins both properties). Deterministic:
+    * same grams -> same bits (fixed seeds), so reruns agree. The filter
+    * is built over xxhash64(gram) longs on the build side and probed
+    * with the same expression — one 64-bit pre-hash both sides. */
+  def bloomOverlapReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val corpusGrams = Dedup.explodedShingles(corpus, idCol, textCol, n)
+    val benchGrams = Dedup.explodedShingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tree-aggregated build (stat.bloomFilter merges per-partition
+    // filters); the count sizes the bit array
+    val nItems = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter(xxhash64(col("shingle")), nItems, fpp)
+    benchGrams.unpersist(blocking = false)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val hit = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("shingle")))))
+    val stats = corpusGrams
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_hit"))
+    assembleReport(corpus, stats, idCol, threshold)
   }
 
   /** Drop contaminated documents, keep everything else — the actionable

@@ -77,6 +77,35 @@ object Sampling {
       .filter(col("rn__") <= k).drop("rn__")
   }
 
+  /** Source-mix resampling: downsample each source/domain at its own
+    * rate to hit a target corpus mixture — the "data mixing" step of a
+    * training-data pipeline (per-domain sampling weights, cf. the
+    * mixture tables in the LLaMA/Pile dataset cards), made reproducible
+    * by keying every decision on md5(key) exactly like [[hashSample]].
+    *
+    * `rates` maps a source value to its keep-rate in 256ths; sources
+    * not listed (and NULL sources) use `defaultRate256`. The decision
+    * for a given key is the SAME at every rate that keeps it (key-space
+    * prefixes nest), so raising a source's rate only ADDS documents —
+    * mixtures can be retuned without churning the kept set. Pure
+    * filter: no shuffle, pushdown-friendly, engine-reproducible.
+    * NULL keys are always excluded, as in [[hashSample]]. */
+  def mixBySource(df: DataFrame, sourceCol: String, keyCol: String,
+      rates: Map[String, Int], defaultRate256: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultRate256)).forall(r => r >= 0 && r <= 256),
+      "rates are 256ths in [0, 256]")
+    val p = prefix(col(keyCol))
+    def keepAt(r: Int): Column =
+      if (r >= 256) lit(true)
+      else if (r <= 0) lit(false)
+      else p < lit(hexThreshold(r))
+    // deterministic when-chain order (sorted keys) — rates is a Map
+    val keep = rates.toSeq.sortBy(_._1).foldRight(keepAt(defaultRate256)) {
+      case ((s, r), acc) => when(col(sourceCol) === s, keepAt(r)).otherwise(acc)
+    }
+    df.filter(col(keyCol).isNotNull && keep)
+  }
+
   /** Assign each row a deterministic split label from consecutive
     * key-space bands: `weights` in 256ths (must sum to 256), one label
     * per weight. The same key always lands in the same split — across

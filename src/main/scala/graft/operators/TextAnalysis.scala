@@ -191,4 +191,43 @@ object TextAnalysis {
       .select(col(idCol), min(col("h")).over(win).as("fingerprint"))
       .distinct()
   }
+
+  /** Document-overlap pairs by shared winnowing fingerprints — the MOSS
+    * aggregation step over [[winnowingFingerprints]]: two documents
+    * sharing `minShared`+ fingerprints share (with the winnowing
+    * guarantee) that many independent character runs of length >=
+    * k+w-1, the substring-level containment signal that n-gram Jaccard
+    * (whole-doc similarity) and exact dedup (whole-doc equality) both
+    * miss — a doc quoting 30% of another scores low Jaccard but lights
+    * up here.
+    *
+    * `maxDocFreq` drops fingerprints present in more than that many
+    * documents BEFORE pairing — boilerplate runs (headers, license
+    * text, templated phrasing) occur corpus-wide and carry no
+    * containment signal, and capping them bounds the posting-list
+    * self-join at C(maxDocFreq, 2) pairs per fingerprint, which is what
+    * keeps the operator linear at corpus scale (the same cap
+    * [[Dedup.jaccardNearDup]] exposes for hot shingles). The join
+    * shuffles (fingerprint, id) rows only. */
+  def fingerprintOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocFreq: Long = 5L,
+      minShared: Long = 2L): DataFrame = {
+    // referenced three times (df-cap + both self-join sides) — persist
+    // or Spark recomputes the explode→window→distinct subtree per
+    // reference (measured 2× on q63); unpersist is left to the session
+    // lifecycle, same policy as Dedup.minhashLSH
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("df__"))
+      .filter(col("df__") <= maxDocFreq)
+      .select(col("fingerprint"))
+    val fr = fps.join(rare, Seq("fingerprint"))
+    fr.as("a").join(fr.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{ApproxQuantiles, BudgetSelect, Decontaminate,
+  Sampling, SimilaritySearch, TextAnalysis}
+
+/** Round-7 curation operators: token-budget selection, source mixing,
+  * fingerprint overlap, Bloom decontamination, SemDeDup, approx
+  * quantiles. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------------- budget
+
+  private def costed = (1L to 500L)
+    .map(i => (i, (i * 37 % 23) + 1, ((i * 61) % 101).toDouble))
+    .toDF("id", "cost", "quality")
+
+  test("selectUnderBudget matches the single-partition window form") {
+    val order = Seq(col("quality").desc, col("id").asc)
+    val got = BudgetSelect.selectUnderBudget(costed, col("cost"), order,
+        budget = 900L, runningOut = "cum")
+      .select($"id", $"cum").rowsSet
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = costed.withColumn("cum", sum($"cost").over(w))
+      .filter($"cum" <= 900L).select($"id", $"cum").rowsSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("selectUnderBudget is monotonic in budget and partitioning-proof") {
+    val order = Seq(col("quality").desc, col("id").asc)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    val small = ids(BudgetSelect.selectUnderBudget(costed, col("cost"), order, 500L))
+    val big = ids(BudgetSelect.selectUnderBudget(costed, col("cost"), order, 2000L))
+    assert(small.subsetOf(big), "raising the budget only adds rows")
+    val repart = ids(BudgetSelect.selectUnderBudget(
+      costed.repartition(13), col("cost"), order, 500L))
+    assert(repart == small, "selection must not depend on input partitioning")
+    assert(BudgetSelect.selectUnderBudget(costed, col("cost"), order, 0L).isEmpty)
+  }
+
+  test("selectUnderBudget counts null costs as zero") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "cost")
+    val got = BudgetSelect.selectUnderBudget(df, col("cost"),
+        Seq(col("id").asc), budget = 5L)
+      .select($"id").as[Long].collect().toSet
+    // id=1 spends the budget; id=2 costs nothing and still fits
+    assert(got == Set(1L, 2L))
+  }
+
+  // ------------------------------------------------------------------ mix
+
+  private def sourced = (1L to 2000L)
+    .map(i => (i, s"src${i % 4}"))
+    .toDF("id", "source")
+
+  test("mixBySource applies per-source rates, default for the rest") {
+    val mixed = Sampling.mixBySource(sourced, "source", "id",
+      rates = Map("src0" -> 256, "src1" -> 0), defaultRate256 = 64)
+    val bySrc = mixed.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 500, "rate 256 keeps every row of the source")
+    assert(!bySrc.contains("src1"), "rate 0 drops the source entirely")
+    // default 64/256 = 25% of 500; ±5σ ≈ ±48
+    assert(bySrc("src2") > 77 && bySrc("src2") < 173, s"src2=${bySrc("src2")}")
+    // per-source decisions are exactly hashSample at that rate
+    val viaHash = Sampling.hashSample(
+      sourced.filter($"source" === "src2"), "id", 64).rowsSet
+    assert(mixed.filter($"source" === "src2").rowsSet == viaHash)
+  }
+
+  test("mixBySource is monotonic in the rate (retuning only adds docs)") {
+    def kept(r: Int) = Sampling.mixBySource(sourced, "source", "id",
+        Map("src3" -> r), defaultRate256 = 0)
+      .select($"id").as[Long].collect().toSet
+    assert(kept(32).subsetOf(kept(128)))
+    assert(kept(128).subsetOf(kept(256)))
+  }
+
+  test("mixBySource: null keys excluded, null sources take the default") {
+    val df = Seq((Some(1L), Some("a")), (None, Some("a")), (Some(3L), None))
+      .toDF("id", "source")
+    val all = Sampling.mixBySource(df, "source", "id",
+      Map("a" -> 256), defaultRate256 = 256)
+    assert(all.select($"id").as[Long].collect().toSet == Set(1L, 3L),
+      "null key never sampled; null source falls to the default rate")
+  }
+
+  // ----------------------------------------------------- fingerprint pairs
+
+  test("fingerprintOverlapPairs finds substring containment, not boilerplate") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val boiler = "standard license header text appears everywhere verbatim"
+    val docs = Seq(
+      1L -> s"alpha bravo $shared charlie delta",
+      2L -> s"echo foxtrot $shared golf hotel",
+      3L -> "completely unrelated content about databases and queries",
+      // 6 docs sharing only boilerplate (> maxDocFreq of 5)
+      4L -> s"$boiler one", 5L -> s"$boiler two", 6L -> s"$boiler three",
+      7L -> s"$boiler four", 8L -> s"$boiler five", 9L -> s"$boiler six"
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.fingerprintOverlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocFreq = 5L, minShared = 2L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "docs sharing a long run must pair")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 == 3L),
+      s"boilerplate-only and unrelated docs must not pair: $pairs")
+  }
+
+  test("fingerprintOverlapPairs emits ordered pairs with shared counts") {
+    val docs = Seq(
+      10L -> "zz shared substring run for the overlap detector zz",
+      2L -> "aa shared substring run for the overlap detector aa")
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprintOverlapPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(r => r._1 < r._2))
+    assert(rows.forall(_._3 >= 2L))
+  }
+
+  // ------------------------------------------------------------- bloom
+
+  test("bloomOverlapReport: per-doc hits dominate the exact counts (no false negatives)") {
+    val docs = (1L to 80L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val exact = Decontaminate.overlapReport(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .select($"doc_id", $"n_grams", $"n_hit", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val bloom = Decontaminate.bloomOverlapReport(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.2, fpp = 0.01)
+      .select($"doc_id", $"n_grams", $"n_hit", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(exact.keySet == bloom.keySet)
+    exact.foreach { case (id, (_, ng, nh, flag)) =>
+      assert(bloom(id)._2 == ng, "gram counts are exact")
+      assert(bloom(id)._3 >= nh, s"bloom hits can only exceed exact ($id)")
+      assert(!flag || bloom(id)._4, s"exact-flagged doc $id must stay flagged")
+    }
+  }
+
+  // ------------------------------------------------------------ semdedup
+
+  test("semanticNearDup matches the exact kernel on cleanly clustered vectors") {
+    // two tight clusters + noise: all true pairs are intra-cluster
+    def vec(base: Double, jitter: Double) =
+      Array.tabulate(8)(d => (base + jitter * (d + 1)).toFloat)
+    val rows = (0L until 40L).map { i =>
+      val v = if (i < 6) vec(1.0, 0.01 * i)
+        else if (i < 12) vec(-1.0, 0.01 * i)
+        else Array.tabulate(8)(d =>
+          (math.sin(i * 13.7 + d * 7.3) * 2).toFloat) // scattered
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = SimilaritySearch.embeddingNearDupExact(df, "vec_id", "embedding",
+        threshold = 0.995)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sem = SimilaritySearch.semanticNearDup(df, "vec_id", "embedding",
+        threshold = 0.995, nClusters = 4, iterations = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((sem -- exact).isEmpty, "every emitted pair is cosine-verified")
+    assert(exact == sem, s"tight clusters must be fully recalled: " +
+      s"missing ${exact -- sem}")
+  }
+
+  // ------------------------------------------------------------ quantiles
+
+  test("rankErrorAudit passes per (group, q) on well-formed data") {
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i * 7 % 1009))
+      .toDF("grp", "v")
+    val out = ApproxQuantiles.rankErrorAudit(df, "grp", col("v").cast("long"),
+      qs = Seq(0.25, 0.5, 0.75), accuracy = 10000, maxRankErr = 0.02)
+    val rows = out.as[(String, Double, Boolean)].collect()
+    assert(rows.length == 9, "one row per (group, quantile)")
+    assert(rows.forall(_._3), s"GK at accuracy 10k sits far inside 2%: " +
+      rows.filterNot(_._3).mkString(","))
+  }
+}
