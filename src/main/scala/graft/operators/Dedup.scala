@@ -23,26 +23,22 @@ object Dedup {
 
   /** Distinct n-gram shingles per doc, exploded: (doc, shingle).
     *
-    * Relational formulation: posexplode words once, then `lead` over a
-    * doc-partitioned window builds the n-grams. The array-lambda
-    * alternative (`transform` + `element_at`) is interpreted (HOFs have
-    * no codegen) and re-evaluates the tokenizer per element — measured
-    * ~10× slower. The window shuffle partitions by doc id, so this
-    * scales linearly and stays skew-free (docs are bounded). */
+    * Zero shuffles: the native [[graft.expressions.WordNGrams]] codegen
+    * expression builds the de-duplicated gram set per row, so consumers
+    * reach their first shuffle at the posting-list aggregate. The
+    * earlier posexplode → doc-window → `lead` formulation paid a token
+    * shuffle (partitionBy doc) plus a per-doc sort plus a second
+    * `.distinct()` shuffle before any consumer did real work; the
+    * array-lambda alternative (`transform` + `element_at`) is
+    * interpreted (HOFs have no codegen) and re-evaluates the tokenizer
+    * per element — measured ~10× slower still. Gram text is identical
+    * across all three forms (same tokens, same single-space join), so
+    * oracle SQL is unaffected. */
   private[operators] def explodedShingles(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc"),
-      posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w0")))
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val withLeads = toks.select(col("doc") +: col("w0") +:
-      (1 until n).map(k => lead(col("w0"), k).over(w).as(s"w$k")): _*)
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc"),
-        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
-      .distinct()
-  }
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(graft.expressions.WordNGrams.distinctGrams(
+        TextFns.words(col(textCol)), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (similarity >= `threshold`,
     * doc_a < doc_b). Inverted-index self-join on shingle: intersection
