@@ -1,0 +1,121 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: winnowing fingerprints
+  * (Schleimer/Wilkerson/Aiken '03) of a NORMALIZED text column in one
+  * codegen pass — hash every character k-gram (16-hex-char md5 prefix),
+  * keep the minimum of each sliding window of `w` consecutive gram
+  * hashes (trailing partial windows included), de-duplicate.
+  *
+  * Replaces the explode-positions → doc-window min → distinct plan: that
+  * shape shuffles every gram row (≈ one row per CHARACTER of corpus)
+  * into a per-doc sort and then pays a second distinct shuffle. Here the
+  * sliding min is a monotonic deque over the row's own grams — O(m)
+  * time, O(w) state — and consumers explode an already-distinct
+  * fingerprint array, so the first shuffle of any downstream plan is its
+  * posting-list aggregate.
+  *
+  * Fingerprint bytes are IDENTICAL to the relational form: md5 of the
+  * UTF-8 bytes of each code-point k-gram, first 16 lowercase hex chars,
+  * minimum by lexicographic order (engine-agnostic — plain byte order on
+  * hex ASCII), windows clipped at the last gram. Oracle SQL that mirrors
+  * the window formulation is unchanged.
+  *
+  * Normalization (lower/whitespace-collapse/trim) stays OUTSIDE in the
+  * caller's Column expression so this kernel matches it bit-for-bit.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.WinnowFingerprints.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** 16-hex-char md5 prefix of the UTF-8 bytes, as UTF8String. */
+  private def hashGram(md: java.security.MessageDigest, gram: UTF8String): UTF8String = {
+    md.reset()
+    val digest = md.digest(gram.getBytes)
+    val hex = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      val b = digest(i) & 0xff
+      hex(2 * i) = HEX(b >>> 4).toByte
+      hex(2 * i + 1) = HEX(b & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  /** Static kernel shared by eval and codegen. */
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val len = text.numChars()
+    val m = len - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = hashGram(md, text.substringSQL(i + 1, k))
+      i += 1
+    }
+    // sliding min over [i, min(i+w-1, m-1)] for every i — a monotonic
+    // deque of candidate indices with strictly increasing hash values
+    val seen = new java.util.LinkedHashSet[UTF8String](m)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    var j = 0
+    i = 0
+    while (i < m) {
+      val hi = math.min(i + w - 1, m - 1)
+      while (j <= hi) {
+        while (tail > head && hashes(deque(tail - 1)).compareTo(hashes(j)) >= 0) tail -= 1
+        deque(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (deque(head) < i) head += 1
+      seen.add(hashes(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** distinct winnowing fingerprints of an already-normalized text
+    * column. */
+  def apply(normText: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(new WinnowFingerprints(
+      GraftSqlBridge.expression(normText), k, w))
+}

@@ -167,29 +167,17 @@ object TextAnalysis {
     * "minimum" is engine-agnostic lexicographic order. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    // explode POSITIONS (an int array), then slice the k-gram in the
-    // projection above the Generate: the whole chain stays in
-    // whole-stage codegen. The earlier form materialized the gram array
-    // with a `transform` lambda — higher-order functions are
-    // interpreted, so every doc built `len` UTF8Strings outside
-    // codegen. (Modest at sf0.1 where the window shuffle dominates;
-    // the lambda cost scales with corpus size, the fix is free.)
-    val grams = df
-      .select(col(idCol), norm.as("t__"))
-      .filter(length(col("t__")) >= k)
-      .select(col(idCol), col("t__"),
-        explode(sequence(lit(1), length(col("t__")) - (k - 1))).as("i"))
-      .select(col(idCol), col("i"),
-        // 64-bit md5 prefix: halves the window-shuffle payload; min
-        // selection stays engine-agnostic lexicographic order
-        substring(md5(col("t__").substr(col("i"), lit(k))), 1, 16).as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("i").asc)
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .select(col(idCol), min(col("h")).over(win).as("fingerprint"))
-      .distinct()
+    // One codegen pass per row via the native WinnowFingerprints
+    // expression (md5 k-gram hashes + monotonic-deque sliding min +
+    // dedup): zero shuffles before a consumer's own aggregate. The
+    // relational form exploded one row per corpus CHARACTER into a
+    // per-doc window sort and then a distinct shuffle — identical
+    // fingerprint bytes (md5-prefix, lexicographic min, clipped trailing
+    // windows), so the oracle SQL mirroring that form is unchanged.
+    df.select(col(idCol),
+      explode(graft.expressions.WinnowFingerprints(norm, k, w))
+        .as("fingerprint"))
   }
 
   /** Document-overlap pairs by shared winnowing fingerprints — the MOSS
