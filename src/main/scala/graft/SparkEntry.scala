@@ -685,10 +685,20 @@ object SparkEntry {
         expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
         qs = Seq(0.25, 0.5, 0.75), accuracy = 10000, maxRankErr = 0.02)),
 
+    // ---- corpus stats: exact φ-heavy-hitter tokens (φ = 1/65) — an
+    // MG-sketch candidate pass (one bounded row out of the full scan)
+    // plus an exact count restricted to the ≤ k candidates; the full
+    // token domain is never shuffled. Result = exactly the tokens with
+    // frequency > N/65, with exact counts (MG can only over-generate
+    // candidates; the exact filter kills them)
+    "q65_frequent_tokens" -> ((s, dir) =>
+      FrequentItems.frequentTokens(T(s, dir, "documents"), "text", k = 64)),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
-    // q37/q61/q62) re-checked against its exact twin; the oracle is the
-    // constant all-true table, so a recall collapse fails the gate as a
-    // hash mismatch instead of hiding behind a row count
+    // q37/q61/q62 + the MG sketch's bound pair) re-checked against its
+    // exact twin; the oracle is the constant all-true table, so a recall
+    // collapse fails the gate as a hash mismatch instead of hiding
+    // behind a row count
     "q40_accuracy_audit" -> ((s, dir) => AccuracyAudit(s, dir)),
 
     // ---- F4/F5/F10 feature math + scaled-integer codec
@@ -1429,7 +1439,9 @@ object SparkEntry {
         |UNION ALL SELECT 'embedding_lsh_recall', true
         |UNION ALL SELECT 'semantic_dedup_recall', true
         |UNION ALL SELECT 'bloom_decontaminate_superset', true
-        |UNION ALL SELECT 'kmv_rel_err_bound', true""".stripMargin,
+        |UNION ALL SELECT 'kmv_rel_err_bound', true
+        |UNION ALL SELECT 'mg_tracked_bounds', true
+        |UNION ALL SELECT 'mg_no_missed_heavy', true""".stripMargin,
 
     // q59: quality formula mirrored from q18 (gate-proven bit-exact at
     // 4dp), integer token cumsum — DuckDB sum(BIGINT) widens to
@@ -1488,6 +1500,17 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(q AS DOUBLE) AS q, true AS pass
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
         |     (SELECT unnest([0.25, 0.5, 0.75]) AS q)""".stripMargin,
+
+    // q65: the heavy-hitter set is EXACT (φ = 1/65 support with exact
+    // counts), so the oracle is the plain full-groupBy answer the
+    // sketch-then-verify plan avoids computing at scale
+    "q65_frequent_tokens" ->
+      s"""WITH toks AS (SELECT unnest($wordsSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM toks)
+         |SELECT token, count(*) AS n_occurrences
+         |FROM toks, tot
+         |GROUP BY token, tot.n
+         |HAVING count(*) * 65 > tot.n""".stripMargin,
 
     "q28_features_codec" ->
       """SELECT l_orderkey, l_linenumber,

@@ -139,6 +139,18 @@ object AccuracyAudit {
       .as[Double].collect().head
     val kmvOk = worstErr <= 0.25
 
+    // --- Misra–Gries frequent-items sketch vs exact counts, over word
+    // BIGRAMS (≈ 900 distinct at gate scale >> k = 64, so the decrement
+    // and merge-trim machinery genuinely fires): every tracked item's
+    // estimate must sit in [true − N/(k+1), true] and every item above
+    // the N/(k+1) support must be tracked. Both hold by theorem for any
+    // input — a false means the sketch implementation broke.
+    val bigrams = docs.select(
+      explode(graft.expressions.WordNGrams.allGrams(
+        graft.functions.TextFns.words(col("text")), 2)).as("g"))
+    val (mgBoundsOk, mgNoMiss) =
+      FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64)
+
     // every check above has collected its booleans — the slices are done
     cached.foreach(_.unpersist(blocking = false))
 
@@ -149,7 +161,9 @@ object AccuracyAudit {
       ("embedding_lsh_recall", neardupOk),
       ("semantic_dedup_recall", semOk),
       ("bloom_decontaminate_superset", bloomOk),
-      ("kmv_rel_err_bound", kmvOk)
+      ("kmv_rel_err_bound", kmvOk),
+      ("mg_tracked_bounds", mgBoundsOk),
+      ("mg_no_missed_heavy", mgNoMiss)
     ).toDF("check", "pass")
   }
 }

@@ -12,17 +12,17 @@ class AccuracyAuditSpec extends SparkSpec {
   test("accuracy audit passes on the smallest gate corpus") {
     val out = AccuracyAudit(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(out.size == 7)
+    assert(out.size == 9)
     out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
   }
 
-  test("bounded audit slice still yields all seven checks, consistently paired") {
+  test("bounded audit slice still yields all nine checks, consistently paired") {
     // at fleet scale the quadratic twins run over a deterministic
     // lowest-id slice; both sides of each check must see the SAME slice,
     // so every check still passes (possibly vacuously for near-dups)
     val out = AccuracyAudit(spark, "/root/testdata/sf0.001", maxAuditRows = 40)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(out.size == 7)
+    assert(out.size == 9)
     out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
   }
 
