@@ -694,6 +694,13 @@ object SparkEntry {
     "q65_frequent_tokens" -> ((s, dir) =>
       FrequentItems.frequentTokens(T(s, dir, "documents"), "text", k = 64)),
 
+    // ---- export: deterministic global shuffle into 8 balanced shards —
+    // round-robin over the (md5, key) permutation via the skew-proof
+    // range-sort global position; shard sizes differ by at most 1
+    "q66_shard_export" -> ((s, dir) =>
+      ShardExport.assign(T(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("position"))),
+
     // ---- accuracy audit: every approximate operator (q24/q26/q30/q31/
     // q37/q61/q62 + the MG sketch's bound pair) re-checked against its
     // exact twin; the oracle is the constant all-true table, so a recall
@@ -1511,6 +1518,13 @@ object SparkEntry {
          |FROM toks, tot
          |GROUP BY token, tot.n
          |HAVING count(*) * 65 > tot.n""".stripMargin,
+
+    // q66: the permutation is the (md5, key) sort order in both engines
+    "q66_shard_export" ->
+      """SELECT doc_id, (rn - 1) % 8 AS shard, (rn - 1) // 8 AS position
+        |FROM (SELECT doc_id, row_number() OVER
+        |        (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)""".stripMargin,
 
     "q28_features_codec" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Training-data export: a deterministic global shuffle of the corpus
+  * into `numShards` balanced, internally-ordered shards — the last step
+  * before a dataloader consumes the data, where "shuffled once, the
+  * same way, for every rerun" is the reproducibility contract.
+  *
+  * The permutation is the sort order of (md5(key), key) — pseudo-random
+  * in content, engine-reproducible (same digest of the same key string
+  * as every other hash-keyed curation op), and skew-free BY CONSTRUCTION
+  * (digests are uniform regardless of key distribution). Shards are
+  * dealt round-robin over that order:
+  *
+  *   shard    = (pos − 1) mod S
+  *   position = (pos − 1) div S
+  *
+  * so shard sizes differ by at most one row — exact balance, which
+  * hash-mod sharding only achieves in expectation — and every shard is
+  * itself a uniform sample of the permuted corpus (a dataloader reading
+  * any shard prefix sees an unbiased slice).
+  *
+  * The global position comes from [[ScalableRank.withGlobalPosition]]:
+  * a RangePartitioner sort over the digest (never a single-partition
+  * window), per-partition offsets from one codegen'd aggregate, rows in
+  * unsafe format throughout — the shape that survives a 1000-executor
+  * corpus. NULL keys are excluded ([[Sampling.hashSample]]'s rule: no
+  * stable decision exists for them).
+  */
+object ShardExport {
+
+  /** Attach (shard, position) to every row. Deterministic in the key
+    * alone — stable across reruns, repartitionings, and engines. */
+  def assign(df: DataFrame, keyCol: String, numShards: Int,
+      shardCol: String = "shard", posCol: String = "position"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .withColumn("graft_h__", md5(col(keyCol).cast("string")))
+    ScalableRank.withGlobalPosition(
+        keyed, Seq(col("graft_h__").asc, col(keyCol).asc),
+        nParts = 0, posCol = "graft_pos__")
+      .withColumn(shardCol, (col("graft_pos__") - 1) % numShards)
+      .withColumn(posCol, expr(s"(graft_pos__ - 1) div $numShards"))
+      .drop("graft_h__", "graft_pos__")
+  }
+
+  /** Write the assigned frame as one directory per shard with rows in
+    * position order inside each file: repartition BY the shard column
+    * (each shard's rows land in one task), sort that task by position,
+    * emit `partitionBy(shard)` — parquet preserves in-file row order,
+    * so a dataloader streams each shard sequentially with zero
+    * read-time sorting. */
+  def writeShards(assigned: DataFrame, path: String,
+      shardCol: String = "shard", posCol: String = "position"): Unit =
+    assigned
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write
+      .partitionBy(shardCol)
+      .mode("overwrite")
+      .parquet(path)
+}
