@@ -694,6 +694,13 @@ object SparkEntry {
     "q65_frequent_tokens" -> ((s, dir) =>
       FrequentItems.frequentTokens(T(s, dir, "documents"), "text", k = 64)),
 
+    // ---- corpus stats: ranked vocabulary (top-20 tokens by collection
+    // frequency with doc frequency) — two-level map-side-combinable
+    // aggregate, TakeOrdered selection, rank window over ≤ k rows only
+    "q67_vocab_top" -> ((s, dir) =>
+      VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
+        topK = 20, minDocFreq = 2L)),
+
     // ---- export: deterministic global shuffle into 8 balanced shards —
     // round-robin over the (md5, key) permutation via the skew-proof
     // range-sort global position; shard sizes differ by at most 1
@@ -1518,6 +1525,16 @@ object SparkEntry {
          |FROM toks, tot
          |GROUP BY token, tot.n
          |HAVING count(*) * 65 > tot.n""".stripMargin,
+
+    "q67_vocab_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS coll_freq,
+         |        count(DISTINCT doc_id) AS doc_freq
+         |      FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT token, coll_freq, doc_freq,
+         |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
+         |FROM v
+         |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
 
     // q66: the permutation is the (md5, key) sort order in both engines
     "q66_shard_export" ->
