@@ -701,6 +701,16 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- layout: z-order (Morton) clustering key over
+    // (o_totalprice, o_custkey) — 8-bit quantize per dim against exact
+    // bounds, bit-interleave in codegen; repartitionByRange(z) at write
+    // time gives files tight in BOTH dimensions (layout() is the write
+    // path; the gate checks the z arithmetic itself)
+    "q68_zorder" -> ((s, dir) =>
+      ZOrderLayout.assign(T(s, dir, "orders"), "o_totalprice", "o_custkey",
+          bits = 8)
+        .select(col("o_orderkey"), col("z"))),
+
     // ---- export: deterministic global shuffle into 8 balanced shards —
     // round-robin over the (md5, key) permutation via the skew-proof
     // range-sort global position; shard sizes differ by at most 1
@@ -1535,6 +1545,27 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q68: identical quantize+interleave arithmetic, bounds from a CTE
+    // (same IEEE doubles, same op order ⇒ same buckets)
+    "q68_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"((qa >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((qb >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH b AS (SELECT
+         |    min(CAST(o_totalprice AS DOUBLE)) AS amn,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS amx,
+         |    min(CAST(o_custkey AS DOUBLE)) AS bmn,
+         |    max(CAST(o_custkey AS DOUBLE)) AS bmx
+         |  FROM orders),
+         |q AS (SELECT o_orderkey,
+         |    least(CAST(floor((CAST(o_totalprice AS DOUBLE) - amn) * 256.0
+         |      / (amx - amn)) AS BIGINT), 255) AS qa,
+         |    least(CAST(floor((CAST(o_custkey AS DOUBLE) - bmn) * 256.0
+         |      / (bmx - bmn)) AS BIGINT), 255) AS qb
+         |  FROM orders, b)
+         |SELECT o_orderkey, $terms AS z FROM q""".stripMargin
+    },
 
     // q66: the permutation is the (md5, key) sort order in both engines
     "q66_shard_export" ->
