@@ -701,6 +701,31 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- interval join: attribute purchase events to the click-session
+    // window containing them (same user; day-gap sessions so windows
+    // genuinely span time) — the range predicate becomes an equi-join
+    // on a day bucket (intervals explode to the buckets they overlap; a
+    // point has exactly one bucket, so no dedup), then the exact
+    // containment filter runs codegen'd. No nested-loop join, no
+    // broadcast requirement.
+    "q69_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), tsSec.as("ts_s"))
+      val sessions = Sessionize.sessions(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id"), col("ts_s")),
+          "user_id", col("ts_s"), 86400L, col("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_s")).as("s_start"), max(col("ts_s")).as("s_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+      IntervalJoin.pointInInterval(purchases, sessions,
+          "ts_s", "s_start", "s_end",
+          keys = Seq("user_id"), bucketWidth = 86400L)
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("ts_s"))
+    }),
+
     // ---- layout: z-order (Morton) clustering key over
     // (o_totalprice, o_custkey) — 8-bit quantize per dim against exact
     // bounds, bit-interleave in codegen; repartitionByRange(z) at write
@@ -1545,6 +1570,28 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q69: the oracle is the plain range join DuckDB can afford at gate
+    // scale; sessionization mirrors q15's lag + cumulative-sum CTE
+    "q69_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events
+        |  WHERE event_type = 'click'),
+        |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |        OR ts_s - lag(ts_s) OVER w > 86400 THEN 1 ELSE 0 END AS is_new
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s2 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_seq FROM s),
+        |sess AS (SELECT user_id, session_seq,
+        |    min(ts_s) AS s_start, max(ts_s) AS s_end
+        |  FROM s2 GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, sess.session_seq, p.ts_s
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        |  AND p.ts_s >= sess.s_start AND p.ts_s <= sess.s_end""".stripMargin,
 
     // q68: identical quantize+interleave arithmetic, bounds from a CTE
     // (same IEEE doubles, same op order ⇒ same buckets)
