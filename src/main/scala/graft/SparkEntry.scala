@@ -701,6 +701,30 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- sketch: count–min point-frequency estimates — per event_type,
+    // one depth×width counter row over user ids; every per-user estimate
+    // is re-checked in-query against the exact count (CMS never
+    // undercounts; overcount bounded by 3·e·N/width — the q64/q40
+    // verified-guarantee discipline, the sketch VALUES are the
+    // approximation, the guarantee is the oracle)
+    "q70_cms_frequency" -> ((s, dir) => {
+      import graft.expressions.CountMinSketchAgg.{cms_sketch, cms_estimate}
+      val ev = T(s, dir, "events").select(col("event_type"),
+        col("user_id").cast("string").as("uid"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(cms_sketch(col("uid"), depth = 4, width = 2048).as("sk"),
+          count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("event_type"), col("uid"))
+        .agg(count(lit(1)).as("tru"))
+      exact.join(broadcast(sk), "event_type")
+        .withColumn("est", cms_estimate(col("sk"), col("uid"), 4, 2048))
+        .groupBy(col("event_type"))
+        .agg(
+          bool_and(col("est") >= col("tru")).as("no_underestimate"),
+          bool_and((col("est") - col("tru")).cast("double") <=
+            col("n") * lit(3.0 * math.E / 2048.0)).as("excess_bounded"))
+    }),
+
     // ---- interval join: attribute purchase events to the click-session
     // window containing them (same user; day-gap sessions so windows
     // genuinely span time) — the range predicate becomes an equi-join
@@ -1570,6 +1594,13 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q70: the guarantee is the oracle (q64 discipline) — a broken hash
+    // or indexing flips a boolean and fails the hash compare
+    "q70_cms_frequency" ->
+      """SELECT DISTINCT event_type,
+        |  true AS no_underestimate, true AS excess_bounded
+        |FROM events""".stripMargin,
 
     // q69: the oracle is the plain range join DuckDB can afford at gate
     // scale; sessionization mirrors q15's lag + cumulative-sum CTE
