@@ -116,6 +116,75 @@ object ScaleProbe {
     time("pii_scrub") {
       PiiScrub.scrub(docs, "doc_id", "text")
     }
+
+    // ---- round-7 operators: sketches, layout, joins, export
+    // A DIVERSE corpus for the pairwise dedup probes: `docs` above is
+    // deliberately overlap-heavy (6-word vocab in half the positions),
+    // which makes the TRUE near-dup pair set quadratically dense — a
+    // probe there measures output volume, not operator shape. Here each
+    // doc draws all 12 words from a 10k vocab (random pairs share
+    // nothing) and every 50th doc is an exact duplicate of a base doc —
+    // n/100 planted pairs, the realistic few-percent-dups regime.
+    val diverseWordCols = (0 until 12).map { i =>
+      concat(lit("v"),
+        pmod(xxhash64(col("base_id"), lit(100 + i)), lit(10000)).cast("string"))
+    }
+    val diverseDocs = spark.range(nDocs)
+      .withColumn("base_id",
+        when(pmod(col("id"), lit(50)) === 49, col("id") - 49)
+          .otherwise(col("id")))
+      .select(col("id").as("doc_id"), concat_ws(" ", diverseWordCols: _*).as("text"))
+    time("minhash_lsh") {
+      graft.operators.Dedup.minhashLSH(diverseDocs, "doc_id", "text", n = 3)
+    }
+    time("winnowing_overlap") {
+      TextAnalysis.fingerprintOverlapPairs(diverseDocs, "doc_id", "text",
+        k = 8, w = 4, maxDocFreq = 5L, minShared = 2L)
+    }
+    time("frequent_tokens_mg") {
+      graft.operators.FrequentItems.frequentTokens(docs, "text", k = 64)
+    }
+    time("vocab_top1000") {
+      graft.operators.VocabBuild.topTokens(docs, "doc_id", "text",
+        topK = 1000)
+    }
+    time("cms_sketch_and_probe") {
+      import graft.expressions.CountMinSketchAgg.{cms_estimate, cms_sketch}
+      val items = spark.range(n).select(
+        concat(lit("g"), pmod(xxhash64(col("id"), lit(7)), lit(8)).cast("string")).as("grp"),
+        pmod(xxhash64(col("id"), lit(8)), lit(100000)).cast("string").as("it"))
+      val sk = items.groupBy(col("grp"))
+        .agg(cms_sketch(col("it"), 4, 2048).as("sk"))
+      items.dropDuplicates("grp", "it").join(broadcast(sk), "grp")
+        .select(col("grp"), col("it"),
+          cms_estimate(col("sk"), col("it"), 4, 2048).as("est"))
+    }
+    time("shard_export_1024") {
+      graft.operators.ShardExport.assign(
+        spark.range(n).select(col("id").as("doc_id")), "doc_id",
+        numShards = 1024)
+    }
+    time("zorder_layout") {
+      val pts = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(11)), lit(1000000)) / 100.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(12)), lit(1000000)) / 100.0).as("y"))
+      graft.operators.ZOrderLayout.layout(pts, "x", "y", bits = 8,
+        nFiles = 64)
+    }
+    time("interval_join") {
+      // n points against n/100 intervals over a shared key domain;
+      // interval spans average 5 buckets at width 1000
+      val pts = spark.range(n).select(col("id").as("p_id"),
+        pmod(xxhash64(col("id"), lit(21)), lit(1000)).as("k"),
+        pmod(xxhash64(col("id"), lit(22)), lit(10000000)).as("ts"))
+      val ivs = spark.range(n / 100).select(col("id").as("iv_id"),
+        pmod(xxhash64(col("id"), lit(23)), lit(1000)).as("k"),
+        pmod(xxhash64(col("id"), lit(24)), lit(10000000)).as("s"))
+        .withColumn("e", col("s") +
+          pmod(xxhash64(col("iv_id"), lit(25)), lit(5000)))
+      graft.operators.IntervalJoin.pointInInterval(pts, ivs,
+        "ts", "s", "e", keys = Seq("k"), bucketWidth = 1000L)
+    }
     spark.stop()
   }
 }
