@@ -77,6 +77,53 @@ object Streams {
       }
   }
 
+  /** Streaming heavy hitters: a Misra–Gries summary as PER-GROUP stream
+    * state via `mapGroupsWithState` — the streaming twin of
+    * [[graft.operators.FrequentItems]]. State per group is at most `k`
+    * (item, weight) counters regardless of stream length (the property
+    * that makes frequency tracking viable in a state store at all), and
+    * the update per micro-batch is the same decrement rule as the batch
+    * aggregate, so the bound — every item with frequency > N/(k+1) is
+    * tracked — carries over. Emits the group's current summary each
+    * trigger (Update mode): (group, total seen, tracked items sorted). */
+  case class ItemEvent(group: String, item: String)
+  case class HHState(n: Long, counters: Map[String, Long])
+  case class HHSummary(group: String, n: Long, items: Map[String, Long])
+
+  def streamingHeavyHitters(events: org.apache.spark.sql.Dataset[ItemEvent],
+      k: Int): org.apache.spark.sql.Dataset[HHSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.group)
+      .mapGroupsWithState[HHState, HHSummary](GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[ItemEvent], state: GroupState[HHState]) =>
+          val st = state.getOption.getOrElse(HHState(0L, Map.empty))
+          var n = st.n
+          val buf = new java.util.HashMap[String, Long](k * 2)
+          st.counters.foreach { case (it, w) => buf.put(it, w) }
+          batch.foreach { e =>
+            n += 1
+            val cur = buf.get(e.item)
+            if (cur != 0L || buf.containsKey(e.item)) buf.put(e.item, cur + 1)
+            else if (buf.size < k) buf.put(e.item, 1L)
+            else {
+              // classic MG decrement: spend this occurrence against one
+              // unit of every tracked counter
+              val it = buf.entrySet().iterator()
+              while (it.hasNext) {
+                val en = it.next()
+                if (en.getValue == 1L) it.remove() else en.setValue(en.getValue - 1)
+              }
+            }
+          }
+          val m = scala.collection.immutable.TreeMap.newBuilder[String, Long]
+          buf.forEach((it, w) => m += (it -> w))
+          val counters = m.result()
+          state.update(HHState(n, counters))
+          HHSummary(group, n, counters)
+      }
+  }
+
   /** Upsert sink: every micro-batch merges into the parquet dir by key
     * (S7 as a streaming sink; ref batched REST upsert). */
   def mergeSink(stream: DataFrame, path: String, key: String): DataStreamWriter[Row] =

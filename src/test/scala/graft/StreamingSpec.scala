@@ -97,4 +97,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 3.0), ("click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: bounded per-group state, MG bound holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.ItemEvent]
+    val hh = Streams.streamingHeavyHitters(input.toDS(), k = 2)
+    val q = hh.writeStream.format("memory")
+      .queryName("stream_hh").outputMode("update").start()
+    try {
+      input.addData(
+        (Seq.fill(5)(Streams.ItemEvent("g", "hot")) ++
+          Seq(Streams.ItemEvent("g", "x1"), Streams.ItemEvent("g", "x2"),
+            Streams.ItemEvent("g", "x3"))): _*)
+      q.processAllAvailable()
+      // second batch keeps hammering 'hot' plus fresh noise
+      input.addData(
+        (Seq.fill(4)(Streams.ItemEvent("g", "hot")) ++
+          Seq(Streams.ItemEvent("g", "y1"), Streams.ItemEvent("g", "y2"))): _*)
+      q.processAllAvailable()
+      val last = spark.table("stream_hh").as[Streams.HHSummary]
+        .collect().maxBy(_.n)
+      assert(last.n === 14L)
+      assert(last.items.size <= 2) // bounded state
+      // 'hot' has true count 9 > N/(k+1) = 14/3 -> MUST be tracked,
+      // with a lower-bound weight within N/(k+1) of the truth
+      assert(last.items.contains("hot"))
+      assert(last.items("hot") <= 9L && last.items("hot") >= 9L - 14L / 3)
+    } finally q.stop()
+  }
 }
