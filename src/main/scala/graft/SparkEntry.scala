@@ -701,6 +701,14 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- dedup: exact repeated-substring coverage (Lee et al. ACL'22
+    // substring dedup, shuffle-parallel windows instead of the paper's
+    // suffix array) — per doc, the fraction of normalized text inside
+    // maximal spans whose 20-char windows occur >= 2x in the corpus
+    "q71_repeated_substrings" -> ((s, dir) =>
+      SubstringDedup.coverageReport(T(s, dir, "documents"),
+        "doc_id", "text", minLen = 20)),
+
     // ---- sketch: count–min point-frequency estimates — per event_type,
     // one depth×width counter row over user ids; every per-user estimate
     // is re-checked in-query against the exact count (CMS never
@@ -1594,6 +1602,34 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q71: same window/merge construction; DuckDB range(a,b) is
+    // b-exclusive so the stop is len-18 for positions 1..len-19
+    "q71_repeated_substrings" ->
+      """WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tn
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substring(md5(substr(tn, CAST(i AS INTEGER), 20)), 1, 16) AS h
+        |  FROM t, UNNEST(range(1, length(tn) - 18)) AS u(i)
+        |  WHERE length(tn) >= 20),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |s AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER w <= 20 THEN 0 ELSE 1 END AS nw
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |s2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp FROM s),
+        |spans AS (SELECT doc_id, sp, min(pos) AS a, max(pos) + 19 AS b
+        |  FROM s2 GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, sum(b - a + 1) AS rep, count(*) AS ns
+        |  FROM spans GROUP BY 1)
+        |SELECT t.doc_id, length(tn) AS n_chars,
+        |  coalesce(ns, 0) AS n_spans,
+        |  coalesce(rep, 0) AS repeated_chars,
+        |  round(coalesce(CAST(rep AS DOUBLE) / CAST(length(tn) AS DOUBLE),
+        |    0.0), 4) AS repeated_frac
+        |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin,
 
     // q70: the guarantee is the oracle (q64 discipline) — a broken hash
     // or indexing flips a boolean and fails the hash compare

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SubstringDedup
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 and 2 share a 30+ char block; doc 3 is unique; doc 4 repeats
+  // its own text internally (within-doc repeat counts too)
+  private val shared = "the quick brown fox jumps over the lazy dog again"
+  private val docs = Seq(
+    (1L, s"unique preamble one $shared unique tail alpha"),
+    (2L, s"different lead-in text $shared other ending beta"),
+    (3L, "entirely distinctive content with no overlaps anywhere at all zz"),
+    (4L, "abcdefghijklmnopqrstuvwxyz0123 abcdefghijklmnopqrstuvwxyz0123")
+  ).toDF("doc_id", "text")
+
+  test("shared block is found in both docs; unique doc reports nothing") {
+    val spans = SubstringDedup.repeatedSpans(docs, "doc_id", "text", minLen = 20)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(spans.contains(1L) && spans.contains(2L) && spans.contains(4L))
+    assert(!spans.contains(3L))
+    // each sharing doc has exactly one maximal span, at least as long
+    // as the shared block
+    assert(spans(1L).length === 1 && spans(1L).head._4 >= shared.length)
+    assert(spans(2L).length === 1 && spans(2L).head._4 >= shared.length)
+  }
+
+  test("span positions index the normalized text and spans are disjoint") {
+    val row = SubstringDedup.repeatedSpans(docs, "doc_id", "text", 20)
+      .filter(col("doc_id") === 2L)
+      .as[(Long, Long, Long, Long)].head()
+    val norm = "different lead-in text " + shared + " other ending beta"
+    val found = norm.substring(row._2.toInt - 1, row._3.toInt)
+    assert(found.contains(shared))
+  }
+
+  test("coverage report: fractions in [0,1], zero for unique docs, sums exact") {
+    val cov = SubstringDedup.coverageReport(docs, "doc_id", "text", 20)
+      .select("doc_id", "repeated_frac").as[(Long, Double)]
+      .collect().toMap
+    assert(cov(3L) === 0.0)
+    assert(cov(1L) > 0.4 && cov(1L) < 1.0)
+    // both copies flag (two spans: the connecting windows across the
+    // middle space occur only once) -> 60 of 61 chars repeated
+    assert(cov(4L) > 0.9)
+    cov.values.foreach(f => assert(f >= 0.0 && f <= 1.0))
+  }
+
+  test("minLen longer than any repeat finds nothing") {
+    val out = SubstringDedup.repeatedSpans(docs, "doc_id", "text",
+      minLen = 60)
+    assert(out.filter(col("doc_id") =!= 4L).isEmpty)
+  }
+}
