@@ -171,6 +171,10 @@ object ScaleProbe {
       graft.operators.ZOrderLayout.layout(pts, "x", "y", bits = 8,
         nFiles = 64)
     }
+    time("repeated_substrings") {
+      graft.operators.SubstringDedup.coverageReport(diverseDocs,
+        "doc_id", "text", minLen = 20)
+    }
     time("interval_join") {
       // n points against n/100 intervals over a shared key domain;
       // interval spans average 5 buckets at width 1000
