@@ -701,6 +701,19 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- curation: pack materialization — q53's assignments joined
+    // back to text and concatenated in offset order: the actual
+    // training-example rows a dataloader consumes
+    "q72_pack_materialize" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val packed = SequencePack.packGreedy(toks, "doc_id", "n_tokens",
+        capacity = 256L, nBuckets = 16)
+      SequencePack.materialize(packed, T(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
     // ---- dedup: exact repeated-substring coverage (Lee et al. ACL'22
     // substring dedup, shuffle-parallel windows instead of the paper's
     // suffix array) — per doc, the fraction of normalized text inside
@@ -1207,6 +1220,35 @@ object SparkEntry {
         |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
+
+    // q72: q53's recursive-CTE packing + string_agg in offset order
+    "q72_pack_materialize" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |    doc_id % 16 AS bucket
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |ordered AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |packed AS (
+        |  SELECT doc_id, n_tokens, bucket, rn,
+        |    CAST(0 AS BIGINT) AS pack_seq,
+        |    CAST(0 AS BIGINT) AS pack_offset,
+        |    n_tokens AS used
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tokens, o.bucket, o.rn,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.pack_seq ELSE p.pack_seq + 1 END,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.used + o.n_tokens <= 256 THEN p.used + o.n_tokens ELSE o.n_tokens END
+        |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+        |SELECT p.bucket, p.pack_seq, count(*) AS n_docs,
+        |  sum(p.n_tokens) AS fill,
+        |  string_agg(d.text, ' ' ORDER BY p.pack_offset) AS pack_text
+        |FROM packed p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q58_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -78,4 +78,30 @@ object SequencePack {
         sum(col("n_tokens")).as("fill"))
       .withColumn("utilization",
         round(least(col("fill"), lit(capacity)).cast("double") / capacity, 4))
+
+  /** Materialize packs into training examples: join document text back
+    * by id and concatenate each pack's docs IN OFFSET ORDER with `sep`.
+    * Output: (bucket, pack_seq, n_docs, fill, pack_text).
+    *
+    * Ordered concatenation uses sort_array over the pack's collected
+    * (offset, text) structs + one transform/array_join — the lambda is
+    * interpreted, but it runs over ONE pack's docs at a time (bounded
+    * by capacity, not corpus size) and makes the result independent of
+    * partitioning; the codegen'd alternative (repartition + in-partition
+    * sort + order-sensitive collect_list) ties correctness to aggregate
+    * iteration order. Structs sort lexicographically, and offsets are
+    * unique within a pack, so the order is total. */
+  def materialize(packs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, sep: String = " "): DataFrame = {
+    val joined = packs.join(
+      docs.select(col(idCol), col(textCol)), Seq(idCol))
+    joined.groupBy(col("bucket"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill"),
+        sort_array(collect_list(struct(col("pack_offset"), col(idCol),
+          col(textCol).as("t__")))).as("parts__"))
+      .withColumn("pack_text",
+        array_join(expr("transform(parts__, x -> x.t__)"), sep))
+      .drop("parts__")
+  }
 }

@@ -65,4 +65,19 @@ class SequencePackSpec extends SparkSpec {
     val out = SequencePack.packGreedy(docs, "doc_id", "n_toks", 10L, 1)
     assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("materialize concatenates pack docs in offset order") {
+    val docs = Seq((0L, "aa bb"), (1L, "cc dd"), (2L, "ee"))
+      .toDF("doc_id", "text")
+    val toks = Seq((0L, 2L), (1L, 2L), (2L, 1L)).toDF("doc_id", "n_tokens")
+    val packs = SequencePack.packGreedy(toks, "doc_id", "n_tokens",
+      capacity = 4L, nBuckets = 1)
+    val out = SequencePack.materialize(packs, docs, "doc_id", "text")
+      .select($"bucket", $"pack_seq", $"n_docs", $"fill", $"pack_text")
+      .rowsSet
+    // docs 0,1 fill pack 0 (2+2 = 4); doc 2 opens pack 1
+    assert(out == Set(
+      Seq(0L, 0L, 2L, 4L, "aa bb cc dd"),
+      Seq(0L, 1L, 1L, 1L, "ee")))
+  }
 }
