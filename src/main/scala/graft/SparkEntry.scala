@@ -701,6 +701,22 @@ object SparkEntry {
       VocabBuild.topTokens(T(s, dir, "documents"), "doc_id", "text",
         topK = 20, minDocFreq = 2L)),
 
+    // ---- dedup: incremental near-dup — a hash-sampled "new batch"
+    // probed against the MinHash index of the standing corpus: only the
+    // batch is re-shingled, the standing side contributes stored band
+    // keys/postings/sizes (the append-only crawl shape). Exact-oracle:
+    // LSH candidates + exact-Jaccard verify equals the true pair set
+    // restricted to pairs touching the batch
+    "q73_incremental_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val standing = docs.join(batch.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val index = Dedup.buildMinHashIndex(standing, "doc_id", "text", n = 3)
+      Dedup.incrementalNearDup(index, batch, "doc_id", "text",
+        threshold = 0.5)
+    }),
+
     // ---- curation: pack materialization — q53's assignments joined
     // back to text and concatenated in offset order: the actual
     // training-example rows a dataloader consumes
@@ -855,7 +871,31 @@ object SparkEntry {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5""".stripMargin
 
+  /** q73: the exact-Jaccard pair set restricted to pairs with at least
+    * one endpoint in the hash-sampled batch (md5 prefix < 0x1a =
+    * rate256 26, mirroring Sampling.hashSample). */
+  private val incrementalJaccardSql: String =
+    s"""WITH nw AS (SELECT doc_id FROM documents
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
+       |t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
+       |  FROM t WHERE len(ws) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+       |  AND (doc_a IN (SELECT doc_id FROM nw)
+       |    OR doc_b IN (SELECT doc_id FROM nw))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q73_incremental_neardup" -> incrementalJaccardSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  sum(l_quantity) AS sum_qty,

@@ -93,9 +93,18 @@ object Dedup {
     *
     * r rows/band × b bands gives P(candidate) = 1-(1-s^r)^b; the default
     * r=2/b=32 keeps recall ≈ 0.9999 at s = 0.5. */
-  def minhashLSH(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+  /** Reusable MinHash index over a corpus slice: the persisted shingle
+    * posting rows, per-doc signatures (lane minima + shingle count), and
+    * exploded band keys. Build it ONCE over the standing corpus (in
+    * production: store `bandKeys`/`shingles`/`signatures` as tables) and
+    * probe increments against it — the append-only crawl shape where
+    * re-shingling yesterday's billions per new batch is the cost that
+    * kills naive dedup. */
+  case class MinHashIndex(shingles: DataFrame, signatures: DataFrame,
+      bandKeys: DataFrame, n: Int, numHashes: Int, bands: Int)
+
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32): MinHashIndex = {
     val rowsPerBand = numHashes / bands
     // The exploded (doc, shingle) rows are the shared kernel of both the
     // signature pass and the candidate verification, so they persist
@@ -118,19 +127,14 @@ object Dedup {
     }
     val bkeys = sig.select(col("doc"),
       posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
-    val a = bkeys.as("a")
-    val b = bkeys.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // Exact verification via the inverted index, RESTRICTED to candidate
-    // docs first: the (tiny) candidate-doc set semi-joins the posting
-    // rows down to the docs that matter, the posting-list self-join
-    // counts intersections among those, and the candidate-pair inner
-    // join discards coincidental same-bucket doc pairs. A candidate pair
-    // sharing no shingle simply drops out (jaccard 0 < threshold).
+    MinHashIndex(sh, sig, bkeys, n, numHashes, bands)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    * the inverted index, restricted to candidate docs first. A candidate
+    * pair sharing no shingle simply drops out (jaccard 0 < threshold). */
+  private def verifyPairs(pairs: DataFrame, sh: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
     val candDocs = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .distinct()
@@ -139,7 +143,6 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("doc"), col("n_sh"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc", "doc_a")
@@ -150,6 +153,54 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def minhashLSH(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = buildMinHashIndex(df, idCol, textCol, n, numHashes, bands)
+    val a = idx.bandKeys.as("a")
+    val b = idx.bandKeys.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(pairs, idx.shingles,
+      idx.signatures.select(col("doc"), col("n_sh")), threshold)
+  }
+
+  /** Incremental near-dup: pairs between a NEW batch and the standing
+    * corpus (plus new×new), without re-shingling the standing corpus —
+    * only the batch is exploded; the stored index supplies the old
+    * side's band keys, shingle postings, and sizes. Probe shape:
+    *   1. band keys of the batch (one scan of the batch);
+    *   2. join batch keys against batch ∪ standing keys — every
+    *      candidate pair has ≥ 1 new endpoint by construction;
+    *   3. exact-Jaccard verify against the COMBINED posting rows
+    *      restricted to candidate docs (the semi-join means the
+    *      standing corpus contributes only the few docs that bucket
+    *      with the batch).
+    * Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, ≥ 1 endpoint in
+    * the batch — exactly the batch-relevant slice of what a full
+    * rebuild would find. Ids must be disjoint from the index's. */
+  def incrementalNearDup(index: MinHashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val newIdx = buildMinHashIndex(newDocs, idCol, textCol,
+      index.n, index.numHashes, index.bands)
+    val allKeys = index.bandKeys.unionByName(newIdx.bandKeys)
+    val a = newIdx.bandKeys.as("a")
+    val b = allKeys.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sh = index.shingles.unionByName(newIdx.shingles)
+    val sizes = index.signatures.select(col("doc"), col("n_sh"))
+      .unionByName(newIdx.signatures.select(col("doc"), col("n_sh")))
+    verifyPairs(pairs, sh, sizes, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint over word tokens, banded

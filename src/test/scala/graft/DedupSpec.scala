@@ -69,6 +69,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 5L || t._2 == 5L))
   }
 
+  test("incremental near-dup equals the batch-relevant slice of a full run") {
+    val standing = docs.filter($"doc_id" <= 3L)
+    val batch = docs.filter($"doc_id" > 3L)
+      .union(Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val index = Dedup.buildMinHashIndex(standing, "doc_id", "text", n = 3)
+    val got = Dedup.incrementalNearDup(index, batch, "doc_id", "text",
+        threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val all = docs.union(Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val full = Dedup.minhashLSH(all, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val newIds = Set(4L, 5L, 6L, 7L)
+    assert(got === full.filter(p => newIds(p._1) || newIds(p._2)))
+    assert(got.contains((1L, 7L))) // cross old-new exact dup found
+    assert(got.forall(p => newIds(p._1) || newIds(p._2)))
+  }
+
   test("antiJoinAppend keeps only unseen keys") {
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val existing = Seq(Tuple1(2L)).toDF("k")
