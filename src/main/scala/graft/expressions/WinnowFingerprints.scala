@@ -54,13 +54,66 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: the 16-hex-char md5 prefix of EVERY
+  * k-char gram of a normalized text column, in position order — the
+  * per-position hashing pass of substring-level dedup, one tight loop
+  * per document with a reused MessageDigest (the relational
+  * substring+md5 projection allocates a digest and intermediate
+  * UTF8Strings per position — measured ~2× slower over corpus-scale
+  * position counts). Bytes are identical to the relational form;
+  * consumers posexplode (0-based ordinal + 1 = the 1-based position). */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.CharGramHashes.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val m = text.numChars() - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = WinnowFingerprints.hashGram(md, text.substringSQL(i + 1, k))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(normText: Column, k: Int): Column =
+    GraftSqlBridge.column(new CharGramHashes(
+      GraftSqlBridge.expression(normText), k))
+}
+
 object WinnowFingerprints {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 
   private val HEX = "0123456789abcdef".toCharArray
 
   /** 16-hex-char md5 prefix of the UTF-8 bytes, as UTF8String. */
-  private def hashGram(md: java.security.MessageDigest, gram: UTF8String): UTF8String = {
+  private[expressions] def hashGram(md: java.security.MessageDigest, gram: UTF8String): UTF8String = {
     md.reset()
     val digest = md.digest(gram.getBytes)
     val hex = new Array[Byte](16)

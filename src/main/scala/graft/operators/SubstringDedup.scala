@@ -40,14 +40,20 @@ object SubstringDedup {
       minLen: Int = 20): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // one CharGramHashes kernel call per doc (reused digest, tight
+    // loop), posexploded to 1-based positions; referenced twice
+    // (dup-count aggregate + position join-back) — persist or the
+    // explode + hashing subtree runs twice (same policy as
+    // fingerprintOverlapPairs; unpersist is left to the session
+    // lifecycle)
     val grams = df
       .select(col(idCol).as("doc"), norm.as("t__"))
       .filter(length(col("t__")) >= minLen)
       .select(col("doc"),
-        explode(sequence(lit(1), length(col("t__")) - (minLen - 1))).as("pos"),
-        col("t__"))
-      .select(col("doc"), col("pos"),
-        substring(md5(col("t__").substr(col("pos"), lit(minLen))), 1, 16).as("h"))
+        posexplode(graft.expressions.CharGramHashes(col("t__"), minLen))
+          .as(Seq("pos0", "h")))
+      .select(col("doc"), (col("pos0") + 1).as("pos"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c__"))
       .filter(col("c__") >= 2).select(col("h"))
     val flagged = grams.join(dup, "h").select(col("doc"), col("pos"))
