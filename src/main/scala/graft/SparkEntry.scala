@@ -292,6 +292,20 @@ object SparkEntry {
       picked.select(col("l_returnflag") +: outs: _*)
     }),
 
+    // ---- feature scaling: per-group winsorization — clip prices to the
+    // group's exact [p05, p95] type-7 band (q35's integer-cents lerp
+    // discipline), bounds broadcast back, codegen'd clip
+    "q74_winsorize" -> ((s, dir) =>
+      Winsorize.clipToQuantiles(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"), col("l_extendedprice")),
+          groupCols = Seq("l_returnflag"),
+          valueUnits = expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+          scale = 100L, pLow = 0.05, pHigh = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("wins_lo"), col("wins_hi"), col("wins_value"))),
+
     // ---- set operations: INTERSECT / EXCEPT (§2.7 — the reference only
     // has the anti-join form; these are the explicit relational twins)
     "q38_set_ops" -> ((s, dir) => {
@@ -1684,6 +1698,33 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q74: q35's integer-cents lerp at p05/p95 + broadcast-back clip
+    "q74_winsorize" -> {
+      def pick(nm: String, q: String) =
+        s"""max(CASE WHEN rn = CAST(floor($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN cents END) AS ${nm}_a,
+           |  max(CASE WHEN rn = CAST(ceil($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN cents END) AS ${nm}_b,
+           |  max($q * CAST(n - 1 AS DOUBLE) - floor($q * CAST(n - 1 AS DOUBLE))) AS ${nm}_f""".stripMargin
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, cents,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM c),
+         |p AS (SELECT l_returnflag,
+         |  ${pick("lo", "0.05")},
+         |  ${pick("hi", "0.95")}
+         |  FROM r GROUP BY 1),
+         |b AS (SELECT l_returnflag,
+         |    (CAST(lo_a AS DOUBLE) + CAST(lo_b - lo_a AS DOUBLE) * lo_f) / 100.0 AS wins_lo,
+         |    (CAST(hi_a AS DOUBLE) + CAST(hi_b - hi_a AS DOUBLE) * hi_f) / 100.0 AS wins_hi
+         |  FROM p)
+         |SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+         |  b.wins_lo, b.wins_hi,
+         |  least(greatest(CAST(c.cents AS DOUBLE) / 100.0, b.wins_lo), b.wins_hi) AS wins_value
+         |FROM c JOIN b USING (l_returnflag)""".stripMargin
+    },
 
     // q71: same window/merge construction; DuckDB range(a,b) is
     // b-exclusive so the stop is len-18 for positions 1..len-19
