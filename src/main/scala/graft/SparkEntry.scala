@@ -292,6 +292,16 @@ object SparkEntry {
       picked.select(col("l_returnflag") +: outs: _*)
     }),
 
+    // ---- stats: per-group Pearson correlation from exact integer-unit
+    // accumulators (builtin corr is a partial-order-dependent co-moment
+    // recursion — it can flap the hash gate); one double formula at the
+    // end, mirrored in the oracle with VARCHAR-route decimal casts
+    "q75_group_correlation" -> ((s, dir) =>
+      GroupStats.pearson(T(s, dir, "lineitem"),
+        groupCols = Seq("l_returnflag"),
+        xUnits = expr("round(l_extendedprice * 100, 0)"),
+        yUnits = expr("round(l_quantity, 0)"))),
+
     // ---- feature scaling: per-group winsorization — clip prices to the
     // group's exact [p05, p95] type-7 band (q35's integer-cents lerp
     // discipline), bounds broadcast back, codegen'd clip
@@ -1698,6 +1708,32 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q75: exact HUGEINT sums; decimal→double via VARCHAR (2⁵³ lesson)
+    "q75_group_correlation" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM c GROUP BY 1),
+        |v AS (SELECT l_returnflag, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) AS cov_num,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)) *
+        |       sqrt(CAST(CAST(vy AS VARCHAR) AS DOUBLE))), 6)
+        |  END AS r
+        |FROM v""".stripMargin,
 
     // q74: q35's integer-cents lerp at p05/p95 + broadcast-back clip
     "q74_winsorize" -> {

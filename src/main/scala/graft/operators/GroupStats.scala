@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-accumulator bivariate group statistics — Pearson correlation
+  * (and the covariance it rides on) per group, computed the way every
+  * order-sensitive statistic here is (the q07 discipline): all sums run
+  * through EXACT integer-unit decimal accumulators — invariant to
+  * partition order — and one double formula at the very end, mirrored
+  * verbatim in the oracle. Spark's builtin `corr` is a streaming
+  * co-moment recursion whose float result depends on partial-aggregate
+  * order; it can flap the correctness gate between runs.
+  *
+  * Pearson r is scale-invariant, so both inputs are first quantized to
+  * integer units (e.g. cents) — the five sums Σx, Σy, Σx², Σy², Σxy are
+  * then exact integers (DECIMAL(38,0); magnitudes up to ~1e25 at fleet
+  * group sizes, well inside 38 digits), and
+  *
+  *   r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+  *
+  * has an exactly-determined numerator and variance terms; the only
+  * float ops are two correctly-rounded decimal→double casts, two IEEE
+  * sqrts, and one division — bit-equal across engines (oracle side
+  * casts via VARCHAR per the 2⁵³ lesson in README). A zero-variance
+  * side yields NULL r (undefined, not 0). */
+object GroupStats {
+
+  /** Per-group n, covariance numerator, and Pearson r (rounded to
+    * `roundTo`) over integer-unit expressions `xUnits`, `yUnits`. */
+  def pearson(df: DataFrame, groupCols: Seq[String],
+      xUnits: Column, yUnits: Column, roundTo: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df
+      .select(groupCols.map(col) :+ xUnits.cast(dec).as("x__") :+
+        yUnits.cast(dec).as("y__"): _*)
+      .filter(col("x__").isNotNull && col("y__").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x__")).as("sx"),
+        sum(col("y__")).as("sy"),
+        sum((col("x__") * col("x__")).cast(dec)).as("sxx"),
+        sum((col("y__") * col("y__")).cast(dec)).as("syy"),
+        sum((col("x__") * col("y__")).cast(dec)).as("sxy"))
+    val n = col("n").cast(dec)
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast(dec)
+    sums
+      .withColumn("cov_num", num.cast("double"))
+      .withColumn("r",
+        when(vx > 0 && vy > 0,
+          round(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), roundTo)))
+      .select(groupCols.map(col) :+ col("n") :+ col("cov_num") :+
+        col("r"): _*)
+  }
+}
