@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IntervalJoin, ShardExport, Winsorize}
+
+/** Plan-shape guards for the scale-critical round-7 operators — the
+  * assertions that keep a future refactor from silently reintroducing
+  * the plan Spark would have picked on its own (nested-loop range
+  * joins, single-partition windows over the corpus). */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("interval join plans an equi-join, never nested-loop/cartesian") {
+    val pts = (1 to 100).map(i => (i.toLong, i.toLong * 10))
+      .toDF("p_id", "ts")
+    val ivs = (1 to 20).map(i => (i.toLong, i * 50L, i * 50L + 30))
+      .toDF("iv_id", "s", "e")
+    val p = plan(IntervalJoin.pointInInterval(pts, ivs, "ts", "s", "e",
+      bucketWidth = 100L))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop crept in")
+    assert(!p.contains("CartesianProduct"), "cartesian crept in")
+    // the naive formulation DOES nested-loop — prove the contrast
+    val naive = plan(pts.join(ivs,
+      col("ts") >= col("s") && col("ts") <= col("e")))
+    assert(naive.contains("BroadcastNestedLoopJoin") ||
+      naive.contains("CartesianProduct"))
+  }
+
+  test("shard export sorts via range partitioning, no single-partition window") {
+    val p = plan(ShardExport.assign(
+      (1 to 500).map(i => Tuple1(i.toLong)).toDF("doc_id"), "doc_id", 8))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"expected a range exchange in:\n$p")
+    assert(!p.contains("Window"), "a window operator appeared in shard export")
+  }
+
+  test("winsorize broadcasts the bounds back, no second corpus-wide window") {
+    val rows = (1 to 300).map(i => ("g", i.toLong)).toDF("grp", "units")
+    val out = Winsorize.clipToQuantiles(rows, Seq("grp"), col("units"),
+      1L, 0.05, 0.95)
+    assert(plan(out).contains("BroadcastHashJoin"),
+      "bounds should join back broadcast")
+  }
+}
