@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CosineSimilarity, HyperplaneSignature, KMVSketch, SquaredDistance}
+import graft.expressions.{CharGramHashes, CosineSimilarity, CountMinEstimate,
+  CountMinSketchAgg, HyperplaneSignature, KMVSketch, MisraGries,
+  SquaredDistance, WinnowFingerprints, WordNGrams}
 
 /** SparkSessionExtensions entry point: makes the library's custom
   * Catalyst expressions available to ANY session (SQL included) via
@@ -42,5 +44,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "approx_distinct_kmv(col, k) - KMV sketch distinct estimate"),
       (exprs: Seq[Expression]) =>
         KMVSketch(exprs(0), intArg(exprs(1), "k")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n, distinct) - space-joined word n-grams"),
+      (exprs: Seq[Expression]) => WordNGrams(exprs(0),
+        intArg(exprs(1), "n"), exprs(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"distinct must be a boolean literal, got $other")
+        })))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "w"))))
+    ext.injectFunction((FunctionIdentifier("char_gram_hashes"),
+      info("char_gram_hashes",
+        "char_gram_hashes(text, k) - md5-prefix of every k-char gram"),
+      (exprs: Seq[Expression]) => CharGramHashes(exprs(0),
+        intArg(exprs(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("frequent_items_sketch"),
+      info("frequent_items_sketch",
+        "frequent_items_sketch(col, k) - Misra-Gries heavy-hitter summary"),
+      (exprs: Seq[Expression]) =>
+        MisraGries(exprs(0), intArg(exprs(1), "k")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "cms_sketch(col, depth, width) - count-min sketch counters"),
+      (exprs: Seq[Expression]) => CountMinSketchAgg(exprs(0),
+        intArg(exprs(1), "depth"), intArg(exprs(2), "width"))
+        .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, item, depth, width) - min-over-rows estimate"),
+      (exprs: Seq[Expression]) => CountMinEstimate(exprs(0), exprs(1),
+        intArg(exprs(2), "depth"), intArg(exprs(3), "width"))))
   }
 }

@@ -37,6 +37,25 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT approx_distinct_kmv(id, 16) FROM ext_vecs")
         .collect()(0).getLong(0)
       assert(kmv == 2L)
+      // round-7 text/sketch functions
+      val grams = ext.sql(
+        "SELECT word_ngrams(split('a b c', ' '), 2, true) g")
+        .collect()(0).getSeq[String](0)
+      assert(grams == Seq("a b", "b c"))
+      val fps = ext.sql(
+        "SELECT size(winnow_fingerprints('abcdefghij', 4, 3)) n," +
+          " size(char_gram_hashes('abcdefghij', 4)) m")
+        .collect()(0)
+      assert(fps.getInt(0) >= 1 && fps.getInt(1) == 7)
+      val mg = ext.sql(
+        "SELECT frequent_items_sketch(CAST(id AS STRING), 4) m FROM ext_vecs")
+        .collect()(0).getMap[String, Long](0)
+      assert(mg == Map("1" -> 1L, "2" -> 1L))
+      val cms = ext.sql(
+        "SELECT cms_estimate(cms_sketch(CAST(id AS STRING), 4, 64)," +
+          " '1', 4, 64) e FROM ext_vecs")
+        .collect()(0).getLong(0)
+      assert(cms == 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
