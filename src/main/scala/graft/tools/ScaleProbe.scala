@@ -175,6 +175,27 @@ object ScaleProbe {
       graft.operators.SubstringDedup.coverageReport(diverseDocs,
         "doc_id", "text", minLen = 20)
     }
+    time("incremental_neardup") {
+      // standing corpus = 90% of docs (index build included in the
+      // probe), batch = 10%; planted dups land on both sides
+      val standing = diverseDocs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = diverseDocs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val index = graft.operators.Dedup.buildMinHashIndex(
+        standing, "doc_id", "text", n = 3)
+      graft.operators.Dedup.incrementalNearDup(index, batch,
+        "doc_id", "text", threshold = 0.5)
+    }
+    time("winsorize") {
+      graft.operators.Winsorize.clipToQuantiles(
+        df.select(col("id"), col("seg"), col("m2")),
+        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"),
+        scale = 10L, pLow = 0.05, pHigh = 0.95)
+    }
+    time("group_correlation") {
+      graft.operators.GroupStats.pearson(
+        df.select(col("seg"), col("m1"), col("m2")), Seq("seg"),
+        expr("round(m1 * 100, 0)"), expr("round(m2 * 10, 0)"))
+    }
     time("interval_join") {
       // n points against n/100 intervals over a shared key domain;
       // interval spans average 5 buckets at width 1000
