@@ -292,6 +292,21 @@ object SparkEntry {
       picked.select(col("l_returnflag") +: outs: _*)
     }),
 
+    // ---- stats: robust (median/MAD) z-score per group — the
+    // outlier-resistant twin of q07's mean/std scoring; every
+    // intermediate stays integral via the doubled-units trick, one
+    // double formula at the end
+    "q76_robust_zscore" -> ((s, dir) =>
+      RobustScore.madZScore(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"), col("l_extendedprice")),
+          groupCols = Seq("l_returnflag"),
+          valueUnits = expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+          scale = 100L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("med2"), col("mad4"), col("robust_z"))),
+
     // ---- stats: per-group Pearson correlation from exact integer-unit
     // accumulators (builtin corr is a partial-order-dependent co-moment
     // recursion — it can flap the hash gate); one double formula at the
@@ -1708,6 +1723,33 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY coll_freq DESC, token ASC) AS rank
          |FROM v
          |ORDER BY coll_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    // q76: doubled-units medians keep every intermediate integral
+    "q76_robust_zscore" -> {
+      def p50(rnc: String, v: String) =
+        s"""max(CASE WHEN $rnc = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)
+           | + max(CASE WHEN $rnc = CAST(ceil(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)""".stripMargin
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS u
+         |  FROM lineitem),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM c),
+         |m AS (SELECT l_returnflag, ${p50("rn", "u")} AS med2
+         |  FROM r GROUP BY 1),
+         |d AS (SELECT r.l_returnflag, r.u, r.n, abs(r.u * 2 - m.med2) AS dev2
+         |  FROM r JOIN m USING (l_returnflag)),
+         |d2 AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY dev2) AS drn
+         |  FROM d),
+         |md AS (SELECT l_returnflag, ${p50("drn", "dev2")} AS mad4
+         |  FROM d2 GROUP BY 1)
+         |SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+         |  m.med2, md.mad4,
+         |  CASE WHEN md.mad4 > 0 THEN
+         |    round(CAST(c.u * 2 - m.med2 AS DOUBLE) * 2.0
+         |      / (1.4826 * CAST(md.mad4 AS DOUBLE)), 4) + 0.0
+         |  END AS robust_z
+         |FROM c JOIN m USING (l_returnflag) JOIN md USING (l_returnflag)""".stripMargin
+    },
 
     // q75: exact HUGEINT sums; decimal→double via VARCHAR (2⁵³ lesson)
     "q75_group_correlation" ->

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD) z-score per group — the outlier-resistant twin
+  * of the mean/std hierarchical z-score (q07): a single wild value
+  * shifts a mean and inflates a std arbitrarily, but moves a median and
+  * MAD not at all, which is why curation pipelines score noisy quality
+  * metrics this way.
+  *
+  *   robust_z = (x − median) / (1.4826 · MAD),
+  *   MAD = median(|x − median|)
+  *
+  * (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD consistent with σ under normality,
+  * the standard convention.)
+  *
+  * Exactness discipline: both medians are type-7 over INTEGER units and
+  * every intermediate stays integral via doubling — the median of
+  * integers is a half-integer, so 2·median (= floor-pick + ceil-pick)
+  * is an integer; deviations |2u − med2| are integers in double units;
+  * their median doubles once more (mad4 = 4 × MAD in units). One double
+  * formula at the end:
+  *
+  *   z = (2u − med2) · 2 / (1.4826 · mad4)
+  *
+  * — exactly-determined integer operands, one multiply/divide chain,
+  * mirrored verbatim in the oracle. A zero MAD (more than half the
+  * group identical) yields NULL z, not ±inf. Two in-group window sorts
+  * (ranks over u, then over the deviations); `ScalableRank` is the
+  * skew-proof rank path when a group outgrows one task. */
+object RobustScore {
+
+  private def pickP50(units: Column, rn: Column, n: Column): Column = {
+    val pos = lit(0.5) * (n - 1).cast("double")
+    max(when(rn === (floor(pos) + 1), units)) +
+      max(when(rn === (ceil(pos) + 1), units))
+  }
+
+  /** df + (med2, mad4, robust_z) where `valueUnits` is an integer-unit
+    * metric expression at `scale` units per 1.0. */
+  def madZScore(df: DataFrame, groupCols: Seq[String], valueUnits: Column,
+      scale: Long, roundTo: Int = 4): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wSort = Window.partitionBy(gcols: _*).orderBy(col("u__"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = df
+      .select(gcols :+ valueUnits.cast("long").as("u__"): _*)
+      .filter(col("u__").isNotNull)
+      .withColumn("rn", row_number().over(wSort).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val med = ranked.groupBy(gcols: _*)
+      .agg(pickP50(col("u__"), col("rn"), col("n")).as("med2"))
+    val wDev = Window.partitionBy(gcols: _*).orderBy(col("dev2__"))
+    val devRanked = ranked
+      .join(broadcast(med), groupCols)
+      .withColumn("dev2__", abs(col("u__") * 2 - col("med2")))
+      .withColumn("drn", row_number().over(wDev).cast("long"))
+    val mad = devRanked.groupBy(gcols: _*)
+      .agg(pickP50(col("dev2__"), col("drn"), col("n")).as("mad4"))
+    df.join(broadcast(med), groupCols)
+      .join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("mad4") > 0 && valueUnits.isNotNull,
+          round((valueUnits.cast("long") * 2 - col("med2")).cast("double")
+            * 2.0 / (lit(1.4826) * col("mad4").cast("double")), roundTo)))
+  }
+}
