@@ -191,6 +191,11 @@ object ScaleProbe {
         Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"),
         scale = 10L, pLow = 0.05, pHigh = 0.95)
     }
+    time("robust_zscore") {
+      graft.operators.RobustScore.madZScore(
+        df.select(col("id"), col("seg"), col("m2")),
+        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"), scale = 10L)
+    }
     time("group_correlation") {
       graft.operators.GroupStats.pearson(
         df.select(col("seg"), col("m1"), col("m2")), Seq("seg"),
