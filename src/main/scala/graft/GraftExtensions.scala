@@ -63,9 +63,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_gram_hashes(text, k) - md5-prefix of every k-char gram"),
       (exprs: Seq[Expression]) => CharGramHashes(exprs(0),
         intArg(exprs(1), "k"))))
+    // NOTE: a Misra–Gries summary's tracked-item SET and weights depend
+    // on partial-aggregate merge order — the guarantees (any item with
+    // count > N/(k+1) is tracked; weights undercount by ≤ N/(k+1)) are
+    // order-invariant, the raw map is NOT. Consume it as a candidate
+    // set + bounds (as FrequentItems does, with an exact count-back);
+    // never hash-compare the raw sketch output across runs.
     ext.injectFunction((FunctionIdentifier("frequent_items_sketch"),
       info("frequent_items_sketch",
-        "frequent_items_sketch(col, k) - Misra-Gries heavy-hitter summary"),
+        "frequent_items_sketch(col, k) - Misra-Gries heavy-hitter summary" +
+          " (candidate set + bounds are order-invariant; the raw map is" +
+          " merge-order-dependent - do not hash-compare it)"),
       (exprs: Seq[Expression]) =>
         MisraGries(exprs(0), intArg(exprs(1), "k")).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("cms_sketch"),

@@ -302,8 +302,7 @@ object SparkEntry {
             .select(col("l_orderkey"), col("l_linenumber"),
               col("l_returnflag"), col("l_extendedprice")),
           groupCols = Seq("l_returnflag"),
-          valueUnits = expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
-          scale = 100L)
+          valueUnits = expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("med2"), col("mad4"), col("robust_z"))),
 
@@ -758,7 +757,11 @@ object SparkEntry {
 
     // ---- curation: pack materialization — q53's assignments joined
     // back to text and concatenated in offset order: the actual
-    // training-example rows a dataloader consumes
+    // training-example rows a dataloader consumes. The gate hashes
+    // md5(pack_text), not the multi-KB text itself — the digest pins
+    // the exact bytes while removing every renderer/collation
+    // sensitivity of shipping huge strings through the compare (r7
+    // q72 flapped on the driver despite bit-exact local output).
     "q72_pack_materialize" -> ((s, dir) => {
       val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
           "doc_id", "text")
@@ -766,7 +769,9 @@ object SparkEntry {
       val packed = SequencePack.packGreedy(toks, "doc_id", "n_tokens",
         capacity = 256L, nBuckets = 16)
       SequencePack.materialize(packed, T(s, dir, "documents"),
-        "doc_id", "text")
+          "doc_id", "text")
+        .select(col("bucket"), col("pack_seq"), col("n_docs"),
+          col("fill"), md5(col("pack_text")).as("pack_digest"))
     }),
 
     // ---- dedup: exact repeated-substring coverage (Lee et al. ACL'22
@@ -796,9 +801,71 @@ object SparkEntry {
         .withColumn("est", cms_estimate(col("sk"), col("uid"), 4, 2048))
         .groupBy(col("event_type"))
         .agg(
+          // deterministic: CMS can NEVER undercount, any false here is
+          // a broken hash or indexing
           bool_and(col("est") >= col("tru")).as("no_underestimate"),
-          bool_and((col("est") - col("tru")).cast("double") <=
-            col("n") * lit(3.0 * math.E / 2048.0)).as("excess_bounded"))
+          // per-item bounds are only probabilistic (P[excess > 3eN/w]
+          // ≈ (1/3e)^depth per item — expected violators are
+          // non-negligible at 1e4+ distinct items, so a bool_and over
+          // items can fail on a fully correct sketch). The MEAN excess
+          // concentrates instead: E[excess] ≤ N/width per item, so
+          // mean ≤ 3e·N/width fails with probability vanishing in the
+          // item count — a false still means the sketch is broken.
+          (avg((col("est") - col("tru")).cast("double")) <=
+            max(col("n")).cast("double") * lit(3.0 * math.E / 2048.0))
+            .as("avg_excess_bounded"))
+    }),
+
+    // ---- streaming: Misra–Gries heavy hitters as mapGroupsWithState
+    // stream state, gate-checked like its batch sibling q65. The events
+    // table feeds a real MemoryStream in deterministic micro-batches
+    // (driver-side batching is GATE HARNESS — production feeds arrive
+    // as a live stream; the operator under test is the stateful one).
+    // Gated columns: the exact per-group total (the summary's n must
+    // equal count(*)) plus the two MG theorems, which hold for ANY
+    // batch split / merge order — a false means the state machine broke.
+    "q77_streaming_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val k = 64
+      val rows = T(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("uid"),
+          col("event_id").cast("long").as("eid"))
+        .orderBy(col("eid"))
+        .select(col("event_type"), col("uid"))
+        .as[(String, String)].collect()
+        .map { case (g, it) => graft.streaming.Streams.ItemEvent(g, it) }
+      val input = MemoryStream[graft.streaming.Streams.ItemEvent]
+      val hh = graft.streaming.Streams.streamingHeavyHitters(input.toDS(), k)
+      val q = hh.writeStream.format("memory")
+        .queryName("graft_gate_stream_hh").outputMode("update").start()
+      try {
+        // four micro-batches so state genuinely crosses triggers
+        rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val finals = s.table("graft_gate_stream_hh")
+        .as[graft.streaming.Streams.HHSummary].collect()
+        .groupBy(_.group).map { case (_, ss) => ss.maxBy(_.n) }
+      val exact = rows.groupBy(_.group).map { case (g, es) =>
+        g -> es.groupBy(_.item).map { case (it, xs) => it -> xs.length.toLong }
+      }
+      val out = finals.toSeq.sortBy(_.group).map { summ =>
+        val cnt = exact(summ.group)
+        val bound = summ.n / (k + 1) // floor of N/(k+1)
+        val noMissed = cnt.forall { case (it, c) =>
+          c <= bound || summ.items.contains(it)
+        }
+        val boundsOk = summ.items.forall { case (it, w) =>
+          val c = cnt.getOrElse(it, 0L)
+          w <= c && w >= c - bound
+        }
+        (summ.group, summ.n, noMissed, boundsOk)
+      }
+      out.toDF("event_type", "n", "no_missed_heavy", "bounds_ok")
     }),
 
     // ---- interval join: attribute purchase events to the click-session
@@ -848,7 +915,12 @@ object SparkEntry {
     // exact twin; the oracle is the constant all-true table, so a recall
     // collapse fails the gate as a hash mismatch instead of hiding
     // behind a row count
-    "q40_accuracy_audit" -> ((s, dir) => AccuracyAudit(s, dir)),
+    // audit-only: exact quadratic twins re-verify every sketch. The
+    // 100k-row bound keeps the audit's cost constant as SF grows (a
+    // no-op at gate corpora, which are far smaller) — the gate should
+    // measure operators, not the twins' O(n²) growth.
+    "q40_accuracy_audit" -> ((s, dir) =>
+      AccuracyAudit(s, dir, maxAuditRows = 100000)),
 
     // ---- F4/F5/F10 feature math + scaled-integer codec
     "q28_features_codec" -> ((s, dir) => {
@@ -904,7 +976,7 @@ object SparkEntry {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+       |  ${graft.functions.ExactRound.ratioSql("inter", "sa.n_sh + sb.n_sh - inter", 4)} AS jaccard
        |FROM pairs
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
@@ -925,7 +997,7 @@ object SparkEntry {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+       |  ${graft.functions.ExactRound.ratioSql("inter", "sa.n_sh + sb.n_sh - inter", 4)} AS jaccard
        |FROM pairs
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
@@ -1300,7 +1372,10 @@ object SparkEntry {
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, bucket, pack_seq, pack_offset FROM packed""".stripMargin,
 
-    // q72: q53's recursive-CTE packing + string_agg in offset order
+    // q72: q53's recursive-CTE packing + string_agg in offset order.
+    // doc_id tie-breaks the ORDER BY (zero-token docs share an offset;
+    // the engine sorts (pack_offset, doc_id) structs) and the gate
+    // compares md5 digests, not raw multi-KB text.
     "q72_pack_materialize" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
@@ -1325,7 +1400,8 @@ object SparkEntry {
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT p.bucket, p.pack_seq, count(*) AS n_docs,
         |  sum(p.n_tokens) AS fill,
-        |  string_agg(d.text, ' ' ORDER BY p.pack_offset) AS pack_text
+        |  md5(string_agg(d.text, ' ' ORDER BY p.pack_offset, p.doc_id))
+        |    AS pack_digest
         |FROM packed p JOIN documents d ON d.doc_id = p.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1387,7 +1463,10 @@ object SparkEntry {
          |SELECT doc_id, t3 AS text_clean, n_email, n_phone, n_ip FROM s3""".stripMargin
     },
 
+    // q55: emitted ratios via ExactRound integer rounding (tie-proof);
+    // the repetitive flag keeps the raw double ratios, as the engine does
     "q55_repetition" -> {
+      import graft.functions.ExactRound.ratioSql
       val d2raw = "CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
       val d3raw = "CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)"
       val twraw = "CAST(mx AS DOUBLE) / CAST(nw AS DOUBLE)"
@@ -1405,9 +1484,9 @@ object SparkEntry {
          |        FROM t WHERE len(ws) >= 3))
          |SELECT d.doc_id,
          |  CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
-         |  round(coalesce($d2raw, 0.0), 4) AS dup_2gram,
-         |  round(coalesce($d3raw, 0.0), 4) AS dup_3gram,
-         |  round(coalesce($twraw, 0.0), 4) AS top_word,
+         |  ${ratioSql("t2 - d2", "t2")} AS dup_2gram,
+         |  ${ratioSql("t3 - d3", "t3")} AS dup_3gram,
+         |  ${ratioSql("mx", "nw")} AS top_word,
          |  (coalesce(nw, 0) >= 10 AND (coalesce($d2raw, 0.0) > 0.2
          |    OR coalesce($d3raw, 0.0) > 0.18
          |    OR coalesce($twraw, 0.0) > 0.2)) AS repetitive
@@ -1472,7 +1551,7 @@ object SparkEntry {
          |SELECT corpus.doc_id,
          |  coalesce(n_grams, 0) AS n_grams,
          |  coalesce(n_hit, 0) AS n_hit,
-         |  round($ratio, 4) AS overlap,
+         |  ${graft.functions.ExactRound.ratioSql("coalesce(n_hit, 0)", "coalesce(n_grams, 0)")} AS overlap,
          |  ($ratio) >= 0.3 AS contaminated
          |FROM corpus LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
     },
@@ -1525,19 +1604,25 @@ object SparkEntry {
          |  length(text) AS n_chars_obs
          |FROM documents""".stripMargin,
 
+    // q18: every ratio (and the composite score, rewritten as one
+    // rational with the caps moved inside) rounds via ExactRound
+    // integer arithmetic — int/int fractions are tie-prone under
+    // round(DOUBLE) (the r7 q71 lesson, applied fleet-wide)
     "q18_quality_score" -> {
-      val nWords = s"CAST(len($wordsSql) AS DOUBLE)"
+      import graft.functions.ExactRound.ratioSql
+      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
       val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
-        "OR w = 'of' OR w = 'to' OR w = 'and')) AS DOUBLE)"
-      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
+      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
+      val len = "CAST(length(text) AS BIGINT)"
+      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
+        s"* ($nWords + least($stopHits * 5, $nWords))"
+      val scoreDen = s"200 * $len * $nWords"
       s"""SELECT doc_id, len($wordsSql) AS n_words,
-         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |    / $nWords, 4) AS avg_word_len,
-         |  round($stopHits / $nWords, 4) AS stop_ratio,
-         |  round($punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-         |  round(least($nWords / 100.0, 1.0)
-         |    * (1.0 - $punct / CAST(length(text) AS DOUBLE))
-         |    * (0.5 + 0.5 * least(($stopHits / $nWords) * 5.0, 1.0)), 4) AS quality
+         |  ${ratioSql(s"length(regexp_replace(text, '\\s+', '', 'g'))", nWords)} AS avg_word_len,
+         |  ${ratioSql(stopHits, nWords)} AS stop_ratio,
+         |  ${ratioSql(punct, len)} AS punct_ratio,
+         |  ${ratioSql(scoreNum, scoreDen)} AS quality
          |FROM documents""".stripMargin
     },
 
@@ -1626,10 +1711,29 @@ object SparkEntry {
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node != component)""".stripMargin,
 
+    // q27: payloads are ASCII text cast to binary, so of the real
+    // header parsers only the GIF branch is reachable (PNG's 0x89 and
+    // JPEG's 0xFF lead bytes cannot begin a UTF-8 string) — the oracle
+    // mirrors the GIF detection + little-endian dims exactly and emits
+    // unknown/NULL otherwise, the same contract parseImageHeader
+    // fulfills on arbitrary bytes.
     "q27_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  ascii(substring(text, length(text), 1)) AS last_byte,
+        |  CASE WHEN strlen(text) >= 13
+        |    AND substring(text, 1, 6) IN ('GIF87a', 'GIF89a')
+        |    THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE WHEN strlen(text) >= 13
+        |    AND substring(text, 1, 6) IN ('GIF87a', 'GIF89a')
+        |    THEN CAST(ascii(substring(text, 7, 1))
+        |      + 256 * ascii(substring(text, 8, 1)) AS INTEGER)
+        |    ELSE CAST(NULL AS INTEGER) END AS img_width,
+        |  CASE WHEN strlen(text) >= 13
+        |    AND substring(text, 1, 6) IN ('GIF87a', 'GIF89a')
+        |    THEN CAST(ascii(substring(text, 9, 1))
+        |      + 256 * ascii(substring(text, 10, 1)) AS INTEGER)
+        |    ELSE CAST(NULL AS INTEGER) END AS img_height,
         |  CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_width,
         |  CAST(1 + strlen(text) % 48 AS INTEGER) AS fake_height
         |FROM documents""".stripMargin,
@@ -1645,19 +1749,22 @@ object SparkEntry {
         |UNION ALL SELECT 'mg_tracked_bounds', true
         |UNION ALL SELECT 'mg_no_missed_heavy', true""".stripMargin,
 
-    // q59: quality formula mirrored from q18 (gate-proven bit-exact at
-    // 4dp), integer token cumsum — DuckDB sum(BIGINT) widens to
-    // HUGEINT, so the window sum casts back
+    // q59: quality formula mirrored from q18 (ExactRound integer
+    // rational — see q18), integer token cumsum — DuckDB sum(BIGINT)
+    // widens to HUGEINT, so the window sum casts back
     "q59_token_budget" -> {
-      val nWords = s"CAST(len($wordsSql) AS DOUBLE)"
+      import graft.functions.ExactRound.ratioSql
+      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
       val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
-        "OR w = 'of' OR w = 'to' OR w = 'and')) AS DOUBLE)"
-      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
+      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
+      val len = "CAST(length(text) AS BIGINT)"
+      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
+        s"* ($nWords + least($stopHits * 5, $nWords))"
+      val scoreDen = s"200 * $len * $nWords"
       s"""WITH q AS (SELECT doc_id,
          |    CAST(len($wordsSql) AS BIGINT) AS n_tokens,
-         |    round(least($nWords / 100.0, 1.0)
-         |      * (1.0 - $punct / CAST(length(text) AS DOUBLE))
-         |      * (0.5 + 0.5 * least(($stopHits / $nWords) * 5.0, 1.0)), 4) AS quality
+         |    ${ratioSql(scoreNum, scoreDen)} AS quality
          |  FROM documents),
          |c AS (SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
@@ -1805,10 +1912,13 @@ object SparkEntry {
     },
 
     // q71: same window/merge construction; DuckDB range(a,b) is
-    // b-exclusive so the stop is len-18 for positions 1..len-19
+    // b-exclusive so the stop is len-18 for positions 1..len-19.
+    // repeated_frac rounds via ExactRound integer arithmetic — doc 97's
+    // 102/320 = 0.31875 is a 4-dp tie that round(DOUBLE) resolves
+    // differently across DuckDB versions (r7 hash flap).
     "q71_repeated_substrings" ->
-      """WITH t AS (SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tn
+      s"""WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tn
         |  FROM documents),
         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
         |    substring(md5(substr(tn, CAST(i AS INTEGER), 20)), 1, 16) AS h
@@ -1828,16 +1938,28 @@ object SparkEntry {
         |SELECT t.doc_id, length(tn) AS n_chars,
         |  coalesce(ns, 0) AS n_spans,
         |  coalesce(rep, 0) AS repeated_chars,
-        |  round(coalesce(CAST(rep AS DOUBLE) / CAST(length(tn) AS DOUBLE),
-        |    0.0), 4) AS repeated_frac
+        |  ${graft.functions.ExactRound.ratioSql("coalesce(rep, 0)", "length(tn)", 4)} AS repeated_frac
         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin,
 
     // q70: the guarantee is the oracle (q64 discipline) — a broken hash
-    // or indexing flips a boolean and fails the hash compare
+    // or indexing flips a boolean and fails the hash compare. The
+    // no-undercount check is deterministic; the excess check gates the
+    // MEAN against 3e·N/width (per-item bool_and would be a
+    // probabilistic gate that a correct sketch can fail at scale).
     "q70_cms_frequency" ->
       """SELECT DISTINCT event_type,
-        |  true AS no_underestimate, true AS excess_bounded
+        |  true AS no_underestimate, true AS avg_excess_bounded
         |FROM events""".stripMargin,
+
+    // q77: the streaming MG summary's running total must equal the
+    // exact per-group count, and the two MG theorems (no missed heavy
+    // item, weight within [true − N/(k+1), true]) hold for any batch
+    // split — the q65/q70 guarantee-is-the-oracle discipline applied
+    // to the stateful streaming path.
+    "q77_streaming_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n,
+        |  true AS no_missed_heavy, true AS bounds_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q69: the oracle is the plain range join DuckDB can afford at gate
     // scale; sessionization mirrors q15's lag + cumulative-sum CTE

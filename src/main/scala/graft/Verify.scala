@@ -51,6 +51,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${quote(k)}: ${quote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate-environment stamp: the r7 q71/q72 reds were DuckDB-version
+    // divergence that took a round to diagnose because no artifact
+    // recorded which engines compared. The oracle side (DuckDB) is
+    // stamped by tools/compare.py; this records the engine side.
+    val env = Map(
+      "spark_version" -> spark.version,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "java_version" -> System.getProperty("java.version"),
+      "timezone" -> spark.conf.get("spark.sql.session.timeZone"))
+    Files.writeString(Paths.get(s"$outDir/gateenv.json"),
+      env.map { case (k, v) => s"${quote(k)}: ${quote(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

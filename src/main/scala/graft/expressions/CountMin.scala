@@ -33,13 +33,32 @@ object CmsHashing {
     h
   }
 
-  /** Row `i`'s counter index for an item: double hashing
-    * (a + i·b) mod width with independent mixes a, b. */
-  private[expressions] def index(item: UTF8String, i: Int, width: Int): Int = {
-    val base = mix(item.hashCode().toLong * 0x9e3779b97f4a7c15L)
-    val step = mix(base + 0x6a09e667f3bcc909L) | 1L // odd: full period
-    java.lang.Math.floorMod(base + i.toLong * step, width.toLong).toInt
+  /** 64-bit content hash (FNV-1a over the UTF-8 bytes, finalized by
+    * the 64-bit mix). A 32-bit base (UTF8String.hashCode) would make
+    * every sketch row collide together for item pairs colliding on 32
+    * bits — the birthday regime at ~1e5 distinct items; full-row
+    * collisions now require a 64-bit collision. */
+  private[expressions] def contentHash(item: UTF8String): Long = {
+    val bytes = item.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h * 0x9e3779b97f4a7c15L)
   }
+
+  /** Double-hash step for a base hash: odd, so (base + i·step) walks
+    * the full period mod any power-of-two-free width too. */
+  private[expressions] def stepOf(base: Long): Long =
+    mix(base + 0x6a09e667f3bcc909L) | 1L
+
+  /** Row `i`'s counter index given a precomputed (base, step). */
+  private[expressions] def indexAt(base: Long, step: Long, i: Int,
+      width: Int): Int =
+    java.lang.Math.floorMod(base + i.toLong * step, width.toLong).toInt
 }
 
 /** Aggregate: build the sketch as ONE array<long> of depth·width
@@ -67,9 +86,11 @@ case class CountMinSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
+      val base = CmsHashing.contentHash(s)
+      val step = CmsHashing.stepOf(base)
       var i = 0
       while (i < depth) {
-        buf(i * width + CmsHashing.index(s, i, width)) += 1L
+        buf(i * width + CmsHashing.indexAt(base, step, i, width)) += 1L
         i += 1
       }
     }
@@ -138,10 +159,12 @@ case class CountMinEstimate(left: Expression, right: Expression,
 
 object CountMinEstimate {
   def estimate(sketch: ArrayData, item: UTF8String, depth: Int, width: Int): Long = {
+    val base = CmsHashing.contentHash(item)
+    val step = CmsHashing.stepOf(base)
     var mn = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val c = sketch.getLong(i * width + CmsHashing.index(item, i, width))
+      val c = sketch.getLong(i * width + CmsHashing.indexAt(base, step, i, width))
       if (c < mn) mn = c
       i += 1
     }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact half-up rounding of non-negative integer rationals — the
+  * tie-proof replacement for `round(num/den, d)` on gate-hashed
+  * columns.
+  *
+  * `round(double)` at a decimally-representable tie is engine-trap
+  * territory: 102/320 = 0.31875 stores as 0.31874999…78, and whether an
+  * engine rounds the shortest decimal repr ("0.31875" → 0.3188,
+  * Spark/older DuckDB) or the exact binary value (→ 0.3187, newer
+  * DuckDB) flips the 4th decimal — a one-row cross-engine hash flap
+  * (round-7 q71, doc 97). Any `int/int` fraction can land exactly on a
+  * `.5` boundary by construction, so every gated ratio goes through
+  * here instead.
+  *
+  * The whole computation stays in 64-bit integer arithmetic:
+  *
+  *   round(num/den, d) = floor((num·2·10^d + den) / (2·den)) / 10^d
+  *
+  * `div` (IntegralDivide) keeps the quotient a long — no double creeps
+  * in before the final exactly-representable division by 10^d, so both
+  * engines compute the identical bit pattern. Requires num ≥ 0,
+  * den ≥ 0, and num·2·10^d + den within long range (num < ~4.6e14 at
+  * d=4 — far above any count this library rounds). den = 0 or NULL
+  * yields 0.0 (the ratio conventions of the coverage/overlap
+  * reports); num NULL with den > 0 yields NULL.
+  */
+object ExactRound {
+
+  /** `round(num/den, d)` as an exact integer computation; see object
+    * doc. `num`/`den` must be integral columns (cast yourself if not). */
+  def ratio(num: Column, den: Column, d: Int = 4): Column = {
+    val p = math.pow(10, d).toLong
+    val n = num.cast("long")
+    val q = call_function("div", n * lit(2L * p) + den.cast("long"),
+      den.cast("long") * lit(2L))
+    when(den.cast("long") > 0, q.cast("double") / lit(p.toDouble))
+      .otherwise(lit(0.0))
+  }
+
+  /** The DuckDB mirror of [[ratio]] — interpolate into oracle SQL.
+    * `//` is DuckDB's integer division, so the construction is the
+    * same long arithmetic. */
+  def ratioSql(num: String, den: String, d: Int = 4): String = {
+    val p = math.pow(10, d).toLong
+    s"(CASE WHEN ($den) > 0 THEN CAST((CAST(($num) AS BIGINT) * ${2 * p} " +
+      s"+ ($den)) // (2 * CAST(($den) AS BIGINT)) AS DOUBLE) / $p.0 " +
+      "ELSE 0.0 END)"
+  }
+}

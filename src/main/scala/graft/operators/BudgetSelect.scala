@@ -50,11 +50,11 @@ object BudgetSelect {
     val nParts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val costL = coalesce(cost.cast("long"), lit(0L))
-    val sorted = df
+    val sorted = graft.Caches.register(df
       .repartitionByRange(nParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("graft_pid__", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = sorted
       .groupBy(col("graft_pid__"))
       .agg(sum(costL).as("graft_t__"))

@@ -74,7 +74,10 @@ object Decontaminate {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col(idCol), col("n_grams"), col("n_hit"),
-        round(ratio, 4).as("overlap"),
+        // int/int ratio → exact integer rounding (tie-proof; see
+        // ExactRound); the flag keeps the raw double ratio
+        graft.functions.ExactRound.ratio(col("n_hit"), col("n_grams"), 4)
+          .as("overlap"),
         (ratio >= threshold).as("contaminated"))
   }
 

@@ -70,7 +70,10 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // int/int ratio → exact integer rounding (tie-proof; see ExactRound)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ExactRound.ratio(col("inter"),
+          col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
@@ -112,15 +115,17 @@ object Dedup {
     // row anywhere is 64 lane minima + a count, bounded regardless of
     // document length (a collect_set(shingle) payload would grow with
     // the document and OOM executors on long docs at corpus scale).
-    val sh = explodedShingles(df, idCol, textCol, n).persist()
+    val sh = graft.Caches.register(
+      explodedShingles(df, idCol, textCol, n).persist())
     // Signature = ONE hash-aggregate with `numHashes` codegen'd min()
     // columns (no 64x row blowup, no interpreted lambdas): each lane j is
     // min(xxhash64(j, shingle)) over the doc's shingles.
     val laneAggs = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")) :+
       count(lit(1)).as("n_sh")
-    val sig = sh.groupBy(col("doc")).agg(laneAggs.head, laneAggs.tail: _*)
-      .persist()
+    val sig = graft.Caches.register(
+      sh.groupBy(col("doc")).agg(laneAggs.head, laneAggs.tail: _*)
+        .persist())
     val bandExprs = (0 until bands).map { b =>
       val lanes = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
       xxhash64(lit(b) +: lanes: _*)
@@ -152,7 +157,10 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // int/int ratio → exact integer rounding (tie-proof; see ExactRound)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ExactRound.ratio(col("inter"),
+          col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
@@ -232,7 +240,8 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val chunk = 64 / bands
     // one row + one long per doc: cheap to cache, expensive to recompute
-    val withFp = simhashFingerprints(df, idCol, textCol).persist()
+    val withFp = graft.Caches.register(
+      simhashFingerprints(df, idCol, textCol).persist())
     val mask = (1L << chunk) - 1
     val buckets = withFp.select(col("doc"), col("fp"),
       posexplode(array((0 until bands).map(c =>

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * would slot in without changing the plan shape: narrow map, no shuffle,
   * batch-at-a-time memory footprint.
   *
-  * The actual byte→pixels decode is STUBBED (this container has no media
-  * libraries): `stubDecode` derives deterministic fake features from the
-  * payload bytes. The Spark-side contract — schema, partitioning, batch
-  * iteration, null-safety — is real and oracle-tested.
+  * Container-header METADATA (format, pixel dimensions) is parsed for
+  * real — [[parseImageHeader]] reads the actual PNG/JPEG/GIF byte
+  * layouts, pure JVM, no media libraries. Only the byte→PIXELS decode
+  * (and resize / frame extraction) is STUBBED, as this container has no
+  * codecs: `stubDecode`/`stubResize` derive deterministic fake payloads
+  * so the Spark-side contract — schema, partitioning, batch iteration,
+  * null-safety — stays real and oracle-tested.
   */
 object Multimodal {
 
@@ -22,18 +25,75 @@ object Multimodal {
     StructField("byte_len", LongType, nullable = false),
     StructField("first_byte", IntegerType, nullable = true),
     StructField("last_byte", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = false),
+    StructField("img_width", IntegerType, nullable = true),
+    StructField("img_height", IntegerType, nullable = true),
     StructField("fake_width", IntegerType, nullable = false),
     StructField("fake_height", IntegerType, nullable = false)))
 
-  /** STUB decoder: a real implementation would parse the container format
-    * here. Deterministic on the payload so the oracle can reproduce it. */
+  /** REAL container-header parse — (format, width, height) from the
+    * actual byte layouts, no decode:
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+    *    big-endian 4-byte width/height at offsets 16/20;
+    *  - JPEG: SOI then marker segments (0xFF marker len16 payload);
+    *    dimensions live in the frame header SOFn (0xC0-0xCF minus
+    *    DHT 0xC4 / JPG 0xC8 / DAC 0xCC): big-endian height at +5,
+    *    width at +7. Standalone markers (RSTn/TEM) have no length;
+    *    fill 0xFF bytes are padding; SOS/EOI end the search.
+    *  - GIF: "GIF87a"/"GIF89a", then the logical-screen descriptor —
+    *    little-endian 2-byte width/height at offsets 6/8.
+    * Unrecognized bytes → ("unknown", None, None). */
+  def parseImageHeader(p: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a && u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' &&
+        u8(15) == 'R')
+      ("png", Some(be32(16)), Some(be32(20)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: (String, Option[Int], Option[Int]) = ("jpeg", None, None)
+      var done = false
+      while (!done && i + 1 < p.length) {
+        if (u8(i) != 0xff) done = true // corrupt stream: stop, keep format
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) done = true // EOI / SOS
+          else if (i + 3 < p.length) {
+            val len = be16(i + 2)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                m != 0xcc && i + 8 < p.length) {
+              res = ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)))
+              done = true
+            } else i += 2 + math.max(len, 2)
+          } else done = true
+        }
+      }
+      res
+    } else if (p.length >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      ("gif", Some(le16(6)), Some(le16(8)))
+    else ("unknown", None, None)
+  }
+
+  /** Decoder: header metadata is REAL ([[parseImageHeader]]); the
+    * trailing fake_* features remain the declared stub for the
+    * byte→pixels step. Deterministic on the payload so the oracle can
+    * reproduce it. */
   def stubDecode(payload: Array[Byte]): Row = {
     val len = payload.length.toLong
     val first = if (payload.nonEmpty) payload(0) & 0xff else null
     val last = if (payload.nonEmpty) payload(payload.length - 1) & 0xff else null
+    val (fmt, w, h) = parseImageHeader(payload)
     Row(len,
       first.asInstanceOf[Any],
       last.asInstanceOf[Any],
+      fmt, w.map(Int.box).orNull, h.map(Int.box).orNull,
       (1 + len % 64).toInt, (1 + len % 48).toInt)
   }
 

@@ -39,9 +39,12 @@ object RobustScore {
   }
 
   /** df + (med2, mad4, robust_z) where `valueUnits` is an integer-unit
-    * metric expression at `scale` units per 1.0. */
+    * metric expression (units per 1.0 cancel algebraically in z, so no
+    * scale parameter). Groups whose metric is entirely NULL pass
+    * through with NULL med2/mad4/robust_z — the left joins below keep
+    * every input row. */
   def madZScore(df: DataFrame, groupCols: Seq[String], valueUnits: Column,
-      scale: Long, roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4): DataFrame = {
     val gcols = groupCols.map(col)
     val wSort = Window.partitionBy(gcols: _*).orderBy(col("u__"))
     val wAll = Window.partitionBy(gcols: _*)
@@ -59,8 +62,8 @@ object RobustScore {
       .withColumn("drn", row_number().over(wDev).cast("long"))
     val mad = devRanked.groupBy(gcols: _*)
       .agg(pickP50(col("dev2__"), col("drn"), col("n")).as("mad4"))
-    df.join(broadcast(med), groupCols)
-      .join(broadcast(mad), groupCols)
+    df.join(broadcast(med), groupCols, "left")
+      .join(broadcast(mad), groupCols, "left")
       .withColumn("robust_z",
         when(col("mad4") > 0 && valueUnits.isNotNull,
           round((valueUnits.cast("long") * 2 - col("med2")).cast("double")

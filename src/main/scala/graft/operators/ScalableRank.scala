@@ -43,9 +43,10 @@ object ScalableRank {
     import spark.implicits._
     val repart = if (nParts > 0) df.repartitionByRange(nParts, sortCols: _*)
       else df.repartitionByRange(sortCols: _*)
-    val sorted = repart.sortWithinPartitions(sortCols: _*)
-      .withColumn("graft_mid__", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = graft.Caches.register(
+      repart.sortWithinPartitions(sortCols: _*)
+        .withColumn("graft_mid__", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = sorted
       .groupBy(shiftright(col("graft_mid__"), 33).as("graft_pid__"))
       .agg(count(lit(1)).as("graft_cnt__"))

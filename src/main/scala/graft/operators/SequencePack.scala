@@ -76,8 +76,11 @@ object SequencePack {
     packs.groupBy(col("bucket"), col("pack_seq"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("fill"))
+      // fill/capacity is tie-prone under round(double) by construction
+      // (e.g. 8/256 = 0.03125) → exact integer rounding, see ExactRound
       .withColumn("utilization",
-        round(least(col("fill"), lit(capacity)).cast("double") / capacity, 4))
+        graft.functions.ExactRound.ratio(
+          least(col("fill"), lit(capacity)), lit(capacity), 4))
 
   /** Materialize packs into training examples: join document text back
     * by id and concatenate each pack's docs IN OFFSET ORDER with `sep`.

@@ -43,17 +43,17 @@ object SubstringDedup {
     // one CharGramHashes kernel call per doc (reused digest, tight
     // loop), posexploded to 1-based positions; referenced twice
     // (dup-count aggregate + position join-back) — persist or the
-    // explode + hashing subtree runs twice (same policy as
-    // fingerprintOverlapPairs; unpersist is left to the session
-    // lifecycle)
-    val grams = df
+    // explode + hashing subtree runs twice. Registered with
+    // [[graft.Caches]]: callers release via Caches.unpersistAll()
+    // after materializing the result.
+    val grams = graft.Caches.register(df
       .select(col(idCol).as("doc"), norm.as("t__"))
       .filter(length(col("t__")) >= minLen)
       .select(col("doc"),
         posexplode(graft.expressions.CharGramHashes(col("t__"), minLen))
           .as(Seq("pos0", "h")))
       .select(col("doc"), (col("pos0") + 1).as("pos"), col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c__"))
       .filter(col("c__") >= 2).select(col("h"))
     val flagged = grams.join(dup, "h").select(col("doc"), col("pos"))
@@ -86,7 +86,10 @@ object SubstringDedup {
       .select(col(idCol), col("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("repeated_chars"), lit(0L)).as("repeated_chars"),
-        round(coalesce(col("repeated_chars").cast("double") /
-          col("n_chars").cast("double"), lit(0.0)), 4).as("repeated_frac"))
+        // exact integer rounding — 102/320 = 0.31875 sits ON the 4-dp
+        // tie and round(double) flips it across engines (r7 q71)
+        graft.functions.ExactRound.ratio(
+          coalesce(col("repeated_chars"), lit(0L)), col("n_chars"), 4)
+          .as("repeated_frac"))
   }
 }

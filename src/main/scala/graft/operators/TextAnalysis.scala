@@ -57,28 +57,35 @@ object TextAnalysis {
     * as columns so each is evaluated once per row (see languageId note).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.ExactRound
     val stop = Seq("the", "a", "of", "to", "and")
     val staged = df
       .select(col(idCol), col(textCol).as("t__"))
       .withColumn("w__", TextFns.words(col("t__")))
-      .withColumn("nw__", size(col("w__")).cast("double"))
-      .withColumn("stop__", markerHits(col("w__"), stop).cast("double"))
+      .withColumn("nw__", size(col("w__")).cast("long"))
+      .withColumn("stop__", markerHits(col("w__"), stop).cast("long"))
       .withColumn("nsp__",
-        length(regexp_replace(col("t__"), "\\s+", "")).cast("double"))
-      .withColumn("punct__", (length(col("t__")) -
-        length(regexp_replace(col("t__"), "[^a-z0-9\\s]", ""))).cast("double"))
-    val nWords = col("nw__")
-    val lenScore = least(nWords / lit(100.0), lit(1.0))
-    val stopRatio = col("stop__") / nWords
-    val punctRatio = col("punct__") / length(col("t__")).cast("double")
-    val score = lenScore * (lit(1.0) - punctRatio) *
-      (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0)))
+        length(regexp_replace(col("t__"), "\\s+", "")).cast("long"))
+      .withColumn("len__", length(col("t__")).cast("long"))
+      .withColumn("punct__", (col("len__") -
+        length(regexp_replace(col("t__"), "[^a-z0-9\\s]", ""))).cast("long"))
+    // Every emitted ratio is an int/int rational rounded exactly in
+    // integer arithmetic (tie-proof; see ExactRound). The composite
+    // score is itself a rational once the caps move inside:
+    //   min(nw/100,1) · (len−punct)/len · (0.5 + 0.5·min(5·stop/nw,1))
+    //   = min(nw,100)·(len−punct)·(nw + min(5·stop,nw)) / (200·len·nw)
+    // — numerator ≤ 100·len·2·nw keeps the scaled dividend far inside
+    // the long range for any realistic document.
+    val scoreNum = least(col("nw__"), lit(100L)) *
+      (col("len__") - col("punct__")) *
+      (col("nw__") + least(col("stop__") * 5L, col("nw__")))
+    val scoreDen = lit(200L) * col("len__") * col("nw__")
     staged.select(col(idCol),
-      nWords.cast("long").as("n_words"),
-      round(col("nsp__") / nWords, 4).as("avg_word_len"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(score, 4).as("quality"))
+      col("nw__").as("n_words"),
+      ExactRound.ratio(col("nsp__"), col("nw__"), 4).as("avg_word_len"),
+      ExactRound.ratio(col("stop__"), col("nw__"), 4).as("stop_ratio"),
+      ExactRound.ratio(col("punct__"), col("len__"), 4).as("punct_ratio"),
+      ExactRound.ratio(scoreNum, scoreDen, 4).as("quality"))
   }
 
   /** Repetition signals per document — the Gopher/C4 family of
@@ -142,11 +149,14 @@ object TextAnalysis {
     val d3 = ratio("t3", "d3")
     val tw = coalesce(
       col("mxw").cast("double") / col("nw").cast("double"), lit(0.0))
+    import graft.functions.ExactRound
     joined.select(col(idCol),
       coalesce(col("nw"), lit(0L)).as("n_words"),
-      round(d2, 4).as("dup_2gram"),
-      round(d3, 4).as("dup_3gram"),
-      round(tw, 4).as("top_word"),
+      // emitted ratios round exactly in integer arithmetic (tie-proof;
+      // see ExactRound); the flags below keep the raw double ratios
+      ExactRound.ratio(col("t2") - col("d2"), col("t2"), 4).as("dup_2gram"),
+      ExactRound.ratio(col("t3") - col("d3"), col("t3"), 4).as("dup_3gram"),
+      ExactRound.ratio(col("mxw"), col("nw"), 4).as("top_word"),
       (coalesce(col("nw"), lit(0L)) >= minWords &&
         (d2 > dup2Threshold || d3 > dup3Threshold || tw > topWordThreshold))
         .as("repetitive"))
@@ -202,10 +212,11 @@ object TextAnalysis {
       minShared: Long = 2L): DataFrame = {
     // referenced three times (df-cap + both self-join sides) — persist
     // or Spark recomputes the explode→window→distinct subtree per
-    // reference (measured 2× on q63); unpersist is left to the session
-    // lifecycle, same policy as Dedup.minhashLSH
-    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reference (measured 2× on q63). Registered with [[graft.Caches]]
+    // so callers release it via Caches.unpersistAll() post-action.
+    val fps = graft.Caches.register(
+      winnowingFingerprints(df, idCol, textCol, k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = fps.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("df__"))
       .filter(col("df__") <= maxDocFreq)

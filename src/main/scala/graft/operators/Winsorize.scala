@@ -60,7 +60,9 @@ object Winsorize {
     val boundCols = bounds.select(
       gcols :+ lerp("lo").as(s"${outPrefix}_lo") :+
         lerp("hi").as(s"${outPrefix}_hi"): _*)
-    df.join(broadcast(boundCols), groupCols)
+    // left join: a group whose metric is entirely NULL has no bounds
+    // row, but its input rows must survive (with NULL bounds/clip)
+    df.join(broadcast(boundCols), groupCols, "left")
       .withColumn(s"${outPrefix}_value",
         when((valueUnits / scale.toDouble).isNull,
           lit(null).cast("double"))

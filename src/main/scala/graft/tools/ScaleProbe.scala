@@ -194,7 +194,7 @@ object ScaleProbe {
     time("robust_zscore") {
       graft.operators.RobustScore.madZScore(
         df.select(col("id"), col("seg"), col("m2")),
-        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"), scale = 10L)
+        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"))
     }
     time("group_correlation") {
       graft.operators.GroupStats.pearson(

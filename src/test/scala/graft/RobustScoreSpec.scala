@@ -11,7 +11,7 @@ class RobustScoreSpec extends SparkSpec {
     // (x2 units) |2x-11| = 9,7,5,3,1,1,3,5,7,1989 -> sorted p50 lerp
     val rows = ((1 to 9).map(i => ("g", i.toLong)) :+ ("g", 1000L))
       .toDF("grp", "u")
-    val out = RobustScore.madZScore(rows, Seq("grp"), col("u"), 1L)
+    val out = RobustScore.madZScore(rows, Seq("grp"), col("u"))
     val med2 = out.select("med2").as[Long].head()
     assert(med2 === 11L) // 2 * 5.5
     val mad4 = out.select("mad4").as[Long].head()
@@ -29,17 +29,17 @@ class RobustScoreSpec extends SparkSpec {
   test("zero MAD (constant majority) yields NULL, not infinity") {
     val rows = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 9L))
       .toDF("grp", "u")
-    val out = RobustScore.madZScore(rows, Seq("grp"), col("u"), 1L)
+    val out = RobustScore.madZScore(rows, Seq("grp"), col("u"))
     assert(out.select("robust_z").collect().forall(_.isNullAt(0)))
   }
 
   test("partition-invariant (exact integer intermediates)") {
     val rows = (1 to 500).map(i => ("g", (i * 37 % 211).toLong))
       .toDF("grp", "u")
-    val a = RobustScore.madZScore(rows, Seq("grp"), col("u"), 1L)
+    val a = RobustScore.madZScore(rows, Seq("grp"), col("u"))
       .select("u", "robust_z").as[(Long, Double)].collect().toSet
     val b = RobustScore.madZScore(rows.repartition(13), Seq("grp"),
-        col("u"), 1L)
+        col("u"))
       .select("u", "robust_z").as[(Long, Double)].collect().toSet
     assert(a === b)
   }

@@ -87,10 +87,42 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .select($"doc_id", $"txt".cast("binary").as("payload"))
       .union(Seq((3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload"))
     val out = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .select("doc_id", "byte_len", "first_byte", "last_byte", "format",
+        "fake_width", "fake_height")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getInt(4), r.getInt(5))).toMap
-    assert(out(1L) == ((3L, Some(97), Some(99), 4, 4))) // 'a'=97, 'c'=99
-    assert(out(2L) == ((0L, None, None, 1, 1)))
-    assert(out(3L) == ((0L, None, None, 1, 1)))
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4),
+          r.getInt(5), r.getInt(6))).toMap
+    assert(out(1L) == ((3L, Some(97), Some(99), "unknown", 4, 4))) // 'a'=97, 'c'=99
+    assert(out(2L) == ((0L, None, None, "unknown", 1, 1)))
+    assert(out(3L) == ((0L, None, None, "unknown", 1, 1)))
+  }
+
+  test("parseImageHeader reads real PNG/JPEG/GIF container headers") {
+    // PNG: signature + IHDR length + "IHDR" + 640x480 big-endian
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseImageHeader(png) == (("png", Some(640), Some(480))))
+
+    // JPEG: SOI, APP0 segment (skipped), SOF0 with height 480 width 640
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0, 4, 0x4a, 0x46, // APP0 len=4 (2 payload bytes)
+      0xff, 0xc0, 0, 11, 8, 0x01, 0xe0, 0x02, 0x80, 3, 0, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpeg) == (("jpeg", Some(640), Some(480))))
+
+    // JPEG with no SOF before SOS: format detected, dims unknown
+    val jpegNoSof = Array[Int](0xff, 0xd8, 0xff, 0xda, 0, 2).map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpegNoSof) == (("jpeg", None, None)))
+
+    // GIF89a: 320x200 little-endian logical screen descriptor
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xc8, 0x00, 0, 0, 0).map(_.toByte))
+    assert(Multimodal.parseImageHeader(gif) == (("gif", Some(320), Some(200))))
+
+    assert(Multimodal.parseImageHeader("just text".getBytes) ==
+      (("unknown", None, None)))
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]) ==
+      (("unknown", None, None)))
   }
 }

@@ -20,6 +20,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main(sf_dir, out_dir):
+    # Gate-environment stamp (r7 q71/q72 were DuckDB-version divergence;
+    # record what compared so "passes locally, fails on driver" is
+    # diagnosable). Merges the engine-side stamp Verify wrote, if any.
+    env = {"duckdb_version": duckdb.__version__,
+           "pandas_version": pd.__version__}
+    try:
+        env.update(json.load(open(f"{out_dir}/gateenv.json")))
+    except Exception:
+        pass
+    print("gate env: " + ", ".join(f"{k}={v}" for k, v in sorted(env.items())))
+    try:
+        with open("GATEENV.json", "w") as f:
+            json.dump(env, f, indent=1, sort_keys=True)
+    except Exception:
+        pass
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
