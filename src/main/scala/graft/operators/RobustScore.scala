@@ -42,24 +42,38 @@ object RobustScore {
     * metric expression (units per 1.0 cancel algebraically in z, so no
     * scale parameter). Groups whose metric is entirely NULL pass
     * through with NULL med2/mad4/robust_z — the left joins below keep
-    * every input row. */
+    * every input row.
+    *
+    * `scalable = true` replaces both per-group window sorts (one task
+    * per group) with [[ScalableRank.groupRowNumber]] range-partitioned
+    * sorts — identical (rn, n)/(drn) semantics, value-equal output
+    * (RobustScoreSpec asserts it); default stays the window form. */
   def madZScore(df: DataFrame, groupCols: Seq[String], valueUnits: Column,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, scalable: Boolean = false): DataFrame = {
     val gcols = groupCols.map(col)
     val wSort = Window.partitionBy(gcols: _*).orderBy(col("u__"))
     val wAll = Window.partitionBy(gcols: _*)
-    val ranked = df
+    val units = df
       .select(gcols :+ valueUnits.cast("long").as("u__"): _*)
       .filter(col("u__").isNotNull)
-      .withColumn("rn", row_number().over(wSort).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val ranked =
+      if (scalable) ScalableRank.groupRowNumber(units, groupCols,
+        Seq(col("u__").asc), rnCol = "rn", nCol = "n")
+      else units
+        .withColumn("rn", row_number().over(wSort).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
     val med = ranked.groupBy(gcols: _*)
       .agg(pickP50(col("u__"), col("rn"), col("n")).as("med2"))
     val wDev = Window.partitionBy(gcols: _*).orderBy(col("dev2__"))
-    val devRanked = ranked
+    val deviations = ranked
       .join(broadcast(med), groupCols)
       .withColumn("dev2__", abs(col("u__") * 2 - col("med2")))
-      .withColumn("drn", row_number().over(wDev).cast("long"))
+    val devRanked =
+      if (scalable) ScalableRank.groupRowNumber(deviations, groupCols,
+        Seq(col("dev2__").asc), rnCol = "drn", nCol = "graft_n2__")
+        .drop("graft_n2__")
+      else deviations
+        .withColumn("drn", row_number().over(wDev).cast("long"))
     val mad = devRanked.groupBy(gcols: _*)
       .agg(pickP50(col("dev2__"), col("drn"), col("n")).as("mad4"))
     df.join(broadcast(med), groupCols, "left")

@@ -91,6 +91,43 @@ object ScalableRank {
       cols.foldLeft(df)((d, c) => d.drop(c))
   }
 
+  /** Skew-proof `row_number().over(partitionBy(groups).orderBy(sortCols))`
+    * plus the group size — the building block the exact-quantile
+    * operators (Winsorize, RobustScore, q35-style boundary picks) need:
+    * row number `rnCol` (1-based, ties in distinct positions like the
+    * window form) and group row count `nCol`, with NO per-group
+    * single-task sort. Same machinery as [[groupRank]]: one global
+    * range sort over (groups, sortCols) — a huge group spans many range
+    * partitions — then rn = pos − min(pos per group) + 1 from one
+    * linear aggregate. The group-stats join is null-safe, so NULL
+    * group keys keep their rows (window parity). Tie order within
+    * equal sort keys is arbitrary, exactly as an untiebroken window
+    * row_number — callers picking values AT a row number must pick the
+    * sort key itself (quantile boundary picks do). */
+  def groupRowNumber(df: DataFrame, groups: Seq[String], sortCols: Seq[Column],
+      rnCol: String = "rn", nCol: String = "n",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val withPos = withGlobalPosition(df, groups.map(col) ++ sortCols,
+      nParts, "graft_pos__")
+    // right-side group columns are renamed before the join so the
+    // null-safe condition is unambiguous (no self-join attribute
+    // aliasing to resolve)
+    val gstats = withPos.groupBy(groups.map(col): _*)
+      .agg(min(col("graft_pos__")).as("graft_gstart__"),
+        count(lit(1)).as(nCol))
+      .select(groups.map(g => col(g).as(s"graft_g_${g}__")) :+
+        col("graft_gstart__") :+ col(nCol): _*)
+    val cond = groups.map(g => col(g) <=> col(s"graft_g_${g}__"))
+      .reduce(_ && _)
+    withPos.join(gstats, cond)
+      .withColumn(rnCol, col("graft_pos__") - col("graft_gstart__") + 1)
+      .drop("graft_pos__" +: "graft_gstart__" +:
+        groups.map(g => s"graft_g_${g}__"): _*)
+  }
+
   /** Skew-proof strict-percentile per group: 100 * (#values strictly
     * below) / (#non-null values), <2 valid -> 50, null -> null — the
     * cluster-scale assembly of `PeerPercentile`'s single-level math from

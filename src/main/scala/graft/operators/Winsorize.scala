@@ -29,21 +29,32 @@ object Winsorize {
   /** Returns `df` plus (loCol, hiCol, clippedCol), where the value
     * column is an integer-scaled metric expression (`scale` units per
     * 1.0, e.g. 100 for cents) — integer ranks make the lerp bit-equal
-    * across engines. */
+    * across engines.
+    *
+    * `scalable = true` swaps the per-group window sort (one task per
+    * group — a straggler when a group outgrows one task's memory) for
+    * [[ScalableRank.groupRowNumber]]'s range-partitioned global sort:
+    * identical (rn, n) semantics, so bounds and clips are value-equal
+    * (WinsorizeSpec asserts it); the window form stays the default for
+    * its lower fixed cost at moderate group sizes. */
   def clipToQuantiles(df: DataFrame, groupCols: Seq[String],
       valueUnits: org.apache.spark.sql.Column, scale: Long,
       pLow: Double, pHigh: Double,
-      outPrefix: String = "wins"): DataFrame = {
+      outPrefix: String = "wins", scalable: Boolean = false): DataFrame = {
     require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
       "need 0 <= pLow < pHigh <= 1")
     val gcols = groupCols.map(col)
     val wSort = Window.partitionBy(gcols: _*).orderBy(col("units__"))
     val wAll = Window.partitionBy(gcols: _*)
-    val ranked = df
+    val units = df
       .select(gcols :+ valueUnits.as("units__"): _*)
       .filter(col("units__").isNotNull)
-      .withColumn("rn", row_number().over(wSort).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val ranked =
+      if (scalable) ScalableRank.groupRowNumber(units, groupCols,
+        Seq(col("units__").asc), rnCol = "rn", nCol = "n")
+      else units
+        .withColumn("rn", row_number().over(wSort).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
     val qs = Seq("lo" -> pLow, "hi" -> pHigh)
     val aggs = qs.flatMap { case (nm, q) =>
       val pos = lit(q) * (col("n") - 1).cast("double")

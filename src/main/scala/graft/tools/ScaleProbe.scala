@@ -191,10 +191,24 @@ object ScaleProbe {
         Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"),
         scale = 10L, pLow = 0.05, pHigh = 0.95)
     }
+    time("winsorize_scalable") {
+      // range-partitioned rank path: the group sort spans many tasks
+      // instead of one task per group (3 segs at n rows each here)
+      graft.operators.Winsorize.clipToQuantiles(
+        df.select(col("id"), col("seg"), col("m2")),
+        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"),
+        scale = 10L, pLow = 0.05, pHigh = 0.95, scalable = true)
+    }
     time("robust_zscore") {
       graft.operators.RobustScore.madZScore(
         df.select(col("id"), col("seg"), col("m2")),
         Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"))
+    }
+    time("robust_zscore_scalable") {
+      graft.operators.RobustScore.madZScore(
+        df.select(col("id"), col("seg"), col("m2")),
+        Seq("seg"), expr("cast(round(m2 * 10, 0) as bigint)"),
+        scalable = true)
     }
     time("group_correlation") {
       graft.operators.GroupStats.pearson(

@@ -44,4 +44,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(out).contains("BroadcastHashJoin"),
       "bounds should join back broadcast")
   }
+
+  test("scalable winsorize ranks via range partitioning with NO window operator") {
+    val rows = (1 to 300).map(i => ("g", i.toLong)).toDF("grp", "units")
+    val out = Winsorize.clipToQuantiles(rows, Seq("grp"), col("units"),
+      1L, 0.05, 0.95, scalable = true)
+    val p = plan(out)
+    assert(!p.contains("Window"),
+      s"scalable path must not sort groups in a window task:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
 }

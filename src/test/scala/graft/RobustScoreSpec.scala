@@ -43,4 +43,16 @@ class RobustScoreSpec extends SparkSpec {
       .select("u", "robust_z").as[(Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("scalable path (range-partitioned rank) is value-equal to the window path") {
+    val rows = ((1 to 1500).map(i => ("big", (i * 53 % 211).toLong)) ++
+      (1 to 9).map(i => ("small", i.toLong))).toDF("grp", "u")
+      .repartition(11)
+    def run(scalable: Boolean) = RobustScore.madZScore(
+      rows, Seq("grp"), col("u"), scalable = scalable)
+      .select("grp", "u", "med2", "mad4", "robust_z")
+      .collect().map(_.toSeq).toSet
+    assert(run(scalable = false) === run(scalable = true))
+    Caches.unpersistAll(blocking = true)
+  }
 }

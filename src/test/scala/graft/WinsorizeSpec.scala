@@ -50,4 +50,21 @@ class WinsorizeSpec extends SparkSpec {
     assert(out.filter(col("units").isNull)
       .select("wins_value").collect()(0).isNullAt(0))
   }
+
+  test("scalable path (range-partitioned rank) is value-equal to the window path") {
+    // skewed: one big group with heavy ties + two small groups + nulls
+    val data = ((1 to 2000).map(i => ("big", (i * 37 % 97).toLong)) ++
+      (1 to 7).map(i => ("s1", i.toLong)) ++
+      Seq(("s2", 42L))).toDF("grp", "units")
+      .union(Seq(("s2", null.asInstanceOf[java.lang.Long]))
+        .toDF("grp", "units"))
+      .repartition(13)
+    def run(scalable: Boolean) = Winsorize.clipToQuantiles(
+      data, Seq("grp"), col("units"), scale = 1L,
+      pLow = 0.05, pHigh = 0.95, scalable = scalable)
+      .select("grp", "units", "wins_lo", "wins_hi", "wins_value")
+      .collect().map(_.toSeq).toSet
+    assert(run(scalable = false) === run(scalable = true))
+    Caches.unpersistAll(blocking = true)
+  }
 }
