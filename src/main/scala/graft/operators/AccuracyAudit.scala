@@ -47,6 +47,18 @@ object AccuracyAudit {
       s
     }
 
+  /** Stderr stopwatch per check — the audit is a dozen collecting
+    * actions; when its wall time moves, this shows which twin moved
+    * (the q33/q06 lesson: never diagnose a regression without a
+    * per-piece measurement). */
+  private def timed[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[audit] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    r
+  }
+
   def apply(s: SparkSession, dir: String,
       maxAuditRows: Int = 1000000): DataFrame = {
     import s.implicits._
@@ -57,31 +69,38 @@ object AccuracyAudit {
 
     // --- SimHash banding is pigeonhole-exact: hamming <= 3 over 4 bands
     // of 16 bits MUST collide in >= 1 band, so recall is exactly 1.0.
-    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
-      .persist()
-    val exactSim = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
-      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .as[(Long, Long)].collect().toSet
-    val lshSim = Dedup.simhash(docs, "doc_id", "text", bands = 4, maxHamming = 3)
-      .select(col("doc_a"), col("doc_b"))
-      .as[(Long, Long)].collect().toSet
-    fps.unpersist(blocking = false)
+    val (exactSim, lshSim) = timed("simhash_pigeonhole") {
+      // ONE fingerprint pass feeds both the exact all-pairs check and
+      // the banded operator (simhashFromFingerprints) — the comparison
+      // is over identical fps by construction, and the corpus is not
+      // re-tokenized twice
+      val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+        .persist()
+      val ex = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
+        .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      val ls = Dedup.simhashFromFingerprints(fps, bands = 4, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      fps.unpersist(blocking = false)
+      (ex, ls)
+    }
     val simhashOk = exactSim == lshSim // banding may neither miss nor invent
 
     // --- ANN: exact top-10 once, both approximate variants against it.
     def ids(df: DataFrame): Set[Long] = df.select(col("vec_id"))
       .as[Long].collect().toSet
-    val exactTop = ids(SimilaritySearch.bruteForceTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    val exactTop = timed("ann_exact_top10")(ids(SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10)))
     // measured 9/10 at sf0.01 and sf0.1 (true neighbors at cos 0.28-0.41,
     // the random-noise tail); threshold half that
-    val lshTop = ids(SimilaritySearch.lshTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192))
+    val lshTop = timed("ann_lsh_top10")(ids(SimilaritySearch.lshTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192)))
     val annLshOk = (exactTop & lshTop).size >= 5
     // IVF probes 2 of 8 cells: geometric recall, measured per TESTDATA
-    val ivfTop = ids(SimilaritySearch.ivfTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    val ivfTop = timed("ann_ivf_top10")(ids(SimilaritySearch.ivfTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10)))
     val ivfOk = (exactTop & ivfTop).size >= 4
 
     // --- embedding near-dup LSH recall vs the exact O(n²) kernel
@@ -89,10 +108,12 @@ object AccuracyAudit {
     // corpus has no true pairs)
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
-    val exactPairs = pairs(SimilaritySearch.embeddingNearDupExact(
-      emb, "vec_id", "embedding", threshold = 0.45))
-    val lshPairs = pairs(SimilaritySearch.embeddingNearDup(
-      emb, "vec_id", "embedding", threshold = 0.45))
+    val exactPairs = timed("embedding_exact_pairs")(
+      pairs(SimilaritySearch.embeddingNearDupExact(
+        emb, "vec_id", "embedding", threshold = 0.45)))
+    val lshPairs = timed("embedding_lsh_pairs")(
+      pairs(SimilaritySearch.embeddingNearDup(
+        emb, "vec_id", "embedding", threshold = 0.45)))
     val neardupOk = exactPairs.isEmpty ||
       (exactPairs & lshPairs).size.toDouble / exactPairs.size >= 0.8
 
@@ -102,8 +123,9 @@ object AccuracyAudit {
     // gate at 0.6, where a broken assignment or collapsed clustering
     // lands near 1/nClusters. Precision is exact by construction
     // (cosine-verified), so invented pairs also fail.
-    val semPairs = pairs(SimilaritySearch.semanticNearDup(
-      emb, "vec_id", "embedding", threshold = 0.45))
+    val semPairs = timed("semantic_dedup_pairs")(
+      pairs(SimilaritySearch.semanticNearDup(
+        emb, "vec_id", "embedding", threshold = 0.45)))
     val semOk = (semPairs -- exactPairs).isEmpty &&
       (exactPairs.isEmpty ||
         (exactPairs & semPairs).size.toDouble / exactPairs.size >= 0.6)
@@ -118,25 +140,29 @@ object AccuracyAudit {
     val corpusB = docs.join(benchB.select(col("doc_id")), Seq("doc_id"), "left_anti")
     def flagged(df: DataFrame): Set[Long] = df.filter(col("contaminated"))
       .select(col("doc_id")).as[Long].collect().toSet
-    val exactFlag = flagged(Decontaminate.overlapReport(
-      corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3))
-    val bloomFlag = flagged(Decontaminate.bloomOverlapReport(
-      corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3, fpp = 0.01))
+    val exactFlag = timed("decontaminate_exact")(
+      flagged(Decontaminate.overlapReport(
+        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3)))
+    val bloomFlag = timed("decontaminate_bloom")(
+      flagged(Decontaminate.bloomOverlapReport(
+        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3, fpp = 0.01)))
     val nCorpus = corpusB.count()
     val bloomOk = exactFlag.subsetOf(bloomFlag) &&
       (bloomFlag -- exactFlag).size <= math.max(2L, nCorpus / 50).toInt
 
     // --- KMV distinct sketch vs exact count-distinct: k=256 keeps the
     // relative error ~1/sqrt(k-2) ≈ 6.3% (1σ); gate at 4σ
-    val exactD = events.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_d"))
-    val kmvD = events.groupBy(col("event_type"))
-      .agg(graft.expressions.KMVSketch
-        .approx_distinct_kmv(col("user_id"), k = 256).as("kmv_d"))
-    val worstErr = exactD.join(kmvD, "event_type")
-      .select(max(abs(col("kmv_d") - col("exact_d")) /
-        col("exact_d").cast("double")))
-      .as[Double].collect().head
+    val worstErr = timed("kmv_vs_exact_distinct") {
+      val exactD = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      val kmvD = events.groupBy(col("event_type"))
+        .agg(graft.expressions.KMVSketch
+          .approx_distinct_kmv(col("user_id"), k = 256).as("kmv_d"))
+      exactD.join(kmvD, "event_type")
+        .select(max(abs(col("kmv_d") - col("exact_d")) /
+          col("exact_d").cast("double")))
+        .as[Double].collect().head
+    }
     val kmvOk = worstErr <= 0.25
 
     // --- Misra–Gries frequent-items sketch vs exact counts, over word
@@ -148,8 +174,8 @@ object AccuracyAudit {
     val bigrams = docs.select(
       explode(graft.expressions.WordNGrams.allGrams(
         graft.functions.TextFns.words(col("text")), 2)).as("g"))
-    val (mgBoundsOk, mgNoMiss) =
-      FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64)
+    val (mgBoundsOk, mgNoMiss) = timed("mg_guarantee")(
+      FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64))
 
     // every check above has collected its booleans — the slices are done
     cached.foreach(_.unpersist(blocking = false))

@@ -237,11 +237,19 @@ object Dedup {
 
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    // one row + one long per doc: cheap to cache, expensive to recompute
+    simhashFromFingerprints(graft.Caches.register(
+      simhashFingerprints(df, idCol, textCol).persist()), bands, maxHamming)
+  }
+
+  /** Banding + verify over PRECOMPUTED (doc, fp) fingerprints — lets a
+    * caller that already has the fingerprint pass (the q40 audit runs
+    * the exact all-pairs check on the same fps) reuse it instead of
+    * re-tokenizing the corpus. */
+  def simhashFromFingerprints(withFp: DataFrame,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val chunk = 64 / bands
-    // one row + one long per doc: cheap to cache, expensive to recompute
-    val withFp = graft.Caches.register(
-      simhashFingerprints(df, idCol, textCol).persist())
     val mask = (1L << chunk) - 1
     val buckets = withFp.select(col("doc"), col("fp"),
       posexplode(array((0 until bands).map(c =>
