@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.expressions.{CharGramHashes, CosineSimilarity, CountMinEstimate,
-  CountMinSketchAgg, HyperplaneSignature, KMVSketch, MisraGries,
+  CountMinSketchAgg, HyperplaneSignature, KMVSketch, Md5Prefix64, MisraGries,
   SquaredDistance, WinnowFingerprints, WordNGrams}
 
 /** SparkSessionExtensions entry point: makes the library's custom
@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_gram_hashes(text, k) - md5-prefix of every k-char gram"),
       (exprs: Seq[Expression]) => CharGramHashes(exprs(0),
         intArg(exprs(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("md5_prefix64"),
+      info("md5_prefix64",
+        "md5_prefix64(s) - first 64 bits of md5(s) as a signed long"),
+      (exprs: Seq[Expression]) => Md5Prefix64(exprs(0))))
     // NOTE: a Misra–Gries summary's tracked-item SET and weights depend
     // on partial-aggregate merge order — the guarantees (any item with
     // count > N/(k+1) is tracked; weights undercount by ≤ N/(k+1)) are

@@ -484,7 +484,11 @@ object SparkEntry {
       Dedup.minhashLSH(T(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
 
-    // ---- dedup: SimHash banded near-dup (no SQL oracle: rows-only)
+    // ---- dedup: SimHash banded near-dup. Banding over 4×16-bit bands
+    // is pigeonhole-exact at hamming <= 3, and the token hash is an
+    // md5 prefix — so the output is deterministic SQL and the oracle
+    // computes the same fingerprints + exact all-pairs hamming filter
+    // (hash-gated since round 8; previously rows-only).
     "q24_simhash_pairs" -> ((s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "doc_id", "text",
         bands = 4, maxHamming = 3)),
@@ -1663,6 +1667,33 @@ object SparkEntry {
 
     "q22_jaccard_pairs" -> jaccardSql,
     "q23_minhash_pairs" -> jaccardSql,
+
+    // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
+    // per-bit majority votes, exact all-pairs hamming filter (banding
+    // is pigeonhole-exact at hamming <= 3 over 4 bands, so the banded
+    // engine output equals this all-pairs set). Bit b (LSB-first) of
+    // the 64-bit value is nibble bit b%4 of hex char 16 - b/4.
+    "q24_simhash_pairs" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h16, $i, 1)) - 1)"
+      val votes = (0 until 64).map { b =>
+        s"sum(CASE WHEN ((${nib(16 - b / 4)} >> ${b % 4}) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n  ")
+      val fp = (0 until 64).map(b =>
+        s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS HUGEINT) " +
+          "ELSE CAST(0 AS HUGEINT) END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |h AS (SELECT doc_id, substring(md5(w), 1, 16) AS h16 FROM t),
+         |v AS (SELECT doc_id,
+         |  $votes
+         |  FROM h GROUP BY doc_id),
+         |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+    },
 
     "q25_ann_bruteforce" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -221,14 +221,31 @@ object Dedup {
     * band keys are shift+mask chunks; hamming = bit_count(a XOR b). No
     * arrays, no interpreted lambdas anywhere in the hot path. */
   /** 64-bit SimHash fingerprint per doc as (doc, fp) — the shared kernel
-    * of `simhash` and of exact hamming-distance audits. */
+    * of `simhash` and of exact hamming-distance audits.
+    *
+    * The token hash is the first 16 hex chars of md5 (the library's
+    * engine-agnostic 64-bit identity, same as CharGramHashes /
+    * winnowing) rather than xxhash64: banding over these fingerprints
+    * is pigeonhole-EXACT, so with a reproducible token hash the whole
+    * operator output is deterministic SQL any engine can mirror — q24
+    * is hash-gated against a DuckDB oracle, not rows-only. The md5 is
+    * computed ONCE per token ([[graft.expressions.Md5Prefix64]], one
+    * long); all 64 vote aggregates are codegen'd shifts over it. */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(TextFns.words(col(textCol))).as("t"))
-    val h = xxhash64(col("t"))
-    val voteAggs = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val votes = tok.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
+    // Md5Prefix64 = the 16-hex md5 prefix as ONE long (codegen'd,
+    // thread-local digest, no hex string / conv round-trip); all 64
+    // bit tests are shifts over it. The oracle derives the same bits
+    // nibble-wise from substring(md5(w), 1, 16); integer bit
+    // extraction is derivation-independent, so the values match.
+    val staged = tok
+      .withColumn("h64__", graft.expressions.Md5Prefix64(col("t")))
+    val voteAggs = (0 until 64).map { b =>
+      val bit = shiftright(col("h64__"), b).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = staged.groupBy(col("doc")).agg(voteAggs.head, voteAggs.tail: _*)
     val fpExpr = (0 until 64).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
@@ -262,7 +279,8 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

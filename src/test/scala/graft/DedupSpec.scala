@@ -63,7 +63,7 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical docs collide at hamming 0; distinct text does not match") {
     val out = Dedup.simhash(docs, "doc_id", "text", bands = 4, maxHamming = 3)
       .select($"doc_a", $"doc_b", $"hamming").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val zero = out.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
     assert(zero.contains((1L, 2L)) && zero.contains((1L, 3L)) && zero.contains((2L, 3L)))
     assert(!out.exists(t => t._1 == 5L || t._2 == 5L))
