@@ -107,6 +107,64 @@ object CharGramHashes {
       GraftSqlBridge.expression(normText), k))
 }
 
+/** [[CharGramHashes]]'s long-valued sibling: the SAME md5 identity
+  * (first 64 digest bits) of every k-char gram, but as `array<long>`
+  * instead of 16-hex strings — half the bytes per gram on the wire and
+  * no hex encode, for consumers that only COUNT and JOIN on the hash
+  * and never emit it (substring dedup). The hex↔long mapping is a
+  * bijection of the same 64 bits, so duplicate structure (and thus any
+  * downstream result) is identical to the string form an oracle
+  * reconstructs with `substring(md5(...), 1, 16)`. */
+case class CharGramHashes64(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes64 expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashes64.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.CharGramHashes64.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashes64 {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val m = text.numChars() - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      out(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(normText: Column, k: Int): Column =
+    GraftSqlBridge.column(new CharGramHashes64(
+      GraftSqlBridge.expression(normText), k))
+}
+
 object WinnowFingerprints {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * The suffix-array construction of the paper is replaced by the
   * shuffle-parallel equivalent on fixed-length windows:
-  *   1. every position's `minLen`-char gram, keyed by a 16-hex md5
-  *      prefix (engine-agnostic identity, 16 bytes on the wire
-  *      regardless of `minLen`);
+  *   1. every position's `minLen`-char gram, keyed by the first 64
+  *      md5 bits as ONE LONG (engine-agnostic identity, 8 bytes on
+  *      the wire regardless of `minLen`);
   *   2. grams occurring ≥ 2 times in the corpus — ONE count aggregate
   *      (map-side combinable);
   *   3. positions whose gram repeats, joined back on the hash;
@@ -40,17 +40,22 @@ object SubstringDedup {
       minLen: Int = 20): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    // one CharGramHashes kernel call per doc (reused digest, tight
+    // one CharGramHashes64 kernel call per doc (reused digest, tight
     // loop), posexploded to 1-based positions; referenced twice
     // (dup-count aggregate + position join-back) — persist or the
     // explode + hashing subtree runs twice. Registered with
     // [[graft.Caches]]: callers release via Caches.unpersistAll()
-    // after materializing the result.
+    // after materializing the result. Hashes travel as LONGS (first 64
+    // md5 bits): the hash is only counted and joined on, never
+    // emitted, and the hex↔long bijection preserves the duplicate
+    // structure the oracle reconstructs from substring(md5(...), 1, 16)
+    // — so the output is unchanged while the persisted/shuffled gram
+    // stream halves (the stated cost center of this operator).
     val grams = graft.Caches.register(df
       .select(col(idCol).as("doc"), norm.as("t__"))
       .filter(length(col("t__")) >= minLen)
       .select(col("doc"),
-        posexplode(graft.expressions.CharGramHashes(col("t__"), minLen))
+        posexplode(graft.expressions.CharGramHashes64(col("t__"), minLen))
           .as(Seq("pos0", "h")))
       .select(col("doc"), (col("pos0") + 1).as("pos"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
