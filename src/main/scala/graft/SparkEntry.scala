@@ -872,6 +872,48 @@ object SparkEntry {
       out.toDF("event_type", "n", "no_missed_heavy", "bounds_ok")
     }),
 
+    // ---- streaming: stateful gap sessionization (flatMapGroupsWithState,
+    // §2.9) gated against the BATCH sessionization oracle — the q15
+    // lag/cumsum CTE grouped to sessions. The events table feeds a real
+    // MemoryStream in deterministic micro-batches (gate harness, as
+    // q77); a per-user flush sentinel 1801 s after the global max ts
+    // closes every real session so Append-mode emission is complete,
+    // and sentinel-only sessions are filtered by their start time.
+    // Gated columns are the order-independent session identity
+    // (user, start, end, n_events) — float sums accumulate in a
+    // different order on the stream path and stay out of the gate.
+    "q78_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long"), tsSec.cast("long"))
+        .as[(Long, Long)].collect()
+        .sortBy { case (u, t) => (t, u) }
+        .map { case (u, t) => graft.streaming.Streams.SessionEvent(u, t, 0.0) }
+      val sentinelTs = ev.map(_.tsSec).max + 1801L
+      val flush = ev.map(_.userId).distinct.sorted
+        .map(u => graft.streaming.Streams.SessionEvent(u, sentinelTs, 0.0))
+      val input = MemoryStream[graft.streaming.Streams.SessionEvent]
+      val sessions = graft.streaming.Streams.statefulSessions(
+        input.toDS(), gapSec = 1800L)
+      val q = sessions.writeStream.format("memory")
+        .queryName("graft_gate_stream_sessions").outputMode("append").start()
+      try {
+        (ev.grouped(math.max(1, (ev.length + 3) / 4)).map(_.toSeq).toSeq :+
+          flush.toSeq).foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      s.table("graft_gate_stream_sessions")
+        .filter(col("start") < sentinelTs)
+        .select(col("userId").as("user_id"),
+          col("start").as("session_start"),
+          col("end").as("session_end"),
+          col("n").as("n_events"))
+    }),
+
     // ---- interval join: attribute purchase events to the click-session
     // window containing them (same user; day-gap sessions so windows
     // genuinely span time) — the range predicate becomes an equi-join
@@ -1991,6 +2033,22 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  true AS no_missed_heavy, true AS bounds_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q78: the stateful streaming sessionizer must reproduce the batch
+    // session structure exactly — q15's lag/cumsum CTE grouped to
+    // (user, start, end, count). Session identity is integer-only, so
+    // the compare is exact.
+    "q78_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |        OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s2 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, min(ts_s) AS session_start,
+        |  max(ts_s) AS session_end, count(*) AS n_events
+        |FROM s2 GROUP BY user_id, session_seq""".stripMargin,
 
     // q69: the oracle is the plain range join DuckDB can afford at gate
     // scale; sessionization mirrors q15's lag + cumulative-sum CTE
