@@ -28,8 +28,17 @@ import org.apache.spark.sql.Dataset
 object Caches {
   private val frames = scala.collection.mutable.Buffer.empty[Dataset[_]]
 
-  /** Register an operator-persisted frame; returns it unchanged. */
+  /** Register an operator-persisted frame; returns it unchanged.
+    * Entries whose cache was already dropped externally (e.g.
+    * `spark.catalog.clearCache()` between Verify/Bench queries) are
+    * pruned on every registration, so the registry tracks only LIVE
+    * caches instead of growing by one plan reference per operator
+    * call for the JVM lifetime. */
   def register[T <: Dataset[_]](df: T): T = synchronized {
+    val live = frames.filter(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    frames.clear()
+    frames ++= live
     frames += df
     df
   }

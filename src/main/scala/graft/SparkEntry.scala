@@ -891,6 +891,12 @@ object SparkEntry {
         .as[(Long, Long)].collect()
         .sortBy { case (u, t) => (t, u) }
         .map { case (u, t) => graft.streaming.Streams.SessionEvent(u, t, 0.0) }
+      // empty events → empty session table (the oracle's GROUP BY over
+      // zero rows), not an empty.max crash
+      if (ev.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "session_start", "session_end", "n_events")
+      } else {
       val sentinelTs = ev.map(_.tsSec).max + 1801L
       val flush = ev.map(_.userId).distinct.sorted
         .map(u => graft.streaming.Streams.SessionEvent(u, sentinelTs, 0.0))
@@ -912,6 +918,7 @@ object SparkEntry {
           col("start").as("session_start"),
           col("end").as("session_end"),
           col("n").as("n_events"))
+      }
     }),
 
     // ---- interval join: attribute purchase events to the click-session

@@ -46,14 +46,19 @@ object Md5Prefix64 {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  def hash(s: UTF8String): Long = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
+  /** Big-endian fold of digest bytes 0..7 — THE 64-bit identity every
+    * md5-prefix consumer shares (CharGramHashes64 included); change it
+    * in one place or gram and token hashes silently diverge. */
+  private[expressions] def prefix64(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+
+  def hash(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    prefix64(md.digest(s.getBytes))
   }
 
   def apply(c: Column): Column =

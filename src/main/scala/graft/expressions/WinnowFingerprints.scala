@@ -150,11 +150,9 @@ object CharGramHashes64 {
     var i = 0
     while (i < m) {
       md.reset()
-      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
-      out(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      // Md5Prefix64.prefix64: the one shared 64-bit md5 identity
+      out(i) = Md5Prefix64.prefix64(
+        md.digest(text.substringSQL(i + 1, k).getBytes))
       i += 1
     }
     new GenericArrayData(out)

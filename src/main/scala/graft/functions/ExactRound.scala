@@ -31,23 +31,31 @@ import org.apache.spark.sql.functions._
 object ExactRound {
 
   /** `round(num/den, d)` as an exact integer computation; see object
-    * doc. `num`/`den` must be integral columns (cast yourself if not). */
+    * doc. `num`/`den` must be integral columns (cast yourself if not).
+    *
+    * The scaled dividend runs in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): `num·2·10^d` would overflow a long once num reaches
+    * ~4.6e14, and composite rationals (q18's quality score is a
+    * three-factor product ≈ 200·len·nw) cross that on multi-megabyte
+    * documents — ANSI mode would throw, non-ANSI would silently wrap.
+    * 128-bit headroom (1e38) covers any product of realistic counts;
+    * `div` (IntegralDivide) on decimals still returns an exact long. */
   def ratio(num: Column, den: Column, d: Int = 4): Column = {
     val p = math.pow(10, d).toLong
-    val n = num.cast("long")
-    val q = call_function("div", n * lit(2L * p) + den.cast("long"),
-      den.cast("long") * lit(2L))
+    val n = num.cast("decimal(38,0)")
+    val dn = den.cast("decimal(38,0)")
+    val q = call_function("div", n * lit(2L * p) + dn, dn * lit(2L))
     when(den.cast("long") > 0, q.cast("double") / lit(p.toDouble))
       .otherwise(lit(0.0))
   }
 
   /** The DuckDB mirror of [[ratio]] — interpolate into oracle SQL.
-    * `//` is DuckDB's integer division, so the construction is the
-    * same long arithmetic. */
+    * `//` is DuckDB's integer division; HUGEINT operands give the same
+    * 128-bit headroom as the Spark side's DECIMAL(38,0). */
   def ratioSql(num: String, den: String, d: Int = 4): String = {
     val p = math.pow(10, d).toLong
-    s"(CASE WHEN ($den) > 0 THEN CAST((CAST(($num) AS BIGINT) * ${2 * p} " +
-      s"+ ($den)) // (2 * CAST(($den) AS BIGINT)) AS DOUBLE) / $p.0 " +
+    s"(CASE WHEN ($den) > 0 THEN CAST((CAST(($num) AS HUGEINT) * ${2 * p} " +
+      s"+ ($den)) // (2 * CAST(($den) AS HUGEINT)) AS DOUBLE) / $p.0 " +
       "ELSE 0.0 END)"
   }
 }

@@ -74,8 +74,9 @@ object TextAnalysis {
     // score is itself a rational once the caps move inside:
     //   min(nw/100,1) · (len−punct)/len · (0.5 + 0.5·min(5·stop/nw,1))
     //   = min(nw,100)·(len−punct)·(nw + min(5·stop,nw)) / (200·len·nw)
-    // — numerator ≤ 100·len·2·nw keeps the scaled dividend far inside
-    // the long range for any realistic document.
+    // — the three-factor product can exceed a long on multi-megabyte
+    // documents, which is why ExactRound scales the dividend in
+    // DECIMAL(38,0)/HUGEINT (128-bit headroom).
     val scoreNum = least(col("nw__"), lit(100L)) *
       (col("len__") - col("punct__")) *
       (col("nw__") + least(col("stop__") * 5L, col("nw__")))

@@ -31,6 +31,20 @@ class ExactRoundSpec extends SparkSpec {
     }
   }
 
+  test("128-bit headroom: scaled dividends past Long.MaxValue stay exact") {
+    // num·2·10^4 ≈ 2e19 > Long.Max — the q18 quality score's
+    // three-factor numerator reaches this on multi-megabyte docs
+    val cases = Seq((1000000000000000L, 3000000000000000L),
+      (922337203685477580L, 2767011611056432741L))
+    val expected = cases.map { case (n, d) =>
+      (BigDecimal(n) / BigDecimal(d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = cases.toDF("num", "den")
+      .select(ExactRound.ratio(col("num"), col("den"), 4)).as[Double].collect()
+    assert(got.toSeq == expected)
+  }
+
   test("the r7 q71 tie (102/320 = 0.31875) rounds half-up to 0.3188") {
     val r = Seq((102L, 320L)).toDF("n", "d")
       .select(ExactRound.ratio(col("n"), col("d"), 4)).as[Double].head()
@@ -52,8 +66,10 @@ class ExactRoundSpec extends SparkSpec {
 
   test("ratioSql mirrors ratio through DuckDB-compatible arithmetic (Spark eval)") {
     // evaluate the SQL fragment's arithmetic shape in Spark by textual
-    // substitution of // with div — same integer ops, so equal output
-    val sql = ExactRound.ratioSql("n", "d", 4).replace("//", "div")
+    // substitution of DuckDB-isms (// → div, HUGEINT → DECIMAL(38,0))
+    // — same 128-bit integer ops, so equal output
+    val sql = ExactRound.ratioSql("n", "d", 4)
+      .replace("//", "div").replace("HUGEINT", "DECIMAL(38,0)")
     val cases = Seq((102L, 320L), (7L, 3L), (0L, 5L), (9999L, 10000L))
     val df = cases.toDF("n", "d")
     val a = df.select(ExactRound.ratio(col("n"), col("d"), 4)).as[Double].collect()

@@ -44,6 +44,18 @@ class RobustScoreSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("NULL group key is a real group: med2/mad4/robust_z attach to its rows") {
+    val rows = ((1 to 9).map(i => (null.asInstanceOf[String], i.toLong)) ++
+      Seq(("g", 5L))).toDF("grp", "u")
+    val out = RobustScore.madZScore(rows, Seq("grp"), col("u"))
+    val nullRows = out.filter(col("grp").isNull)
+    assert(nullRows.count() === 9)
+    // median of 1..9 is 5 → med2 = 10; a null-unsafe join would leave
+    // every stat NULL
+    assert(nullRows.select("med2").as[Long].collect().forall(_ == 10L))
+    assert(nullRows.filter(col("robust_z").isNull).count() === 0)
+  }
+
   test("scalable path (range-partitioned rank) is value-equal to the window path") {
     val rows = ((1 to 1500).map(i => ("big", (i * 53 % 211).toLong)) ++
       (1 to 9).map(i => ("small", i.toLong))).toDF("grp", "u")

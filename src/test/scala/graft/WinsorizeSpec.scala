@@ -51,6 +51,24 @@ class WinsorizeSpec extends SparkSpec {
       .select("wins_value").collect()(0).isNullAt(0))
   }
 
+  test("NULL group key is a real group: its rows clip against its own bounds") {
+    val rows = ((1 to 100).map(i => (null.asInstanceOf[String], i.toLong)) ++
+      Seq(("g", 5L), ("g", 6L), ("g", 7L)))
+      .toDF("grp", "units")
+    val out = Winsorize.clipToQuantiles(rows, Seq("grp"), col("units"),
+      scale = 1L, pLow = 0.10, pHigh = 0.90)
+    val nullRows = out.filter(col("grp").isNull)
+    assert(nullRows.count() === 100)
+    // bounds must be the NULL group's own quantiles, and the extreme
+    // values must actually clip (a null-unsafe join would pass them
+    // through unclipped)
+    val clippedLow = nullRows.filter(col("units") === 1L)
+      .select("wins_value").as[Double].head()
+    val lo = nullRows.select("wins_lo").as[Double].head()
+    assert(clippedLow === lo)
+    assert(lo > 1.0)
+  }
+
   test("scalable path (range-partitioned rank) is value-equal to the window path") {
     // skewed: one big group with heavy ties + two small groups + nulls
     val data = ((1 to 2000).map(i => ("big", (i * 37 % 97).toLong)) ++
