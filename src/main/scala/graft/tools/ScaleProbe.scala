@@ -215,6 +215,50 @@ object ScaleProbe {
         df.select(col("seg"), col("m1"), col("m2")), Seq("seg"),
         expr("round(m1 * 100, 0)"), expr("round(m2 * 10, 0)"))
     }
+    // --- streaming state-store throughput: events through a real
+    // MemoryStream in 8 micro-batches, noop sink (no driver
+    // accumulation). Bounded at 2M events — the feed array is
+    // driver-side, which is the harness's cost, not the operator's;
+    // per-user/group state is what's being scaled.
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      import spark.implicits._
+      val m = math.min(n, 2000000L).toInt
+      def streamProbe(name: String)(run: Int => Unit): Unit = {
+        val t0 = System.nanoTime()
+        run(m)
+        println(f"""{"probe":"$name","rows":$m,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      streamProbe("streaming_sessions") { mm =>
+        // 50k concurrent user sessions in the state store
+        val evs = (0 until mm).map { i =>
+          Streams.SessionEvent((i % 50000).toLong,
+            (i / 50000).toLong * 600L + (i % 7) * 17L, 1.0)
+        }
+        val input = MemoryStream[Streams.SessionEvent]
+        val q = Streams.statefulSessions(input.toDS(), gapSec = 1800L)
+          .writeStream.format("noop").outputMode("append").start()
+        try evs.grouped(mm / 8 + 1).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+      streamProbe("streaming_heavy_hitters") { mm =>
+        // 8 groups × k=64 counters of state; 100k distinct items
+        val evs = (0 until mm).map { i =>
+          Streams.ItemEvent(s"g${i % 8}",
+            ((i.toLong * 2654435761L) % 100000L).toString)
+        }
+        val input = MemoryStream[Streams.ItemEvent]
+        val q = Streams.streamingHeavyHitters(input.toDS(), k = 64)
+          .writeStream.format("noop").outputMode("update").start()
+        try evs.grouped(mm / 8 + 1).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        } finally q.stop()
+      }
+    }
+
     time("interval_join") {
       // n points against n/100 intervals over a shared key domain;
       // interval spans average 5 buckets at width 1000
