@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.expressions.{CharGramHashes, CosineSimilarity, CountMinEstimate,
   CountMinSketchAgg, HyperplaneSignature, KMVSketch, Md5Prefix64, MisraGries,
-  SquaredDistance, WinnowFingerprints, WordNGrams}
+  SquaredDistance, UnicodeNormalize, WinnowFingerprints, WordNGrams}
 
 /** SparkSessionExtensions entry point: makes the library's custom
   * Catalyst expressions available to ANY session (SQL included) via
@@ -67,6 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_prefix64",
         "md5_prefix64(s) - first 64 bits of md5(s) as a signed long"),
       (exprs: Seq[Expression]) => Md5Prefix64(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
+        exprs(1) match {
+          case Literal(f, _) if f != null => f.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        })))
     // NOTE: a Misra–Gries summary's tracked-item SET and weights depend
     // on partial-aggregate merge order — the guarantees (any item with
     // count > N/(k+1) is tracked; weights undercount by ≤ N/(k+1)) are

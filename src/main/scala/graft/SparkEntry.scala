@@ -484,6 +484,21 @@ object SparkEntry {
       Dedup.minhashLSH(T(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
 
+    // ---- cleanse: Unicode NFC normalization — the canonicalization
+    // stage multilingual dedup/tokenization needs ("é" composed vs
+    // decomposed is one text, two byte forms). Gated against DuckDB's
+    // own nfc_normalize: Java Normalizer and utf8proc implement the
+    // same Unicode standard, and the already_nfc flag pins that BOTH
+    // agree on normalized-ness per row. The richer NFKC + control/
+    // zero-width cleaning path (TextFns.canonicalizeText) is
+    // spec-tested on real multilingual fixtures.
+    "q79_unicode_normalize" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.UnicodeNormalize(col("text"), "NFC")
+          .as("text_nfc"),
+        (graft.expressions.UnicodeNormalize(col("text"), "NFC") ===
+          col("text")).as("already_nfc"))),
+
     // ---- dedup: SimHash banded near-dup. Banding over 4×16-bit bands
     // is pigeonhole-exact at hamming <= 3, and the token hash is an
     // md5 prefix — so the output is deterministic SQL and the oracle
@@ -1716,6 +1731,14 @@ object SparkEntry {
 
     "q22_jaccard_pairs" -> jaccardSql,
     "q23_minhash_pairs" -> jaccardSql,
+
+    // q79: DuckDB's nfc_normalize (utf8proc) vs the engine's
+    // java.text.Normalizer — both implement Unicode NFC, so outputs
+    // and the per-row already-normalized flag must agree exactly
+    "q79_unicode_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  nfc_normalize(text) = text AS already_nfc
+        |FROM documents""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

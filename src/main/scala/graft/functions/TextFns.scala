@@ -23,4 +23,22 @@ object TextFns {
     * text (SURVEY F8-adjacent; exact-dedup key). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Training-corpus text canonicalization (the C4/Gopher cleaning
+    * family): NFKC-normalize (fold compatibility forms — ﬁ → fi,
+    * fullwidth → ASCII, ² → 2 — and compose combining marks so "é"
+    * has ONE byte form before any hashing/dedup), drop zero-width
+    * characters and BOMs, map remaining control characters (except
+    * tab/newline, which whitespace-collapse absorbs) to spaces,
+    * collapse whitespace, trim. The normalizer is the codegen'd
+    * [[graft.expressions.UnicodeNormalize]] expression; everything
+    * else is built-in regexp_replace. */
+  def canonicalizeText(text: Column): Column = {
+    val nfkc = graft.expressions.UnicodeNormalize(text, "NFKC")
+    val noZeroWidth =
+      regexp_replace(nfkc, "[\\u200B-\\u200D\\uFEFF\\u2060]", "")
+    val noControl =
+      regexp_replace(noZeroWidth, "[\\p{Cntrl}&&[^\\n\\t]]", " ")
+    trim(regexp_replace(noControl, "\\s+", " "))
+  }
 }

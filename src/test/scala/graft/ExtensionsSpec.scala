@@ -56,6 +56,13 @@ class ExtensionsSpec extends SparkSpec {
           " '1', 4, 64) e FROM ext_vecs")
         .collect()(0).getLong(0)
       assert(cms == 1L)
+      // round-8 functions
+      val m64 = ext.sql("SELECT md5_prefix64('abc') h").collect()(0).getLong(0)
+      assert(m64 != 0L)
+      val nfc = ext.sql(
+        "SELECT unicode_normalize(decode(unhex('63616665CC81'), 'utf-8'), 'NFC') n")
+        .collect()(0).getString(0)
+      assert(nfc == "caf\u00e9")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
