@@ -70,12 +70,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization"),
-      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
-        exprs(1) match {
-          case Literal(f, _) if f != null => f.toString
-          case other => throw new IllegalArgumentException(
-            s"unicode_normalize form must be a string literal, got $other")
-        })))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"unicode_normalize takes (string, form), got ${exprs.length} arguments")
+        UnicodeNormalize(exprs(0),
+          exprs(1) match {
+            case Literal(f, _) if f != null => f.toString
+            case other => throw new IllegalArgumentException(
+              s"unicode_normalize form must be a string literal, got $other")
+          })
+      }))
     // NOTE: a Misra–Gries summary's tracked-item SET and weights depend
     // on partial-aggregate merge order — the guarantees (any item with
     // count > N/(k+1) is tracked; weights undercount by ≤ N/(k+1)) are

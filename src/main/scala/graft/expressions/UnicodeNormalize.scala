@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
 
-  UnicodeNormalize.formOf(form) // validate eagerly at plan time
+  // validate at plan time AND canonicalize: eval/codegen pass the
+  // enum NAME so the per-row path is a straight Form.valueOf — no
+  // toUpperCase allocation per row
+  private val canonicalForm = UnicodeNormalize.formOf(form).name()
 
   override def dataType: DataType = StringType
 
@@ -34,11 +37,11 @@ case class UnicodeNormalize(child: Expression, form: String)
   }
 
   override def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], canonicalForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"""${ev.value} = graft.expressions.UnicodeNormalize.normalize($a, "$form");""")
+      s"""${ev.value} = graft.expressions.UnicodeNormalize.normalize($a, "$canonicalForm");""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,6 +60,9 @@ object UnicodeNormalize {
         s"unicode_normalize form must be NFC/NFD/NFKC/NFKD, got $other")
     }
 
+  /** `form` here is the canonical enum NAME (the expression resolves
+    * user input once at plan time) — Form.valueOf is allocation-free
+    * per row. */
   def normalize(s: UTF8String, form: String): UTF8String = {
     // ASCII fast path: ASCII is closed under every normalization form
     val bytes = s.getBytes
@@ -67,8 +73,8 @@ object UnicodeNormalize {
       i += 1
     }
     if (ascii) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s.toString, formOf(form)))
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
   }
 
   def apply(c: Column, form: String): Column =

@@ -37,8 +37,10 @@ object TextFns {
     val nfkc = graft.expressions.UnicodeNormalize(text, "NFKC")
     val noZeroWidth =
       regexp_replace(nfkc, "[\\u200B-\\u200D\\uFEFF\\u2060]", "")
+    // \p{Cc} (Unicode category), NOT POSIX \p{Cntrl}: the latter is
+    // ASCII-only and misses the C1 range (U+0080-U+009F, e.g. NEL)
     val noControl =
-      regexp_replace(noZeroWidth, "[\\p{Cntrl}&&[^\\n\\t]]", " ")
+      regexp_replace(noZeroWidth, "[\\p{Cc}&&[^\\n\\t]]", " ")
     trim(regexp_replace(noControl, "\\s+", " "))
   }
 }

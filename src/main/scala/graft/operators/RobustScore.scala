@@ -62,23 +62,14 @@ object RobustScore {
       else units
         .withColumn("rn", row_number().over(wSort).cast("long"))
         .withColumn("n", count(lit(1)).over(wAll))
-    // NULL-SAFE stats joins throughout: a NULL group KEY is a real
-    // group (window partitionBy treats it as one) whose median a plain
-    // using-join would never match — its rows would lose med2/mad4
-    // despite both being defined.
-    def attach(left: DataFrame, stats: DataFrame, how: String): DataFrame = {
-      val renamed = stats.select(
-        groupCols.map(g => col(g).as(s"graft_s_${g}__")) ++
-          stats.columns.filterNot(groupCols.contains).map(col): _*)
-      val cond = groupCols.map(g => left(g) <=> renamed(s"graft_s_${g}__"))
-        .reduce(_ && _)
-      left.join(broadcast(renamed), cond, how)
-        .drop(groupCols.map(g => s"graft_s_${g}__"): _*)
-    }
+    // NULL-SAFE stats joins throughout (StatsJoin.attach): a NULL group
+    // KEY is a real group (window partitionBy treats it as one) whose
+    // median a plain using-join would never match — its rows would lose
+    // med2/mad4 despite both being defined.
     val med = ranked.groupBy(gcols: _*)
       .agg(pickP50(col("u__"), col("rn"), col("n")).as("med2"))
     val wDev = Window.partitionBy(gcols: _*).orderBy(col("dev2__"))
-    val deviations = attach(ranked, med, "inner")
+    val deviations = StatsJoin.attach(ranked, med, groupCols, "inner")
       .withColumn("dev2__", abs(col("u__") * 2 - col("med2")))
     val devRanked =
       if (scalable) ScalableRank.groupRowNumber(deviations, groupCols,
@@ -88,7 +79,8 @@ object RobustScore {
         .withColumn("drn", row_number().over(wDev).cast("long"))
     val mad = devRanked.groupBy(gcols: _*)
       .agg(pickP50(col("dev2__"), col("drn"), col("n")).as("mad4"))
-    attach(attach(df, med, "left"), mad, "left")
+    StatsJoin.attach(StatsJoin.attach(df, med, groupCols, "left"),
+        mad, groupCols, "left")
       .withColumn("robust_z",
         when(col("mad4") > 0 && valueUnits.isNotNull,
           round((valueUnits.cast("long") * 2 - col("med2")).cast("double")

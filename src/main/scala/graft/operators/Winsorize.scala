@@ -71,19 +71,13 @@ object Winsorize {
     val boundCols = bounds.select(
       gcols :+ lerp("lo").as(s"${outPrefix}_lo") :+
         lerp("hi").as(s"${outPrefix}_hi"): _*)
-    // left join, NULL-SAFE on the group keys: a group whose metric is
-    // entirely NULL has no bounds row but its input rows must survive,
-    // and a NULL group KEY is a real group (window partitionBy treats
-    // it as one) whose bounds a plain using-join would never match —
-    // its rows would pass through silently UNCLIPPED (least/greatest
-    // skip NULL bounds).
-    val renamed = boundCols.select(
-      groupCols.map(g => col(g).as(s"graft_b_${g}__")) :+
-        col(s"${outPrefix}_lo") :+ col(s"${outPrefix}_hi"): _*)
-    val cond = groupCols.map(g => col(g) <=> col(s"graft_b_${g}__"))
-      .reduce(_ && _)
-    df.join(broadcast(renamed), cond, "left")
-      .drop(groupCols.map(g => s"graft_b_${g}__"): _*)
+    // left join, NULL-SAFE on the group keys (StatsJoin.attach): a
+    // group whose metric is entirely NULL has no bounds row but its
+    // input rows must survive, and a NULL group KEY is a real group
+    // (window partitionBy treats it as one) whose bounds a plain
+    // using-join would never match — its rows would pass through
+    // silently UNCLIPPED (least/greatest skip NULL bounds).
+    StatsJoin.attach(df, boundCols, groupCols, "left")
       .withColumn(s"${outPrefix}_value",
         when((valueUnits / scale.toDouble).isNull,
           lit(null).cast("double"))

@@ -47,6 +47,11 @@ class UnicodeNormalizeSpec extends SparkSpec {
     val clean = Seq(dirty).toDF("t")
       .select(TextFns.canonicalizeText(col("t"))).as[String].head()
     assert(clean == "abc d e f")
+    // C1 controls (e.g. NEL U+0085) are Unicode Cc but NOT POSIX
+    // \p{Cntrl} - the class must be \p{Cc} to catch them
+    val c1 = Seq("x\u0085y").toDF("t")
+      .select(TextFns.canonicalizeText(col("t"))).as[String].head()
+    assert(c1 == "x y")
   }
 
   test("invalid form fails at plan construction, not per row") {
