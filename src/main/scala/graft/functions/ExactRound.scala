@@ -49,6 +49,29 @@ object ExactRound {
       .otherwise(lit(0.0))
   }
 
+  /** [[ratio]] WITHOUT the final divide-by-10^d: the rounded ratio as
+    * the scaled LONG `round(num/den · 10^d)` — for gate-hashed columns
+    * where even an exactly-representable double is one more surface a
+    * comparing engine can render differently. The integer quotient
+    * carries identical information (`ratio = ratioScaled / 10^d`
+    * exactly) with zero floating point anywhere in the lineage. */
+  def ratioScaled(num: Column, den: Column, d: Int = 4): Column = {
+    val p = math.pow(10, d).toLong
+    val n = num.cast("decimal(38,0)")
+    val dn = den.cast("decimal(38,0)")
+    val q = call_function("div", n * lit(2L * p) + dn, dn * lit(2L))
+    when(den.cast("long") > 0, q.cast("long")).otherwise(lit(0L))
+  }
+
+  /** The DuckDB mirror of [[ratioScaled]] — interpolate into oracle
+    * SQL. Pure HUGEINT arithmetic, final value cast to BIGINT. */
+  def ratioScaledSql(num: String, den: String, d: Int = 4): String = {
+    val p = math.pow(10, d).toLong
+    s"(CASE WHEN ($den) > 0 THEN CAST((CAST(($num) AS HUGEINT) * ${2 * p} " +
+      s"+ ($den)) // (2 * CAST(($den) AS HUGEINT)) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END)"
+  }
+
   /** The DuckDB mirror of [[ratio]] — interpolate into oracle SQL.
     * `//` is DuckDB's integer division; HUGEINT operands give the same
     * 128-bit headroom as the Spark side's DECIMAL(38,0). */

@@ -107,4 +107,32 @@ object SequencePack {
         array_join(expr("transform(parts__, x -> x.t__)"), sep))
       .drop("parts__")
   }
+
+  /** Pack digests for cross-engine verification: per pack, an
+    * ORDER-INDEPENDENT 64-bit digest of the member set — XOR of each
+    * member's `md5_prefix64(doc_id '@' pack_offset '@' text)` — split
+    * into two 32-bit halves so both engines XOR small non-negative
+    * BIGINTs (no sign or overflow semantics anywhere).
+    *
+    * Rationale: the members + their offsets + the join-back text fully
+    * determine `materialize`'s pack_text (offset order is total), but
+    * hashing an md5 over a multi-KB ORDER-BY concatenation proved
+    * driver-environment-sensitive two rounds running (r7 raw text, r8
+    * md5-of-concat) while every component query (q53 packing, q20 md5)
+    * stayed green. XOR over per-member digests pins the same content
+    * with no ordered aggregation and no large intermediate string. */
+  def packDigests(packs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val joined = packs.join(
+      docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val member = concat_ws("@", col(idCol).cast("string"),
+      col("pack_offset").cast("string"), col(textCol))
+    joined
+      .withColumn("h64__", graft.expressions.Md5Prefix64(member))
+      .groupBy(col("bucket"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill"),
+        expr("bit_xor(shiftrightunsigned(h64__, 32))").as("digest_hi"),
+        expr("bit_xor(h64__ & 4294967295)").as("digest_lo"))
+  }
 }

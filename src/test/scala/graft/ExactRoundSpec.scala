@@ -76,4 +76,26 @@ class ExactRoundSpec extends SparkSpec {
     val b = df.selectExpr(sql).as[Double].collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("ratioScaled is ratio·10^d as an exact LONG (seeded sweep + ties)") {
+    val cases = (1 to 300).map { _ =>
+      val den = 1L + rnd.nextInt(100000)
+      (math.abs(rnd.nextLong()) % (den * 3), den)
+    } ++ Seq((102L, 320L), (5L, 10000L), (0L, 7L), (1L, 1L), (5L, 0L))
+    val expected = cases.map { case (n, d) =>
+      if (d == 0L) 0L
+      else (BigDecimal(n) / BigDecimal(d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(10000)).toLongExact
+    }
+    val got = cases.toDF("num", "den")
+      .select(ExactRound.ratioScaled(col("num"), col("den"), 4))
+      .as[Long].collect()
+    assert(got.toSeq == expected)
+    // and the SQL mirror, through the same textual DuckDB→Spark bridge
+    val sql = ExactRound.ratioScaledSql("num", "den", 4)
+      .replace("//", "div").replace("HUGEINT", "DECIMAL(38,0)")
+    val b = cases.toDF("num", "den").selectExpr(sql).as[Long].collect()
+    assert(b.toSeq == expected)
+  }
 }

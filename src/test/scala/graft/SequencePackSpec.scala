@@ -80,4 +80,31 @@ class SequencePackSpec extends SparkSpec {
       Seq(0L, 0L, 2L, 4L, "aa bb cc dd"),
       Seq(0L, 1L, 1L, 1L, "ee")))
   }
+
+  test("packDigests: XOR member digests are order- and partition-independent" +
+      " and recombine to the expected per-member hashes") {
+    val docs = Seq((0L, "aa bb"), (1L, "cc dd"), (2L, "ee"))
+      .toDF("doc_id", "text")
+    val toks = Seq((0L, 2L), (1L, 2L), (2L, 1L)).toDF("doc_id", "n_tokens")
+    val packs = SequencePack.packGreedy(toks, "doc_id", "n_tokens",
+      capacity = 4L, nBuckets = 1)
+    val out = SequencePack.packDigests(packs, docs, "doc_id", "text")
+    // independent of input partitioning/order (XOR is commutative)
+    val shuffled = SequencePack.packDigests(
+      packs.repartition(7), docs.repartition(5).sort($"text"), "doc_id", "text")
+    assert(out.except(shuffled).isEmpty && shuffled.except(out).isEmpty)
+    // recompute expected digests member-wise on the driver
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    // pack 0: doc 0 at offset 0, doc 1 at offset 2; pack 1: doc 2 at 0
+    val p0 = h64("0@0@aa bb") ^ h64("1@2@cc dd")
+    val p1 = h64("2@0@ee")
+    val got = out.select($"pack_seq", $"digest_hi", $"digest_lo").rowsSet
+    def hi(x: Long) = x >>> 32
+    def lo(x: Long) = x & 0xffffffffL
+    assert(got == Set(Seq(0L, hi(p0), lo(p0)), Seq(1L, hi(p1), lo(p1))))
+  }
 }
