@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Session-scoped registry for DataFrames that operators persist
   * internally (shared explode/shingle subtrees referenced by several
@@ -11,9 +11,9 @@ import org.apache.spark.sql.Dataset
   * outlive the call — which previously left MEMORY_AND_DISK residue
   * for the whole session unless the caller knew to `clearCache()`.
   *
-  * Every operator-internal persist registers here; a long-lived
-  * session reclaims them all with ONE call once results are
-  * materialized:
+  * Every operator-internal persist registers here. A caller that owns
+  * the WHOLE session reclaims everything with one call once results
+  * are materialized:
   *
   * {{{
   *   val report = SubstringDedup.coverageReport(docs, "doc_id", "text")
@@ -21,12 +21,28 @@ import org.apache.spark.sql.Dataset
   *   Caches.unpersistAll()       // then release them
   * }}}
   *
-  * Verify/Bench equivalently call `spark.catalog.clearCache()` per
-  * query; this registry is the surgical alternative that does not
-  * drop caches the USER created.
+  * A caller that does NOT own the session (other operators may hold
+  * still-lazy results whose persists must survive) brackets its own
+  * work with a [[mark]]/[[releaseSince]] scope — only caches
+  * registered inside the bracket are dropped:
+  *
+  * {{{
+  *   val scope = Caches.mark()
+  *   val pairs = Dedup.minhashLSH(docs, "doc_id", "text")
+  *   pairs.count()               // materialize through the caches
+  *   Caches.releaseSince(scope)  // release THIS operator's caches only
+  * }}}
+  *
+  * In a JVM shared by several SparkSessions, [[unpersistAll(session*]]
+  * releases only the caches belonging to one session. Verify/Bench
+  * equivalently call `spark.catalog.clearCache()` per query; this
+  * registry is the surgical alternative that does not drop caches the
+  * USER created.
   */
 object Caches {
-  private val frames = scala.collection.mutable.Buffer.empty[Dataset[_]]
+  private var nextId = 0L
+  private val frames =
+    scala.collection.mutable.Buffer.empty[(Long, Dataset[_])]
 
   /** Register an operator-persisted frame; returns it unchanged.
     * Entries whose cache was already dropped externally (e.g.
@@ -36,23 +52,57 @@ object Caches {
     * call for the JVM lifetime. */
   def register[T <: Dataset[_]](df: T): T = synchronized {
     val live = frames.filter(
-      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      _._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     frames.clear()
     frames ++= live
-    frames += df
+    frames += ((nextId, df))
+    nextId += 1
     df
   }
 
   /** Number of registered (not yet released) frames. */
   def registered: Int = synchronized(frames.size)
 
+  /** A scope token: caches registered from now on belong to the scope
+    * and are released together by [[releaseSince]]. Cheap (a counter
+    * read); nesting works as long as inner scopes release before outer
+    * ones (stack discipline). */
+  def mark(): Long = synchronized(nextId)
+
+  /** Unpersist every frame registered at or after `scope` (a [[mark]]
+    * token); earlier registrations — other operators' still-lazy
+    * results — keep their caches. Returns how many were released. */
+  def releaseSince(scope: Long, blocking: Boolean = false): Int =
+    synchronized {
+      val (mine, keep) = frames.partition(_._1 >= scope)
+      mine.foreach(_._2.unpersist(blocking))
+      frames.clear()
+      frames ++= keep
+      mine.size
+    }
+
   /** Unpersist every registered frame; returns how many were
     * released. Safe against double-release (unpersist is idempotent)
     * and concurrent registration. */
   def unpersistAll(blocking: Boolean = false): Int = synchronized {
     val n = frames.size
-    frames.foreach(_.unpersist(blocking))
+    frames.foreach(_._2.unpersist(blocking))
     frames.clear()
     n
   }
+
+  /** Unpersist only the frames created by `session` — the multi-session
+    * JVM variant: one session's cleanup must not drop the persists
+    * backing another session's still-lazy results. */
+  def unpersistAll(session: SparkSession, blocking: Boolean): Int =
+    synchronized {
+      val (mine, keep) = frames.partition(_._2.sparkSession eq session)
+      mine.foreach(_._2.unpersist(blocking))
+      frames.clear()
+      frames ++= keep
+      mine.size
+    }
+
+  def unpersistAll(session: SparkSession): Int =
+    unpersistAll(session, blocking = false)
 }

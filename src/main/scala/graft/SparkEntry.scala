@@ -1764,7 +1764,14 @@ object SparkEntry {
 
     // q79: DuckDB's nfc_normalize (utf8proc) vs the engine's
     // java.text.Normalizer — both implement Unicode NFC, so outputs
-    // and the per-row already-normalized flag must agree exactly
+    // and the per-row already-normalized flag must agree exactly.
+    // Unicode-VERSION skew between the JDK and the driver's utf8proc
+    // build (the r8 advisor's concern) cannot flip this gate on the
+    // current corpora: all documents at sf0.001/0.01/0.1 are pure
+    // ASCII (verified), and NFC is the identity on ASCII under every
+    // Unicode version. If testdata ever gains non-ASCII text, pin this
+    // gate to version-stable codepoints or move the normalized text
+    // out of the hashed columns (the q71/q72 discipline).
     "q79_unicode_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  nfc_normalize(text) = text AS already_nfc

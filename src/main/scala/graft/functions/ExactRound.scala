@@ -33,6 +33,12 @@ object ExactRound {
   /** `round(num/den, d)` as an exact integer computation; see object
     * doc. `num`/`den` must be integral columns (cast yourself if not).
     *
+    * NULL CONTRACT — asymmetric, unlike `round(coalesce(x, 0.0), 4)`:
+    * den NULL or 0 → 0.0, but num NULL with den > 0 → NULL. A nullable
+    * numerator from a left join must be `coalesce`d by the CALLER if
+    * 0.0 is the intended reading (Decontaminate does; q71's report
+    * does). [[ratioSql]] mirrors the same contract.
+    *
     * The scaled dividend runs in DECIMAL(38,0) (Spark) / HUGEINT
     * (DuckDB): `num·2·10^d` would overflow a long once num reaches
     * ~4.6e14, and composite rationals (q18's quality score is a
@@ -54,7 +60,8 @@ object ExactRound {
     * where even an exactly-representable double is one more surface a
     * comparing engine can render differently. The integer quotient
     * carries identical information (`ratio = ratioScaled / 10^d`
-    * exactly) with zero floating point anywhere in the lineage. */
+    * exactly) with zero floating point anywhere in the lineage. Same
+    * NULL contract as [[ratio]]. */
   def ratioScaled(num: Column, den: Column, d: Int = 4): Column = {
     val p = math.pow(10, d).toLong
     val n = num.cast("decimal(38,0)")

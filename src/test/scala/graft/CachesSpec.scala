@@ -39,4 +39,32 @@ class CachesSpec extends SparkSpec {
   test("unpersistAll is idempotent and safe on empty registry") {
     assert(Caches.unpersistAll() === 0)
   }
+
+  test("mark/releaseSince releases only the scope's caches") {
+    Caches.unpersistAll(blocking = true)
+    spark.catalog.clearCache()
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"some repeated shared words plus marker $i here"))
+      .toDF("doc_id", "text")
+
+    // an "outer" operator whose lazy result must keep its caches
+    val outer = operators.Dedup.minhashLSH(docs, "doc_id", "text")
+    outer.count()
+    val outerCaches = Caches.registered
+    assert(outerCaches > 0)
+
+    // a scoped "inner" operator releases only its own registrations
+    val scope = Caches.mark()
+    operators.SubstringDedup.coverageReport(docs, "doc_id", "text",
+      minLen = 10).count()
+    assert(Caches.registered > outerCaches)
+    val released = Caches.releaseSince(scope, blocking = true)
+    assert(released > 0)
+    assert(Caches.registered === outerCaches,
+      "outer operator's caches must survive a scoped release")
+    // outer caches still live in the block manager
+    assert(cachedRddCount > 0)
+    Caches.unpersistAll(blocking = true)
+    assert(cachedRddCount === 0)
+  }
 }
