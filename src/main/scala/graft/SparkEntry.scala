@@ -499,6 +499,44 @@ object SparkEntry {
         (graft.expressions.UnicodeNormalize(col("text"), "NFC") ===
           col("text")).as("already_nfc"))),
 
+    // ---- curation: exact token-budget apportionment across sources —
+    // largest-remainder (Hamilton) allocation of a 100k-token budget
+    // proportional to per-source token volume, entirely in integer
+    // arithmetic (gate-safe by construction; the q71 discipline at
+    // design time). The windows run on the GROUPED frame (20 sources),
+    // not the corpus.
+    "q80_budget_apportion" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
+          "doc_id", "text")
+        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      Apportion.largestRemainder(toks, "source", "n_tokens",
+        budget = 100000L)
+    }),
+
+    // ---- curation: Gopher rule gates (Rae et al. §A1.1) — hard
+    // keep/drop quality rules; every ratio bound evaluated by integer
+    // cross-multiplication, so the output is longs + booleans only
+    "q81_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(T(s, dir, "documents"), "doc_id", "text",
+        minWords = 50L, maxWords = 100000L)),
+
+    // ---- similarity: batched exact retrieval — top-10 per query for
+    // a 5-query batch in ONE corpus scan (broadcast query set), with
+    // partition-local then global top-k so no corpus-wide sort exists
+    // at any scale
+    "q82_ann_batch" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopKBatch(T(s, dir, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
+
+    // ---- curation: per-source data card — docs, token/char volume,
+    // language spread, corpus-wide exact-duplicate exposure; the
+    // summary table a curation run publishes with the dataset
+    "q83_data_card" -> ((s, dir) =>
+      DataCard.perSource(T(s, dir, "documents"), "doc_id", "text",
+        "source", "lang")),
+
     // ---- dedup: SimHash banded near-dup. Banding over 4×16-bit bands
     // is pigeonhole-exact at hamming <= 3, and the token hash is an
     // md5 prefix — so the output is deterministic SQL and the oracle
@@ -1776,6 +1814,76 @@ object SparkEntry {
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  nfc_normalize(text) = text AS already_nfc
         |FROM documents""".stripMargin,
+
+    // q80: same Hamilton apportionment in HUGEINT arithmetic, same
+    // (rem desc, source asc) tie-break — integer-exact on both engines
+    "q80_budget_apportion" ->
+      Apportion.largestRemainderSql(
+        "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
+          "FROM documents) src__",
+        "source", "n_tokens", budget = 100000L),
+
+    // q81: every ratio bound as integer cross-multiplication; the
+    // symbol count collapses '...'-runs to one hit via the same
+    // regexp both engines share (RE2 semantics)
+    "q81_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    CAST(len($wordsSql) AS BIGINT) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g')) AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS nstop
+         |  FROM documents)
+         |SELECT doc_id, nw AS n_words, nsp AS n_nonspace,
+         |  nsym AS n_symbols, nstop AS n_stopword_hits,
+         |  (nw >= 50 AND nw <= 100000) AS ok_word_count,
+         |  (nsp >= 3 * nw AND nsp <= 10 * nw) AS ok_word_len,
+         |  (10 * nsym < nw) AS ok_symbol_ratio,
+         |  (nstop >= 2) AS ok_stopwords,
+         |  ((nw >= 50 AND nw <= 100000) AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |    AND (10 * nsym < nw) AND (nstop >= 2)) AS keep
+         |FROM t""".stripMargin,
+
+    // q82: q25's per-element dot-product machinery for a 5-query
+    // batch; identical (round(cos,6) desc, id asc) ordering pin
+    "q82_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |qx AS (SELECT query_id, generate_subscripts(qv, 1) AS i,
+        |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |dots AS (SELECT query_id, vec_id,
+        |    sum(x * y) AS dot, sum(x * x) AS na
+        |  FROM ex JOIN qx USING (i)
+        |  WHERE vec_id <> query_id GROUP BY 1, 2),
+        |nq AS (SELECT query_id, sum(y * y) AS nb FROM qx GROUP BY 1),
+        |r AS (SELECT d.query_id, d.vec_id,
+        |    round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY d.query_id
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+        |        d.vec_id ASC) AS rk
+        |  FROM dots d JOIN nq USING (query_id))
+        |SELECT query_id, vec_id, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    // q83: md5-fingerprint duplicate exposure counted corpus-wide,
+    // attributed per source; all longs
+    "q83_data_card" ->
+      s"""WITH base AS (SELECT doc_id, source, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    md5($wsNorm) AS fp
+         |  FROM documents),
+         |dup AS (SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2)
+         |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         |  sum(nc) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_docs
+         |FROM base LEFT JOIN dup ON base.fp = dup.fp
+         |GROUP BY 1""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

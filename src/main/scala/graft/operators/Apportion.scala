@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact integer budget apportionment across groups — the "how many
+  * tokens does each source contribute to this training run" allocator
+  * (the proportional baseline of mixture schemes like UniMax; see
+  * reference `main.py:27-40`'s symbol-loop quota pattern for the
+  * per-group-budget spirit).
+  *
+  * Largest-remainder (Hamilton) method, entirely in integer
+  * arithmetic:
+  *
+  *   base_g  = floor(T · c_g / C)        (C = Σ c_g)
+  *   extra   = T − Σ base_g              (< number of groups)
+  *   alloc_g = base_g + 1 for the `extra` groups with the largest
+  *             remainders T·c_g mod C (ties broken by group name
+  *             ascending), base_g otherwise.
+  *
+  * Σ alloc_g = min(T, …) exactly; no float appears anywhere, so the
+  * allocation is bit-identical on any engine — gate-safe by
+  * construction (the q71 discipline).
+  *
+  * Scale note: the windows here run over the GROUPED frame (one row
+  * per source/domain — bounded, thousands at most), not the corpus;
+  * the only corpus-scale stage is the initial count aggregate, which
+  * is map-side combinable. The unpartitioned windows on the group
+  * frame are deliberate and safe at that cardinality.
+  */
+object Apportion {
+
+  /** Apportion `budget` units over the distinct values of `groupCol`
+    * proportionally to `weightCol` (a non-negative integral measure —
+    * token counts, byte sizes), largest-remainder rounding. Input is
+    * corpus rows; output is one row per group:
+    * (group, weight, base, rem, alloc). */
+  def largestRemainder(df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("weight"))
+    val all = Window.partitionBy()
+    val wOrd = Window.partitionBy()
+      .orderBy(col("rem").desc, col(groupCol).asc)
+    // T·c in DECIMAL(38,0): budget ~1e12 times corpus-scale counts
+    // overflows a long; 128-bit headroom is exact (ExactRound's
+    // discipline). div/mod stay integral.
+    val tc = lit(budget).cast("decimal(38,0)") *
+      col("weight").cast("decimal(38,0)")
+    counts
+      .withColumn("total__", sum(col("weight")).over(all))
+      .withColumn("base",
+        call_function("div", tc, col("total__").cast("decimal(38,0)"))
+          .cast("long"))
+      .withColumn("rem",
+        (tc - col("base").cast("decimal(38,0)") *
+          col("total__").cast("decimal(38,0)")).cast("long"))
+      .withColumn("extra__",
+        (lit(budget) - sum(col("base")).over(all)).cast("long"))
+      .withColumn("rank__", row_number().over(wOrd))
+      .select(col(groupCol), col("weight"), col("base"), col("rem"),
+        (col("base") + when(col("rank__") <= col("extra__"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
+  /** The DuckDB mirror of [[largestRemainder]] for oracle SQL: same
+    * integer arithmetic over HUGEINT, same (rem desc, group asc)
+    * tie-break. `table`/`group`/`weight` are SQL fragments (`table`
+    * may be a parenthesized subquery with alias); the group column is
+    * emitted back under its own name. */
+  def largestRemainderSql(table: String, group: String, weight: String,
+      budget: Long): String =
+    s"""WITH c AS (SELECT $group AS g, sum($weight) AS weight
+       |  FROM $table GROUP BY 1),
+       |t AS (SELECT g, weight,
+       |    CAST(CAST($budget AS HUGEINT) * weight AS HUGEINT) AS tc,
+       |    sum(weight) OVER () AS total
+       |  FROM c),
+       |b AS (SELECT g, weight,
+       |    CAST(tc // total AS BIGINT) AS base,
+       |    CAST(tc % total AS BIGINT) AS rem
+       |  FROM t),
+       |r AS (SELECT *,
+       |    row_number() OVER (ORDER BY rem DESC, g ASC) AS rk,
+       |    $budget - sum(base) OVER () AS extra
+       |  FROM b)
+       |SELECT g AS $group, CAST(weight AS BIGINT) AS weight, base, rem,
+       |  base + (CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS alloc
+       |FROM r""".stripMargin
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -62,6 +63,38 @@ object SimilaritySearch {
       .orderBy(round(col("cosine"), 6).desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Exact top-k by cosine for a BATCH of query ids — the realistic
+    * retrieval shape (a query SET amortizes one corpus scan; per-query
+    * scans pay it |Q| times). Each corpus vector is scored against all
+    * broadcast queries at once, then top-k per query runs in TWO
+    * phases: a partition-local top-k (window over (query,
+    * spark_partition_id) — bounded memory, no corpus-wide sort) and a
+    * global top-k over the surviving |Q|·k·P candidates. Both phases
+    * use the same pinned ordering (round(cos,6) desc, id asc), so the
+    * result equals the single-pass top-k regardless of partitioning.
+    * At 100 TB the second phase sorts |Q|·k·P rows, not the corpus. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val q = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
+      .withColumn("ord__", round(col("cosine"), 6))
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("ord__").desc, col(idCol).asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("ord__").desc, col(idCol).asc)
+    scored
+      .withColumn("lr__", row_number().over(local))
+      .filter(col("lr__") <= k)
+      .withColumn("gr__", row_number().over(global))
+      .filter(col("gr__") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("cosine"), 4).as("cosine"))
   }
 
   /** Build the LSH key table for `lshProbe`: (idCol, pkey) rows, one

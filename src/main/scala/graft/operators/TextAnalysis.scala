@@ -89,6 +89,53 @@ object TextAnalysis {
       ExactRound.ratio(scoreNum, scoreDen, 4).as("quality"))
   }
 
+  /** Gopher-style document quality RULES (Rae et al. 2021, §A1.1) —
+    * the hard keep/drop gates that run before any scored ranking:
+    * word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, and a minimum stopword requirement. Every ratio bound is
+    * evaluated by integer CROSS-MULTIPLICATION (`3·nw ≤ nsp ≤ 10·nw`
+    * instead of `3 ≤ nsp/nw ≤ 10`), so the operator emits only longs
+    * and booleans — nothing an engine can round differently (the
+    * q71 gate discipline, applied at design time rather than
+    * retrofitted).
+    *
+    * Thresholds are the published ones where they transfer to this
+    * corpus shape: 50 ≤ words ≤ 100000, 3 ≤ mean word chars ≤ 10,
+    * symbols('#', '…', '...') < 1/10 of words, ≥ 2 stopword hits. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and")
+    val staged = df
+      .select(col(idCol), col(textCol).as("t__"))
+      .withColumn("w__", TextFns.words(col("t__")))
+      .withColumn("nw__", size(col("w__")).cast("long"))
+      .withColumn("nsp__",
+        length(regexp_replace(col("t__"), "\\s+", "")).cast("long"))
+      // '#' plus true-ellipsis plus three-dot runs ('...' counted once
+      // per run: collapse runs before counting)
+      .withColumn("nsym__",
+        (length(col("t__")) - length(regexp_replace(col("t__"), "#", ""))
+          + length(regexp_replace(col("t__"), "\\.{3,}|…", "@"))
+          - length(regexp_replace(col("t__"), "\\.{3,}|…", ""))).cast("long"))
+      .withColumn("nstop__", markerHits(col("w__"), stop).cast("long"))
+    staged.select(col(idCol),
+      col("nw__").as("n_words"),
+      col("nsp__").as("n_nonspace"),
+      col("nsym__").as("n_symbols"),
+      col("nstop__").as("n_stopword_hits"),
+      (col("nw__") >= minWords && col("nw__") <= maxWords)
+        .as("ok_word_count"),
+      // 3 <= nsp/nw <= 10 without division
+      (col("nsp__") >= lit(3L) * col("nw__") &&
+        col("nsp__") <= lit(10L) * col("nw__")).as("ok_word_len"),
+      // nsym/nw < 0.1 without division
+      (lit(10L) * col("nsym__") < col("nw__")).as("ok_symbol_ratio"),
+      (col("nstop__") >= 2L).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_word_len") &&
+          col("ok_symbol_ratio") && col("ok_stopwords"))
+  }
+
   /** Repetition signals per document — the Gopher/C4 family of
     * repetitiveness filters (count-based analogs): duplicate 2-gram and
     * 3-gram fractions and top-word dominance, plus a combined flag.

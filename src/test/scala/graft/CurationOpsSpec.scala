@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{ApproxQuantiles, BudgetSelect, Decontaminate,
-  Sampling, SimilaritySearch, TextAnalysis}
+import graft.operators.{ApproxQuantiles, BudgetSelect, DataCard,
+  Decontaminate, Sampling, SimilaritySearch, TextAnalysis}
 
-/** Round-7 curation operators: token-budget selection, source mixing,
+/** Curation operators: token-budget selection, source mixing,
   * fingerprint overlap, Bloom decontamination, SemDeDup, approx
-  * quantiles. */
+  * quantiles (round 7); Gopher rule gates, batched retrieval,
+  * per-source data card (round 9). */
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -184,5 +185,86 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.length == 9, "one row per (group, quantile)")
     assert(rows.forall(_._3), s"GK at accuracy 10k sits far inside 2%: " +
       rows.filterNot(_._3).mkString(","))
+  }
+
+  test("gopherRules: each rule trips on its own fixture") {
+    val longOk = (("word " * 60).trim, "ok")            // 60 words, len 4
+    val tooShort = ("only three words", "short")        // < 50 words
+    val longWords = (Seq.fill(55)("extraordinarily").mkString(" "), "lw")
+    val symbols = ((("# " * 30) + ("word " * 30)).trim, "sym")
+    val noStop = (("word " * 60).trim, "nostop")
+    val df = Seq(longOk, tooShort, longWords, symbols, noStop)
+      .zipWithIndex.map { case ((t, tag), i) => (i.toLong, t, tag) }
+      .toDF("doc_id", "text", "tag")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .join(df.select($"doc_id", $"tag"), "doc_id")
+    val byTag = out.collect().map(r =>
+      r.getAs[String]("tag") -> r).toMap
+    assert(!byTag("short").getAs[Boolean]("ok_word_count"))
+    assert(!byTag("lw").getAs[Boolean]("ok_word_len"),
+      "15-char words must fail the mean-word-length ceiling")
+    assert(!byTag("sym").getAs[Boolean]("ok_symbol_ratio"))
+    assert(!byTag("nostop").getAs[Boolean]("ok_stopwords"))
+    // none of the fixtures passes every gate ('ok' has no stopwords
+    // either), so assert rule independence instead of a keep row
+    assert(byTag("short").getAs[Boolean]("ok_word_len"))
+    assert(byTag("sym").getAs[Boolean]("ok_word_count"))
+  }
+
+  test("gopherRules: ellipsis runs count once per run") {
+    val df = Seq((0L, "wait... what… no....")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+    assert(out.select($"n_symbols").as[Long].head() == 3L)
+  }
+
+  test("bruteForceTopKBatch equals per-query bruteForceTopK") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val batch = SimilaritySearch.bruteForceTopKBatch(
+      df, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), k = 5)
+    for (q <- Seq(0L, 1L, 2L)) {
+      val single = SimilaritySearch.bruteForceTopK(
+          df, "vec_id", "embedding", queryId = q, k = 5)
+        .withColumn("query_id", lit(q))
+        .select($"query_id", $"vec_id", $"cosine")
+      val got = batch.filter($"query_id" === q)
+      assert(got.except(single).isEmpty && single.except(got).isEmpty,
+        s"query $q: batch and single top-k must agree")
+    }
+    // partitioning independence (two-phase local/global top-k)
+    val re = SimilaritySearch.bruteForceTopKBatch(
+      df.repartition(17), "vec_id", "embedding", Seq(0L, 1L, 2L), k = 5)
+    assert(re.except(batch).isEmpty && batch.except(re).isEmpty)
+  }
+
+  test("bruteForceTopKBatch excludes only self, keeps other queries") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // identical to query 0
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.bruteForceTopKBatch(
+        df, "vec_id", "embedding", Seq(0L), k = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), "query 1's vector is a candidate for query 0")
+  }
+
+  test("data card: corpus-wide dup exposure attributed per source") {
+    val df = Seq(
+      (0L, "same text here", "s1", "en"),
+      (1L, "same   TEXT here", "s2", "en"),   // dup of 0 after normalize
+      (2L, "unique one", "s1", "en"),
+      (3L, "unique two", "s1", "de"),
+      (4L, "unique three", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = DataCard.perSource(df, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") == 3L)
+    assert(out("s1").getAs[Long]("n_dup_docs") == 1L,
+      "cross-source dup counts in BOTH sources")
+    assert(out("s2").getAs[Long]("n_dup_docs") == 1L)
+    assert(out("s1").getAs[Long]("n_langs") == 2L)
+    assert(out("s2").getAs[Long]("n_langs") == 1L)
   }
 }
