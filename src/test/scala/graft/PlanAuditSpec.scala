@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{IntervalJoin, ShardExport, Winsorize}
+import graft.operators.{Apportion, IntervalJoin, ShardExport,
+  SimilaritySearch, Winsorize}
 
 /** Plan-shape guards for the scale-critical round-7 operators — the
   * assertions that keep a future refactor from silently reintroducing
@@ -35,6 +36,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
       s"expected a range exchange in:\n$p")
     assert(!p.contains("Window"), "a window operator appeared in shard export")
+  }
+
+  test("batched top-k broadcasts the query set; windows partition by query") {
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(SimilaritySearch.bruteForceTopKBatch(
+      df, "vec_id", "embedding", Seq(0L, 1L), k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must move by broadcast, not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no corpus-wide single-partition stage may exist:\n$p")
+  }
+
+  test("apportionment's corpus stage is a partial-aggregated count only") {
+    val df = (1 to 1000).map(i => (s"s${i % 5}", i.toLong)).toDF("src", "w")
+    val p = plan(Apportion.largestRemainder(df, "src", "w", 1000L))
+    // corpus side: hash aggregate with a partial phase (map-side combine)
+    assert(p.contains("HashAggregate"), s"expected hash aggregate in:\n$p")
+    // the single-partition window exists but runs AFTER the group-by
+    // (bounded #groups): the plan must place the corpus aggregate
+    // below the window exchange, never sort corpus rows
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"window must consume the grouped frame, not corpus rows:\n$p")
   }
 
   test("winsorize broadcasts the bounds back, no second corpus-wide window") {
