@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   *
   * Container-header METADATA (format, pixel dimensions) is parsed for
   * real — [[parseImageHeader]] reads the actual PNG/JPEG/GIF byte
-  * layouts, pure JVM, no media libraries. Only the byte→PIXELS decode
-  * (and resize / frame extraction) is STUBBED, as this container has no
-  * codecs: `stubDecode`/`stubResize` derive deterministic fake payloads
-  * so the Spark-side contract — schema, partitioning, batch iteration,
+  * layouts, pure JVM, no media libraries — and the AUDIO path is real
+  * end-to-end: [[parseWav]] walks the RIFF/WAVE container and decodes
+  * PCM16 samples (peak/RMS/duration), since PCM needs no codec. Only
+  * the image byte→PIXELS decode (and resize / frame extraction) is
+  * STUBBED, as this container has no image codecs:
+  * `stubDecode`/`stubResize` derive deterministic fake payloads so the
+  * Spark-side contract — schema, partitioning, batch iteration,
   * null-safety — stays real and oracle-tested.
   */
 object Multimodal {
@@ -79,6 +82,117 @@ object Multimodal {
         u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       ("gif", Some(le16(6)), Some(le16(8)))
     else ("unknown", None, None)
+  }
+
+  /** REAL audio parse+decode — RIFF/WAVE container walk and, for
+    * PCM16, the actual sample decode (no codecs needed: PCM16 IS the
+    * samples). Returns (format, channels, sampleRate, bitsPerSample,
+    * nFrames, durationMs, peakAbs, rms):
+    *  - "RIFF" le32(size) "WAVE", then chunks of (4cc, le32 len,
+    *    payload, pad-to-even);
+    *  - "fmt ": le16 audioFormat (1 = PCM), le16 channels, le32
+    *    sampleRate, le32 byteRate, le16 blockAlign, le16 bits;
+    *  - "data": the sample stream; frames = len / blockAlign,
+    *    durationMs = frames·1000 / sampleRate (integer arithmetic);
+    *  - PCM16 decode: le16 two's-complement per sample, peak = max
+    *    |s|, rms over ALL channels' samples.
+    * Non-WAV bytes → ("unknown", None…); WAV with a non-PCM16 body
+    * keeps the real header metadata and null decode stats. */
+  def parseWav(p: Array[Byte]): (String, Option[Int], Option[Int],
+      Option[Int], Option[Long], Option[Long], Option[Int], Option[Double]) = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int, s: String) =
+      p.length >= i + 4 && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !fourcc(0, "RIFF") || !fourcc(8, "WAVE"))
+      return ("unknown", None, None, None, None, None, None, None)
+    var i = 12
+    var audioFormat, channels, bits = -1
+    var sampleRate = -1L
+    var blockAlign = -1
+    var dataOff = -1
+    var dataLen = -1L
+    var corrupt = false
+    while (!corrupt && i + 8 <= p.length && (audioFormat < 0 || dataOff < 0)) {
+      val len = le32(i + 4)
+      if (fourcc(i, "fmt ") && len >= 16 && i + 8 + 16 <= p.length) {
+        audioFormat = le16(i + 8)
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12)
+        blockAlign = le16(i + 20)
+        bits = le16(i + 22)
+      } else if (fourcc(i, "data")) {
+        dataOff = i + 8
+        dataLen = math.min(len, (p.length - dataOff).toLong)
+      }
+      // a declared length past the buffer ends the walk (truncated or
+      // corrupt stream; a data chunk already clamps via dataLen)
+      if (len < 0 || len > p.length.toLong - i - 8) corrupt = true
+      else i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+    }
+    if (audioFormat < 0)
+      return ("wav", None, None, None, None, None, None, None)
+    val nFrames =
+      if (dataLen >= 0 && blockAlign > 0) Some(dataLen / blockAlign) else None
+    val durMs = nFrames.flatMap(f =>
+      if (sampleRate > 0) Some(f * 1000L / sampleRate) else None)
+    val pcm16 = audioFormat == 1 && bits == 16
+    val fmt = if (pcm16) "wav-pcm16" else "wav"
+    if (!pcm16 || dataOff < 0)
+      return (fmt, Some(channels), Some(sampleRate.toInt), Some(bits),
+        nFrames, durMs, None, None)
+    // REAL PCM16 decode: every sample, all channels
+    val nSamples = (dataLen / 2).toInt
+    var peak = 0
+    var sumSq = 0.0
+    var s = 0
+    while (s < nSamples) {
+      val v = (le16(dataOff + 2 * s) << 16) >> 16 // sign-extend
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toDouble * v.toDouble
+      s += 1
+    }
+    val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
+    (fmt, Some(channels), Some(sampleRate.toInt), Some(bits),
+      nFrames, durMs, Some(peak), Some(rms))
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("peak_abs", IntegerType, nullable = true),
+    StructField("rms", DoubleType, nullable = true)))
+
+  /** Audio feature extraction — REAL end-to-end for PCM16 WAV (the
+    * container parse and sample decode are both actual byte-level
+    * implementations, not stubs). Same per-partition narrow-map plan
+    * shape as [[extractFeatures]]. */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +:
+        audioFeatureSchema.fields.toSeq)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
+      val (fmt, ch, sr, bits, frames, durMs, peak, rms) = parseWav(payload)
+      Row(row.getLong(idIdx), payload.length.toLong, fmt,
+        ch.map(Int.box).orNull, sr.map(Int.box).orNull,
+        bits.map(Int.box).orNull, frames.map(Long.box).orNull,
+        durMs.map(Long.box).orNull, peak.map(Int.box).orNull,
+        rms.map(Double.box).orNull)
+    })
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Decoder: header metadata is REAL ([[parseImageHeader]]); the

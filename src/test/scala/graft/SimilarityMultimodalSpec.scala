@@ -125,4 +125,60 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(Array.empty[Byte]) ==
       (("unknown", None, None)))
   }
+
+  /** Build a genuine PCM16 WAV byte stream. */
+  private def wav(sampleRate: Int, channels: Int,
+      samples: Seq[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("parseWav decodes real PCM16: header, duration, peak, rms") {
+    // mono 8 kHz square wave ±1000, 4000 frames = 500 ms; rms == 1000
+    val sq = (0 until 4000).map(i => if (i % 2 == 0) 1000 else -1000)
+    val (fmt, ch, sr, bits, frames, durMs, peak, rms) =
+      Multimodal.parseWav(wav(8000, 1, sq))
+    assert((fmt, ch, sr, bits) == (("wav-pcm16", Some(1), Some(8000), Some(16))))
+    assert((frames, durMs) == ((Some(4000L), Some(500L))))
+    assert(peak.contains(1000))
+    assert(rms.contains(1000.0), s"square-wave rms must be exact: $rms")
+
+    // stereo frame accounting: 600 samples = 300 frames at 2 channels
+    val st = Multimodal.parseWav(wav(16000, 2, Seq.fill(600)(-32768)))
+    assert(st._2.contains(2) && st._5.contains(300L))
+    assert(st._7.contains(32768), "Short.MinValue must not overflow abs()")
+
+    // non-WAV and truncated streams degrade, never throw
+    assert(Multimodal.parseWav("plain text".getBytes)._1 == "unknown")
+    assert(Multimodal.parseWav(Array.empty[Byte])._1 == "unknown")
+    val trunc = wav(8000, 1, Seq.fill(100)(7)).take(50)
+    assert(Multimodal.parseWav(trunc)._1 == "wav-pcm16")
+  }
+
+  test("audioFeatures: per-partition decode over a binary column") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, wav(8000, 1, (0 until 800).map(i => if (i % 2 == 0) 500 else -500))),
+      (2L, "not audio".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.audioFeatures(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("format") == "wav-pcm16")
+    assert(out(1L).getAs[Long]("duration_ms") == 100L)
+    assert(out(1L).getAs[Double]("rms") == 500.0)
+    assert(out(2L).getAs[String]("format") == "unknown")
+    assert(out(3L).getAs[String]("format") == "unknown")
+    assert(out(3L).getAs[Long]("byte_len") == 0L)
+  }
 }
