@@ -424,13 +424,18 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
-    // ---- KMV sketch distinct estimate (custom TypedImperativeAggregate;
-    // estimator has no SQL oracle: rows-only + spec-pinned error bounds)
+    // ---- KMV sketch distinct estimate (custom TypedImperativeAggregate).
+    // HASH-GATED since round 9 (the q24 SimHash precedent): string keys
+    // hash through md5-prefix64 and the estimator is pure 128-bit
+    // integer arithmetic, so a DuckDB oracle recomputes the identical
+    // k minima and the identical estimate — the sketch VALUE is exact
+    // deterministic SQL, not just a bounded approximation.
     "q37_approx_distinct_kmv" -> ((s, dir) => {
       T(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(graft.expressions.KMVSketch
-          .approx_distinct_kmv(col("user_id"), k = 256).as("approx_users"))
+          .approx_distinct_kmv(col("user_id").cast("string"), k = 256)
+          .as("approx_users"))
     }),
 
     // ---- as-of join: each purchase to the user's latest prior click
@@ -1063,6 +1068,19 @@ object SparkEntry {
   private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($wsNorm, ' ')"
 
+  /** Oracle-side md5-prefix64 reconstruction by pure hex-nibble
+    * arithmetic (version-proof — no hex-cast features): value of the
+    * hex digit at 1-based position `i` of `col`, and the 32-bit value
+    * of 8 hex digits starting at `from` (fits BIGINT; a full 64-bit
+    * sum would overflow, so consumers combine two halves in HUGEINT
+    * or XOR the halves separately — q37/q72). */
+  private def nibSql(col: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substring($col, $i, 1)) - 1)"
+  private def hex32Sql(col: String, from: Int): String =
+    (from until from + 8)
+      .map(i => nibSql(col, i) + s" * ${1L << (4 * (from + 7 - i))}")
+      .mkString(" + ")
+
   /** Exact embedding near-dup pairs (q29's pair math minus the cosine
     * output) plus the undirected edge list `e` — shared by the q47/q48
     * clustering oracles. */
@@ -1429,6 +1447,35 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
+    // q37: the KMV sketch is deterministic SQL once string keys hash
+    // through md5-prefix64 — the oracle recomputes the per-group k-th
+    // smallest distinct hash (hex sort order == unsigned numeric
+    // order) and the same 128-bit integer Beyer estimator
+    // floor((k−1)·2^64/(u+1)); groups with < k distinct hashes emit
+    // the exact distinct-hash count, as the sketch does.
+    "q37_approx_distinct_kmv" -> {
+      val hi = hex32Sql("h16", 1)
+      val lo = hex32Sql("h16", 9)
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h16
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h16,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h16 ASC) AS rk
+         |  FROM h),
+         |u AS (SELECT event_type,
+         |    CAST($hi AS HUGEINT) * 4294967296 + CAST($lo AS HUGEINT) AS uh
+         |  FROM r WHERE rk = 256),
+         |est AS (SELECT event_type,
+         |    CAST((CAST(255 AS HUGEINT) *
+         |      (CAST(4294967296 AS HUGEINT) * 4294967296)) // (uh + 1)
+         |      AS BIGINT) AS approx
+         |  FROM u),
+         |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+         |  FROM h GROUP BY 1)
+         |SELECT c.event_type, coalesce(e.approx, c.nd) AS approx_users
+         |FROM cnt c LEFT JOIN est e USING (event_type)""".stripMargin
+    },
+
     // Mirrors MergeByKey.merge: full-outer on the key, incoming wins per
     // column where non-null, existing-only columns survive, incoming-only
     // columns append. Per-customer sums stay < 1e8 ≪ 2^53, so the direct
@@ -1499,12 +1546,8 @@ object SparkEntry {
     // an unordered XOR of per-member digests pins the same membership,
     // offsets, and text with no ordered aggregation at all.
     "q72_pack_materialize" -> {
-      def nib(i: Int) =
-        s"(strpos('0123456789abcdef', substring(h16, $i, 1)) - 1)"
-      val hi = (1 to 8).map(i => nib(i) + s" * ${1L << (4 * (8 - i))}")
-        .mkString(" + ")
-      val lo = (9 to 16).map(i => nib(i) + s" * ${1L << (4 * (16 - i))}")
-        .mkString(" + ")
+      val hi = hex32Sql("h16", 1)
+      val lo = hex32Sql("h16", 9)
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,

@@ -48,15 +48,20 @@ case class KMVSketch(
     h
   }
 
-  private def hashValue(v: Any): Long = mix(v match {
-    case s: UTF8String => s.hashCode().toLong * 0x9e3779b97f4a7c15L
-    case l: Long => l
-    case i: Int => i.toLong
-    case d: Double => java.lang.Double.doubleToLongBits(d)
-    case f: Float => java.lang.Float.floatToIntBits(f).toLong
-    case b: Boolean => if (b) 1L else 0L
-    case other => other.hashCode().toLong
-  })
+  private def hashValue(v: Any): Long = v match {
+    // strings hash through the library's engine-agnostic md5-prefix64
+    // identity (already uniform — no extra mixing), which makes a
+    // string-keyed KMV sketch ORACLE-REPRODUCIBLE: any engine with md5
+    // recomputes the same k minima, so the estimate graduates from
+    // rows-only to hash-gated (q37, the q24 SimHash precedent)
+    case s: UTF8String => Md5Prefix64.hash(s)
+    case l: Long => mix(l)
+    case i: Int => mix(i.toLong)
+    case d: Double => mix(java.lang.Double.doubleToLongBits(d))
+    case f: Float => mix(java.lang.Float.floatToIntBits(f).toLong)
+    case b: Boolean => mix(if (b) 1L else 0L)
+    case other => mix(other.hashCode().toLong)
+  }
 
   private def offer(buf: java.util.PriorityQueue[java.lang.Long], h: Long): Unit = {
     // track minima in UNSIGNED order (flip the sign bit)
@@ -89,10 +94,16 @@ case class KMVSketch(
     else if (n < k) n.toLong // saw fewer than k distinct hashes: exact
     else {
       // stored values are sign-flipped so natural order == unsigned
-      // order; fraction of the 2^64 space = (stored + 2^63) / 2^64
+      // order; unsigned(h) = stored + 2^63. The Beyer et al. estimator
+      // D̂ = (k−1)/U with U = (unsigned+1)/2^64 runs ENTIRELY in
+      // 128-bit integer arithmetic — floor((k−1)·2^64/(unsigned+1)) —
+      // so an oracle mirrors it exactly in HUGEINT (no double, no
+      // rounding-mode trap; the q71 discipline). Degenerate kth-min
+      // near 0 (probability ~(k/2^23)^k) would overflow a long on both
+      // engines alike.
       val stored = buf.peek().longValue()
-      val u = (stored.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
-      math.round((k - 1) / u)
+      val unsigned = BigInt(stored) + BigInt(Long.MinValue).abs
+      (((BigInt(k) - 1) << 64) / (unsigned + 1)).toLong
     }
   }
 
