@@ -542,6 +542,31 @@ object SparkEntry {
       DataCard.perSource(T(s, dir, "documents"), "doc_id", "text",
         "source", "lang")),
 
+    // ---- curation: mixture MATERIALIZATION — q80's apportionment
+    // composed with a per-source quality-ordered budget cut: each
+    // source contributes its best docs (quality_e4 desc, doc_id asc —
+    // an all-integer ordering key, so the whole lineage is float-free)
+    // until its allocated token share is spent. THE mixture query a
+    // training run actually executes.
+    "q84_mixture_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val toks = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val sig = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = sig
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("quality_e4"))
+        .join(toks, "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Apportion.selectToAllocation(scored, "source", "n_tokens",
+          Seq(col("quality_e4").desc, col("doc_id").asc),
+          budget = 10000L, runningOut = "cum_tokens")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_e4"), col("cum_tokens"))
+    }),
+
     // ---- dedup: SimHash banded near-dup. Banding over 4×16-bit bands
     // is pigeonhole-exact at hamming <= 3, and the token hash is an
     // md5 prefix — so the output is deterministic SQL and the oracle
@@ -1911,6 +1936,33 @@ object SparkEntry {
         |        d.vec_id ASC) AS rk
         |  FROM dots d JOIN nq USING (query_id))
         |SELECT query_id, vec_id, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    // q84: the q80 apportionment CTE + the q18 quality rational as its
+    // scaled-integer form + a per-source cumulative cut — float-free
+    // end to end (quality_e4 via ratioScaledSql, integer window sums)
+    "q84_mixture_select" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
+      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
+        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
+      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
+      val len = "CAST(length(text) AS BIGINT)"
+      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
+        s"* ($nWords + least($stopHits * 5, $nWords))"
+      val scoreDen = s"200 * $len * $nWords"
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |    ${ratioScaledSql(scoreNum, scoreDen, 4)} AS quality_e4
+         |  FROM documents),
+         |a AS (${Apportion.largestRemainderSql("scored", "source", "n_tokens", 10000L)}),
+         |s AS (SELECT scored.*, a.alloc,
+         |    sum(n_tokens) OVER (PARTITION BY scored.source
+         |      ORDER BY quality_e4 DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM scored JOIN a ON a.source = scored.source)
+         |SELECT doc_id, source, n_tokens, quality_e4, cum_tokens
+         |FROM s WHERE cum_tokens <= alloc""".stripMargin
+    },
 
     // q83: md5-fingerprint duplicate exposure counted corpus-wide,
     // attributed per source; all longs

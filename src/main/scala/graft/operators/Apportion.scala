@@ -65,6 +65,27 @@ object Apportion {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Materialize a target mixture: apportion `budget` across groups
+    * with [[largestRemainder]], then keep each group's best rows —
+    * ordered by `orderCols` (give a deterministic total order; an
+    * integer key like quality_e4 + id keeps the whole lineage
+    * float-free) — while the group's running `weightCol` stays within
+    * its allocation. The selection window partitions BY GROUP (shuffle
+    * on the group key, per-group sort — the scalable shape); the
+    * allocation table is group-cardinality and joins back broadcast. */
+  def selectToAllocation(df: DataFrame, groupCol: String,
+      weightCol: String, orderCols: Seq[Column], budget: Long,
+      runningOut: String = "cum_weight"): DataFrame = {
+    val alloc = largestRemainder(df, groupCol, weightCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn(runningOut,
+        sum(coalesce(col(weightCol), lit(0L))).over(w))
+      .filter(col(runningOut) <= col("alloc"))
+  }
+
   /** The DuckDB mirror of [[largestRemainder]] for oracle SQL: same
     * integer arithmetic over HUGEINT, same (rem desc, group asc)
     * tie-break. `table`/`group`/`weight` are SQL fragments (`table`

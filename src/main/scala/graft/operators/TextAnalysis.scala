@@ -56,11 +56,12 @@ object TextAnalysis {
     * deterministic 0-1 score per doc. Tokenizer/regex signals are staged
     * as columns so each is evaluated once per row (see languageId note).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.ExactRound
+  /** The quality rational's integer pieces — staged once, shared by
+    * [[qualityScore]] and the mixture selector's `quality_e4` ordering
+    * key: (id, nw__, stop__, nsp__, len__, punct__). */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and")
-    val staged = df
-      .select(col(idCol), col(textCol).as("t__"))
+    df.select(col(idCol), col(textCol).as("t__"))
       .withColumn("w__", TextFns.words(col("t__")))
       .withColumn("nw__", size(col("w__")).cast("long"))
       .withColumn("stop__", markerHits(col("w__"), stop).cast("long"))
@@ -69,6 +70,23 @@ object TextAnalysis {
       .withColumn("len__", length(col("t__")).cast("long"))
       .withColumn("punct__", (col("len__") -
         length(regexp_replace(col("t__"), "[^a-z0-9\\s]", ""))).cast("long"))
+      .drop("w__")
+  }
+
+  /** The quality score's exact rational as (num, den) column pair over
+    * a [[qualitySignals]] frame:
+    *   min(nw,100)·(len−punct)·(nw + min(5·stop,nw)) / (200·len·nw) */
+  def qualityRational(): (Column, Column) = {
+    val num = least(col("nw__"), lit(100L)) *
+      (col("len__") - col("punct__")) *
+      (col("nw__") + least(col("stop__") * 5L, col("nw__")))
+    val den = lit(200L) * col("len__") * col("nw__")
+    (num, den)
+  }
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val staged = qualitySignals(df, idCol, textCol)
     // Every emitted ratio is an int/int rational rounded exactly in
     // integer arithmetic (tie-proof; see ExactRound). The composite
     // score is itself a rational once the caps move inside:
@@ -77,10 +95,7 @@ object TextAnalysis {
     // — the three-factor product can exceed a long on multi-megabyte
     // documents, which is why ExactRound scales the dividend in
     // DECIMAL(38,0)/HUGEINT (128-bit headroom).
-    val scoreNum = least(col("nw__"), lit(100L)) *
-      (col("len__") - col("punct__")) *
-      (col("nw__") + least(col("stop__") * 5L, col("nw__")))
-    val scoreDen = lit(200L) * col("len__") * col("nw__")
+    val (scoreNum, scoreDen) = qualityRational()
     staged.select(col(idCol),
       col("nw__").as("n_words"),
       ExactRound.ratio(col("nsp__"), col("nw__"), 4).as("avg_word_len"),

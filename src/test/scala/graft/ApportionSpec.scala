@@ -37,6 +37,26 @@ class ApportionSpec extends SparkSpec {
     assert(byName.values.sum == 12345L)
   }
 
+  test("selectToAllocation keeps each group's best rows within its share") {
+    // group a: weights 300 total; group b: 100 total; budget 200
+    // -> a gets 150, b gets 50 (exact proportions)
+    val df = Seq(
+      ("a", 1L, 100L, 9L), ("a", 2L, 100L, 8L), ("a", 3L, 100L, 7L),
+      ("b", 4L, 40L, 9L), ("b", 5L, 40L, 8L), ("b", 6L, 20L, 7L)
+    ).toDF("src", "id", "w", "quality")
+    val out = Apportion.selectToAllocation(df, "src", "w",
+        Seq(col("quality").desc, col("id").asc), budget = 200L)
+      .select($"id").as[Long].collect().toSet
+    // a (alloc 150): id 1 fits (100), id 2 would reach 200 > 150 - cut
+    // b (alloc 50): id 4 fits (40), id 5 would reach 80 > 50 - cut
+    assert(out == Set(1L, 4L))
+    // partitioning independence
+    val re = Apportion.selectToAllocation(df.repartition(5), "src", "w",
+        Seq(col("quality").desc, col("id").asc), budget = 200L)
+      .select($"id").as[Long].collect().toSet
+    assert(re == out)
+  }
+
   test("SQL mirror computes the identical allocation (Spark-eval bridge)") {
     val df = Seq(("a", 37L), ("b", 23L), ("c", 11L), ("d", 5L))
       .toDF("src", "w")
