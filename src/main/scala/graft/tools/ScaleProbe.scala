@@ -215,6 +215,47 @@ object ScaleProbe {
         df.select(col("seg"), col("m1"), col("m2")), Seq("seg"),
         expr("round(m1 * 100, 0)"), expr("round(m2 * 10, 0)"))
     }
+
+    // ---- round-9 operators: allocation, mixture cut, batched retrieval
+    // full n rows across 200 sources (the realistic domain cardinality;
+    // the windows in largestRemainder run on 200 grouped rows)
+    val sourced = spark.range(n).select(col("id"),
+      concat(lit("d"), pmod(xxhash64(col("id"), lit(41)), lit(200))
+        .cast("string")).as("source"),
+      (pmod(xxhash64(col("id"), lit(42)), lit(400)) + 1).as("toks"),
+      pmod(xxhash64(col("id"), lit(43)), lit(10000)).as("q_e4"))
+    time("budget_apportion") {
+      graft.operators.Apportion.largestRemainder(
+        sourced, "source", "toks", budget = n)
+    }
+    time("mixture_select") {
+      // per-source quality-ordered cut at half the corpus volume:
+      // group-partitioned window sort, broadcast alloc join
+      graft.operators.Apportion.selectToAllocation(sourced, "source",
+        "toks", Seq(col("q_e4").desc, col("id").asc), budget = n * 100)
+    }
+    time("ann_batch_topk") {
+      // n/20 vectors x 16 dims, 8 broadcast queries, two-phase top-k:
+      // the second phase sorts |Q|*k*P candidates, not the corpus
+      val vecs = spark.range(math.max(n / 20, 10000L)).select(
+        col("id").as("vec_id"),
+        array((0 until 16).map(d =>
+          (pmod(xxhash64(col("id"), lit(200 + d)), lit(2000))
+            .cast("double") / 1000.0 - 1.0).cast("float")): _*)
+          .as("embedding"))
+      graft.operators.SimilaritySearch.bruteForceTopKBatch(
+        vecs, "vec_id", "embedding", queryIds = (0L until 8L), k = 10)
+    }
+    time("data_card") {
+      graft.operators.DataCard.perSource(
+        docs.withColumn("source",
+          concat(lit("d"), pmod(xxhash64(col("doc_id"), lit(44)), lit(200))
+            .cast("string"))),
+        "doc_id", "text", "source", "lang")
+    }
+    time("gopher_rules") {
+      TextAnalysis.gopherRules(docs, "doc_id", "text")
+    }
     // --- streaming state-store throughput: events through a real
     // MemoryStream in 8 micro-batches, noop sink (no driver
     // accumulation). Bounded at 2M events — the feed array is
