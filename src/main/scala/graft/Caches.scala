@@ -66,7 +66,14 @@ object Caches {
   /** A scope token: caches registered from now on belong to the scope
     * and are released together by [[releaseSince]]. Cheap (a counter
     * read); nesting works as long as inner scopes release before outer
-    * ones (stack discipline). */
+    * ones (stack discipline).
+    *
+    * NOT safe under concurrent operator construction: a frame another
+    * thread registers between mark() and releaseSince() falls inside
+    * the scope and gets unpersisted with it (correctness survives —
+    * Spark recomputes — but the other operator's load-bearing persist
+    * is gone). Concurrent callers should serialize scope brackets or
+    * use [[unpersistAll(session*]] boundaries instead. */
   def mark(): Long = synchronized(nextId)
 
   /** Unpersist every frame registered at or after `scope` (a [[mark]]

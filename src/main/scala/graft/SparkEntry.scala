@@ -1093,6 +1093,22 @@ object SparkEntry {
   private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($wsNorm, ' ')"
 
+  /** The q18 quality rational's SQL pieces — ONE copy shared by the
+    * q18/q59/q84 oracles (the Scala side shares
+    * `TextAnalysis.qualityRational()` the same way; a formula tweak
+    * that edits one side but not the other desynchronizes three
+    * gates at once). */
+  private val qNWords = s"CAST(len($wordsSql) AS BIGINT)"
+  private val qStopHits =
+    s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
+      "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
+  private val qPunct =
+    "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
+  private val qLen = "CAST(length(text) AS BIGINT)"
+  private val qScoreNum = s"least($qNWords, 100) * ($qLen - $qPunct) " +
+    s"* ($qNWords + least($qStopHits * 5, $qNWords))"
+  private val qScoreDen = s"200 * $qLen * $qNWords"
+
   /** Oracle-side md5-prefix64 reconstruction by pure hex-nibble
     * arithmetic (version-proof — no hex-cast features): value of the
     * hex digit at 1-based position `i` of `col`, and the 32-bit value
@@ -1496,9 +1512,12 @@ object SparkEntry {
          |      AS BIGINT) AS approx
          |  FROM u),
          |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
-         |  FROM h GROUP BY 1)
-         |SELECT c.event_type, coalesce(e.approx, c.nd) AS approx_users
-         |FROM cnt c LEFT JOIN est e USING (event_type)""".stripMargin
+         |  FROM h GROUP BY 1),
+         |g AS (SELECT DISTINCT event_type FROM events)
+         |SELECT g.event_type,
+         |  coalesce(e.approx, c.nd, CAST(0 AS BIGINT)) AS approx_users
+         |FROM g LEFT JOIN cnt c USING (event_type)
+         |  LEFT JOIN est e USING (event_type)""".stripMargin
     },
 
     // Mirrors MergeByKey.merge: full-outer on the key, incoming wins per
@@ -1596,7 +1615,7 @@ object SparkEntry {
         |  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1),
         |m AS (SELECT p.bucket, p.pack_seq, p.n_tokens,
         |    substring(md5(concat(CAST(p.doc_id AS VARCHAR), '@',
-        |      CAST(p.pack_offset AS VARCHAR), '@', d.text)), 1, 16) AS h16
+        |      CAST(p.pack_offset AS VARCHAR), '@', coalesce(d.text, ''))), 1, 16) AS h16
         |  FROM packed p JOIN documents d ON d.doc_id = p.doc_id),
         |h AS (SELECT bucket, pack_seq, n_tokens,
         |""".stripMargin +
@@ -1814,14 +1833,8 @@ object SparkEntry {
     // round(DOUBLE) (the r7 q71 lesson, applied fleet-wide)
     "q18_quality_score" -> {
       import graft.functions.ExactRound.ratioSql
-      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
-      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
-        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
-      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
-      val len = "CAST(length(text) AS BIGINT)"
-      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
-        s"* ($nWords + least($stopHits * 5, $nWords))"
-      val scoreDen = s"200 * $len * $nWords"
+      val (nWords, stopHits, punct, len) = (qNWords, qStopHits, qPunct, qLen)
+      val (scoreNum, scoreDen) = (qScoreNum, qScoreDen)
       s"""SELECT doc_id, len($wordsSql) AS n_words,
          |  ${ratioSql(s"length(regexp_replace(text, '\\s+', '', 'g'))", nWords)} AS avg_word_len,
          |  ${ratioSql(stopHits, nWords)} AS stop_ratio,
@@ -1942,14 +1955,8 @@ object SparkEntry {
     // end to end (quality_e4 via ratioScaledSql, integer window sums)
     "q84_mixture_select" -> {
       import graft.functions.ExactRound.ratioScaledSql
-      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
-      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
-        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
-      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
-      val len = "CAST(length(text) AS BIGINT)"
-      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
-        s"* ($nWords + least($stopHits * 5, $nWords))"
-      val scoreDen = s"200 * $len * $nWords"
+      val (nWords, stopHits, punct, len) = (qNWords, qStopHits, qPunct, qLen)
+      val (scoreNum, scoreDen) = (qScoreNum, qScoreDen)
       s"""WITH scored AS (SELECT doc_id, source,
          |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
          |    ${ratioScaledSql(scoreNum, scoreDen, 4)} AS quality_e4
@@ -2097,14 +2104,8 @@ object SparkEntry {
     // widens to HUGEINT, so the window sum casts back
     "q59_token_budget" -> {
       import graft.functions.ExactRound.ratioSql
-      val nWords = s"CAST(len($wordsSql) AS BIGINT)"
-      val stopHits = s"CAST(len(list_filter($wordsSql, w -> w = 'the' OR w = 'a' " +
-        "OR w = 'of' OR w = 'to' OR w = 'and')) AS BIGINT)"
-      val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT)"
-      val len = "CAST(length(text) AS BIGINT)"
-      val scoreNum = s"least($nWords, 100) * ($len - $punct) " +
-        s"* ($nWords + least($stopHits * 5, $nWords))"
-      val scoreDen = s"200 * $len * $nWords"
+      val (nWords, stopHits, punct, len) = (qNWords, qStopHits, qPunct, qLen)
+      val (scoreNum, scoreDen) = (qScoreNum, qScoreDen)
       s"""WITH q AS (SELECT doc_id,
          |    CAST(len($wordsSql) AS BIGINT) AS n_tokens,
          |    ${ratioSql(scoreNum, scoreDen)} AS quality

@@ -51,18 +51,24 @@ object Apportion {
       col("weight").cast("decimal(38,0)")
     counts
       .withColumn("total__", sum(col("weight")).over(all))
+      // total 0 (all weights zero — nothing to apportion) must yield
+      // zeros, not a NULL division (Spark) / an error (DuckDB); the
+      // SQL mirror carries the same guard
       .withColumn("base",
-        call_function("div", tc, col("total__").cast("decimal(38,0)"))
-          .cast("long"))
+        when(col("total__") > 0,
+          call_function("div", tc, col("total__").cast("decimal(38,0)"))
+            .cast("long")).otherwise(lit(0L)))
       .withColumn("rem",
-        (tc - col("base").cast("decimal(38,0)") *
-          col("total__").cast("decimal(38,0)")).cast("long"))
+        when(col("total__") > 0,
+          (tc - col("base").cast("decimal(38,0)") *
+            col("total__").cast("decimal(38,0)")).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("extra__",
         (lit(budget) - sum(col("base")).over(all)).cast("long"))
       .withColumn("rank__", row_number().over(wOrd))
       .select(col(groupCol), col("weight"), col("base"), col("rem"),
-        (col("base") + when(col("rank__") <= col("extra__"), 1L)
-          .otherwise(0L)).as("alloc"))
+        (col("base") + when(col("total__") > 0 &&
+          col("rank__") <= col("extra__"), 1L).otherwise(0L)).as("alloc"))
   }
 
   /** Materialize a target mixture: apportion `budget` across groups
@@ -76,11 +82,18 @@ object Apportion {
   def selectToAllocation(df: DataFrame, groupCol: String,
       weightCol: String, orderCols: Seq[Column], budget: Long,
       runningOut: String = "cum_weight"): DataFrame = {
-    val alloc = largestRemainder(df, groupCol, weightCol, budget)
+    // the input lineage is referenced twice (allocation count + the
+    // selection join) — persist or an expensive upstream (q84 scores
+    // every doc with four regexes) runs twice. Registered with
+    // [[graft.Caches]]; callers release via unpersistAll()/a
+    // mark()/releaseSince scope after materializing.
+    val cached = graft.Caches.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val alloc = largestRemainder(cached, groupCol, weightCol, budget)
       .select(col(groupCol), col("alloc"))
     val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(alloc), Seq(groupCol))
+    cached.join(broadcast(alloc), Seq(groupCol))
       .withColumn(runningOut,
         sum(coalesce(col(weightCol), lit(0L))).over(w))
       .filter(col(runningOut) <= col("alloc"))
@@ -99,15 +112,17 @@ object Apportion {
        |    CAST(CAST($budget AS HUGEINT) * weight AS HUGEINT) AS tc,
        |    sum(weight) OVER () AS total
        |  FROM c),
-       |b AS (SELECT g, weight,
-       |    CAST(tc // total AS BIGINT) AS base,
-       |    CAST(tc % total AS BIGINT) AS rem
+       |b AS (SELECT g, weight, total,
+       |    CASE WHEN total > 0 THEN CAST(tc // total AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS base,
+       |    CASE WHEN total > 0 THEN CAST(tc % total AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS rem
        |  FROM t),
        |r AS (SELECT *,
        |    row_number() OVER (ORDER BY rem DESC, g ASC) AS rk,
        |    $budget - sum(base) OVER () AS extra
        |  FROM b)
        |SELECT g AS $group, CAST(weight AS BIGINT) AS weight, base, rem,
-       |  base + (CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS alloc
+       |  base + (CASE WHEN total > 0 AND rk <= extra THEN 1 ELSE 0 END) AS alloc
        |FROM r""".stripMargin
 }

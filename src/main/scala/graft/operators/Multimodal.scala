@@ -134,6 +134,10 @@ object Multimodal {
     }
     if (audioFormat < 0)
       return ("wav", None, None, None, None, None, None, None)
+    // an unsigned le32 rate above Int.MaxValue (or 0) is a corrupt
+    // header — surface real metadata only, like the other corrupt paths
+    if (sampleRate <= 0 || sampleRate > Int.MaxValue)
+      return ("wav", Some(channels), None, Some(bits), None, None, None, None)
     val nFrames =
       if (dataLen >= 0 && blockAlign > 0) Some(dataLen / blockAlign) else None
     val durMs = nFrames.flatMap(f =>

@@ -125,8 +125,11 @@ object SequencePack {
       textCol: String): DataFrame = {
     val joined = packs.join(
       docs.select(col(idCol), col(textCol)), Seq(idCol))
+    // coalesce BEFORE concat: Spark's concat_ws SKIPS a null operand
+    // ("id@off") while DuckDB's concat keeps the separators
+    // ("id@off@") — a null text would hash differently per engine
     val member = concat_ws("@", col(idCol).cast("string"),
-      col("pack_offset").cast("string"), col(textCol))
+      col("pack_offset").cast("string"), coalesce(col(textCol), lit("")))
     joined
       .withColumn("h64__", graft.expressions.Md5Prefix64(member))
       .groupBy(col("bucket"), col("pack_seq"))

@@ -52,15 +52,16 @@ object TextAnalysis {
     staged.select(col(idCol), pred.as("pred_lang"))
   }
 
-  /** Quality scoring (length / punctuation / stopword signals), one
-    * deterministic 0-1 score per doc. Tokenizer/regex signals are staged
-    * as columns so each is evaluated once per row (see languageId note).
-    */
+  /** The stopword marker list shared by [[qualitySignals]]/
+    * [[qualityScore]] and [[gopherRules]] — the q18/q81/q84 oracles
+    * hardcode the same five words; change all of them together. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
   /** The quality rational's integer pieces — staged once, shared by
     * [[qualityScore]] and the mixture selector's `quality_e4` ordering
     * key: (id, nw__, stop__, nsp__, len__, punct__). */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and")
+    val stop = StopWords
     df.select(col(idCol), col(textCol).as("t__"))
       .withColumn("w__", TextFns.words(col("t__")))
       .withColumn("nw__", size(col("w__")).cast("long"))
@@ -84,6 +85,10 @@ object TextAnalysis {
     (num, den)
   }
 
+  /** Quality scoring (length / punctuation / stopword signals), one
+    * deterministic 0-1 score per doc. Tokenizer/regex signals are staged
+    * as columns so each is evaluated once per row (see languageId note).
+    */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.ExactRound
     val staged = qualitySignals(df, idCol, textCol)
@@ -119,7 +124,7 @@ object TextAnalysis {
     * symbols('#', '…', '...') < 1/10 of words, ≥ 2 stopword hits. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and")
+    val stop = StopWords
     val staged = df
       .select(col(idCol), col(textCol).as("t__"))
       .withColumn("w__", TextFns.words(col("t__")))

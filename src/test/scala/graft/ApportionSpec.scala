@@ -37,6 +37,20 @@ class ApportionSpec extends SparkSpec {
     assert(byName.values.sum == 12345L)
   }
 
+  test("all-zero weights apportion to zero on both engines (no NULLs, no error)") {
+    val df = Seq(("a", 0L), ("b", 0L)).toDF("src", "w")
+    val out = Apportion.largestRemainder(df, "src", "w", budget = 100L)
+      .select($"src", $"base", $"rem", $"alloc")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 0L, 0L, 0L), ("b", 0L, 0L, 0L)))
+    df.createOrReplaceTempView("apportion_zero__")
+    val sql = Apportion
+      .largestRemainderSql("apportion_zero__", "src", "w", budget = 100L)
+      .replace("//", "div").replace("HUGEINT", "DECIMAL(38,0)")
+    assert(spark.sql(sql).select($"alloc").as[Long].collect().toSeq ==
+      Seq(0L, 0L))
+  }
+
   test("selectToAllocation keeps each group's best rows within its share") {
     // group a: weights 300 total; group b: 100 total; budget 200
     // -> a gets 150, b gets 50 (exact proportions)

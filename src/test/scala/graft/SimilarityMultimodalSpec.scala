@@ -158,6 +158,18 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(st._2.contains(2) && st._5.contains(300L))
     assert(st._7.contains(32768), "Short.MinValue must not overflow abs()")
 
+    // a header declaring an out-of-range sample rate is corrupt:
+    // real metadata survives, decode stats are withheld
+    val badRate = {
+      val b = wav(8000, 1, Seq.fill(10)(3))
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(24, 0xF0000000) // sampleRate field: > Int.MaxValue unsigned
+      b
+    }
+    assert(Multimodal.parseWav(badRate) ==
+      (("wav", Some(1), None, Some(16), None, None, None, None)))
+
     // non-WAV and truncated streams degrade, never throw
     assert(Multimodal.parseWav("plain text".getBytes)._1 == "unknown")
     assert(Multimodal.parseWav(Array.empty[Byte])._1 == "unknown")
