@@ -542,6 +542,14 @@ object SparkEntry {
       DataCard.perSource(T(s, dir, "documents"), "doc_id", "text",
         "source", "lang")),
 
+    // ---- curation: self-trained bigram-LM likelihood (CCNet-family
+    // LM quality filter) — Laplace-smoothed bigram probabilities
+    // trained on the corpus itself, per-doc count/sum/min/max of the
+    // e6-scaled probabilities: a fully RATIONAL gate surface (logs
+    // would be libm-dependent; they stay out of the gate)
+    "q85_bigram_likelihood" -> ((s, dir) =>
+      NgramLm.bigramLikelihood(T(s, dir, "documents"), "doc_id", "text")),
+
     // ---- curation: mixture MATERIALIZATION — q80's apportionment
     // composed with a per-source quality-ordered budget cut: each
     // source contributes its best docs (quality_e4 desc, doc_id asc —
@@ -1949,6 +1957,34 @@ object SparkEntry {
         |        d.vec_id ASC) AS rk
         |  FROM dots d JOIN nq USING (query_id))
         |SELECT query_id, vec_id, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    // q85: the same corpus-trained Laplace bigram model in SQL — the
+    // bigram stream from 1-based list indexing, both count tables, the
+    // scalar vocabulary, and the identical integer rounding
+    "q85_bigram_likelihood" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+         |    ws[CAST(i AS INTEGER) + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(ws))) AS u(i)
+         |  WHERE len(ws) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vocab
+         |  FROM (SELECT unnest(ws) AS w FROM t) q),
+         |s AS (SELECT b.doc_id,
+         |    ${ratioScaledSql("c12.c12 + 1", "c1.c1 + v.vocab", 6)} AS p6
+         |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(p6) AS BIGINT) AS sum_p_e6,
+         |    min(p6) AS min_p_e6, max(p6) AS max_p_e6
+         |  FROM s GROUP BY 1)
+         |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sum_p_e6, 0) AS sum_p_e6,
+         |  coalesce(min_p_e6, 0) AS min_p_e6,
+         |  coalesce(max_p_e6, 0) AS max_p_e6
+         |FROM t LEFT JOIN d USING (doc_id)""".stripMargin
+    },
 
     // q84: the q80 apportionment CTE + the q18 quality rational as its
     // scaled-integer form + a per-source cumulative cut — float-free

@@ -256,6 +256,11 @@ object ScaleProbe {
     time("gopher_rules") {
       TextAnalysis.gopherRules(docs, "doc_id", "text")
     }
+    time("bigram_likelihood") {
+      // n/10 docs; bigram/prefix count tables bounded by observed
+      // vocabulary, one broadcast scalar, gram stream persisted once
+      graft.operators.NgramLm.bigramLikelihood(docs, "doc_id", "text")
+    }
     // --- streaming state-store throughput: events through a real
     // MemoryStream in 8 micro-batches, noop sink (no driver
     // accumulation). Bounded at 2M events — the feed array is
