@@ -653,6 +653,26 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // ---- dedup: QUALITY-AWARE representative selection — per near-dup
+    // cluster keep the argmax-quality member (ties id asc), not the
+    // arbitrary min id: "drop the copies, keep the best copy". Score
+    // is the q18 rational as a scaled integer, so the whole lineage —
+    // clustering, scoring, argmax — is float-free.
+    "q86_dedup_keep_best" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val sig = TextAnalysis.qualitySignals(T(s, dir, "documents"),
+        "doc_id", "text")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = sig.select(col("doc_id").as("vec_id"),
+        graft.functions.ExactRound.ratioScaled(num, den, 4)
+          .as("quality_e4"))
+      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+      Dedup.keepBestRepresentatives(
+        emb.select(col("vec_id")).join(scored, "vec_id"),
+        "vec_id", "quality_e4", pairs, "id_a", "id_b")
+    }),
+
     // ---- curation: reproducible hash-sample (keyed md5-prefix filter —
     // same rows every rerun/repartition, unlike RNG df.sample)
     "q49_hash_sample" -> ((s, dir) =>
@@ -2096,6 +2116,26 @@ object SparkEntry {
          |  FROM cl GROUP BY node)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node != component)""".stripMargin,
+
+    // q86: q47's recursive components + the q18 rational as scaled
+    // integer + one per-component argmax window (quality desc, id asc)
+    "q86_dedup_keep_best" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |q AS (SELECT d.doc_id AS vec_id,
+         |    ${graft.functions.ExactRound.ratioScaledSql(qScoreNum, qScoreDen, 4)} AS quality_e4
+         |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+         |r AS (SELECT cc.node AS vec_id, q.quality_e4,
+         |    row_number() OVER (PARTITION BY cc.component
+         |      ORDER BY q.quality_e4 DESC, cc.node ASC) AS rk
+         |  FROM cc JOIN q ON q.vec_id = cc.node)
+         |SELECT vec_id, quality_e4 FROM r WHERE rk = 1
+         |UNION ALL
+         |SELECT q.vec_id, q.quality_e4 FROM q
+         |WHERE q.vec_id NOT IN (SELECT node FROM cc)""".stripMargin,
 
     // q27: payloads are ASCII text cast to binary, so of the real
     // header parsers only the GIF branch is reachable (PNG's 0x89 and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -391,5 +392,32 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(nonReps, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware representative selection: per near-dup cluster keep
+    * the doc that MAXIMIZES `scoreCol` (ties by id ascending) instead
+    * of the arbitrary min-id member — what a curation pipeline
+    * actually wants from dedup ("drop the copies, keep the best
+    * copy"). Singletons (no pair membership) always survive.
+    *
+    * Shape: components from the same path-halving propagation, a
+    * component←id join (pair-membership cardinality), and ONE
+    * per-component window row_number — the window partitions by
+    * component, whose size is the near-dup cluster size (2-4 docs in
+    * real corpora), never the corpus. An integer score keeps the
+    * lineage float-free (pass quality_e4, not quality). */
+  def keepBestRepresentatives(df: DataFrame, idCol: String,
+      scoreCol: String, pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIter)
+    val member = df.join(comp.withColumnRenamed("node", idCol), Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val best = member.withColumn("rk__", row_number().over(w))
+      .filter(col("rk__") === 1)
+      .drop("rk__", "component")
+    val singletons = df.join(
+      comp.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+    best.unionByName(singletons)
   }
 }

@@ -129,4 +129,19 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs, "id_a", "id_b").isEmpty)
   }
+
+  test("keepBestRepresentatives keeps argmax score per cluster, id tie-break") {
+    // cluster {2,4,5}: scores 10, 30, 30 -> id 4 wins (score tie, lower id)
+    val corpus = Seq((1L, 7L), (2L, 10L), (3L, 1L), (4L, 30L),
+      (5L, 30L), (6L, 2L)).toDF("id", "score")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestRepresentatives(corpus, "id", "score",
+        pairs, "id_a", "id_b")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 6L))
+    // empty pair list: everything is a singleton and survives
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.keepBestRepresentatives(corpus, "id", "score",
+      none, "id_a", "id_b").count() == 6L)
+  }
 }
