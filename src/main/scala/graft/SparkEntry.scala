@@ -910,6 +910,14 @@ object SparkEntry {
           graft.functions.ExactRound.ratioScaled(col("repeated_chars"),
             col("n_chars"), 4).as("repeated_frac_e4"))),
 
+    // ---- dedup: substring-dedup TRIM — the Lee et al. APPLICATION of
+    // q71's spans: cut every repeated span out of the normalized text.
+    // The gate compares the q72-style order-independent segment digest
+    // (trimDigest); the stitched trimmed_text itself is spec-asserted.
+    "q87_trim_repeated" -> ((s, dir) =>
+      SubstringDedup.trimDigest(T(s, dir, "documents"),
+        "doc_id", "text", minLen = 20)),
+
     // ---- sketch: count–min point-frequency estimates — per event_type,
     // one depth×width counter row over user ids; every per-user estimate
     // is re-checked in-query against the exact count (CMS never
@@ -1136,6 +1144,28 @@ object SparkEntry {
   private val qScoreNum = s"least($qNWords, 100) * ($qLen - $qPunct) " +
     s"* ($qNWords + least($qStopHits * 5, $qNWords))"
   private val qScoreDen = s"200 * $qLen * $qNWords"
+
+  /** The q71 repeated-span pipeline's CTEs (normalize → 20-char gram
+    * hashes → corpus-duplicated grams → per-doc span merge), shared by
+    * the q71 coverage and q87 trim oracles. Exposes `t(doc_id, tn)`
+    * and `spans(doc_id, sp, a, b)`. */
+  private val repeatedSpanCtes: String =
+    """t AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tn
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substring(md5(substr(tn, CAST(i AS INTEGER), 20)), 1, 16) AS h
+      |  FROM t, UNNEST(range(1, length(tn) - 18)) AS u(i)
+      |  WHERE length(tn) >= 20),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |f AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      |s AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER w <= 20 THEN 0 ELSE 1 END AS nw
+      |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |s2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp FROM s),
+      |spans AS (SELECT doc_id, sp, min(pos) AS a, max(pos) + 19 AS b
+      |  FROM s2 GROUP BY 1, 2)""".stripMargin
 
   /** Oracle-side md5-prefix64 reconstruction by pure hex-nibble
     * arithmetic (version-proof — no hex-cast features): value of the
@@ -2338,22 +2368,7 @@ object SparkEntry {
     // r8's still-flapping ExactRound double both exit the gate; no
     // float appears anywhere in this query's lineage.
     "q71_repeated_substrings" ->
-      s"""WITH t AS (SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tn
-        |  FROM documents),
-        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    substring(md5(substr(tn, CAST(i AS INTEGER), 20)), 1, 16) AS h
-        |  FROM t, UNNEST(range(1, length(tn) - 18)) AS u(i)
-        |  WHERE length(tn) >= 20),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |f AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-        |s AS (SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER w <= 20 THEN 0 ELSE 1 END AS nw
-        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |s2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
-        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp FROM s),
-        |spans AS (SELECT doc_id, sp, min(pos) AS a, max(pos) + 19 AS b
-        |  FROM s2 GROUP BY 1, 2),
+      s"""WITH $repeatedSpanCtes,
         |cov AS (SELECT doc_id, sum(b - a + 1) AS rep, count(*) AS ns
         |  FROM spans GROUP BY 1)
         |SELECT t.doc_id, length(tn) AS n_chars,
@@ -2361,6 +2376,46 @@ object SparkEntry {
         |  coalesce(rep, 0) AS repeated_chars,
         |  ${graft.functions.ExactRound.ratioScaledSql("coalesce(rep, 0)", "length(tn)", 4)} AS repeated_frac_e4
         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin,
+
+    // q87: the same span CTEs, complemented into KEPT segments (lag
+    // over span ends + a tail segment + whole-doc rows for span-free
+    // docs), gated by the q72 order-independent digest pattern —
+    // per-segment md5-prefix64 XOR in two 32-bit halves + kept_chars
+    "q87_trim_repeated" -> {
+      val hi = hex32Sql("h16", 1)
+      val lo = hex32Sql("h16", 9)
+      s"""WITH $repeatedSpanCtes,
+        |segi AS (SELECT doc_id,
+        |    coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 0) + 1 AS sa,
+        |    a - 1 AS sb
+        |  FROM spans),
+        |segt AS (SELECT spans.doc_id, max(spans.b) + 1 AS sa,
+        |    length(t.tn) AS sb
+        |  FROM spans JOIN t ON t.doc_id = spans.doc_id
+        |  GROUP BY spans.doc_id, length(t.tn)),
+        |segn AS (SELECT doc_id, 1 AS sa, length(tn) AS sb FROM t
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM spans)),
+        |segs AS (SELECT * FROM (SELECT * FROM segi UNION ALL
+        |    SELECT * FROM segt UNION ALL SELECT * FROM segn) u
+        |  WHERE sb >= sa),
+        |m AS (SELECT segs.doc_id, sb - sa + 1 AS seg_len,
+        |    substring(md5(concat(CAST(segs.doc_id AS VARCHAR), '@',
+        |      CAST(sa AS VARCHAR), '@',
+        |      substring(tn, CAST(sa AS INTEGER),
+        |        CAST(sb - sa + 1 AS INTEGER)))), 1, 16) AS h16
+        |  FROM segs JOIN t ON t.doc_id = segs.doc_id),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(seg_len) AS BIGINT) AS kept_chars,
+        |    bit_xor(CAST($hi AS BIGINT)) AS digest_hi,
+        |    bit_xor(CAST($lo AS BIGINT)) AS digest_lo
+        |  FROM m GROUP BY 1)
+        |SELECT t.doc_id, length(tn) AS n_chars,
+        |  coalesce(n_segments, 0) AS n_segments,
+        |  coalesce(kept_chars, 0) AS kept_chars,
+        |  coalesce(digest_hi, 0) AS digest_hi,
+        |  coalesce(digest_lo, 0) AS digest_lo
+        |FROM t LEFT JOIN d ON d.doc_id = t.doc_id""".stripMargin
+    },
 
     // q70: the guarantee is the oracle (q64 discipline) — a broken hash
     // or indexing flips a boolean and fails the hash compare. The

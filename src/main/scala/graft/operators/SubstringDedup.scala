@@ -75,6 +75,83 @@ object SubstringDedup {
       (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
+  /** The KEPT (non-repeated) segments of each doc's normalized text —
+    * the complement of [[repeatedSpans]]: for every doc, the 1-based
+    * [sa, sb] character ranges outside any repeated span. Pure
+    * relational construction (lag over span ends for the gaps, a
+    * per-doc tail segment, whole-doc rows for span-free docs) — no
+    * per-doc arrays, no interpreted lambdas. Rows: (id, sa, sb,
+    * seg_text). */
+  def keptSegments(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val docs = df.select(col(idCol), norm.as("tn__"),
+      length(norm).as("len__"))
+    // referenced three times (gaps, tails, the span-free anti-join) —
+    // tiny frame (a few rows per doc), persist via the same registry
+    val spans = graft.Caches.register(
+      repeatedSpans(df, idCol, textCol, minLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("span_start").asc)
+    val gaps = spans
+      .withColumn("sa", coalesce(lag(col("span_end"), 1).over(w), lit(0L)) + 1L)
+      .withColumn("sb", col("span_start") - 1L)
+      .select(col(idCol), col("sa"), col("sb"))
+    val tails = spans.groupBy(col(idCol))
+      .agg(max(col("span_end")).as("e__"))
+      .join(docs, Seq(idCol))
+      .select(col(idCol), (col("e__") + 1L).as("sa"), col("len__").as("sb"))
+    val wholes = docs.join(spans.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .select(col(idCol), lit(1L).as("sa"), col("len__").as("sb"))
+    gaps.unionByName(tails).unionByName(wholes)
+      .filter(col("sb") >= col("sa"))
+      .join(docs.select(col(idCol), col("tn__")), Seq(idCol))
+      .select(col(idCol), col("sa"), col("sb"),
+        expr("substring(tn__, CAST(sa AS INT), CAST(sb - sa + 1 AS INT))")
+          .as("seg_text"))
+  }
+
+  /** Substring-dedup TRIM (the Lee et al. application): per doc, the
+    * normalized text with every repeated span cut out, stitched from
+    * [[keptSegments]] in offset order. Bounded per-doc state (span
+    * count), for API/spec use; the GATE compares [[trimDigest]]. */
+  def trimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame =
+    keptSegments(df, idCol, textCol, minLen)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("sa"), col("seg_text"))))
+        .as("parts__"))
+      .withColumn("trimmed_text",
+        array_join(expr("transform(parts__, x -> x.seg_text)"), ""))
+      .select(col(idCol), col("trimmed_text"))
+
+  /** Gate surface for [[trimSpans]]: per doc, segment count, kept
+    * chars, and the order-independent XOR of per-segment md5-prefix64
+    * digests in two 32-bit halves (the q72 digest pattern — membership
+    * + offsets + text pin the trimmed bytes with no ordered
+    * aggregation). Docs with everything repeated emit zeros. */
+  def trimDigest(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val member = concat_ws("@", col(idCol).cast("string"),
+      col("sa").cast("string"), col("seg_text"))
+    val perDoc = keptSegments(df, idCol, textCol, minLen)
+      .withColumn("h64__", graft.expressions.Md5Prefix64(member))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("sb") - col("sa") + 1L).as("kept_chars"),
+        expr("bit_xor(shiftrightunsigned(h64__, 32))").as("digest_hi"),
+        expr("bit_xor(h64__ & 4294967295)").as("digest_lo"))
+    df.select(col(idCol), length(norm).as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("digest_hi"), lit(0L)).as("digest_hi"),
+        coalesce(col("digest_lo"), lit(0L)).as("digest_lo"))
+  }
+
   /** Per-document repeated-coverage report: how much of each doc's
     * normalized text sits inside a repeated span — the filter signal
     * ("drop or trim docs that are mostly boilerplate"). Docs with no

@@ -54,4 +54,42 @@ class SubstringDedupSpec extends SparkSpec {
       minLen = 60)
     assert(out.filter(col("doc_id") =!= 4L).isEmpty)
   }
+
+  test("trimSpans cuts exactly the repeated spans and stitches the rest") {
+    val trimmed = SubstringDedup.trimSpans(docs, "doc_id", "text",
+        minLen = 20)
+      .as[(Long, String)].collect().toMap
+    // reconstruct expected: normalized text minus each doc's spans
+    val norm = docs.select($"doc_id",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("tn"))
+      .as[(Long, String)].collect().toMap
+    val spans = SubstringDedup.repeatedSpans(docs, "doc_id", "text",
+        minLen = 20)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sorted).toMap
+    for ((id, tn) <- norm) {
+      val cut = spans.getOrElse(id, Array.empty[(Long, Long)])
+        .foldLeft((new StringBuilder, 1L)) { case ((sbuf, from), (a, b)) =>
+          (sbuf.append(tn.substring(from.toInt - 1, a.toInt - 1)), b + 1)
+        }
+      val expected = (cut._1 ++= tn.substring((cut._2 - 1).toInt)).toString
+      assert(trimmed(id) == expected, s"doc $id")
+    }
+    // doc 3 (no repeats) survives whole; doc 1/2 lose the shared block
+    assert(trimmed(3L) == norm(3L))
+    assert(!trimmed(1L).contains(shared) && !trimmed(2L).contains(shared))
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("trimDigest accounting: kept_chars + repeated_chars == n_chars") {
+    val cov = SubstringDedup.coverageReport(docs, "doc_id", "text", 20)
+      .select($"doc_id", $"repeated_chars", $"n_chars")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val dig = SubstringDedup.trimDigest(docs, "doc_id", "text", 20)
+      .select($"doc_id", $"kept_chars", $"n_chars")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((id, (_, rep, n)) <- cov)
+      assert(dig(id)._2 + rep == n, s"doc $id accounting")
+    Caches.unpersistAll(blocking = true)
+  }
 }
