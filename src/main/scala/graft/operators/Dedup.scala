@@ -409,15 +409,19 @@ object Dedup {
   def keepBestRepresentatives(df: DataFrame, idCol: String,
       scoreCol: String, pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // internal names carry the __ suffix so a caller's own
+    // "component" column (e.g. connectedComponents output fed back
+    // in) cannot collide
     val comp = connectedComponents(pairs, aCol, bCol, maxIter)
-    val member = df.join(comp.withColumnRenamed("node", idCol), Seq(idCol))
-    val w = Window.partitionBy(col("component"))
+      .select(col("node").as(idCol), col("component").as("comp__"))
+    val member = df.join(comp, Seq(idCol))
+    val w = Window.partitionBy(col("comp__"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val best = member.withColumn("rk__", row_number().over(w))
       .filter(col("rk__") === 1)
-      .drop("rk__", "component")
+      .drop("rk__", "comp__")
     val singletons = df.join(
-      comp.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+      comp.select(col(idCol)), Seq(idCol), "left_anti")
     best.unionByName(singletons)
   }
 }

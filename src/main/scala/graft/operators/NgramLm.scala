@@ -47,8 +47,11 @@ object NgramLm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val c12 = grams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12__"))
-    val c1 = grams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1__"))
+    // prefix counts derive from c12 (Σ over w2) — aggregating the
+    // bigram-vocabulary-sized c12 frame, not a second full shuffle of
+    // the corpus-wide gram stream
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12__")).as("c1__"))
     val vocab = base.select(explode(col("ws__")).as("w"))
       .agg(count_distinct(col("w")).as("vocab__"))
     val scored = grams

@@ -85,8 +85,12 @@ object SubstringDedup {
   def keptSegments(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val docs = df.select(col(idCol), norm.as("tn__"),
-      length(norm).as("len__"))
+    // referenced by three joins (tails, span-free anti-join, seg_text)
+    // — persist or the corpus-wide normalization regex runs per
+    // reference; same registry policy as the gram stream
+    val docs = graft.Caches.register(
+      df.select(col(idCol), norm.as("tn__"), length(norm).as("len__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // referenced three times (gaps, tails, the span-free anti-join) —
     // tiny frame (a few rows per doc), persist via the same registry
     val spans = graft.Caches.register(
@@ -117,14 +121,24 @@ object SubstringDedup {
     * [[keptSegments]] in offset order. Bounded per-doc state (span
     * count), for API/spec use; the GATE compares [[trimDigest]]. */
   def trimSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20): DataFrame =
-    keptSegments(df, idCol, textCol, minLen)
+      minLen: Int = 20): DataFrame = {
+    val stitched = keptSegments(df, idCol, textCol, minLen)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("sa"), col("seg_text"))))
         .as("parts__"))
       .withColumn("trimmed_text",
         array_join(expr("transform(parts__, x -> x.seg_text)"), ""))
       .select(col(idCol), col("trimmed_text"))
+    // docs trimmed to NOTHING (e.g. exact duplicates: every window
+    // repeats, one span covers the whole text) have no kept segments —
+    // left-join back so they emit an EMPTY string, not a vanished row
+    // (trimDigest reports the same docs as zeros; the two surfaces
+    // must agree on the doc set)
+    df.select(col(idCol))
+      .join(stitched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
 
   /** Gate surface for [[trimSpans]]: per doc, segment count, kept
     * chars, and the order-independent XOR of per-segment md5-prefix64

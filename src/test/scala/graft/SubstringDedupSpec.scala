@@ -81,6 +81,25 @@ class SubstringDedupSpec extends SparkSpec {
     Caches.unpersistAll(blocking = true)
   }
 
+  test("exact duplicates trim to an EMPTY row, not a vanished one") {
+    val dupDocs = docs.unionByName(Seq(
+      (5L, "verbatim duplicated paragraph body here"),
+      (6L, "verbatim duplicated paragraph body here")
+    ).toDF("doc_id", "text"))
+    val trimmed = SubstringDedup.trimSpans(dupDocs, "doc_id", "text",
+        minLen = 20)
+      .as[(Long, String)].collect().toMap
+    assert(trimmed.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "every input doc must appear in the trimmed corpus")
+    assert(trimmed(5L) == "" && trimmed(6L) == "",
+      "fully-repeated docs emit empty text")
+    // and the digest surface agrees: kept_chars 0 for both
+    val dig = SubstringDedup.trimDigest(dupDocs, "doc_id", "text", 20)
+      .select($"doc_id", $"kept_chars").as[(Long, Long)].collect().toMap
+    assert(dig(5L) == 0L && dig(6L) == 0L)
+    Caches.unpersistAll(blocking = true)
+  }
+
   test("trimDigest accounting: kept_chars + repeated_chars == n_chars") {
     val cov = SubstringDedup.coverageReport(docs, "doc_id", "text", 20)
       .select($"doc_id", $"repeated_chars", $"n_chars")
