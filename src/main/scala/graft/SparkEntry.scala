@@ -519,6 +519,17 @@ object SparkEntry {
         budget = 100000L)
     }),
 
+    // ---- curation: epoch plan for UPSAMPLING mixtures — when a
+    // source's allocation exceeds its volume it repeats: whole passes
+    // + a fractional pass, all integer division over q80's allocation
+    "q88_epoch_plan" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
+          "doc_id", "text")
+        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+      Apportion.epochPlan(toks, "source", "n_tokens", budget = 100000L)
+    }),
+
     // ---- curation: Gopher rule gates (Rae et al. §A1.1) — hard
     // keep/drop quality rules; every ratio bound evaluated by integer
     // cross-multiplication, so the output is longs + booleans only
@@ -1958,6 +1969,14 @@ object SparkEntry {
     // (rem desc, source asc) tie-break — integer-exact on both engines
     "q80_budget_apportion" ->
       Apportion.largestRemainderSql(
+        "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
+          "FROM documents) src__",
+        "source", "n_tokens", budget = 100000L),
+
+    // q88: q80's apportionment wrapped in integer epoch accounting
+    "q88_epoch_plan" ->
+      Apportion.epochPlanSql(
         "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
           "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
           "FROM documents) src__",

@@ -71,6 +71,33 @@ object Apportion {
           col("rank__") <= col("extra__"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** Epoch plan for UPSAMPLING mixtures (UniMax-style accounting):
+    * when a group's allocation exceeds its volume, it repeats —
+    * `full_epochs = alloc div weight` whole passes plus a
+    * `partial_tokens = alloc mod weight` fractional pass (selected by
+    * the same deterministic budget-cut machinery downstream). Pure
+    * integer division over [[largestRemainder]]'s output; zero-weight
+    * groups plan zero epochs. */
+  def epochPlan(df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long): DataFrame =
+    largestRemainder(df, groupCol, weightCol, budget)
+      .select(col(groupCol), col("weight"), col("alloc"),
+        when(col("weight") > 0,
+          call_function("div", col("alloc"), col("weight")))
+          .otherwise(lit(0L)).as("full_epochs"),
+        when(col("weight") > 0, pmod(col("alloc"), col("weight")))
+          .otherwise(lit(0L)).as("partial_tokens"))
+
+  /** The DuckDB mirror of [[epochPlan]] for oracle SQL. */
+  def epochPlanSql(table: String, group: String, weight: String,
+      budget: Long): String =
+    s"""SELECT $group, weight, alloc,
+       |  CASE WHEN weight > 0 THEN alloc // weight
+       |    ELSE CAST(0 AS BIGINT) END AS full_epochs,
+       |  CASE WHEN weight > 0 THEN alloc % weight
+       |    ELSE CAST(0 AS BIGINT) END AS partial_tokens
+       |FROM (${largestRemainderSql(table, group, weight, budget)}) ap__""".stripMargin
+
   /** Materialize a target mixture: apportion `budget` across groups
     * with [[largestRemainder]], then keep each group's best rows —
     * ordered by `orderCols` (give a deterministic total order; an

@@ -71,6 +71,25 @@ class ApportionSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("epochPlan: upsampled groups repeat; accounting is exact") {
+    // weights 10/30 of 40, budget 200 -> allocs 50/150
+    // a: 50 = 5 epochs of 10 + 0; b: 150 = 5 epochs of 30 + 0
+    val even = Seq(("a", 10L), ("b", 30L)).toDF("src", "w")
+    val out = Apportion.epochPlan(even, "src", "w", budget = 200L)
+      .select($"src", $"alloc", $"full_epochs", $"partial_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map("a" -> ((50L, 5L, 0L)), "b" -> ((150L, 5L, 0L))))
+    // uneven: budget 100 over 30/10 -> 75/25; a: 2x30+15, b: 2x10+5
+    val out2 = Apportion.epochPlan(
+        Seq(("a", 30L), ("b", 10L)).toDF("src", "w"), "src", "w", 100L)
+      .select($"src", $"alloc", $"full_epochs", $"partial_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out2 == Map("a" -> ((75L, 2L, 15L)), "b" -> ((25L, 2L, 5L))))
+    // invariant: alloc == full_epochs * weight + partial_tokens
+  }
+
   test("SQL mirror computes the identical allocation (Spark-eval bridge)") {
     val df = Seq(("a", 37L), ("b", 23L), ("c", 11L), ("d", 5L))
       .toDF("src", "w")
