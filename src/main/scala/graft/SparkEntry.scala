@@ -241,6 +241,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
     }),
 
+    // ---- analytics: retention cohorts — users grouped by first-seen
+    // day, activity counted at each day offset: the classic retention
+    // matrix. Distinct user-day grid first (map-side combinable), then
+    // one broadcast-scale cohort join; all integer day arithmetic.
+    "q89_retention_cohorts" -> ((s, dir) => {
+      val userDay = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val cohort = userDay.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      userDay.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- analytics: ordered conversion funnel — per user the FIRST
+    // view, the first click strictly AFTER it, the first purchase
+    // strictly after that; per-stage user counts. Three keyed
+    // aggregate+join stages (each min() is map-side combinable), no
+    // windows, integer epoch seconds end to end.
+    "q90_funnel_steps" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_s") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_s") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("step"), col("n_users"))
+      stage("1_view", v).unionByName(stage("2_click", c))
+        .unionByName(stage("3_purchase", p))
+    }),
+
     // ---- built-in session windows (the native Spark sessionization
     // operator; q15 is the lag/cumsum formulation of the same thing)
     "q32_session_window" -> ((s, dir) => {
@@ -1549,6 +1591,33 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q89: distinct user-day grid -> per-user min day -> offset counts
+    "q89_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q90: first view -> first click strictly after -> first purchase
+    // strictly after; per-stage distinct-user counts
+    "q90_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(ts_s) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_s) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_s > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_s) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_s > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
 
     "q36_distinct_users" ->
       """SELECT event_type,
