@@ -553,10 +553,7 @@ object SparkEntry {
     // design time). The windows run on the GROUPED frame (20 sources),
     // not the corpus.
     "q80_budget_apportion" -> ((s, dir) => {
-      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
-          "doc_id", "text")
-        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
-          "doc_id")
+      val toks = sourceTokens(s, dir)
       Apportion.largestRemainder(toks, "source", "n_tokens",
         budget = 100000L)
     }),
@@ -565,10 +562,7 @@ object SparkEntry {
     // source's allocation exceeds its volume it repeats: whole passes
     // + a fractional pass, all integer division over q80's allocation
     "q88_epoch_plan" -> ((s, dir) => {
-      val toks = TextAnalysis.tokenCounts(T(s, dir, "documents"),
-          "doc_id", "text")
-        .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
-          "doc_id")
+      val toks = sourceTokens(s, dir)
       Apportion.epochPlan(toks, "source", "n_tokens", budget = 100000L)
     }),
 
@@ -1181,6 +1175,21 @@ object SparkEntry {
   /** Shared SQL fragments. */
   private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($wsNorm, ' ')"
+
+  /** Per-doc token counts joined to source — the shared input of the
+    * q80/q88 allocation queries (ONE definition; a tokenizer tweak
+    * must not diverge the two). */
+  private def sourceTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")
+      .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+
+  /** The oracle-side mirror of [[sourceTokens]] as a parenthesized
+    * subquery fragment. */
+  private val sourceTokensSql: String =
+    "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
+      "FROM documents) src__"
 
   /** The q18 quality rational's SQL pieces — ONE copy shared by the
     * q18/q59/q84 oracles (the Scala side shares
@@ -2038,17 +2047,13 @@ object SparkEntry {
     // (rem desc, source asc) tie-break — integer-exact on both engines
     "q80_budget_apportion" ->
       Apportion.largestRemainderSql(
-        "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
-          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
-          "FROM documents) src__",
+        sourceTokensSql,
         "source", "n_tokens", budget = 100000L),
 
     // q88: q80's apportionment wrapped in integer epoch accounting
     "q88_epoch_plan" ->
       Apportion.epochPlanSql(
-        "(SELECT source, CAST(len(regexp_extract_all(lower(text), " +
-          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens " +
-          "FROM documents) src__",
+        sourceTokensSql,
         "source", "n_tokens", budget = 100000L),
 
     // q81: every ratio bound as integer cross-multiplication; the

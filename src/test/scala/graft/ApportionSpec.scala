@@ -101,4 +101,15 @@ class ApportionSpec extends SparkSpec {
     val b = spark.sql(sql)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("epochPlanSql mirrors epochPlan (Spark-eval bridge, incl. zero weight)") {
+    val df = Seq(("a", 30L), ("b", 10L), ("z", 0L)).toDF("src", "w")
+    df.createOrReplaceTempView("epoch_in__")
+    val sql = Apportion
+      .epochPlanSql("epoch_in__", "src", "w", budget = 100L)
+      .replace("//", "div").replace("HUGEINT", "DECIMAL(38,0)")
+    val a = Apportion.epochPlan(df, "src", "w", 100L)
+    val b = spark.sql(sql)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
