@@ -134,6 +134,26 @@ object Streams {
         ()
       }
 
+  /** Streaming decontamination sink: per micro-batch, run the exact
+    * n-gram containment check against a STATIC benchmark corpus and
+    * append only clean rows to `path`. The batch-side operator
+    * ([[graft.operators.Decontaminate]]) is reused verbatim inside
+    * foreachBatch — the benchmark gram side is recomputed per batch by
+    * the operator (a production deployment passes a pre-built gram
+    * table the same way mergeSink passes a path); no stream-side state
+    * beyond the checkpoint. The streaming twin of q51. */
+  def decontaminateSink(stream: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, path: String, n: Int = 5,
+      threshold: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Decontaminate
+          .clean(batch, bench, idCol, textCol, n, threshold)
+          .write.mode("append").parquet(path)
+        ()
+      }
+
   /** Stream-static enrichment: join a stream against a (small) dimension
     * table with a broadcast hint — each micro-batch hash-joins against
     * the broadcast dim, no stream-side state. The streaming twin of the
