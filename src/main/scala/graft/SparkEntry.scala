@@ -241,6 +241,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
     }),
 
+    // ---- profiling: per-column table stats — the "describe" surface;
+    // integer/string columns only, every value integer- or
+    // string-rendered (float columns go through the histogram's
+    // scaled-integer path instead)
+    "q91_profile_columns" -> ((s, dir) =>
+      Profile.columns(T(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // ---- profiling: exact equi-width histogram over integer cents —
+    // data-dependent integer bounds, broadcast back; one row per
+    // non-empty bucket
+    "q92_histogram" -> ((s, dir) =>
+      Profile.histogram(
+        T(s, dir, "orders").select(
+          expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents")),
+        "cents", nBuckets = 10)),
+
     // ---- analytics: retention cohorts — users grouped by first-seen
     // day, activity counted at each day offset: the classic retention
     // matrix. Distinct user-day grid first (map-side combinable), then
@@ -1600,6 +1617,32 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q91: one stat row per column, UNION ALL; min/max as strings
+    "q91_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    // q92: integer-cents histogram — the q35 cents derivation, then
+    // width/bucket arithmetic entirely in integer division
+    "q92_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        |w AS (SELECT mn, ((mx - mn) // 10) + 1 AS w FROM b)
+        |SELECT (v.v - w.mn) // w.w AS bucket,
+        |  w.mn + ((v.v - w.mn) // w.w) * w.w AS lo,
+        |  w.mn + (((v.v - w.mn) // w.w) + 1) * w.w - 1 AS hi,
+        |  count(*) AS n_rows
+        |FROM v, w GROUP BY 1, 2, 3""".stripMargin,
 
     // q89: distinct user-day grid -> per-user min day -> offset counts
     "q89_retention_cohorts" ->

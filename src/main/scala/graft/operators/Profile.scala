@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the "describe this table" surface a
+  * warehouse engine ships (reference `checkdb.py`'s row-accounting
+  * loop is the spirit): per-column stats and exact equi-width
+  * histograms, with every emitted value an integer or string so the
+  * profile is engine-exact (the q71 gate discipline).
+  */
+object Profile {
+
+  /** One row per requested column: (col_name, n_rows, n_null,
+    * n_distinct, min_s, max_s) — min/max rendered as strings so
+    * integer and string columns share one schema (callers pass
+    * integral/string columns; float columns should be profiled via
+    * [[histogram]] on a scaled-integer form instead, never through
+    * cross-engine float-to-string rendering). One aggregate pass per
+    * column over a shared scan; the tiny per-column frames union. */
+  def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact equi-width histogram of an integral column: bucket width =
+    * (max−min) div nBuckets + 1 (so every value lands in
+    * [0, nBuckets)), bounds data-dependent but integer-derived. Output
+    * one row per NON-EMPTY bucket: (bucket, lo, hi, n_rows) with
+    * lo/hi the bucket's inclusive value range. NULLs are excluded
+    * (profile them via [[columns]]). The bounds aggregate broadcasts
+    * back — two passes over the column, no sort, no corpus-wide
+    * window. */
+  def histogram(df: DataFrame, valueCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val vals = df.select(col(valueCol).cast("long").as("v__"))
+      .filter(col("v__").isNotNull)
+    val bounds = vals.agg(min(col("v__")).as("mn__"), max(col("v__")).as("mx__"))
+    val width = call_function("div",
+      col("mx__") - col("mn__"), lit(nBuckets.toLong)) + 1L
+    vals.crossJoin(broadcast(bounds))
+      .withColumn("w__", width)
+      .withColumn("bucket",
+        call_function("div", col("v__") - col("mn__"), col("w__")))
+      .groupBy(col("bucket"), col("mn__"), col("w__"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        (col("mn__") + col("bucket") * col("w__")).as("lo"),
+        (col("mn__") + (col("bucket") + 1L) * col("w__") - 1L).as("hi"),
+        col("n_rows"))
+  }
+}
