@@ -56,7 +56,16 @@ object Bench {
     // total_with_audit bridges the r8 metric change for cross-round
     // dashboards: pre-r8 "value" included the q40 audit, r8+ excludes
     // it (audit_sec reports it separately).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist as a file artifact: the r9 driver artifact had
+    // "parsed":null with a truncated stdout tail that lost 20 queries'
+    // timings — a file can be lifted whole regardless of log clipping.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 /** Driver-visible accuracy gate for the approximate operators
   * (SimHash, ANN-LSH, embedding-LSH near-dup, IVF, KMV sketch).
@@ -67,9 +69,16 @@ object AccuracyAudit {
     val emb = slice(Tables(s, dir, "embeddings"), "vec_id", maxAuditRows, cached)
     val events = Tables(s, dir, "events")
 
+    // The six check families are mutually independent chains of
+    // collecting actions; run them as concurrent job groups (Spark
+    // supports multi-threaded job submission) so the audit's wall time
+    // is the LONGEST chain, not the sum — at audit corpus sizes each
+    // chain uses a handful of the 32 cores, so overlap is nearly free.
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
     // --- SimHash banding is pigeonhole-exact: hamming <= 3 over 4 bands
     // of 16 bits MUST collide in >= 1 band, so recall is exactly 1.0.
-    val (exactSim, lshSim) = timed("simhash_pigeonhole") {
+    val fSimhash = Future(timed("simhash_pigeonhole") {
       // ONE fingerprint pass feeds both the exact all-pairs check and
       // the banded operator (simhashFromFingerprints) — the comparison
       // is over identical fps by construction, and the corpus is not
@@ -84,51 +93,53 @@ object AccuracyAudit {
         .select(col("doc_a"), col("doc_b"))
         .as[(Long, Long)].collect().toSet
       fps.unpersist(blocking = false)
-      (ex, ls)
-    }
-    val simhashOk = exactSim == lshSim // banding may neither miss nor invent
+      ex == ls // banding may neither miss nor invent
+    })
 
     // --- ANN: exact top-10 once, both approximate variants against it.
     def ids(df: DataFrame): Set[Long] = df.select(col("vec_id"))
       .as[Long].collect().toSet
-    val exactTop = timed("ann_exact_top10")(ids(SimilaritySearch.bruteForceTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10)))
+    val fExactTop = Future(timed("ann_exact_top10")(ids(SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))))
     // measured 9/10 at sf0.01 and sf0.1 (true neighbors at cos 0.28-0.41,
     // the random-noise tail); threshold half that
-    val lshTop = timed("ann_lsh_top10")(ids(SimilaritySearch.lshTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192)))
-    val annLshOk = (exactTop & lshTop).size >= 5
+    val fLshTop = Future(timed("ann_lsh_top10")(ids(SimilaritySearch.lshTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10, bands = 8192))))
     // IVF probes 2 of 8 cells: geometric recall, measured per TESTDATA
-    val ivfTop = timed("ann_ivf_top10")(ids(SimilaritySearch.ivfTopK(
-      emb, "vec_id", "embedding", queryId = 0L, k = 10)))
-    val ivfOk = (exactTop & ivfTop).size >= 4
+    val fIvfTop = Future(timed("ann_ivf_top10")(ids(SimilaritySearch.ivfTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))))
+    val fAnn = for (exactTop <- fExactTop; lshTop <- fLshTop; ivfTop <- fIvfTop)
+      yield ((exactTop & lshTop).size >= 5, (exactTop & ivfTop).size >= 4)
 
     // --- embedding near-dup LSH recall vs the exact O(n²) kernel
     // (measured 1.0 at sf0.01, 0.958 at sf0.1; vacuous-pass if the
     // corpus has no true pairs)
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
-    val exactPairs = timed("embedding_exact_pairs")(
+    val fExactPairs = Future(timed("embedding_exact_pairs")(
       pairs(SimilaritySearch.embeddingNearDupExact(
-        emb, "vec_id", "embedding", threshold = 0.45)))
-    val lshPairs = timed("embedding_lsh_pairs")(
+        emb, "vec_id", "embedding", threshold = 0.45))))
+    val fLshPairs = Future(timed("embedding_lsh_pairs")(
       pairs(SimilaritySearch.embeddingNearDup(
-        emb, "vec_id", "embedding", threshold = 0.45)))
-    val neardupOk = exactPairs.isEmpty ||
-      (exactPairs & lshPairs).size.toDouble / exactPairs.size >= 0.8
-
+        emb, "vec_id", "embedding", threshold = 0.45))))
     // --- SemDeDup recall vs the same exact kernel: within-cluster
     // verification misses only boundary-straddling pairs (measured 1.0
     // at sf0.01 and sf0.1 — the synthetic corpus clusters cleanly);
     // gate at 0.6, where a broken assignment or collapsed clustering
     // lands near 1/nClusters. Precision is exact by construction
     // (cosine-verified), so invented pairs also fail.
-    val semPairs = timed("semantic_dedup_pairs")(
+    val fSemPairs = Future(timed("semantic_dedup_pairs")(
       pairs(SimilaritySearch.semanticNearDup(
-        emb, "vec_id", "embedding", threshold = 0.45)))
-    val semOk = (semPairs -- exactPairs).isEmpty &&
-      (exactPairs.isEmpty ||
-        (exactPairs & semPairs).size.toDouble / exactPairs.size >= 0.6)
+        emb, "vec_id", "embedding", threshold = 0.45))))
+    val fPairs = for (exactPairs <- fExactPairs; lshPairs <- fLshPairs;
+                      semPairs <- fSemPairs) yield {
+      val neardupOk = exactPairs.isEmpty ||
+        (exactPairs & lshPairs).size.toDouble / exactPairs.size >= 0.8
+      val semOk = (semPairs -- exactPairs).isEmpty &&
+        (exactPairs.isEmpty ||
+          (exactPairs & semPairs).size.toDouble / exactPairs.size >= 0.6)
+      (neardupOk, semOk)
+    }
 
     // --- Bloom decontamination vs the exact gram join: no false
     // negatives is a HARD Bloom guarantee (exact-flagged ⊆
@@ -136,34 +147,38 @@ object AccuracyAudit {
     // bounded — at fpp=0.01 a doc needs many coincidental bit hits to
     // cross the 0.3 containment threshold (measured 0 excess docs at
     // sf0.01/sf0.1; gate allows 2% of the corpus).
-    val benchB = Sampling.hashSample(docs, "doc_id", rate256 = 26)
-    val corpusB = docs.join(benchB.select(col("doc_id")), Seq("doc_id"), "left_anti")
     def flagged(df: DataFrame): Set[Long] = df.filter(col("contaminated"))
       .select(col("doc_id")).as[Long].collect().toSet
-    val exactFlag = timed("decontaminate_exact")(
+    val benchB = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+    val corpusB = docs.join(benchB.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fExactFlag = Future(timed("decontaminate_exact")(
       flagged(Decontaminate.overlapReport(
-        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3)))
-    val bloomFlag = timed("decontaminate_bloom")(
+        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3))))
+    val fBloomFlag = Future(timed("decontaminate_bloom")(
       flagged(Decontaminate.bloomOverlapReport(
-        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3, fpp = 0.01)))
-    val nCorpus = corpusB.count()
-    val bloomOk = exactFlag.subsetOf(bloomFlag) &&
-      (bloomFlag -- exactFlag).size <= math.max(2L, nCorpus / 50).toInt
+        corpusB, benchB, "doc_id", "text", n = 5, threshold = 0.3, fpp = 0.01))))
+    val fBloom = for (exactFlag <- fExactFlag; bloomFlag <- fBloomFlag) yield {
+      val nCorpus = corpusB.count()
+      exactFlag.subsetOf(bloomFlag) &&
+        (bloomFlag -- exactFlag).size <= math.max(2L, nCorpus / 50).toInt
+    }
 
     // --- KMV distinct sketch vs exact count-distinct: k=256 keeps the
     // relative error ~1/sqrt(k-2) ≈ 6.3% (1σ); gate at 4σ
-    val worstErr = timed("kmv_vs_exact_distinct") {
-      val exactD = events.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_d"))
-      val kmvD = events.groupBy(col("event_type"))
-        .agg(graft.expressions.KMVSketch
-          .approx_distinct_kmv(col("user_id"), k = 256).as("kmv_d"))
-      exactD.join(kmvD, "event_type")
-        .select(max(abs(col("kmv_d") - col("exact_d")) /
-          col("exact_d").cast("double")))
-        .as[Double].collect().head
+    val fKmv = Future {
+      val worstErr = timed("kmv_vs_exact_distinct") {
+        val exactD = events.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_d"))
+        val kmvD = events.groupBy(col("event_type"))
+          .agg(graft.expressions.KMVSketch
+            .approx_distinct_kmv(col("user_id"), k = 256).as("kmv_d"))
+        exactD.join(kmvD, "event_type")
+          .select(max(abs(col("kmv_d") - col("exact_d")) /
+            col("exact_d").cast("double")))
+          .as[Double].collect().head
+      }
+      worstErr <= 0.25
     }
-    val kmvOk = worstErr <= 0.25
 
     // --- Misra–Gries frequent-items sketch vs exact counts, over word
     // BIGRAMS (≈ 900 distinct at gate scale >> k = 64, so the decrement
@@ -171,11 +186,20 @@ object AccuracyAudit {
     // estimate must sit in [true − N/(k+1), true] and every item above
     // the N/(k+1) support must be tracked. Both hold by theorem for any
     // input — a false means the sketch implementation broke.
-    val bigrams = docs.select(
-      explode(graft.expressions.WordNGrams.allGrams(
-        graft.functions.TextFns.words(col("text")), 2)).as("g"))
-    val (mgBoundsOk, mgNoMiss) = timed("mg_guarantee")(
-      FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64))
+    val fMg = Future {
+      val bigrams = docs.select(
+        explode(graft.expressions.WordNGrams.allGrams(
+          graft.functions.TextFns.words(col("text")), 2)).as("g"))
+      timed("mg_guarantee")(
+        FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64))
+    }
+
+    val simhashOk = Await.result(fSimhash, Duration.Inf)
+    val (annLshOk, ivfOk) = Await.result(fAnn, Duration.Inf)
+    val (neardupOk, semOk) = Await.result(fPairs, Duration.Inf)
+    val bloomOk = Await.result(fBloom, Duration.Inf)
+    val kmvOk = Await.result(fKmv, Duration.Inf)
+    val (mgBoundsOk, mgNoMiss) = Await.result(fMg, Duration.Inf)
 
     // every check above has collected its booleans — the slices are done
     cached.foreach(_.unpersist(blocking = false))

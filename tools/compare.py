@@ -59,8 +59,22 @@ def main(sf_dir, out_dir):
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
         bad = []
+        dtype_bad = []
         for c in s.columns:
             a, b = s[c], o[c]
+            # Driver-faithful dtype gate: the driver hashes RENDERED
+            # values, so int64 3 vs float64 3.0 ("3" vs "3.0") is a
+            # hash mismatch even when numerically equal. The r7-r9
+            # q71/q72/q83/q84/q91 reds were exactly this — DuckDB
+            # sum(BIGINT) returns HUGEINT, which pandas renders as
+            # float64. Casting both sides to float here (as the old
+            # compare did unconditionally) hides that divergence.
+            a_num = pd.api.types.is_numeric_dtype(a)
+            b_num = pd.api.types.is_numeric_dtype(b)
+            if a_num and b_num and \
+               pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                dtype_bad.append((c, str(a.dtype), str(b.dtype)))
+                continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 # Bitwise compare, mirroring the driver's value-hash gate:
                 # float == would pass -0.0 vs 0.0 (and would need NaN
@@ -81,7 +95,12 @@ def main(sf_dir, out_dir):
                 ne = sum(1 for x, y in zip(av, bv) if x != y and not (x is None and y is None))
                 if ne:
                     bad.append((c, ne, None))
-        if bad:
+        if dtype_bad:
+            msgs = ", ".join(f"{c}: spark {sd} vs oracle {od} (renders e.g. 3 vs 3.0)"
+                             for c, sd, od in dtype_bad)
+            print(f"FAIL {name}: dtype mismatch — {msgs}")
+            n_fail += 1
+        elif bad:
             msgs = ", ".join(f"{c}: {n} diffs" + (f" (max abs {m:.3g})" if m is not None else "")
                              for c, n, m in bad)
             print(f"FAIL {name}: {len(s)} rows; {msgs}")
