@@ -660,12 +660,27 @@ object SparkEntry {
     // bands=8192: the synthetic corpus's true top-10 sit at cos
     // 0.28-0.41 — the random-noise tail, LSH's hardest regime — so band
     // count is sized up to hold per-neighbor recall ~0.9 there.
+    // Graduated from rows-only to hash-gated (the q64/q70 discipline):
+    // the output is the EXACT top-10 surface (SQL-reproducible) plus a
+    // recall_ok boolean measured against the LSH probe's answer — at
+    // the pinned hyperplanes both sides are deterministic, so a recall
+    // collapse (band-shift bug, broken signature) flips the boolean
+    // and fails the hash gate. Threshold mirrors the q40 audit (>= 5
+    // of 10; measured 9/10 at both gate SFs).
     "q26_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val index = SimilaritySearch.lshIndex(emb,
         "vec_id", "embedding", bands = 8192)
-      SimilaritySearch.lshProbe(index, emb,
+      val lsh = SimilaritySearch.lshProbe(index, emb,
         "vec_id", "embedding", queryId = 0L, k = 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+      val overlap = exact
+        .join(lsh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.crossJoin(broadcast(overlap))
+        .select(col("vec_id"), col("cosine"),
+          (col("n_overlap") >= 5).as("recall_ok"))
     }),
 
     // ---- multimodal: binary payload + per-partition stub decode
@@ -681,22 +696,54 @@ object SparkEntry {
       SimilaritySearch.embeddingNearDupExact(T(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)),
 
-    // ---- dedup: LSH-bucketed embedding near-dup (approximate: rows-only;
-    // 16-bit band keys over a 512-bit base signature, band count derived
-    // from the threshold — adaptiveBands(0.45) = 3,055 targeting recall
-    // 0.95 at exactly-threshold pairs (measured 0.91 at sf0.1 — bands
-    // share base bits, so realized recall sits slightly below the
-    // independent-band formula), false candidates at the birthday floor;
-    // see SimilaritySearch.adaptiveBands for the r/b math. The q40 audit
-    // measures realized recall vs the exact kernel every run.)
-    "q30_embedding_neardup_lsh" -> ((s, dir) =>
-      SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)),
+    // ---- dedup: LSH-bucketed embedding near-dup — 16-bit band keys
+    // over a 512-bit base signature, band count derived from the
+    // threshold: adaptiveBands(0.45) = 3,055 targeting recall 0.95 at
+    // exactly-threshold pairs (measured 0.91 at sf0.1 — bands share
+    // base bits, so realized recall sits slightly below the
+    // independent-band formula), false candidates at the birthday
+    // floor; see SimilaritySearch.adaptiveBands for the r/b math.
+    // Graduated to hash-gated: rows are the EXACT pair surface (q29's
+    // SQL), recall_ok gates |exact∩lsh| >= 0.8·|exact| by integer
+    // cross-multiplication, precision_ok gates lsh ⊆ exact (LSH
+    // cosine-verifies candidates, so an invented pair means the
+    // verification broke).
+    "q30_embedding_neardup_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val exact = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+      val lsh = SimilaritySearch.embeddingNearDup(emb,
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      val stats = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(lsh
+          .join(exact.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_invented")))
+      exact.crossJoin(broadcast(stats)).select(
+        col("id_a"), col("id_b"), col("cosine"),
+        (col("n_found") * 5L >= col("n_exact") * 4L).as("recall_ok"),
+        (col("n_invented") === 0L).as("precision_ok"))
+    }),
 
-    // ---- similarity: IVF coarse-quantizer ANN (approximate: rows-only)
-    "q31_ann_ivf" -> ((s, dir) =>
-      SimilaritySearch.ivfTopK(T(s, dir, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 10)),
+    // ---- similarity: IVF coarse-quantizer ANN. Graduated to
+    // hash-gated like q26: exact top-10 surface + recall_ok vs the IVF
+    // probe (>= 4 of 10, the q40 threshold — 2 of 8 cells probed).
+    "q31_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val ivf = SimilaritySearch.ivfTopK(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+      val overlap = exact
+        .join(ivf.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.crossJoin(broadcast(overlap))
+        .select(col("vec_id"), col("cosine"),
+          (col("n_overlap") >= 4).as("recall_ok"))
+    }),
 
     // ---- dedup: transitive near-dup clustering — connected components
     // (min-id label) over the exact pair list; pair lists say who matches
@@ -867,22 +914,60 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))),
 
     // ---- curation: Bloom-filter decontamination — the memory-constant
-    // scale twin of q51 (approximate: rows-only; fail-safe one-sided
-    // error, superset + excess bound pinned by the q40 audit)
+    // scale twin of q51. Graduated to hash-gated: rows are the exact
+    // overlap report (q51's SQL-reproducible surface); per-row
+    // no_false_negative gates the HARD one-sided Bloom guarantee
+    // (exact-contaminated ⇒ bloom-contaminated — Bloom hits can only
+    // be added, never lost), and excess_ok bounds the false-positive
+    // side at the q40 threshold (≤ max(2, 2% of corpus)).
     "q61_bloom_decontaminate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
       val corpus = docs.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      Decontaminate.bloomOverlapReport(corpus, bench, "doc_id", "text",
-        n = 5, threshold = 0.3, fpp = 0.01)
+      val exact = Decontaminate.overlapReport(corpus, bench, "doc_id", "text",
+        n = 5, threshold = 0.3)
+      val bloom = Decontaminate.bloomOverlapReport(corpus, bench, "doc_id", "text",
+          n = 5, threshold = 0.3, fpp = 0.01)
+        .select(col("doc_id"), col("contaminated").as("bloom_contaminated"))
+      val joined = exact.join(bloom, "doc_id")
+      val excess = joined.agg(
+        sum(when(col("bloom_contaminated") && !col("contaminated"), 1L)
+          .otherwise(0L)).as("n_excess"),
+        count(lit(1)).as("n_corpus"))
+      joined.crossJoin(broadcast(excess)).select(
+        col("doc_id"), col("n_grams"), col("n_hit"), col("overlap"),
+        col("contaminated"),
+        (!col("contaminated") || col("bloom_contaminated"))
+          .as("no_false_negative"),
+        (col("n_excess") <= greatest(lit(2L), col("n_corpus") / 50L))
+          .as("excess_ok"))
     }),
 
     // ---- dedup: SemDeDup-style semantic near-dup — k-means cells from
-    // the IVF quantizer, cosine verified within cells only (approximate:
-    // rows-only; realized recall + exact precision pinned by q40)
-    "q62_semantic_dedup" -> ((s, dir) =>
-      SimilaritySearch.semanticNearDup(T(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)),
+    // the IVF quantizer, cosine verified within cells only. Graduated
+    // to hash-gated like q30: exact pair surface + recall_ok at the
+    // q40 threshold (>= 0.6 — a collapsed clustering lands near
+    // 1/nClusters) + precision_ok (within-cell pairs are
+    // cosine-verified, so sem ⊆ exact must hold exactly).
+    "q62_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val exact = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+      val sem = SimilaritySearch.semanticNearDup(emb,
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      val stats = exact.join(sem, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(sem
+          .join(exact.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_invented")))
+      exact.crossJoin(broadcast(stats)).select(
+        col("id_a"), col("id_b"), col("cosine"),
+        (col("n_found") * 5L >= col("n_exact") * 3L).as("recall_ok"),
+        (col("n_invented") === 0L).as("precision_ok"))
+    }),
 
     // ---- text analysis: winnowing fingerprint-overlap pairs — docs
     // sharing >= 2 rare fingerprints (substring-level containment, the
@@ -1261,6 +1346,66 @@ object SparkEntry {
     (from until from + 8)
       .map(i => nibSql(col, i) + s" * ${1L << (4 * (from + 7 - i))}")
       .mkString(" + ")
+
+  /** Exact ANN top-10 oracle (q25's query), parameterized with extra
+    * constant columns so the graduated approximate-ANN gates (q26/q31)
+    * reuse the same exact surface plus their guarantee booleans. */
+  private def annTop10Sql(extra: String = ""): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qx AS (SELECT generate_subscripts(qv, 1) AS i,
+       |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
+       |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |dots AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na
+       |  FROM ex JOIN qx USING (i) GROUP BY 1),
+       |nq AS (SELECT sum(y * y) AS nb FROM qx)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine$extra
+       |FROM dots, nq
+       |ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Exact embedding near-dup pair oracle (q29's query), parameterized
+    * like [[annTop10Sql]] for the graduated q30/q62 gates. */
+  private def embPairsSql(extra: String = ""): String =
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+       |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine$extra
+       |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+       |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45""".stripMargin
+
+  /** Exact decontamination report oracle (q51's query), parameterized
+    * like [[annTop10Sql]] for the graduated q61 gate. */
+  private def decontamReportSql(extra: String = ""): String = {
+    // ratio shared by `overlap` (rounded) and `contaminated`
+    // (unrounded threshold) — small-int division, bit-identical
+    // across engines
+    val ratio = """CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                  | ELSE CAST(coalesce(n_hit, 0) AS DOUBLE) / coalesce(n_grams, 0) END"""
+      .stripMargin.replace("\n", "")
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |bench AS (SELECT doc_id FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
+       |bg AS (SELECT DISTINCT unnest($gram5Sql) AS shingle
+       |  FROM t JOIN bench USING (doc_id) WHERE len(ws) >= 5),
+       |cg AS (SELECT doc_id, unnest($gram5Sql) AS shingle
+       |  FROM t ANTI JOIN bench USING (doc_id) WHERE len(ws) >= 5),
+       |sz AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+       |hit AS (SELECT cg.doc_id, count(*) AS n_hit
+       |  FROM cg JOIN bg USING (shingle) GROUP BY 1),
+       |corpus AS (SELECT doc_id FROM documents ANTI JOIN bench USING (doc_id))
+       |SELECT corpus.doc_id,
+       |  coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_hit, 0) AS n_hit,
+       |  ${graft.functions.ExactRound.ratioSql("coalesce(n_hit, 0)", "coalesce(n_grams, 0)")} AS overlap,
+       |  ($ratio) >= 0.3 AS contaminated$extra
+       |FROM corpus LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+  }
 
   /** Exact embedding near-dup pairs (q29's pair math minus the cosine
     * output) plus the undirected edge list `e` — shared by the q47/q48
@@ -1946,31 +2091,7 @@ object SparkEntry {
          |WHERE ${terms.indices.map(i => s"tf$i").mkString(" + ")} > 0""".stripMargin
     },
 
-    "q51_decontaminate" -> {
-      // ratio shared by `overlap` (rounded) and `contaminated`
-      // (unrounded threshold) — small-int division, bit-identical
-      // across engines
-      val ratio = """CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
-                    | ELSE CAST(coalesce(n_hit, 0) AS DOUBLE) / coalesce(n_grams, 0) END"""
-        .stripMargin.replace("\n", "")
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-         |bench AS (SELECT doc_id FROM documents
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
-         |bg AS (SELECT DISTINCT unnest($gram5Sql) AS shingle
-         |  FROM t JOIN bench USING (doc_id) WHERE len(ws) >= 5),
-         |cg AS (SELECT doc_id, unnest($gram5Sql) AS shingle
-         |  FROM t ANTI JOIN bench USING (doc_id) WHERE len(ws) >= 5),
-         |sz AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
-         |hit AS (SELECT cg.doc_id, count(*) AS n_hit
-         |  FROM cg JOIN bg USING (shingle) GROUP BY 1),
-         |corpus AS (SELECT doc_id FROM documents ANTI JOIN bench USING (doc_id))
-         |SELECT corpus.doc_id,
-         |  coalesce(n_grams, 0) AS n_grams,
-         |  coalesce(n_hit, 0) AS n_hit,
-         |  ${graft.functions.ExactRound.ratioSql("coalesce(n_hit, 0)", "coalesce(n_grams, 0)")} AS overlap,
-         |  ($ratio) >= 0.3 AS contaminated
-         |FROM corpus LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
-    },
+    "q51_decontaminate" -> decontamReportSql(),
 
     "q45_skew_two_phase" ->
       """SELECT l_returnflag, count(*) AS n_rows,
@@ -2240,32 +2361,22 @@ object SparkEntry {
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
     },
 
-    "q25_ann_bruteforce" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |qx AS (SELECT generate_subscripts(qv, 1) AS i,
-        |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
-        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings WHERE vec_id <> 0),
-        |dots AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na
-        |  FROM ex JOIN qx USING (i) GROUP BY 1),
-        |nq AS (SELECT sum(y * y) AS nb FROM qx)
-        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-        |FROM dots, nq
-        |ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    "q25_ann_bruteforce" -> annTop10Sql(),
 
-    "q29_embedding_neardup" ->
-      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-        |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
-        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
-        |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-        |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45""".stripMargin,
+    // Graduated approximate gates (q64/q70 discipline): the rows are
+    // the exact surfaces above; the guarantee booleans are literal true
+    // on the oracle side — a recall collapse or invented pair flips the
+    // engine's boolean and fails the hash gate.
+    "q26_ann_lsh" -> annTop10Sql(",\n  true AS recall_ok"),
+    "q31_ann_ivf" -> annTop10Sql(",\n  true AS recall_ok"),
+    "q30_embedding_neardup_lsh" ->
+      embPairsSql(",\n  true AS recall_ok, true AS precision_ok"),
+    "q62_semantic_dedup" ->
+      embPairsSql(",\n  true AS recall_ok, true AS precision_ok"),
+    "q61_bloom_decontaminate" ->
+      decontamReportSql(",\n  true AS no_false_negative, true AS excess_ok"),
+
+    "q29_embedding_neardup" -> embPairsSql(),
 
     // Transitive closure by recursive CTE over the exact near-dup pair
     // list (same pair SQL as q29 minus the cosine), then component =
