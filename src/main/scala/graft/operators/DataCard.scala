@@ -22,10 +22,16 @@ object DataCard {
     * mixture designer needs, not the within-source count). */
   def perSource(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, langCol: String): DataFrame = {
-    val base = df.select(col(idCol), col(sourceCol), col(langCol),
-      size(TextFns.regexTokens(col(textCol))).cast("long").as("n_toks__"),
-      length(col(textCol)).cast("long").as("n_chars__"),
-      TextFns.fingerprint(col(textCol)).as("fp__"))
+    // base feeds two scans (the corpus-wide dup-fingerprint aggregate
+    // and the join back), so the tokenization + md5 — the dominant
+    // per-doc cost — must run once, not twice: persist via the Caches
+    // registry like the sibling operators (NgramLm, SubstringDedup).
+    val base = graft.Caches.register(df.select(
+        col(idCol), col(sourceCol), col(langCol),
+        size(TextFns.regexTokens(col(textCol))).cast("long").as("n_toks__"),
+        length(col(textCol)).cast("long").as("n_chars__"),
+        TextFns.fingerprint(col(textCol)).as("fp__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // corpus-wide duplicated fingerprints (count >= 2); the join back
     // is on the md5 — small distinct set, map-side combinable count
     val dupFps = base.groupBy(col("fp__"))

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   *
   * Container-header METADATA (format, pixel dimensions) is parsed for
   * real — [[parseImageHeader]] reads the actual PNG/JPEG/GIF byte
-  * layouts, pure JVM, no media libraries — and the AUDIO path is real
-  * end-to-end: [[parseWav]] walks the RIFF/WAVE container and decodes
-  * PCM16 samples (peak/RMS/duration), since PCM needs no codec. Only
-  * the image byte→PIXELS decode (and resize / frame extraction) is
+  * layouts, pure JVM, no media libraries — and both codec-free decode
+  * paths are real end-to-end: [[parseWav]] walks the RIFF/WAVE
+  * container and decodes PCM16 samples (peak/RMS/duration), and
+  * [[decodeImagePixels]] decodes PPM-P6 / uncompressed 24-bit BMP
+  * pixel data (channel sum/min/max), since neither needs a codec. Only
+  * the COMPRESSED-image decode (and resize / frame extraction) remains
   * STUBBED, as this container has no image codecs:
   * `stubDecode`/`stubResize` derive deterministic fake payloads so the
   * Spark-side contract — schema, partitioning, batch iteration,
@@ -162,6 +164,125 @@ object Multimodal {
     val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
     (fmt, Some(channels), Some(sampleRate.toInt), Some(bits),
       nFrames, durMs, Some(peak), Some(rms))
+  }
+
+  /** REAL image pixel decode for the two codec-free raster formats —
+    * the image twin of [[parseWav]]'s PCM16 path, closing the "only
+    * audio decodes for real" gap. Returns
+    * (format, w, h, sumCh, minCh, maxCh) with channel-byte statistics
+    * over the actual pixel data, all integers (gate-safe):
+    *  - PPM P6 (binary NetPBM): "P6", then whitespace-separated width,
+    *    height, maxval (≤ 255; '#' comments legal in the header), one
+    *    whitespace byte, then w·h·3 raw RGB bytes;
+    *  - BMP (Windows, BITMAPINFOHEADER): "BM", pixel-array offset
+    *    le32@10, header size le32@14 ≥ 40, signed width le32@18 /
+    *    height le32@22 (negative height = top-down), bpp le16@28 = 24,
+    *    compression le32@30 = 0 (BI_RGB); rows pad to 4 bytes, and the
+    *    padding bytes are EXCLUDED from the statistics.
+    * A recognized magic with a malformed/truncated body keeps the
+    * format tag and yields null statistics (the parseWav corrupt-path
+    * contract); unrecognized bytes → ("unknown", nulls). */
+  def decodeImagePixels(p: Array[Byte]): (String, Option[Int], Option[Int],
+      Option[Long], Option[Int], Option[Int]) = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def stats(ranges: Seq[(Int, Int)]): (Long, Int, Int) = {
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      ranges.foreach { case (off, len) =>
+        var i = off
+        while (i < off + len) {
+          val b = u8(i)
+          sum += b
+          if (b < mn) mn = b
+          if (b > mx) mx = b
+          i += 1
+        }
+      }
+      (sum, mn, mx)
+    }
+    if (p.length >= 2 && u8(0) == 'P' && u8(1) == '6') {
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < p.length) {
+          val c = u8(i)
+          if (c == '#') { while (i < p.length && u8(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = -1
+        while (i < p.length && u8(i) >= '0' && u8(i) <= '9') {
+          v = math.max(v, 0) * 10 + (u8(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      i += 1 // the single whitespace byte after maxval
+      val n = if (w > 0 && h > 0) w.toLong * h * 3 else -1L
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+          n > p.length.toLong - i)
+        ("ppm", None, None, None, None, None)
+      else {
+        val (sum, mn, mx) = stats(Seq((i, n.toInt)))
+        ("ppm", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+      }
+    } else if (p.length >= 54 && u8(0) == 'B' && u8(1) == 'M') {
+      val dataOff = le32(10)
+      val w = le32(18).toInt
+      val hRaw = le32(22).toInt
+      val h = math.abs(hRaw)
+      val ok = le32(14) >= 40 && le16(28) == 24 && le32(30) == 0 &&
+        w > 0 && h > 0 && dataOff >= 54
+      if (!ok) ("bmp", None, None, None, None, None)
+      else {
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        if (dataOff + rowSize.toLong * h > p.length)
+          ("bmp", Some(w), Some(h), None, None, None)
+        else {
+          val rows = (0 until h).map(r =>
+            (dataOff.toInt + r * rowSize, w * 3))
+          val (sum, mn, mx) = stats(rows)
+          ("bmp", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+        }
+      }
+    } else ("unknown", None, None, None, None, None)
+  }
+
+  val pixelFeatureSchema: StructType = StructType(Seq(
+    StructField("px_format", StringType, nullable = false),
+    StructField("px_w", IntegerType, nullable = true),
+    StructField("px_h", IntegerType, nullable = true),
+    StructField("px_sum", LongType, nullable = true),
+    StructField("px_min", IntegerType, nullable = true),
+    StructField("px_max", IntegerType, nullable = true)))
+
+  /** Pixel feature extraction — REAL end-to-end for PPM/uncompressed
+    * BMP ([[decodeImagePixels]]); same narrow per-partition map shape
+    * as [[audioFeatures]]. */
+  def pixelFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +:
+        pixelFeatureSchema.fields.toSeq)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
+      val (fmt, w, h, sum, mn, mx) = decodeImagePixels(payload)
+      Row(row.getLong(idIdx), fmt,
+        w.map(Int.box).orNull, h.map(Int.box).orNull,
+        sum.map(Long.box).orNull, mn.map(Int.box).orNull,
+        mx.map(Int.box).orNull)
+    })
+    spark.createDataFrame(rdd, outSchema)
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

@@ -25,7 +25,8 @@ import graft.functions.TextFns
   * vocabulary), one scalar vocabulary count broadcast back, and the
   * per-doc re-join — all shuffle-parallel, no per-doc state beyond
   * the aggregates. The gram stream is referenced three times (c12,
-  * c1, the scoring join), so it persists via [[graft.Caches]].
+  * c1, the scoring join) and the tokenized base twice (grams, vocab),
+  * so both persist via [[graft.Caches]].
   */
 object NgramLm {
 
@@ -34,8 +35,12 @@ object NgramLm {
   def bigramLikelihood(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import graft.functions.ExactRound
-    val base = df.select(col(idCol),
-      TextFns.words(col(textCol)).as("ws__"))
+    // base is read by the gram stream AND the corpus vocabulary count
+    // (the final id join prunes ws__ away); persisting it runs the
+    // tokenization once per doc instead of twice.
+    val base = graft.Caches.register(df.select(col(idCol),
+        TextFns.words(col(textCol)).as("ws__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grams = graft.Caches.register(base
       .filter(size(col("ws__")) >= 2)
       .select(col(idCol),

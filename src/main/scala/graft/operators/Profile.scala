@@ -16,20 +16,31 @@ object Profile {
     * integer and string columns share one schema (callers pass
     * integral/string columns; float columns should be profiled via
     * [[histogram]] on a scaled-integer form instead, never through
-    * cross-engine float-to-string rendering). One aggregate pass per
-    * column over a shared scan; the tiny per-column frames union. */
+    * cross-engine float-to-string rendering).
+    *
+    * All columns' stats are computed in a SINGLE aggregate job — one
+    * scan of the table regardless of how many columns are profiled —
+    * then the one wide row unpivots to the per-column schema. The N
+    * count_distinct aggregates plan as one Expand (input rows ×(N+1)
+    * before partial aggregation): CPU comparable to N scans, but the
+    * table is READ once, which is what dominates profiling a 100 TB
+    * table. */
   def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_s"), col("max_s"))
-    }.reduce(_ unionByName _)
+    val aggs = count(lit(1)).as("n_rows__") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null__$c"),
+      count_distinct(col(c)).as(s"n_distinct__$c"),
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c => struct(
+      lit(c).as("col_name"), col("n_rows__").as("n_rows"),
+      col(s"n_null__$c").as("n_null"),
+      col(s"n_distinct__$c").as("n_distinct"),
+      col(s"min__$c").as("min_s"), col(s"max__$c").as("max_s"))
+    }
+    wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
   /** Exact equi-width histogram of an integral column: bucket width =

@@ -141,7 +141,15 @@ object Streams {
     * foreachBatch — the benchmark gram side is recomputed per batch by
     * the operator (a production deployment passes a pre-built gram
     * table the same way mergeSink passes a path); no stream-side state
-    * beyond the checkpoint. The streaming twin of q51. */
+    * beyond the checkpoint. The streaming twin of q51.
+    *
+    * Delivery is AT-LEAST-ONCE (the mergeSink caveat): the plain
+    * append parquet write is not idempotent under micro-batch retry —
+    * a batch that commits files but fails before the checkpoint
+    * records it is replayed and appends its clean rows again. Exactly-
+    * once needs a batchId-keyed write (partition the sink by batchId
+    * and overwrite that partition on replay) or a downstream
+    * dedup-on-read by `idCol`. */
   def decontaminateSink(stream: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, path: String, n: Int = 5,
       threshold: Double = 0.5): DataStreamWriter[Row] =

@@ -177,6 +177,58 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(trunc)._1 == "wav-pcm16")
   }
 
+  test("decodeImagePixels decodes real PPM-P6 and 24-bit BMP pixels") {
+    // PPM: 2x2 RGB, bytes 10..21, with a header comment
+    val ppm = "P6\n# c\n2 2\n255\n".getBytes ++ (10 to 21).map(_.toByte)
+    assert(Multimodal.decodeImagePixels(ppm) ==
+      (("ppm", Some(2), Some(2), Some((10 to 21).sum.toLong), Some(10), Some(21))))
+    // truncated pixel data keeps the format, nulls the stats
+    assert(Multimodal.decodeImagePixels(ppm.dropRight(1)) ==
+      (("ppm", None, None, None, None, None)))
+
+    // BMP: 2x2 24bpp bottom-up, rows padded to 8 bytes; padding bytes
+    // (0xEE) must be EXCLUDED from the statistics
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+      bb.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+      bb.putShort(1).putShort(24).putInt(0).putInt(16)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      for (r <- 0 until 2) {
+        for (i <- 0 until 6) bb.put((30 + r * 6 + i).toByte)
+        bb.put(0xEE.toByte).put(0xEE.toByte)
+      }
+      bb.array()
+    }
+    assert(Multimodal.decodeImagePixels(bmp(topDown = false)) ==
+      (("bmp", Some(2), Some(2), Some((30 to 41).sum.toLong), Some(30), Some(41))))
+    assert(Multimodal.decodeImagePixels(bmp(topDown = true)) ==
+      (("bmp", Some(2), Some(2), Some((30 to 41).sum.toLong), Some(30), Some(41))))
+    // 8bpp (unsupported depth) keeps the tag, nulls the stats
+    val bmp8 = { val b = bmp(topDown = false); b(28) = 8; b }
+    assert(Multimodal.decodeImagePixels(bmp8) ==
+      (("bmp", None, None, None, None, None)))
+    assert(Multimodal.decodeImagePixels("plain text".getBytes)._1 == "unknown")
+    assert(Multimodal.decodeImagePixels(Array.empty[Byte])._1 == "unknown")
+  }
+
+  test("pixelFeatures: per-partition real decode over a binary column") {
+    import spark.implicits._
+    val ppm = "P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val rows = Seq((1L, ppm), (2L, "not an image".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.pixelFeatures(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("px_format") == "ppm")
+    assert(out(1L).getAs[Long]("px_sum") == 21L)
+    assert(out(1L).getAs[Int]("px_min") == 1)
+    assert(out(1L).getAs[Int]("px_max") == 6)
+    assert(out(2L).getAs[String]("px_format") == "unknown")
+    assert(out(3L).getAs[String]("px_format") == "unknown")
+  }
+
   test("audioFeatures: per-partition decode over a binary column") {
     import spark.implicits._
     val rows = Seq(
