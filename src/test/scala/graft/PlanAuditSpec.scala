@@ -72,6 +72,24 @@ class PlanAuditSpec extends SparkSpec {
       "bounds should join back broadcast")
   }
 
+  test("graduated approximate gates broadcast their guarantee aggregates") {
+    // q26/q30/q61's guarantee booleans come from single-row aggregate
+    // frames cross-joined back onto the exact surface — the join MUST
+    // broadcast those one-row frames, and no cartesian of two
+    // corpus-sized sides may exist anywhere in the plan.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q26_ann_lsh", "q30_embedding_neardup_lsh", "q61_bloom_decontaminate",
+        "q62_semantic_dedup").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q guarantee aggregates must move by broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian product:\n$p")
+    }
+    Caches.unpersistAll(blocking = true)
+  }
+
   test("scalable winsorize ranks via range partitioning with NO window operator") {
     val rows = (1 to 300).map(i => ("g", i.toLong)).toDF("grp", "units")
     val out = Winsorize.clipToQuantiles(rows, Seq("grp"), col("units"),
