@@ -618,6 +618,22 @@ object SparkEntry {
       DataCard.perSource(T(s, dir, "documents"), "doc_id", "text",
         "source", "lang")),
 
+    // ---- curation: cross-source duplication matrix — which source
+    // duplicates which: per unordered source pair, shared fingerprint
+    // count, set sizes, and the exact Jaccard of the fingerprint sets
+    // (e4-scaled integer). The governance view q83's corpus-wide
+    // n_dup_docs cannot answer.
+    "q93_source_overlap" -> ((s, dir) =>
+      DataCard.sourceOverlap(T(s, dir, "documents"), "doc_id", "text",
+        "source")),
+
+    // ---- curation: exact-dedup impact report — what a keep-first
+    // dedup pass would remove, per source (docs and token volume); the
+    // "how much does dedup cost each source" planning number
+    "q94_dedup_impact" -> ((s, dir) =>
+      DataCard.dedupImpact(T(s, dir, "documents"), "doc_id", "text",
+        "source")),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2360,6 +2376,41 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
          |FROM base LEFT JOIN dup ON base.fp = dup.fp
          |GROUP BY 1""".stripMargin,
+
+    // q93: the same distinct (source, fingerprint) reduction, pairwise
+    // on the md5 over the complete source-pair grid; Jaccard in the
+    // e4-scaled integer form (HUGEINT-exact)
+    "q93_source_overlap" ->
+      s"""WITH f AS (SELECT DISTINCT source AS src, md5($wsNorm) AS fp
+         |  FROM documents),
+         |s AS (SELECT src, count(*) AS n FROM f GROUP BY 1),
+         |p AS (SELECT a.src AS src_a, b.src AS src_b,
+         |    count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+         |  GROUP BY 1, 2),
+         |g AS (SELECT sa.src AS src_a, sb.src AS src_b,
+         |    sa.n AS n_a, sb.n AS n_b
+         |  FROM s sa, s sb WHERE sa.src < sb.src)
+         |SELECT g.src_a, g.src_b,
+         |  coalesce(p.n_shared, 0) AS n_shared, g.n_a, g.n_b,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(p.n_shared, 0)",
+              "g.n_a + g.n_b - coalesce(p.n_shared, 0)", 4)} AS jaccard_e4
+         |FROM g LEFT JOIN p ON p.src_a = g.src_a AND p.src_b = g.src_b""".stripMargin,
+
+    // q94: keep-first survivor per fingerprint via min(doc_id), impact
+    // attributed per source; integer sums cast to BIGINT (the r10
+    // HUGEINT lesson)
+    "q94_dedup_impact" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt,
+         |    md5($wsNorm) AS fp
+         |  FROM documents),
+         |m AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN nt ELSE 0 END) AS BIGINT) AS tokens_removed
+         |FROM base JOIN m USING (fp) GROUP BY 1""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

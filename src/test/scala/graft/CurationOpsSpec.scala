@@ -267,4 +267,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("s1").getAs[Long]("n_langs") == 2L)
     assert(out("s2").getAs[Long]("n_langs") == 1L)
   }
+
+  test("source overlap: full pair grid, exact Jaccard, zero pairs kept") {
+    val df = Seq(
+      (0L, "shared alpha", "s1"), (1L, "shared  ALPHA", "s2"), // dup across s1/s2
+      (2L, "shared beta", "s1"), (3L, "shared beta", "s2"),    // dup across s1/s2
+      (4L, "only s1", "s1"), (5L, "only s2", "s2"),
+      (6L, "only s3", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = DataCard.sourceOverlap(df, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    assert(out.size == 3, "C(3,2) pairs, zero-overlap pairs included")
+    val s12 = out(("s1", "s2"))
+    assert(s12.getAs[Long]("n_shared") == 2L)
+    assert(s12.getAs[Long]("n_a") == 3L && s12.getAs[Long]("n_b") == 3L)
+    // Jaccard = 2/(3+3-2) = 0.5 -> 5000 e4-scaled
+    assert(s12.getAs[Long]("jaccard_e4") == 5000L)
+    assert(out(("s1", "s3")).getAs[Long]("n_shared") == 0L)
+    assert(out(("s1", "s3")).getAs[Long]("jaccard_e4") == 0L)
+  }
+
+  test("dedup impact: keep-first removal attributed per source") {
+    val df = Seq(
+      (0L, "dup text", "s1"), (1L, "dup  TEXT", "s2"), // 1 loses to 0
+      (2L, "dup text", "s2"),                          // 2 loses to 0
+      (3L, "unique a", "s1"), (4L, "unique b", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = DataCard.dedupImpact(df, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") == 2L)
+    assert(out("s1").getAs[Long]("n_removed") == 0L,
+      "the survivor (min id) is charged nothing")
+    assert(out("s2").getAs[Long]("n_docs") == 3L)
+    assert(out("s2").getAs[Long]("n_removed") == 2L)
+    assert(out("s2").getAs[Long]("tokens_removed") == 4L,
+      "both removed docs are 2 regex tokens each")
+  }
 }
