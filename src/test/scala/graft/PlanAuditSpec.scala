@@ -72,6 +72,16 @@ class PlanAuditSpec extends SparkSpec {
       "bounds should join back broadcast")
   }
 
+  test("profile columns plans ONE scan regardless of column count") {
+    // N profiled columns must NOT become N table reads: the stats run
+    // as one Expand-based multi-distinct aggregate over a single scan.
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val p = plan(graft.operators.Profile.columns(df,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"expected exactly one parquet scan:\n$p")
+  }
+
   test("graduated approximate gates broadcast their guarantee aggregates") {
     // q26/q30/q61's guarantee booleans come from single-row aggregate
     // frames cross-joined back onto the exact surface — the join MUST
