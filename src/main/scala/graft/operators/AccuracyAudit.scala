@@ -52,7 +52,12 @@ object AccuracyAudit {
   /** Stderr stopwatch per check — the audit is a dozen collecting
     * actions; when its wall time moves, this shows which twin moved
     * (the q33/q06 lesson: never diagnose a regression without a
-    * per-piece measurement). */
+    * per-piece measurement). CAVEAT since the checks run as concurrent
+    * job groups: each number is overlapped wall-clock including
+    * contention from the other chains, so it localizes a regression to
+    * a check but does not isolate its solo cost — for a clean
+    * per-check measurement, re-run with the other checks commented out
+    * or compare against a single-check bench invocation. */
   private def timed[T](name: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body

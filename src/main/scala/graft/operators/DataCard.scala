@@ -63,8 +63,11 @@ object DataCard {
     * exists. */
   def sourceOverlap(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
-    val fps = df.select(col(sourceCol).as("src__"),
-      TextFns.fingerprint(col(textCol)).as("fp__")).distinct()
+    // persisted: sizes and BOTH sides of the overlap self-join read the
+    // distinct frame — uncached, the per-doc md5 runs three times
+    val fps = graft.Caches.register(df.select(col(sourceCol).as("src__"),
+        TextFns.fingerprint(col(textCol)).as("fp__")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = fps.groupBy(col("src__")).agg(count(lit(1)).as("n__"))
     val shared = fps.as("a").join(fps.as("b"),
         col("a.fp__") === col("b.fp__") && col("a.src__") < col("b.src__"))
@@ -91,9 +94,11 @@ object DataCard {
     * back on the md5 — no window over the corpus, all longs. */
   def dedupImpact(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
-    val base = df.select(col(idCol), col(sourceCol),
-      size(TextFns.regexTokens(col(textCol))).cast("long").as("n_toks__"),
-      TextFns.fingerprint(col(textCol)).as("fp__"))
+    // persisted: the keep_id aggregate and the join back both read it
+    val base = graft.Caches.register(df.select(col(idCol), col(sourceCol),
+        size(TextFns.regexTokens(col(textCol))).cast("long").as("n_toks__"),
+        TextFns.fingerprint(col(textCol)).as("fp__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keep = base.groupBy(col("fp__"))
       .agg(min(col(idCol)).as("keep_id__"))
     base.join(keep, Seq("fp__"))

@@ -242,12 +242,14 @@ object Multimodal {
         w > 0 && h > 0 && dataOff >= 54
       if (!ok) ("bmp", None, None, None, None, None)
       else {
-        val rowSize = ((w * 3 + 3) / 4) * 4
-        if (dataOff + rowSize.toLong * h > p.length)
+        // row math in LONG: a crafted width near 2^31/3 would overflow
+        // w*3 to a negative rowSize and slip past the truncation guard
+        val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+        if (dataOff + rowSize * h > p.length)
           ("bmp", Some(w), Some(h), None, None, None)
         else {
           val rows = (0 until h).map(r =>
-            (dataOff.toInt + r * rowSize, w * 3))
+            (dataOff.toInt + r * rowSize.toInt, w * 3))
           val (sum, mn, mx) = stats(rows)
           ("bmp", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
         }

@@ -209,6 +209,17 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val bmp8 = { val b = bmp(topDown = false); b(28) = 8; b }
     assert(Multimodal.decodeImagePixels(bmp8) ==
       (("bmp", None, None, None, None, None)))
+    // crafted width near 2^31/3: w*3 must not overflow into a negative
+    // row size that slips past the truncation guard (long row math)
+    val bmpHuge = {
+      val b = bmp(topDown = false)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, 715827883)
+      b
+    }
+    assert(Multimodal.decodeImagePixels(bmpHuge) ==
+      (("bmp", Some(715827883), Some(2), None, None, None)),
+      "truncated huge-width body must yield null stats, not bogus Some")
     assert(Multimodal.decodeImagePixels("plain text".getBytes)._1 == "unknown")
     assert(Multimodal.decodeImagePixels(Array.empty[Byte])._1 == "unknown")
   }

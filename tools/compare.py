@@ -72,7 +72,10 @@ def main(sf_dir, out_dir):
             a_num = pd.api.types.is_numeric_dtype(a)
             b_num = pd.api.types.is_numeric_dtype(b)
             if a_num and b_num and \
-               pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+               (pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b)
+                or pd.api.types.is_bool_dtype(a) != pd.api.types.is_bool_dtype(b)):
+                # bool-vs-int matters too: True == 1 passes a value
+                # compare but renders "true" vs "1" under the driver
                 dtype_bad.append((c, str(a.dtype), str(b.dtype)))
                 continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
