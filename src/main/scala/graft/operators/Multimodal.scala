@@ -205,33 +205,11 @@ object Multimodal {
       (sum, mn, mx)
     }
     if (p.length >= 2 && u8(0) == 'P' && u8(1) == '6') {
-      var i = 2
-      def skipWs(): Unit = {
-        var go = true
-        while (go && i < p.length) {
-          val c = u8(i)
-          if (c == '#') { while (i < p.length && u8(i) != '\n') i += 1 }
-          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
-          else go = false
-        }
-      }
-      def readInt(): Int = {
-        skipWs()
-        var v = -1
-        while (i < p.length && u8(i) >= '0' && u8(i) <= '9') {
-          v = math.max(v, 0) * 10 + (u8(i) - '0'); i += 1
-        }
-        v
-      }
-      val w = readInt(); val h = readInt(); val maxval = readInt()
-      i += 1 // the single whitespace byte after maxval
-      val n = if (w > 0 && h > 0) w.toLong * h * 3 else -1L
-      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
-          n > p.length.toLong - i)
-        ("ppm", None, None, None, None, None)
-      else {
-        val (sum, mn, mx) = stats(Seq((i, n.toInt)))
-        ("ppm", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+      parsePpmHeader(p) match {
+        case Some((w, h, dataOff)) =>
+          val (sum, mn, mx) = stats(Seq((dataOff, w * h * 3)))
+          ("ppm", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+        case None => ("ppm", None, None, None, None, None)
       }
     } else if (p.length >= 54 && u8(0) == 'B' && u8(1) == 'M') {
       val dataOff = le32(10)
@@ -256,6 +234,65 @@ object Multimodal {
       }
     } else ("unknown", None, None, None, None, None)
   }
+
+  /** PPM-P6 header walk shared by decode and resize: Some((w, h,
+    * pixel-data offset)) for a well-formed header with a complete
+    * w·h·3-byte body, None for malformed/truncated. Dimension product
+    * is bounded by the payload length, so w·h·3 fits an Int. */
+  private def parsePpmHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length < 2 || u8(0) != 'P' || u8(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < p.length) {
+        val c = u8(i)
+        if (c == '#') { while (i < p.length && u8(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (i < p.length && u8(i) >= '0' && u8(i) <= '9') {
+        v = math.max(v, 0) * 10 + (u8(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    i += 1 // the single whitespace byte after maxval
+    val n = if (w > 0 && h > 0) w.toLong * h * 3 else -1L
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+        n > p.length.toLong - i) None
+    else Some((w, h, i))
+  }
+
+  /** REAL image resize for the codec-free PPM-P6 format:
+    * nearest-neighbor resample (integer source-index math — srcY =
+    * y·h div outH — fully deterministic) re-encoded as a PPM of the
+    * target dimensions. None for anything that is not a complete PPM
+    * payload; [[resize]] falls back to the declared stub there. */
+  def resizePpm(p: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    parsePpmHeader(p).map { case (w, h, dataOff) =>
+      val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + outW * outH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      var o = header.length
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * w / outW).toInt
+          val src = dataOff + (sy * w + sx) * 3
+          out(o) = p(src); out(o + 1) = p(src + 1); out(o + 2) = p(src + 2)
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   val pixelFeatureSchema: StructType = StructType(Seq(
     StructField("px_format", StringType, nullable = false),
@@ -364,7 +401,10 @@ object Multimodal {
   }
 
   /** Resize pipeline: (id, payload) -> (id, resized payload, w, h) via
-    * per-partition iteration — same plan shape as `extractFeatures`. */
+    * per-partition iteration — same plan shape as `extractFeatures`.
+    * PPM payloads resample for REAL ([[resizePpm]], nearest-neighbor,
+    * re-encoded PPM); everything else falls back to the declared
+    * stub — the compressed formats are the only remaining stub path. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
@@ -378,7 +418,9 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions(_.map { row =>
       val payload =
         if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
-      Row(row.getLong(idIdx), stubResize(payload, w, h), w, h)
+      val resized = resizePpm(payload, w, h)
+        .getOrElse(stubResize(payload, w, h))
+      Row(row.getLong(idIdx), resized, w, h)
     })
     spark.createDataFrame(rdd, outSchema)
   }

@@ -224,6 +224,24 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImagePixels(Array.empty[Byte])._1 == "unknown")
   }
 
+  test("resizePpm: real nearest-neighbor resample, re-encoded PPM") {
+    // 2x1 source: left pixel (1,2,3), right pixel (4,5,6)
+    val src = "P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val up = Multimodal.resizePpm(src, 4, 2).get
+    // result must itself decode as a 4x2 PPM
+    val (fmt, w, h, sum, mn, mx) = Multimodal.decodeImagePixels(up)
+    assert(fmt == "ppm" && w.contains(4) && h.contains(2))
+    // nearest neighbor: columns 0,1 sample src x=0, columns 2,3 src x=1;
+    // both output rows sample src y=0 -> sum = 2 rows * 2*(1+2+3) + 2*(4+5+6)
+    assert(sum.contains(2L * (2 * 6 + 2 * 15)))
+    assert(mn.contains(1) && mx.contains(6))
+    // downscale 2x1 -> 1x1 keeps the left pixel (floor index math)
+    val down = Multimodal.resizePpm(src, 1, 1).get
+    assert(Multimodal.decodeImagePixels(down)._4.contains(6L)) // 1+2+3
+    // non-PPM payloads return None (resize() falls back to the stub)
+    assert(Multimodal.resizePpm("not an image".getBytes, 2, 2).isEmpty)
+  }
+
   test("pixelFeatures: per-partition real decode over a binary column") {
     import spark.implicits._
     val ppm = "P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4, 5, 6)
