@@ -90,13 +90,21 @@ object CharGramHashes {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val m = text.numChars() - k + 1
+    val n = text.numChars()
+    val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val offs = WinnowFingerprints.charOffsets(bytes, n)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
-      out(i) = WinnowFingerprints.hashGram(md, text.substringSQL(i + 1, k))
+      val o = if (offs == null) i else offs(i)
+      val e = if (offs == null) i + k else offs(i + k)
+      md.update(bytes, o, e - o)
+      md.digest(buf, 0, 16)
+      out(i) = WinnowFingerprints.hexPrefix(buf)
       i += 1
     }
     new GenericArrayData(out)
@@ -143,16 +151,22 @@ object CharGramHashes64 {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val m = text.numChars() - k + 1
+    val n = text.numChars()
+    val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val bytes = text.getBytes
+    val offs = WinnowFingerprints.charOffsets(bytes, n)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
     val out = new Array[Long](m)
     var i = 0
     while (i < m) {
-      md.reset()
+      val o = if (offs == null) i else offs(i)
+      val e = if (offs == null) i + k else offs(i + k)
+      md.update(bytes, o, e - o)
+      md.digest(buf, 0, 16)
       // Md5Prefix64.prefix64: the one shared 64-bit md5 identity
-      out(i) = Md5Prefix64.prefix64(
-        md.digest(text.substringSQL(i + 1, k).getBytes))
+      out(i) = Md5Prefix64.prefix64(buf)
       i += 1
     }
     new GenericArrayData(out)
@@ -168,10 +182,29 @@ object WinnowFingerprints {
 
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** 16-hex-char md5 prefix of the UTF-8 bytes, as UTF8String. */
-  private[expressions] def hashGram(md: java.security.MessageDigest, gram: UTF8String): UTF8String = {
-    md.reset()
-    val digest = md.digest(gram.getBytes)
+  /** Byte offset of each code point of a UTF-8 buffer: offs(i) = first
+    * byte of char i, offs(n) = total bytes. Returns null for pure-ASCII
+    * input (offset == index — no array needed). One linear walk; gram
+    * loops that previously located char i with `substringSQL(i+1, k)`
+    * paid a scan from byte 0 PER POSITION — O(chars²) per document,
+    * ruinous on real web documents (100 KB+), invisible on short test
+    * rows. */
+  private[expressions] def charOffsets(bytes: Array[Byte], n: Int): Array[Int] = {
+    if (bytes.length == n) return null
+    val offs = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (c < n) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(n) = bytes.length
+    offs
+  }
+
+  /** First 8 digest bytes as 16 lowercase hex chars, as UTF8String. */
+  private[expressions] def hexPrefix(digest: Array[Byte]): UTF8String = {
     val hex = new Array[Byte](16)
     var i = 0
     while (i < 8) {
@@ -183,16 +216,29 @@ object WinnowFingerprints {
     UTF8String.fromBytes(hex)
   }
 
+  /** 16-hex-char md5 prefix of the UTF-8 bytes, as UTF8String. */
+  private[expressions] def hashGram(md: java.security.MessageDigest, gram: UTF8String): UTF8String = {
+    md.reset()
+    hexPrefix(md.digest(gram.getBytes))
+  }
+
   /** Static kernel shared by eval and codegen. */
   def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     val len = text.numChars()
     val m = len - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val offs = charOffsets(bytes, len)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
     val hashes = new Array[UTF8String](m)
     var i = 0
     while (i < m) {
-      hashes(i) = hashGram(md, text.substringSQL(i + 1, k))
+      val o = if (offs == null) i else offs(i)
+      val e = if (offs == null) i + k else offs(i + k)
+      md.update(bytes, o, e - o)
+      md.digest(buf, 0, 16)
+      hashes(i) = hexPrefix(buf)
       i += 1
     }
     // sliding min over [i, min(i+w-1, m-1)] for every i — a monotonic

@@ -198,7 +198,13 @@ object Dedup {
     val newIdx = buildMinHashIndex(newDocs, idCol, textCol,
       index.n, index.numHashes, index.bands)
     val allKeys = index.bandKeys.unionByName(newIdx.bandKeys)
-    val a = newIdx.bandKeys.as("a")
+    // The batch side is broadcast EXPLICITLY: in the append-only crawl
+    // shape the standing index is billions of stored band-key rows and
+    // the probe batch is small — a shuffle join would repartition the
+    // whole standing index per increment, which is the cost this
+    // operator exists to avoid. (For batch sizes past the broadcast
+    // threshold Spark falls back to shuffle on its own.)
+    val a = broadcast(newIdx.bandKeys).as("a")
     val b = allKeys.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -92,6 +92,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(1L).size < 51 - 7)
   }
 
+  test("gram-hash kernels byte-identical to relational md5 on multi-byte text") {
+    // the kernels walk raw UTF-8 bytes with a code-point offset index
+    // (ASCII fast-paths to identity) — this pins the multi-byte path to
+    // the relational substring+md5 formulation the oracles reconstruct
+    val t = "héllo wörld éé 多言語テキ mixed ascii tail"
+    val k = 4
+    val df = Seq((1L, t)).toDF("doc_id", "text")
+    val kern = df.select(
+        graft.expressions.CharGramHashes($"text", k).as("hx"),
+        graft.expressions.CharGramHashes64($"text", k).as("h64"))
+      .collect()(0)
+    val hex = kern.getSeq[String](0)
+    val h64 = kern.getSeq[Long](1)
+    val rel = df.selectExpr(
+        s"transform(sequence(1, char_length(text) - $k + 1), " +
+          s"i -> substring(md5(encode(substring(text, i, $k), 'UTF-8')), 1, 16)) g")
+      .collect()(0).getSeq[String](0)
+    assert(hex == rel)
+    assert(h64 == hex.map(java.lang.Long.parseUnsignedLong(_, 16)))
+    // winnowing over the same text: distinct sliding-window minima of
+    // exactly those gram hashes, in first-seen order
+    val w = 3
+    val fps = df.select(
+        graft.expressions.WinnowFingerprints($"text", k, w).as("f"))
+      .collect()(0).getSeq[String](0)
+    val mins = rel.indices.map(i => rel.slice(i, math.min(i + w, rel.size)).min)
+    assert(fps == mins.distinct)
+  }
+
   test("fingerprints stable under whitespace/case noise") {
     val noisy = Seq((1L, "Hello  World"), (2L, "hello world"),
       (3L, "different")).toDF("doc_id", "text")
