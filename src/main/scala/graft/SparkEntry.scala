@@ -634,6 +634,42 @@ object SparkEntry {
       DataCard.dedupImpact(T(s, dir, "documents"), "doc_id", "text",
         "source")),
 
+    // ---- dedup: asymmetric containment pairs — |A∩B|/min(|A|,|B|)
+    // catches subset-style duplication Jaccard underweights (short doc
+    // embedded in a long one); both directed containments ship as
+    // e4-scaled longs, threshold by integer cross-multiplication
+    "q95_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+        n = 3, thrNum = 6, thrDen = 10)),
+
+    // ---- linkage: blocked fuzzy self-join on part names — same first
+    // token AND 1 ≤ levenshtein ≤ 3 (exact dups excluded: those are
+    // Dedup.exact's job); length prune before the DP kernel
+    "q96_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.byEditDistance(T(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 3, minDist = 1)),
+
+    // ---- curation: per-source percentile-band trim — keep docs whose
+    // n_chars sits in the (p10, p90] band of their source; exact
+    // row_number semantics, integer cross-multiplied cut
+    "q97_percentile_band" -> ((s, dir) =>
+      Sampling.percentileBand(T(s, dir, "documents"), "source",
+        "n_chars", "doc_id", loPct = 10, hiPct = 90)),
+
+    // ---- analytics: burst detection — hours whose event count ≥ 2×
+    // the trailing-24-observed-hours average per type, with a
+    // 12-hour minimum baseline; all-long surface, division-free
+    "q98_burst_hours" -> ((s, dir) =>
+      EventAnalytics.burstHours(T(s, dir, "events"), "event_type", "ts",
+        trailingHours = 24, minTrailing = 12, multNum = 2, multDen = 1)),
+
+    // ---- analytics: rolling 7-day distinct active users per observed
+    // day — explode-to-contributing-days formulation (three linear
+    // shuffles), not a range join
+    "q99_rolling_active" -> ((s, dir) =>
+      EventAnalytics.rollingActiveUsers(T(s, dir, "events"), "user_id",
+        "ts", windowDays = 7)),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the

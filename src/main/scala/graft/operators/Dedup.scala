@@ -77,6 +77,49 @@ object Dedup {
           col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER
+    * document's shingle set lives inside the other. Jaccard punishes a
+    * short doc fully embedded in a long one (|A∩B|/|A∪B| stays small
+    * when |B| ≫ |A|), so subset-style duplication — a paragraph
+    * re-published inside a larger page, a doc plus boilerplate — needs
+    * the containment score C(A→B) = |A∩B|/|A|. Same inverted-index
+    * shuffle shape as [[jaccardNearDup]] (posting-list self-join, one
+    * pair aggregate, sizes joined back); the threshold is applied by
+    * integer cross-multiplication (`inter·thrDen ≥ thrNum·min(n_a,n_b)`)
+    * and both directed containments ship as e4-scaled integers, so the
+    * whole gate surface is longs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Int = 6, thrDen: Int = 10,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val filtered =
+      if (maxDocFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxDocFreq).drop("df_")
+        sh.join(freq, "shingle")
+      }
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("inter") * lit(thrDen.toLong) >=
+        lit(thrNum.toLong) * least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        graft.functions.ExactRound.ratioScaled(col("inter"), col("n_a"), 4)
+          .as("cont_a_e4"),
+        graft.functions.ExactRound.ratioScaled(col("inter"), col("n_b"), 4)
+          .as("cont_b_e4"))
+  }
+
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
     * Fully relational formulation — shingles stay EXPLODED as rows all the

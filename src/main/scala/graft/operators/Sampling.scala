@@ -131,4 +131,37 @@ object Sampling {
     df.withColumn(outCol,
       when(col(keyCol).isNotNull, banded).otherwise(lit(null).cast("string")))
   }
+
+  /** Keep rows whose `valueCol` lies inside the per-group percentile
+    * band (loPct, hiPct] — the outlier trim a curation pass applies
+    * before computing statistics on length-like metrics (drop the
+    * shortest 10% and longest 10% per source, keep the body).
+    *
+    * EXACT rank semantics, no interpolation: row_number over
+    * (value, id) — the id tiebreak makes the cut deterministic under
+    * ties — and the band test is integer cross-multiplication
+    * (`100·rn > loPct·n AND 100·rn ≤ hiPct·n`), so the engine and any
+    * oracle agree bit-for-bit. Two window functions, one frame, one
+    * shuffle.
+    *
+    * Scale: partitions by the group column; a single pathological
+    * group routes through one task's sort (same caveat as every
+    * per-group rank — [[RankOps.bandByRankScalable]] shows the
+    * range-partitioned rewrite if a group outgrows a task). Group
+    * cardinality here is sources/languages, with per-group row counts
+    * far below the 100M-rows-per-task sort ceiling at realistic SF. */
+  def percentileBand(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, loPct: Int = 10, hiPct: Int = 90): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      "need 0 <= loPct < hiPct <= 100")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("rn_", row_number().over(w).cast("long"))
+      .withColumn("n_", count(lit(1)).over(wn))
+      .filter(col("rn_") * 100L > lit(loPct.toLong) * col("n_") &&
+        col("rn_") * 100L <= lit(hiPct.toLong) * col("n_"))
+      .drop("rn_", "n_")
+  }
 }
