@@ -2468,6 +2468,81 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN doc_id <> keep_id THEN nt ELSE 0 END) AS BIGINT) AS tokens_removed
          |FROM base JOIN m USING (fp) GROUP BY 1""".stripMargin,
 
+    // q95: same inverted-index pair reduction as the Jaccard oracle;
+    // the threshold is the integer cross-multiplication and the two
+    // directed containments are e4-scaled integers (HUGEINT-exact)
+    "q95_containment_pairs" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  ${ratioScaledSql("inter", "sa.n_sh", 4)} AS cont_a_e4,
+         |  ${ratioScaledSql("inter", "sb.n_sh", 4)} AS cont_b_e4
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE inter * 10 >= 6 * least(sa.n_sh, sb.n_sh)""".stripMargin
+    },
+
+    // q96: block on the lowercased first token, pair within block,
+    // classical Levenshtein in [1, 3] — both engines implement the
+    // unweighted character-edit DP, and part names are ASCII, so the
+    // distances agree exactly; the Spark-side length prune is a
+    // performance bound subsumed by lev <= 3, not a semantic term
+    "q96_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
+        |    lower(split_part(p_name, ' ', 1)) AS blk FROM part)
+        |SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+        |WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 3""".stripMargin,
+
+    // q97: exact row_number band per source, integer cross-multiplied
+    // cut — bit-identical rank semantics on both engines
+    "q97_percentile_band" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r
+        |WHERE rn * 100 > 10 * n AND rn * 100 <= 90 * n""".stripMargin,
+
+    // q98: hourly pre-aggregate, trailing-24-observed-rows frame, the
+    // division-free spike test; the window sum casts back to BIGINT
+    // (DuckDB sums BIGINT into HUGEINT — the r10 hash lesson)
+    "q98_burst_hours" ->
+      """WITH h AS (SELECT event_type,
+        |    ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS hour_start,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour_start, n_events,
+        |    count(*) OVER fr AS trail_n,
+        |    CAST(coalesce(sum(n_events) OVER fr, 0) AS BIGINT) AS trail_sum
+        |  FROM h WINDOW fr AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_start, n_events, trail_n, trail_sum
+        |FROM w WHERE trail_n >= 12
+        |  AND n_events * trail_n >= 2 * trail_sum""".stripMargin,
+
+    // q99: the range-join formulation — semantically identical to the
+    // engine's explode-to-contributing-days plan (user counted on day
+    // t iff active in [t-6, t], days restricted to observed days)
+    "q99_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |o AS (SELECT DISTINCT day FROM ud)
+        |SELECT o.day, count(DISTINCT ud.user_id) AS n_active
+        |FROM o JOIN ud ON ud.day BETWEEN o.day - 6 AND o.day
+        |GROUP BY 1""".stripMargin,
+
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding
     // is pigeonhole-exact at hamming <= 3 over 4 bands, so the banded

@@ -13,8 +13,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(df)
+  }
+
+  /** Normalize an event-time `ts` column to LONG EPOCH NANOS regardless
+    * of how the driver generated the parquet: TIMESTAMP(NANOS) arrives
+    * as long already (via `spark.sql.legacy.parquet.nanosAsLong`), while
+    * TIMESTAMP(MICROS) arrives as timestamp/timestamp_ntz and is
+    * converted here (`unix_micros` × 1000). Every session in this repo
+    * pins `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is
+    * value-preserving and matches DuckDB's `epoch_ns` on the same file.
+    * The projection sits above the scan, so parquet min/max pruning on
+    * raw `ts` no longer applies — event queries filter on keys, not
+    * time ranges, and a time-partitioned production layout would carry
+    * the partition column separately.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** Latest-file selection (SURVEY §2.1 S2, ref uploadtodb.py:46-57):
     * resolve newest path matching a glob by modification time, driver-side,
