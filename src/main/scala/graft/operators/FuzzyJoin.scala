@@ -16,11 +16,30 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle on the block key, pairs expanded only
   * within a block, a cheap length prune (|len(a)−len(b)| ≤ maxDist is
-  * a lower bound on edit distance) before the O(len²) levenshtein
-  * kernel runs, and an optional `maxBlockSize` frequency cap that
-  * drops degenerate hot blocks (a block with 10⁶ members contributes
-  * 10¹² pairs and no linkage signal — same discipline as
+  * a lower bound on edit distance) before the levenshtein kernel
+  * runs, and an optional `maxBlockSize` frequency cap that drops
+  * degenerate hot blocks (a block with 10⁶ members contributes 10¹²
+  * pairs and no linkage signal — same discipline as
   * [[Dedup.jaccardNearDup]]'s `maxDocFreq`).
+  *
+  * Two further levers keep the kernel off the critical path:
+  *
+  *  - '''Salted pair expansion.''' Real blocking keys are coarse (the
+  *    test corpus's first-token key has EIGHT distinct values over
+  *    20k rows → 25M pairs behind 8 join keys), so an unsalted
+  *    equi-join serializes the whole pair expansion onto ≤8 tasks no
+  *    matter how many cores exist. The left side therefore carries
+  *    `salt = hash(key) mod saltParts` and the right side is
+  *    replicated to every salt, making the join key (block, salt):
+  *    each pair is produced exactly once (by the left row's salt),
+  *    the expansion spreads over blocks×saltParts cells, and the
+  *    replication cost is saltParts× the INPUT (rows), never the
+  *    output (pairs) — the classic skew-replication trade.
+  *  - '''Thresholded DP.''' `levenshtein(a, b, maxDist)` runs the
+  *    banded O(len·maxDist) kernel with early exit and returns −1
+  *    past the bound — exact for every distance this operator keeps,
+  *    ~len/maxDist× cheaper than the unbounded O(len²) DP on the 25M
+  *    candidates that fail the bound.
   */
 object FuzzyJoin {
 
@@ -36,7 +55,7 @@ object FuzzyJoin {
   def byEditDistance(df: DataFrame, keyCol: String, nameCol: String,
       maxDist: Int = 3, minDist: Int = 1,
       blockKey: Column => Column = firstTokenBlock,
-      maxBlockSize: Long = 0L): DataFrame = {
+      maxBlockSize: Long = 0L, saltParts: Int = 32): DataFrame = {
     val base = df.select(col(keyCol).as("k"), col(nameCol).as("nm"),
       blockKey(col(nameCol)).as("blk"))
     val blocked =
@@ -46,14 +65,28 @@ object FuzzyJoin {
           .filter(col("bn_") <= maxBlockSize).drop("bn_")
         base.join(sizes, "blk")
       }
-    val a = blocked.as("a")
-    val b = blocked.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+    val s = math.max(1, saltParts)
+    // The probe side must be REPARTITIONED on (block, salt): when the
+    // build side broadcasts, probe parallelism is exactly the input's
+    // partition count — a 20k-row single-file scan would otherwise run
+    // the whole pair expansion in ONE task, no matter the salt. The
+    // explicit shuffle costs one pass over the input (rows, not pairs)
+    // and spreads the expansion over blocks×saltParts cells.
+    val a = blocked
+      .withColumn("salt_", pmod(hash(col("k")), lit(s)))
+      .repartition(col("blk"), col("salt_")).as("a")
+    val b = blocked
+      .withColumn("salt_", explode(sequence(lit(0), lit(s - 1)))).as("b")
+    a.join(b, col("a.blk") === col("b.blk") &&
+        col("a.salt_") === col("b.salt_") && col("a.k") < col("b.k"))
       // length prune first: |Δlen| ≤ maxDist is necessary for
-      // lev ≤ maxDist and costs O(1) vs the DP kernel's O(len²)
+      // lev ≤ maxDist and costs O(1) vs the DP kernel
       .filter(abs(length(col("a.nm")) - length(col("b.nm"))) <= maxDist)
       .withColumn("lev",
-        levenshtein(col("a.nm"), col("b.nm")).cast("long"))
+        levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long"))
+      // the thresholded kernel reports −1 past maxDist; minDist ≥ 1
+      // (callers wanting 0 get exact dups from Dedup.exact) so the
+      // between() filter drops the sentinel with no extra branch
       .filter(col("lev").between(minDist, maxDist))
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.nm").as("name_a"), col("b.nm").as("name_b"), col("lev"))
