@@ -65,7 +65,10 @@ object Bench {
     val notes = "q30/q64 r9 spikes were environment variance " +
       "(3-run medians 4.1s/1.9s on unchanged code); " +
       "q26/q30/q31/q61/q62 timings now include their exact guarantee " +
-      "kernels (graduated to hash-gated in r10)"
+      "kernels (graduated to hash-gated in r10); " +
+      "testdata regenerated 2026-08-13 (ts now TIMESTAMP_MICROS, " +
+      "document/embedding draws differ) so per-query deltas vs r9 " +
+      "reflect data as well as code"
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"notes":"$notes","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist as a file artifact: the r9 driver artifact had

@@ -670,6 +670,21 @@ object SparkEntry {
       EventAnalytics.rollingActiveUsers(T(s, dir, "events"), "user_id",
         "ts", windowDays = 7)),
 
+    // ---- training-set QA: hard-negative mining — per anchor, top-10
+    // highest-cosine vectors of a DIFFERENT label (one corpus scan,
+    // broadcast anchors, two-phase top-k; q82's plan + label pushdown)
+    "q100_hard_negatives" -> ((s, dir) =>
+      SimilaritySearch.hardNegativesBatch(T(s, dir, "embeddings"),
+        "vec_id", "embedding", "label",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- training-set QA: label-noise candidates — near-dup pairs
+    // (cosine ≥ 0.45, the q29 kernel) whose labels DISAGREE; labels
+    // join the surviving pairs, never the quadratic stream
+    "q101_label_noise_pairs" -> ((s, dir) =>
+      SimilaritySearch.crossLabelNearDup(T(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.45)),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2542,6 +2557,55 @@ object SparkEntry {
         |SELECT o.day, count(DISTINCT ud.user_id) AS n_active
         |FROM o JOIN ud ON ud.day BETWEEN o.day - 6 AND o.day
         |GROUP BY 1""".stripMargin,
+
+    // q100: the q82 retrieval oracle with the label disqualifier — the
+    // rank runs over the different-label corpus only, same pinned
+    // (round 6dp desc, id asc) tie-break on both engines
+    "q100_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |qx AS (SELECT query_id, generate_subscripts(qv, 1) AS i,
+        |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |cand AS (SELECT q.query_id, e.vec_id,
+        |    CAST(e.label AS BIGINT) AS neg_label
+        |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+        |dots AS (SELECT c.query_id, c.vec_id, c.neg_label,
+        |    sum(ex.x * qx.y) AS dot, sum(ex.x * ex.x) AS na
+        |  FROM cand c JOIN ex ON ex.vec_id = c.vec_id
+        |  JOIN qx ON qx.query_id = c.query_id AND qx.i = ex.i
+        |  GROUP BY 1, 2, 3),
+        |nq AS (SELECT query_id, sum(y * y) AS nb FROM qx GROUP BY 1),
+        |r AS (SELECT d.query_id, d.vec_id, d.neg_label,
+        |    round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY d.query_id
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+        |        d.vec_id ASC) AS rk
+        |  FROM dots d JOIN nq USING (query_id))
+        |SELECT query_id, vec_id, cosine, neg_label FROM r
+        |WHERE rk <= 10""".stripMargin,
+
+    // q101: the q29 pair oracle with labels attached to the surviving
+    // pairs and the disagreement filter — same unrounded threshold,
+    // 4dp output rounding
+    "q101_label_noise_pairs" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b,
+        |    round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45)
+        |SELECT id_a, id_b, cosine,
+        |  CAST(la.label AS BIGINT) AS label_a,
+        |  CAST(lb.label AS BIGINT) AS label_b
+        |FROM p JOIN embeddings la ON la.vec_id = id_a
+        |JOIN embeddings lb ON lb.vec_id = id_b
+        |WHERE la.label <> lb.label""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

@@ -97,6 +97,60 @@ object SimilaritySearch {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k highest-cosine corpus vectors whose LABEL differs from the
+    * anchor's — the "looks similar, is not the same class" examples a
+    * retrieval/embedding trainer wants in its batch. Identical plan
+    * shape to [[bruteForceTopKBatch]] (one corpus scan against a
+    * broadcast anchor set, partition-local then global top-k on the
+    * pinned (round(cos,6) desc, id asc) ordering); the label
+    * disqualifier is pushed below the scoring so excluded rows never
+    * pay the cosine kernel. */
+  def hardNegativesBatch(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one anchor id")
+    val q = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_lab"))
+    val scored = df.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("q_lab"))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
+      .withColumn("ord__", round(col("cosine"), 6))
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("ord__").desc, col(idCol).asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("ord__").desc, col(idCol).asc)
+    scored
+      .withColumn("lr__", row_number().over(local))
+      .filter(col("lr__") <= k)
+      .withColumn("gr__", row_number().over(global))
+      .filter(col("gr__") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("cosine"), 4).as("cosine"),
+        col(labelCol).cast("long").as("neg_label"))
+  }
+
+  /** Cross-label near-duplicate pairs — the label-noise detector: two
+    * vectors this similar with DIFFERENT labels are either a labeling
+    * error or a class-boundary ambiguity, and both deserve review
+    * before training. Reuses [[embeddingNearDupExact]]'s blocked
+    * triangle kernel for the quadratic part; labels attach to the
+    * (small) surviving pair list by two equi-joins, never to the
+    * all-pairs stream. */
+  def crossLabelNearDup(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val labels = df.select(col(idCol).cast("long").as("id__"),
+      col(labelCol).cast("long").as("lab__"))
+    embeddingNearDupExact(df, idCol, vecCol, threshold)
+      .join(labels.select(col("id__").as("id_a"), col("lab__").as("label_a")),
+        "id_a")
+      .join(labels.select(col("id__").as("id_b"), col("lab__").as("label_b")),
+        "id_b")
+      .filter(col("label_a") =!= col("label_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        col("label_a"), col("label_b"))
+  }
+
   /** Build the LSH key table for `lshProbe`: (idCol, pkey) rows, one
     * per (vector, band). This is the expensive side — bands exploded
     * keys per corpus vector — and it depends only on the corpus, so

@@ -175,4 +175,61 @@ class Round10OpsSpec extends SparkSpec {
       .rowsSet
     assert(got == Set(Seq[Any](0L, 1L), Seq[Any](1L, 1L)))
   }
+
+  // ----------------------------------------------------- training-set QA
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  private val labeledVecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Array(0.8f, 0.2f, 0f, 0f), 1),
+    (3L, Array(0f, 1f, 0f, 0f), 1),
+    (4L, Array(0f, 0.9f, 0.1f, 0f), 2),
+    (5L, Array(0f, 0f, 1f, 0f), 2),
+    (6L, Array(0.7f, 0.3f, 0f, 0f), 2))
+
+  test("hardNegativesBatch returns top-k cross-label only") {
+    val df = labeledVecs.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.SimilaritySearch.hardNegativesBatch(
+        df, "vec_id", "embedding", "label", queryIds = Seq(0L, 3L), k = 2)
+      .select($"query_id", $"vec_id", $"neg_label").rowsSet
+    val byId = labeledVecs.map(v => v._1 -> v).toMap
+    val want = Seq(0L, 3L).flatMap { qid =>
+      val (_, qv, ql) = byId(qid)
+      labeledVecs.filter(_._3 != ql)
+        .map { case (id, v, lab) =>
+          (id, lab, BigDecimal(cos(qv, v)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(2)
+        .map { case (id, lab, _) => Seq[Any](qid, id, lab.toLong) }
+    }.toSet
+    assert(got == want)
+    // anchor 0 (label 0): best cross-label neighbors are 2 then 6
+    assert(got.contains(Seq[Any](0L, 2L, 1L)))
+    assert(got.contains(Seq[Any](0L, 6L, 2L)))
+  }
+
+  test("crossLabelNearDup keeps only disagreeing-label near pairs") {
+    val df = labeledVecs.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.SimilaritySearch.crossLabelNearDup(
+        df, "vec_id", "embedding", "label", threshold = 0.9)
+      .select($"id_a", $"id_b", $"label_a", $"label_b").rowsSet
+    val byId = labeledVecs.map(v => v._1 -> v).toMap
+    val want = (for {
+      a <- labeledVecs.map(_._1); b <- labeledVecs.map(_._1) if a < b
+      if cos(byId(a)._2, byId(b)._2) >= 0.9
+      if byId(a)._3 != byId(b)._3
+    } yield Seq[Any](a, b, byId(a)._3.toLong, byId(b)._3.toLong)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce cross-label near pairs")
+    // 0~1 are near but SAME label: must be absent
+    assert(!got.exists(r => r.head == 0L && r(1) == 1L))
+  }
 }
