@@ -100,6 +100,32 @@ class PlanAuditSpec extends SparkSpec {
     Caches.unpersistAll(blocking = true)
   }
 
+  test("fuzzy join repartitions the probe side on (block, salt)") {
+    val df = (1 to 400).map(i => (i.toLong, s"name variant $i"))
+      .toDF("k", "nm")
+    val p = plan(graft.operators.FuzzyJoin.byEditDistance(
+      df, "k", "nm", maxDist = 2, saltParts = 8))
+    // the explicit probe-side exchange is the whole point: without it
+    // a single-file scan runs the entire pair expansion in one task
+    assert(p.contains("hashpartitioning(blk"),
+      s"probe side must repartition on (blk, salt):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join grew a cartesian product:\n$p")
+  }
+
+  test("hard-negative mining broadcasts the anchor set") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(SimilaritySearch.hardNegativesBatch(
+      df, "vec_id", "embedding", "label", Seq(0L, 1L), k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor set must move by broadcast, not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no corpus-wide single-partition stage may exist:\n$p")
+  }
+
   test("scalable winsorize ranks via range partitioning with NO window operator") {
     val rows = (1 to 300).map(i => ("g", i.toLong)).toDF("grp", "units")
     val out = Winsorize.clipToQuantiles(rows, Seq("grp"), col("units"),
