@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Cleanse, TextFns, VectorFns}
+import graft.functions.{Cleanse, TextFns, TimeFns, VectorFns}
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -26,9 +26,13 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) read as long (nanosAsLong);
-    * integer epoch-seconds keep the arithmetic engine-agnostic. */
-  private val tsSec: Column = expr("ts div 1000000000")
+  /** events.ts is long epoch NANOS by the [[Tables]] loader contract
+    * (normalizeTs converts whichever physical parquet type the driver
+    * generated — NANOS-as-long or MICROS-as-timestamp); integer
+    * epoch-seconds keep the arithmetic engine-agnostic, and
+    * [[graft.functions.TimeFns.floorDiv]] keeps the bucketing aligned
+    * with the oracle's `//` even for pre-1970 values. */
+  private val tsSec: Column = TimeFns.floorDiv(col("ts"), 1000000000L)
 
   // ===========================================================================
   // Flagship: composite scoring pipeline on sf0.001 (scan → broadcast joins →
@@ -236,7 +240,7 @@ object SparkEntry {
     // ---- tumbling-window aggregation (batch twin of streaming agg; §2.9)
     "q16_hourly_events" -> ((s, dir) => {
       T(s, dir, "events")
-        .groupBy(expr("(ts div 1000000000) div 3600 * 3600").as("window_start"),
+        .groupBy((TimeFns.floorDiv(tsSec, 3600L) * 3600L).as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
     }),
@@ -265,7 +269,7 @@ object SparkEntry {
     "q89_retention_cohorts" -> ((s, dir) => {
       val userDay = T(s, dir, "events")
         .filter(col("user_id").isNotNull)
-        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .select(col("user_id"), TimeFns.floorDiv(tsSec, 86400L).as("day"))
         .distinct()
       val cohort = userDay.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
@@ -283,8 +287,7 @@ object SparkEntry {
     "q90_funnel_steps" -> ((s, dir) => {
       val e = T(s, dir, "events")
         .filter(col("user_id").isNotNull)
-        .select(col("user_id"), col("event_type"),
-          expr("ts div 1000000000").as("ts_s"))
+        .select(col("user_id"), col("event_type"), tsSec.as("ts_s"))
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
       val c = e.filter(col("event_type") === "click")
@@ -304,7 +307,7 @@ object SparkEntry {
     // operator; q15 is the lag/cumsum formulation of the same thing)
     "q32_session_window" -> ((s, dir) => {
       val ev = T(s, dir, "events")
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", timestamp_micros(TimeFns.floorDiv(col("ts"), 1000L)))
       ev.groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
         .select(col("user_id"),
@@ -404,7 +407,7 @@ object SparkEntry {
     "q39_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       T(s, dir, "events")
-        .withColumn("hod", expr("(ts div 1000000000) div 3600 % 24"))
+        .withColumn("hod", TimeFns.floorDiv(tsSec, 3600L) % 24)
         .groupBy(col("hod"))
         .pivot("event_type", types)
         .agg(count(lit(1)))
@@ -479,7 +482,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("n_users"),
-          countDistinct(expr("(ts div 1000000000) div 86400")).as("n_days"),
+          countDistinct(TimeFns.floorDiv(tsSec, 86400L)).as("n_days"),
           count(lit(1)).as("n_events"))
     }),
 

@@ -15,7 +15,9 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    normalizeTs(df)
+    // Only the events table carries the epoch-nanos `ts` contract; a
+    // future table with its own timestamp column keeps its own type.
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Normalize an event-time `ts` column to LONG EPOCH NANOS regardless

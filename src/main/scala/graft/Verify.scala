@@ -24,8 +24,10 @@ object Verify {
       // see Bench.scala: coalescing serializes mid-size reduce stages
       // on a single node; partitions are already sized to the box
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as long nanos (queries do integer epoch math).
+      // events.ts physical type has drifted across driver testdata
+      // regenerations (NANOS pre-r10, MICROS since). Tables.normalizeTs
+      // converts either to long nanos; this conf covers the NANOS form
+      // (Spark rejects it outright without the legacy flag).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -86,9 +86,11 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
-  /** Integer floor division as a Column op (`div` = IntegralDivide —
-    * exact on longs, no double round-trip). */
+  /** True FLOOR division as a Column op (delegates to
+    * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
+    * truncates toward zero, which disagrees with the oracle's `//` on
+    * pre-1970 timestamps. */
   private implicit class LongDiv(private val c: Column) {
-    def div_(d: Long): Column = call_function("div", c, lit(d))
+    def div_(d: Long): Column = graft.functions.TimeFns.floorDiv(c, d)
   }
 }

@@ -66,17 +66,20 @@ object FuzzyJoin {
         base.join(sizes, "blk")
       }
     val s = math.max(1, saltParts)
-    // The probe side must be REPARTITIONED on (block, salt): when the
-    // build side broadcasts, probe parallelism is exactly the input's
+    // BOTH sides are REPARTITIONED on (block, salt): when either side
+    // broadcasts, probe parallelism is exactly the OTHER side's input
     // partition count — a 20k-row single-file scan would otherwise run
-    // the whole pair expansion in ONE task, no matter the salt. The
-    // explicit shuffle costs one pass over the input (rows, not pairs)
-    // and spreads the expansion over blocks×saltParts cells.
+    // the whole pair expansion in ONE task, no matter the salt, and
+    // nothing pins which side the planner picks as build. The explicit
+    // exchanges cost one pass over input ROWS (never pairs), and on
+    // the big-data SMJ path they satisfy the join's distribution
+    // requirement outright, so no second shuffle appears.
     val a = blocked
       .withColumn("salt_", pmod(hash(col("k")), lit(s)))
       .repartition(col("blk"), col("salt_")).as("a")
     val b = blocked
-      .withColumn("salt_", explode(sequence(lit(0), lit(s - 1)))).as("b")
+      .withColumn("salt_", explode(sequence(lit(0), lit(s - 1))))
+      .repartition(col("blk"), col("salt_")).as("b")
     a.join(b, col("a.blk") === col("b.blk") &&
         col("a.salt_") === col("b.salt_") && col("a.k") < col("b.k"))
       // length prune first: |Δlen| ≤ maxDist is necessary for

@@ -84,6 +84,20 @@ object SimilaritySearch {
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
       .withColumn("ord__", round(col("cosine"), 6))
+    topKPerQuery(scored, idCol, k)
+  }
+
+  /** The ONE two-phase per-query top-k kernel behind both batched
+    * retrieval (q82) and hard-negative mining (q100): partition-local
+    * top-k (window over (query, spark_partition_id) — bounded memory,
+    * no corpus-wide sort), then global top-k over the surviving
+    * |Q|·k·P candidates, both phases on the SAME pinned ordering
+    * (round(cos,6) desc, id asc). The gates of every caller depend on
+    * that ordering being bit-identical — which is exactly why the
+    * kernel must not be duplicated per caller. Expects `query_id`,
+    * `cosine` and `ord__` columns on `scored`. */
+  private def topKPerQuery(scored: DataFrame, idCol: String, k: Int,
+      extraCols: Seq[Column] = Nil): DataFrame = {
     val local = Window.partitionBy(col("query_id"), spark_partition_id())
       .orderBy(col("ord__").desc, col(idCol).asc)
     val global = Window.partitionBy(col("query_id"))
@@ -93,8 +107,8 @@ object SimilaritySearch {
       .filter(col("lr__") <= k)
       .withColumn("gr__", row_number().over(global))
       .filter(col("gr__") <= k)
-      .select(col("query_id"), col(idCol),
-        round(col("cosine"), 4).as("cosine"))
+      .select(Seq(col("query_id"), col(idCol),
+        round(col("cosine"), 4).as("cosine")) ++ extraCols: _*)
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the
@@ -116,18 +130,8 @@ object SimilaritySearch {
       .filter(col(labelCol) =!= col("q_lab"))
       .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
       .withColumn("ord__", round(col("cosine"), 6))
-    val local = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("ord__").desc, col(idCol).asc)
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("ord__").desc, col(idCol).asc)
-    scored
-      .withColumn("lr__", row_number().over(local))
-      .filter(col("lr__") <= k)
-      .withColumn("gr__", row_number().over(global))
-      .filter(col("gr__") <= k)
-      .select(col("query_id"), col(idCol),
-        round(col("cosine"), 4).as("cosine"),
-        col(labelCol).cast("long").as("neg_label"))
+    topKPerQuery(scored, idCol, k,
+      extraCols = Seq(col(labelCol).cast("long").as("neg_label")))
   }
 
   /** Cross-label near-duplicate pairs — the label-noise detector: two

@@ -105,10 +105,13 @@ class PlanAuditSpec extends SparkSpec {
       .toDF("k", "nm")
     val p = plan(graft.operators.FuzzyJoin.byEditDistance(
       df, "k", "nm", maxDist = 2, saltParts = 8))
-    // the explicit probe-side exchange is the whole point: without it
-    // a single-file scan runs the entire pair expansion in one task
-    assert(p.contains("hashpartitioning(blk"),
-      s"probe side must repartition on (blk, salt):\n$p")
+    // the explicit exchanges are the whole point: without them a
+    // single-file scan runs the entire pair expansion in one task.
+    // BOTH sides must carry one — the planner is free to pick either
+    // side as broadcast build, so whichever probes must be spread
+    val exchanges = "hashpartitioning\\(blk".r.findAllIn(p).length
+    assert(exchanges >= 2,
+      s"both sides must repartition on (blk, salt), found $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"fuzzy join grew a cartesian product:\n$p")
   }
