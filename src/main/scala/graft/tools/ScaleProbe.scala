@@ -319,6 +319,62 @@ object ScaleProbe {
       graft.operators.IntervalJoin.pointInInterval(pts, ivs,
         "ts", "s", "e", keys = Seq("k"), bucketWidth = 1000L)
     }
+
+    // ---- round-10 operators
+    time("fuzzy_join") {
+      // n/10 names over a 2,000-value block key (~nDocs/2000 rows per
+      // block → ~nDocs·nDocs/4000 candidate pairs, the shape knob);
+      // every 50th name is a planted 1-edit variant of its block mate
+      val names = spark.range(nDocs).select(col("id").as("k"),
+        concat(lit("blk"),
+          pmod(xxhash64(col("id"), lit(30)), lit(2000)).cast("string"),
+          lit(" item"),
+          pmod(xxhash64(col("id"), lit(31)), lit(40)).cast("string"),
+          when(pmod(col("id"), lit(50)) === 49, lit("x")).otherwise(lit("")))
+          .as("nm"))
+      graft.operators.FuzzyJoin.byEditDistance(names, "k", "nm",
+        maxDist = 2, minDist = 1)
+    }
+    time("containment_pairs") {
+      // diverse corpus + planted exact dups (containment 1.0): the
+      // probe measures the inverted-index pair reduction, not output
+      graft.operators.Dedup.containmentPairs(diverseDocs, "doc_id",
+        "text", n = 3, thrNum = 6, thrDen = 10)
+    }
+    time("burst_hours") {
+      // n events into 8 types × 2 years of hours; counts vary by hash
+      // so the trailing-mean filter has real selectivity
+      val evs = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(32)), lit(8))
+          .cast("string")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(33)), lit(17520)) * 3600000000000L)
+          .as("ts"))
+      graft.operators.EventAnalytics.burstHours(evs, "event_type", "ts",
+        trailingHours = 24, minTrailing = 12, multNum = 2, multDen = 1)
+    }
+    time("rolling_active") {
+      // 100k users × 365 days; explode-to-contributing-days path
+      val evs = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(34)), lit(100000)).as("user_id"),
+        (pmod(xxhash64(col("id"), lit(35)), lit(365)) * 86400000000000L)
+          .as("ts"))
+      graft.operators.EventAnalytics.rollingActiveUsers(evs, "user_id",
+        "ts", windowDays = 7)
+    }
+    time("hard_negatives_batch") {
+      // n/10 64-dim vectors, 100 labels, 5 anchors: one corpus scan,
+      // two-phase top-k — the probe scales the scan, not the anchors
+      val dim = 64
+      val vecCols = (0 until dim).map(i =>
+        ((pmod(xxhash64(col("id"), lit(200 + i)), lit(2000)) -
+          lit(1000)).cast("double") / 1000.0).cast("float"))
+      val vecs = spark.range(nDocs).select(col("id").as("vec_id"),
+        array(vecCols: _*).as("embedding"),
+        pmod(xxhash64(col("id"), lit(36)), lit(100)).cast("int").as("label"))
+      graft.operators.SimilaritySearch.hardNegativesBatch(vecs,
+        "vec_id", "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)
+    }
     spark.stop()
   }
 }
