@@ -688,6 +688,12 @@ object SparkEntry {
       SimilaritySearch.crossLabelNearDup(T(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.45)),
 
+    // ---- curation: per-domain cap — keep the 15 longest docs per
+    // source (C4/RefinedWeb-style domain cap, best-first survivors)
+    "q102_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(T(s, dir, "documents"), "source", "n_chars",
+        "doc_id", cap = 15)),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2609,6 +2615,15 @@ object SparkEntry {
         |FROM p JOIN embeddings la ON la.vec_id = id_a
         |JOIN embeddings lb ON lb.vec_id = id_b
         |WHERE la.label <> lb.label""".stripMargin,
+
+    // q102: identical row_number semantics (order by n_chars desc,
+    // doc_id asc) on both engines — integer ranks, nothing to round
+    "q102_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 15""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

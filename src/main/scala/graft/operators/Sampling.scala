@@ -164,4 +164,29 @@ object Sampling {
         col("rn_") * 100L <= lit(hiPct.toLong) * col("n_"))
       .drop("rn_", "n_")
   }
+
+  /** Per-group cap — keep at most `cap` rows per group, preferring
+    * higher `orderCol`, ties broken by ascending id: the C4/RefinedWeb
+    * per-domain cap that stops any single domain from dominating a
+    * training mix, with "best first" rather than "arrival order" as
+    * the survivor rule.
+    *
+    * Scale shape: one shuffle on the group key and a per-group window
+    * sort. Group cardinality is unbounded (domains), which is exactly
+    * what hash partitioning spreads; rows-per-group is the skew axis —
+    * a single mega-domain sorts in one task here, and a corpus where
+    * that dominates should rank via [[ScalableRank.groupRowNumber]]
+    * (range-partitioned, no window) and filter its `rn` column — the
+    * same window→scalable trade [[RankOps.bandByRankScalable]] makes.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(idCol))
+    df.select(col(idCol), col(groupCol), col(orderCol))
+      .withColumn("rn_", row_number().over(w))
+      .filter(col("rn_") <= cap)
+      .drop("rn_")
+  }
 }

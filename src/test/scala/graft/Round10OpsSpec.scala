@@ -176,6 +176,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == Set(Seq[Any](0L, 1L), Seq[Any](1L, 1L)))
   }
 
+  // ------------------------------------------------------- source cap
+
+  test("capPerGroup keeps the best `cap` rows per group, ties by id") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L), (6L, "b", 60L),
+      (7L, "c", 10L)).toDF("doc_id", "src", "quality")
+    val got = Sampling.capPerGroup(docs, "src", "quality", "doc_id", cap = 2)
+      .rowsSet
+    // group a: quality 300 ties between ids 2 and 4 -> lower id wins
+    // alongside; 3 (200) and 1 (100) are cut. b and c keep everything.
+    assert(got == Set(
+      Seq[Any](2L, "a", 300L), Seq[Any](4L, "a", 300L),
+      Seq[Any](5L, "b", 50L), Seq[Any](6L, "b", 60L),
+      Seq[Any](7L, "c", 10L)))
+  }
+
   // ----------------------------------------------------- training-set QA
 
   private def cos(a: Array[Float], b: Array[Float]): Double = {
