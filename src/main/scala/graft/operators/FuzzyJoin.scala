@@ -51,11 +51,22 @@ object FuzzyJoin {
   /** Pairs (key_a < key_b) within the same block whose names are at
     * edit distance in [minDist, maxDist]. `minDist = 1` excludes
     * exact duplicates (those belong to [[Dedup.exact]], not fuzzy
-    * linkage). Output: key_a, key_b, name_a, name_b, lev. */
+    * linkage). Output: key_a, key_b, name_a, name_b, lev.
+    *
+    * `saltParts = 0` (the default) derives the salt from OBSERVED
+    * block sizes: the largest block's share of the total pair work
+    * (n_max² / Σ n_b²) times the partition budget, clamped to [1, 32].
+    * A coarse 8-value key gets the full spread it needs; a
+    * fine-grained key (thousands of comparably-sized blocks) derives
+    * s = 1 and pays ZERO replication — a fixed 32 would inflate its
+    * input 32× for no skew benefit. The derivation costs one count
+    * aggregate over input ROWS (two scalars to the driver), noise
+    * next to the pair expansion it sizes. Pass an explicit value to
+    * skip the extra pass: 1 = never replicate, n = fixed spread. */
   def byEditDistance(df: DataFrame, keyCol: String, nameCol: String,
       maxDist: Int = 3, minDist: Int = 1,
       blockKey: Column => Column = firstTokenBlock,
-      maxBlockSize: Long = 0L, saltParts: Int = 32): DataFrame = {
+      maxBlockSize: Long = 0L, saltParts: Int = 0): DataFrame = {
     val base = df.select(col(keyCol).as("k"), col(nameCol).as("nm"),
       blockKey(col(nameCol)).as("blk"))
     val blocked =
@@ -65,7 +76,21 @@ object FuzzyJoin {
           .filter(col("bn_") <= maxBlockSize).drop("bn_")
         base.join(sizes, "blk")
       }
-    val s = math.max(1, saltParts)
+    val s =
+      if (saltParts > 0) saltParts
+      else {
+        val budget = df.sparkSession.sessionState.conf.numShufflePartitions
+        val stats = blocked.groupBy("blk").agg(count(lit(1)).as("bn_"))
+          .agg(sum(col("bn_") * col("bn_")).as("sq"), max(col("bn_")).as("mx"))
+          .collect()(0)
+        if (stats.isNullAt(0)) 1
+        else {
+          val (sq, mx) = (stats.getLong(0), stats.getLong(1))
+          // spread the dominant block's pair share over the budget
+          math.max(1L, math.min(32L,
+            math.ceil(budget.toDouble * mx * mx / sq).toLong)).toInt
+        }
+      }
     // BOTH sides are REPARTITIONED on (block, salt): when either side
     // broadcasts, probe parallelism is exactly the OTHER side's input
     // partition count — a 20k-row single-file scan would otherwise run

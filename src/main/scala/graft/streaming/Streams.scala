@@ -176,4 +176,44 @@ object Streams {
     writer.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Harness feed: materialize `df` as ONE parquet file per `batchCol`
+    * value under `dir`, file mtimes ascending in batch order, so a
+    * `readStream.parquet(dir)` with `maxFilesPerTrigger=1` +
+    * `Trigger.AvailableNow` replays it as DETERMINISTIC micro-batches —
+    * the file-shaped feed of the reference's news flow (one scrape file
+    * per cron tick), with zero driver-side data materialization: rows
+    * move executor→disk→stream source, never through the driver.
+    *
+    * One file per batch is guaranteed by repartitioning on the batch
+    * column before the partitioned write (each batch's rows land in
+    * exactly one task, which writes exactly one file into that batch's
+    * partition directory); the driver then renames each part file into
+    * the flat `batch-NNNNN.parquet` layout and stamps mtimes 2 s apart
+    * (FileStreamSource orders by modification time; distinct stamps
+    * make that order total). Returns the number of staged files. */
+  def stageBatchFiles(df: DataFrame, batchCol: String, dir: String): Int = {
+    val spark = df.sparkSession
+    val tmp = s"$dir/_staging"
+    df.repartition(col(batchCol)).write.mode("overwrite")
+      .partitionBy(batchCol).parquet(tmp)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$batchCol="))
+      .sortBy(_.getPath.getName.stripPrefix(s"$batchCol=").toLong)
+    val base = System.currentTimeMillis() - (batchDirs.length + 2) * 2000L
+    batchDirs.zipWithIndex.foreach { case (bd, i) =>
+      val parts = fs.listStatus(bd.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      require(parts.length == 1,
+        s"expected one file per batch dir, got ${parts.length} in ${bd.getPath}")
+      val dest = new org.apache.hadoop.fs.Path(root, f"batch-$i%05d.parquet")
+      fs.rename(parts(0).getPath, dest)
+      fs.setTimes(dest, base + i * 2000L, -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    batchDirs.length
+  }
 }

@@ -16,6 +16,10 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // every session in this repo pins UTC (Tables.normalizeTs now
+      // fail-fasts on anything else); this probe generates its own data
+      // but must not be the one non-UTC session in the tree
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

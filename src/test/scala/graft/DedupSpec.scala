@@ -86,6 +86,44 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => newIds(p._1) || newIds(p._2)))
   }
 
+  test("staged index round-trips through its store and excludeFromIndex " +
+      "equals a rebuild over the remaining docs") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-stage-spec").toString + "/idx"
+    try {
+      // first call builds + writes, second call loads — identical pairs
+      val staged1 = Dedup.minhashLSHFromIndex(
+        Dedup.stagedMinHashIndex(docs, "doc_id", "text", store),
+        threshold = 0.5).select($"doc_a", $"doc_b").rowsSet
+      val staged2 = Dedup.minhashLSHFromIndex(
+        Dedup.stagedMinHashIndex(docs, "doc_id", "text", store),
+        threshold = 0.5).select($"doc_a", $"doc_b").rowsSet
+      val fresh = Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.5)
+        .select($"doc_a", $"doc_b").rowsSet
+      assert(staged1 === fresh)
+      assert(staged2 === fresh)
+      // anti-joining a batch out of the staged full index == building the
+      // index over the standing docs directly (per-doc rows, no
+      // cross-doc state): same incremental pair set either way
+      val batchIds = Seq(4L, 5L).toDF("doc_id")
+      val batch = docs.join(batchIds, Seq("doc_id"), "left_semi")
+      val standingDocs = docs.join(batchIds, Seq("doc_id"), "left_anti")
+      val viaStore = Dedup.incrementalNearDup(
+        Dedup.excludeFromIndex(
+          Dedup.stagedMinHashIndex(docs, "doc_id", "text", store), batchIds),
+        batch, "doc_id", "text", threshold = 0.5)
+        .select($"doc_a", $"doc_b").rowsSet
+      val viaRebuild = Dedup.incrementalNearDup(
+        Dedup.buildMinHashIndex(standingDocs, "doc_id", "text"),
+        batch, "doc_id", "text", threshold = 0.5)
+        .select($"doc_a", $"doc_b").rowsSet
+      assert(viaStore === viaRebuild)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
   test("antiJoinAppend keeps only unseen keys") {
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val existing = Seq(Tuple1(2L)).toDF("k")
