@@ -718,6 +718,68 @@ object SparkEntry {
       Sampling.capPerGroup(T(s, dir, "documents"), "source", "n_chars",
         "doc_id", cap = 15)),
 
+    // ---- dedup: line-level CROSS-document dedup (the CCNet/RefinedWeb
+    // paragraph stage) — 10-word units appearing in more than one doc
+    // are boilerplate and are cut from every carrier; complements q21
+    // (whole-doc) and q71/q87 (within-doc spans)
+    "q103_line_dedup" -> ((s, dir) =>
+      LineDedup.trimReport(T(s, dir, "documents"), "doc_id", "text",
+        lineWords = 10, maxDocFreq = 1L)),
+
+    // ---- dedup: prefix-filtered EXACT Jaccard join (AllPairs/PPJoin
+    // family) — the zero-false-negative alternative to q23's MinHash:
+    // same output as q22 (same oracle gates both), but candidates come
+    // from rarest-first shingle prefixes instead of signatures
+    "q104_jaccard_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilteredJaccard(T(s, dir, "documents"), "doc_id",
+        "text", n = 3, thrNum = 1L, thrDen = 2L)),
+
+    // ---- similarity: int8-QUANTIZED ANN — byte codes (4× smaller than
+    // float32) feed the same fused cosine kernel, scales cancel, no
+    // dequantization. Gate = q26's shape: exact top-10 surface +
+    // recall_ok vs the quantized probe (measured 10/10/9 at
+    // sf0.001/0.01/0.1; gate >= 8)
+    "q105_ann_quantized" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val quant = SimilaritySearch.quantizedTopK(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+      val exact = graft.Caches.register(SimilaritySearch.bruteForceTopK(
+        emb, "vec_id", "embedding", queryId = 0L, k = 10).persist())
+      val overlap = exact
+        .join(quant.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.crossJoin(broadcast(overlap))
+        .select(col("vec_id"), col("cosine"),
+          (col("n_overlap") >= 8).as("recall_ok"))
+    }),
+
+    // ---- similarity: product-quantization ANN with shortlist + exact
+    // re-rank (FAISS IndexRefine shape) — 16-byte codes shortlist 100
+    // candidates by ADC, only those fetch float vectors. Gate = q26's
+    // shape (measured 10/10/9; gate >= 7 — i.i.d.-noise testdata is
+    // PQ's hardest regime and data regenerates every round)
+    "q106_ann_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pq = SimilaritySearch.pqTopKRefined(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        m = 16, nCodes = 64, shortlist = 100)
+      val exact = graft.Caches.register(SimilaritySearch.bruteForceTopK(
+        emb, "vec_id", "embedding", queryId = 0L, k = 10).persist())
+      val overlap = exact
+        .join(pq.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.crossJoin(broadcast(overlap))
+        .select(col("vec_id"), col("cosine"),
+          (col("n_overlap") >= 7).as("recall_ok"))
+    }),
+
+    // ---- curation: n-gram NOVELTY per doc — the fraction of a doc's
+    // grams first seen in that doc (ingestion-order diversity decay;
+    // the marginal-contribution score greedy data selection uses)
+    "q107_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(T(s, dir, "documents"), "doc_id",
+        "text", n = 3)),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2675,6 +2737,60 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM r WHERE rn <= 15""".stripMargin,
+
+    // q103: 10-word line segmentation, doc-frequency over DISTINCT
+    // carrying docs, trim lines seen in more than one doc, stitch
+    // survivors in segment order (string_agg ORDER BY mirrors the
+    // sort_array reassembly). Spark counts frequencies on the
+    // md5-prefix64 line digest (8-byte shuffle keys); the oracle
+    // groups by line TEXT — equal absent 64-bit digest collisions.
+    "q103_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |wx AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+         |    unnest(ws) AS w FROM t),
+         |lines AS (SELECT doc_id, (i - 1) // 10 AS seg,
+         |    string_agg(w, ' ' ORDER BY i) AS line
+         |  FROM wx GROUP BY 1, 2),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+         |  FROM lines GROUP BY 1),
+         |kept AS (SELECT l.doc_id, count(*) AS n_kept,
+         |    string_agg(l.line, ' ' ORDER BY l.seg) AS text_trimmed
+         |  FROM lines l JOIN freq f USING (line)
+         |  WHERE f.n_docs <= 1 GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+         |SELECT d.doc_id, coalesce(tot.n_lines, 0) AS n_lines,
+         |  coalesce(kept.n_kept, 0) AS n_kept,
+         |  coalesce(kept.text_trimmed, '') AS text_trimmed
+         |FROM documents d
+         |LEFT JOIN tot ON tot.doc_id = d.doc_id
+         |LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin,
+
+    // q104: EXACT output contract with q22 — one oracle gates both the
+    // posting-join and the prefix-filtered plan (a prefix-filter bug =
+    // a missing pair = hash mismatch)
+    "q104_jaccard_prefix_join" -> jaccardSql,
+
+    // q105/q106: graduated recall gates (the q26/q31 shape) — exact
+    // top-10 surface, recall_ok measured in-engine
+    "q105_ann_quantized" -> annTop10Sql(",\n  true AS recall_ok"),
+    "q106_ann_pq" -> annTop10Sql(",\n  true AS recall_ok"),
+
+    // q107: first-carrier per gram via min(doc_id); novelty as the
+    // exact-rounded scaled integer ratio (no floats in the lineage)
+    "q107_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |per AS (SELECT s.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh s JOIN f USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+         |  coalesce(per.n_novel, 0) AS n_novel,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(per.n_novel, 0)", "coalesce(per.n_grams, 0)", 4)} AS novelty_e4
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
 
     // q24: SimHash is fully deterministic SQL — md5-prefix token hash,
     // per-bit majority votes, exact all-pairs hamming filter (banding

@@ -30,28 +30,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // Byte/Short/Int elements are accepted alongside Float/Double so the
+  // int8-quantized ANN path (SimilaritySearch.quantizedTopK) can keep its
+  // codes stored as array<tinyint> — the 4-8x-smaller storage/shuffle form
+  // that IS the point of quantization — and still run through this one
+  // fused codegen kernel. Integer values (|c| <= 127) are exact in double.
+  private val okTypes: Set[DataType] =
+    Set(FloatType, DoubleType, ByteType, ShortType, IntegerType)
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
-        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        if Seq(lt, rt).forall(okTypes.contains) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects array<float|double> inputs, got " +
+      s"cosine_similarity expects array<float|double|byte|short|int> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  private def get(arr: ArrayData, e: Expression, i: Int): Double =
+    elemType(e) match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case ByteType => arr.getByte(i).toDouble
+      case ShortType => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]
     val bd = b.asInstanceOf[ArrayData]
-    val lFloat = elemType(left) == FloatType
-    val rFloat = elemType(right) == FloatType
     val n = ad.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (lFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
-      val y = if (rFloat) bd.getFloat(i).toDouble else bd.getDouble(i)
+      val x = get(ad, left, i)
+      val y = get(bd, right, i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -61,9 +77,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(arr: String, e: Expression, i: String): String =
-      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
-      else s"$arr.getDouble($i)"
+    def getter(arr: String, e: Expression, i: String): String = elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -77,6 +77,50 @@ object Dedup {
           col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
+  /** Prefix-filtered EXACT Jaccard join — the AllPairs/PPJoin family
+    * (Bayardo et al. WWW'07; Xiao et al. WWW'08): the deterministic
+    * alternative to MinHash LSH with ZERO false negatives. Order every
+    * doc's shingles by a global total order (document frequency asc,
+    * shingle asc — rarest first), and join only the PREFIXES: for
+    * Jaccard ≥ t = thrNum/thrDen a matching pair must share an element
+    * within each side's first |s| − ⌈t·|s|⌉ + 1 shingles (if the
+    * smallest-ordered common shingle w sat beyond a prefix, fewer than
+    * ⌈t·|s|⌉ elements of that side could be ≥ w, contradicting
+    * |a∩b| ≥ t·|a∪b| ≥ t·|s|). At t = 0.5 the join touches half of
+    * each posting list, and because the order puts RAREST shingles in
+    * prefixes, the prefix postings are the short tail of the frequency
+    * distribution — the hot boilerplate shingles that explode a naive
+    * posting join sit in suffixes and never generate candidates.
+    *
+    * Exactly [[jaccardNearDup]]'s output (same verify kernel): use this
+    * when a guarantee matters (eval-set contamination, benchmark
+    * leakage); use MinHash ([[minhashLSH]]) when its signature reuse /
+    * incremental index amortization wins. Shape: one per-doc
+    * rank window, prefix self-join moving (doc, shingle) pairs, then
+    * the candidate-restricted exact verify. */
+  def prefixFilteredJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L): DataFrame = {
+    val sh = graft.Caches.register(
+      explodedShingles(df, idCol, textCol, n).persist())
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc"))
+          .orderBy(col("df_").asc, col("shingle").asc)))
+      .join(sizes, "doc")
+    // prefix length |s| - ceil(t·|s|) + 1, ceil via integer arithmetic
+    val prefix = ranked.filter(col("p") <=
+      col("n_sh") - expr(s"(n_sh * $thrNum + ${thrDen - 1}) div $thrDen")
+        + lit(1L))
+      .select(col("doc"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, sh, sizes, thrNum.toDouble / thrDen)
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER
     * document's shingle set lives inside the other. Jaccard punishes a
     * short doc fully embedded in a long one (|A∩B|/|A∪B| stays small

@@ -297,4 +297,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** N-gram novelty per document: the fraction of a doc's distinct
+    * n-grams that appear FIRST in that doc (first = the minimum doc id
+    * carrying the gram — an ingestion-order proxy). The per-corpus
+    * novelty curve is the standard diversity-decay diagnostic for
+    * ordered ingestion (late crawl snapshots that re-crawl the same
+    * pages score near zero and can be cut before tokenization); it is
+    * also the marginal-contribution score greedy data selection uses.
+    *
+    * Scale shape: one explode (shared [[Dedup.explodedShingles]]
+    * kernel), one groupBy(gram).min(doc) — map-side combinable — and
+    * one join back on gram; per-doc state is two counters. The gram
+    * join carries (gram, min_doc) — at 100 TB the gram key would be an
+    * 8-byte digest; text grams keep the oracle exact here and the
+    * digest swap is local to the join key. Docs with no grams (< n
+    * words) emit zeros with a NULL ratio. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = graft.Caches.register(
+      Dedup.explodedShingles(df, idCol, textCol, n).persist())
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc")).as("first_doc"))
+    val perDoc = sh.join(first, "shingle")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.ExactRound.ratioScaled(col("n_novel"),
+          col("n_grams"), 4).as("novelty_e4"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LineDedup, SimilaritySearch, TextAnalysis}
+
+/** Round-11 operators: line-level cross-doc dedup, prefix-filtered
+  * exact Jaccard join, int8-quantized ANN, PQ shortlist+refine ANN,
+  * n-gram novelty. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- line-level cross-document dedup ---------------------------------
+
+  private val lineDocs = Seq(
+    (0L, "a b c x y z"),
+    (1L, "a b c q r s"),
+    (2L, "u v w m n o")
+  ).toDF("doc_id", "text")
+
+  test("lineDedup drops the cross-doc boilerplate line from every carrier") {
+    val out = LineDedup.trimReport(lineDocs, "doc_id", "text",
+      lineWords = 3, maxDocFreq = 1L)
+    assert(out.rowsSet == Set(
+      Seq(0L, 2L, 1L, "x y z"),
+      Seq(1L, 2L, 1L, "q r s"),
+      Seq(2L, 2L, 2L, "u v w m n o")))
+  }
+
+  test("lineDedup keeps within-doc repeats (cross-doc axis only) and " +
+    "emits empty-string rows for fully-boilerplate docs") {
+    val docs = Seq(
+      (0L, "a b c a b c"),  // same line twice WITHIN one doc -> kept
+      (1L, "p q r x y z"),
+      (2L, "p q r x y z")   // 1 and 2 are full duplicates -> both emptied
+    ).toDF("doc_id", "text")
+    val out = LineDedup.trimReport(docs, "doc_id", "text",
+      lineWords = 3, maxDocFreq = 1L)
+    assert(out.rowsSet == Set(
+      Seq(0L, 2L, 2L, "a b c a b c"),
+      Seq(1L, 2L, 0L, ""),
+      Seq(2L, 2L, 0L, "")))
+  }
+
+  // ---- prefix-filtered exact Jaccard join ------------------------------
+
+  private val jacDocs = Seq(
+    (0L, "w1 w2 w3 w4 w5"),
+    (1L, "w1 w2 w3 w4 w6"),  // J(0,1) = 2/4 = 0.5
+    (2L, "x1 x2 x3 x4 x5"),
+    (3L, "w1 w2 w3 w4 w5")   // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("prefixFilteredJaccard equals the posting-join jaccardNearDup") {
+    val ppjoin = Dedup.prefixFilteredJaccard(jacDocs, "doc_id", "text",
+      n = 3, thrNum = 1L, thrDen = 2L)
+    val postings = Dedup.jaccardNearDup(jacDocs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    assert(ppjoin.rowsSet == postings.rowsSet)
+    assert(ppjoin.rowsSet.map(_.take(2)) ==
+      Set(Seq(0L, 1L), Seq(0L, 3L), Seq(1L, 3L)))
+    graft.Caches.unpersistAll()
+  }
+
+  test("prefixFilteredJaccard finds no pairs below threshold") {
+    val far = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c x y z")  // inter {abc} over union 7 -> J < 0.5
+    ).toDF("doc_id", "text")
+    assert(Dedup.prefixFilteredJaccard(far, "doc_id", "text",
+      n = 3, thrNum = 1L, thrDen = 2L).count() == 0L)
+    graft.Caches.unpersistAll()
+  }
+
+  // ---- int8 quantization -----------------------------------------------
+
+  test("QuantizeInt8 codes: round(127*x/maxabs), zero vector safe") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val codes = df.select(col("id"),
+        graft.expressions.QuantizeInt8(col("v")).as("c"))
+      .orderBy("id").collect()
+      .map(_.getSeq[Byte](1).toSeq)
+    assert(codes(0) == Seq[Byte](64, -127, 32))
+    assert(codes(1) == Seq[Byte](0, 0, 0))
+  }
+
+  private val annVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("quantizedTopK reproduces the exact ranking on separated vectors") {
+    val exact = SimilaritySearch.bruteForceTopK(annVecs,
+      "vec_id", "embedding", 0L, 3).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val quant = SimilaritySearch.quantizedTopK(annVecs,
+      "vec_id", "embedding", 0L, 3).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(quant == exact && exact == Seq(1L, 2L, 3L))
+  }
+
+  // ---- PQ shortlist + refine -------------------------------------------
+
+  test("pqTopKRefined with shortlist >= corpus equals the exact top-k") {
+    val exact = SimilaritySearch.bruteForceTopK(annVecs,
+      "vec_id", "embedding", 0L, 3).rowsSet
+    val pq = SimilaritySearch.pqTopKRefined(annVecs,
+      "vec_id", "embedding", 0L, 3, m = 2, nCodes = 4, shortlist = 10)
+    assert(pq.rowsSet == exact)
+  }
+
+  test("PqEncode emits one in-range code per subspace") {
+    val idx = SimilaritySearch.pqIndex(annVecs, "vec_id", "embedding",
+      m = 2, nCodes = 4)
+    val codes = idx.encoded.select(col("codes")).collect()
+      .map(_.getSeq[Byte](0).toSeq)
+    assert(codes.forall(c => c.length == 2 && c.forall(b => b >= 0 && b < 4)))
+    assert(idx.codebooks.length == 2 && idx.subDim == 2)
+  }
+
+  // ---- n-gram novelty --------------------------------------------------
+
+  test("ngramNovelty scores first-carrier grams, zeros gram-less docs") {
+    val docs = Seq(
+      (0L, "a b c d"),  // grams {abc, bcd}: both first here -> 10000
+      (1L, "a b c e"),  // {abc (first in 0), bce} -> 1/2 -> 5000
+      (2L, "xy")        // no grams -> zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+    assert(out.rowsSet == Set(
+      Seq(0L, 2L, 2L, 10000L),
+      Seq(1L, 2L, 1L, 5000L),
+      Seq(2L, 0L, 0L, 0L)))
+    graft.Caches.unpersistAll()
+  }
+}
