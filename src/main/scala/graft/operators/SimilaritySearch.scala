@@ -137,15 +137,22 @@ object SimilaritySearch {
   /** Cross-label near-duplicate pairs — the label-noise detector: two
     * vectors this similar with DIFFERENT labels are either a labeling
     * error or a class-boundary ambiguity, and both deserve review
-    * before training. Reuses [[embeddingNearDupExact]]'s blocked
-    * triangle kernel for the quadratic part; labels attach to the
-    * (small) surviving pair list by two equi-joins, never to the
-    * all-pairs stream. */
+    * before training. Labels attach to the (small) surviving pair
+    * list by two equi-joins, never to the all-pairs stream. The pair
+    * kernel is pluggable: [[embeddingNearDupExact]]'s blocked triangle
+    * (default — exhaustive, the gate shape) or, with `lsh = true`, the
+    * banded-hyperplane [[embeddingNearDup]] — the corpus-scale path
+    * where the quadratic twin is unpayable (same emitted schema; every
+    * LSH pair is cosine-verified, so only recall is approximate). */
   def crossLabelNearDup(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, threshold: Double): DataFrame = {
+      labelCol: String, threshold: Double,
+      lsh: Boolean = false): DataFrame = {
     val labels = df.select(col(idCol).cast("long").as("id__"),
       col(labelCol).cast("long").as("lab__"))
-    embeddingNearDupExact(df, idCol, vecCol, threshold)
+    val pairs =
+      if (lsh) embeddingNearDup(df, idCol, vecCol, threshold)
+      else embeddingNearDupExact(df, idCol, vecCol, threshold)
+    pairs
       .join(labels.select(col("id__").as("id_a"), col("lab__").as("label_a")),
         "id_a")
       .join(labels.select(col("id__").as("id_b"), col("lab__").as("label_b")),
