@@ -780,6 +780,34 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(T(s, dir, "documents"), "doc_id",
         "text", n = 3)),
 
+    // ---- graph: deterministic integer-scaled PageRank (the link-graph
+    // source-quality signal crawl curation ranks domains by) over the
+    // customer→supplier purchase graph — every rank is an exact long
+    // lineage (e6 mass, IntegralDivide contributions), so 5 unrolled
+    // iterations hash-match the DuckDB CTE chain bit for bit
+    "q108_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+      GraphRank.pageRank(edges, "src", "dst", iterations = 5)
+    }),
+
+    // ---- sketch: HyperLogLog distinct users per event type — the
+    // industry-standard mergeable counter next to q37's KMV. Gate
+    // surface = exact integer register summary (v_zero, s40) + the
+    // raw-formula estimate (one literal IEEE chain; the ln-based
+    // linear-counting correction is production-only — libm isn't
+    // bit-portable, see HllSketch scaladoc)
+    "q109_hll_distinct" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.expressions.HllSketch
+          .hll_sketch(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), col("h.v_zero").as("v_zero"),
+          col("h.s40").as("s40"), col("h.est_hll").as("est_hll"))),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2774,6 +2802,74 @@ object SparkEntry {
     // top-10 surface, recall_ok measured in-engine
     "q105_ann_quantized" -> annTop10Sql(",\n  true AS recall_ok"),
     "q106_ann_pq" -> annTop10Sql(",\n  true AS recall_ok"),
+
+    // q108: the 5 PageRank iterations unrolled as a CTE chain — pure
+    // BIGINT arithmetic (e6 mass, // floor division) mirrors
+    // GraphRank.pageRank's IntegralDivide lineage exactly
+    "q108_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (SELECT n.node,
+           |    (15000000 + 85 * coalesce(s.c, 0)) // 100 AS rank_e6
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(p.rank_e6 // d.deg) AS BIGINT) AS c
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+           |    ON s.node = n.node)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank_e6 FROM r5""".stripMargin
+    },
+
+    // q109: HLL registers rebuilt nibble-wise from the md5 prefix —
+    // bucket = hex chars 1-2, rank = leading-zero ladder over the
+    // 56-bit remainder (pure integer comparisons, capped at 40), the
+    // harmonic sum as BIGINT, and the raw estimate as the IDENTICAL
+    // literal double chain HllSketch.rawEstimate evaluates
+    "q109_hll_distinct" -> {
+      val bucket = s"(${nibSql("h16", 1)} * 16 + ${nibSql("h16", 2)})"
+      val whi = (3 to 8)
+        .map(i => nibSql("h16", i) + s" * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val ladder = (1 to 39).map(k =>
+        s"WHEN w >= ${BigInt(2).pow(56 - k)} THEN $k").mkString(" ")
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h16
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hb AS (SELECT event_type, $bucket AS bucket,
+         |    CAST($whi AS HUGEINT) * 4294967296 +
+         |      ${hex32Sql("h16", 9)} AS w
+         |  FROM h),
+         |ranked AS (SELECT event_type, bucket,
+         |    CASE $ladder ELSE 40 END AS rank FROM hb),
+         |regs AS (SELECT event_type, bucket, max(rank) AS mx
+         |  FROM ranked GROUP BY 1, 2),
+         |grid AS (SELECT g.event_type, b.bucket
+         |  FROM (SELECT DISTINCT event_type FROM events) g,
+         |    (SELECT unnest(range(0, 256)) AS bucket) b),
+         |m AS (SELECT grid.event_type, grid.bucket,
+         |    coalesce(regs.mx, 0) AS mj
+         |  FROM grid LEFT JOIN regs
+         |    ON regs.event_type = grid.event_type
+         |    AND regs.bucket = grid.bucket),
+         |s AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_zero,
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - mj)) AS BIGINT) AS s40
+         |  FROM m GROUP BY 1)
+         |SELECT event_type, v_zero, s40,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+         |    CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+         |    CAST(65536.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE) /
+         |    CAST(s40 AS DOUBLE) AS est_hll
+         |FROM s""".stripMargin
+    },
 
     // q107: first-carrier per gram via min(doc_id); novelty as the
     // exact-rounded scaled integer ratio (no floats in the lineage)

@@ -77,6 +77,23 @@ object Dedup {
           col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
+  /** Posting-list sizing report for the pairwise dedup family: distinct
+    * shingle count, the hottest shingle's document frequency, and the
+    * total candidate-pair volume a posting self-join would generate
+    * (Σ df·(df−1)/2 over shingles). This is the knob-sizing query run
+    * BEFORE a corpus-scale [[jaccardNearDup]]/[[containmentPairs]]:
+    * candidate volume ≫ n·k means hot boilerplate shingles need a
+    * `maxDocFreq` cap (or the prefix filter). One aggregate over the
+    * exploded shingles; three longs out. */
+  def shingleStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_"))
+      .agg(count(lit(1)).as("n_shingles"),
+        max(col("df_")).as("max_df"),
+        sum(expr("df_ * (df_ - 1) div 2")).cast("long")
+          .as("candidate_pairs"))
+
   /** Prefix-filtered EXACT Jaccard join — the AllPairs/PPJoin family
     * (Bayardo et al. WWW'07; Xiao et al. WWW'08): the deterministic
     * alternative to MinHash LSH with ZERO false negatives. Order every

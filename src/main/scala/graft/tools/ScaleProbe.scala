@@ -9,8 +9,19 @@ import graft.operators.{Decontaminate, HierarchicalZScore, PeerPercentile,
   * the correctness-gate size, with a deliberately skewed group, and print
   * wall times. Deterministic (hash-derived values, no RNG).
   * Usage: runMain graft.tools.ScaleProbe [rows]
+  *
+  * Emits one JSON line per probe and, when SPARK_GRAFT_SCALE_OUT is
+  * set, writes them all to that file as a committed scale artifact
+  * (SCALE_r11.json) — the round-11 verdict asked for recorded evidence
+  * that the pairwise operators (fuzzy join, containment) stay
+  * sub-quadratic at sf1-equivalent volumes, so the pairwise probes
+  * also emit SHAPE metrics (block-size distribution, candidate-pair
+  * volume) alongside wall time.
   */
 object ScaleProbe {
+  private val outLines = scala.collection.mutable.ArrayBuffer[String]()
+  private def emit(line: String): Unit = { println(line); outLines += line }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val spark = SparkSession.builder().master("local[32]")
@@ -40,7 +51,7 @@ object ScaleProbe {
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      emit(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       // scalable rank/percentile and clustering persist internally;
       // isolate probes like Verify/Bench do
       spark.catalog.clearCache()
@@ -279,7 +290,7 @@ object ScaleProbe {
       def streamProbe(name: String)(run: Int => Unit): Unit = {
         val t0 = System.nanoTime()
         run(m)
-        println(f"""{"probe":"$name","rows":$m,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        emit(f"""{"probe":"$name","rows":$m,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       }
       streamProbe("streaming_sessions") { mm =>
         // 50k concurrent user sessions in the state store
@@ -365,19 +376,116 @@ object ScaleProbe {
       graft.operators.EventAnalytics.rollingActiveUsers(evs, "user_id",
         "ts", windowDays = 7)
     }
+    // 64-dim hash-derived vector fixture shared by the similarity probes
+    val dim = 64
+    val vecCols = (0 until dim).map(i =>
+      ((pmod(xxhash64(col("id"), lit(200 + i)), lit(2000)) -
+        lit(1000)).cast("double") / 1000.0).cast("float"))
+    val labeledVecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      array(vecCols: _*).as("embedding"),
+      pmod(xxhash64(col("id"), lit(36)), lit(100)).cast("int").as("label"))
     time("hard_negatives_batch") {
       // n/10 64-dim vectors, 100 labels, 5 anchors: one corpus scan,
       // two-phase top-k — the probe scales the scan, not the anchors
-      val dim = 64
-      val vecCols = (0 until dim).map(i =>
-        ((pmod(xxhash64(col("id"), lit(200 + i)), lit(2000)) -
-          lit(1000)).cast("double") / 1000.0).cast("float"))
-      val vecs = spark.range(nDocs).select(col("id").as("vec_id"),
-        array(vecCols: _*).as("embedding"),
-        pmod(xxhash64(col("id"), lit(36)), lit(100)).cast("int").as("label"))
-      graft.operators.SimilaritySearch.hardNegativesBatch(vecs,
+      graft.operators.SimilaritySearch.hardNegativesBatch(labeledVecs,
         "vec_id", "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)
+    }
+
+    // ---- round-10 operators not previously probed
+    val sourcedDocs = docs.withColumn("source",
+      concat(lit("d"), pmod(xxhash64(col("doc_id"), lit(44)), lit(200))
+        .cast("string")))
+    time("source_overlap") {
+      graft.operators.DataCard.sourceOverlap(sourcedDocs,
+        "doc_id", "text", "source")
+    }
+    time("dedup_impact") {
+      graft.operators.DataCard.dedupImpact(sourcedDocs,
+        "doc_id", "text", "source")
+    }
+    time("percentile_band") {
+      graft.operators.Sampling.percentileBand(
+        sourced.select(col("id"), col("source"), col("q_e4")),
+        "source", "q_e4", "id", loPct = 10, hiPct = 90)
+    }
+    time("source_cap") {
+      graft.operators.Sampling.capPerGroup(
+        sourced.select(col("id"), col("source"), col("toks")),
+        "source", "toks", "id", cap = 1000)
+    }
+    time("label_noise_pairs_lsh") {
+      // LSH kernel at the REALISTIC label-noise threshold 0.8
+      // (adaptiveBands ≈ 120): the exact triangle twin is the
+      // declared-O(n²) gate shape, unpayable at probe volumes, and the
+      // 0.45 gate threshold exists only because the synthetic corpus
+      // is i.i.d. noise — at 0.45 adaptiveBands derives ~3,055 bands
+      // (the operator scaladoc's documented 25× regime), whose 200k ×
+      // 3k exploded keys are a deliberate-cost choice, not a default
+      graft.operators.SimilaritySearch.crossLabelNearDup(labeledVecs,
+        "vec_id", "embedding", "label", threshold = 0.8, lsh = true)
+    }
+
+    // ---- round-11 operators
+    time("line_dedup") {
+      graft.operators.LineDedup.trimReport(docs, "doc_id", "text",
+        lineWords = 4, maxDocFreq = 1L)
+    }
+    time("jaccard_prefix_join") {
+      graft.operators.Dedup.prefixFilteredJaccard(diverseDocs,
+        "doc_id", "text", n = 3, thrNum = 1L, thrDen = 2L)
+    }
+    time("ann_quantized") {
+      graft.operators.SimilaritySearch.quantizedTopK(labeledVecs,
+        "vec_id", "embedding", queryId = 0L, k = 10)
+    }
+    time("ann_pq_refined") {
+      graft.operators.SimilaritySearch.pqTopKRefined(labeledVecs,
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        m = 16, nCodes = 64, shortlist = 100)
+    }
+    time("ngram_novelty") {
+      graft.operators.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+        n = 3)
+    }
+
+    // ---- pairwise-shape metrics (the round-11 "stays sub-quadratic"
+    // evidence): candidate volumes and block-size distribution, with
+    // explicit bound checks against the all-pairs count nDocs²/2
+    locally {
+      val allPairs = nDocs * (nDocs - 1) / 2
+      // containment/jaccard candidate volume on the DIVERSE corpus =
+      // Σ df·(df−1)/2 over shingles — what the posting self-join emits
+      val ss = graft.operators.Dedup.shingleStats(diverseDocs,
+        "doc_id", "text", n = 3).collect()(0)
+      val cand = ss.getLong(2)
+      emit(s"""{"probe":"containment_candidates","rows":$nDocs,""" +
+        s""""n_shingles":${ss.getLong(0)},"max_df":${ss.getLong(1)},""" +
+        s""""candidate_pairs":$cand,"all_pairs":$allPairs,""" +
+        s""""sub_quadratic":${cand * 100 < allPairs}}""")
+      // fuzzy-join block-size distribution on the names fixture: the
+      // pair expansion is Σ nb² — bounded by max_block · rows
+      val names = spark.range(nDocs).select(col("id").as("k"),
+        concat(lit("blk"),
+          pmod(xxhash64(col("id"), lit(30)), lit(2000)).cast("string"),
+          lit(" item"),
+          pmod(xxhash64(col("id"), lit(31)), lit(40)).cast("string"))
+          .as("nm"))
+      val bs = names
+        .select(graft.operators.FuzzyJoin.firstTokenBlock(col("nm")).as("blk"))
+        .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("bn")).as("max_block"),
+          sum(expr("bn * bn")).as("pair_cells"))
+        .collect()(0)
+      emit(s"""{"probe":"fuzzy_join_blocks","rows":$nDocs,""" +
+        s""""n_blocks":${bs.getLong(0)},"max_block":${bs.getLong(1)},""" +
+        s""""pair_cells":${bs.getLong(2)},"all_pairs":$allPairs,""" +
+        s""""sub_quadratic":${bs.getLong(2) / 2 * 100 < allPairs}}""")
+    }
+
+    sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        outLines.mkString("", "\n", "\n"))
     }
     spark.stop()
   }

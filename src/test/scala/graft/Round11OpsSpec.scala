@@ -71,6 +71,19 @@ class Round11OpsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("shingleStats reports posting volume: df counts and pair sum") {
+    // jacDocs: "w1 w2 w3" etc. — docs 0 and 3 identical, doc 1 shares
+    // 2 of 3 shingles with them, doc 2 disjoint
+    val r = Dedup.shingleStats(jacDocs, "doc_id", "text", n = 3)
+      .collect()(0)
+    // distinct shingles: 0/3 {123,234,345}, 1 adds {346}, 2 adds 3 -> 7
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 3L)  // "w1 w2 w3" carried by docs 0,1,3
+    // pairs: df=3 -> 3, df=3 -> 3 (123 and 234), df=2 -> 1 (345);
+    // 345 is docs 0+3 only -> df=2; total 3+3+1 = 7
+    assert(r.getLong(2) == 7L)
+  }
+
   // ---- int8 quantization -----------------------------------------------
 
   test("QuantizeInt8 codes: round(127*x/maxabs), zero vector safe") {
