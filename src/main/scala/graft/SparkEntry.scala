@@ -808,6 +808,44 @@ object SparkEntry {
         .select(col("event_type"), col("h.v_zero").as("v_zero"),
           col("h.s40").as("s40"), col("h.est_hll").as("est_hll"))),
 
+    // ---- eval hygiene: cross-split near-dup LEAKAGE — pairs of
+    // near-copies whose endpoints landed in different q50 splits:
+    // the train→eval contamination a per-doc hash split cannot see
+    "q110_split_leakage" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+      val splits = Sampling.splitByHash(emb.select(col("vec_id")),
+        "vec_id", weights = Seq(200, 32, 24),
+        labels = Seq("train", "val", "test"))
+      Decontaminate.splitLeakage(pairs, "id_a", "id_b",
+        splits, "vec_id")
+    }),
+
+    // ---- features: recency-weighted user activity — Σ (4/5)^age_days
+    // per user with EXACT e6-scaled integer decay powers (no libm pow);
+    // reference day = the table's max event day
+    "q111_decay_activity" -> ((s, dir) =>
+      EventAnalytics.decayActivity(T(s, dir, "events"),
+        "user_id", "ts", decayNum = 4, decayDen = 5, maxAgeDays = 30)),
+
+    // ---- dedup: content-defined chunking (rsync/LBFS boundaries on
+    // the md5-prefix64 of an 8-char rolling window, expected chunk
+    // 32 chars) — the chunker whose chunk identities SURVIVE edits,
+    // so chunk-level dedup across near-identical docs fires
+    "q112_cdc_chunks" -> ((s, dir) =>
+      Chunking.contentDefinedChunks(T(s, dir, "documents"),
+        "doc_id", "text", k = 8, maskBits = 5)),
+
+    // ---- curation: per-doc OOV rate against the q67 vocabulary —
+    // the tokenizer-coverage metric a vocab choice is judged by
+    "q113_oov_rate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      VocabBuild.oovReport(docs, "doc_id", "text",
+        VocabBuild.topTokens(docs, "doc_id", "text",
+          topK = 20, minDocFreq = 2L))
+    }),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2870,6 +2908,89 @@ object SparkEntry {
          |    CAST(s40 AS DOUBLE) AS est_hll
          |FROM s""".stripMargin
     },
+
+    // q110: the exact pair surface (q29's SQL) joined to the q50 split
+    // CASE on both endpoints, cross-split rows only
+    "q110_split_leakage" -> {
+      val splitCase =
+        """CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'c8'
+          |       THEN 'train'
+          |     WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e8'
+          |       THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      s"""WITH p AS (${embPairsSql()}),
+         |s AS (SELECT vec_id, $splitCase AS split FROM embeddings)
+         |SELECT p.id_a, p.id_b, p.cosine,
+         |  sa.split AS split_a, sb.split AS split_b
+         |FROM p JOIN s sa ON sa.vec_id = p.id_a
+         |JOIN s sb ON sb.vec_id = p.id_b
+         |WHERE sa.split <> sb.split""".stripMargin
+    },
+
+    // q111: the SAME e6 decay-power table (decayPowersE6 — one Scala
+    // source for both engines) as a list literal; floor day division
+    "q111_decay_activity" -> {
+      val arr = graft.operators.EventAnalytics.decayPowersE6(4, 5, 30)
+        .mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT user_id,
+         |    epoch_ns(ts) // 86400000000000 AS d_ FROM events),
+         |r AS (SELECT max(d_) AS ref FROM d)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN ref - d_ <= 30
+         |    THEN list_extract($arr, CAST(ref - d_ AS INTEGER) + 1)
+         |    ELSE 0 END) AS BIGINT) AS activity_e6
+         |FROM d, r GROUP BY user_id""".stripMargin
+    },
+
+    // q112: boundary = low-5-bits-zero of the window md5 prefix (the
+    // last two hex nibbles mod 32 — the same bits Md5Prefix64's long
+    // carries lowest); spans via lag, tail and whole-doc rows appended
+    "q112_cdc_chunks" -> {
+      val bmask = s"(${nibSql("h16", 15)} * 16 + ${nibSql("h16", 16)}) % 32 = 0"
+      s"""WITH t AS (SELECT doc_id, $wsNorm AS tn FROM documents),
+         |b AS (SELECT doc_id, i
+         |  FROM (SELECT doc_id, i,
+         |      substr(md5(substr(tn, CAST(i - 7 AS INTEGER), 8)), 1, 16) AS h16
+         |    FROM t, unnest(range(8, length(tn) + 1)) AS r(i))
+         |  WHERE $bmask),
+         |spans AS (SELECT doc_id,
+         |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 1)
+         |      AS sa,
+         |    i AS sb FROM b),
+         |lastb AS (SELECT doc_id, max(i) AS e FROM b GROUP BY 1),
+         |tails AS (SELECT t.doc_id, l.e + 1 AS sa, length(t.tn) AS sb
+         |  FROM t JOIN lastb l USING (doc_id) WHERE length(t.tn) > l.e),
+         |wholes AS (SELECT t.doc_id, 1 AS sa, length(t.tn) AS sb
+         |  FROM t LEFT JOIN lastb l USING (doc_id)
+         |  WHERE l.doc_id IS NULL AND length(t.tn) > 0),
+         |alls AS (SELECT * FROM spans UNION ALL SELECT * FROM tails
+         |  UNION ALL SELECT * FROM wholes)
+         |SELECT a.doc_id, CAST(a.sa AS BIGINT) AS sa,
+         |  CAST(a.sb AS BIGINT) AS sb,
+         |  substring(t.tn, CAST(a.sa AS INTEGER),
+         |    CAST(a.sb - a.sa + 1 AS INTEGER)) AS chunk_text
+         |FROM alls a JOIN t USING (doc_id)""".stripMargin
+    },
+
+    // q113: the q67 vocabulary (same tie order) as the in-vocab set;
+    // OOV ratio through the shared exact-rounding identity
+    "q113_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS token
+         |  FROM documents),
+         |v AS (SELECT token FROM (
+         |  SELECT token, count(*) AS cf
+         |  FROM toks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |  ORDER BY cf DESC, token ASC LIMIT 20)),
+         |per AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN v ON v.token = t.token GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+         |  coalesce(per.n_oov, 0) AS n_oov,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(per.n_oov, 0)", "coalesce(per.n_tokens, 0)", 4)}
+         |    AS oov_e4
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
 
     // q107: first-carrier per gram via min(doc_id); novelty as the
     // exact-rounded scaled integer ratio (no floats in the lineage)

@@ -59,4 +59,61 @@ object Chunking {
               .cast("int")),
           " ").as("chunk_text"))
   }
+
+  /** Content-defined chunking — the rsync/LBFS boundary rule applied to
+    * text, the DEDUP-FRIENDLY chunker: an insertion early in a document
+    * shifts every fixed-width window after it, but content-defined
+    * boundaries re-synchronize within ~one expected chunk, so the
+    * unchanged tail keeps its chunk identity and chunk-level dedup
+    * across near-identical documents actually fires (fixed windows
+    * would see every downstream chunk as new).
+    *
+    * Rule: a chunk ENDS at 1-based char position i of the normalized
+    * text when the md5-prefix64 of the k-char window ending at i has
+    * its low `maskBits` bits zero — expected chunk length 2^maskBits
+    * chars; the tail past the last boundary is always a final chunk,
+    * and a doc with no boundary (or shorter than k) is one whole-doc
+    * chunk. Output: (id, sa, sb, chunk_text) spans.
+    *
+    * Shape: one position explode (len−k+1 rows/doc), the per-position
+    * codegen'd hash filter (boundaries only survive — ~len/2^maskBits
+    * rows), then ONE per-doc lag window over boundary rows to pair
+    * consecutive boundaries — the shuffle carries boundary positions,
+    * never windows. Same span-stitching discipline as
+    * [[SubstringDedup]]. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maskBits: Int = 5): DataFrame = {
+    require(k >= 1 && maskBits >= 1 && maskBits <= 16,
+      "need k >= 1 and maskBits in [1, 16]")
+    val mask = (1L << maskBits) - 1L
+    val base = df.select(col(idCol),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("tn__"))
+      .withColumn("len__", length(col("tn__")).cast("long"))
+    val bounds = base.filter(col("len__") >= k)
+      .select(col(idCol), col("len__"),
+        explode(sequence(lit(k.toLong), col("len__"))).as("i"),
+        col("tn__"))
+      .filter((graft.expressions.Md5Prefix64(
+          expr(s"substring(tn__, CAST(i - ${k - 1} AS INT), $k)"))
+        .bitwiseAND(lit(mask))) === 0L)
+      .select(col(idCol), col("i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val spans = bounds
+      .withColumn("sa", coalesce(lag(col("i"), 1).over(w) + 1L, lit(1L)))
+      .select(col(idCol), col("sa"), col("i").as("sb"))
+    val lastB = bounds.groupBy(col(idCol)).agg(max(col("i")).as("e__"))
+    val tails = lastB.join(base, Seq(idCol))
+      .filter(col("len__") > col("e__"))
+      .select(col(idCol), (col("e__") + 1L).as("sa"), col("len__").as("sb"))
+    val wholes = base
+      .join(bounds.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .filter(col("len__") > 0L)
+      .select(col(idCol), lit(1L).as("sa"), col("len__").as("sb"))
+    spans.unionByName(tails).unionByName(wholes)
+      .join(base.select(col(idCol), col("tn__")), Seq(idCol))
+      .select(col(idCol), col("sa"), col("sb"),
+        expr("substring(tn__, CAST(sa AS INT), CAST(sb - sa + 1 AS INT))")
+          .as("chunk_text"))
+  }
 }

@@ -141,4 +141,32 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Cross-split leakage report — eval hygiene the hash split alone
+    * cannot give: [[Sampling.splitByHash]] guarantees a DOCUMENT never
+    * straddles train/test, but it cannot know two DIFFERENT documents
+    * are near-copies of each other; a near-dup pair with endpoints in
+    * different splits IS train→eval leakage (the benchmark answer is
+    * in the training set under another id). Compose any near-dup pair
+    * list (MinHash, embedding, containment — whatever kernel fits the
+    * corpus) with any split assignment; the offending pairs come back
+    * with both split labels for triage (drop the train side, usually).
+    *
+    * Scale shape: two equi-joins of the (small, already-reduced) pair
+    * list against the split table — the quadratic work happened inside
+    * the pair kernel, which is exactly where each kernel's own scale
+    * story applies. */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+      splits: DataFrame, keyCol: String,
+      splitCol: String = "split"): DataFrame =
+    pairs
+      .join(splits.select(col(keyCol).as(aCol), col(splitCol).as("split_a")),
+        aCol)
+      .join(splits.select(col(keyCol).as(bCol), col(splitCol).as("split_b")),
+        bCol)
+      .filter(col("split_a") =!= col("split_b"))
+      // equi-joins hoist their key to the front; restore the caller's
+      // pair schema + the two labels
+      .select(pairs.columns.map(col).toSeq ++
+        Seq(col("split_a"), col("split_b")): _*)
 }

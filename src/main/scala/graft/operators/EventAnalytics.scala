@@ -86,6 +86,53 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Exact e6-scaled decay powers (decayNum/decayDen)^k for k in
+    * [0, maxAgeDays] — BigInt rationals rounded half-up, no libm pow
+    * anywhere, so any engine reproduces the weights bit for bit.
+    * Shared by [[decayActivity]] and its oracle SQL. */
+  def decayPowersE6(decayNum: Int, decayDen: Int,
+      maxAgeDays: Int): Seq[Long] =
+    (0 to maxAgeDays).map { kk =>
+      val nk = BigInt(decayNum).pow(kk)
+      val dk = BigInt(decayDen).pow(kk)
+      ((BigInt(2000000) * nk + dk) / (dk * 2)).toLong
+    }
+
+  /** Recency-weighted user activity — the time-decayed engagement score
+    * feature stores compute (each event contributes decay^age_days;
+    * half-life ≈ ln2/ln(den/num) days): per user, the event count and
+    * Σ decay^age as an e6-scaled long. Events older than `maxAgeDays`
+    * contribute zero (bounds the lookup and matches the usual
+    * feature-freshness cutoff). The reference day is the table's max
+    * event day — data-derived and deterministic, so reruns over the
+    * same table agree (the gate requirement; a serving deployment
+    * passes "today" via the events it loads).
+    *
+    * Scale shape: one broadcast scalar (the max day), one codegen'd
+    * array-literal lookup per event, one groupBy(user) with map-side
+    * partial sums of longs. No window, no libm. */
+  def decayActivity(events: DataFrame, userCol: String, tsNanosCol: String,
+      decayNum: Int = 4, decayDen: Int = 5, maxAgeDays: Int = 30)
+      : DataFrame = {
+    require(decayNum > 0 && decayDen > decayNum && maxAgeDays >= 0,
+      "need 0 < decayNum < decayDen and maxAgeDays >= 0")
+    val powE6 = decayPowersE6(decayNum, decayDen, maxAgeDays)
+    val days = events.select(col(userCol).as("user__"),
+      col(tsNanosCol).div_(86400L * 1000000000L).as("d__"))
+    val refDay = days.agg(max(col("d__")).as("ref__"))
+    days.crossJoin(broadcast(refDay))
+      .withColumn("age__", col("ref__") - col("d__"))
+      .withColumn("w__",
+        when(col("age__") <= maxAgeDays,
+          element_at(array(powE6.map(lit): _*),
+            col("age__").cast("int") + 1))
+          .otherwise(lit(0L)))
+      .groupBy(col("user__"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w__")).as("activity_e6"))
+      .withColumnRenamed("user__", userCol)
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

@@ -44,4 +44,34 @@ object VocabBuild {
       row_number().over(
         Window.orderBy(col("coll_freq").desc, col("token").asc)))
   }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary table
+    * (typically [[topTokens]]' output) — the tokenizer-coverage metric
+    * a vocab or tokenizer choice is judged by, and the routing signal
+    * multilingual pipelines cut on (a doc mostly OOV against an
+    * English vocab isn't English). Output: (id, n_tokens, n_oov,
+    * oov_e4 — exact scaled ratio).
+    *
+    * Scale shape: the vocab side BROADCASTS (top-k output is
+    * driver-bounded by construction); token membership is one
+    * broadcast left join on the exploded stream; per-doc stats are one
+    * map-side-combinable groupBy. */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, tokenCol: String = "token"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextFns.words(col(textCol))).as("token"))
+    val flagged = toks.join(
+      broadcast(vocab.select(col(tokenCol).as("token"), lit(1L).as("iv__"))
+        .distinct()),
+      Seq("token"), "left")
+    val per = flagged.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv__").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).as("doc")).join(per, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        graft.functions.ExactRound.ratioScaled(coalesce(col("n_oov"),
+          lit(0L)), col("n_tokens"), 4).as("oov_e4"))
+  }
 }

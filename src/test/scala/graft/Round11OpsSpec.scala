@@ -136,6 +136,94 @@ class Round11OpsSpec extends SparkSpec {
     assert(idx.codebooks.length == 2 && idx.subDim == 2)
   }
 
+  // ---- content-defined chunking ----------------------------------------
+
+  private val longDoc = (0 until 60)
+    .map(i => s"w${(i * 7919) % 97}").mkString(" ")
+
+  test("contentDefinedChunks tiles the normalized text exactly") {
+    val docs = Seq((0L, longDoc), (1L, "tiny"), (2L, "Spaced   Out TEXT"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Chunking
+      .contentDefinedChunks(docs, "doc_id", "text", k = 8, maskBits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    // spans are contiguous from 1 to len and concat to the normalized text
+    for ((doc, norm) <- Seq(0L -> longDoc.toLowerCase, 1L -> "tiny",
+        2L -> "spaced out text")) {
+      val spans = byDoc(doc).sortBy(_._2)
+      assert(spans.head._2 == 1L && spans.last._3 == norm.length.toLong)
+      assert(spans.sliding(2).forall {
+        case Array(a, b) => b._2 == a._3 + 1; case _ => true })
+      assert(spans.map(_._4).mkString == norm)
+    }
+    // a doc shorter than k is one whole-doc chunk
+    assert(byDoc(1L).length == 1)
+  }
+
+  test("contentDefinedChunks re-synchronizes after a prefix edit") {
+    val docs = Seq((0L, longDoc), (1L, "Z" + longDoc)).toDF("doc_id", "text")
+    val out = graft.operators.Chunking
+      .contentDefinedChunks(docs, "doc_id", "text", k = 8, maskBits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val a = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val b = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // a one-char prepend shifts every window content by one position, so
+    // boundaries shift with it: every chunk except the FIRST is identical
+    assert(a.length > 1, s"fixture needs >1 chunk, got ${a.length}")
+    assert(a.tail.sameElements(b.tail))
+    assert("z" + a.head == b.head)
+  }
+
+  // ---- decay activity --------------------------------------------------
+
+  test("decayActivity: exact e6 powers, ref = max day, old events zeroed") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 10L * day),       // age 0
+      (1L, 9L * day),        // age 1
+      (2L, 8L * day),        // age 2
+      (2L, -30L * day)       // age 40 -> 0
+    ).toDF("user_id", "ts")
+    val out = graft.operators.EventAnalytics
+      .decayActivity(ev, "user_id", "ts", 4, 5, maxAgeDays = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1000000L + 800000L)))
+    assert(out(2L) == ((2L, 640000L)))
+  }
+
+  test("decayPowersE6 is the exact half-up rational table") {
+    val p = graft.operators.EventAnalytics.decayPowersE6(4, 5, 3)
+    assert(p == Seq(1000000L, 800000L, 640000L, 512000L))
+    // half-up on a .5: (1/2)^1 at e1 scale would be 5 -> check via 1/3
+    val t = graft.operators.EventAnalytics.decayPowersE6(1, 3, 2)
+    assert(t == Seq(1000000L, 333333L, 111111L))
+  }
+
+  // ---- split leakage ---------------------------------------------------
+
+  test("splitLeakage keeps only cross-split pairs, labels attached") {
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8)).toDF("id_a", "id_b", "cosine")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "val"), (4L, "val"))
+      .toDF("vec_id", "split")
+    val out = graft.operators.Decontaminate
+      .splitLeakage(pairs, "id_a", "id_b", splits, "vec_id")
+    assert(out.rowsSet == Set(Seq(1L, 2L, 0.9, "train", "test")))
+  }
+
+  // ---- OOV rate --------------------------------------------------------
+
+  test("oovReport counts tokens missing from the vocab") {
+    val docs = Seq((0L, "a b a zz"), (1L, "zz qq")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val out = graft.operators.VocabBuild
+      .oovReport(docs, "doc_id", "text", vocab)
+    assert(out.rowsSet == Set(
+      Seq(0L, 4L, 1L, 2500L),
+      Seq(1L, 2L, 2L, 10000L)))
+  }
+
   // ---- n-gram novelty --------------------------------------------------
 
   test("ngramNovelty scores first-carrier grams, zeros gram-less docs") {
