@@ -846,6 +846,28 @@ object SparkEntry {
           topK = 20, minDocFreq = 2L))
     }),
 
+    // ---- sketch ROLL-UP: per-type HLL register partials merged into
+    // the global sketch (hll_registers → hll_merge → hll_summary) —
+    // the shard-wise pre-aggregation pattern. The oracle computes the
+    // GLOBAL sketch directly from rows, so a hash match PROVES the
+    // merge is lossless (merged-partials ≡ one-shot, bit for bit)
+    "q114_hll_rollup" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(graft.expressions.HllSketch
+          .hll_registers(col("user_id").cast("string")).as("regs"))
+        .agg(graft.expressions.HllSketch.hll_merge(col("regs")).as("m"))
+        .select(graft.expressions.HllSketch.hll_summary(col("m")).as("h"))
+        .select(col("h.v_zero").as("v_zero"), col("h.s40").as("s40"),
+          col("h.est_hll").as("est_hll"))
+    }),
+
+    // ---- profiling: shuffle-key skew report — the hottest l_partkey
+    // values with exact shares: the pre-join sizing query that decides
+    // "salt or not" (FuzzyJoin's salt derivation automates the same)
+    "q115_skew_report" -> ((s, dir) =>
+      Profile.keySkew(T(s, dir, "lineitem"), "l_partkey", topK = 10)),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2908,6 +2930,55 @@ object SparkEntry {
          |    CAST(s40 AS DOUBLE) AS est_hll
          |FROM s""".stripMargin
     },
+
+    // q114: the GLOBAL HLL computed directly from rows — equality with
+    // the engine's merged per-type partials proves lossless merge
+    "q114_hll_rollup" -> {
+      val bucket = s"(${nibSql("h16", 1)} * 16 + ${nibSql("h16", 2)})"
+      val whi = (3 to 8)
+        .map(i => nibSql("h16", i) + s" * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val ladder = (1 to 39).map(k =>
+        s"WHEN w >= ${BigInt(2).pow(56 - k)} THEN $k").mkString(" ")
+      s"""WITH h AS (SELECT DISTINCT
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h16
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hb AS (SELECT $bucket AS bucket,
+         |    CAST($whi AS HUGEINT) * 4294967296 +
+         |      ${hex32Sql("h16", 9)} AS w
+         |  FROM h),
+         |ranked AS (SELECT bucket, CASE $ladder ELSE 40 END AS rank
+         |  FROM hb),
+         |regs AS (SELECT bucket, max(rank) AS mx FROM ranked GROUP BY 1),
+         |m AS (SELECT b.bucket, coalesce(regs.mx, 0) AS mj
+         |  FROM (SELECT unnest(range(0, 256)) AS bucket) b
+         |  LEFT JOIN regs ON regs.bucket = b.bucket),
+         |s AS (SELECT
+         |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_zero,
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - mj)) AS BIGINT) AS s40
+         |  FROM m)
+         |SELECT v_zero, s40,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+         |    CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+         |    CAST(65536.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE) /
+         |    CAST(s40 AS DOUBLE) AS est_hll
+         |FROM s""".stripMargin
+    },
+
+    // q115: identical top-k tie order (count desc, key asc); shares
+    // through the shared exact-rounding identity
+    "q115_skew_report" ->
+      s"""WITH c AS (SELECT l_partkey, count(*) AS n_rows_key
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows_key) AS BIGINT) AS n_total,
+         |    count(*) AS n_keys FROM c),
+         |top AS (SELECT * FROM c
+         |  ORDER BY n_rows_key DESC, l_partkey ASC LIMIT 10)
+         |SELECT top.l_partkey, top.n_rows_key, t.n_keys, t.n_total,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "top.n_rows_key", "t.n_total", 4)} AS share_e4
+         |FROM top, t""".stripMargin,
 
     // q110: the exact pair surface (q29's SQL) joined to the q50 split
     // CASE on both endpoints, cross-split rows only

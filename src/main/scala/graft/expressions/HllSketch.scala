@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -39,27 +40,15 @@ case class HllSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("v_zero", LongType, nullable = false),
-    StructField("s40", LongType, nullable = false),
-    StructField("est_hll", DoubleType, nullable = false)))
+  override def dataType: DataType = HllSketch.summaryType
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
-
-  private def offer(regs: Array[Byte], h: Long): Unit = {
-    val bucket = ((h >>> 56) & 0xffL).toInt
-    val w = h & 0x00ffffffffffffffL
-    val rank =
-      if (w == 0L) RANK_CAP
-      else math.min(java.lang.Long.numberOfLeadingZeros(w) - 8 + 1, RANK_CAP)
-    if (rank > regs(bucket)) regs(bucket) = rank.toByte
-  }
 
   override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) v match {
-      case s: UTF8String => offer(regs, Md5Prefix64.hash(s))
-      case other => offer(regs, Md5Prefix64.hash(
+      case s: UTF8String => HllSketch.offer(regs, Md5Prefix64.hash(s))
+      case other => HllSketch.offer(regs, Md5Prefix64.hash(
         UTF8String.fromString(other.toString)))
     }
     regs
@@ -71,17 +60,7 @@ case class HllSketch(
     a
   }
 
-  override def eval(regs: Array[Byte]): Any = {
-    var vZero = 0L
-    var s40 = 0L
-    var i = 0
-    while (i < M) {
-      if (regs(i) == 0) vZero += 1L
-      s40 += 1L << (40 - regs(i))
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](vZero, s40, HllSketch.rawEstimate(s40)))
-  }
+  override def eval(regs: Array[Byte]): Any = HllSketch.summaryRow(regs)
 
   override def serialize(regs: Array[Byte]): Array[Byte] = regs
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -100,6 +79,34 @@ object HllSketch {
 
   val M = 256        // registers (p = 8)
   val RANK_CAP = 40  // keeps Σ 2^(40−M[j]) inside a BIGINT; see scaladoc
+
+  /** The summary struct's schema — shared by [[HllSketch]] (one-shot)
+    * and [[HllSummary]] (over stored/merged registers). */
+  val summaryType: StructType = StructType(Seq(
+    StructField("v_zero", LongType, nullable = false),
+    StructField("s40", LongType, nullable = false),
+    StructField("est_hll", DoubleType, nullable = false)))
+
+  private[expressions] def offer(regs: Array[Byte], h: Long): Unit = {
+    val bucket = ((h >>> 56) & 0xffL).toInt
+    val w = h & 0x00ffffffffffffffL
+    val rank =
+      if (w == 0L) RANK_CAP
+      else math.min(java.lang.Long.numberOfLeadingZeros(w) - 8 + 1, RANK_CAP)
+    if (rank > regs(bucket)) regs(bucket) = rank.toByte
+  }
+
+  private[expressions] def summaryRow(regs: Array[Byte]): GenericInternalRow = {
+    var vZero = 0L
+    var s40 = 0L
+    var i = 0
+    while (i < M) {
+      if (regs(i) == 0) vZero += 1L
+      s40 += 1L << (40 - regs(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](vZero, s40, rawEstimate(s40)))
+  }
 
   /** The raw HLL estimate as ONE literal arithmetic chain — the oracle
     * SQL spells the identical expression, so the double is
@@ -120,4 +127,144 @@ object HllSketch {
   def hll_sketch(c: Column): Column =
     GraftSqlBridge.column(
       HllSketch(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Raw 256-byte register state per group — the STORABLE partial for
+    * shard-wise roll-up (write per-shard sketches, merge later with
+    * [[hll_merge]], summarize with [[hll_summary]]). */
+  def hll_registers(c: Column): Column =
+    GraftSqlBridge.column(
+      HllRegisters(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Merge stored register states (elementwise max) into one. */
+  def hll_merge(c: Column): Column =
+    GraftSqlBridge.column(
+      HllMergeAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Summarize a stored/merged register state. */
+  def hll_summary(c: Column): Column =
+    GraftSqlBridge.column(HllSummary(GraftSqlBridge.expression(c)))
+}
+
+/** The storable form of [[HllSketch]]: same update path, but eval emits
+  * the raw 256-byte registers (BinaryType) — the partial a shard writes
+  * out so a later pass can [[HllMergeAgg]] sketches instead of
+  * re-reading the shard's rows. Mergeability is what makes HLL a
+  * pre-aggregation: count once per shard, combine forever. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](HllSketch.M)
+
+  override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case s: UTF8String => HllSketch.offer(regs, Md5Prefix64.hash(s))
+      case other => HllSketch.offer(regs, Md5Prefix64.hash(
+        UTF8String.fromString(other.toString)))
+    }
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < HllSketch.M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(regs: Array[Byte]): Any = regs
+  override def serialize(regs: Array[Byte]): Array[Byte] = regs
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Merge aggregate over STORED register states: elementwise max — the
+  * second level of a shard-wise sketch roll-up. */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](HllSketch.M)
+
+  override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = v.asInstanceOf[Array[Byte]]
+      require(other.length == HllSketch.M,
+        s"register state must be ${HllSketch.M} bytes, got ${other.length}")
+      var i = 0
+      while (i < HllSketch.M) {
+        if (other(i) > regs(i)) regs(i) = other(i)
+        i += 1
+      }
+    }
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < HllSketch.M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(regs: Array[Byte]): Any = regs
+  override def serialize(regs: Array[Byte]): Array[Byte] = regs
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Scalar summary of a stored/merged register state — (v_zero, s40,
+  * est_hll), the same surface [[HllSketch]] emits one-shot.
+  * CodegenFallback is deliberate: this evaluates once per GROUP (over
+  * already-aggregated sketch rows, a driver-bounded cardinality), not
+  * per input row — nothing to win from a fused loop. */
+case class HllSummary(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = HllSketch.summaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_summary expects binary registers, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val regs = input.asInstanceOf[Array[Byte]]
+    require(regs.length == HllSketch.M,
+      s"register state must be ${HllSketch.M} bytes, got ${regs.length}")
+    HllSketch.summaryRow(regs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

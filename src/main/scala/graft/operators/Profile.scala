@@ -70,4 +70,28 @@ object Profile {
         (col("mn__") + (col("bucket") + 1L) * col("w__") - 1L).as("hi"),
         col("n_rows"))
   }
+
+  /** Shuffle-key skew report — the sizing query run BEFORE a big
+    * groupBy/join on `keyCol`: the topK hottest keys with their row
+    * counts, the key-space size, and each hot key's share of all rows
+    * (exact scaled ratio). A top-1 share in the percents says "salt
+    * this key" ([[graft.operators.FuzzyJoin]]'s derivation automates
+    * the same decision for its block key); a flat report says plain
+    * hash partitioning is fine.
+    *
+    * Shape: one map-side-combinable count aggregate, a TakeOrdered
+    * top-k (every task forwards its own k — no global sort), one
+    * broadcast totals join. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = graft.Caches.register(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows_key")).persist())
+    val totals = counts.agg(sum(col("n_rows_key")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("n_rows_key").desc, col(keyCol).asc).limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_rows_key"), col("n_keys"), col("n_total"),
+        graft.functions.ExactRound.ratioScaled(col("n_rows_key"),
+          col("n_total"), 4).as("share_e4"))
+  }
 }

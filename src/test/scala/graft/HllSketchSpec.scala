@@ -44,4 +44,27 @@ class HllSketchSpec extends SparkSpec {
     val (vZero, s40, _) = summarize(df)
     assert(vZero == 256L && s40 == 256L * (1L << 40))
   }
+
+  test("sharded register roll-up equals the one-shot sketch exactly") {
+    val df = spark.range(4000).select(concat(lit("x"),
+        col("id").cast("string")).as("k"),
+      (col("id") % 7).as("shard"))
+    val oneShot = summarize(df)
+    val rolled = df.groupBy(col("shard"))
+      .agg(HllSketch.hll_registers(col("k")).as("regs"))
+      .agg(HllSketch.hll_merge(col("regs")).as("m"))
+      .select(HllSketch.hll_summary(col("m")).as("h"))
+      .select(col("h.v_zero"), col("h.s40"), col("h.est_hll")).collect()(0)
+    assert((rolled.getLong(0), rolled.getLong(1), rolled.getDouble(2))
+      == oneShot)
+  }
+
+  test("keySkew reports hot keys with exact shares") {
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val out = graft.operators.Profile.keySkew(df, "k", topK = 2)
+    assert(out.rowsSet == Set(
+      Seq(1L, 6L, 3L, 10L, 6000L),
+      Seq(2L, 3L, 3L, 10L, 3000L)))
+    graft.Caches.unpersistAll()
+  }
 }
