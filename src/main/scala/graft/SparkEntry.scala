@@ -868,6 +868,31 @@ object SparkEntry {
     "q115_skew_report" -> ((s, dir) =>
       Profile.keySkew(T(s, dir, "lineitem"), "l_partkey", topK = 10)),
 
+    // ---- stats: per-group OLS trend (drift detection) — slope and
+    // intercept of value~day as exact e6 rationals, signed half-away
+    // rounding mirrored in the oracle; no float in the lineage
+    "q116_group_trend" -> ((s, dir) =>
+      GroupStats.olsTrend(T(s, dir, "events"),
+        groupCols = Seq("event_type"),
+        xUnits = TimeFns.floorDiv(col("ts"), 86400L * 1000000000L),
+        yUnits = expr("round(value * 100, 0)"))),
+
+    // ---- semi-supervised: clamped-seed label propagation over the
+    // embedding near-dup graph — every 4th vector keeps its label as
+    // the seed; two deterministic argmax rounds (votes desc, label
+    // asc) spread labels across near-copy neighborhoods
+    "q117_label_propagation" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val nodes = emb.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(4)) === 0,
+          col("label").cast("long")).as("label"))
+      LabelProp.propagate(nodes, "vec_id", "label",
+        pairs, "id_a", "id_b", iterations = 2)
+    }),
+
     // ---- curation: self-trained bigram-LM likelihood (CCNet-family
     // LM quality filter) — Laplace-smoothed bigram probabilities
     // trained on the corpus itself, per-doc count/sum/min/max of the
@@ -2979,6 +3004,71 @@ object SparkEntry {
          |  ${graft.functions.ExactRound.ratioScaledSql(
               "top.n_rows_key", "t.n_total", 4)} AS share_e4
          |FROM top, t""".stripMargin,
+
+    // q116: the q75 exact-sum discipline with SIGNED half-away e6
+    // rounding — sign·((|a|·2e6+|b|) // (2|b|)), HUGEINT end to end
+    "q116_group_trend" -> {
+      def sgn(a: String, b: String) = s"CAST(sign($a) * sign($b) AS BIGINT)"
+      s"""WITH c AS (SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS x,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS y
+         |  FROM events),
+         |s AS (SELECT event_type, count(*) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM c GROUP BY 1),
+         |v AS (SELECT event_type, n, sx, sy,
+         |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx
+         |  FROM s),
+         |w AS (SELECT event_type, n, num, vx,
+         |    sy * vx - num * sx AS inum,
+         |    CAST(n AS HUGEINT) * vx AS iden
+         |  FROM v)
+         |SELECT event_type, n,
+         |  CASE WHEN vx > 0 THEN ${sgn("num", "vx")} *
+         |    CAST((abs(num) * 2000000 + abs(vx)) // (abs(vx) * 2)
+         |      AS BIGINT) END AS slope_e6,
+         |  CASE WHEN vx > 0 THEN ${sgn("inum", "iden")} *
+         |    CAST((abs(inum) * 2000000 + abs(iden)) // (abs(iden) * 2)
+         |      AS BIGINT) END AS intercept_e6
+         |FROM w""".stripMargin
+    },
+
+    // q117: the exact pair CTE at threshold 0.3 + two unrolled LPA
+    // rounds with the engine's exact argmax tie order (votes desc,
+    // label asc); seeds clamped via coalesce
+    "q117_label_propagation" -> {
+      def round_(k: Int) =
+        s"""v$k AS (SELECT e.src, l.label AS nl, count(*) AS v
+           |  FROM e JOIN l${k - 1} l ON l.node = e.dst
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |b$k AS (SELECT src AS node, nl AS best FROM (
+           |    SELECT src, nl, row_number() OVER (PARTITION BY src
+           |      ORDER BY v DESC, nl ASC) AS rn FROM v$k) WHERE rn = 1),
+           |l$k AS (SELECT s.node, coalesce(s.seed, b$k.best) AS label
+           |  FROM seeds s LEFT JOIN b$k USING (node))""".stripMargin
+      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+         |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    sum(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM d
+         |  JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.3),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |seeds AS (SELECT vec_id AS node,
+         |    CASE WHEN vec_id % 4 = 0 THEN CAST(label AS BIGINT) END AS seed
+         |  FROM embeddings),
+         |l0 AS (SELECT node, seed AS label FROM seeds),
+         |${round_(1)},
+         |${round_(2)}
+         |SELECT node AS vec_id, label FROM l2""".stripMargin
+    },
 
     // q110: the exact pair surface (q29's SQL) joined to the q50 split
     // CASE on both endpoints, cross-split rows only

@@ -56,4 +56,52 @@ object GroupStats {
       .select(groupCols.map(col) :+ col("n") :+ col("cov_num") :+
         col("r"): _*)
   }
+
+  /** Per-group OLS trend line over integer-unit observations — the
+    * group-wise drift detector (is this source's quality declining? is
+    * this metric trending?): slope and intercept of y ~ x as EXACT
+    * scaled rationals, no float anywhere in the lineage.
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·vx − num·Σx) / (n·vx)     (vx = the denominator)
+    *
+    * Both ship as e6-scaled longs rounded half-AWAY-from-zero — the
+    * signed counterpart of the ExactRound identity,
+    * sign·((|a|·2e6 + |b|) div (2|b|)), mirrored verbatim in the
+    * oracle — so two engines agree bit for bit. Zero-variance x yields
+    * NULLs. Magnitude headroom: Σy·vx ≲ n³·x²·y — with cent-scale
+    * units that stays inside DECIMAL(38,0) to ~1e9 rows per group.
+    * Same one-pass combinable-aggregate shape as [[pearson]]. */
+  def olsTrend(df: DataFrame, groupCols: Seq[String],
+      xUnits: Column, yUnits: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def e6RoundSigned(num: Column, den: Column): Column = {
+      val s = signum(num.cast("double")) * signum(den.cast("double"))
+      val q = call_function("div",
+        abs(num).cast(dec) * lit(2000000L) + abs(den).cast(dec),
+        abs(den).cast(dec) * lit(2L))
+      s.cast("long") * q.cast("long")
+    }
+    val sums = df
+      .select(groupCols.map(col) :+ xUnits.cast(dec).as("x__") :+
+        yUnits.cast(dec).as("y__"): _*)
+      .filter(col("x__").isNotNull && col("y__").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x__")).as("sx"),
+        sum(col("y__")).as("sy"),
+        sum((col("x__") * col("x__")).cast(dec)).as("sxx"),
+        sum((col("x__") * col("y__")).cast(dec)).as("sxy"))
+    val n = col("n").cast(dec)
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val iNum = (col("sy") * vx - num * col("sx")).cast(dec)
+    val iDen = (n * vx).cast(dec)
+    sums
+      .withColumn("slope_e6", when(vx > 0, e6RoundSigned(num, vx)))
+      .withColumn("intercept_e6", when(vx > 0, e6RoundSigned(iNum, iDen)))
+      .select(groupCols.map(col) :+ col("n") :+ col("slope_e6") :+
+        col("intercept_e6"): _*)
+  }
 }

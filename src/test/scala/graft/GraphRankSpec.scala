@@ -40,4 +40,41 @@ class GraphRankSpec extends SparkSpec {
     assert(a == b)
     graft.Caches.unpersistAll()
   }
+
+  test("olsTrend: exact e6 slope/intercept, signed, null on flat x") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq(
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),
+      ("dn", 0L, 4L), ("dn", 1L, 2L), ("dn", 2L, 0L),
+      ("half", 0L, 0L), ("half", 1L, 1L), ("half", 2L, 1L),
+      ("flat", 5L, 1L), ("flat", 5L, 9L)
+    ).toDF("g", "x", "y")
+    val out = graft.operators.GroupStats
+      .olsTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    assert(out("up") == Some((2000000L, 0L)))
+    assert(out("dn") == Some((-2000000L, 4000000L)))
+    // n=3 sx=3 sy=2 sxx=5 sxy=3: slope 3/6=0.5, intercept (2·6−3·3)/18=1/6
+    assert(out("half") == Some((500000L, 166667L)))
+    assert(out("flat") == None)
+  }
+
+  test("label propagation: clamped seeds, tie to lowest label, 2 hops") {
+    val nodes = Seq((1L, Some(10L)), (2L, None), (3L, None), (4L, None),
+      (5L, Some(20L))).toDF("node", "label")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+      .toDF("id_a", "id_b")
+    val out = graft.operators.LabelProp
+      .propagate(nodes, "node", "label", edges, "id_a", "id_b",
+        iterations = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // node 2 ties 10-vs-20 -> lowest label wins; node 3 labels on round
+    // 2 via node 2; node 4 is 3 hops out -> still unlabeled
+    assert(out == Map(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L),
+      4L -> None, 5L -> Some(20L)))
+    graft.Caches.unpersistAll()
+  }
 }
