@@ -877,6 +877,18 @@ object SparkEntry {
         xUnits = TimeFns.floorDiv(col("ts"), 86400L * 1000000000L),
         yUnits = expr("round(value * 100, 0)"))),
 
+    // ---- eval hygiene: LEAKAGE-FREE cluster-aware split — the fix
+    // for what q110 detects: splits assigned on the near-dup
+    // component representative, so a whole cluster lands on one side
+    "q118_cluster_split" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+      Sampling.clusterAwareSplit(emb.select(col("vec_id")), "vec_id",
+        pairs, "id_a", "id_b", weights = Seq(200, 32, 24),
+        labels = Seq("train", "val", "test"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3069,6 +3081,25 @@ object SparkEntry {
          |${round_(2)}
          |SELECT node AS vec_id, label FROM l2""".stripMargin
     },
+
+    // q118: q47's recursive components; rep = coalesce(component,
+    // self); the q50 split CASE keyed on the representative
+    "q118_cluster_split" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |rep AS (SELECT emb.vec_id,
+         |    coalesce(cc.component, emb.vec_id) AS rep_id
+         |  FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id)
+         |SELECT vec_id, rep_id,
+         |  CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'c8'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e8'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep""".stripMargin,
 
     // q110: the exact pair surface (q29's SQL) joined to the q50 split
     // CASE on both endpoints, cross-split rows only

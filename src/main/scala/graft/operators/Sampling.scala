@@ -132,6 +132,33 @@ object Sampling {
       when(col(keyCol).isNotNull, banded).otherwise(lit(null).cast("string")))
   }
 
+  /** LEAKAGE-FREE train/val/test split: assign splits by NEAR-DUP
+    * CLUSTER, not by document. [[splitByHash]] guarantees a document
+    * never straddles splits, but two near-copies with different ids
+    * hash independently — and then the eval answer sits in the training
+    * set under another id (exactly what
+    * [[Decontaminate.splitLeakage]] detects). Here every node's split
+    * is decided by the md5 of its connected-component REPRESENTATIVE
+    * (min id; singletons represent themselves), so a whole near-dup
+    * cluster lands on one side by construction — the split hygiene
+    * rule corpus curation actually needs.
+    *
+    * Scale shape: the component labeling is [[Dedup.connectedComponents]]
+    * (path-halving, O(log diameter) rounds); the assignment itself is
+    * one left join + the same hash-CASE as splitByHash. Output:
+    * (keyCol, rep_id, split). */
+  def clusterAwareSplit(df: DataFrame, keyCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      weights: Seq[Int], labels: Seq[String]): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", keyCol)
+    val withRep = df.select(col(keyCol))
+      .join(comp, Seq(keyCol), "left")
+      .withColumn("rep_id", coalesce(col("component"), col(keyCol)))
+    splitByHash(withRep, "rep_id", weights, labels)
+      .select(col(keyCol), col("rep_id"), col("split"))
+  }
+
   /** Keep rows whose `valueCol` lies inside the per-group percentile
     * band (loPct, hiPct] — the outlier trim a curation pass applies
     * before computing statistics on length-like metrics (drop the

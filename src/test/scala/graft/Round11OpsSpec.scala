@@ -212,6 +212,24 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.rowsSet == Set(Seq(1L, 2L, 0.9, "train", "test")))
   }
 
+  test("clusterAwareSplit puts every near-dup cluster on ONE side") {
+    val ids = (1L to 40L).map(Tuple1(_)).toDF("vec_id")
+    // clusters {1,2,3} (chained) and {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.operators.Sampling.clusterAwareSplit(ids, "vec_id",
+        pairs, "id_a", "id_b", Seq(200, 32, 24), Seq("train", "val", "test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // all cluster members share the min-id rep and therefore the split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // singletons represent themselves
+    assert(byId(20L)._2 == 20L)
+    assert(out.length == 40)
+    graft.Caches.unpersistAll()
+  }
+
   // ---- OOV rate --------------------------------------------------------
 
   test("oovReport counts tokens missing from the vocab") {
