@@ -889,6 +889,55 @@ object SparkEntry {
         labels = Seq("train", "val", "test"))
     }),
 
+    // ---- ETL audit: snapshot DIFF — what did the day's upsert DO?
+    // old = customers sans %7 keys; new = the q41-style merged state
+    // sans %5 keys: exercises added/removed/changed/unchanged plus
+    // per-column change attribution
+    "q119_snapshot_diff" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val inc = T(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(decSum(col("o_totalprice")).as("i_acctbal"))
+      val old = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+      val neu = cust.join(inc, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("i_acctbal"), col("c_acctbal")).as("c_acctbal"))
+        .filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+      SnapshotDiff.diff(old, neu, "c_custkey",
+        Seq("c_name", "c_acctbal"))
+    }),
+
+    // ---- monitoring: per-type daily counts + trailing-7-observed-day
+    // moving average (exact scaled integer) — the pipeline health
+    // series a scrape operator watches
+    "q120_rolling_metrics" -> ((s, dir) =>
+      EventAnalytics.rollingDailyMetrics(T(s, dir, "events"),
+        "event_type", "ts", windowRows = 7)),
+
+    // ---- linkage: sorted-neighborhood blocking — the skew-proof
+    // complement to q96's token blocks (candidates = exactly n·w)
+    "q121_sorted_neighborhood" -> ((s, dir) =>
+      FuzzyJoin.sortedNeighborhood(T(s, dir, "customer"),
+        "c_custkey", "c_name", windowSize = 5, maxDist = 2, minDist = 1)),
+
+    // ---- join: FORWARD as-of — each click to the user's NEXT
+    // purchase (attribution window / next-event labeling)
+    "q122_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"))
+      AsOfJoin.leftAsOfForward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", rightPayload = Seq("purchase_event_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          col("right_purchase_event_id").as("next_purchase_id"),
+          TimeFns.floorDiv(col("right_ts") - col("ts"), 1000000000L)
+            .as("gap_s"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3081,6 +3130,82 @@ object SparkEntry {
          |${round_(2)}
          |SELECT node AS vec_id, label FROM l2""".stripMargin
     },
+
+    // q119: full-outer diff with null-safe per-column flags
+    // (IS DISTINCT FROM = Spark's <=> negated); changed_cols via
+    // concat_ws skipping nulls, names in sorted order on both engines
+    "q119_snapshot_diff" ->
+      """WITH inc AS (SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS i_acctbal
+        |  FROM orders GROUP BY 1),
+        |old AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 7 <> 0),
+        |neu AS (SELECT c.c_custkey, c.c_name,
+        |    coalesce(i.i_acctbal, c.c_acctbal) AS c_acctbal
+        |  FROM customer c LEFT JOIN inc i ON i.c_custkey = c.c_custkey
+        |  WHERE c.c_custkey % 5 <> 0),
+        |j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    o.c_custkey IS NOT NULL AS in_old,
+        |    n.c_custkey IS NOT NULL AS in_new,
+        |    CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+        |      THEN 1 ELSE 0 END AS f_name,
+        |    CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |      THEN 1 ELSE 0 END AS f_bal
+        |  FROM old o FULL JOIN neu n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN in_old AND NOT in_new THEN 'removed'
+        |       WHEN in_new AND NOT in_old THEN 'added'
+        |       WHEN f_name + f_bal > 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  CASE WHEN in_old AND in_new THEN CAST(f_name + f_bal AS BIGINT)
+        |       ELSE 0 END AS n_cols_changed,
+        |  CASE WHEN in_old AND in_new THEN concat_ws(',',
+        |      CASE WHEN f_bal = 1 THEN 'c_acctbal' END,
+        |      CASE WHEN f_name = 1 THEN 'c_name' END)
+        |    ELSE '' END AS changed_cols
+        |FROM j""".stripMargin,
+
+    // q120: identical rows-frame window (6 preceding observed days);
+    // trailing average through the exact-rounding identity
+    "q120_rolling_metrics" ->
+      s"""WITH d AS (SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, day, n_events,
+         |    CAST(sum(n_events) OVER win AS BIGINT) AS trail_sum,
+         |    count(*) OVER win AS trail_rows
+         |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, n_events, trail_sum,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "trail_sum", "trail_rows", 4)} AS trail_avg_e4
+         |FROM w""".stripMargin,
+
+    // q121: identical sort order (nm, k), rank-offset candidate join,
+    // full levenshtein on the <= maxDist survivors
+    "q121_sorted_neighborhood" ->
+      """WITH b AS (SELECT c_custkey AS k, lower(c_name) AS nm FROM customer),
+        |r AS (SELECT k, nm, row_number() OVER (ORDER BY nm, k) AS rn
+        |  FROM b),
+        |cand AS (SELECT a.k AS k0, a.nm AS nm0, bb.k AS k1, bb.nm AS nm1
+        |  FROM r a JOIN r bb ON bb.rn BETWEEN a.rn + 1 AND a.rn + 5),
+        |v AS (SELECT *, levenshtein(nm0, nm1) AS lev FROM cand
+        |  WHERE abs(length(nm0) - length(nm1)) <= 2)
+        |SELECT DISTINCT least(k0, k1) AS key_a, greatest(k0, k1) AS key_b,
+        |  CASE WHEN k0 < k1 THEN nm0 ELSE nm1 END AS name_a,
+        |  CASE WHEN k0 < k1 THEN nm1 ELSE nm0 END AS name_b,
+        |  CAST(lev AS BIGINT) AS lev
+        |FROM v WHERE lev BETWEEN 1 AND 2""".stripMargin,
+
+    // q122: DuckDB's native forward ASOF (c.ts <= p.ts picks the least
+    // p.ts >= c.ts); gap via floor division
+    "q122_asof_forward" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS next_purchase_id,
+        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

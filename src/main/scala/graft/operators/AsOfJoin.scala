@@ -54,4 +54,45 @@ object AsOfJoin {
       .drop("asof_side__", "asof_r__")
       .withColumnRenamed("asof_ts__", leftTs)
   }
+
+  /** FORWARD as-of: attach the EARLIEST right row with rightTs >=
+    * leftTs per key — "the next quote after the trade" / "the next
+    * purchase after the click" (attribution windows, next-event
+    * labeling for sequence models). Same one-shuffle union +
+    * carry trick as [[leftAsOf]], mirrored: left rows sort BEFORE
+    * right rows at equal ts (side 0 < 1) and `first(ignoreNulls)` runs
+    * over (currentRow, unboundedFollowing), so an exactly-simultaneous
+    * right row matches (>= semantics). Ties among right rows with
+    * identical (key, ts) are broken by the window's (ts, side) order
+    * only — give right rows unique timestamps (this repo's events
+    * carry ns-unique ts per user) or disambiguate upstream. */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightStruct = struct(rightPayload.map(col): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("asof_ts__"),
+        lit(1).as("asof_side__"),
+        rightStruct.as("asof_r__")): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("asof_ts__"),
+        lit(0).as("asof_side__")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col): _*)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("asof_ts__").asc, col("asof_side__").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("asof_r__",
+      first(col("asof_r__"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.foldLeft(
+      carried.filter(col("asof_side__") === 0)) { (d, c) =>
+      d.withColumn(s"right_$c", col(s"asof_r__.$c"))
+    }
+    unpacked
+      .drop("asof_side__", "asof_r__")
+      .withColumnRenamed("asof_ts__", leftTs)
+  }
 }

@@ -86,6 +86,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Per-(type, day) daily counts with a trailing moving average over
+    * the last `windowRows` OBSERVED days (rows frame, not a range —
+    * the [[burstHours]] convention: quiet gaps don't dilute), the
+    * standard rolling health metric a pipeline dashboard plots. The
+    * average ships as the exact scaled integer
+    * `avg_e4 = round(Σcounts/rows · 1e4)` — integer lineage end to
+    * end. One shuffle (the daily aggregate); the window runs over the
+    * per-type daily table, cardinality days×types. */
+  def rollingDailyMetrics(events: DataFrame, typeCol: String,
+      tsNanosCol: String, windowRows: Int = 7): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowRows - 1), 0)
+    daily
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .withColumn("trail_rows", count(lit(1)).over(w))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("trail_sum"),
+        graft.functions.ExactRound.ratioScaled(col("trail_sum"),
+          col("trail_rows"), 4).as("trail_avg_e4"))
+  }
+
   /** Exact e6-scaled decay powers (decayNum/decayDen)^k for k in
     * [0, maxAgeDays] — BigInt rationals rounded half-up, no libm pow
     * anywhere, so any engine reproduces the weights bit for bit.

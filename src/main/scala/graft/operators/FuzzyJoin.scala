@@ -119,4 +119,45 @@ object FuzzyJoin {
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.nm").as("name_a"), col("b.nm").as("name_b"), col("lev"))
   }
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo's classic
+    * record-linkage method) — the complementary blocking strategy to
+    * [[byEditDistance]]'s token blocks: sort ALL records by the name,
+    * and compare each record only to its `w` successors in sort order.
+    * Where token blocking misses pairs whose FIRST token differs
+    * ("J Smith" vs "John Smith"), the sorted neighborhood catches
+    * lexicographically-near variants, and its candidate count is
+    * EXACTLY n·w by construction — no block-size skew exists to salt
+    * away, which is the method's scale guarantee.
+    *
+    * Shape: the global rank comes from
+    * [[ScalableRank.withGlobalPosition]] (range-partitioned sort +
+    * per-partition offsets — NOT a single-task global window), then an
+    * explode of the w offsets, one equi-join on rank+offset, and the
+    * same banded-levenshtein verify as [[byEditDistance]]. */
+  def sortedNeighborhood(df: DataFrame, keyCol: String, nameCol: String,
+      windowSize: Int = 5, maxDist: Int = 3, minDist: Int = 1): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val base = ScalableRank.withGlobalPosition(
+      df.select(col(keyCol).as("k"), lower(col(nameCol)).as("nm")),
+      Seq(col("nm").asc, col("k").asc),
+      df.sparkSession.sessionState.conf.numShufflePartitions, "rn")
+    val probes = base
+      .withColumn("off", explode(sequence(lit(1L), lit(windowSize.toLong))))
+      .select((col("rn") + col("off")).as("rn"),
+        col("k").as("k0"), col("nm").as("nm0"))
+    base.join(probes, "rn")
+      .filter(abs(length(col("nm0")) - length(col("nm"))) <= maxDist)
+      .withColumn("lev",
+        levenshtein(col("nm0"), col("nm"), maxDist).cast("long"))
+      .filter(col("lev").between(minDist, maxDist))
+      .select(least(col("k0"), col("k")).as("key_a"),
+        greatest(col("k0"), col("k")).as("key_b"),
+        when(col("k0") < col("k"), col("nm0")).otherwise(col("nm"))
+          .as("name_a"),
+        when(col("k0") < col("k"), col("nm")).otherwise(col("nm0"))
+          .as("name_b"),
+        col("lev"))
+      .dropDuplicates("key_a", "key_b")
+  }
 }
