@@ -140,4 +140,68 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a range exchange in:\n$p")
     Caches.unpersistAll(blocking = true)
   }
+
+  // ---- round-11 operator plan guards -----------------------------------
+
+  test("OOV report broadcasts the vocabulary, never shuffles it") {
+    val docs = (1 to 300).map(i => (i.toLong, s"tok${i % 40} other words"))
+      .toDF("doc_id", "text")
+    val vocab = (0 until 10).map(i => Tuple1(s"tok$i")).toDF("token")
+    val p = plan(graft.operators.VocabBuild.oovReport(
+      docs, "doc_id", "text", vocab))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast join:\n$p")
+  }
+
+  test("keySkew's top-k is TakeOrdered (no global sort), totals broadcast") {
+    val df = (1 to 1000).map(i => Tuple1((i % 37).toLong)).toDF("k")
+    val p = plan(graft.operators.Profile.keySkew(df, "k", topK = 5))
+    assert(p.contains("TakeOrdered"),
+      s"top-k must plan TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("quantized probe scans byte codes through TakeOrdered") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(SimilaritySearch.quantizedTopK(
+      df, "vec_id", "embedding", 0L, 5))
+    assert(p.contains("TakeOrdered"),
+      s"probe top-k must plan TakeOrderedAndProject:\n$p")
+    // the scoring kernel is the fused cosine expression over the code
+    // arrays (the QuantizeInt8 projection itself constant-folds into
+    // the local fixture relation — on a real scan it sits in the scan
+    // project, exercised end-to-end by the q105 gate)
+    assert(p.contains("cosinesimilarity"),
+      s"the fused cosine kernel must score the codes:\n$p")
+  }
+
+  test("sorted neighborhood ranks via range partitioning, no global window") {
+    val df = (1 to 400).map(i => (i.toLong, f"name$i%04d")).toDF("k", "nm")
+    val p = plan(graft.operators.FuzzyJoin.sortedNeighborhood(
+      df, "k", "nm", windowSize = 3, maxDist = 1))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"the global rank must come from a range exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"no single-task global window may exist:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("decay activity: one broadcast scalar + combinable aggregate, no window") {
+    val ev = (1 to 500).map(i =>
+      ((i % 50).toLong, i.toLong * 86400L * 1000000000L))
+      .toDF("user_id", "ts")
+    val p = plan(graft.operators.EventAnalytics.decayActivity(
+      ev, "user_id", "ts"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the reference-day scalar must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"per-user sums must be a hash aggregate:\n$p")
+  }
 }
