@@ -938,6 +938,35 @@ object SparkEntry {
             .as("gap_s"))
     }),
 
+    // ---- history: SCD Type-2 interval build — each user's event_type
+    // timeline collapsed into versioned [valid_from, valid_to) runs
+    // (gaps-and-islands); the dimension-history table you keep when
+    // the reference's daily overwrite-upsert would have destroyed it
+    "q123_scd2_history" -> ((s, dir) =>
+      SnapshotDiff.scd2History(T(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+
+    // ---- labeling: majority-vote resolution per user over event_type
+    // "annotations" — argmax with label-asc tie-break + exact-scaled
+    // agreement rate (the multi-annotator merge step)
+    "q124_majority_label" -> ((s, dir) =>
+      GroupStats.majorityLabel(T(s, dir, "events"), "user_id",
+        "event_type")),
+
+    // ---- text: bigram collocations — top-200 adjacent word pairs by
+    // exact e6-scaled PMI lift (the phrase-detection pass of a vocab
+    // pipeline; log-free so the gate stays rational)
+    "q125_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(T(s, dir, "documents"), "doc_id",
+        "text", minCount = 5L, topK = 200)),
+
+    // ---- association: market-basket co-occurrence over lineitem —
+    // parts co-ordered in the same order, support >= 3, with exact
+    // basket-Jaccard (per-basket-bounded pair expansion)
+    "q126_cooccurrence" -> ((s, dir) =>
+      CoOccurrence.basketPairs(T(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 3L, maxBasketSize = 64)),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3206,6 +3235,85 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+
+    // q123: identical (ts, event_id) total order; run starts =
+    // row 1 OR null-safe value change; version = running sum of starts;
+    // valid_to = next version's valid_from (half-open intervals)
+    "q123_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
+        |    event_id FROM events),
+        |r AS (SELECT *,
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS version FROM r),
+        |g AS (SELECT user_id, version, max(event_type) AS value,
+        |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, value, valid_from_ns,
+        |  lead(valid_from_ns) OVER wv AS valid_to_ns, n_events,
+        |  lead(valid_from_ns) OVER wv IS NULL AS is_current
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin,
+
+    // q124: same argmax (votes desc, label asc) row_number pick; the
+    // agreement rate through the exact-rounding identity
+    "q124_majority_label" ->
+      s"""WITH c AS (SELECT user_id, event_type AS majority_label,
+         |    count(*) AS n_votes FROM events GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |    CAST(sum(n_votes) OVER (PARTITION BY user_id) AS BIGINT)
+         |      AS n_total,
+         |    count(*) OVER (PARTITION BY user_id) AS n_labels,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY n_votes DESC, majority_label ASC) AS rn
+         |  FROM c)
+         |SELECT user_id, majority_label, n_votes, n_total, n_labels,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_votes", "n_total", 4)} AS agreement_e4
+         |FROM w WHERE rn = 1""".stripMargin,
+
+    // q125: identical positional token stream (generate_subscripts =
+    // posexplode), adjacency via i+1 self-join, lift through the
+    // exact-rounding identity over HUGEINT products; the LIMIT order
+    // is total (w1/w2 contain no spaces)
+    "q125_collocations" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+         |    unnest(ws) AS w FROM d),
+         |uni AS (SELECT w, count(*) AS c_w FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni),
+         |bi AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+         |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, n_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "CAST(n_pair AS HUGEINT) * n_total",
+              "CAST(u1.c_w AS HUGEINT) * u2.c_w", 6)} AS lift_e6
+         |FROM bi JOIN uni u1 ON u1.w = bi.w1
+         |  JOIN uni u2 ON u2.w = bi.w2, tot
+         |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 200""".stripMargin,
+
+    // q126: same capped-basket universe on both sides of the counts;
+    // jaccard through the exact-rounding identity
+    "q126_cooccurrence" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |    FROM lineitem),
+         |f AS (SELECT b, i FROM (SELECT b, i,
+         |      count(*) OVER (PARTITION BY b) AS bs FROM it)
+         |  WHERE bs <= 64),
+         |p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_co
+         |  FROM f a JOIN f c ON c.b = a.b AND a.i < c.i
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |ic AS (SELECT i, count(*) AS c_i FROM f GROUP BY 1)
+         |SELECT item_a, item_b, n_co, ia.c_i AS n_a, ib.c_i AS n_b,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_co", "ia.c_i + ib.c_i - n_co", 6)} AS jaccard_e6
+         |FROM p JOIN ic ia ON ia.i = p.item_a
+         |  JOIN ic ib ON ib.i = p.item_b""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

@@ -104,4 +104,38 @@ object GroupStats {
       .select(groupCols.map(col) :+ col("n") :+ col("slope_e6") :+
         col("intercept_e6"): _*)
   }
+
+  /** Majority-vote label resolution — the multi-annotator (or
+    * multi-model) label-merge step of a training-data pipeline: per
+    * key, the label with the most votes, with ties broken by label
+    * ascending (deterministic, engine-mirrorable), plus the vote
+    * tally and an exact-scaled agreement rate
+    * (`agreement_e4` = round(1e4·top_votes/total_votes) via the
+    * [[graft.functions.ExactRound]] identity). An agreement rate
+    * below ~0.5e4 is the "annotators disagree — route to review"
+    * signal; q101's label-noise pairs find cross-item inconsistency,
+    * this finds within-item inconsistency.
+    *
+    * Shape at scale: one map-side-combinable groupBy to (key, label)
+    * counts, then one window family over the (typically tiny) label
+    * multiplicity per key. No driver state. */
+  def majorityLabel(df: DataFrame, keyCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(keyCol), col(labelCol).as("majority_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_votes").desc, col("majority_label").asc)
+    counts
+      .withColumn("n_total", sum(col("n_votes")).over(byKey))
+      .withColumn("n_labels", count(lit(1)).over(byKey))
+      .withColumn("rn__", row_number().over(pick))
+      .filter(col("rn__") === 1)
+      .select(col(keyCol), col("majority_label"), col("n_votes"),
+        col("n_total"), col("n_labels"),
+        graft.functions.ExactRound.ratioScaled(
+          col("n_votes"), col("n_total"), 4).as("agreement_e4"))
+  }
 }

@@ -331,4 +331,54 @@ object TextAnalysis {
         graft.functions.ExactRound.ratioScaled(col("n_novel"),
           col("n_grams"), 4).as("novelty_e4"))
   }
+
+  /** Bigram collocation mining — corpus-wide PMI-family association
+    * scoring of adjacent word pairs (the phrase-detection pass of a
+    * tokenizer/vocab pipeline, cf. word2vec's phrase pass). The score
+    * is the PMI *lift* `P(xy)/(P(x)·P(y)) = c_xy·N/(c_x·c_y)` as an
+    * exact-rounded e6-scaled integer — the log in textbook PMI is
+    * monotone, so ranking by lift ranks by PMI while keeping the gate
+    * surface rational (the q85 discipline: libm stays out of gates).
+    *
+    * Shape at scale: posexplode to a positional token stream, bigrams
+    * via `lead` over (doc | pos) — per-doc windows, never global —
+    * then two map-side-combinable counts, two shuffle joins of the
+    * minCount-filtered pair table against the unigram table, and a
+    * TakeOrdered top-k (no single-partition window). The corpus total
+    * is a 1-row broadcast. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(idCol).as("doc__"),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos__", "w__")))
+    val uni = graft.Caches.register(
+      toks.groupBy(col("w__")).agg(count(lit(1)).as("c_w")).persist())
+    val totals = uni.agg(sum(col("c_w")).cast("long").as("n_total"))
+    val byDoc = Window.partitionBy(col("doc__")).orderBy(col("pos__"))
+    val pairs = toks
+      .withColumn("w2__", lead(col("w__"), 1).over(byDoc))
+      .filter(col("w2__").isNotNull)
+      .groupBy(col("w__").as("w1"), col("w2__").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // the rounding identity inlined: the denominator (a product of two
+    // unigram counts) is always >= 1, so ExactRound.ratioScaled's
+    // den>0 guard — which long-casts the decimal product and could
+    // overflow at extreme corpus sizes — is not needed here
+    val num = col("n_pair").cast(dec) * col("n_total")
+    val den = col("c_w1").cast(dec) * col("c_w2")
+    val lift = call_function("div",
+      num * lit(2000000L) + den, den * lit(2L)).cast("long")
+    val scored = pairs
+      .join(uni.select(col("w__").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(uni.select(col("w__").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), col("c_w1"),
+        col("c_w2"), lift.as("lift_e6"))
+    // w1/w2 are split on space, so the joined form is a unique
+    // tie-break: the k boundary is a total order in both engines.
+    RankOps.topK(scored, topK, col("lift_e6"),
+      concat_ws(" ", col("w1"), col("w2")))
+  }
 }

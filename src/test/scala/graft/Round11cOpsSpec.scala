@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CoOccurrence, GroupStats, SnapshotDiff, TextAnalysis}
+
+/** Round-11 batch 3: SCD Type-2 history build, majority-vote label
+  * resolution. */
+class Round11cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 collapses runs into versioned half-open intervals") {
+    // key 1: A A B A — three versions (the second A is a NEW version)
+    val df = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      (2L, 10L, 200L, "X"))
+      .toDF("k", "ts", "eid", "v")
+    val out = SnapshotDiff.scd2History(df, "k", "ts", "v", "eid")
+    assert(out.rowsSet == Set(
+      Seq(1L, 1L, "A", 10L, 30L, 2L, false),
+      Seq(1L, 2L, "B", 30L, 40L, 1L, false),
+      Seq(1L, 3L, "A", 40L, null, 1L, true),
+      Seq(2L, 1L, "X", 10L, null, 1L, true)))
+  }
+
+  test("scd2 run detection is null-safe: null->null is one run, " +
+    "value<->null transitions open versions") {
+    val df = Seq(
+      (1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, None), (1L, 40L, 4L, Some("A")))
+      .toDF("k", "ts", "eid", "v")
+    val out = SnapshotDiff.scd2History(df, "k", "ts", "v", "eid")
+    assert(out.rowsSet == Set(
+      Seq(1L, 1L, "A", 10L, 20L, 1L, false),
+      Seq(1L, 2L, null, 20L, 40L, 2L, false),
+      Seq(1L, 3L, "A", 40L, null, 1L, true)))
+  }
+
+  test("scd2 same-timestamp events order by the tie column") {
+    val df = Seq((1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"))
+      .toDF("k", "ts", "eid", "v")
+    val out = SnapshotDiff.scd2History(df, "k", "ts", "v", "eid")
+    assert(out.rowsSet == Set(
+      Seq(1L, 1L, "A", 10L, 10L, 1L, false),
+      Seq(1L, 2L, "B", 10L, null, 1L, true)))
+  }
+
+  test("majority label: argmax votes with label-asc tie-break and " +
+    "exact agreement rate") {
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),          // clear majority x 2/3
+      (2L, "b"), (2L, "a"),                      // tie -> a (label asc)
+      (3L, "z"))                                 // unanimous
+      .toDF("k", "lab")
+    val out = GroupStats.majorityLabel(df, "k", "lab")
+    assert(out.rowsSet == Set(
+      Seq(1L, "x", 2L, 3L, 2L, 6667L),
+      Seq(2L, "a", 1L, 2L, 2L, 5000L),
+      Seq(3L, "z", 1L, 1L, 1L, 10000L)))
+  }
+
+  test("collocations: adjacent pairs only, minCount filter, exact lift") {
+    val docs = Seq(
+      (1L, "new york new york is big"),
+      (2L, "new york again"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "doc_id", "text",
+      minCount = 2L, topK = 10)
+    // N=9 tokens; only (new,york) survives minCount (3 occurrences);
+    // lift = 3*9/(3*3) = 3.0 exactly
+    assert(out.rowsSet == Set(
+      Seq("new", "york", 3L, 3L, 3L, 3000000L)))
+  }
+
+  test("basket pairs: support counts, exact jaccard, duplicate " +
+    "(basket,item) rows collapse") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 1L),   // dup (20,1)
+      (30L, 2L), (30L, 3L))
+      .toDF("b", "i")
+    val out = CoOccurrence.basketPairs(df, "b", "i", minSupport = 1L)
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 2L, 2L, 3L, 666667L),
+      Seq(1L, 3L, 1L, 2L, 2L, 333333L),
+      Seq(2L, 3L, 2L, 3L, 2L, 666667L)))
+  }
+
+  test("basket pairs: oversized baskets are excluded from pairs AND " +
+    "frequencies") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),   // size 3 > cap
+      (20L, 1L), (20L, 2L),
+      (30L, 2L), (30L, 3L))
+      .toDF("b", "i")
+    val out = CoOccurrence.basketPairs(df, "b", "i", minSupport = 1L,
+      maxBasketSize = 2)
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 1L, 1L, 2L, 500000L),
+      Seq(2L, 3L, 1L, 2L, 1L, 500000L)))
+  }
+}
