@@ -967,6 +967,26 @@ object SparkEntry {
       CoOccurrence.basketPairs(T(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3L, maxBasketSize = 64)),
 
+    // ---- monitoring: decile-bin distribution drift (exact TVD) —
+    // even-key orders are the reference snapshot, odd-key the current
+    // one; boundaries from reference ranks, assignment by value
+    "q127_bin_drift" -> ((s, dir) => {
+      val priceE2 = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val o = T(s, dir, "orders")
+      Drift.binDrift(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(priceE2.as("v")),
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1).select(priceE2.as("v")),
+        col("v"), nBins = 10)
+    }),
+
+    // ---- sampling: systematic weight-proportional draw — exactly 200
+    // picks over documents in proportion to n_chars, zero RNG (hash
+    // order + cumulative-weight stride crossings)
+    "q128_weighted_sample" -> ((s, dir) =>
+      Sampling.systematicWeighted(T(s, dir, "documents"), "doc_id",
+        "n_chars", n = 200)),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3314,6 +3334,65 @@ object SparkEntry {
               "n_co", "ia.c_i + ib.c_i - n_co", 6)} AS jaccard_e6
          |FROM p JOIN ic ia ON ia.i = p.item_a
          |  JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // q127: boundaries from reference rank-bins (row_number formula —
+    // the value at rank r is deterministic under ties), value-based
+    // assignment via the boundary list, TVD through the rounding
+    // identity over HUGEINT cross products
+    "q127_bin_drift" ->
+      s"""WITH refv AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS v
+         |    FROM orders WHERE o_orderkey % 2 = 0),
+         |curv AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS v
+         |    FROM orders WHERE o_orderkey % 2 = 1),
+         |nr AS (SELECT count(*) AS n FROM refv),
+         |rb AS (SELECT v, ((row_number() OVER (ORDER BY v) - 1) * 10)
+         |      // (SELECT n FROM nr) AS bin FROM refv),
+         |bd AS (SELECT bin, max(v) AS b FROM rb WHERE bin < 9
+         |  GROUP BY bin),
+         |bl AS (SELECT list(b ORDER BY b) AS bs FROM bd),
+         |ra AS (SELECT CAST(len(list_filter((SELECT bs FROM bl),
+         |      x -> v > x)) AS BIGINT) AS bin, count(*) AS n_ref
+         |  FROM refv GROUP BY 1),
+         |ca AS (SELECT CAST(len(list_filter((SELECT bs FROM bl),
+         |      x -> v > x)) AS BIGINT) AS bin, count(*) AS n_cur
+         |  FROM curv GROUP BY 1),
+         |j AS (SELECT coalesce(ra.bin, ca.bin) AS bin,
+         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM ra FULL JOIN ca ON ra.bin = ca.bin),
+         |t0 AS (SELECT j.*, bd.b AS hi_units,
+         |    CAST((SELECT n FROM nr) AS HUGEINT) AS nrt,
+         |    CAST(sum(n_cur) OVER () AS HUGEINT) AS nct
+         |  FROM j LEFT JOIN bd ON bd.bin = j.bin),
+         |t AS (SELECT *, sum(abs(CAST(n_ref AS HUGEINT) * nct -
+         |      CAST(n_cur AS HUGEINT) * nrt)) OVER () AS tvd_num
+         |  FROM t0)
+         |SELECT bin, hi_units, n_ref, n_cur,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_ref", "nrt", 6)} AS share_ref_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_cur", "nct", 6)} AS share_cur_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "tvd_num", "2 * nrt * nct", 6)} AS tvd_e6
+         |FROM t""".stripMargin,
+
+    // q128: same md5-hash cumulative-weight line; picks at stride
+    // crossings via HUGEINT floor division
+    "q128_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, coalesce(n_chars, 0) AS weight,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, weight,
+        |    CAST(sum(weight) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+        |    CAST(sum(weight) OVER () AS HUGEINT) AS tot FROM b)
+        |SELECT doc_id, weight, CAST(cum AS BIGINT) AS cum_w,
+        |  CAST((cum * 200) // tot
+        |    - ((cum - weight) * 200) // tot AS BIGINT) AS n_picks
+        |FROM c
+        |WHERE (cum * 200) // tot > ((cum - weight) * 200) // tot"""
+        .stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

@@ -70,6 +70,22 @@ object ExactRound {
     when(den.cast("long") > 0, q.cast("long")).otherwise(lit(0L))
   }
 
+  /** [[ratioScaled]] for WIDE denominators: the positivity guard
+    * compares the DECIMAL(38,0) form directly instead of long-casting
+    * it — a denominator that is itself a product of longs (bin-count
+    * cross products, unigram-count products) can exceed long range at
+    * extreme scale, where the long cast would null out and silently
+    * zero the ratio. Mirror with [[ratioScaledSql]] (its guard is
+    * already HUGEINT-safe). */
+  def ratioScaledBig(num: Column, den: Column, d: Int = 4): Column = {
+    val p = math.pow(10, d).toLong
+    val n = num.cast("decimal(38,0)")
+    val dn = den.cast("decimal(38,0)")
+    val q = call_function("div", n * lit(2L * p) + dn, dn * lit(2L))
+    when(dn > lit(0L).cast("decimal(38,0)"), q.cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** The DuckDB mirror of [[ratioScaled]] — interpolate into oracle
     * SQL. Pure HUGEINT arithmetic, final value cast to BIGINT. */
   def ratioScaledSql(num: String, den: String, d: Int = 4): String = {

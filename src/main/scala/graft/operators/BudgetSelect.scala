@@ -35,15 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object BudgetSelect {
 
-  /** Rows of `df` whose running `cost` total, accumulated in `order`,
-    * stays within `budget` (inclusive). Appends `runningOut` (the
-    * running total, a long). NULL costs count as 0 — a row with no
-    * measurable cost cannot consume budget, and dropping it silently
-    * would make the selection non-monotonic in the budget. */
-  def selectUnderBudget(df: DataFrame, cost: Column, order: Seq[Column],
-      budget: Long, runningOut: String = "cum_cost",
-      partitions: Int = 0): DataFrame = {
-    require(budget >= 0, "budget must be non-negative")
+  /** The distributed exact prefix sum both [[selectUnderBudget]] and
+    * [[Sampling.systematicWeighted]] ride on: appends `runningOut` =
+    * running sum of `cost` in global `order`, and returns the grand
+    * total alongside. NULL costs count as 0. `order` must be a total
+    * order for a reproducible running column (ties make "which row
+    * owns which prefix" partitioning-dependent) — EXCEPT when only
+    * rank-block COUNTS matter downstream (the [[Drift]] boundary
+    * construction), where equal-cost ties are harmless by design. */
+  def runningTotal(df: DataFrame, cost: Column, order: Seq[Column],
+      runningOut: String, partitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -67,10 +68,23 @@ object BudgetSelect {
     // partitioner already balanced — no single-task stage anywhere.
     val w = Window.partitionBy(col("graft_pid__")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted
+    val out = sorted
       .join(broadcast(offsetsDf), "graft_pid__")
       .withColumn(runningOut, col("graft_off__") + sum(costL).over(w))
-      .filter(col(runningOut) <= budget)
       .drop("graft_pid__", "graft_off__")
+    (out, offsets.last)
+  }
+
+  /** Rows of `df` whose running `cost` total, accumulated in `order`,
+    * stays within `budget` (inclusive). Appends `runningOut` (the
+    * running total, a long). NULL costs count as 0 — a row with no
+    * measurable cost cannot consume budget, and dropping it silently
+    * would make the selection non-monotonic in the budget. */
+  def selectUnderBudget(df: DataFrame, cost: Column, order: Seq[Column],
+      budget: Long, runningOut: String = "cum_cost",
+      partitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    runningTotal(df, cost, order, runningOut, partitions)._1
+      .filter(col(runningOut) <= budget)
   }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+
+/** Distribution-drift report between a reference and a current
+  * dataset — the monitoring primitive that catches "today's scrape
+  * came back with a shifted value distribution" before it propagates
+  * (the reference's cron flow re-uploads whatever it scraped;
+  * `checkdb.py` counts rows but never looks at the SHAPE of the
+  * data). Bins are equal-frequency deciles OF THE REFERENCE (the
+  * standard PSI/KS binning), both sides are assigned to those bins by
+  * VALUE, and the drift statistic is the exact total-variation
+  * distance — all integer/rational, so the gate surface is
+  * engine-exact (PSI's log stays out, per the q85/q125 discipline;
+  * TVD ranks drift the same way for monitoring purposes).
+  *
+  * Shape at scale: reference ranks come from the
+  * [[BudgetSelect.runningTotal]] distributed prefix sum (range
+  * partition + per-partition offsets — no single-task sort);
+  * boundaries are O(nBins) driver state (the k-centroid allowance);
+  * bin assignment is a codegen'd when-chain (no join); per-bin counts
+  * are map-side-combinable; the final share/TVD pass is one window
+  * over <= nBins rows.
+  *
+  * Rank ties: equal values may receive their consecutive ranks in any
+  * order, but the VALUE at rank r is deterministic, so per-rank-bin
+  * maxima — the boundaries — are deterministic, and value-based
+  * assignment puts equal values in the same bin on both engines.
+  */
+object Drift {
+
+  /** Per-bin drift rows: (bin, hi_units, n_ref, n_cur, share_ref_e6,
+    * share_cur_e6, tvd_e6) — `hi_units` the bin's inclusive upper
+    * boundary (NULL for the top bin), `tvd_e6` the corpus-level exact
+    * TVD repeated per row. `valueUnits` must be an integral-unit
+    * expression (cents, not dollars); NULL values are excluded on
+    * both sides. */
+  def binDrift(ref: DataFrame, cur: DataFrame, valueUnits: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    import org.apache.spark.sql.expressions.Window
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val refV = ref.select(valueUnits.cast("long").as("v__"))
+      .filter(col("v__").isNotNull)
+    val curV = cur.select(valueUnits.cast("long").as("v__"))
+      .filter(col("v__").isNotNull)
+    val (ranked, nRef) =
+      BudgetSelect.runningTotal(refV, lit(1L), Seq(col("v__")), "rn__")
+    // boundary of rank-bin b = max value among ranks with
+    // floor((rn-1)·nBins/nRef) = b, for b < nBins-1 — O(nBins) rows
+    // of driver state, the same allowance as IVF centroids
+    val bounds: Array[Long] =
+      if (nRef == 0) Array.empty
+      else ranked
+        .withColumn("bin__", graft.functions.TimeFns.floorDiv(
+          (col("rn__") - 1L) * lit(nBins.toLong), nRef))
+        .filter(col("bin__") < (nBins - 1).toLong)
+        .groupBy(col("bin__")).agg(max(col("v__")).as("b__"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    def binOf(v: Column): Column = bounds.foldLeft(lit(0L)) {
+      (acc, b) => acc + when(v > b, 1L).otherwise(0L)
+    }
+    val rc = refV.groupBy(binOf(col("v__")).as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    val cc = curV.groupBy(binOf(col("v__")).as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val boundsDf = bounds.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toSeq.toDF("bin", "hi_units")
+    val dec = "decimal(38,0)"
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rc.join(cc, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .join(broadcast(boundsDf), Seq("bin"), "left")
+      .withColumn("nc__", sum(col("n_cur")).over(all))
+      .withColumn("tvd_num__", sum(abs(
+        col("n_ref").cast(dec) * col("nc__") -
+          col("n_cur").cast(dec) * lit(nRef))).over(all))
+      .select(col("bin"), col("hi_units"), col("n_ref"), col("n_cur"),
+        ExactRound.ratioScaled(col("n_ref"), lit(nRef), 6)
+          .as("share_ref_e6"),
+        ExactRound.ratioScaled(col("n_cur"), col("nc__"), 6)
+          .as("share_cur_e6"),
+        ExactRound.ratioScaledBig(col("tvd_num__"),
+          col("nc__").cast(dec) * lit(2L * nRef), 6).as("tvd_e6"))
+  }
+}

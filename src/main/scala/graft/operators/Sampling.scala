@@ -216,4 +216,46 @@ object Sampling {
       .filter(col("rn_") <= cap)
       .drop("rn_")
   }
+
+  /** Systematic weight-proportional sampling — exactly `n` picks (with
+    * multiplicity) distributed over the corpus in proportion to an
+    * integer weight, with zero RNG state: rows are laid out on the
+    * cumulative-weight line in md5-hash order (the same key-hash
+    * determinism as [[hashSample]]) and a pick lands at every crossing
+    * of `total/n`; row r is picked `floor(cum·n/W) − floor(prev·n/W)`
+    * times. Σ n_picks = n exactly, heavy rows can be picked more than
+    * once (by design — that IS weight-proportional with replacement at
+    * fixed stride), and zero/NULL-weight rows are never picked.
+    *
+    * This is the deterministic counterpart of weighted reservoir
+    * sampling (Efraimidis-Spirtakis): same marginal inclusion rates,
+    * but reproducible across engines, partitionings and reruns — the
+    * property every split/sample operator in this file guarantees.
+    *
+    * Shape at scale: the cumulative line comes from
+    * [[BudgetSelect.runningTotal]]'s range-partitioned prefix sum (no
+    * single-task sort); everything after is a codegen'd filter. */
+  def systematicWeighted(df: DataFrame, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("weight"),
+        md5(col(keyCol).cast("string")).as("h__"))
+    val (cum, total) = BudgetSelect.runningTotal(base, col("weight"),
+      Seq(col("h__"), col(keyCol)), "cum_w")
+    // total == 0 (empty/all-zero input): no row can satisfy the filter,
+    // and the div below never evaluates — safe to build unconditionally
+    val stride = lit(math.max(total, 1L)).cast(dec)
+    def picksAt(c: Column): Column =
+      call_function("div", c.cast(dec) * lit(n.toLong), stride)
+        .cast("long")
+    cum
+      .withColumn("pick__", picksAt(col("cum_w")))
+      .withColumn("prev__", picksAt(col("cum_w") - col("weight")))
+      .filter(col("pick__") > col("prev__"))
+      .select(col(keyCol), col("weight"), col("cum_w"),
+        (col("pick__") - col("prev__")).as("n_picks"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CoOccurrence, GroupStats, SnapshotDiff, TextAnalysis}
+import graft.operators.{CoOccurrence, Drift, GroupStats, Sampling, SnapshotDiff, TextAnalysis}
 
 /** Round-11 batch 3: SCD Type-2 history build, majority-vote label
   * resolution. */
@@ -98,5 +98,47 @@ class Round11cOpsSpec extends SparkSpec {
     assert(out.rowsSet == Set(
       Seq(1L, 2L, 1L, 1L, 2L, 500000L),
       Seq(2L, 3L, 1L, 2L, 1L, 500000L)))
+  }
+
+  test("bin drift: reference-rank boundaries, value assignment, exact TVD") {
+    val ref = (1L to 10L).toDF("v")
+    val cur = Seq(1L, 2L, 6L).toDF("v")
+    val out = Drift.binDrift(ref, cur, col("v"), nBins = 2)
+    // boundary = 5; ref 5/5, cur 2/1; TVD = (|1/2-2/3|+|1/2-1/3|)/2 = 1/6
+    assert(out.rowsSet == Set(
+      Seq(0L, 5L, 5L, 2L, 500000L, 666667L, 166667L),
+      Seq(1L, null, 5L, 1L, 500000L, 333333L, 166667L)))
+  }
+
+  test("bin drift: empty current side yields zero shares, full TVD") {
+    val ref = (1L to 4L).toDF("v")
+    val cur = spark.range(0).select(col("id").as("v"))
+    val out = Drift.binDrift(ref, cur, col("v"), nBins = 2)
+    // nCur = 0: share_cur and tvd fall to the guarded 0
+    assert(out.rowsSet == Set(
+      Seq(0L, 2L, 2L, 0L, 500000L, 0L, 0L),
+      Seq(1L, null, 2L, 0L, 500000L, 0L, 0L)))
+  }
+
+  test("systematic weighted sample: uniform weights pick every k-th " +
+    "row once, total picks exact") {
+    val df = (1L to 10L).map(k => (k, 1L)).toDF("k", "w")
+    val out = Sampling.systematicWeighted(df, "k", "w", n = 5)
+    val picks = out.collect().map(_.getAs[Long]("n_picks"))
+    assert(picks.length == 5 && picks.forall(_ == 1L))
+  }
+
+  test("systematic weighted sample: heavy rows repeat, zero weights " +
+    "never picked, partitioning-invariant") {
+    val rows = (1L to 10L).map(k => (k, 1L)) :+ (99L, 100L) :+ (50L, 0L)
+    val df = rows.toDF("k", "w")
+    val out = Sampling.systematicWeighted(df, "k", "w", n = 5).collect()
+    assert(out.map(_.getAs[Long]("n_picks")).sum == 5L)
+    assert(out.find(_.getAs[Long]("k") == 99L)
+      .exists(_.getAs[Long]("n_picks") >= 4L))
+    assert(!out.exists(_.getAs[Long]("k") == 50L))
+    val out2 = Sampling.systematicWeighted(df.repartition(7), "k", "w",
+      n = 5).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
   }
 }
