@@ -987,6 +987,53 @@ object SparkEntry {
       Sampling.systematicWeighted(T(s, dir, "documents"), "doc_id",
         "n_chars", n = 200)),
 
+    // ---- monitoring: pipeline-health anomalies — robust (median/MAD)
+    // z over each event type's daily count series, |z| >= 3 flags
+    // (q76's kernel composed over q120's daily grid: the "today's
+    // scrape is off" alarm)
+    "q129_metric_anomalies" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"),
+          TimeFns.floorDiv(col("ts"), 86400L * 1000000000L).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      RobustScore.madZScore(daily, Seq("event_type"), col("n_events"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("med2"), col("mad4"), col("robust_z"),
+          when(col("robust_z").isNotNull && abs(col("robust_z")) >= 3.0,
+            true).otherwise(false).as("is_anomaly"))
+    }),
+
+    // ---- embeddings: per-label prototypes — exact e6-unit class
+    // centroids + e12-unit variance per dimension (nearest-class-mean
+    // / cluster-coherence QA), zero float accumulation
+    "q130_label_prototypes" -> ((s, dir) =>
+      Prototypes.labelPrototypes(T(s, dir, "embeddings"), "embedding",
+        "label")),
+
+    // ---- privacy: k-anonymity / l-diversity audit over customer
+    // quasi-identifiers (nation, market segment), account balance as
+    // the sensitive attribute
+    "q131_k_anonymity" -> ((s, dir) =>
+      PrivacyAudit.kAnonymity(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5L, l = 3L)),
+
+    // ---- maintenance: incremental aggregate merge — 4/5 of orders as
+    // the standing state, 1/5 as the delta batch; the merged state
+    // must equal the oracle's FULL recompute (the materialized-view
+    // refresh identity)
+    "q132_incremental_agg" -> ((s, dir) => {
+      val priceE2 = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val o = T(s, dir, "orders")
+      val base = AggMaintenance.aggState(
+        o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0),
+        Seq("o_custkey"), priceE2)
+      val delta = AggMaintenance.aggState(
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0),
+        Seq("o_custkey"), priceE2)
+      AggMaintenance.mergeStates(base, delta, Seq("o_custkey"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3393,6 +3440,84 @@ object SparkEntry {
         |FROM c
         |WHERE (cum * 200) // tot > ((cum - weight) * 200) // tot"""
         .stripMargin,
+
+    // q129: q76's doubled-units median/MAD kernel over q120's daily
+    // grid; the anomaly flag compares the ROUNDED z (identical in
+    // both engines) against 3.0
+    "q129_metric_anomalies" -> {
+      def p50(rnc: String, v: String) =
+        s"""max(CASE WHEN $rnc = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)
+           | + max(CASE WHEN $rnc = CAST(ceil(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)""".stripMargin
+      s"""WITH dly AS (SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY n_events) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n FROM dly),
+         |m AS (SELECT event_type, ${p50("rn", "n_events")} AS med2
+         |  FROM r GROUP BY 1),
+         |d AS (SELECT r.event_type, r.n_events, r.n,
+         |    abs(r.n_events * 2 - m.med2) AS dev2
+         |  FROM r JOIN m USING (event_type)),
+         |d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY dev2) AS drn FROM d),
+         |md AS (SELECT event_type, ${p50("drn", "dev2")} AS mad4
+         |  FROM d2 GROUP BY 1),
+         |z AS (SELECT dly.event_type, dly.day, dly.n_events, m.med2,
+         |    md.mad4,
+         |    CASE WHEN md.mad4 > 0 THEN
+         |      round(CAST(dly.n_events * 2 - m.med2 AS DOUBLE) * 2.0
+         |        / (1.4826 * CAST(md.mad4 AS DOUBLE)), 4) + 0.0
+         |    END AS robust_z
+         |  FROM dly JOIN m USING (event_type) JOIN md USING (event_type))
+         |SELECT *, CASE WHEN robust_z IS NOT NULL
+         |    AND abs(robust_z) >= 3.0 THEN true ELSE false END
+         |  AS is_anomaly FROM z""".stripMargin
+    },
+
+    // q130: identical e6 quantization per element (one IEEE multiply +
+    // round), exact HUGEINT sums, signed/wide rounding identities
+    "q130_label_prototypes" ->
+      s"""WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |s AS (SELECT label, dim, count(*) AS n,
+         |    sum(CAST(u AS HUGEINT)) AS s,
+         |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS ss
+         |  FROM u GROUP BY 1, 2)
+         |SELECT label, dim, n,
+         |  ${graft.functions.ExactRound.ratioScaledSignedSql(
+              "s", "n", 0)} AS mean_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "CAST(n AS HUGEINT) * ss - s * s",
+              "CAST(n AS HUGEINT) * n", 0)} AS var_e12
+         |FROM s""".stripMargin,
+
+    // q131: one grouped pass; flags inline
+    "q131_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  count(DISTINCT c_acctbal) AS n_sensitive,
+        |  count(*) >= 5 AS k_anonymous,
+        |  count(DISTINCT c_acctbal) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // q132: the oracle is the FULL recompute — merging the 4/5 + 1/5
+    // partial states must reproduce it exactly (mergeable-state
+    // identity)
+    "q132_incremental_agg" ->
+      s"""WITH u AS (SELECT o_custkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS u FROM orders),
+         |s AS (SELECT o_custkey, count(*) AS n,
+         |    sum(CAST(u AS HUGEINT)) AS s, min(u) AS mn, max(u) AS mx
+         |  FROM u GROUP BY 1)
+         |SELECT o_custkey, n, CAST(s AS BIGINT) AS sum_units,
+         |  mn AS min_units, mx AS max_units,
+         |  ${graft.functions.ExactRound.ratioScaledSignedSql(
+              "s", "n", 0)} AS mean_units
+         |FROM s""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

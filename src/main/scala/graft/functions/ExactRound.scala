@@ -86,6 +86,30 @@ object ExactRound {
       .otherwise(lit(0L))
   }
 
+  /** [[ratioScaledBig]] for SIGNED numerators (denominator still
+    * required positive): integer `div` truncates toward zero, so the
+    * rounding identity is applied to |num| and the sign re-attached —
+    * round-half-away-from-zero, matching [[ratioScaledSignedSql]]
+    * exactly. */
+  def ratioScaledSigned(num: Column, den: Column, d: Int = 4): Column = {
+    val p = math.pow(10, d).toLong
+    val n = num.cast("decimal(38,0)")
+    val dn = den.cast("decimal(38,0)")
+    val q = call_function("div", abs(n) * lit(2L * p) + dn, dn * lit(2L))
+      .cast("long")
+    when(dn > lit(0L).cast("decimal(38,0)"),
+      when(n < 0, -q).otherwise(q)).otherwise(lit(0L))
+  }
+
+  /** The DuckDB mirror of [[ratioScaledSigned]]. */
+  def ratioScaledSignedSql(num: String, den: String, d: Int = 4): String = {
+    val p = math.pow(10, d).toLong
+    s"(CASE WHEN ($den) > 0 THEN CAST((CASE WHEN ($num) < 0 THEN -1 " +
+      s"ELSE 1 END) * ((abs(CAST(($num) AS HUGEINT)) * ${2 * p} " +
+      s"+ ($den)) // (2 * CAST(($den) AS HUGEINT))) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END)"
+  }
+
   /** The DuckDB mirror of [[ratioScaled]] — interpolate into oracle
     * SQL. Pure HUGEINT arithmetic, final value cast to BIGINT. */
   def ratioScaledSql(num: String, den: String, d: Int = 4): String = {

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+
+/** Per-label embedding prototypes — the class centroid + spread table
+  * behind nearest-class-mean classification, dataset cartography, and
+  * "is this labeled cluster coherent?" QA on an embedding-labeled
+  * corpus. Components are quantized to e6 integer units FIRST
+  * (one IEEE multiply + round per element, bit-identical across
+  * engines), so the per-(label, dim) sums are exact integers and the
+  * whole surface is rational: mean in e6 units (signed exact round),
+  * spread as the exact population-variance numerator over n² (e12
+  * units) — no float accumulation anywhere.
+  *
+  * Shape at scale: posexplode to (label, dim, unit) — rows × dims,
+  * the unavoidable cost of exact per-dimension statistics — then ONE
+  * map-side-combinable groupBy carrying (n, Σu, Σu²) mergeable state;
+  * the variance numerator n·Σu²−(Σu)² needs no second pass (the q75
+  * Pearson discipline). Output is |labels|·dims rows — broadcastable
+  * downstream for nearest-prototype assignment. */
+object Prototypes {
+
+  def labelPrototypes(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val units = emb
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
+      .select(col("label"), (col("pos__") + 1).cast("long").as("dim"),
+        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+    val sums = units.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u__").cast(dec)).as("s__"),
+        sum((col("u__").cast(dec) * col("u__")).cast(dec)).as("ss__"))
+    sums.select(col("label"), col("dim"), col("n"),
+      ExactRound.ratioScaledSigned(col("s__"), col("n"), 0)
+        .as("mean_e6"),
+      ExactRound.ratioScaledBig(
+        col("n").cast(dec) * col("ss__") - col("s__") * col("s__"),
+        col("n").cast(dec) * col("n"), 0).as("var_e12"))
+  }
+}

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CoOccurrence, Drift, GroupStats, Sampling, SnapshotDiff, TextAnalysis}
+import graft.operators.{AggMaintenance, CoOccurrence, Drift, GroupStats,
+  PrivacyAudit, Prototypes, Sampling, SnapshotDiff, TextAnalysis}
 
 /** Round-11 batch 3: SCD Type-2 history build, majority-vote label
   * resolution. */
@@ -140,5 +141,55 @@ class Round11cOpsSpec extends SparkSpec {
     val out2 = Sampling.systematicWeighted(df.repartition(7), "k", "w",
       n = 5).collect()
     assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+  }
+
+  test("label prototypes: exact e6 means (signed) and e12 variance") {
+    val df = Seq(
+      (0, Array(1.0f, -0.5f)), (0, Array(0.0f, 0.5f)),
+      (1, Array(-2.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val out = Prototypes.labelPrototypes(df, "embedding", "label")
+    assert(out.rowsSet == Set(
+      Seq(0L, 1L, 2L, 500000L, 250000000000L),
+      Seq(0L, 2L, 2L, 0L, 250000000000L),
+      Seq(1L, 1L, 1L, -2000000L, 0L),
+      Seq(1L, 2L, 1L, 1000000L, 0L)))
+  }
+
+  test("k-anonymity: class sizes, l-diversity, both flags") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 1, 10.0), ("a", 1, 20.0),
+      ("b", 2, 30.0))
+      .toDF("q1", "q2", "sens")
+    val out = PrivacyAudit.kAnonymity(df, Seq("q1", "q2"), "sens",
+      k = 3L, l = 2L)
+    assert(out.rowsSet == Set(
+      Seq("a", 1, 3L, 2L, true, true),
+      Seq("b", 2, 1L, 1L, false, false)))
+  }
+
+  test("agg-state merge equals full recompute (mergeable-state identity)") {
+    val full = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 15L), (3L, 7L))
+      .toDF("k", "u")
+    val base = AggMaintenance.aggState(
+      full.filter(col("u") < 15L), Seq("k"), col("u"))
+    val delta = AggMaintenance.aggState(
+      full.filter(col("u") >= 15L), Seq("k"), col("u"))
+    val merged = AggMaintenance.mergeStates(base, delta, Seq("k"))
+    assert(merged.rowsSet == Set(
+      Seq(1L, 2L, 30L, 10L, 20L, 15L),
+      Seq(2L, 2L, 20L, 5L, 15L, 10L),
+      Seq(3L, 1L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("agg-state merge: keys on one side only pass through") {
+    val base = AggMaintenance.aggState(
+      Seq((1L, -10L)).toDF("k", "u"), Seq("k"), col("u"))
+    val delta = AggMaintenance.aggState(
+      Seq((2L, 4L)).toDF("k", "u"), Seq("k"), col("u"))
+    val merged = AggMaintenance.mergeStates(base, delta, Seq("k"))
+    assert(merged.rowsSet == Set(
+      Seq(1L, 1L, -10L, -10L, -10L, -10L),   // signed mean rounds away
+      Seq(2L, 1L, 4L, 4L, 4L, 4L)))
   }
 }
