@@ -204,4 +204,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"),
       s"per-user sums must be a hash aggregate:\n$p")
   }
+
+  test("collocations: TakeOrdered top-k, per-doc windows, no cartesian " +
+    "beyond the 1-row total") {
+    val docs = (1 to 50).map(i => (i.toLong, s"w$i common word stream"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.collocations(
+      docs, "doc_id", "text", minCount = 1L, topK = 10))
+    assert(p.contains("TakeOrdered"),
+      s"top-k must plan TakeOrderedAndProject, not sort+limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the bigram window partitions by doc: its sort keys must include
+    // the doc column, never a corpus-wide empty partition spec
+    assert(p.contains("windowspecdefinition(doc__"),
+      s"bigram window must partition by doc:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("basket pairs: equi-join on the basket key, no nested loop") {
+    val df = (1 to 300).map(i => ((i % 60).toLong, (i % 7).toLong))
+      .toDF("b", "i")
+    val p = plan(graft.operators.CoOccurrence.basketPairs(
+      df, "b", "i", minSupport = 1L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair expansion must ride the basket-key equi-join:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("systematic weighted sample: range-partitioned prefix sum, " +
+    "pid-partitioned window only") {
+    val df = (1 to 400).map(i => (i.toLong, (i % 9).toLong + 1))
+      .toDF("k", "w")
+    val p = plan(graft.operators.Sampling.systematicWeighted(
+      df, "k", "w", n = 20))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"the cumulative line must come from a range exchange:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"no empty-partition (single-task) window may exist:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("scd2: one hash partitioning by key; both window families " +
+    "share it") {
+    val df = (1 to 300).map(i =>
+      ((i % 30).toLong, i.toLong, i.toLong, s"v${i % 3}"))
+      .toDF("k", "ts", "eid", "v")
+    val p = plan(graft.operators.SnapshotDiff.scd2History(
+      df, "k", "ts", "v", "eid"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"join shape broke:\n$p")
+    // every window partitions by the key — no corpus-wide window
+    assert(!p.contains("windowspecdefinition()"),
+      s"no empty-partition window may exist:\n$p")
+  }
 }
