@@ -1034,6 +1034,40 @@ object SparkEntry {
       AggMaintenance.mergeStates(base, delta, Seq("o_custkey"))
     }),
 
+    // ---- embeddings: nearest-class-mean confusion matrix — exact
+    // integer squared-L2 to the q130 prototypes, argmin per vector,
+    // tallied true × assigned (label-separability QA before training)
+    "q133_prototype_confusion" -> ((s, dir) =>
+      Prototypes.prototypeConfusion(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")),
+
+    // ---- retrieval: reciprocal-rank fusion of a quality ranking and
+    // a length ranking over documents (the multi-signal curation
+    // merge; each 1/(60+r) term exactly rounded at e6)
+    "q134_rrf_fusion" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sig = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+      val (num, den) = TextAnalysis.qualityRational()
+      val byQuality = sig.select(col("doc_id"),
+        graft.functions.ExactRound.ratioScaled(num, den, 4).as("v"))
+      val byLength = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").as("v"))
+      def ranked(df: DataFrame): DataFrame =
+        BudgetSelect.runningTotal(df, lit(1L),
+          Seq(col("v").desc, col("doc_id").asc), "rank")._1
+          .select(col("doc_id"), col("rank"))
+      RankFusion.reciprocalRankFusion(
+        Seq(ranked(byQuality), ranked(byLength)), "doc_id",
+        k = 60, topN = 100)
+    }),
+
+    // ---- text: vocabulary coverage curve — corpus token share of the
+    // top-{100,1k,10k} frequency-ranked types (the tokenizer-budget
+    // question); rank via the distributed prefix count
+    "q135_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(T(s, dir, "documents"), "doc_id",
+        "text")),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3518,6 +3552,85 @@ object SparkEntry {
          |  ${graft.functions.ExactRound.ratioScaledSignedSql(
               "s", "n", 0)} AS mean_units
          |FROM s""".stripMargin,
+
+    // q133: q130's prototype CTE inlined; exact HUGEINT squared-L2,
+    // argmin with cand-label tie-break, confusion tally
+    "q133_prototype_confusion" ->
+      s"""WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |s AS (SELECT true_label AS label, dim, count(*) AS n,
+         |    sum(CAST(u AS HUGEINT)) AS s FROM u GROUP BY 1, 2),
+         |pp AS (SELECT label AS cand_label, dim,
+         |    ${graft.functions.ExactRound.ratioScaledSignedSql(
+              "s", "n", 0)} AS mean_e6 FROM s),
+         |d AS (SELECT u.vec_id, u.true_label, pp.cand_label,
+         |    sum(CAST(u.u - pp.mean_e6 AS HUGEINT) *
+         |        CAST(u.u - pp.mean_e6 AS HUGEINT)) AS dist2
+         |  FROM u JOIN pp USING (dim)
+         |  GROUP BY 1, 2, 3),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist2 ASC, cand_label ASC) AS rn FROM d)
+         |SELECT true_label, cand_label AS assigned_label,
+         |  count(*) AS n_vecs
+         |FROM a WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // q134: row_number rankings (total order: value desc, doc asc),
+    // full join, each RRF term through the rounding identity
+    "q134_rrf_fusion" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |    ${graft.functions.ExactRound.ratioScaledSql(
+              qScoreNum, qScoreDen, 4)} AS quality_e4
+         |  FROM documents),
+         |ra AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY quality_e4 DESC, doc_id ASC) AS rank_1
+         |  FROM scored),
+         |rb AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY n_tokens DESC, doc_id ASC) AS rank_2
+         |  FROM scored),
+         |j AS (SELECT ra.doc_id, rank_1, rank_2
+         |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, rank_1, rank_2,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "1", "rank_1 + 60", 6)} +
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "1", "rank_2 + 60", 6)} AS rrf_e6
+         |FROM j ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 100"""
+        .stripMargin,
+
+    // q135: identical frequency rank (count desc, type asc), all
+    // checkpoints as conditional sums over one ranked pass
+    "q135_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER
+         |    (ORDER BY cnt DESC, w ASC) AS rn FROM c),
+         |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN rn <= 100 THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS cov100,
+         |    CAST(sum(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS cov1000,
+         |    CAST(sum(CASE WHEN rn <= 10000 THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS cov10000
+         |  FROM r)
+         |SELECT CAST(100 AS BIGINT) AS k,
+         |  least(100, n_types) AS n_types_used,
+         |  cov100 AS covered_tokens, total AS total_tokens,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "cov100", "total", 6)} AS coverage_e6 FROM a
+         |UNION ALL SELECT CAST(1000 AS BIGINT),
+         |  least(1000, n_types), cov1000, total,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "cov1000", "total", 6)} FROM a
+         |UNION ALL SELECT CAST(10000 AS BIGINT),
+         |  least(10000, n_types), cov10000, total,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "cov10000", "total", 6)} FROM a""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

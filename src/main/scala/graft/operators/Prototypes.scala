@@ -41,4 +41,45 @@ object Prototypes {
         col("n").cast(dec) * col("ss__") - col("s__") * col("s__"),
         col("n").cast(dec) * col("n"), 0).as("var_e12"))
   }
+
+  /** Nearest-prototype confusion matrix — every vector assigned to its
+    * closest class centroid by EXACT integer squared-L2 over the e6
+    * units (ties broken by candidate label ascending), tallied against
+    * its true label: the nearest-class-mean evaluation that tells you
+    * whether a labeled embedding corpus is even linearly separable
+    * before any model training. Diagonal rows = per-class purity.
+    *
+    * Shape at scale: the prototype table (|labels|·dims rows) comes
+    * from [[labelPrototypes]] and BROADCASTS to the exploded unit
+    * stream (join on dim only — each unit row meets |labels|
+    * candidates, the unavoidable k-factor of NCM scoring); distances
+    * reduce by (vec, candidate) in one map-side-combinable groupBy;
+    * the argmin window partitions by vec (|labels| rows per
+    * partition). */
+  def prototypeConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val protos = labelPrototypes(emb, vecCol, labelCol)
+      .select(col("label").as("cand_label"), col("dim"), col("mean_e6"))
+    val units = emb
+      .select(col(idCol).as("vec__"),
+        col(labelCol).cast("long").as("true_label"),
+        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
+      .select(col("vec__"), col("true_label"),
+        (col("pos__") + 1).cast("long").as("dim"),
+        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+    val dists = units.join(broadcast(protos), "dim")
+      .groupBy(col("vec__"), col("true_label"), col("cand_label"))
+      .agg(sum(((col("u__") - col("mean_e6")).cast(dec) *
+        (col("u__") - col("mean_e6"))).cast(dec)).as("dist2__"))
+    val pick = Window.partitionBy(col("vec__"))
+      .orderBy(col("dist2__").asc, col("cand_label").asc)
+    dists
+      .withColumn("rn__", row_number().over(pick))
+      .filter(col("rn__") === 1)
+      .groupBy(col("true_label"),
+        col("cand_label").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }

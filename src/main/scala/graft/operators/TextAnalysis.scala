@@ -381,4 +381,40 @@ object TextAnalysis {
     RankOps.topK(scored, topK, col("lift_e6"),
       concat_ws(" ", col("w1"), col("w2")))
   }
+
+  /** Vocabulary coverage curve — what fraction of corpus tokens the
+    * top-k vocabulary types cover, at each requested k (the
+    * tokenizer-budget question: "is a 10k vocab enough for this
+    * corpus?", cf. the coverage tables in the BPE/SentencePiece
+    * papers). One row per k: (k, n_types_used, covered_tokens,
+    * total_tokens, coverage_e6).
+    *
+    * Shape at scale: token counts are one map-side-combinable
+    * groupBy; the frequency rank comes from
+    * [[BudgetSelect.runningTotal]]'s range-partitioned prefix count
+    * (no single-task window over the vocabulary); all checkpoints
+    * then reduce in ONE conditional aggregate over the ranked vocab —
+    * adding a k adds a sum column, never a pass. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty, "need at least one coverage checkpoint")
+    val counts = df
+      .select(explode(TextFns.words(col(textCol))).as("w__"))
+      .groupBy(col("w__")).agg(count(lit(1)).as("c__"))
+    val (ranked, nTypes) = BudgetSelect.runningTotal(counts, lit(1L),
+      Seq(col("c__").desc, col("w__").asc), "rn__")
+    val aggs = sum(col("c__")).cast("long").as("total__") +:
+      ks.map(k => sum(when(col("rn__") <= k.toLong, col("c__"))
+        .otherwise(0L)).cast("long").as(s"cov_$k"))
+    val wide = ranked.agg(aggs.head, aggs.tail: _*)
+    val rows = ks.map { k => struct(
+      lit(k.toLong).as("k"),
+      lit(math.min(k.toLong, nTypes)).as("n_types_used"),
+      col(s"cov_$k").as("covered_tokens"),
+      col("total__").as("total_tokens"),
+      graft.functions.ExactRound.ratioScaled(col(s"cov_$k"),
+        col("total__"), 6).as("coverage_e6"))
+    }
+    wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
+  }
 }

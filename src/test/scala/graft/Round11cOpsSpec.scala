@@ -192,4 +192,40 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(1L, 1L, -10L, -10L, -10L, -10L),   // signed mean rounds away
       Seq(2L, 1L, 4L, 4L, 4L, 4L)))
   }
+
+  test("prototype confusion: exact integer NCM assignment with an " +
+    "outlier crossing classes") {
+    val df = Seq(
+      (1L, 0, Array(0.0f, 0.0f)), (2L, 0, Array(0.2f, 0.0f)),
+      (5L, 0, Array(1.0f, 1.0f)),              // mislabeled outlier
+      (3L, 1, Array(1.0f, 1.0f)), (4L, 1, Array(0.8f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Prototypes.prototypeConfusion(df, "vec_id", "embedding",
+      "label")
+    assert(out.rowsSet == Set(
+      Seq(0L, 0L, 2L), Seq(0L, 1L, 1L), Seq(1L, 1L, 2L)))
+  }
+
+  test("reciprocal rank fusion: exact e6 terms, ids missing from a " +
+    "ranking contribute nothing") {
+    val r1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val r2 = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("id", "rank")
+    val out = graft.operators.RankFusion.reciprocalRankFusion(
+      Seq(r1, r2), "id", k = 0, topN = 10)
+    assert(out.rowsSet == Set(
+      Seq(2L, 2L, 1L, 1500000L),
+      Seq(1L, 1L, null, 1000000L),
+      Seq(3L, 3L, 2L, 833333L),
+      Seq(4L, null, 3L, 333333L)))
+  }
+
+  test("vocab coverage: conditional checkpoint sums over the " +
+    "frequency rank") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+      ks = Seq(1, 2))
+    assert(out.rowsSet == Set(
+      Seq(1L, 1L, 3L, 6L, 500000L),
+      Seq(2L, 2L, 5L, 6L, 833333L)))
+  }
 }
