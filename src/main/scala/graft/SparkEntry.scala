@@ -1068,6 +1068,45 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(T(s, dir, "documents"), "doc_id",
         "text")),
 
+    // ---- text: concordance (keyword-in-context) — every 'scan' hit
+    // with ±2 surrounding words; bounded explode + equi-join on
+    // (doc, position), never a range join
+    "q136_concordance" -> ((s, dir) =>
+      TextAnalysis.concordance(T(s, dir, "documents"), "doc_id",
+        "text", term = "scan", context = 2)),
+
+    // ---- monitoring: categorical drift — event-type mix of even- vs
+    // odd-user events, exact e6 shares + exact TVD; totals broadcast
+    // back (category space unbounded, so no window over categories)
+    "q137_category_drift" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Drift.categoryDrift(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "event_type")
+    }),
+
+    // ---- graph: deterministic negative-edge sampling — hash-ring
+    // successors anti-joined against the exact near-dup graph, 2 kept
+    // per node (the negative half of link-prediction training data)
+    "q138_negative_edges" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val edges = SimilaritySearch.embeddingNearDupExact(emb,
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      NegativeSampling.negativeEdges(emb.select(col("vec_id")),
+        "vec_id", edges, "id_a", "id_b", ringWidth = 3, perNode = 2)
+    }),
+
+    // ---- profiling: functional-dependency check over orders —
+    // o_orderkey→o_custkey holds (key), the reverse-direction
+    // candidates fail; one Expand aggregate, one scan
+    "q139_functional_deps" -> ((s, dir) =>
+      Profile.functionalDeps(T(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority")))),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3631,6 +3670,93 @@ object SparkEntry {
          |  least(10000, n_types), cov10000, total,
          |  ${graft.functions.ExactRound.ratioScaledSql(
               "cov10000", "total", 6)} FROM a""".stripMargin,
+
+    // q136: positional stream, hits expand to a ±2 window per hit
+    // (range join is fine oracle-side), pivot + concat_ws (both
+    // engines drop the NULL edge positions)
+    "q136_concordance" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+         |    unnest(ws) AS w FROM d),
+         |h AS (SELECT doc_id, i AS hit FROM t WHERE w = 'scan'),
+         |x AS (SELECT h.doc_id, h.hit, t.i - h.hit AS delta, t.w
+         |  FROM h JOIN t ON t.doc_id = h.doc_id
+         |    AND t.i BETWEEN h.hit - 2 AND h.hit + 2),
+         |p AS (SELECT doc_id, hit,
+         |    max(CASE WHEN delta = -2 THEN w END) AS m_n2,
+         |    max(CASE WHEN delta = -1 THEN w END) AS m_n1,
+         |    max(CASE WHEN delta = 0 THEN w END) AS m_0,
+         |    max(CASE WHEN delta = 1 THEN w END) AS m_p1,
+         |    max(CASE WHEN delta = 2 THEN w END) AS m_p2
+         |  FROM x GROUP BY 1, 2)
+         |SELECT doc_id, CAST(hit - 1 AS BIGINT) AS hit_pos,
+         |  concat_ws(' ', m_n2, m_n1, m_0, m_p1, m_p2) AS snippet
+         |FROM p""".stripMargin,
+
+    // q137: q127's TVD math over the category grid (windows are fine
+    // oracle-side; the Spark plan broadcasts 1-row totals instead)
+    "q137_category_drift" ->
+      s"""WITH rc AS (SELECT event_type AS category, count(*) AS n_ref
+         |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+         |cc AS (SELECT event_type AS category, count(*) AS n_cur
+         |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT coalesce(rc.category, cc.category) AS category,
+         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM rc FULL JOIN cc ON rc.category = cc.category),
+         |t0 AS (SELECT *, CAST(sum(n_ref) OVER () AS HUGEINT) AS nr,
+         |    CAST(sum(n_cur) OVER () AS HUGEINT) AS nc FROM j),
+         |t AS (SELECT *, sum(abs(CAST(n_ref AS HUGEINT) * nc -
+         |    CAST(n_cur AS HUGEINT) * nr)) OVER () AS tvd_num FROM t0)
+         |SELECT category, n_ref, n_cur,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_ref", "nr", 6)} AS share_ref_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_cur", "nc", 6)} AS share_cur_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "tvd_num", "2 * nr * nc", 6)} AS tvd_e6
+         |FROM t""".stripMargin,
+
+    // q138: the shared exact-pair CTE as the edge set; identical hash
+    // ring (md5 order), rank-offset candidates, anti-join, keep-2
+    "q138_negative_edges" ->
+      s"""WITH $embPairCtes,
+         |ring AS (SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS rn
+         |  FROM embeddings),
+         |cand AS (SELECT least(a.id, b.id) AS id_a,
+         |    greatest(a.id, b.id) AS id_b, a.id AS src,
+         |    b.rn - a.rn AS ring_dist
+         |  FROM ring a JOIN ring b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+         |surv AS (SELECT c.* FROM cand c
+         |  LEFT JOIN p ON p.id_a = c.id_a AND p.id_b = c.id_b
+         |  WHERE p.id_a IS NULL),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY ring_dist) AS rk FROM surv)
+         |SELECT id_a, id_b, CAST(ring_dist AS BIGINT) AS ring_dist
+         |FROM k WHERE rk <= 2""".stripMargin,
+
+    // q139: NULL-excluded distinct tuple counts, one pass, unpivoted
+    "q139_functional_deps" -> {
+      def pair(i: Int, a: String, b: String) =
+        s"""count(DISTINCT CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+           |      THEN $a END) AS nd$i,
+           |    count(DISTINCT CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+           |      THEN ($a, $b) END) AS np$i""".stripMargin
+      def row(i: Int, a: String, b: String) =
+        s"""SELECT '$a' AS determinant, '$b' AS dependent, nd$i AS n_det,
+           |  np$i AS n_pairs, np$i - nd$i AS n_violations,
+           |  np$i = nd$i AS fd_holds FROM a""".stripMargin
+      s"""WITH a AS (SELECT
+         |    ${pair(0, "o_orderkey", "o_custkey")},
+         |    ${pair(1, "o_custkey", "o_orderstatus")},
+         |    ${pair(2, "o_orderstatus", "o_orderpriority")}
+         |  FROM orders)
+         |${row(0, "o_orderkey", "o_custkey")}
+         |UNION ALL ${row(1, "o_custkey", "o_orderstatus")}
+         |UNION ALL ${row(2, "o_orderstatus", "o_orderpriority")}"""
+        .stripMargin
+    },
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

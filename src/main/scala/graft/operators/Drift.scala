@@ -88,4 +88,44 @@ object Drift {
         ExactRound.ratioScaledBig(col("tvd_num__"),
           col("nc__").cast(dec) * lit(2L * nRef), 6).as("tvd_e6"))
   }
+
+  /** Categorical distribution drift — [[binDrift]]'s counterpart for
+    * label-shaped columns (language mix, event-type mix, source mix):
+    * per-category reference/current counts, exact e6 shares, and the
+    * corpus-level exact TVD repeated per row. Categories absent from
+    * one side count 0 there (their share gap is real drift).
+    *
+    * Unlike [[binDrift]] the category space is unbounded (domains,
+    * langs), so the totals and the TVD numerator are computed as
+    * 1-row aggregates broadcast back — NEVER a window over all
+    * categories (which would be a single task over a possibly-huge
+    * category list). */
+  def categoryDrift(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rc = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val cc = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = graft.Caches.register(rc.join(cc, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .persist())
+    val totals = j.agg(sum(col("n_ref")).cast("long").as("nr__"),
+      sum(col("n_cur")).cast("long").as("nc__"))
+    val withTot = j.crossJoin(broadcast(totals))
+    val tvd = withTot.agg(sum(abs(
+      col("n_ref").cast(dec) * col("nc__") -
+        col("n_cur").cast(dec) * col("nr__"))).as("tvd_num__"))
+    withTot.crossJoin(broadcast(tvd))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        ExactRound.ratioScaled(col("n_ref"), col("nr__"), 6)
+          .as("share_ref_e6"),
+        ExactRound.ratioScaled(col("n_cur"), col("nc__"), 6)
+          .as("share_cur_e6"),
+        ExactRound.ratioScaledBig(col("tvd_num__"),
+          col("nr__").cast(dec) * col("nc__") * lit(2L), 6)
+          .as("tvd_e6"))
+  }
 }

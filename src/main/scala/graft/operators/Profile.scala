@@ -94,4 +94,40 @@ object Profile {
         graft.functions.ExactRound.ratioScaled(col("n_rows_key"),
           col("n_total"), 4).as("share_e4"))
   }
+
+  /** Functional-dependency check — for each candidate (determinant →
+    * dependent) pair: does every determinant value map to exactly one
+    * dependent value? The schema-discovery / data-quality probe
+    * behind "is this column a key?", "did the denormalization break?"
+    * (the reference trusts its scrape's symbol→sector mapping
+    * blindly; this is the check it never runs). FD holds iff
+    * |distinct (det, dep)| = |distinct det|; the violation count is
+    * the number of EXTRA (det, dep) mappings beyond one per
+    * determinant. Rows where either side is NULL are excluded (a
+    * NULL determinant can't determine; a NULL dependent is a missing
+    * mapping, not a second one) — both engines mirror that contract
+    * explicitly.
+    *
+    * Shape at scale: ALL pairs reduce in ONE aggregate over one scan
+    * (the [[columns]] Expand discipline) — each count_distinct adds
+    * an Expand lane, never a pass; the wide row then unpivots. */
+  def functionalDeps(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate FD")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val bothNn = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        count_distinct(when(bothNn, col(a))).as(s"nd__$i"),
+        count_distinct(when(bothNn, struct(col(a), col(b))))
+          .as(s"np__$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => struct(
+      lit(a).as("determinant"), lit(b).as("dependent"),
+      col(s"nd__$i").as("n_det"), col(s"np__$i").as("n_pairs"),
+      (col(s"np__$i") - col(s"nd__$i")).as("n_violations"),
+      (col(s"np__$i") === col(s"nd__$i")).as("fd_holds"))
+    }
+    wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
+  }
 }

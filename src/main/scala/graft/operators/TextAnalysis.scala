@@ -417,4 +417,41 @@ object TextAnalysis {
     }
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
+
+  /** Concordance (keyword-in-context) — every occurrence of `term`
+    * with its ±`context` surrounding words as one snippet line: the
+    * corpus-inspection primitive behind "show me how this token is
+    * actually used" QA (and the span-extraction shape behind cloze /
+    * fill-in-the-middle example mining). Snippets at document edges
+    * shorten naturally (concat_ws drops the missing positions).
+    *
+    * Shape at scale: hits × (2·context+1) wanted positions via a
+    * bounded explode, then ONE equi-join on (doc, position) against
+    * the token stream — never a range join — and a
+    * map-side-combinable pivot groupBy per hit. */
+  def concordance(df: DataFrame, idCol: String, textCol: String,
+      term: String, context: Int = 2): DataFrame = {
+    require(context >= 1, "context must be >= 1")
+    val toks = graft.Caches.register(df
+      .select(col(idCol).as("doc__"),
+        posexplode(TextFns.words(col(textCol))).as(Seq("pos__", "w__")))
+      .persist())
+    val deltas = (-context to context).map(d => lit(d.toLong))
+    val wanted = toks.filter(col("w__") === term)
+      .select(col("doc__"), col("pos__").cast("long").as("hit__"))
+      .withColumn("delta__", explode(array(deltas: _*)))
+      .select(col("doc__"), col("hit__"),
+        col("delta__"), (col("hit__") + col("delta__")).as("p__"))
+    val joined = wanted.join(toks
+        .select(col("doc__"), col("pos__").cast("long").as("p__"),
+          col("w__")),
+      Seq("doc__", "p__"), "left")
+    val cols = (-context to context).map(d =>
+      max(when(col("delta__") === d.toLong, col("w__"))).as(s"m_$d"))
+    joined.groupBy(col("doc__"), col("hit__"))
+      .agg(cols.head, cols.tail: _*)
+      .select(col("doc__").as(idCol), col("hit__").as("hit_pos"),
+        concat_ws(" ",
+          (-context to context).map(d => col(s"m_$d")): _*).as("snippet"))
+  }
 }

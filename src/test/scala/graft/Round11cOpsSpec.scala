@@ -228,4 +228,61 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(1L, 1L, 3L, 6L, 500000L),
       Seq(2L, 2L, 5L, 6L, 833333L)))
   }
+
+  test("concordance: snippets shorten at document edges") {
+    val docs = Seq((1L, "a scan b"), (2L, "scan x")).toDF("doc_id", "text")
+    val out = TextAnalysis.concordance(docs, "doc_id", "text", "scan",
+      context = 1)
+    assert(out.rowsSet == Set(
+      Seq(1L, 1L, "a scan b"),
+      Seq(2L, 0L, "scan x")))
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("category drift: exact shares and TVD, one-sided categories " +
+    "count zero") {
+    val ref = Seq("x", "x", "y").toDF("c")
+    val cur = Seq("x", "y", "y", "z").toDF("c")
+    val out = graft.operators.Drift.categoryDrift(ref, cur, "c")
+    assert(out.rowsSet == Set(
+      Seq("x", 2L, 1L, 666667L, 250000L, 416667L),
+      Seq("y", 1L, 2L, 333333L, 500000L, 416667L),
+      Seq("z", 0L, 1L, 0L, 250000L, 416667L)))
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("negative edges: bounded ring candidates, true edges excluded, " +
+    "deterministic") {
+    val nodes = (1L to 10L).map(Tuple1(_)).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out0 = graft.operators.NegativeSampling.negativeEdges(
+      nodes, "id", none, "id_a", "id_b", ringWidth = 3, perNode = 2)
+      .collect()
+    assert(out0.nonEmpty && out0.length <= 20)
+    assert(out0.forall { r =>
+      val d = r.getAs[Long]("ring_dist"); d >= 1L && d <= 3L })
+    val asEdges = out0.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+      .toDF("id_a", "id_b")
+    val out1 = graft.operators.NegativeSampling.negativeEdges(
+      nodes, "id", asEdges, "id_a", "id_b", ringWidth = 3, perNode = 2)
+      .collect()
+    val s0 = out0.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = out1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s0.intersect(s1).isEmpty)
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("functional deps: null rows excluded, violations counted") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), (Some(2L), Some("a")),
+      (Some(3L), None: Option[String]), (None: Option[Long], Some("b")),
+      (Some(3L), Some("b")), (Some(3L), Some("c")))
+      .toDF("k", "v")
+    val out = graft.operators.Profile.functionalDeps(df,
+      Seq(("k", "v"), ("v", "k")))
+    assert(out.rowsSet == Set(
+      Seq("k", "v", 3L, 4L, 1L, false),
+      Seq("v", "k", 3L, 4L, 1L, false)))
+  }
 }
