@@ -1107,6 +1107,77 @@ object SparkEntry {
         ("o_custkey", "o_orderstatus"),
         ("o_orderstatus", "o_orderpriority")))),
 
+    // ---- stats: quantile normalization — each return flag's price
+    // distribution mapped onto the pooled one (batch-effect
+    // correction); exact integer rank mapping, value-at-rank lookup
+    "q140_quantile_normalize" -> ((s, dir) =>
+      QuantileNormalize.quantileNormalize(T(s, dir, "lineitem"),
+        "l_returnflag",
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        Seq("l_orderkey", "l_linenumber"))),
+
+    // ---- events: first-order transition matrix — consecutive
+    // event-type pairs per user with exact conditional probabilities
+    // (funnel diagnosis / sequence-corpus QA)
+    "q141_transition_matrix" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(T(s, dir, "events"), "user_id",
+        "ts", "event_type", "event_id")),
+
+    // ---- stats: per-group lower weighted median — price weighted by
+    // quantity per return flag; exact, always an observed value
+    "q142_weighted_median" -> ((s, dir) =>
+      GroupStats.weightedMedian(T(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        expr("cast(round(l_quantity, 0) as bigint)"))),
+
+    // ---- OLAP: rollup subtotals over (source, lang) with grouping
+    // indicators — one Expand, one scan, exact sums
+    "q143_rollup_stats" -> ((s, dir) =>
+      Profile.rollupStats(T(s, dir, "documents"), Seq("source", "lang"),
+        col("n_chars"))),
+
+    // ---- QA: language-ID agreement — q19's heuristic prediction vs
+    // the declared lang column, per source (metadata-trust audit)
+    "q144_langid_agreement" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"), col("source"), col("lang"))
+        .join(TextAnalysis.languageId(docs, "doc_id", "text"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_match"))
+        .select(col("source"), col("n_docs"), col("n_match"),
+          graft.functions.ExactRound.ratioScaled(col("n_match"),
+            col("n_docs"), 4).as("agreement_e4"))
+    }),
+
+    // ---- events: top session paths — q15's gap sessions, each
+    // session's type sequence as a '>' path, top-20 by frequency
+    // (deterministic: collected structs are sorted before joining)
+    "q145_session_paths" -> ((s, dir) =>
+      Sessionize.sessionPaths(T(s, dir, "events"), "user_id", tsSec,
+        gapSeconds = 1800L, "event_type", col("event_id"), topN = 20)),
+
+    // ---- maintenance: CDC apply — an upsert/delete log (derived from
+    // orders: latest order per customer updates, every 13th customer
+    // key deletes) applied onto the customer base in one full-outer
+    // join; latest-wins by sequence
+    "q146_cdc_apply" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val log = T(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(pmod(col("o_custkey"), lit(13)) === 0, "D").otherwise("U")
+          .as("op"),
+        concat(lit("cust_upd_"), col("o_custkey").cast("string"))
+          .as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+      CdcApply.applyLog(base, log, "c_custkey", "seq", "op",
+        Seq("c_name", "c_acctbal"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3757,6 +3828,142 @@ object SparkEntry {
          |UNION ALL ${row(2, "o_orderstatus", "o_orderpriority")}"""
         .stripMargin
     },
+
+    // q140: identical per-group/pooled ranks (value + id total order),
+    // the same round((r-1)(N-1)/(n-1)) mapping in HUGEINT, value
+    // picked AT the mapped rank (multiset property — tie-order free)
+    "q140_quantile_normalize" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS units
+        |  FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY units, l_orderkey, l_linenumber) AS r,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM b),
+        |p AS (SELECT units AS pv, row_number() OVER (ORDER BY units)
+        |    AS pr FROM b),
+        |nt AS (SELECT CAST(count(*) AS HUGEINT) AS N FROM b),
+        |m AS (SELECT r.*, CASE WHEN n > 1 THEN
+        |      1 + (2 * CAST(r - 1 AS HUGEINT)
+        |        * ((SELECT N FROM nt) - 1) + (n - 1)) // (2 * (n - 1))
+        |    ELSE 1 + (2 * ((SELECT N FROM nt) - 1) + 2) // 4 END AS mm
+        |  FROM r)
+        |SELECT m.l_orderkey, m.l_linenumber, m.l_returnflag, m.units,
+        |  p.pv AS norm_units
+        |FROM m JOIN p ON p.pr = m.mm""".stripMargin,
+
+    // q141: same (ts, event_id) order, lead per user, exact
+    // conditional probability
+    "q141_transition_matrix" ->
+      s"""WITH s AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         |    event_type FROM events),
+         |pp AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY tsn, event_id) AS to_type FROM s),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM pp
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, c.n, t.n_from,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "c.n", "t.n_from", 6)} AS p_e6
+         |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // q142: per-group cumulative weight, lower-median predicate
+    // 2·cum >= total, min(v) over crossing rows (tie-order free)
+    "q142_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS w FROM lineitem
+        |  WHERE CAST(round(l_quantity, 0) AS BIGINT) > 0),
+        |c AS (SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS tw FROM b)
+        |SELECT l_returnflag, min(v) AS wmedian_units,
+        |  max(tw) AS w_total
+        |FROM c WHERE cum * 2 >= tw GROUP BY 1""".stripMargin,
+
+    // q143: Spark's rollup mirrored as the explicit grouping-set
+    // union (no natural NULLs in source/lang, asserted by the gate
+    // data; indicator columns disambiguate regardless)
+    "q143_rollup_stats" ->
+      """WITH b AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS u
+        |  FROM documents)
+        |SELECT source, lang, CAST(0 AS BIGINT) AS g_source,
+        |  CAST(0 AS BIGINT) AS g_lang, count(*) AS n_rows,
+        |  CAST(sum(CAST(u AS HUGEINT)) AS BIGINT) AS sum_units
+        |FROM b GROUP BY 1, 2
+        |UNION ALL SELECT source, NULL, CAST(0 AS BIGINT),
+        |  CAST(1 AS BIGINT), count(*),
+        |  CAST(sum(CAST(u AS HUGEINT)) AS BIGINT)
+        |FROM b GROUP BY 1
+        |UNION ALL SELECT NULL, NULL, CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT), count(*),
+        |  CAST(sum(CAST(u AS HUGEINT)) AS BIGINT)
+        |FROM b""".stripMargin,
+
+    // q144: q19's marker-argmax prediction joined to the declared
+    // lang, per-source agreement through the rounding identity
+    "q144_langid_agreement" -> {
+      def cnt(ms: Seq[String]) =
+        s"len(list_filter($wordsSql, w -> ${ms.map(m => s"w = '$m'").mkString(" OR ")}))"
+      val langs = TextAnalysis.langMarkers
+      val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }
+        .mkString(",\n  ")
+      val mx = s"greatest(${langs.map(l => s"cnt_${l._1}").mkString(", ")})"
+      val cases = langs.map { case (l, _) =>
+        s"WHEN $mx > 0 AND cnt_$l = $mx THEN '$l'"
+      }.mkString(" ")
+      s"""WITH pred AS (SELECT doc_id, source, lang,
+         |    CASE $cases ELSE 'und' END AS pred_lang
+         |  FROM (SELECT doc_id, source, lang,
+         |    $cols
+         |  FROM documents))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)",
+              "count(*)", 4)} AS agreement_e4
+         |FROM pred GROUP BY 1""".stripMargin
+    },
+
+    // q145: identical gap rule (prev null OR gap > 1800), running-sum
+    // session ids, ORDER BY inside string_agg for the path
+    "q145_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS tss, event_type FROM events),
+        |l AS (SELECT *, lag(tss) OVER (PARTITION BY user_id
+        |    ORDER BY tss, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tss - prev > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY tss, event_id) AS path
+        |  FROM g GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    // q146: latest-wins log pick (seq desc, op asc), full-outer apply,
+    // D filtered, U payload coalesced over base
+    "q146_cdc_apply" ->
+      """WITH lg AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+        |    CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    'cust_upd_' || CAST(o_custkey AS VARCHAR) AS l_name,
+        |    o_totalprice AS l_bal
+        |  FROM orders),
+        |lt AS (SELECT * FROM (SELECT *, row_number() OVER
+        |      (PARTITION BY c_custkey ORDER BY seq DESC, op ASC) AS rn
+        |    FROM lg) WHERE rn = 1)
+        |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+        |  CASE WHEN l.op = 'U' THEN l.l_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN l.op = 'U' THEN l.l_bal ELSE b.c_acctbal END
+        |    AS c_acctbal
+        |FROM customer b FULL JOIN lt l ON l.c_custkey = b.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

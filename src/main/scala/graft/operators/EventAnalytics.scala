@@ -114,6 +114,37 @@ object EventAnalytics {
           col("trail_rows"), 4).as("trail_avg_e4"))
   }
 
+  /** First-order transition matrix over each user's event sequence —
+    * (from_type, to_type) counts plus the exact e6 conditional
+    * probability P(to | from): the Markov summary behind funnel
+    * diagnosis ("what actually follows a click?") and behind
+    * sequence-model training-data QA (does the corpus even contain
+    * the transitions the model must learn?). Transitions are
+    * consecutive events per user in (ts, tie) order; the last event
+    * of each user emits none.
+    *
+    * Shape at scale: one per-user lead window (user partitions are
+    * small), one map-side-combinable pair count, and a broadcast join
+    * of the from-type totals (|types| rows). */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        graft.functions.ExactRound.ratioScaled(col("n"), col("n_from"), 6)
+          .as("p_e6"))
+  }
+
   /** Exact e6-scaled decay powers (decayNum/decayDen)^k for k in
     * [0, maxAgeDays] — BigInt rationals rounded half-up, no libm pow
     * anywhere, so any engine reproduces the weights bit for bit.

@@ -138,4 +138,40 @@ object GroupStats {
         graft.functions.ExactRound.ratioScaled(
           col("n_votes"), col("n_total"), 4).as("agreement_e4"))
   }
+
+  /** Per-group LOWER weighted median — the smallest value whose
+    * cumulative weight reaches half the group's total
+    * (2·cum(v) >= W): the robust center of a weighted distribution
+    * ("median doc quality weighted by tokens"), exact-integer end to
+    * end — no interpolation, so the result is always an observed
+    * value and engine-exact. Rows with NULL or non-positive weight
+    * are excluded (they cannot carry mass).
+    *
+    * Deterministic under ties: among equal values the cumulative
+    * weight crosses W/2 somewhere inside the run, and min(v) over the
+    * crossing rows is that value regardless of intra-run order.
+    *
+    * Shape at scale: one per-group cumulative-weight window (the
+    * [[RobustScore.madZScore]] window form; a corpus dominated by one
+    * group should rank via [[ScalableRank.groupRowNumber]] instead),
+    * then a map-side-combinable min/max aggregate. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueUnits: Column, weightUnits: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val base = df
+      .select(gcols :+ valueUnits.cast("long").as("v__") :+
+        weightUnits.cast("long").as("w__"): _*)
+      .filter(col("v__").isNotNull && col("w__") > 0L)
+    val cumW = Window.partitionBy(gcols: _*).orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(gcols: _*)
+    base
+      .withColumn("cum__", sum(col("w__")).over(cumW))
+      .withColumn("W__", sum(col("w__")).over(totW))
+      .filter(col("cum__") * 2 >= col("W__"))
+      .groupBy(gcols: _*)
+      .agg(min(col("v__")).as("wmedian_units"),
+        max(col("W__")).as("w_total"))
+  }
 }

@@ -130,4 +130,35 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
+
+  /** Multi-granularity rollup summary — per-dimension-prefix counts
+    * and exact sums at every rollup level ((d1, d2), (d1), ()), with
+    * one `g_<dim>` indicator column per dimension (1 = rolled up at
+    * that level) so subtotal rows are distinguishable from genuine
+    * NULL dimension values — the OLAP subtotal surface
+    * (`GROUP BY ROLLUP`) the reference's per-sector + overall score
+    * tables hand-assemble from separate passes.
+    *
+    * Shape at scale: Spark plans rollup as ONE Expand (+1 lane per
+    * level) over a single scan feeding a map-side-combinable
+    * aggregate — the same discipline as [[columns]]; the sum is an
+    * exact decimal accumulator surfaced as a long. */
+  def rollupStats(df: DataFrame, dims: Seq[String],
+      valueUnits: org.apache.spark.sql.Column): DataFrame = {
+    require(dims.nonEmpty, "need at least one rollup dimension")
+    val dec = "decimal(38,0)"
+    // grouping() is only legal INSIDE the rollup aggregate (Catalyst
+    // resolves it against the GroupingSets node), so the indicator
+    // columns are aggregation expressions, not a later projection
+    val aggs =
+      dims.map(d => grouping(col(d)).cast("long").as(s"g_$d")) ++
+        Seq(count(lit(1)).as("n_rows"),
+          sum(col("u__").cast(dec)).cast("long").as("sum_units"))
+    df.select(dims.map(col) :+ valueUnits.cast("long").as("u__"): _*)
+      .rollup(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(dims.map(col) ++
+        dims.map(d => col(s"g_$d")) ++
+        Seq(col("n_rows"), col("sum_units")): _*)
+  }
 }

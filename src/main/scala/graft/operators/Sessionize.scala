@@ -46,4 +46,35 @@ object Sessionize {
     df.groupBy(bucket +: keyCols: _*)
       .agg(count(lit(1)).as("n_events"), round(sum(valueCol), 2).as("value_sum"))
   }
+
+  /** Top event-type PATHS per session — the sequence-pattern summary
+    * behind "what do users actually do in one sitting?" (and the
+    * session-level counterpart of
+    * [[EventAnalytics.transitionMatrix]]'s single steps). Each
+    * session's path is its event types joined in (ts, tie) order;
+    * paths count across sessions; top `topN` by (count desc, path
+    * asc).
+    *
+    * Determinism: `collect_list` is partition-order-dependent, so the
+    * path is built by sorting the collected (ts, tie, type) structs —
+    * `array_sort` over the struct's lexicographic order, a total
+    * order because `tieBreak` is unique per user. Sessions are
+    * bounded by the gap rule, so per-group state is bounded by the
+    * session length (the same allowance as the streaming session
+    * operator's state). */
+  def sessionPaths(df: DataFrame, userCol: String, tsSeconds: Column,
+      gapSeconds: Long, typeCol: String, tieBreak: Column,
+      topN: Int = 20): DataFrame = {
+    val s = sessions(df, userCol, tsSeconds, gapSeconds, tieBreak)
+      .select(col(userCol), col("session_seq"), tsSeconds.as("ts__"),
+        tieBreak.as("tie__"), col(typeCol).as("t__"))
+    val paths = s
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts__"), col("tie__"),
+          col("t__")))),
+        x => x.getField("t__"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    RankOps.topK(paths, topN, col("n_sessions"), col("path"))
+  }
 }

@@ -285,4 +285,88 @@ class Round11cOpsSpec extends SparkSpec {
       Seq("k", "v", 3L, 4L, 1L, false),
       Seq("v", "k", 3L, 4L, 1L, false)))
   }
+
+  test("quantile normalize: endpoint-preserving rank map, singleton " +
+    "group maps to pooled midpoint") {
+    val df = Seq(
+      (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g2", 100L))
+      .toDF("id", "g", "v")
+    val out = graft.operators.QuantileNormalize.quantileNormalize(
+      df, "g", col("v"), Seq("id"))
+    assert(out.rowsSet == Set(
+      Seq(1L, "g1", 10L, 10L),
+      Seq(2L, "g1", 20L, 30L),    // r2 of 3 -> pooled rank 3
+      Seq(3L, "g1", 30L, 100L),   // endpoint -> pooled max
+      Seq(4L, "g2", 100L, 30L)))  // n=1 -> pooled midpoint
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("transition matrix: consecutive pairs per user, exact " +
+    "conditional probabilities") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.EventAnalytics.transitionMatrix(
+      ev, "user_id", "ts", "event_type", "event_id")
+    assert(out.rowsSet == Set(
+      Seq("a", "b", 1L, 2L, 500000L),
+      Seq("a", "a", 1L, 2L, 500000L),
+      Seq("b", "a", 1L, 1L, 1000000L)))
+  }
+
+  test("weighted median: lower median by cumulative weight, exact") {
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L),
+      ("h", 1L, 1L), ("h", 2L, 1L))
+      .toDF("grp", "v", "w")
+    val out = GroupStats.weightedMedian(df, Seq("grp"), col("v"),
+      col("w"))
+    assert(out.rowsSet == Set(
+      Seq("g", 3L, 12L),   // the heavy value carries the mass
+      Seq("h", 1L, 2L)))   // even split -> LOWER median
+  }
+
+  test("rollup stats: all levels with grouping indicators, exact sums") {
+    val docs = Seq(("s1", "en", 10L), ("s1", "de", 20L), ("s2", "en", 30L))
+      .toDF("source", "lang", "n_chars")
+    val out = graft.operators.Profile.rollupStats(docs,
+      Seq("source", "lang"), col("n_chars"))
+    assert(out.rowsSet == Set(
+      Seq("s1", "en", 0L, 0L, 1L, 10L),
+      Seq("s1", "de", 0L, 0L, 1L, 20L),
+      Seq("s2", "en", 0L, 0L, 1L, 30L),
+      Seq("s1", null, 0L, 1L, 2L, 30L),
+      Seq("s2", null, 0L, 1L, 1L, 30L),
+      Seq(null, null, 1L, 1L, 3L, 60L)))
+  }
+
+  test("session paths: gap splits sessions, paths sorted by (ts, tie)") {
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, 10L, "b"), (1L, 3L, 2000L, "a"),
+      (2L, 4L, 0L, "a"), (2L, 5L, 5L, "b"))
+      .toDF("user_id", "event_id", "tss", "event_type")
+    val out = graft.operators.Sessionize.sessionPaths(ev, "user_id",
+      col("tss"), gapSeconds = 100L, "event_type", col("event_id"),
+      topN = 10)
+    assert(out.rowsSet == Set(
+      Seq("a>b", 2L), Seq("a", 1L)))
+  }
+
+  test("cdc apply: latest-wins upsert, delete, insert, passthrough") {
+    val base = Seq((1L, "n1", 10.0), (2L, "n2", 20.0), (3L, "n3", 30.0))
+      .toDF("k", "name", "bal")
+    val log = Seq(
+      (2L, 1L, "U", "n2x", 21.0), (2L, 2L, "U", "n2y", 22.0),
+      (3L, 1L, "D", "", 0.0),
+      (4L, 1L, "U", "n4", 40.0))
+      .toDF("k", "seq", "op", "name", "bal")
+    val out = graft.operators.CdcApply.applyLog(base, log, "k", "seq",
+      "op", Seq("name", "bal"))
+    assert(out.rowsSet == Set(
+      Seq(1L, "n1", 10.0),
+      Seq(2L, "n2y", 22.0),
+      Seq(4L, "n4", 40.0)))
+  }
 }
