@@ -1178,6 +1178,33 @@ object SparkEntry {
         Seq("c_name", "c_acctbal"))
     }),
 
+    // ---- composition: per-source Gini language diversity — the
+    // log-free diversity score of a training mix
+    "q147_gini_diversity" -> ((s, dir) =>
+      GroupStats.giniDiversity(T(s, dir, "documents"), "source", "lang")),
+
+    // ---- labeling: churn labels — last active day vs the corpus
+    // horizon, leakage-free cutoff (retention-model training labels)
+    "q148_churn_labels" -> ((s, dir) =>
+      EventAnalytics.churnLabels(T(s, dir, "events"), "user_id", "ts",
+        horizonDays = 7)),
+
+    // ---- events: inter-arrival cadence — robust median/MAD of
+    // per-(user, type) gaps, summarized per type (bot-detection
+    // profile; q76's doubled-units kernel)
+    "q149_interarrival" -> ((s, dir) =>
+      EventAnalytics.interarrivalStats(T(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id")),
+
+    // ---- ingest: throttle / minimum-spacing filter — drop events
+    // within 60 s of the key's previous raw event (double-fire dedup)
+    "q150_throttle" -> ((s, dir) =>
+      EventAnalytics.throttle(T(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "event_id",
+        minGapSeconds = 60L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -3964,6 +3991,70 @@ object SparkEntry {
         |    AS c_acctbal
         |FROM customer b FULL JOIN lt l ON l.c_custkey = b.c_custkey
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // q147: (N² − Σn²)/N² through the wide rounding identity
+    "q147_gini_diversity" ->
+      s"""WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+         |  GROUP BY 1, 2),
+         |g AS (SELECT source, CAST(sum(n) AS HUGEINT) AS N,
+         |    sum(CAST(n AS HUGEINT) * n) AS ss, count(*) AS n_cats
+         |  FROM c GROUP BY 1)
+         |SELECT source, CAST(N AS BIGINT) AS n_rows, n_cats,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "N * N - ss", "N * N", 6)} AS gini_e6
+         |FROM g""".stripMargin,
+
+    // q148: per-user last day vs the corpus max day (data-derived
+    // cutoff)
+    "q148_churn_labels" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events,
+        |    max(epoch_ns(ts) // 86400000000000) AS last_day
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_day) AS max_day FROM u)
+        |SELECT user_id, n_events, last_day,
+        |  max_day - last_day AS days_inactive,
+        |  max_day - last_day >= 7 AS churned
+        |FROM u, h""".stripMargin,
+
+    // q149: per-(user,type) lag gaps in floor-divided seconds, q76's
+    // doubled-units median/MAD per type
+    "q149_interarrival" -> {
+      def p50(rnc: String, v: String) =
+        s"""max(CASE WHEN $rnc = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)
+           | + max(CASE WHEN $rnc = CAST(ceil(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN $v END)""".stripMargin
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn,
+         |    event_id FROM events),
+         |l AS (SELECT event_type, tsn - lag(tsn) OVER (
+         |    PARTITION BY user_id, event_type ORDER BY tsn, event_id)
+         |      AS gap_ns FROM e),
+         |g AS (SELECT event_type, gap_ns // 1000000000 AS u FROM l
+         |  WHERE gap_ns IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY u) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n FROM g),
+         |m AS (SELECT event_type, ${p50("rn", "u")} AS med2
+         |  FROM r GROUP BY 1),
+         |d AS (SELECT r.event_type, r.u, r.n,
+         |    abs(r.u * 2 - m.med2) AS dev2
+         |  FROM r JOIN m USING (event_type)),
+         |d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY dev2) AS drn FROM d),
+         |md AS (SELECT event_type, ${p50("drn", "dev2")} AS mad4
+         |  FROM d2 GROUP BY 1)
+         |SELECT g.event_type, count(*) AS n_gaps, m.med2, md.mad4
+         |FROM g JOIN m USING (event_type) JOIN md USING (event_type)
+         |GROUP BY 1, 3, 4""".stripMargin
+    },
+
+    // q150: same lag rule; kept rows pass through raw
+    "q150_throttle" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) AS tsn FROM events),
+        |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsn, event_id) AS prev FROM e)
+        |SELECT event_id, user_id, event_type, tsn AS ts FROM l
+        |WHERE prev IS NULL
+        |   OR tsn - prev > CAST(60 AS BIGINT) * 1000000000""".stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

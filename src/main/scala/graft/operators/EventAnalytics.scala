@@ -145,6 +145,89 @@ object EventAnalytics {
           .as("p_e6"))
   }
 
+  /** Churn labels — the "will this user come back?" training-label
+    * builder: per user, event count, last active day, days inactive
+    * relative to the corpus horizon (its max observed day — the
+    * label-generation cutoff), and the churn flag
+    * (inactive >= `horizonDays`). The standard retention-model
+    * labeling pass; leakage-free by construction because the cutoff
+    * is data-derived, not wall-clock ([[graft.Bench]] sessions ban
+    * `Date.now`-style inputs for the same reproducibility reason).
+    *
+    * Shape at scale: one map-side-combinable per-user aggregate + a
+    * 1-row broadcast corpus horizon. */
+  def churnLabels(events: DataFrame, userCol: String,
+      tsNanosCol: String, horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 1, "horizonDays must be >= 1")
+    val day = col(tsNanosCol).div_(86400L * 1000000000L)
+    val perUser = events
+      .select(col(userCol), day.as("day__"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), max(col("day__")).as("last_day"))
+    val horizon = perUser.agg(max(col("last_day")).as("max_day__"))
+    perUser.crossJoin(broadcast(horizon))
+      .select(col(userCol), col("n_events"), col("last_day"),
+        (col("max_day__") - col("last_day")).as("days_inactive"),
+        (col("max_day__") - col("last_day") >= horizonDays.toLong)
+          .as("churned"))
+  }
+
+  /** Inter-arrival statistics — per event type, the robust summary
+    * (doubled-units median + MAD, the q76 kernel) of the gaps between
+    * a user's consecutive events of that type: the arrival-cadence
+    * profile behind capacity planning and bot detection (a median
+    * gap of 0-1 s is not a human). Gaps are computed WITHIN
+    * (user, type) — per-user windows stay small at any corpus size;
+    * a global per-type sequence would interleave users and put a
+    * whole type in one window task.
+    *
+    * Output: (type, n_gaps, med2, mad4) — med2/mad4 in doubled
+    * seconds units per the [[RobustScore]] convention. */
+  def interarrivalStats(events: DataFrame, userCol: String,
+      typeCol: String, tsNanosCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsNanosCol), col(tieCol))
+    val gaps = events
+      .select(col(userCol), col(typeCol), col(tsNanosCol), col(tieCol))
+      .withColumn("prev__", lag(col(tsNanosCol), 1).over(w))
+      .filter(col("prev__").isNotNull)
+      .select(col(typeCol),
+        (col(tsNanosCol) - col("prev__")).div_(1000000000L).as("gap_s"))
+    RobustScore.madZScore(gaps, Seq(typeCol), col("gap_s"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"), max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"))
+  }
+
+  /** Throttle / minimum-spacing filter — keep an event only if the
+    * key's immediately preceding event is more than `minGapSeconds`
+    * older (or there is none): the batch twin of a rate-limiting
+    * ingest filter, and the dedup rule for double-fired trackers.
+    * NOTE the documented semantics: spacing is relative to the
+    * PREVIOUS RAW event (one `lag`), not to the last KEPT one — the
+    * latter is inherently sequential per key and lives in the
+    * stateful streaming layer ([[graft.streaming.Streams]]), while
+    * this form is one window, engine-mirrorable, and what an
+    * idempotent backfill wants.
+    *
+    * Shape at scale: one per-key window, codegen'd filter; no
+    * shuffles beyond the key partition. */
+  def throttle(events: DataFrame, keyCols: Seq[String],
+      tsNanosCol: String, tieCol: String,
+      minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds >= 1, "minGapSeconds must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsNanosCol), col(tieCol))
+    val prev = lag(col(tsNanosCol), 1).over(w)
+    events
+      .withColumn("prev__", prev)
+      .filter(col("prev__").isNull ||
+        col(tsNanosCol) - col("prev__") > minGapSeconds * 1000000000L)
+      .drop("prev__")
+  }
+
   /** Exact e6-scaled decay powers (decayNum/decayDen)^k for k in
     * [0, maxAgeDays] — BigInt rationals rounded half-up, no libm pow
     * anywhere, so any engine reproduces the weights bit for bit.

@@ -174,4 +174,30 @@ object GroupStats {
       .agg(min(col("v__")).as("wmedian_units"),
         max(col("W__")).as("w_total"))
   }
+
+  /** Per-group Gini diversity of a categorical column —
+    * 1 − Σᵢ pᵢ² as an exact e6 rational ((N²−Σnᵢ²)/N²): the
+    * composition-diversity score of a training mix (0 = one category
+    * dominates totally, →1 = evenly spread). Entropy would say the
+    * same thing through a log; Gini says it through integers, so the
+    * gate surface stays engine-exact (the q85/q125 discipline).
+    *
+    * Shape at scale: two stacked map-side-combinable groupBys
+    * ((group, cat) counts, then per-group Σn/Σn²/k) — no windows, no
+    * driver state. */
+  def giniDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("n__"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("n__")).cast(dec).as("N__"),
+        sum((col("n__").cast(dec) * col("n__")).cast(dec)).as("ss__"),
+        count(lit(1)).as("n_cats"))
+      .select(col(groupCol), col("N__").cast("long").as("n_rows"),
+        col("n_cats"),
+        graft.functions.ExactRound.ratioScaledBig(
+          col("N__") * col("N__") - col("ss__"),
+          col("N__") * col("N__"), 6).as("gini_e6"))
+  }
 }

@@ -369,4 +369,51 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(2L, "n2y", 22.0),
       Seq(4L, "n4", 40.0)))
   }
+
+  test("gini diversity: exact rational, degenerate group scores zero") {
+    val df = Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "a"))
+      .toDF("source", "lang")
+    val out = GroupStats.giniDiversity(df, "source", "lang")
+    assert(out.rowsSet == Set(
+      Seq("s1", 3L, 2L, 444444L),   // (9-5)/9
+      Seq("s2", 1L, 1L, 0L)))
+  }
+
+  test("churn labels: inactivity vs the data-derived horizon") {
+    val day = 86400L * 1000000000L
+    val ev = Seq((1L, 10L * day), (1L, 9L * day), (2L, 2L * day))
+      .toDF("user_id", "ts")
+    val out = graft.operators.EventAnalytics.churnLabels(
+      ev, "user_id", "ts", horizonDays = 7)
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 10L, 0L, false),
+      Seq(2L, 1L, 2L, 8L, true)))
+  }
+
+  test("interarrival: per-(user,type) gaps, doubled-units median/MAD " +
+    "per type") {
+    val s = 1000000000L
+    val ev = Seq(
+      (1L, 1L, 0L, "t"), (1L, 2L, 10L * s, "t"), (1L, 3L, 30L * s, "t"),
+      (2L, 4L, 0L, "t"), (2L, 5L, 10L * s, "t"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.EventAnalytics.interarrivalStats(
+      ev, "user_id", "event_type", "ts", "event_id")
+    // gaps [10, 20, 10]: median 10 (med2 20), MAD 0 (mad4 0)
+    assert(out.rowsSet == Set(Seq("t", 3L, 20L, 0L)))
+  }
+
+  test("throttle: drops events within the gap of the previous raw " +
+    "event, keeps firsts") {
+    val s = 1000000000L
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, 30L * s, "a"), (1L, 3L, 100L * s, "a"),
+      (2L, 4L, 0L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.EventAnalytics.throttle(
+      ev, Seq("user_id", "event_type"), "ts", "event_id",
+      minGapSeconds = 60L)
+    assert(out.select("event_id").rowsSet == Set(
+      Seq(1L), Seq(3L), Seq(4L)))
+  }
 }
