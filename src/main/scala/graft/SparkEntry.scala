@@ -1205,6 +1205,45 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))),
 
+    // ---- embeddings: corpus QA — exact e12 squared norms + the
+    // degenerate-vector flags an ANN index build needs checked first
+    "q151_embedding_qa" -> ((s, dir) =>
+      Prototypes.embeddingQa(T(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
+    // ---- history: SCD2 as-of snapshot — q123's interval table
+    // queried at the corpus midpoint timestamp (the time-travel read
+    // the history table exists to serve)
+    "q152_scd2_asof" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val hist = SnapshotDiff.scd2History(ev, "user_id", "ts",
+        "event_type", "event_id")
+      val t = ev.agg(TimeFns.floorDiv(min(col("ts")) + max(col("ts")),
+        2L).as("t__"))
+      hist.crossJoin(broadcast(t))
+        .filter(col("valid_from_ns") <= col("t__") &&
+          (col("valid_to_ns").isNull || col("valid_to_ns") > col("t__")))
+        .select(col("user_id"), col("version"),
+          col("value").as("value_at_t"), col("valid_from_ns"))
+    }),
+
+    // ---- curation: 2-D Pareto front — documents on the
+    // quality-vs-length frontier (skyline via the distributed
+    // sort-scan, never the quadratic dominance join)
+    "q153_pareto_front" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sig = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = sig
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("quality_e4"))
+        .join(TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens")), "doc_id")
+      Skyline.paretoFront2D(scored, col("quality_e4"), col("n_tokens"),
+        Seq("doc_id"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -2080,6 +2119,28 @@ object SparkEntry {
        |  ($ratio) >= 0.3 AS contaminated$extra
        |FROM corpus LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
   }
+
+  /** The q123 SCD2 build as a reusable CTE chain ending in `hist`
+    * (user_id, version, value, valid_from_ns, valid_to_ns, n_events) —
+    * shared by the q123 history gate and the q152 as-of snapshot. */
+  private val scd2Ctes: String =
+    """e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
+      |    event_id FROM events),
+      |r AS (SELECT *,
+      |    CASE WHEN row_number() OVER w = 1
+      |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+      |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS version FROM r),
+      |g AS (SELECT user_id, version, max(event_type) AS value,
+      |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
+      |  FROM v GROUP BY 1, 2),
+      |hist AS (SELECT user_id, version, value, valid_from_ns,
+      |    lead(valid_from_ns) OVER (PARTITION BY user_id
+      |      ORDER BY version) AS valid_to_ns, n_events
+      |  FROM g)""".stripMargin
 
   /** Exact embedding near-dup pairs (q29's pair math minus the cosine
     * output) plus the undirected edge list `e` — shared by the q47/q48
@@ -3478,24 +3539,10 @@ object SparkEntry {
     // row 1 OR null-safe value change; version = running sum of starts;
     // valid_to = next version's valid_from (half-open intervals)
     "q123_scd2_history" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
-        |    event_id FROM events),
-        |r AS (SELECT *,
-        |    CASE WHEN row_number() OVER w = 1
-        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
-        |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
-        |    ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |      AS version FROM r),
-        |g AS (SELECT user_id, version, max(event_type) AS value,
-        |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
-        |  FROM v GROUP BY 1, 2)
-        |SELECT user_id, version, value, valid_from_ns,
-        |  lead(valid_from_ns) OVER wv AS valid_to_ns, n_events,
-        |  lead(valid_from_ns) OVER wv IS NULL AS is_current
-        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
-        .stripMargin,
+      s"""WITH $scd2Ctes
+         |SELECT user_id, version, value, valid_from_ns, valid_to_ns,
+         |  n_events, valid_to_ns IS NULL AS is_current
+         |FROM hist""".stripMargin,
 
     // q124: same argmax (votes desc, label asc) row_number pick; the
     // agreement rate through the exact-rounding identity
@@ -4055,6 +4102,55 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, tsn AS ts FROM l
         |WHERE prev IS NULL
         |   OR tsn - prev > CAST(60 AS BIGINT) * 1000000000""".stripMargin,
+
+    // q151: identical e6 quantization, exact HUGEINT norms; empty
+    // vectors survive via the left join
+    "q151_embedding_qa" ->
+      """WITH u AS (SELECT vec_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, count(*) AS n_dims,
+        |    CAST(sum(CAST(u AS HUGEINT) * u) AS BIGINT) AS norm2_e12
+        |  FROM u GROUP BY 1)
+        |SELECT e.vec_id, coalesce(s.n_dims, 0) AS n_dims,
+        |  coalesce(s.norm2_e12, 0) AS norm2_e12,
+        |  coalesce(s.norm2_e12, 0) = 0 AS is_zero,
+        |  coalesce(s.n_dims, 0) = 0 AS is_empty
+        |FROM embeddings e LEFT JOIN s ON s.vec_id = e.vec_id"""
+        .stripMargin,
+
+    // q152: the shared hist CTE filtered at the corpus midpoint
+    // (floor-divided, data-derived)
+    "q152_scd2_asof" ->
+      s"""WITH $scd2Ctes,
+         |b AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+         |    AS t FROM events)
+         |SELECT user_id, version, value AS value_at_t, valid_from_ns
+         |FROM hist, b
+         |WHERE valid_from_ns <= t
+         |  AND (valid_to_ns IS NULL OR valid_to_ns > t)""".stripMargin,
+
+    // q153: the same sort-scan — per-x max y, exclusive prefix max
+    // over x desc, strict survival, join-back keeps (x, y) ties
+    "q153_pareto_front" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |    ${graft.functions.ExactRound.ratioScaledSql(
+              qScoreNum, qScoreDen, 4)} AS x_units,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS y_units
+         |  FROM documents),
+         |gm AS (SELECT x_units, max(y_units) AS my FROM scored
+         |  GROUP BY 1),
+         |sw AS (SELECT *, max(my) OVER (ORDER BY x_units DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM gm),
+         |sky AS (SELECT x_units, my AS y_units FROM sw
+         |  WHERE pm IS NULL OR my > pm)
+         |SELECT s.doc_id, s.x_units, s.y_units
+         |FROM scored s JOIN sky k
+         |  ON k.x_units = s.x_units AND k.y_units = s.y_units"""
+        .stripMargin,
 
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative

@@ -75,6 +75,47 @@ object BudgetSelect {
     (out, offsets.last)
   }
 
+  /** The EXCLUSIVE distributed prefix MAX — same range-partition +
+    * per-partition-offset shape as [[runningTotal]], but the combining
+    * monoid is max and the frame excludes the current row: appends
+    * `outCol` = max of `value` over all STRICTLY EARLIER rows in
+    * `order` (NULL for the first row). The scan kernel behind the
+    * [[Skyline]] dominance test (and any "best so far" sweep).
+    * `value` must be a long expression; `order` must be a total order
+    * wherever per-row attribution matters. */
+  def runningMaxExclusive(df: DataFrame, value: Column,
+      order: Seq[Column], outCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = graft.Caches.register(df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("graft_pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = sorted
+      .groupBy(col("graft_pid__"))
+      .agg(max(value.cast("long")).as("graft_m__"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1)
+    // offset(p) = max over all partitions BEFORE p (empty -> None)
+    val offsets = totals.map(_._2)
+      .scanLeft(None: Option[Long]) { (a, b) =>
+        (a ++ b).reduceOption(_ max _) }.init
+    val offsetsDf = totals.map(_._1).zip(offsets)
+      .map { case (p, m) => (p, m.map(Long.box).orNull) }.toSeq
+      .toDF("graft_pid__", "graft_off__")
+    val w = Window.partitionBy(col("graft_pid__")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .join(broadcast(offsetsDf), "graft_pid__")
+      .withColumn(outCol,
+        greatest(col("graft_off__"), max(value.cast("long")).over(w)))
+      .drop("graft_pid__", "graft_off__")
+  }
+
   /** Rows of `df` whose running `cost` total, accumulated in `order`,
     * stays within `budget` (inclusive). Appends `runningOut` (the
     * running total, a long). NULL costs count as 0 — a row with no

@@ -82,4 +82,35 @@ object Prototypes {
         col("cand_label").as("assigned_label"))
       .agg(count(lit(1)).as("n_vecs"))
   }
+
+  /** Embedding-corpus QA — the sanity pass BEFORE any ANN index
+    * build: per vector, its dimensionality, exact e12-unit squared
+    * norm (sum of squared e6-quantized components — integer, so the
+    * zero test is exact, not an epsilon), and the degenerate-vector
+    * flags an index would choke on: `is_zero` (unnormalizable —
+    * cosine undefined) and `is_empty` (no components at all). A
+    * mixed-dimensionality corpus shows up as multiple n_dims values
+    * downstream.
+    *
+    * Shape at scale: one explode + map-side-combinable groupBy(vec),
+    * one left join back to keep empty vectors. */
+  def embeddingQa(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = emb
+      .select(col(idCol), explode(col(vecCol)).as("x__"))
+      .select(col(idCol),
+        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("u__").cast(dec) * col("u__")).cast(dec)).cast("long")
+          .as("norm2_e12"))
+    emb.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dims"), lit(0L)).as("n_dims"),
+        coalesce(col("norm2_e12"), lit(0L)).as("norm2_e12"))
+      .withColumn("is_zero", col("norm2_e12") === 0L)
+      .withColumn("is_empty", col("n_dims") === 0L)
+  }
 }

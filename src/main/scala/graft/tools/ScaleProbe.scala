@@ -483,6 +483,44 @@ object ScaleProbe {
         s""""sub_quadratic":${bs.getLong(2) / 2 * 100 < allPairs}}""")
     }
 
+    // ---- round-11c probes: the new rank/prefix-sum and per-group
+    // operators at the same 2M-row skewed volume
+    time("scd2_history") {
+      graft.operators.SnapshotDiff.scd2History(
+        df.select(pmod(col("id"), lit(n / 50)).as("k"),
+          col("id").as("ts"), col("id").as("eid"), col("seg").as("v")),
+        "k", "ts", "v", "eid")
+    }
+    time("quantile_normalize") {
+      graft.operators.QuantileNormalize.quantileNormalize(
+        df.select(col("id"), col("seg"),
+          (col("m2") * 10).cast("long").as("v")),
+        "seg", col("v"), Seq("id"))
+    }
+    time("systematic_weighted_sample") {
+      Sampling.systematicWeighted(
+        df.select(col("id"), pmod(xxhash64(col("id"), lit(40)), lit(100))
+          .as("w")),
+        "id", "w", n = 10000)
+    }
+    time("cooccurrence_baskets") {
+      graft.operators.CoOccurrence.basketPairs(
+        df.select(pmod(col("id"), lit(n / 5)).as("b"), col("nat").as("i")),
+        "b", "i", minSupport = 2L)
+    }
+    time("transition_matrix") {
+      graft.operators.EventAnalytics.transitionMatrix(
+        df.select(pmod(col("id"), lit(n / 100)).as("u"),
+          col("id").as("ts"), col("id").as("eid"), col("seg")),
+        "u", "ts", "seg", "eid")
+    }
+    time("weighted_median") {
+      graft.operators.GroupStats.weightedMedian(
+        df.select(col("seg"), (col("m2") * 10).cast("long").as("v"),
+          (pmod(xxhash64(col("id"), lit(41)), lit(50)) + 1).as("w")),
+        Seq("seg"), col("v"), col("w"))
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -258,4 +258,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"),
       s"no empty-partition window may exist:\n$p")
   }
+
+  test("quantile normalize: both ranks range-partitioned, no " +
+    "empty-partition window") {
+    val df = (1 to 400).map(i =>
+      (i.toLong, s"g${i % 4}", (i * 7 % 100).toLong)).toDF("id", "g", "v")
+    val p = plan(graft.operators.QuantileNormalize.quantileNormalize(
+      df, "g", col("v"), Seq("id")))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"ranks must come from range exchanges:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"no single-task global window may exist:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("category drift: totals broadcast back, no window over " +
+    "categories") {
+    val ref = (1 to 200).map(i => s"c${i % 40}").toDF("c")
+    val cur = (1 to 150).map(i => s"c${i % 35}").toDF("c")
+    val p = plan(graft.operators.Drift.categoryDrift(ref, cur, "c"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"no window over the category space may exist:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("cdc apply: per-key log window + one equi full-outer join, " +
+    "no nested loop") {
+    val base = (1 to 200).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val log = (1 to 100).map(i =>
+      ((i % 50).toLong, i.toLong, if (i % 7 == 0) "D" else "U", s"u$i"))
+      .toDF("k", "seq", "op", "name")
+    val p = plan(graft.operators.CdcApply.applyLog(
+      base, log, "k", "seq", "op", Seq("name")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the apply must be an equi join:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"the latest-pick window must partition by key:\n$p")
+  }
 }

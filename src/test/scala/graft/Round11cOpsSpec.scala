@@ -416,4 +416,30 @@ class Round11cOpsSpec extends SparkSpec {
     assert(out.select("event_id").rowsSet == Set(
       Seq(1L), Seq(3L), Seq(4L)))
   }
+
+  test("pareto front: strict dominance, (x,y) ties all survive") {
+    val df = Seq(
+      (1L, 5L, 1L), (2L, 4L, 3L), (3L, 3L, 2L), (4L, 4L, 2L),
+      (5L, 5L, 1L))
+      .toDF("id", "x", "y")
+    val out = graft.operators.Skyline.paretoFront2D(df, col("x"),
+      col("y"), Seq("id"))
+    // (3,2) dominated by (4,3); (4,2) dominated by (4,3); the two
+    // (5,1) rows tie and both survive
+    assert(out.rowsSet == Set(
+      Seq(1L, 5L, 1L), Seq(5L, 5L, 1L), Seq(2L, 4L, 3L)))
+    Caches.unpersistAll(blocking = true)
+  }
+
+  test("embedding QA: exact norms, zero and empty flags") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val out = Prototypes.embeddingQa(df, "vec_id", "embedding")
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 1000000000000L, false, false),
+      Seq(2L, 2L, 0L, true, false),
+      Seq(3L, 0L, 0L, true, true)))
+  }
 }
