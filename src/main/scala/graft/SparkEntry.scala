@@ -1244,6 +1244,34 @@ object SparkEntry {
         Seq("doc_id"))
     }),
 
+    // ---- text: per-doc keyword extraction — top-3 terms by exact
+    // e6 TF-IDF lift (tf·N/df), the auto-tagging pass
+    "q154_doc_keywords" -> ((s, dir) =>
+      TextAnalysis.docKeywords(T(s, dir, "documents"), "doc_id",
+        "text", k = 3, minDf = 2L)),
+
+    // ---- QA: referential-integrity audit across the star schema —
+    // orphan counts + exact shares for three declared relations
+    "q155_ref_integrity" -> ((s, dir) =>
+      Profile.refIntegrity(T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer"), "c_custkey", "orders->customer")
+        .union(Profile.refIntegrity(T(s, dir, "lineitem"), "l_orderkey",
+          T(s, dir, "orders"), "o_orderkey", "lineitem->orders"))
+        .union(Profile.refIntegrity(T(s, dir, "lineitem"), "l_partkey",
+          T(s, dir, "part"), "p_partkey", "lineitem->part"))),
+
+    // ---- monitoring: data-card DIFF — q83's per-source card on the
+    // even-doc half vs the odd-doc half, keyed diff with per-column
+    // attribution (the corpus-version regression detector)
+    "q156_datacard_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def card(parity: Int) = DataCard.perSource(
+        docs.filter(pmod(col("doc_id"), lit(2)) === parity),
+        "doc_id", "text", "source", "lang")
+      SnapshotDiff.diff(card(0), card(1), "source",
+        Seq("n_docs", "n_tokens", "n_chars", "n_langs", "n_dup_docs"))
+    }),
+
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
@@ -4130,6 +4158,104 @@ object SparkEntry {
          |FROM hist, b
          |WHERE valid_from_ns <= t
          |  AND (valid_to_ns IS NULL OR valid_to_ns > t)""".stripMargin,
+
+    // q154: identical lift rational (den = df always >= 1), per-doc
+    // row_number pick
+    "q154_doc_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |tfs AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT w, count(*) AS df FROM tfs GROUP BY 1
+         |  HAVING count(*) >= 2),
+         |nd AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+         |s AS (SELECT tfs.doc_id, tfs.w AS term, tfs.tf, dfq.df,
+         |    CAST((CAST(tfs.tf AS HUGEINT) * (SELECT n FROM nd)
+         |        * 2000000 + dfq.df)
+         |      // (2 * CAST(dfq.df AS HUGEINT)) AS BIGINT) AS lift_e6
+         |  FROM tfs JOIN dfq ON dfq.w = tfs.w),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY lift_e6 DESC, term ASC) AS rk FROM s)
+         |SELECT doc_id, term, tf, df, lift_e6, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3""".stripMargin,
+
+    // q155: per-relation orphan accounting via NOT EXISTS; NULL child
+    // keys counted separately (unlinked, not dangling)
+    "q155_ref_integrity" -> {
+      def rel(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT count(*) FROM $child) AS n_child_rows,
+           |  (SELECT count(*) FROM $child WHERE $ck IS NULL)
+           |    AS n_null_keys,
+           |  (SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL
+           |    AND NOT EXISTS (SELECT 1 FROM $parent p
+           |      WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+      def row(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT relation, n_child_rows, n_null_keys, n_orphans,
+           |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_orphans", "n_child_rows", 6)} AS orphan_share_e6
+           |FROM (${rel(name, child, ck, parent, pk)})""".stripMargin
+      s"""${row("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey")}
+         |UNION ALL ${row("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey")}
+         |UNION ALL ${row("lineitem->part", "lineitem", "l_partkey",
+          "part", "p_partkey")}""".stripMargin
+    },
+
+    // q156: q83's card per parity half, q119's diff shape keyed on
+    // source (flags in the sorted compare-column order)
+    "q156_datacard_diff" -> {
+      def card(tag: String, parity: Int) =
+        s"""base$tag AS (SELECT doc_id, source, lang,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt,
+           |    CAST(length(text) AS BIGINT) AS nc,
+           |    md5($wsNorm) AS fp
+           |  FROM documents WHERE doc_id % 2 = $parity),
+           |dup$tag AS (SELECT fp FROM base$tag GROUP BY fp
+           |  HAVING count(*) >= 2),
+           |card$tag AS (SELECT source, count(*) AS n_docs,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup_docs
+           |FROM base$tag LEFT JOIN dup$tag d ON base$tag.fp = d.fp
+           |GROUP BY 1)""".stripMargin
+      s"""WITH ${card("A", 0)},
+         |${card("B", 1)},
+         |j AS (SELECT coalesce(a.source, b.source) AS source,
+         |    a.source IS NOT NULL AS in_old,
+         |    b.source IS NOT NULL AS in_new,
+         |    CASE WHEN a.n_chars IS DISTINCT FROM b.n_chars
+         |      THEN 1 ELSE 0 END AS f_chars,
+         |    CASE WHEN a.n_docs IS DISTINCT FROM b.n_docs
+         |      THEN 1 ELSE 0 END AS f_docs,
+         |    CASE WHEN a.n_dup_docs IS DISTINCT FROM b.n_dup_docs
+         |      THEN 1 ELSE 0 END AS f_dup,
+         |    CASE WHEN a.n_langs IS DISTINCT FROM b.n_langs
+         |      THEN 1 ELSE 0 END AS f_langs,
+         |    CASE WHEN a.n_tokens IS DISTINCT FROM b.n_tokens
+         |      THEN 1 ELSE 0 END AS f_tokens
+         |  FROM cardA a FULL JOIN cardB b ON a.source = b.source)
+         |SELECT source,
+         |  CASE WHEN in_old AND NOT in_new THEN 'removed'
+         |       WHEN in_new AND NOT in_old THEN 'added'
+         |       WHEN f_chars + f_docs + f_dup + f_langs + f_tokens > 0
+         |         THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  CASE WHEN in_old AND in_new THEN
+         |    CAST(f_chars + f_docs + f_dup + f_langs + f_tokens
+         |      AS BIGINT) ELSE 0 END AS n_cols_changed,
+         |  CASE WHEN in_old AND in_new THEN concat_ws(',',
+         |      CASE WHEN f_chars = 1 THEN 'n_chars' END,
+         |      CASE WHEN f_docs = 1 THEN 'n_docs' END,
+         |      CASE WHEN f_dup = 1 THEN 'n_dup_docs' END,
+         |      CASE WHEN f_langs = 1 THEN 'n_langs' END,
+         |      CASE WHEN f_tokens = 1 THEN 'n_tokens' END)
+         |    ELSE '' END AS changed_cols
+         |FROM j""".stripMargin
+    },
 
     // q153: the same sort-scan — per-x max y, exclusive prefix max
     // over x desc, strict survival, join-back keeps (x, y) ties

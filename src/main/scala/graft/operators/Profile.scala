@@ -131,6 +131,40 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** Referential-integrity audit — for each declared (child, parent)
+    * key relation: child row count, orphan count (child keys with no
+    * parent row; NULL child keys counted separately — they are
+    * "unlinked", not "dangling"), and the exact e6 orphan share. The
+    * constraint check a warehouse runs after every load (the
+    * reference's scrape joins symbol→sector blindly;
+    * `checkdb.py` counts rows but never checks the links).
+    *
+    * Shape at scale: one left-anti-style aggregate per relation —
+    * child groups by key (map-side combinable), parent keys join as
+    * the smaller side (broadcast when they fit). */
+  def refIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      relation: String): DataFrame = {
+    val keys = child
+      .groupBy(col(childKey).as("k__"))
+      .agg(count(lit(1)).as("n__"))
+    val matched = keys.join(
+      parent.select(col(parentKey).as("k__")).distinct(),
+      Seq("k__"), "left_semi")
+      .agg(coalesce(sum(col("n__")), lit(0L)).as("n_linked"))
+    val totals = child.agg(
+      count(lit(1)).as("n_child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    totals.crossJoin(matched)
+      .select(lit(relation).as("relation"), col("n_child_rows"),
+        col("n_null_keys"),
+        (col("n_child_rows") - col("n_null_keys") - col("n_linked"))
+          .as("n_orphans"),
+        graft.functions.ExactRound.ratioScaled(
+          col("n_child_rows") - col("n_null_keys") - col("n_linked"),
+          col("n_child_rows"), 6).as("orphan_share_e6"))
+  }
+
   /** Multi-granularity rollup summary — per-dimension-prefix counts
     * and exact sums at every rollup level ((d1, d2), (d1), ()), with
     * one `g_<dim>` indicator column per dimension (1 = rolled up at

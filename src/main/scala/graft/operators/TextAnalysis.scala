@@ -418,6 +418,43 @@ object TextAnalysis {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** Per-document keyword extraction — each doc's top-k terms by
+    * TF-IDF *lift* (tf·N/df as an exact e6 integer; the same
+    * monotone-log-free move as [[collocations]]): the auto-tagging
+    * pass behind faceted corpus browsing and weak topic labels.
+    * Ties break (lift desc, term asc) — deterministic.
+    *
+    * Shape at scale: one explode + (doc, term) count, one term
+    * document-frequency count, one shuffle join on the term, a 1-row
+    * broadcast corpus size, and a per-doc window over that doc's
+    * distinct terms. */
+  def docKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDf: Long = 1L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(idCol).as("doc__"),
+      explode(TextFns.words(col(textCol))).as("w__"))
+    val tf = toks.groupBy(col("doc__"), col("w__"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w__"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = df.agg(count(lit(1)).cast("long").as("n_docs__"))
+    val lift = call_function("div",
+      col("tf").cast(dec) * col("n_docs__") * lit(2000000L) + col("df"),
+      col("df").cast(dec) * lit(2L)).cast("long")
+    val pick = Window.partitionBy(col("doc__"))
+      .orderBy(col("lift_e6").desc, col("w__").asc)
+    tf.join(dfreq, "w__")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_e6", lift)
+      .withColumn("rk", row_number().over(pick).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc__").as(idCol), col("w__").as("term"), col("tf"),
+        col("df"), col("lift_e6"), col("rk"))
+  }
+
   /** Concordance (keyword-in-context) — every occurrence of `term`
     * with its ±`context` surrounding words as one snippet line: the
     * corpus-inspection primitive behind "show me how this token is

@@ -442,4 +442,28 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(2L, 2L, 0L, true, false),
       Seq(3L, 0L, 0L, true, true)))
   }
+
+  test("doc keywords: exact lift ranking with minDf filter") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docKeywords(docs, "doc_id", "text", k = 2,
+      minDf = 2L)
+    assert(out.rowsSet == Set(
+      Seq(1L, "apple", 2L, 2L, 3000000L, 1L),
+      Seq(1L, "banana", 1L, 2L, 1500000L, 2L),
+      Seq(2L, "banana", 1L, 2L, 1500000L, 1L),
+      Seq(3L, "apple", 1L, 2L, 1500000L, 1L)))
+  }
+
+  test("ref integrity: orphans vs null keys accounted separately") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), None)
+      .map(Tuple1(_)).toDF("ck")
+    val parent = Seq(1L).map(Tuple1(_)).toDF("pk")
+    val out = graft.operators.Profile.refIntegrity(
+      child, "ck", parent, "pk", "c->p")
+    assert(out.rowsSet == Set(
+      Seq("c->p", 4L, 1L, 1L, 250000L)))
+  }
 }
