@@ -1260,6 +1260,48 @@ object SparkEntry {
         .union(Profile.refIntegrity(T(s, dir, "lineitem"), "l_partkey",
           T(s, dir, "part"), "p_partkey", "lineitem->part"))),
 
+    // ---- history: temporal dimension join — each purchase event
+    // joined to the SCD2 state version valid AT its timestamp
+    // (backward as-of on valid_from per user: the fact-to-dimension
+    // time-travel join the q123 table exists to serve)
+    "q157_temporal_dim_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val hist = SnapshotDiff.scd2History(ev, "user_id", "ts",
+        "event_type", "event_id")
+        .select(col("user_id"), col("valid_from_ns"), col("version"),
+          col("value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.leftAsOf(facts, hist, Seq("user_id"), "ts",
+          "valid_from_ns", rightPayload = Seq("version", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("right_version").as("state_version"),
+          col("right_value").as("state_value"))
+    }),
+
+    // ---- OLAP: ABC / Pareto classes — docs classified by cumulative
+    // token share within source (A carries the first 80%, B to 95%)
+    "q158_abc_classes" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val toks = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      AbcClasses.abcClasses(
+        docs.select(col("doc_id"), col("source")).join(toks, "doc_id"),
+        "source", "doc_id", col("n_tokens"))
+    }),
+
+    // ---- QA: order-independent column checksums over customer — the
+    // cross-engine "same data?" handshake (set-shaped digest)
+    "q159_column_checksums" -> ((s, dir) =>
+      Profile.columnChecksums(T(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"))),
+
+    // ---- text: frequency-of-frequencies (Good-Turing N_c table) —
+    // the corpus long-tail profile
+    "q160_freq_of_freqs" -> ((s, dir) =>
+      TextAnalysis.freqOfFreqs(T(s, dir, "documents"), "doc_id",
+        "text")),
+
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
     // attribution (the corpus-version regression detector)
@@ -4202,6 +4244,71 @@ object SparkEntry {
          |UNION ALL ${row("lineitem->part", "lineitem", "l_partkey",
           "part", "p_partkey")}""".stripMargin
     },
+
+    // q157: the shared hist CTE + DuckDB's native backward ASOF
+    // (greatest valid_from <= event ts per user)
+    "q157_temporal_dim_join" ->
+      s"""WITH $scd2Ctes,
+         |f AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT f.event_id, f.user_id, h.version AS state_version,
+         |  h.value AS state_value
+         |FROM f ASOF LEFT JOIN hist h
+         |  ON f.user_id = h.user_id AND f.tsn >= h.valid_from_ns"""
+        .stripMargin,
+
+    // q158: identical (units desc, doc asc) cumulative order; band
+    // test on the PREVIOUS cumulative (the row that crosses a
+    // boundary belongs to the band it starts in), HUGEINT cross
+    // products
+    "q158_abc_classes" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS units
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, units,
+        |    CAST(sum(units) OVER (PARTITION BY source
+        |      ORDER BY units DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_units,
+        |    CAST(sum(units) OVER (PARTITION BY source) AS BIGINT)
+        |      AS total_units
+        |  FROM toks)
+        |SELECT source, doc_id, units, cum_units, total_units,
+        |  CASE WHEN CAST(cum_units - units AS HUGEINT) * 1000
+        |         < CAST(total_units AS HUGEINT) * 800 THEN 'A'
+        |       WHEN CAST(cum_units - units AS HUGEINT) * 1000
+        |         < CAST(total_units AS HUGEINT) * 950 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+
+    // q159: md5-prefix64 reconstructed per value by hex-nibble
+    // arithmetic (hi/lo 32-bit lanes), HUGEINT sums mod 2^62
+    "q159_column_checksums" -> {
+      val mod = 1L << 62
+      def one(c: String) = {
+        val md5c = s"md5(CAST($c AS VARCHAR))"
+        def lane(from: Int) =
+          s"""CAST(coalesce(sum(CASE WHEN $c IS NOT NULL THEN
+             |    CAST(${hex32Sql(md5c, from)} AS HUGEINT) END), 0)
+             |  % $mod AS BIGINT)""".stripMargin
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count($c) AS BIGINT) AS n_values,
+           |  ${lane(1)} AS checksum_hi,
+           |  ${lane(9)} AS checksum_lo
+           |FROM customer""".stripMargin
+      }
+      s"""${one("c_custkey")}
+         |UNION ALL ${one("c_name")}
+         |UNION ALL ${one("c_mktsegment")}""".stripMargin
+    },
+
+    // q160: two stacked counts; no tokenization drift possible (the
+    // shared words fragment)
+    "q160_freq_of_freqs" ->
+      s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |cc AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1)
+         |SELECT cnt AS c, count(*) AS n_types FROM cc GROUP BY 1"""
+        .stripMargin,
 
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)

@@ -165,6 +165,44 @@ object Profile {
           col("n_child_rows"), 6).as("orphan_share_e6"))
   }
 
+  /** Order-independent per-column content checksums — one row per
+    * column: non-null count and a set-shaped digest (exact decimal
+    * sums of the 64-bit md5-prefix hash of each value's string
+    * rendering, split into hi/lo 32-bit lanes and reduced mod 2⁶²):
+    * the cheap cross-engine "is this the same data?" handshake after
+    * a migration or repartition, where any row-order-sensitive hash
+    * would be useless. Collisions are checksum-grade, not
+    * cryptographic. Restricted by contract to integral/string
+    * columns (the [[columns]] min/max rule: float-to-string
+    * rendering is not engine-portable). NULLs contribute nothing.
+    *
+    * Shape at scale: ONE aggregate over one scan, all columns as
+    * parallel lanes. */
+  def columnChecksums(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    val dec = "decimal(38,0)"
+    val mod = 1L << 62
+    def h(c: String) =
+      graft.expressions.Md5Prefix64(col(c).cast("string"))
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"n__$c"),
+      sum(when(col(c).isNotNull,
+        shiftrightunsigned(h(c), 32)).cast(dec)).as(s"hi__$c"),
+      sum(when(col(c).isNotNull,
+        h(c).bitwiseAND(lit(0xffffffffL))).cast(dec)).as(s"lo__$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val zero = lit(0L).cast(dec)
+    val rows = cols.map { c => struct(
+      lit(c).as("col_name"), col(s"n__$c").as("n_values"),
+      pmod(coalesce(col(s"hi__$c"), zero), lit(mod).cast(dec))
+        .cast("long").as("checksum_hi"),
+      pmod(coalesce(col(s"lo__$c"), zero), lit(mod).cast(dec))
+        .cast("long").as("checksum_lo"))
+    }
+    wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
+  }
+
   /** Multi-granularity rollup summary — per-dimension-prefix counts
     * and exact sums at every rollup level ((d1, d2), (d1), ()), with
     * one `g_<dim>` indicator column per dimension (1 = rolled up at

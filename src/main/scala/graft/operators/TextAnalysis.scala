@@ -418,6 +418,17 @@ object TextAnalysis {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** Frequency-of-frequencies (the Good-Turing N_c table): for each
+    * token count c, how many vocabulary types occur exactly c times —
+    * the table smoothing estimators start from, and the corpus
+    * long-tail profile at a glance (N_1/V is the hapax rate). Two
+    * stacked map-side-combinable groupBys; no windows. */
+  def freqOfFreqs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(explode(TextFns.words(col(textCol))).as("w__"))
+      .groupBy(col("w__")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+
   /** Per-document keyword extraction — each doc's top-k terms by
     * TF-IDF *lift* (tf·N/df as an exact e6 integer; the same
     * monotone-log-free move as [[collocations]]): the auto-tagging

@@ -466,4 +466,40 @@ class Round11cOpsSpec extends SparkSpec {
     assert(out.rowsSet == Set(
       Seq("c->p", 4L, 1L, 1L, 250000L)))
   }
+
+  test("abc classes: the crossing row belongs to the band it starts in") {
+    val df = Seq(("g", 1L, 800L), ("g", 2L, 150L), ("g", 3L, 50L))
+      .toDF("src", "id", "u")
+    val out = graft.operators.AbcClasses.abcClasses(df, "src", "id",
+      col("u"))
+    assert(out.rowsSet == Set(
+      Seq("g", 1L, 800L, 800L, 1000L, "A"),
+      Seq("g", 2L, 150L, 950L, 1000L, "B"),
+      Seq("g", 3L, 50L, 1000L, 1000L, "C")))
+  }
+
+  test("column checksums: order-independent, null-excluding, " +
+    "change-detecting") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("k", "v")
+    val c1 = graft.operators.Profile.columnChecksums(a, Seq("k", "v"))
+      .collect().map(_.toSeq).toSet
+    val c2 = graft.operators.Profile.columnChecksums(
+      a.orderBy(col("k").desc).repartition(5), Seq("k", "v"))
+      .collect().map(_.toSeq).toSet
+    assert(c1 == c2)
+    val b = Seq((1L, Some("x")), (2L, Some("z")), (3L, None))
+      .toDF("k", "v")
+    val c3 = graft.operators.Profile.columnChecksums(b, Seq("k", "v"))
+      .collect().map(_.toSeq).toSet
+    assert(c1 != c3)
+    assert(c1.find(_.head == "v").exists(_(1) == 2L))   // nulls excluded
+  }
+
+  test("freq of freqs: the Good-Turing N_c table") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.freqOfFreqs(docs, "doc_id", "text")
+    assert(out.rowsSet == Set(
+      Seq(3L, 1L), Seq(2L, 1L), Seq(1L, 1L)))
+  }
 }
