@@ -1302,6 +1302,68 @@ object SparkEntry {
       TextAnalysis.freqOfFreqs(T(s, dir, "documents"), "doc_id",
         "text")),
 
+    // ---- sampling: dedup-aware representative sampling — cluster
+    // representatives drawn in proportion to the mass (cluster size)
+    // they stand for: q47's components feeding q128's deterministic
+    // weighted draw
+    "q161_cluster_weighted_sample" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cc = Dedup.connectedComponents(
+        SimilaritySearch.embeddingNearDupExact(emb, "vec_id",
+          "embedding", threshold = 0.45).select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val sizes = emb.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("rep"))
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+      Sampling.systematicWeighted(sizes, "rep", "cluster_size", n = 100)
+    }),
+
+    // ---- events: activity heatmap — day-of-week × hour-of-day
+    // profile per event type (epoch day 0 = Thursday, hence the +4),
+    // exact e6 within-type shares
+    "q162_activity_heatmap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = T(s, dir, "events")
+        .select(col("event_type"),
+          pmod(TimeFns.floorDiv(col("ts"), 86400L * 1000000000L) + 4L,
+            lit(7)).as("dow"),
+          pmod(TimeFns.floorDiv(col("ts"), 3600L * 1000000000L),
+            lit(24)).as("hour"))
+        .groupBy(col("event_type"), col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      // the per-type window runs over <= 168 cells per type — bounded
+      counts.withColumn("n_type",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"), col("hour"), col("n"),
+          graft.functions.ExactRound.ratioScaled(col("n"),
+            col("n_type"), 6).as("share_e6"))
+    }),
+
+    // ---- multimodal: per-frame PCM16 energy — a synthesized WAV
+    // (real header + 64 text bytes as samples) through the REAL
+    // chunk-walk + frame decode; exact integer energies (q27's
+    // ASCII-pin so the oracle reconstructs samples from char codes)
+    "q163_audio_frames" -> ((s, dir) => {
+      def le32(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+        ((v >> 24) & 255).toByte)
+      def le16(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte)
+      val hdr = "RIFF".getBytes("UTF-8") ++ le32(100) ++
+        "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++ le32(64)
+      val wavs = T(s, dir, "documents")
+        .filter(length(col("text")) >= 64 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit(hdr), substring(col("text"), 1, 64).cast("binary"))
+            .as("payload"))
+      Multimodal.frameEnergy(wavs, "doc_id", "payload",
+        frameSamples = 8)
+    }),
+
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
     // attribution (the corpus-version regression detector)
@@ -4308,6 +4370,66 @@ object SparkEntry {
       s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
          |cc AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1)
          |SELECT cnt AS c, count(*) AS n_types FROM cc GROUP BY 1"""
+        .stripMargin,
+
+    // q161: q118's recursive components -> cluster sizes -> q128's
+    // cumulative-weight stride draw over representatives
+    "q161_cluster_weighted_sample" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |sz AS (SELECT coalesce(cc.component, emb.vec_id) AS rep,
+         |    count(*) AS cluster_size
+         |  FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+         |  GROUP BY 1),
+         |b AS (SELECT rep, cluster_size,
+         |    md5(CAST(rep AS VARCHAR)) AS h FROM sz),
+         |c AS (SELECT rep, cluster_size,
+         |    CAST(sum(cluster_size) OVER (ORDER BY h, rep
+         |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+         |    CAST(sum(cluster_size) OVER () AS HUGEINT) AS tot FROM b)
+         |SELECT rep, cluster_size AS weight,
+         |  CAST(cum AS BIGINT) AS cum_w,
+         |  CAST((cum * 100) // tot
+         |    - ((cum - cluster_size) * 100) // tot AS BIGINT) AS n_picks
+         |FROM c
+         |WHERE (cum * 100) // tot > ((cum - cluster_size) * 100) // tot"""
+        .stripMargin,
+
+    // q162: same floor-division day/hour bucketing, +4 dow offset,
+    // shares through the rounding identity
+    "q162_activity_heatmap" ->
+      s"""WITH c AS (SELECT event_type,
+         |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+         |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2, 3),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type)
+         |    AS BIGINT) AS n_type FROM c)
+         |SELECT event_type, dow, hour, n, ${
+           graft.functions.ExactRound.ratioScaledSql("n", "n_type", 6)
+         } AS share_e6 FROM t""".stripMargin,
+
+    // q163: samples reconstructed from ASCII char codes (le16 pairs,
+    // high byte <= 0x7f so no sign wrap), 8-sample frames, exact
+    // HUGEINT energies
+    "q163_audio_frames" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 64) AS t
+        |  FROM documents
+        |  WHERE length(text) >= 64 AND strlen(text) = length(text)),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+        |    ascii(substring(t, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ascii(substring(t, CAST(2 * i + 2 AS INTEGER), 1))
+        |      AS v
+        |  FROM d, (SELECT unnest(range(0, 32)) AS i) idx),
+        |f AS (SELECT doc_id, sidx // 8 AS frame,
+        |    count(*) AS n_samples,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS energy,
+        |    CAST(max(v) AS BIGINT) AS peak
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, frame, n_samples, energy, peak FROM f"""
         .stripMargin,
 
     // q156: q83's card per parity half, q119's diff shape keyed on

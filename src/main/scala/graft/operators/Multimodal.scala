@@ -166,6 +166,93 @@ object Multimodal {
       nFrames, durMs, Some(peak), Some(rms))
   }
 
+  /** Locate a well-formed PCM16 data chunk: Some((dataOff, nSamples))
+    * when the RIFF/WAVE walk finds audioFormat=1, bits=16 and a data
+    * chunk (the same walk as [[parseWav]], minus the statistics). */
+  private def pcm16Data(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int, s: String) =
+      p.length >= i + 4 && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !fourcc(0, "RIFF") || !fourcc(8, "WAVE"))
+      return None
+    var i = 12
+    var audioFormat, bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    var corrupt = false
+    while (!corrupt && i + 8 <= p.length && (audioFormat < 0 || dataOff < 0)) {
+      val len = le32(i + 4)
+      if (fourcc(i, "fmt ") && len >= 16 && i + 8 + 16 <= p.length) {
+        audioFormat = le16(i + 8)
+        bits = le16(i + 22)
+      } else if (fourcc(i, "data")) {
+        dataOff = i + 8
+        dataLen = math.min(len, (p.length - dataOff).toLong)
+      }
+      if (len < 0 || len > p.length.toLong - i - 8) corrupt = true
+      else i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (audioFormat == 1 && bits == 16 && dataOff >= 0 && dataLen >= 2)
+      Some((dataOff, (dataLen / 2).toInt))
+    else None
+  }
+
+  /** Per-frame PCM16 features — the frame-level extraction pass
+    * behind VAD / loudness curves and audio-segment quality filters:
+    * each valid PCM16 payload fans out to one row per frame of
+    * `frameSamples` samples (the trailing remainder is its own
+    * shorter frame) with EXACT integer energy (Σ sample²) and peak
+    * (max |sample|) — gate-safe, no float RMS in the surface.
+    * Payloads that are not well-formed PCM16 emit nothing (the
+    * corrupt-path contract of [[parseWav]]).
+    *
+    * Shape at scale: mapPartitions flatMap — per-row bounded output
+    * (samples/frameSamples frames), no shuffle; the decode stays
+    * byte-local exactly like the other real decoders here. */
+  def frameEnergy(df: DataFrame, idCol: String, payloadCol: String,
+      frameSamples: Int): DataFrame = {
+    require(frameSamples >= 1, "frameSamples must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte]
+        else row.getAs[Array[Byte]](pIdx)
+      pcm16Data(payload) match {
+        case None => Iterator.empty
+        case Some((off, n)) =>
+          def u8(i: Int) = payload(i) & 0xff
+          val id = row.getLong(idIdx)
+          (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+            val s0 = f * frameSamples
+            val s1 = math.min(s0 + frameSamples, n)
+            var energy = 0L
+            var peak = 0L
+            var s = s0
+            while (s < s1) {
+              val v = ((u8(off + 2 * s) | (u8(off + 2 * s + 1) << 8))
+                << 16) >> 16
+              energy += v.toLong * v
+              if (math.abs(v).toLong > peak) peak = math.abs(v).toLong
+              s += 1
+            }
+            Row(id, f.toLong, (s1 - s0).toLong, energy, peak)
+          }
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL image pixel decode for the two codec-free raster formats —
     * the image twin of [[parseWav]]'s PCM16 path, closing the "only
     * audio decodes for real" gap. Returns

@@ -502,4 +502,28 @@ class Round11cOpsSpec extends SparkSpec {
     assert(out.rowsSet == Set(
       Seq(3L, 1L), Seq(2L, 1L), Seq(1L, 1L)))
   }
+
+  test("audio frame energy: exact per-frame integers, sign-extended " +
+    "samples, corrupt payloads emit nothing") {
+    def le32(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 24) & 255).toByte)
+    def le16(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte)
+    def wav(data: Array[Byte]) =
+      "RIFF".getBytes("UTF-8") ++ le32(36 + data.length) ++
+        "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++
+        le32(data.length) ++ data
+    val samples = Array(100, -100, 1000, 30000)
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    val df = Seq((1L, wav(data)), (2L, "nope".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = graft.operators.Multimodal.frameEnergy(df, "id",
+      "payload", frameSamples = 2)
+    assert(out.rowsSet == Set(
+      Seq(1L, 0L, 2L, 20000L, 100L),
+      Seq(1L, 1L, 2L, 901000000L, 30000L)))
+  }
 }
