@@ -1364,6 +1364,19 @@ object SparkEntry {
         frameSamples = 8)
     }),
 
+    // ---- stats: exact quantile grid — p25/p50/p75/p95 price cents
+    // per return flag, every value an OBSERVED one (no lerp)
+    "q164_quantile_grid" -> ((s, dir) =>
+      GroupStats.quantileGrid(T(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"))),
+
+    // ---- QA: first-digit (Benford) profile of order totals — the
+    // synthetic-data screen, exact shares
+    "q165_first_digit" -> ((s, dir) =>
+      Profile.firstDigitProfile(T(s, dir, "orders"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
     // attribution (the corpus-version regression detector)
@@ -4431,6 +4444,39 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT doc_id, frame, n_samples, energy, peak FROM f"""
         .stripMargin,
+
+    // q164: value at rank ceil(q·n/1000) — identical rank pick per
+    // permille, conditional max
+    "q164_quantile_grid" -> {
+      def pick(q: Int) =
+        s"""max(CASE WHEN rn = (n * $q + 999) // 1000 THEN u END)
+           |    AS p${q}_units""".stripMargin
+      s"""WITH c AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS u
+         |  FROM lineitem),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY u) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM c)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${pick(250)},
+         |  ${pick(500)},
+         |  ${pick(750)},
+         |  ${pick(950)}
+         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // q165: same BIGINT string rendering for the leading digit
+    "q165_first_digit" ->
+      s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS v FROM orders),
+         |d AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1)
+         |    AS BIGINT) AS digit, count(*) AS n
+         |  FROM v WHERE v > 0 GROUP BY 1),
+         |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_total
+         |  FROM d)
+         |SELECT digit, n, n_total, ${
+           graft.functions.ExactRound.ratioScaledSql("n", "n_total", 6)
+         } AS share_e6 FROM t""".stripMargin,
 
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)

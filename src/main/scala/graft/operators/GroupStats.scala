@@ -175,6 +175,44 @@ object GroupStats {
         max(col("W__")).as("w_total"))
   }
 
+  /** Per-group exact quantile grid — the value AT rank
+    * ceil(q·n/1000) for each requested permille q (the lower/type-7
+    * "no interpolation" convention: every reported quantile is an
+    * OBSERVED value, so the surface is type-preserving and
+    * engine-exact — the [[weightedMedian]] discipline, against
+    * [[Winsorize]]'s lerp form which exists for clip bounds). One
+    * rank pass, one conditional-max aggregate; adding a quantile
+    * adds a column, never a pass.
+    *
+    * Shape at scale: one per-group window sort (the
+    * [[RobustScore.madZScore]] window form — rank via
+    * [[ScalableRank.groupRowNumber]] when one group dominates), then
+    * a map-side-combinable aggregate. */
+  def quantileGrid(df: DataFrame, groupCols: Seq[String],
+      valueUnits: Column,
+      permilles: Seq[Int] = Seq(250, 500, 750, 950)): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(q => q >= 1 && q <= 1000),
+      "permilles in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("u__"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = df
+      .select(gcols :+ valueUnits.cast("long").as("u__"): _*)
+      .filter(col("u__").isNotNull)
+      .withColumn("rn__", row_number().over(w).cast("long"))
+      .withColumn("n__", count(lit(1)).over(wAll))
+    // ceil(q·n/1000) as pure integer arithmetic
+    def rankFor(q: Int): Column =
+      graft.functions.TimeFns.floorDiv(
+        col("n__") * q.toLong + 999L, 1000L)
+    val aggs = count(lit(1)).as("n") +: permilles.map(q =>
+      max(when(col("rn__") === rankFor(q), col("u__")))
+        .as(s"p${q}_units"))
+    ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group Gini diversity of a categorical column —
     * 1 − Σᵢ pᵢ² as an exact e6 rational ((N²−Σnᵢ²)/N²): the
     * composition-diversity score of a training mix (0 = one category

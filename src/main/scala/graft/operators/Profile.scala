@@ -203,6 +203,35 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** First-significant-digit profile (the Benford's-law screen) —
+    * digit counts and exact e6 shares of a positive integral metric:
+    * the cheap synthetic-data / fabrication detector (organic
+    * heavy-tailed quantities lean toward low leading digits;
+    * uniformly-generated ones don't — the judgment stays with the
+    * reader, the profile is the evidence). The digit comes from the
+    * BIGINT's decimal string rendering — identical across engines by
+    * the [[columnChecksums]] rendering contract. Non-positive and
+    * NULL values are excluded (no leading digit).
+    *
+    * Shape at scale: one map-side-combinable count over <= 9 digit
+    * groups; the share window runs over those 9 rows. */
+  def firstDigitProfile(df: DataFrame,
+      valueUnits: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(valueUnits.cast("long").as("v__"))
+      .filter(col("v__") > 0L)
+      .select(substring(col("v__").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts.withColumn("n_total", sum(col("n")).over(all))
+      .select(col("digit"), col("n"), col("n_total"),
+        graft.functions.ExactRound.ratioScaled(col("n"),
+          col("n_total"), 6).as("share_e6"))
+  }
+
   /** Multi-granularity rollup summary — per-dimension-prefix counts
     * and exact sums at every rollup level ((d1, d2), (d1), ()), with
     * one `g_<dim>` indicator column per dimension (1 = rolled up at

@@ -526,4 +526,20 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(1L, 0L, 2L, 20000L, 100L),
       Seq(1L, 1L, 2L, 901000000L, 30000L)))
   }
+
+  test("quantile grid: value at rank ceil(q*n/1000), observed values " +
+    "only") {
+    val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val out = GroupStats.quantileGrid(df, Seq("grp"), col("v"),
+      permilles = Seq(250, 500, 750, 950))
+    assert(out.rowsSet == Set(Seq("g", 10L, 3L, 5L, 8L, 10L)))
+  }
+
+  test("first digit profile: positives only, exact shares") {
+    val df = Seq(10L, 95L, 123L, 950L, -5L, 0L).toDF("v")
+    val out = graft.operators.Profile.firstDigitProfile(df, col("v"))
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 4L, 500000L),
+      Seq(9L, 2L, 4L, 500000L)))
+  }
 }
