@@ -1377,6 +1377,26 @@ object SparkEntry {
       Profile.firstDigitProfile(T(s, dir, "orders"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
 
+    // ---- text: run-length compressibility — the tokenizer-free junk
+    // detector (RLE length / raw length, exact e4)
+    "q166_compressibility" -> ((s, dir) =>
+      TextAnalysis.compressibility(T(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // ---- dedup: corpus duplicate-gram mass — the one-number "how
+    // much would near-dedup touch?" pressure gauge
+    "q167_dup_gram_share" -> ((s, dir) =>
+      TextAnalysis.dupGramShare(T(s, dir, "documents"), "doc_id",
+        "text", n = 3)),
+
+    // ---- planning: exact join-fanout estimate — lineitem self-join
+    // on part key (the classic explosion case), top contributing keys
+    // + corpus totals
+    "q168_join_fanout" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Profile.joinFanout(li, "l_partkey", li, "l_partkey", topK = 10)
+    }),
+
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
     // attribution (the corpus-version regression detector)
@@ -4477,6 +4497,60 @@ object SparkEntry {
          |SELECT digit, n, n_total, ${
            graft.functions.ExactRound.ratioScaledSql("n", "n_total", 6)
          } AS share_e6 FROM t""".stripMargin,
+
+    // q166: identical per-position character compare (no
+    // split-semantics dependence on either side)
+    "q166_compressibility" ->
+      s"""WITH t AS (SELECT doc_id, text, i FROM documents,
+         |    unnest(range(1, length(text) + 1)) r(i)
+         |  WHERE length(text) > 0),
+         |s AS (SELECT doc_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN i > 1
+         |        AND substring(text, CAST(i AS INTEGER), 1)
+         |          <> substring(text, CAST(i - 1 AS INTEGER), 1)
+         |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rle
+         |  FROM t GROUP BY 1)
+         |SELECT d.doc_id, coalesce(s.n, 0) AS n_chars_obs,
+         |  coalesce(s.rle, 0) AS rle_len,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(s.rle, 0)", "coalesce(s.n, 0)", 4)}
+         |    AS rle_ratio_e4
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"""
+        .stripMargin,
+
+    // q167: q107's distinct-per-doc 3-gram stream, document-frequency
+    // counts, 1-row conditional sums
+    "q167_dup_gram_share" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     for i in range(1, len(ws)-1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |f AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY 1)
+         |SELECT count(*) AS n_grams_distinct,
+         |  CAST(sum(dfc) AS BIGINT) AS n_instances,
+         |  CAST(sum(CASE WHEN dfc >= 2 THEN dfc ELSE 0 END) AS BIGINT)
+         |    AS n_dup_instances,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(CASE WHEN dfc >= 2 THEN dfc ELSE 0 END)",
+              "sum(dfc)", 6)} AS dup_share_e6
+         |FROM f""".stripMargin,
+
+    // q168: count-table equi-join, HUGEINT products, totals appended
+    "q168_join_fanout" ->
+      """WITH lc AS (SELECT l_partkey AS key, count(*) AS n_left
+        |  FROM lineitem GROUP BY 1),
+        |rc AS (SELECT l_partkey AS key, count(*) AS n_right
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT lc.key, n_left, n_right,
+        |    CAST(CAST(n_left AS HUGEINT) * n_right AS BIGINT) AS n_out
+        |  FROM lc JOIN rc USING (key)),
+        |t AS (SELECT CAST(coalesce(sum(CAST(n_out AS HUGEINT)), 0)
+        |      AS BIGINT) AS est_total_rows,
+        |    count(*) AS n_matched_keys FROM j)
+        |SELECT j.key, j.n_left, j.n_right, j.n_out, t.est_total_rows,
+        |  t.n_matched_keys
+        |FROM j, t ORDER BY n_out DESC, key ASC LIMIT 10""".stripMargin,
 
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)

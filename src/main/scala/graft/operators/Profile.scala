@@ -203,6 +203,38 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** Join-fanout estimate — the exact size a key-equi-join WOULD
+    * produce (Σ over matched keys of n_left·n_right) plus the top
+    * contributing keys: the pre-flight check before a join whose
+    * key multiplicity is uncertain (the planner's cardinality
+    * estimate, made exact — and the first place a "why is this join
+    * 100× the input" incident looks). Output: the `topK` heaviest
+    * keys, each carrying the corpus totals (est_total_rows,
+    * n_matched_keys) alongside its own contribution.
+    *
+    * Shape at scale: two map-side-combinable per-key counts, one
+    * equi-join of the count tables (far smaller than the data), a
+    * TakeOrdered top-k, and a 1-row broadcast total. */
+  def joinFanout(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val dec = "decimal(38,0)"
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = graft.Caches.register(lc.join(rc, "key")
+      .withColumn("n_out",
+        (col("n_left").cast(dec) * col("n_right")).cast("long"))
+      .persist())
+    val totals = j.agg(
+      coalesce(sum(col("n_out")), lit(0L)).cast("long")
+        .as("est_total_rows"),
+      count(lit(1)).as("n_matched_keys"))
+    j.orderBy(col("n_out").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(totals))
+  }
+
   /** First-significant-digit profile (the Benford's-law screen) —
     * digit counts and exact e6 shares of a positive integral metric:
     * the cheap synthetic-data / fabrication detector (organic

@@ -418,6 +418,65 @@ object TextAnalysis {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** Run-length compressibility signal — per doc, the run-length-
+    * encoded character count (1 + number of adjacent-character
+    * transitions) and its exact e4 ratio to the raw length: a cheap,
+    * tokenizer-free junk detector ("aaaaaaa…" and zalgo spam compress
+    * to nothing; prose doesn't) complementing the word-level
+    * repetition signals (q55). Characters come from positional
+    * substring — the same per-position semantics the oracle computes,
+    * no split-semantics dependence.
+    *
+    * Shape at scale: explode to len(doc) positions (the unavoidable
+    * cost of an exact character statistic — the q130 note), one
+    * per-doc codegen'd transition compare, one map-side-combinable
+    * groupBy, one join-back for empty docs. */
+  def compressibility(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val per = df
+      .select(col(idCol), col(textCol).as("t__"))
+      .filter(length(col("t__")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("t__")))).as("i__"),
+        col("t__"))
+      .select(col(idCol),
+        when(col("i__") > 1 &&
+          col("t__").substr(col("i__"), lit(1)) =!=
+            col("t__").substr(col("i__") - 1, lit(1)), 1L)
+          .otherwise(0L).as("tr__"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chars_obs"),
+        (sum(col("tr__")) + 1L).as("rle_len"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars_obs"), lit(0L)).as("n_chars_obs"),
+        coalesce(col("rle_len"), lit(0L)).as("rle_len"))
+      .withColumn("rle_ratio_e4",
+        graft.functions.ExactRound.ratioScaled(col("rle_len"),
+          col("n_chars_obs"), 4))
+  }
+
+  /** Corpus duplicate-gram mass — what fraction of all distinct-per-
+    * doc n-gram INSTANCES carry a gram that appears in more than one
+    * document: the corpus-level "how much would near-dedup touch?"
+    * pressure gauge (q21/q23 find the pairs; this prices the
+    * phenomenon in one number). One explode, one document-frequency
+    * count, one 1-row conditional sum. */
+  def dupGramShare(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val freq = Dedup.explodedShingles(df, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df__"))
+    freq.agg(
+      count(lit(1)).as("n_grams_distinct"),
+      sum(col("df__")).cast("long").as("n_instances"),
+      sum(when(col("df__") >= 2, col("df__")).otherwise(0L))
+        .cast("long").as("n_dup_instances"))
+      .withColumn("dup_share_e6",
+        graft.functions.ExactRound.ratioScaled(col("n_dup_instances"),
+          col("n_instances"), 6))
+  }
+
   /** Frequency-of-frequencies (the Good-Turing N_c table): for each
     * token count c, how many vocabulary types occur exactly c times —
     * the table smoothing estimators start from, and the corpus

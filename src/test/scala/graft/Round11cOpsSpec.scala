@@ -542,4 +542,32 @@ class Round11cOpsSpec extends SparkSpec {
       Seq(1L, 2L, 4L, 500000L),
       Seq(9L, 2L, 4L, 500000L)))
   }
+
+  test("compressibility: RLE transitions per position, exact ratio") {
+    val docs = Seq((1L, "aaab"), (2L, "ab"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressibility(docs, "doc_id", "text")
+    assert(out.rowsSet == Set(
+      Seq(1L, 4L, 2L, 5000L),
+      Seq(2L, 2L, 2L, 10000L),
+      Seq(3L, 1L, 1L, 10000L)))
+  }
+
+  test("dup gram share: instances of cross-doc grams over all " +
+    "instances") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupGramShare(docs, "doc_id", "text", n = 3)
+    assert(out.rowsSet == Set(Seq(3L, 4L, 2L, 500000L)))
+  }
+
+  test("join fanout: exact products per matched key + corpus totals") {
+    val l = Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("k")
+    val r = Seq(1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("k")
+    val out = graft.operators.Profile.joinFanout(l, "k", r, "k")
+    assert(out.rowsSet == Set(
+      Seq(1L, 2L, 1L, 2L, 4L, 2L),
+      Seq(2L, 1L, 2L, 2L, 4L, 2L)))
+    Caches.unpersistAll(blocking = true)
+  }
 }
