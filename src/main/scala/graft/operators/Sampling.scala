@@ -234,7 +234,11 @@ object Sampling {
     *
     * Shape at scale: the cumulative line comes from
     * [[BudgetSelect.runningTotal]]'s range-partitioned prefix sum (no
-    * single-task sort); everything after is a codegen'd filter. */
+    * single-task sort); everything after is a codegen'd filter.
+    *
+    * Contract: `keyCol` must be unique — (md5(key), key) is the total
+    * order the cumulative line needs; duplicate keys would make the
+    * per-row attribution of picks partitioning-dependent. */
   def systematicWeighted(df: DataFrame, keyCol: String,
       weightCol: String, n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
