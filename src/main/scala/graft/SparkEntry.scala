@@ -3810,7 +3810,8 @@ object SparkEntry {
     // q128: same md5-hash cumulative-weight line; picks at stride
     // crossings via HUGEINT floor division
     "q128_weighted_sample" ->
-      """WITH b AS (SELECT doc_id, coalesce(n_chars, 0) AS weight,
+      """WITH b AS (SELECT doc_id,
+        |    greatest(coalesce(n_chars, 0), 0) AS weight,
         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |  WHERE doc_id IS NOT NULL),
         |c AS (SELECT doc_id, weight,
@@ -4027,7 +4028,9 @@ object SparkEntry {
          |FROM t""".stripMargin,
 
     // q138: the shared exact-pair CTE as the edge set; identical hash
-    // ring (md5 order), rank-offset candidates, anti-join, keep-2
+    // ring (md5 order), WRAPPED rank-offset candidates (r11 advice:
+    // successor rank modulo n, so tail nodes probe the ring head and
+    // every node emits exactly ringWidth candidates), anti-join, keep-2
     "q138_negative_edges" ->
       s"""WITH $embPairCtes,
          |ring AS (SELECT vec_id AS id,
@@ -4036,8 +4039,12 @@ object SparkEntry {
          |  FROM embeddings),
          |cand AS (SELECT least(a.id, b.id) AS id_a,
          |    greatest(a.id, b.id) AS id_b, a.id AS src,
-         |    b.rn - a.rn AS ring_dist
-         |  FROM ring a JOIN ring b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+         |    o.off AS ring_dist
+         |  FROM ring a
+         |  CROSS JOIN (SELECT count(*) AS n FROM ring) c
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS off) o
+         |  JOIN ring b ON b.rn = ((a.rn + o.off - 1) % c.n) + 1
+         |    AND b.id <> a.id),
          |surv AS (SELECT c.* FROM cand c
          |  LEFT JOIN p ON p.id_a = c.id_a AND p.id_b = c.id_b
          |  WHERE p.id_a IS NULL),
@@ -4543,14 +4550,15 @@ object SparkEntry {
         |rc AS (SELECT l_partkey AS key, count(*) AS n_right
         |  FROM lineitem GROUP BY 1),
         |j AS (SELECT lc.key, n_left, n_right,
-        |    CAST(CAST(n_left AS HUGEINT) * n_right AS BIGINT) AS n_out
+        |    CAST(n_left AS HUGEINT) * n_right AS raw_out
         |  FROM lc JOIN rc USING (key)),
-        |t AS (SELECT CAST(coalesce(sum(CAST(n_out AS HUGEINT)), 0)
-        |      AS BIGINT) AS est_total_rows,
+        |t AS (SELECT CAST(least(coalesce(sum(raw_out), 0),
+        |      9223372036854775807) AS BIGINT) AS est_total_rows,
         |    count(*) AS n_matched_keys FROM j)
-        |SELECT j.key, j.n_left, j.n_right, j.n_out, t.est_total_rows,
-        |  t.n_matched_keys
-        |FROM j, t ORDER BY n_out DESC, key ASC LIMIT 10""".stripMargin,
+        |SELECT j.key, j.n_left, j.n_right,
+        |  CAST(least(raw_out, 9223372036854775807) AS BIGINT) AS n_out,
+        |  t.est_total_rows, t.n_matched_keys
+        |FROM j, t ORDER BY raw_out DESC, key ASC LIMIT 10""".stripMargin,
 
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)

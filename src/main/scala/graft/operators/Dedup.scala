@@ -130,9 +130,29 @@ object Dedup {
     val prefix = ranked.filter(col("p") <=
       col("n_sh") - expr(s"(n_sh * $thrNum + ${thrDen - 1}) div $thrDen")
         + lit(1L))
-      .select(col("doc"), col("shingle"))
+      .select(col("doc"), col("shingle"), col("p").cast("long").as("p"),
+        col("n_sh"))
+    // The AllPairs/PPJoin refinements (Xiao et al., r11 advice) ride
+    // the join condition, so pruned candidates never materialize:
+    //  - LENGTH filter: J(a,b) >= t forces t·|a| <= |b| and t·|b| <= |a|
+    //    (integer cross-multiplication — sizes travel with the prefix
+    //    rows, no extra join);
+    //  - POSITIONAL filter: a shared prefix token at ranks (p_a, p_b)
+    //    caps the total overlap at 1 + min(|a|-p_a, |b|-p_b), and
+    //    J >= t needs overlap >= t/(1+t)·(|a|+|b|) — cross-multiplied
+    //    by (thrNum+thrDen). A pair sharing several prefix tokens
+    //    survives if ANY of them passes (a superset of PPJoin's
+    //    first-token rule — the exact verify below settles membership,
+    //    these filters only shrink what it touches).
+    val tn = lit(thrNum)
+    val td = lit(thrDen)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          col("b.n_sh") * td >= tn * col("a.n_sh") &&
+          col("a.n_sh") * td >= tn * col("b.n_sh") &&
+          (lit(1L) + least(col("a.n_sh") - col("a.p"),
+            col("b.n_sh") - col("b.p"))) * (tn + td) >=
+            tn * (col("a.n_sh") + col("b.n_sh")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyPairs(cand, sh, sizes, thrNum.toDouble / thrDen)

@@ -194,7 +194,12 @@ object EventAnalytics {
       .filter(col("prev__").isNotNull)
       .select(col(typeCol),
         (col(tsNanosCol) - col("prev__")).div_(1000000000L).as("gap_s"))
-    RobustScore.madZScore(gaps, Seq(typeCol), col("gap_s"))
+    // scalable=true: the per-type median/MAD ranks run through
+    // ScalableRank.groupRowNumber's range-partitioned sort — with a
+    // handful of event types and billions of gaps, the default window
+    // form would put one whole type in one task (r11 advice)
+    RobustScore.madZScore(gaps, Seq(typeCol), col("gap_s"),
+        scalable = true)
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_gaps"), max(col("med2")).as("med2"),
         max(col("mad4")).as("mad4"))

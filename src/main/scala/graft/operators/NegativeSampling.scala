@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * Shape at scale: the ring position is
   * [[ScalableRank.withGlobalPosition]]'s range-partitioned rank (no
   * global window); successor candidates are a bounded explode
-  * (1..ringWidth) + ONE equi-join on the ring position — the
+  * (1..ringWidth) + ONE equi-join on the ring position, WRAPPED
+  * modulo n (r11 advice: the open-line form starved the last
+  * ringWidth nodes of candidates) — the
   * [[FuzzyJoin.sortedNeighborhood]] pattern, candidates = exactly
-  * n·ringWidth; the anti-join shuffles on the normalized pair key;
-  * the keep-k window partitions per node with <= ringWidth rows. */
+  * n·ringWidth whenever n > ringWidth; the anti-join shuffles on the
+  * normalized pair key; the keep-k window partitions per node with
+  * <= ringWidth rows. Degenerate n <= ringWidth inputs would let a
+  * probe wrap all the way to its own node — those self-pairs are
+  * filtered, so tiny graphs lose candidates rather than emit
+  * (x, x) non-edges. */
 object NegativeSampling {
 
   /** (id_a, id_b, ring_dist) non-edges, id_a < id_b normalized;
@@ -32,11 +38,17 @@ object NegativeSampling {
         md5(col(idCol).cast("string")).as("h__")),
       Seq(col("h__").asc, col("id__").asc),
       nodes.sparkSession.sessionState.conf.numShufflePartitions, "rn__")
-    val probes = ring
+    // ring size for the wrap — max(rn__) over the persisted ring is a
+    // tiny aggregate broadcast as a guarantee scalar (the in-repo
+    // pattern for plan-time-unknown bounds)
+    val ringSize = ring.agg(max(col("rn__")).as("n__"))
+    val probes = ring.crossJoin(broadcast(ringSize))
       .withColumn("off__", explode(sequence(lit(1L), lit(ringWidth.toLong))))
-      .select((col("rn__") + col("off__")).as("rn__"),
+      .select((pmod(col("rn__") + col("off__") - 1L, col("n__")) + 1L)
+          .as("rn__"),
         col("id__").as("src__"), col("off__"))
     val cands = ring.join(probes, "rn__")
+      .filter(col("src__") =!= col("id__"))
       .select(least(col("src__"), col("id__")).as("id_a"),
         greatest(col("src__"), col("id__")).as("id_b"),
         col("src__"), col("off__").as("ring_dist"))

@@ -223,15 +223,25 @@ object Profile {
       .agg(count(lit(1)).as("n_left"))
     val rc = right.groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("n_right"))
+    // SATURATING long surface (r11 advice): the non-ANSI decimal->long
+    // cast yields NULL on overflow, which would under-report exactly
+    // the exploding-key incident this operator exists to catch — so
+    // the decimal products/sums clamp at Long.MaxValue instead. Exact
+    // whenever the estimate fits a long; a saturated 2^63-1 still
+    // screams "do not run this join".
+    val longMax = lit(Long.MaxValue).cast(dec)
     val j = graft.Caches.register(lc.join(rc, "key")
-      .withColumn("n_out",
-        (col("n_left").cast(dec) * col("n_right")).cast("long"))
+      .withColumn("n_out__", col("n_left").cast(dec) * col("n_right"))
+      .withColumn("n_out", least(col("n_out__"), longMax).cast("long"))
       .persist())
     val totals = j.agg(
-      coalesce(sum(col("n_out")), lit(0L)).cast("long")
-        .as("est_total_rows"),
+      least(coalesce(sum(col("n_out__")), lit(0L).cast(dec)), longMax)
+        .cast("long").as("est_total_rows"),
       count(lit(1)).as("n_matched_keys"))
-    j.orderBy(col("n_out").desc, col("key").asc).limit(topK)
+    // top-k orders on the UNSATURATED decimal product (two saturated
+    // keys would tie at 2^63-1; the true fanout order still ranks them)
+    j.orderBy(col("n_out__").desc, col("key").asc).limit(topK)
+      .drop("n_out__")
       .crossJoin(broadcast(totals))
   }
 

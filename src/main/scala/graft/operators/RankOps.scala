@@ -83,8 +83,19 @@ object RankOps {
     * Compiles to TakeOrderedAndProject: per-partition heap + driver merge,
     * no global sort. */
   def topK(df: DataFrame, k: Int, value: Column, tieBreak: Column,
-      ascending: Boolean = false): DataFrame = {
+      ascending: Boolean = false): DataFrame =
+    topKMulti(df, k, value, Seq(tieBreak), ascending)
+
+  /** [[topK]] with a COMPOSITE tie-break — for callers whose natural
+    * uniqueness key is a tuple (e.g. a bigram (w1, w2)). A concatenated
+    * single-column tie-break is NOT equivalent: tuple order and
+    * joined-string order diverge when values contain characters below
+    * the join separator ('a' < 'ab' as a tuple, but with a space
+    * separator 'a ...' > 'ab ...' concatenated — r11 advice), so
+    * engines must tie-break on the same STRUCTURAL key. */
+  def topKMulti(df: DataFrame, k: Int, value: Column,
+      tieBreaks: Seq[Column], ascending: Boolean = false): DataFrame = {
     val ord = if (ascending) value.asc_nulls_last else value.desc_nulls_last
-    df.orderBy(ord, tieBreak.asc).limit(k)
+    df.orderBy(ord +: tieBreaks.map(_.asc): _*).limit(k)
   }
 }

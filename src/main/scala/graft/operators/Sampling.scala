@@ -238,14 +238,20 @@ object Sampling {
     *
     * Contract: `keyCol` must be unique — (md5(key), key) is the total
     * order the cumulative line needs; duplicate keys would make the
-    * per-row attribution of picks partitioning-dependent. */
+    * per-row attribution of picks partitioning-dependent. Weights must
+    * be NON-NEGATIVE: a negative weight would make the cumulative line
+    * non-monotone and break the floor-division pick identity (n_picks
+    * per row >= 0, exactly n picks total), so NULL and negative
+    * weights are both clamped to 0 (r11 advice) — such rows can never
+    * be picked but keep the line monotone. */
   def systematicWeighted(df: DataFrame, keyCol: String,
       weightCol: String, n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
     val dec = "decimal(38,0)"
     val base = df.filter(col(keyCol).isNotNull)
       .select(col(keyCol),
-        coalesce(col(weightCol).cast("long"), lit(0L)).as("weight"),
+        greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L))
+          .as("weight"),
         md5(col(keyCol).cast("string")).as("h__"))
     val (cum, total) = BudgetSelect.runningTotal(base, col("weight"),
       Seq(col("h__"), col(keyCol)), "cum_w")

@@ -376,10 +376,12 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"), col("c_w1"),
         col("c_w2"), lift.as("lift_e6"))
-    // w1/w2 are split on space, so the joined form is a unique
-    // tie-break: the k boundary is a total order in both engines.
-    RankOps.topK(scored, topK, col("lift_e6"),
-      concat_ws(" ", col("w1"), col("w2")))
+    // tie-break on the STRUCTURAL (w1, w2) tuple — the q125 oracle
+    // orders by (w1, w2), and a concatenated key diverges from tuple
+    // order when tokens carry sub-space control characters (r11
+    // advice), so both engines break the k boundary identically
+    RankOps.topKMulti(scored, topK, col("lift_e6"),
+      Seq(col("w1"), col("w2")))
   }
 
   /** Vocabulary coverage curve — what fraction of corpus tokens the
@@ -433,25 +435,26 @@ object TextAnalysis {
     * groupBy, one join-back for empty docs. */
   def compressibility(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val per = df
-      .select(col(idCol), col(textCol).as("t__"))
-      .filter(length(col("t__")) > 0)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col("t__")))).as("i__"),
-        col("t__"))
-      .select(col(idCol),
-        when(col("i__") > 1 &&
-          col("t__").substr(col("i__"), lit(1)) =!=
-            col("t__").substr(col("i__") - 1, lit(1)), 1L)
-          .otherwise(0L).as("tr__"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chars_obs"),
-        (sum(col("tr__")) + 1L).as("rle_len"))
-    df.select(col(idCol))
-      .join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_chars_obs"), lit(0L)).as("n_chars_obs"),
-        coalesce(col("rle_len"), lit(0L)).as("rle_len"))
+    // ONE codegen'd pass (r11 advice): the RLE length is
+    // length(regexp_replace(text, '(?s)(.)\1+', '$1')) — each run of
+    // equal code points collapses to its first character, so the
+    // remaining length is exactly 1 + (number of adjacent-unequal
+    // transitions), the same value the previous per-character
+    // explode→shuffle→aggregate computed by moving one row PER
+    // CHARACTER through an aggregation (~1000x the corpus row count
+    // at 100 TB, for a per-doc scalar). (?s) makes '.' cross
+    // newlines; Java regex matches by code point, so surrogate pairs
+    // collapse like any other character — matching substr semantics.
+    // The DuckDB oracle keeps its per-position compare: RE2 has no
+    // backreferences, and oracle cost at gate scale is irrelevant.
+    df.select(col(idCol),
+        coalesce(length(col(textCol)).cast("long"), lit(0L))
+          .as("n_chars_obs"),
+        coalesce(
+          when(length(col(textCol)) > 0,
+            length(regexp_replace(col(textCol), "(?s)(.)\\1+", "$1"))
+              .cast("long")),
+          lit(0L)).as("rle_len"))
       .withColumn("rle_ratio_e4",
         graft.functions.ExactRound.ratioScaled(col("rle_len"),
           col("n_chars_obs"), 4))
