@@ -22,6 +22,21 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The GRAPH-FEEDING near-dup pair generator: banded-hyperplane LSH
+    * (candidates from bucket co-membership, exact cosine verify on
+    * candidates only — never all pairs), in the one fixed
+    * configuration the [[lshPairCtes]] oracle mirrors bit for bit.
+    * Every declared query that consumes a near-dup graph (components,
+    * representatives, splits, label propagation, negative sampling)
+    * routes through here (r12); the O(n²·d) exact kernel remains only
+    * in the q29/q40 audit surfaces and the guarantee gates that
+    * measure LSH recall against it. */
+  private def lshNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold, baseBits = lshBaseBits,
+      bands = lshBands, bitsPerBand = lshBitsPerBand)
+
   /** The corpus-wide MinHash index over `documents`, staged to a local
     * parquet store keyed by the source file's stamp (name+size+mtime —
     * testdata regenerates between rounds, so path alone would go stale)
@@ -813,8 +828,7 @@ object SparkEntry {
     // the train→eval contamination a per-doc hash split cannot see
     "q110_split_leakage" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
-        "vec_id", "embedding", threshold = 0.45)
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.45)
       val splits = Sampling.splitByHash(emb.select(col("vec_id")),
         "vec_id", weights = Seq(200, 32, 24),
         labels = Seq("train", "val", "test"))
@@ -882,8 +896,7 @@ object SparkEntry {
     // component representative, so a whole cluster lands on one side
     "q118_cluster_split" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
-        "vec_id", "embedding", threshold = 0.45)
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.45)
       Sampling.clusterAwareSplit(emb.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b", weights = Seq(200, 32, 24),
         labels = Seq("train", "val", "test"))
@@ -1091,8 +1104,7 @@ object SparkEntry {
     // per node (the negative half of link-prediction training data)
     "q138_negative_edges" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val edges = SimilaritySearch.embeddingNearDupExact(emb,
-        "vec_id", "embedding", threshold = 0.45)
+      val edges = lshNearDupPairs(s, dir, threshold = 0.45)
         .select(col("id_a"), col("id_b"))
       NegativeSampling.negativeEdges(emb.select(col("vec_id")),
         "vec_id", edges, "id_a", "id_b", ringWidth = 3, perNode = 2)
@@ -1306,11 +1318,16 @@ object SparkEntry {
     // representatives drawn in proportion to the mass (cluster size)
     // they stand for: q47's components feeding q128's deterministic
     // weighted draw
+    // Candidate pairs from the banded-LSH path with the mirrored
+    // oracle (r12) — see q117; the exact kernel stays in its q29/q40
+    // audit role only.
     "q161_cluster_weighted_sample" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val cc = Dedup.connectedComponents(
-        SimilaritySearch.embeddingNearDupExact(emb, "vec_id",
-          "embedding", threshold = 0.45).select(col("id_a"), col("id_b")),
+        SimilaritySearch.embeddingNearDup(emb, "vec_id",
+          "embedding", threshold = 0.45, baseBits = lshBaseBits,
+          bands = lshBands, bitsPerBand = lshBitsPerBand)
+          .select(col("id_a"), col("id_b")),
         "id_a", "id_b")
       val sizes = emb.select(col("vec_id"))
         .join(cc, col("vec_id") === col("node"), "left")
@@ -1397,6 +1414,75 @@ object SparkEntry {
       Profile.joinFanout(li, "l_partkey", li, "l_partkey", topK = 10)
     }),
 
+    // ---- streaming: WATERMARK SEMANTICS under deliberately late data
+    // (§2.9 — the one behavior a batch-shaped spec fixture can pass
+    // vacuously, now oracle-gated through the q77/q78 file-stream
+    // harness). Feed order: on-time first half, on-time second half,
+    // then a 10%-of-events LATE file spanning the whole time range,
+    // then two far-future watermark-advancer sentinels. The watermark
+    // (30 min) is ~mid-hour when the late file arrives, so late rows
+    // split three ways: already-emitted window -> dropped, open window
+    // -> merged, last-30-min window -> merged; the batch oracle
+    // recomputes the per-batch watermark line and the admission rule
+    // (window end > watermark at the late batch) from the same
+    // deterministic batch assignment. Two sentinels 7200/7800 s past
+    // the real max guarantee every REAL window's end sits strictly
+    // below the watermark while a data batch is still running — no
+    // reliance on a post-final-file flush — and the sentinels' own
+    // windows sit strictly above every watermark ever computed, so
+    // they never leak into the gate.
+    "q169_watermark_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
+          round(col("value") * 100, 0).cast("long").as("v"),
+          col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("win_start", "event_type", "n_events", "value_sum")
+      } else {
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      val batched = ev.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === 0, lit(2))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 2L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("event_type"), col("tsSec"), col("v"), col("b"))
+        .unionByName(
+          rng.select(lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7200L).as("tsSec"), lit(0L).as("v"),
+              lit(3).cast("int").as("b"))
+            .unionByName(rng.select(
+              lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7800L).as("tsSec"), lit(0L).as("v"),
+              lit(4).cast("int").as("b"))))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q169-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream
+        .schema("event_type STRING, tsSec LONG, v LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val agg = graft.streaming.Streams.windowedAgg(src, "ts",
+        windowLen = "1 hour", watermark = "30 minutes",
+        keyCols = Seq("event_type"), valueCol = "v")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q169-out").toString
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$outDir/wins")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/wins")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_events"), col("value_sum"))
+      }
+    }),
+
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
     // attribution (the corpus-version regression detector)
@@ -1412,11 +1498,18 @@ object SparkEntry {
     // ---- semi-supervised: clamped-seed label propagation over the
     // embedding near-dup graph — every 4th vector keeps its label as
     // the seed; two deterministic argmax rounds (votes desc, label
-    // asc) spread labels across near-copy neighborhoods
+    // asc) spread labels across near-copy neighborhoods. Candidate
+    // edges come from the banded-LSH path (r12: the exact O(n²)
+    // kernel leaves the declared surface; it remains only in the
+    // q29/q40 audit role) — the oracle MIRRORS the LSH buckets via
+    // the inlined plane masks, so the graph is hash-gated end to end
+    // with no quadratic lineage on either engine.
     "q117_label_propagation" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
-        "vec_id", "embedding", threshold = 0.3)
+      val pairs = SimilaritySearch.embeddingNearDup(emb,
+        "vec_id", "embedding", threshold = 0.3,
+        baseBits = lshBaseBits, bands = lshBands,
+        bitsPerBand = lshBitsPerBand)
         .select(col("id_a"), col("id_b"))
       val nodes = emb.select(col("vec_id"),
         when(pmod(col("vec_id"), lit(4)) === 0,
@@ -1571,12 +1664,12 @@ object SparkEntry {
     }),
 
     // ---- dedup: transitive near-dup clustering — connected components
-    // (min-id label) over the exact pair list; pair lists say who matches
-    // whom, dropping duplicates needs the transitive grouping
+    // (min-id label) over the LSH near-dup pair list (r12: mirrored
+    // oracle, no quadratic kernel); pair lists say who matches whom,
+    // dropping duplicates needs the transitive grouping
     "q47_neardup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
-        SimilaritySearch.embeddingNearDupExact(T(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.45),
+        lshNearDupPairs(s, dir, threshold = 0.45),
         "id_a", "id_b")),
 
     // ---- dedup: keep ONE representative (min id) per near-dup cluster;
@@ -1584,8 +1677,7 @@ object SparkEntry {
     "q48_dedup_representatives" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Dedup.keepRepresentatives(emb.select(col("vec_id")), "vec_id",
-        SimilaritySearch.embeddingNearDupExact(emb,
-          "vec_id", "embedding", threshold = 0.45),
+        lshNearDupPairs(s, dir, threshold = 0.45),
         "id_a", "id_b")
     }),
 
@@ -1602,8 +1694,7 @@ object SparkEntry {
       val scored = sig.select(col("doc_id").as("vec_id"),
         graft.functions.ExactRound.ratioScaled(num, den, 4)
           .as("quality_e4"))
-      val pairs = SimilaritySearch.embeddingNearDupExact(emb,
-        "vec_id", "embedding", threshold = 0.45)
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.45)
       Dedup.keepBestRepresentatives(
         emb.select(col("vec_id")).join(scored, "vec_id"),
         "vec_id", "quality_e4", pairs, "id_a", "id_b")
@@ -2000,17 +2091,25 @@ object SparkEntry {
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("user_id", "session_start", "session_end", "n_events")
       } else {
-      val maxTs = ev.agg(max(col("tsSec")).as("mx"))
+      val maxTs = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
       val sentinel = ev.select(col("userId")).distinct()
         .crossJoin(broadcast(maxTs))
         .select(col("userId"), (col("mx") + 1801L).as("tsSec"))
-      val batched = {
-        import org.apache.spark.sql.expressions.Window
-        ev.withColumn("b", (ntile(4).over(
-            Window.orderBy(col("tsSec"), col("userId"))) - 1).cast("int"))
-          .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
-          .withColumn("value", lit(0.0))
-      }
+      // Batch membership by VALUE slice of the event-time range —
+      // floor((ts-mn)·4 / span) ∈ [0,3] from two broadcast scalars
+      // (r12: the previous ntile over a global unpartitioned window
+      // sorted the whole table in ONE task; slicing by value keeps
+      // batches time-ordered — b is monotone in ts, so cross-batch
+      // state order is preserved and equal timestamps never split —
+      // with no global sort anywhere in the stager)
+      val batched = ev.crossJoin(broadcast(maxTs))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("userId"), col("tsSec"), col("b"))
+        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
+        .withColumn("value", lit(0.0))
       val feedDir = java.nio.file.Files
         .createTempDirectory("graft-q78-feed").toString
       graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
@@ -2322,6 +2421,79 @@ object SparkEntry {
       |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45),
       |e AS (SELECT id_a AS a, id_b AS b FROM p
       |  UNION SELECT id_b, id_a FROM p)""".stripMargin
+
+  // ==== mirrored banded-hyperplane LSH (the graph-feeding config) ======
+  // One fixed (baseBits, bands, bitsPerBand) configuration for every
+  // query that CONSUMES a near-dup graph (q117 label propagation, q161
+  // cluster-weighted sampling, ...). Unlike q30's guarantee gate —
+  // which measures LSH recall AGAINST the exact kernel and so must run
+  // the O(n²) kernel as its audit — these gates mirror the LSH
+  // candidate generation ITSELF in the oracle: the ±1 plane signs and
+  // per-band bit selections are deterministic engine data
+  // (HyperplaneBandKeys.planeMasks / bandSelections), inlined below as
+  // literals, so DuckDB rebuilds the SAME buckets, the SAME candidate
+  // pairs, and the SAME cosine-verified edge set — the LSH path is
+  // hash-gated cross-engine with NO quadratic kernel anywhere in the
+  // lineage. r = 12 / b = 96 is the dense-graph trade for the
+  // testdata's sharp 0.3-0.45 thresholds (2^12 buckets per band keeps
+  // random collisions at the birthday floor b/2^(r+1) ≈ 1.2% per
+  // pair); at corpus scale r grows with log(n) — the operator's knob,
+  // not a code change.
+  private val lshDim = 64
+  private val lshBaseBits = 512
+  private val lshBands = 96
+  private val lshBitsPerBand = 12
+
+  private lazy val lshPlaneValues: String =
+    graft.expressions.HyperplaneBandKeys.planeMasks(lshBaseBits, lshDim)
+      .zipWithIndex.map { case (m, j) => s"($j,$m)" }.mkString(",")
+
+  private lazy val lshSelValues: String =
+    graft.expressions.HyperplaneBandKeys
+      .bandSelections(lshBands, lshBitsPerBand, lshBaseBits)
+      .zipWithIndex.flatMap { case (bits, band) =>
+        bits.zipWithIndex.map { case (bitJ, slot) => s"($band,$slot,$bitJ)" }
+      }.mkString(",")
+
+  /** CTE chain ending in near-dup pairs `p(id_a, id_b)` and the
+    * undirected edge list `e(a, b)` — the mirrored-LSH twin of
+    * [[embPairCtes]]: bucket keys from the inlined plane masks + band
+    * selections, candidate pairs from bucket co-membership, then the
+    * exact cosine verify ON CANDIDATES ONLY (never all pairs). The
+    * `(mask >> (i-1)) & 1` unpack reads plane sign j,i exactly as the
+    * engine's boolean matrix; `>= 0` on the signed projection matches
+    * HyperplaneBandKeys bit for bit. */
+  private def lshPairCtes(threshold: String): String =
+    s"""lsh_planes AS (SELECT j, CAST(mask AS BIGINT) AS mask
+       |  FROM (VALUES $lshPlaneValues) t(j, mask)),
+       |lsh_sel AS (SELECT band, slot, bitj
+       |  FROM (VALUES $lshSelValues) t(band, slot, bitj)),
+       |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |nm AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
+       |lsh_bits AS (SELECT e.vec_id, p.j,
+       |    sum(CASE WHEN ((p.mask >> (e.i - 1)) & 1) = 1
+       |      THEN e.x ELSE -e.x END) >= 0 AS sbit
+       |  FROM ex e JOIN lsh_planes p ON e.i <= $lshDim GROUP BY 1, 2),
+       |lsh_keys AS (SELECT b.vec_id, s.band,
+       |    sum(CASE WHEN b.sbit THEN CAST(1 AS BIGINT) << s.slot
+       |      ELSE 0 END) AS bkey
+       |  FROM lsh_bits b JOIN lsh_sel s ON s.bitj = b.j GROUP BY 1, 2),
+       |lsh_cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM lsh_keys a JOIN lsh_keys b ON b.band = a.band
+       |    AND b.bkey = a.bkey AND b.vec_id > a.vec_id
+       |  GROUP BY 1, 2),
+       |lsh_dot AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+       |  FROM lsh_cand c JOIN ex ea ON ea.vec_id = c.id_a
+       |    JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+       |  GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b,
+       |    round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
+       |  FROM lsh_dot
+       |  JOIN nm na ON na.vec_id = id_a JOIN nm nb ON nb.vec_id = id_b
+       |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= $threshold),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p)""".stripMargin
 
   /** Distinct 5-gram list comprehension over a words array `ws` —
     * mirrors Dedup.explodedShingles(n = 5) for the q51 oracle. */
@@ -3590,31 +3762,23 @@ object SparkEntry {
          |FROM w""".stripMargin
     },
 
-    // q117: the exact pair CTE at threshold 0.3 + two unrolled LPA
-    // rounds with the engine's exact argmax tie order (votes desc,
-    // label asc); seeds clamped via coalesce
+    // q117: the MIRRORED-LSH pair chain at threshold 0.3 (r12 — the
+    // exact all-pairs CTE is gone from this oracle, matching the
+    // engine's move off the O(n²) kernel) + two unrolled LPA rounds
+    // with the engine's exact argmax tie order (votes desc, label
+    // asc); seeds clamped via coalesce
     "q117_label_propagation" -> {
       def round_(k: Int) =
-        s"""v$k AS (SELECT e.src, l.label AS nl, count(*) AS v
-           |  FROM e JOIN l${k - 1} l ON l.node = e.dst
+        s"""v$k AS (SELECT eb.src, l.label AS nl, count(*) AS v
+           |  FROM eb JOIN l${k - 1} l ON l.node = eb.dst
            |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
            |b$k AS (SELECT src AS node, nl AS best FROM (
            |    SELECT src, nl, row_number() OVER (PARTITION BY src
            |      ORDER BY v DESC, nl ASC) AS rn FROM v$k) WHERE rn = 1),
            |l$k AS (SELECT s.node, coalesce(s.seed, b$k.best) AS label
            |  FROM seeds s LEFT JOIN b$k USING (node))""".stripMargin
-      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-         |n AS (SELECT vec_id, sum(x * x) AS nn FROM ex GROUP BY 1),
-         |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    sum(a.x * b.x) AS dot
-         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2),
-         |p AS (SELECT id_a, id_b FROM d
-         |  JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-         |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.3),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p),
+      s"""WITH ${lshPairCtes("0.3")},
+         |eb AS (SELECT a AS src, b AS dst FROM e),
          |seeds AS (SELECT vec_id AS node,
          |    CASE WHEN vec_id % 4 = 0 THEN CAST(label AS BIGINT) END AS seed
          |  FROM embeddings),
@@ -4032,7 +4196,7 @@ object SparkEntry {
     // successor rank modulo n, so tail nodes probe the ring head and
     // every node emits exactly ringWidth candidates), anti-join, keep-2
     "q138_negative_edges" ->
-      s"""WITH $embPairCtes,
+      s"""WITH ${lshPairCtes("0.45")},
          |ring AS (SELECT vec_id AS id,
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
          |      vec_id) AS rn
@@ -4412,10 +4576,11 @@ object SparkEntry {
          |SELECT cnt AS c, count(*) AS n_types FROM cc GROUP BY 1"""
         .stripMargin,
 
-    // q161: q118's recursive components -> cluster sizes -> q128's
+    // q161: recursive components over the MIRRORED-LSH edge set (r12;
+    // formerly the exact-pair CTE) -> cluster sizes -> q128's
     // cumulative-weight stride draw over representatives
     "q161_cluster_weighted_sample" ->
-      s"""WITH RECURSIVE $embPairCtes,
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
          |cl(node, r) AS (SELECT a, b FROM e
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
          |cc AS (SELECT node, least(node, min(r)) AS component
@@ -4560,6 +4725,42 @@ object SparkEntry {
         |  t.est_total_rows, t.n_matched_keys
         |FROM j, t ORDER BY raw_out DESC, key ASC LIMIT 10""".stripMargin,
 
+    // q169: the BATCH recomputation of the watermark run — the same
+    // deterministic batch assignment (on-time halves by value slice,
+    // late = eid % 10), then the admission rule a late row actually
+    // faces in Spark's micro-batch model, pinned empirically against
+    // the engine run and encoding BOTH subtleties:
+    //  (1) late-input filtering uses the PREVIOUS batch's watermark —
+    //      each batch filters input with the watermark computed before
+    //      the prior batch ran, and only state eviction/emission uses
+    //      the freshly-advanced one — so the late batch (3rd file)
+    //      filters against max(batch 0) − 1800, NOT max(batches 0∪1);
+    //  (2) the filter tests the row's WINDOW END, not its raw event
+    //      time: a row in a still-open window is mergeable even when
+    //      the row itself is older than the watermark.
+    // Sentinels never appear here (they are harness rows, not
+    // events), mirroring the engine gate's guarantee that their
+    // windows never emit.
+    "q169_watermark_window" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000000000 AS tsec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    event_id AS eid
+        |  FROM events),
+        |rng AS (SELECT min(tsec) AS mn, max(tsec) AS mx FROM ev
+        |  WHERE eid % 10 <> 0),
+        |b AS (SELECT event_type, tsec, v,
+        |    CASE WHEN eid % 10 = 0 THEN 2
+        |         ELSE (tsec - mn) * 2 // (mx - mn + 1) END AS bb
+        |  FROM ev, rng),
+        |w AS (SELECT max(tsec) - 1800 AS wl FROM b WHERE bb = 0),
+        |kept AS (SELECT event_type, tsec, v FROM b, w
+        |  WHERE bb IN (0, 1)
+        |     OR (tsec // 3600) * 3600 + 3600 > wl)
+        |SELECT (tsec // 3600) * 3600 AS win_start, event_type,
+        |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
+        |FROM kept GROUP BY 1, 2""".stripMargin,
+
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)
     "q156_datacard_diff" -> {
@@ -4638,7 +4839,7 @@ object SparkEntry {
     // q118: q47's recursive components; rep = coalesce(component,
     // self); the q50 split CASE keyed on the representative
     "q118_cluster_split" ->
-      s"""WITH RECURSIVE $embPairCtes,
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
          |cl(node, r) AS (SELECT a, b FROM e
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
          |cc AS (SELECT node, least(node, min(r)) AS component
@@ -4654,8 +4855,9 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM rep""".stripMargin,
 
-    // q110: the exact pair surface (q29's SQL) joined to the q50 split
-    // CASE on both endpoints, cross-split rows only
+    // q110: the MIRRORED-LSH pair surface (r12; formerly q29's exact
+    // SQL) joined to the q50 split CASE on both endpoints,
+    // cross-split rows only
     "q110_split_leakage" -> {
       val splitCase =
         """CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'c8'
@@ -4663,7 +4865,7 @@ object SparkEntry {
           |     WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e8'
           |       THEN 'val'
           |     ELSE 'test' END""".stripMargin
-      s"""WITH p AS (${embPairsSql()}),
+      s"""WITH ${lshPairCtes("0.45")},
          |s AS (SELECT vec_id, $splitCase AS split FROM embeddings)
          |SELECT p.id_a, p.id_b, p.cosine,
          |  sa.split AS split_a, sb.split AS split_b
@@ -4804,19 +5006,19 @@ object SparkEntry {
 
     "q29_embedding_neardup" -> embPairsSql(),
 
-    // Transitive closure by recursive CTE over the exact near-dup pair
-    // list (same pair SQL as q29 minus the cosine), then component =
-    // min reachable id — the declarative twin of the engine's
-    // path-halving label propagation.
+    // Transitive closure by recursive CTE over the MIRRORED-LSH
+    // near-dup pair list (r12; formerly the exact-pair CTE), then
+    // component = min reachable id — the declarative twin of the
+    // engine's path-halving label propagation.
     "q47_neardup_components" ->
-      s"""WITH RECURSIVE $embPairCtes,
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
          |cl(node, r) AS (SELECT a, b FROM e
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a)
          |SELECT node, least(node, min(r)) AS component
          |FROM cl GROUP BY node""".stripMargin,
 
     "q48_dedup_representatives" ->
-      s"""WITH RECURSIVE $embPairCtes,
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
          |cl(node, r) AS (SELECT a, b FROM e
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
          |cc AS (SELECT node, least(node, min(r)) AS component
@@ -4827,7 +5029,7 @@ object SparkEntry {
     // q86: q47's recursive components + the q18 rational as scaled
     // integer + one per-component argmax window (quality desc, id asc)
     "q86_dedup_keep_best" ->
-      s"""WITH RECURSIVE $embPairCtes,
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
          |cl(node, r) AS (SELECT a, b FROM e
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
          |cc AS (SELECT node, least(node, min(r)) AS component

@@ -50,19 +50,14 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, baseBits: Int,
   /** planes(j)(i) == true -> +x, false -> -x (same scheme as
     * HyperplaneSignature so both operators share one bit definition). */
   @transient private lazy val planes: Array[Array[Boolean]] =
-    Array.tabulate(baseBits, dim)((j, i) =>
-      (scala.util.hashing.MurmurHash3.productHash((j, i)) & 1) == 1)
+    HyperplaneBandKeys.planes(baseBits, dim)
 
   /** sel(b) = the base-bit indices band b gathers: first `bitsPerBand`
     * of a deterministic Fisher–Yates shuffle of 0..baseBits-1 seeded by
     * the band index (without replacement ⇒ every band has exactly r
     * independent bits). */
   @transient private lazy val sel: Array[Array[Int]] =
-    Array.tabulate(bands) { b =>
-      val rnd = new scala.util.Random(
-        scala.util.hashing.MurmurHash3.productHash(("band-sel", b)))
-      rnd.shuffle((0 until baseBits).toVector).take(bitsPerBand).toArray
-    }
+    HyperplaneBandKeys.bandSelections(bands, bitsPerBand, baseBits)
 
   private def computeKeys(ad: ArrayData): Array[Long] = {
     val n = math.min(ad.numElements(), dim)
@@ -154,4 +149,35 @@ object HyperplaneBandKeys {
       bitsPerBand: Int): Column =
     GraftSqlBridge.column(new HyperplaneBandKeys(
       GraftSqlBridge.expression(vec), dim, baseBits, bands, bitsPerBand))
+
+  /** The ONE plane derivation (shared by the expression instance and
+    * any oracle that mirrors it): planes(j)(i) == true -> +x. */
+  def planes(baseBits: Int, dim: Int): Array[Array[Boolean]] =
+    Array.tabulate(baseBits, dim)((j, i) =>
+      (scala.util.hashing.MurmurHash3.productHash((j, i)) & 1) == 1)
+
+  /** The ONE band-selection derivation: sel(b) = first `bitsPerBand`
+    * indices of the Fisher-Yates shuffle of 0..baseBits-1 seeded by b. */
+  def bandSelections(bands: Int, bitsPerBand: Int,
+      baseBits: Int): Array[Array[Int]] =
+    Array.tabulate(bands) { b =>
+      val rnd = new scala.util.Random(
+        scala.util.hashing.MurmurHash3.productHash(("band-sel", b)))
+      rnd.shuffle((0 until baseBits).toVector).take(bitsPerBand).toArray
+    }
+
+  /** Plane sign rows packed as ONE long per plane (dim <= 64: bit i of
+    * masks(j) set == planes(j)(i) == +x) — the form an external SQL
+    * oracle can inline as literals and unpack with `(mask >> i) & 1`,
+    * making the engine's banded-LSH candidate generation reproducible
+    * OUTSIDE the JVM (Scala MurmurHash3 is not computable in SQL, but
+    * its OUTPUT is just data). */
+  def planeMasks(baseBits: Int, dim: Int): Array[Long] = {
+    require(dim <= 64, s"planeMasks packs one long per plane; dim=$dim")
+    planes(baseBits, dim).map { row =>
+      row.zipWithIndex.foldLeft(0L) { case (m, (b, i)) =>
+        if (b) m | (1L << i) else m
+      }
+    }
+  }
 }

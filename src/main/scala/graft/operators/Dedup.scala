@@ -117,6 +117,23 @@ object Dedup {
     * the candidate-restricted exact verify. */
   def prefixFilteredJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L): DataFrame = {
+    val (cand, sh, sizes) =
+      prefixJaccardInternal(df, idCol, textCol, n, thrNum, thrDen)
+    verifyPairs(cand, sh, sizes, thrNum.toDouble / thrDen)
+  }
+
+  /** The candidate (doc_a, doc_b) surface [[prefixFilteredJaccard]]
+    * hands to its exact verify — exposed so scale probes can measure
+    * the filters' pruning power (candidate volume vs all-pairs)
+    * without paying the verify. */
+  def prefixJaccardCandidates(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, thrNum: Long = 1L,
+      thrDen: Long = 2L): DataFrame =
+    prefixJaccardInternal(df, idCol, textCol, n, thrNum, thrDen)._1
+
+  private def prefixJaccardInternal(df: DataFrame, idCol: String,
+      textCol: String, n: Int, thrNum: Long,
+      thrDen: Long): (DataFrame, DataFrame, DataFrame) = {
     val sh = graft.Caches.register(
       explodedShingles(df, idCol, textCol, n).persist())
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
@@ -155,7 +172,7 @@ object Dedup {
             tn * (col("a.n_sh") + col("b.n_sh")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(cand, sh, sizes, thrNum.toDouble / thrDen)
+    (cand, sh, sizes)
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER

@@ -521,6 +521,68 @@ object ScaleProbe {
         Seq("seg"), col("v"), col("w"))
     }
 
+    // ---- round-12 probes: the two graph composites AS COMPOSED IN
+    // THE GATE (q117/q161) after their move off the exact O(n²)
+    // kernel — candidates from banded-hyperplane LSH. bitsPerBand is
+    // the corpus-size knob (gate uses r=12 for a dense graph over
+    // 500-2,000 vectors; at nDocs = n/10 = 200k, r=16 keeps buckets
+    // near-singleton: expected candidates ≈ b·n²/2^(r+1) — r grows
+    // with log₂(n), never a code change).
+    locally {
+      val allVecPairs = nDocs * (nDocs - 1) / 2
+      val bandKeys = graft.expressions.HyperplaneBandKeys(
+        col("embedding"), dim, 512, 96, 16)
+      val buckets = labeledVecs
+        .select(explode(bandKeys).as("pkey"))
+        .groupBy(col("pkey")).agg(count(lit(1)).as("s"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
+          sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
+        .collect()(0)
+      emit(s"""{"probe":"lsh_neardup_candidates","rows":$nDocs,""" +
+        s""""n_buckets":${buckets.getLong(0)},""" +
+        s""""max_bucket":${buckets.getLong(1)},""" +
+        s""""candidate_pairs":${buckets.getLong(2)},""" +
+        s""""all_pairs":$allVecPairs,""" +
+        s""""sub_quadratic":${buckets.getLong(2) * 100 < allVecPairs}}""")
+    }
+    time("label_propagation_lsh") {
+      val pairs = graft.operators.SimilaritySearch.embeddingNearDup(
+        labeledVecs, "vec_id", "embedding", threshold = 0.3,
+        baseBits = 512, bands = 96, bitsPerBand = 16)
+        .select(col("id_a"), col("id_b"))
+      val nodes = labeledVecs.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(4)) === 0,
+          col("label").cast("long")).as("label"))
+      graft.operators.LabelProp.propagate(nodes, "vec_id", "label",
+        pairs, "id_a", "id_b", iterations = 2)
+    }
+    time("cluster_weighted_sample_lsh") {
+      val pairs = graft.operators.SimilaritySearch.embeddingNearDup(
+        labeledVecs, "vec_id", "embedding", threshold = 0.45,
+        baseBits = 512, bands = 96, bitsPerBand = 16)
+        .select(col("id_a"), col("id_b"))
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      val sizes = labeledVecs.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("rep"))
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+      Sampling.systematicWeighted(sizes, "rep", "cluster_size", n = 100)
+    }
+    // PPJoin filter pruning power (r12: length + positional filters
+    // joined the prefix filter): candidate volume the exact verify
+    // actually touches, against the all-pairs bound
+    locally {
+      val allDocPairs = nDocs * (nDocs - 1) / 2
+      val cand = graft.operators.Dedup.prefixJaccardCandidates(
+        diverseDocs, "doc_id", "text", n = 3, thrNum = 1L, thrDen = 2L)
+        .count()
+      emit(s"""{"probe":"jaccard_prefix_candidates","rows":$nDocs,""" +
+        s""""candidate_pairs":$cand,"all_pairs":$allDocPairs,""" +
+        s""""sub_quadratic":${cand * 100 < allDocPairs}}""")
+      spark.catalog.clearCache()
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))
