@@ -788,6 +788,27 @@ object SparkEntry {
           (col("n_overlap") >= 7).as("recall_ok"))
     }),
 
+    // ---- similarity: MATRYOSHKA prefix-dim ANN — shortlist on the
+    // first 16 of 64 components (4× cheaper coarse scan, no trained
+    // codebook), exact full-dim re-rank of the 100-shortlist; q26's
+    // gate shape (shortlist 100 of 500 on i.i.d. noise: prefix cosine
+    // is a weak proxy in the hardest regime, so the bar matches
+    // q31's >= 4)
+    "q172_ann_matryoshka" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val mat = SimilaritySearch.matryoshkaTopKRefined(emb,
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        prefixDim = 16, shortlist = 100)
+      val exact = graft.Caches.register(SimilaritySearch.bruteForceTopK(
+        emb, "vec_id", "embedding", queryId = 0L, k = 10).persist())
+      val overlap = exact
+        .join(mat.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      exact.crossJoin(broadcast(overlap))
+        .select(col("vec_id"), col("cosine"),
+          (col("n_overlap") >= 4).as("recall_ok"))
+    }),
+
     // ---- curation: n-gram NOVELTY per doc — the fraction of a doc's
     // grams first seen in that doc (ingestion-order diversity decay;
     // the marginal-contribution score greedy data selection uses)
@@ -1482,6 +1503,46 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("value_sum"))
       }
     }),
+
+    // ---- tokenizer: BPE merge-rule training — the first 3 merges
+    // learned from the corpus word-frequency table (pair counts
+    // weighted by word freq, argmax with (count desc, pair asc) ties,
+    // left-to-right non-overlapping application); the merge table is
+    // the tokenizer artifact a data pipeline trains and ships
+    "q174_bpe_merges" -> ((s, dir) =>
+      BpeTrain.topMerges(T(s, dir, "documents"), "doc_id", "text",
+        rounds = 3)),
+
+    // ---- stats: exact trimmed mean — price cents per return flag
+    // with the top/bottom 10% dropped by rank (the robust location
+    // between mean and median); scalable-rank path, e4-exact
+    "q173_trimmed_mean" -> ((s, dir) =>
+      GroupStats.trimmedMean(T(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        trimNum = 1, trimDen = 10)),
+
+    // ---- eval hygiene: SEMANTIC decontamination — per corpus vector,
+    // max cosine against the (q51-rule md5-prefix) benchmark vector
+    // set + hit count + flag: the paraphrased-leak check n-gram
+    // containment (q51/q61) cannot see; bench side broadcasts, one
+    // corpus scan
+    "q171_semantic_decontam" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val isBench =
+        substring(md5(col("vec_id").cast("string")), 1, 2) < "1a"
+      Decontaminate.semanticReport(emb.filter(!isBench),
+        emb.filter(isBench), "vec_id", "embedding", threshold = 0.3)
+    }),
+
+    // ---- eval: retrieval metrics — hits@10 / first-relevant rank /
+    // MRR / recall@10 / nDCG@10 per query over the embedding corpus,
+    // relevance = label agreement; DCG weights ship as a shared
+    // e9-scaled table so the whole metric surface is integer-exact
+    "q170_retrieval_metrics" -> ((s, dir) =>
+      RetrievalEval.relevanceMetrics(T(s, dir, "embeddings"),
+        "vec_id", "embedding", "label",
+        queryIds = (0L until 8L).toSeq, k = 10)),
 
     // ---- monitoring: data-card DIFF — q83's per-source card on the
     // even-doc half vs the odd-doc half, keyed diff with per-column
@@ -3613,6 +3674,7 @@ object SparkEntry {
     // top-10 surface, recall_ok measured in-engine
     "q105_ann_quantized" -> annTop10Sql(",\n  true AS recall_ok"),
     "q106_ann_pq" -> annTop10Sql(",\n  true AS recall_ok"),
+    "q172_ann_matryoshka" -> annTop10Sql(",\n  true AS recall_ok"),
 
     // q108: the 5 PageRank iterations unrolled as a CTE chain — pure
     // BIGINT arithmetic (e6 mass, // floor division) mirrors
@@ -4760,6 +4822,149 @@ object SparkEntry {
         |SELECT (tsec // 3600) * 3600 AS win_start, event_type,
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q174: the same three BPE rounds unrolled — word-frequency
+    // table, per-round adjacent-pair counts (1-based subscripts,
+    // i/i+1 self-join), the identical argmax tie order, and replace()
+    // (left-to-right non-overlapping in both engines) applying each
+    // adopted merge before the next round counts
+    "q174_bpe_merges" -> {
+      def round_(k: Int) =
+        s"""t$k AS (SELECT w, freq, string_split(s$k.syms, ' ') AS a
+           |  FROM s$k),
+           |u$k AS (SELECT w, freq, generate_subscripts(a, 1) AS i,
+           |    unnest(a) AS s FROM t$k),
+           |p$k AS (SELECT x.s AS l, y.s AS r,
+           |    CAST(sum(x.freq) AS BIGINT) AS cnt
+           |  FROM u$k x JOIN u$k y ON y.w = x.w AND y.i = x.i + 1
+           |  GROUP BY 1, 2),
+           |m$k AS (SELECT l, r, cnt FROM p$k
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s${k + 1} AS (SELECT s$k.w, s$k.freq,
+           |    replace(s$k.syms, m$k.l || ' ' || m$k.r, m$k.l || m$k.r)
+           |      AS syms
+           |  FROM s$k, m$k)""".stripMargin
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |s1 AS (SELECT w, freq,
+         |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+         |  FROM wf),
+         |${round_(1)},
+         |${round_(2)},
+         |${round_(3)}
+         |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS left_sym,
+         |  r AS right_sym, l || r AS merged, cnt AS pair_count FROM m1
+         |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM m2
+         |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM m3"""
+        .stripMargin
+    },
+
+    // q173: identical rank/trim arithmetic ((n·1)//10 floor cut on
+    // both engines — positives, so div == //), identical rounding
+    // identity for the mean
+    "q173_trimmed_mean" ->
+      s"""WITH v AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS u
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, u,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM v),
+         |k AS (SELECT * FROM r
+         |  WHERE rn > (n * 1) // 10 AND rn <= n - (n * 1) // 10)
+         |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_total,
+         |  count(*) AS n_kept,
+         |  CAST(sum(u) AS BIGINT) AS sum_kept_units,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(u)", "count(*)", 4)} AS trimmed_mean_e4
+         |FROM k GROUP BY 1""".stripMargin,
+
+    // q171: same md5-prefix bench split, exact cosine of every
+    // (corpus, bench) pair, max/count/flag with the threshold on the
+    // UNROUNDED cosine exactly as the engine computes it
+    "q171_semantic_decontam" ->
+      """WITH bench AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'),
+        |corp AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE NOT substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'),
+        |cx AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM corp),
+        |bx AS (SELECT vec_id AS b_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS y FROM bench),
+        |cn AS (SELECT vec_id, sum(x * x) AS nn FROM cx GROUP BY 1),
+        |bn AS (SELECT b_id, sum(y * y) AS nn FROM bx GROUP BY 1),
+        |d AS (SELECT cx.vec_id, bx.b_id, sum(x * y) AS dot
+        |  FROM cx JOIN bx USING (i) GROUP BY 1, 2),
+        |c AS (SELECT d.vec_id,
+        |    dot / (sqrt(cn.nn) * sqrt(bn.nn)) AS cos
+        |  FROM d JOIN cn USING (vec_id) JOIN bn USING (b_id))
+        |SELECT vec_id, max(round(cos, 4)) AS max_cosine,
+        |  CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bench_hits,
+        |  sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q170: q82's exact ranked run (round(cos,6) desc, id tie-break)
+    // + the SAME e9 DCG weight / ideal-prefix tables as VALUES
+    // literals (RetrievalEval.dcgWeightsE9 — one Scala derivation for
+    // both engines) + the identical rounding identity for MRR /
+    // recall / nDCG
+    "q170_retrieval_metrics" -> {
+      val wt = graft.operators.RetrievalEval.dcgWeightsE9(10)
+        .zipWithIndex.map { case (w, i) => s"(${i + 1},$w)" }.mkString(",")
+      val ic = graft.operators.RetrievalEval.idcgPrefixE9(10)
+        .zipWithIndex.map { case (s0, i) => s"(${i + 1},$s0)" }.mkString(",")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    CAST(label AS BIGINT) AS q_lab
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+         |qx AS (SELECT query_id, generate_subscripts(qv, 1) AS i,
+         |    CAST(unnest(qv) AS DOUBLE) AS y FROM q),
+         |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |dots AS (SELECT query_id, vec_id,
+         |    sum(x * y) AS dot, sum(x * x) AS na
+         |  FROM ex JOIN qx USING (i)
+         |  WHERE vec_id <> query_id GROUP BY 1, 2),
+         |nq AS (SELECT query_id, sum(y * y) AS nb FROM qx GROUP BY 1),
+         |r AS (SELECT d.query_id, d.vec_id,
+         |    row_number() OVER (PARTITION BY d.query_id
+         |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+         |        d.vec_id ASC) AS rk
+         |  FROM dots d JOIN nq USING (query_id)),
+         |run AS (SELECT query_id, vec_id, rk FROM r WHERE rk <= 10),
+         |wt AS (SELECT i, w FROM (VALUES $wt) t(i, w)),
+         |icg AS (SELECT n, s FROM (VALUES $ic) t(n, s)),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS c_lab
+         |  FROM embeddings),
+         |labc AS (SELECT CAST(label AS BIGINT) AS q_lab,
+         |    count(*) AS n_lab FROM embeddings GROUP BY 1),
+         |per AS (SELECT run.query_id, q.q_lab,
+         |    CAST(sum(CASE WHEN l.c_lab = q.q_lab THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_rel_at_k,
+         |    CAST(min(CASE WHEN l.c_lab = q.q_lab THEN rk END)
+         |      AS BIGINT) AS first_rel_rank,
+         |    CAST(sum(CASE WHEN l.c_lab = q.q_lab THEN wt.w ELSE 0 END)
+         |      AS BIGINT) AS dcg_e9
+         |  FROM run JOIN q USING (query_id)
+         |    JOIN lab l ON l.vec_id = run.vec_id
+         |    JOIN wt ON wt.i = run.rk
+         |  GROUP BY 1, 2),
+         |fin AS (SELECT per.*,
+         |    greatest(coalesce(n_lab, 1) - 1, 0) AS n_rel_total
+         |  FROM per LEFT JOIN labc USING (q_lab))
+         |SELECT query_id, n_rel_at_k, first_rel_rank,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "1", "first_rel_rank", 6)} AS rr_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "n_rel_at_k", "n_rel_total", 6)} AS recall_e6,
+         |  dcg_e9,
+         |  CASE WHEN n_rel_total > 0 THEN
+         |    ${graft.functions.ExactRound.ratioScaledSql(
+               "dcg_e9", "icg.s", 6)}
+         |  ELSE CAST(0 AS BIGINT) END AS ndcg_e6
+         |FROM fin LEFT JOIN icg ON icg.n = least(n_rel_total, 10)""".stripMargin
+    },
 
     // q156: q83's card per parity half, q119's diff shape keyed on
     // source (flags in the sorted compare-column order)

@@ -156,6 +156,33 @@ object Decontaminate {
     * list against the split table — the quadratic work happened inside
     * the pair kernel, which is exactly where each kernel's own scale
     * story applies. */
+  /** SEMANTIC decontamination report — the embedding-space twin of the
+    * n-gram containment check: per corpus vector, the max cosine
+    * against ANY benchmark vector, the count of benchmark vectors
+    * above `threshold`, and the contamination flag. Catches the
+    * paraphrased eval leak n-gram matching cannot see (SemDeDup-style
+    * motivation, applied to eval hygiene).
+    *
+    * Shape at scale: eval/benchmark sets are SMALL by definition
+    * (thousands), so the bench side broadcasts and the corpus is
+    * scanned ONCE — O(n·|B|·d) fused cosine work inside one codegen'd
+    * stage, a map-side-combinable per-id aggregate, no shuffle of the
+    * corpus beyond it. The threshold compares the UNROUNDED cosine
+    * (the reported max is display-rounded to 4). */
+  def semanticReport(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val b = bench.select(col(vecCol).as("b_vec__"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(b))
+      .withColumn("cos__",
+        graft.functions.VectorFns.cosineNative(col(vecCol), col("b_vec__")))
+      .groupBy(col(idCol))
+      .agg(max(round(col("cos__"), 4)).as("max_cosine"),
+        sum(when(col("cos__") >= threshold, 1L).otherwise(0L))
+          .as("n_bench_hits"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
   def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
       splits: DataFrame, keyCol: String,
       splitCol: String = "split"): DataFrame =

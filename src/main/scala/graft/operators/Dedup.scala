@@ -277,21 +277,27 @@ object Dedup {
     MinHashIndex(sh, sig, bkeys, n, numHashes, bands)
   }
 
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
-    * the inverted index, restricted to candidate docs first. A candidate
-    * pair sharing no shingle simply drops out (jaccard 0 < threshold). */
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs,
+    * restricted to the candidate PAIRS themselves: each pair pulls
+    * doc_a's postings (one equi-join), then keeps exactly the rows
+    * doc_b also holds (one (doc, shingle) equi-join) — work is
+    * Σ|pair| · |doc_a| rows, proportional to what the candidate
+    * filters admitted. (The previous form semi-joined postings to
+    * candidate DOCS and re-ran the posting self-join — when
+    * candidates touch most docs, as q104's 6%-of-all-pairs surface
+    * does, that "verify" silently re-did the full quadratic
+    * co-occurrence expansion the prefix filter exists to avoid —
+    * r12.) A candidate pair sharing no shingle simply drops out
+    * (jaccard 0 < threshold). */
   private def verifyPairs(pairs: DataFrame, sh: DataFrame,
       sizes: DataFrame, threshold: Double): DataFrame = {
-    val candDocs = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-      .distinct()
-    val shC = sh.join(broadcast(candDocs), Seq("doc"), "left_semi")
-    val inter = shC.as("x").join(shC.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"))
+    inter
       .join(sizes.withColumnRenamed("doc", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b")

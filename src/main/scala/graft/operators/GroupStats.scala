@@ -175,6 +175,42 @@ object GroupStats {
         max(col("W__")).as("w_total"))
   }
 
+  /** Per-group exact TRIMMED mean — drop the lowest and highest
+    * floor(n·trimNum/trimDen) values, average the rest: the
+    * outlier-robust location estimate between the mean (trim 0) and
+    * the median (trim→50%), reported as an exact e4-scaled integer
+    * over integer units (non-negative units — the rounding identity's
+    * domain). Boundary ties are value-equal by construction (rank
+    * cuts at a value boundary can only split EQUAL values), so the
+    * kept-sum is deterministic under any tie order.
+    *
+    * Shape at scale: ranks via [[ScalableRank.groupRowNumber]]'s
+    * range-partitioned sort (no one-task group window), then one
+    * map-side-combinable sum. */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String],
+      valueUnits: Column, trimNum: Int = 1,
+      trimDen: Int = 10): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      "trim fraction must be in [0, 1/2)")
+    val dec = "decimal(38,0)"
+    val units = df
+      .select(groupCols.map(col) :+ valueUnits.cast("long").as("u__"): _*)
+      .filter(col("u__").isNotNull)
+    val ranked = ScalableRank.groupRowNumber(units, groupCols,
+      Seq(col("u__").asc), rnCol = "rn__", nCol = "n__")
+    ranked
+      .withColumn("t__", expr(s"(n__ * $trimNum) div $trimDen"))
+      .filter(col("rn__") > col("t__") &&
+        col("rn__") <= col("n__") - col("t__"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("n__")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("u__").cast(dec)).cast("long").as("sum_kept_units"))
+      .withColumn("trimmed_mean_e4",
+        graft.functions.ExactRound.ratioScaled(col("sum_kept_units"),
+          col("n_kept"), 4))
+  }
+
   /** Per-group exact quantile grid — the value AT rank
     * ceil(q·n/1000) for each requested permille q (the lower/type-7
     * "no interpolation" convention: every reported quantile is an

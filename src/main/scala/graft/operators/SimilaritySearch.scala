@@ -87,6 +87,23 @@ object SimilaritySearch {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** [[bruteForceTopKBatch]] with the per-query RANK exposed (same
+    * two-phase kernel, same pinned (round(cos,6) desc, id asc)
+    * ordering; rank = 1-based position in that order) — the ranked
+    * RUN a retrieval evaluator ([[RetrievalEval]]) consumes. */
+  def bruteForceTopKBatchRanked(df: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val q = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
+      .withColumn("ord__", round(col("cosine"), 6))
+    topKPerQuery(scored, idCol, k,
+      extraCols = Seq(col("gr__").cast("long").as("rank")))
+  }
+
   /** The ONE two-phase per-query top-k kernel behind both batched
     * retrieval (q82) and hard-negative mining (q100): partition-local
     * top-k (window over (query, spark_partition_id) — bounded memory,
@@ -683,6 +700,37 @@ object SimilaritySearch {
     * codebooks to exploit) code distortion reorders the cosine 0.3-0.4
     * band freely, while the shortlist only has to CONTAIN the true
     * top-k, a far weaker ask the q106 gate measures every run. */
+  /** Matryoshka (MRL-style) prefix-dimension ANN with shortlist +
+    * exact full-dim re-rank: score the corpus on only the FIRST
+    * `prefixDim` vector components (embeddings trained with
+    * matryoshka losses concentrate signal in the prefix; even
+    * without, the prefix cosine is a cheap correlated proxy),
+    * shortlist the top `shortlist` ids, then re-rank just those with
+    * the full-dimension cosine — the PQ/IndexRefine funnel
+    * ([[pqTopKRefined]]) with dimension truncation as the coarse
+    * stage. At 100 TB the prefix scan reads d/prefixDim times fewer
+    * vector bytes (a 64→16 truncation is a 4× scan-cost cut with no
+    * trained codebook at all), and only `shortlist` full vectors are
+    * ever fetched per query. Same pinned ordering as every ANN
+    * operator (round(cos,6) desc, id asc). */
+  def matryoshkaTopKRefined(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, prefixDim: Int = 16,
+      shortlist: Int = 100): DataFrame = {
+    require(prefixDim >= 1 && shortlist >= k, "need prefixDim>=1, shortlist>=k")
+    val trunc = df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as(vecCol))
+    val cand = bruteForceTopK(trunc, idCol, vecCol, queryId, k = shortlist)
+      .select(col(idCol))
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    df.join(cand, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorFns.cosineNative(col(vecCol), col("q_vec")))
+      .orderBy(round(col("cosine"), 6).desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+  }
+
   def pqTopKRefined(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 16, nCodes: Int = 16,
       shortlist: Int = 100): DataFrame = {

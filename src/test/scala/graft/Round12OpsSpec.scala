@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeTrain, Decontaminate, GroupStats,
+  RetrievalEval, SimilaritySearch}
+
+/** Round-12 operators: retrieval metrics, semantic decontamination,
+  * matryoshka ANN, trimmed mean, BPE merge training. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny embedding fixture: 3 labels, hash-derived 8-dim vectors plus
+  // two PLANTED near-identical pairs (ids 0/100 and 1/101)
+  private lazy val vecs = {
+    val base = (0L until 120L).map { i =>
+      val src = if (i >= 100) i - 100 else i
+      val v = (0 until 8).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((src, d))
+        (h % 1000) / 1000.0f +
+          (if (i >= 100) 0.001f * (d % 3) else 0f)
+      }.toArray
+      (i, v, (src % 3).toInt)
+    }
+    base.toDF("vec_id", "embedding", "label")
+  }
+
+  test("relevanceMetrics: rank-1 self-twin drives MRR and nDCG") {
+    val m = RetrievalEval.relevanceMetrics(vecs, "vec_id", "embedding",
+      "label", queryIds = Seq(0L, 1L), k = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // query 0's planted twin (id 100) shares label 0 and is the
+    // nearest vector -> first_rel_rank = 1, rr = 1e6
+    val q0 = m(0L)
+    assert(q0.getLong(2) == 1L, s"first_rel_rank ${q0.getLong(2)}")
+    assert(q0.getLong(3) == 1000000L)
+    // recall/ndcg are exact scaled ints within [0, 1e6]
+    m.values.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L)
+    }
+    // dcg <= idcg identity backs the ndcg <= 1 bound
+    val w = RetrievalEval.dcgWeightsE9(10)
+    assert(w.toSeq == w.sorted(Ordering[Long].reverse).toSeq,
+      "weights must decay")
+    assert(RetrievalEval.idcgPrefixE9(10).last == w.sum)
+  }
+
+  test("semanticReport flags the planted twin and only scans bench") {
+    val bench = vecs.filter($"vec_id" >= 100L)
+    val corpus = vecs.filter($"vec_id" < 100L)
+    val rep = Decontaminate.semanticReport(corpus, bench,
+      "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep.size == 100)
+    // ids 0 and 1 have near-identical bench twins -> contaminated
+    assert(rep(0L).getBoolean(3) && rep(1L).getBoolean(3))
+    assert(rep(0L).getLong(2) >= 1L)
+    // a max_cosine is always reported, even when clean
+    assert(rep.values.forall(r => !r.isNullAt(1)))
+  }
+
+  test("matryoshkaTopKRefined returns full-dim cosines, k rows") {
+    val top = SimilaritySearch.matryoshkaTopKRefined(vecs, "vec_id",
+      "embedding", queryId = 0L, k = 5, prefixDim = 4, shortlist = 30)
+      .collect()
+    assert(top.length == 5)
+    // the planted twin must survive the prefix shortlist (its PREFIX
+    // is also near-identical) and rank first on the full-dim re-rank
+    assert(top.head.getLong(0) == 100L)
+    val cosines = top.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse, "descending cosine order")
+  }
+
+  test("trimmedMean trims exactly floor(n/10) per side and averages") {
+    // group A: 1..10 plus outliers -1000 and 1000 => n=12, t=1,
+    // kept = sorted(2nd..11th) = 1..10 -> mean 5.5
+    val df = ((1 to 10).map(v => ("A", v.toLong)) ++
+      Seq(("A", -1000L), ("A", 1000L), ("B", 7L))).toDF("g", "u")
+    val out = GroupStats.trimmedMean(df, Seq("g"), col("u"), 1, 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 12L && out("A").getLong(2) == 10L)
+    assert(out("A").getLong(3) == 55L)
+    assert(out("A").getLong(4) == 55000L) // 5.5 e4
+    // B: n=1, t=0 -> untouched
+    assert(out("B").getLong(2) == 1L && out("B").getLong(4) == 70000L)
+  }
+
+  test("BPE learns the dominant pair first and applies it greedily") {
+    // 'aaab' x3 + 'ab': pairs round1: (a,a) cnt 6, (a,b) cnt 4
+    // round1 merges (a,a) -> 'aa a b' (left-to-right non-overlapping)
+    // round2 pairs: (aa,a) 3, (a,b) 4 -> merges (a,b)
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val m = BpeTrain.topMerges(docs, "doc_id", "text", rounds = 2)
+      .orderBy($"merge_rank").collect()
+    assert(m.length == 2)
+    assert((m(0).getString(1), m(0).getString(2)) == ("a", "a"))
+    assert(m(0).getLong(4) == 6L)
+    assert((m(1).getString(1), m(1).getString(2)) == ("a", "b"))
+    assert(m(1).getLong(4) == 4L)
+    assert(m(1).getString(3) == "ab")
+  }
+
+  test("BPE stops early when no adjacent pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m = BpeTrain.topMerges(docs, "doc_id", "text", rounds = 3)
+    assert(m.count() == 0L, "single-char words have no pairs")
+  }
+}
