@@ -1504,6 +1504,60 @@ object SparkEntry {
       }
     }),
 
+    // ---- streaming: WATERMARKED STREAM DEDUP under late data (§2.9's
+    // dropDuplicatesWithinWatermark, oracle-gated like q169). Feed:
+    // four on-time time-slices + a late fifth file (eid % 10),
+    // pre-reduced to ONE row per (user, file) — Spark admits the first
+    // row per key in PROCESSING order, so the staged feed removes the
+    // only nondeterministic choice while keeping every cross-batch
+    // state behavior: duplicate-within-watermark dropped, state
+    // evicted as the watermark passes its expiry, key re-emitted
+    // after eviction, late rows admitted or dropped by the lagged
+    // watermark. No sentinels: dedup emits on arrival (not on
+    // watermark crossing), so every behavior is visible without a
+    // flush.
+    "q175_watermark_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("uid"),
+          tsSec.cast("long").as("tsSec"),
+          col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, Long)].toDF("uid", "ts_emitted")
+      } else {
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      val batched = ev.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === 0, lit(4))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 4L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .groupBy(col("uid"), col("b"))
+        .agg(min(col("tsSec")).as("tsSec"))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q175-feed").toString
+      graft.streaming.Streams.stageBatchFiles(
+        batched.select(col("uid"), col("tsSec"), col("b")), "b", feedDir)
+      val src = s.readStream.schema("uid LONG, tsSec LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q175-out").toString
+      val q = graft.streaming.Streams
+        .dedupByKey(src, "uid", "ts", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/rows")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/rows")
+        .select(col("uid"), col("tsSec").as("ts_emitted"))
+      }
+    }),
+
     // ---- tokenizer: BPE merge-rule training — the first 3 merges
     // learned from the corpus word-frequency table (pair counts
     // weighted by word freq, argmax with (count desc, pair asc) ties,
@@ -4822,6 +4876,60 @@ object SparkEntry {
         |SELECT (tsec // 3600) * 3600 AS win_start, event_type,
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q175: the five-batch state machine unrolled — the same
+    // deterministic (user, file)-reduced feed, then per batch k:
+    // admission and eviction both use the TWO-BATCH-LAGGED watermark
+    // (max staged event time through batch k-2, minus 1800 s —
+    // pinned empirically, the q169 "previous watermark" rule applied
+    // to both sides of this operator; batches 0 and 1 run
+    // watermark-free), a row is dropped while its key's LATEST
+    // emitted state is alive (expiry = emitted ts + 1800 >= the
+    // lagged watermark), dropped duplicates do NOT refresh state
+    // expiry, and an evicted key re-emits. Assumes all five staged
+    // files are non-empty (true of the gate tables): a missing file
+    // would renumber Spark's batches but not the oracle's.
+    "q175_watermark_dedup" -> {
+      def wm(k: Int) =
+        s"(SELECT max(pmax) - 1800 FROM p WHERE b <= ${k - 2})"
+      def round_(k: Int) = {
+        val ems = (0 until k)
+          .map(j => s"SELECT uid, ts, $j AS j FROM em$j")
+          .mkString("\n|    UNION ALL ")
+        s"""stb$k AS (SELECT uid, ts FROM (
+           |    SELECT uid, ts, row_number() OVER (PARTITION BY uid
+           |      ORDER BY j DESC) AS rn
+           |    FROM ($ems)) WHERE rn = 1),
+           |em$k AS (SELECT a.uid, a.ts FROM base a
+           |  LEFT JOIN stb$k s ON s.uid = a.uid
+           |    AND s.ts + 1800 >= ${wm(k)}
+           |  WHERE a.b = $k AND a.ts >= ${wm(k)}
+           |    AND s.uid IS NULL)""".stripMargin
+      }
+      s"""WITH ev AS (SELECT user_id AS uid,
+         |    epoch_ns(ts) // 1000000000 AS ts, event_id AS eid
+         |  FROM events),
+         |rng AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev
+         |  WHERE eid % 10 <> 0),
+         |base AS (SELECT uid,
+         |    CASE WHEN eid % 10 = 0 THEN 4
+         |         ELSE (ts - mn) * 4 // (mx - mn + 1) END AS b,
+         |    min(ts) AS ts
+         |  FROM ev, rng GROUP BY 1, 2),
+         |p AS (SELECT b, max(ts) AS pmax FROM base GROUP BY 1),
+         |em0 AS (SELECT uid, ts FROM base WHERE b = 0),
+         |em1 AS (SELECT a.uid, a.ts FROM base a
+         |  LEFT JOIN em0 s ON s.uid = a.uid
+         |  WHERE a.b = 1 AND s.uid IS NULL),
+         |${round_(2)},
+         |${round_(3)},
+         |${round_(4)}
+         |SELECT uid, ts AS ts_emitted FROM (
+         |  SELECT * FROM em0 UNION ALL SELECT * FROM em1
+         |  UNION ALL SELECT uid, ts FROM em2
+         |  UNION ALL SELECT uid, ts FROM em3
+         |  UNION ALL SELECT uid, ts FROM em4)""".stripMargin
+    },
 
     // q174: the same three BPE rounds unrolled — word-frequency
     // table, per-round adjacent-pair counts (1-based subscripts,
