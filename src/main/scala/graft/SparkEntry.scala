@@ -1558,6 +1558,65 @@ object SparkEntry {
       }
     }),
 
+    // ---- streaming: STREAM-STREAM interval join under late data
+    // (§2.9's last uncovered surface) — even event ids feed the left
+    // stream, odd the right; each side ships three on-time time
+    // slices plus a late fourth file, and the join emits (user,
+    // left ts, right ts) for right events inside [left, left+1h).
+    // The batch oracle unrolls the two-store state machine with the
+    // same lagged-watermark rules q169/q175 pinned.
+    "q177_stream_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("uid"),
+          tsSec.cast("long").as("tsSec"),
+          col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, Long, Long)].toDF("uid", "l_ts", "r_ts")
+      } else {
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0 &&
+          pmod(col("eid"), lit(10)) =!= 5)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      // per side: 3 value slices on-time, slice 3 = the late sample
+      def staged(side: DataFrame, lateMod: Int) = side
+        .crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === lateMod, lit(3))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 3L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("uid"), col("tsSec"), col("b"))
+      val dirL = java.nio.file.Files
+        .createTempDirectory("graft-q177-l").toString
+      val dirR = java.nio.file.Files
+        .createTempDirectory("graft-q177-r").toString
+      graft.streaming.Streams.stageBatchFiles(
+        staged(ev.filter(pmod(col("eid"), lit(2)) === 0), 0), "b", dirL)
+      graft.streaming.Streams.stageBatchFiles(
+        staged(ev.filter(pmod(col("eid"), lit(2)) === 1), 5), "b", dirR)
+      def src(d: String, tCol: String) = s.readStream
+        .schema("uid LONG, tsSec LONG")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .withColumn(tCol, timestamp_seconds(col("tsSec")))
+        .withColumnRenamed("tsSec", tCol + "_sec")
+      val joined = graft.streaming.Streams.joinWithinGap(
+        src(dirL, "l_t"), src(dirR, "r_t"), "uid",
+        "l_t", "r_t", gapSeconds = 3600L, watermark = "30 minutes")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q177-out").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$outDir/rows")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/rows")
+        .select(col("uid"), col("l_t_sec").as("l_ts"),
+          col("r_t_sec").as("r_ts"))
+      }
+    }),
+
     // ---- tokenizer: BPE merge-rule training — the first 3 merges
     // learned from the corpus word-frequency table (pair counts
     // weighted by word freq, argmax with (count desc, pair asc) ties,
@@ -2290,6 +2349,16 @@ object SparkEntry {
       ZOrderLayout.assign(T(s, dir, "orders"), "o_totalprice", "o_custkey",
           bits = 8)
         .select(col("o_orderkey"), col("z"))),
+
+    // ---- layout: FILE-SKIPPING effectiveness of the q68 z-order —
+    // per equal-width z-slice "file", the footer surrogate (count +
+    // min/max of both dims) and whether the query box
+    // price ∈ [50k, 100k] × custkey ∈ [100, 500] would scan it: the
+    // planner evidence that the layout prunes on BOTH dimensions
+    "q176_zorder_pruning" -> ((s, dir) =>
+      ZOrderLayout.pruningStats(T(s, dir, "orders"),
+        "o_totalprice", "o_custkey", bits = 8, nFiles = 64,
+        aLo = 50000.0, aHi = 100000.0, bLo = 100.0, bHi = 500.0)),
 
     // ---- export: deterministic global shuffle into 8 balanced shards —
     // round-robin over the (md5, key) permutation via the skew-proof
@@ -4877,6 +4946,43 @@ object SparkEntry {
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
 
+    // q177: the full interval join minus the pairs streaming loses to
+    // lateness/eviction — per pair, one admission check at the LATER
+    // side's batch k* (the two-batch-lagged global watermark
+    // min(maxL, maxR through k*-2) − 1800 is monotone, so the batch-
+    // by-batch eviction collapses to the k* check): the left row must
+    // satisfy l_ts >= W − gap (evictable once no admissible right row
+    // can match it), the right row r_ts >= W. Pinned empirically
+    // against the engine run (231 batch matches, 174 streamed).
+    "q177_stream_interval_join" ->
+      """WITH ev AS (SELECT user_id AS uid,
+        |    epoch_ns(ts) // 1000000000 AS ts, event_id AS eid
+        |  FROM events),
+        |rng AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev
+        |  WHERE eid % 10 <> 0 AND eid % 10 <> 5),
+        |l AS (SELECT uid, ts,
+        |    CASE WHEN eid % 10 = 0 THEN 3
+        |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
+        |  FROM ev, rng WHERE eid % 2 = 0),
+        |r AS (SELECT uid, ts,
+        |    CASE WHEN eid % 10 = 5 THEN 3
+        |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
+        |  FROM ev, rng WHERE eid % 2 = 1),
+        |pl AS (SELECT b, max(ts) AS pmax FROM l GROUP BY 1),
+        |pr AS (SELECT b, max(ts) AS pmax FROM r GROUP BY 1),
+        |w AS (SELECT k, CASE WHEN k >= 2 THEN
+        |      least((SELECT max(pmax) FROM pl WHERE b <= k - 2),
+        |            (SELECT max(pmax) FROM pr WHERE b <= k - 2)) - 1800
+        |    END AS wv
+        |  FROM (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |m AS (SELECT l.uid, l.ts AS l_ts, r.ts AS r_ts,
+        |    greatest(l.b, r.b) AS ks
+        |  FROM l JOIN r ON r.uid = l.uid
+        |    AND r.ts >= l.ts AND r.ts < l.ts + 3600)
+        |SELECT uid, l_ts, r_ts FROM m LEFT JOIN w ON w.k = m.ks
+        |WHERE w.wv IS NULL
+        |   OR (l_ts >= w.wv - 3600 AND r_ts >= w.wv)""".stripMargin,
+
     // q175: the five-batch state machine unrolled — the same
     // deterministic (user, file)-reduced feed, then per batch k:
     // admission and eviction both use the TWO-BATCH-LAGGED watermark
@@ -5708,6 +5814,40 @@ object SparkEntry {
          |      / (bmx - bmn)) AS BIGINT), 255) AS qb
          |  FROM orders, b)
          |SELECT o_orderkey, $terms AS z FROM q""".stripMargin
+    },
+
+    // q176: q68's mirrored quantize/interleave arithmetic, the same
+    // equal-width z-slice file id, per-file min/max, and the same
+    // box-overlap test
+    "q176_zorder_pruning" -> {
+      val terms = (0 until 8).map(i =>
+        s"((qa >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((qb >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH b AS (SELECT
+         |    min(CAST(o_totalprice AS DOUBLE)) AS amn,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS amx,
+         |    min(CAST(o_custkey AS DOUBLE)) AS bmn,
+         |    max(CAST(o_custkey AS DOUBLE)) AS bmx
+         |  FROM orders),
+         |q AS (SELECT o_totalprice, o_custkey,
+         |    least(CAST(floor((CAST(o_totalprice AS DOUBLE) - amn) * 256.0
+         |      / (amx - amn)) AS BIGINT), 255) AS qa,
+         |    least(CAST(floor((CAST(o_custkey AS DOUBLE) - bmn) * 256.0
+         |      / (bmx - bmn)) AS BIGINT), 255) AS qb
+         |  FROM orders, b
+         |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+         |z AS (SELECT o_totalprice, o_custkey, $terms AS z FROM q),
+         |f AS (SELECT (z * 64) // 65536 AS file_id,
+         |    count(*) AS n_rows,
+         |    min(CAST(o_totalprice AS DOUBLE)) AS min_a,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS max_a,
+         |    min(CAST(o_custkey AS DOUBLE)) AS min_b,
+         |    max(CAST(o_custkey AS DOUBLE)) AS max_b
+         |  FROM z GROUP BY 1)
+         |SELECT file_id, n_rows, min_a, max_a, min_b, max_b,
+         |  (min_a <= 100000.0 AND max_a >= 50000.0 AND
+         |   min_b <= 500.0 AND max_b >= 100.0) AS scanned
+         |FROM f""".stripMargin
     },
 
     // q66: the permutation is the (md5, key) sort order in both engines

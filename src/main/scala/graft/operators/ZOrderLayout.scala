@@ -78,4 +78,37 @@ object ZOrderLayout {
     parted.sortWithinPartitions(col(zCol))
   }
 
+  /** File-skipping effectiveness of the z-order layout — the planner
+    * question a 100 TB table owner asks BEFORE rewriting it: per
+    * output file, the parquet-footer surrogate (row count + min/max of
+    * both dimensions) and whether a scan with the query box
+    * [aLo,aHi]×[bLo,bHi] would have to read it (footer ranges overlap
+    * the box on BOTH dims). Files are the 4^bits z-space cut into
+    * `nFiles` equal-WIDTH slices — a deterministic, engine-mirrorable
+    * stand-in for `repartitionByRange`'s sampled boundaries (same
+    * clustering geometry, reproducible file ids); NULL-z rows (a NULL
+    * in either dimension) are excluded, exactly as they'd sit in a
+    * separate nulls-first file. One projection + one aggregate over
+    * nFiles groups. */
+  def pruningStats(df: DataFrame, colA: String, colB: String,
+      bits: Int, nFiles: Int,
+      aLo: Double, aHi: Double, bLo: Double, bHi: Double): DataFrame = {
+    require(nFiles >= 1 && nFiles <= (1L << (2 * bits)),
+      "need 1 <= nFiles <= 4^bits")
+    val zSpace = 1L << (2 * bits)
+    assign(df, colA, colB, bits)
+      .filter(col("z").isNotNull)
+      .withColumn("file_id",
+        expr(s"(z * ${nFiles.toLong}) div $zSpace"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA).cast("double")).as("min_a"),
+        max(col(colA).cast("double")).as("max_a"),
+        min(col(colB).cast("double")).as("min_b"),
+        max(col(colB).cast("double")).as("max_b"))
+      .withColumn("scanned",
+        col("min_a") <= aHi && col("max_a") >= aLo &&
+          col("min_b") <= bHi && col("max_b") >= bLo)
+  }
+
 }

@@ -124,6 +124,26 @@ object Streams {
       }
   }
 
+  /** Stream-stream INNER join within a time gap — the streaming twin
+    * of [[graft.operators.IntervalJoin]]: same key, right event inside
+    * [left, left + gapSeconds). Both sides carry the same watermark
+    * delay, which (with the range condition) bounds BOTH state stores:
+    * a left row is evictable once the watermark passes left + gap (no
+    * admissible right row can still match it), a right row once the
+    * watermark passes it. Emission happens in the micro-batch where
+    * the LATER side arrives — no flush sentinel needed for matches
+    * whose both sides arrive while the stream runs. */
+  def joinWithinGap(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, gapSeconds: Long,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTime >= l.$leftTime AND " +
+        s"r.$rightTime < l.$leftTime + interval $gapSeconds seconds"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Upsert sink: every micro-batch merges into the parquet dir by key
     * (S7 as a streaming sink; ref batched REST upsert). */
   def mergeSink(stream: DataFrame, path: String, key: String): DataStreamWriter[Row] =
