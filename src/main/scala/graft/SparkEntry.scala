@@ -1504,6 +1504,13 @@ object SparkEntry {
       }
     }),
 
+    // ---- mixture QA: source concentration — HHI + CR1/CR4 of char
+    // mass across sources, all exact scaled integers: the "is the
+    // corpus dominated by a few sources?" one-row diagnostic
+    "q178_source_concentration" -> ((s, dir) =>
+      Profile.concentration(T(s, dir, "documents"), "source",
+        col("n_chars"))),
+
     // ---- streaming: WATERMARKED STREAM DEDUP under late data (§2.9's
     // dropDuplicatesWithinWatermark, oracle-gated like q169). Feed:
     // four on-time time-slices + a late fifth file (eid % 10),
@@ -4945,6 +4952,27 @@ object SparkEntry {
         |SELECT (tsec // 3600) * 3600 AS win_start, event_type,
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q178: same positive-weight group table, HUGEINT Σw²/total²
+    // rational for HHI, top-4 by (weight desc, group asc)
+    "q178_source_concentration" -> {
+      val rs = graft.functions.ExactRound
+      s"""WITH c AS (SELECT source AS g,
+         |    CAST(sum(n_chars) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+         |t AS (SELECT count(*) AS n_groups,
+         |    CAST(sum(w) AS BIGINT) AS total_units,
+         |    sum(CAST(w AS HUGEINT) * w) AS sumsq FROM c),
+         |tp AS (SELECT coalesce(max(w), 0) AS top1,
+         |    CAST(coalesce(sum(w), 0) AS BIGINT) AS top4
+         |  FROM (SELECT w FROM c ORDER BY w DESC, g ASC LIMIT 4))
+         |SELECT n_groups, total_units,
+         |  ${rs.ratioScaledSql("sumsq",
+              "CAST(total_units AS HUGEINT) * total_units", 6)} AS hhi_e6,
+         |  ${rs.ratioScaledSql("top1", "total_units", 6)} AS cr1_e6,
+         |  ${rs.ratioScaledSql("top4", "total_units", 6)} AS cr4_e6
+         |FROM t, tp""".stripMargin
+    },
 
     // q177: the full interval join minus the pairs streaming loses to
     // lateness/eviction — per pair, one admission check at the LATER

@@ -245,6 +245,42 @@ object Profile {
       .crossJoin(broadcast(totals))
   }
 
+  /** Source-concentration profile — Herfindahl–Hirschman index plus
+    * CR1/CR4 concentration ratios of a weight (tokens, chars, rows)
+    * across a grouping column: the one-row "is this corpus dominated
+    * by a handful of sources?" diagnostic a mixture designer checks
+    * before trusting per-source statistics. HHI = Σ share_i² ∈
+    * (1/n, 1]; every emitted number is an exact scaled integer
+    * (HHI through the decimal Σw²/total² rational — no doubles).
+    *
+    * Shape at scale: one map-side-combinable groupBy, one aggregate
+    * over the group table, one top-4 `TakeOrderedAndProject`; the
+    * group table is |sources|-sized — tiny by definition. */
+  def concentration(df: DataFrame, groupCol: String,
+      weight: org.apache.spark.sql.Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = graft.Caches.register(df
+      .groupBy(col(groupCol).as("g__"))
+      .agg(sum(weight.cast("long")).as("w__"))
+      .filter(col("w__") > 0)
+      .persist())
+    val totals = counts.agg(count(lit(1)).as("n_groups"),
+      sum(col("w__")).cast("long").as("total_units"),
+      sum(col("w__").cast(dec) * col("w__")).as("sumsq__"))
+    val top = counts.orderBy(col("w__").desc, col("g__").asc).limit(4)
+      .agg(coalesce(max(col("w__")), lit(0L)).as("top1__"),
+        coalesce(sum(col("w__")), lit(0L)).cast("long").as("top4__"))
+    totals.crossJoin(broadcast(top))
+      .select(col("n_groups"), col("total_units"),
+        graft.functions.ExactRound.ratioScaledBig(col("sumsq__"),
+          col("total_units").cast(dec) * col("total_units"), 6)
+          .as("hhi_e6"),
+        graft.functions.ExactRound.ratioScaled(col("top1__"),
+          col("total_units"), 6).as("cr1_e6"),
+        graft.functions.ExactRound.ratioScaled(col("top4__"),
+          col("total_units"), 6).as("cr4_e6"))
+  }
+
   /** First-significant-digit profile (the Benford's-law screen) —
     * digit counts and exact e6 shares of a positive integral metric:
     * the cheap synthetic-data / fabrication detector (organic

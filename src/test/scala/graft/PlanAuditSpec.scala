@@ -299,4 +299,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"),
       s"the latest-pick window must partition by key:\n$p")
   }
+
+  test("compressibility is one codegen'd pass: no Generate, no shuffle") {
+    val docs = (1 to 50).map(i => (i.toLong, "ab" * i + "\ncc"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.compressibility(
+      docs, "doc_id", "text"))
+    // the r11-flagged shape moved one row PER CHARACTER through an
+    // explode -> shuffle -> aggregate; the r12 form is a projection
+    assert(!p.contains("Generate"), s"per-char explode is back:\n$p")
+    assert(!p.contains("Exchange"), s"a shuffle appeared:\n$p")
+    assert(!p.contains("HashAggregate"), s"an aggregate appeared:\n$p")
+  }
+
+  test("prefix-filtered jaccard verify joins pairs, not a posting self-join") {
+    val docs = (1 to 80).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} w${i % 13} w${i % 17} w$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.prefixFilteredJaccard(
+      docs, "doc_id", "text", n = 3))
+    // the verify's intersection must be keyed by (doc, shingle) —
+    // the pair-restricted form — and never re-expand postings by
+    // shingle alone (the r12-fixed quadratic re-expansion)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected equi joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop in the verify:\n$p")
+    Caches.unpersistAll(blocking = true)
+  }
 }
