@@ -1504,6 +1504,29 @@ object SparkEntry {
       }
     }),
 
+    // ---- dedup: INCREMENTAL embedding near-dup against a STAGED
+    // band-key store (q73's append-only shape for the vector path):
+    // the standing corpus (vec_id % 17 != 0) signs once into
+    // target/graft-stage; each run re-signs only the probe batch,
+    // broadcasts its keys against the stored table, and
+    // cosine-verifies candidate pairs only. Oracle mirrors the
+    // bipartite bucket join via the same inlined plane masks.
+    "q179_incremental_embedding_neardup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val standing = emb.filter(pmod(col("vec_id"), lit(17)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(17)) === 0)
+      val stamp = Dedup.sourceStamp(s, s"$dir/embeddings.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val keys = SimilaritySearch.stagedBandKeys(standing, "vec_id",
+        "embedding",
+        s"$root/embkeys-$stamp-b$lshBaseBits-n$lshBands-r$lshBitsPerBand",
+        lshBaseBits, lshBands, lshBitsPerBand)
+      SimilaritySearch.incrementalEmbeddingNearDup(keys, emb, batch,
+        "vec_id", "embedding", threshold = 0.3,
+        lshBaseBits, lshBands, lshBitsPerBand)
+    }),
+
     // ---- mixture QA: source concentration — HHI + CR1/CR4 of char
     // mass across sources, all exact scaled integers: the "is the
     // corpus dominated by a few sources?" one-row diagnostic
@@ -2654,7 +2677,9 @@ object SparkEntry {
     * `(mask >> (i-1)) & 1` unpack reads plane sign j,i exactly as the
     * engine's boolean matrix; `>= 0` on the signed projection matches
     * HyperplaneBandKeys bit for bit. */
-  private def lshPairCtes(threshold: String): String =
+  /** The signature/bucket prefix shared by [[lshPairCtes]] (self-join
+    * form) and [[lshProbeCtes]] (batch-probe form). */
+  private def lshKeyCtes: String =
     s"""lsh_planes AS (SELECT j, CAST(mask AS BIGINT) AS mask
        |  FROM (VALUES $lshPlaneValues) t(j, mask)),
        |lsh_sel AS (SELECT band, slot, bitj
@@ -2669,12 +2694,12 @@ object SparkEntry {
        |lsh_keys AS (SELECT b.vec_id, s.band,
        |    sum(CASE WHEN b.sbit THEN CAST(1 AS BIGINT) << s.slot
        |      ELSE 0 END) AS bkey
-       |  FROM lsh_bits b JOIN lsh_sel s ON s.bitj = b.j GROUP BY 1, 2),
-       |lsh_cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM lsh_keys a JOIN lsh_keys b ON b.band = a.band
-       |    AND b.bkey = a.bkey AND b.vec_id > a.vec_id
-       |  GROUP BY 1, 2),
-       |lsh_dot AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+       |  FROM lsh_bits b JOIN lsh_sel s ON s.bitj = b.j GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** Cosine verify of `lsh_cand` -> pairs `p` + undirected edges `e`. */
+  private def lshVerifyCtes(threshold: String): String =
+    s"""lsh_dot AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
        |  FROM lsh_cand c JOIN ex ea ON ea.vec_id = c.id_a
        |    JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
        |  GROUP BY 1, 2),
@@ -2685,6 +2710,28 @@ object SparkEntry {
        |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= $threshold),
        |e AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION SELECT id_b, id_a FROM p)""".stripMargin
+
+  private def lshPairCtes(threshold: String): String =
+    s"""$lshKeyCtes,
+       |lsh_cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM lsh_keys a JOIN lsh_keys b ON b.band = a.band
+       |    AND b.bkey = a.bkey AND b.vec_id > a.vec_id
+       |  GROUP BY 1, 2),
+       |${lshVerifyCtes(threshold)}""".stripMargin
+
+  /** Batch-probe variant: candidate pairs need >= 1 endpoint
+    * satisfying `batchPred` (over `a.vec_id`) — mirrors
+    * [[graft.operators.SimilaritySearch.incrementalEmbeddingNearDup]]'s
+    * batch-keys × all-keys bucket join. */
+  private def lshProbeCtes(threshold: String, batchPred: String): String =
+    s"""$lshKeyCtes,
+       |lsh_cand AS (SELECT least(a.vec_id, b.vec_id) AS id_a,
+       |    greatest(a.vec_id, b.vec_id) AS id_b
+       |  FROM lsh_keys a JOIN lsh_keys b ON b.band = a.band
+       |    AND b.bkey = a.bkey AND b.vec_id <> a.vec_id
+       |  WHERE $batchPred
+       |  GROUP BY 1, 2),
+       |${lshVerifyCtes(threshold)}""".stripMargin
 
   /** Distinct 5-gram list comprehension over a words array `ws` —
     * mirrors Dedup.explodedShingles(n = 5) for the q51 oracle. */
@@ -4952,6 +4999,13 @@ object SparkEntry {
         |SELECT (tsec // 3600) * 3600 AS win_start, event_type,
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q179: the mirrored bipartite bucket join — candidates need a
+    // batch endpoint (a.vec_id % 17 = 0), then the same candidate-
+    // restricted cosine verify at 0.3
+    "q179_incremental_embedding_neardup" ->
+      s"""WITH ${lshProbeCtes("0.3", "a.vec_id % 17 = 0")}
+         |SELECT id_a, id_b, cosine FROM p""".stripMargin,
 
     // q178: same positive-weight group table, HUGEINT Σw²/total²
     // rational for HHI, top-4 by (weight desc, group asc)

@@ -530,6 +530,69 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Staged banded-hyperplane key table: the (id, pkey) rows of
+    * [[embeddingNearDup]]'s bucket stage, persisted to `storeDir` on
+    * first touch and read back as parquet ever after — the embedding
+    * twin of [[Dedup.stagedMinHashIndex]]: an append-only corpus
+    * never re-signs its standing vectors; only each new batch pays
+    * the signature cost. Plane/band derivations are deterministic
+    * (HyperplaneBandKeys), so a staged store is exactly what a fresh
+    * build would produce. */
+  def stagedBandKeys(df: DataFrame, idCol: String, vecCol: String,
+      storeDir: String, baseBits: Int, bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      bandKeyRows(df, idCol, vecCol, baseBits, bands, bitsPerBand)
+        .write.mode("overwrite").parquet(s"$storeDir/keys")
+      fs.create(marker, true).close()
+    }
+    spark.read.parquet(s"$storeDir/keys")
+  }
+
+  /** (id, pkey) exploded band-key rows — the build kernel behind both
+    * [[embeddingNearDup]]'s inline bucket stage and [[stagedBandKeys]]. */
+  def bandKeyRows(df: DataFrame, idCol: String, vecCol: String,
+      baseBits: Int, bands: Int, bitsPerBand: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    df.select(col(idCol).as("id"),
+      explode(graft.expressions.HyperplaneBandKeys(
+        col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
+  }
+
+  /** Incremental embedding near-dup — pairs with at least one endpoint
+    * in the NEW batch, against a standing key store plus the batch
+    * itself, WITHOUT re-signing the standing corpus: the batch's keys
+    * broadcast against the (billions-of-rows at scale) standing key
+    * table, candidates expand only where buckets collide, and the
+    * exact cosine verify touches candidate pairs only. `vectors` must
+    * hold every id that can appear (standing ∪ batch) — the cold
+    * store the verify fetches from. */
+  def incrementalEmbeddingNearDup(standingKeys: DataFrame,
+      vectors: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, baseBits: Int, bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    val batchKeys = bandKeyRows(batch, idCol, vecCol,
+      baseBits, bands, bitsPerBand)
+    val allKeys = standingKeys.unionByName(batchKeys)
+    val pairs = broadcast(batchKeys).as("a")
+      .join(allKeys.as("b"),
+        col("a.pkey") === col("b.pkey") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", VectorFns.cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   // ==== int8 scalar quantization ANN ======================================
 
   /** Quantized corpus index: (id, codes array<tinyint>) — build once,

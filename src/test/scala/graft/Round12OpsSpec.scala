@@ -105,4 +105,59 @@ class Round12OpsSpec extends SparkSpec {
     val m = BpeTrain.topMerges(docs, "doc_id", "text", rounds = 3)
     assert(m.count() == 0L, "single-char words have no pairs")
   }
+
+  test("concentration: uniform vs dominated corpora order as expected") {
+    import graft.operators.Profile
+    val uniform = (1 to 4).flatMap(s => (1 to 25).map(i =>
+      (s"s$s", 100L))).toDF("source", "w")
+    val skewed = ((1 to 97).map(_ => ("big", 100L)) ++
+      Seq(("a", 100L), ("b", 100L), ("c", 100L))).toDF("source", "w")
+    val u = Profile.concentration(uniform, "source", col("w")).head()
+    val k = Profile.concentration(skewed, "source", col("w")).head()
+    assert(u.getLong(0) == 4L && u.getLong(2) == 250000L) // HHI = 1/4
+    assert(k.getLong(2) > 900000L, s"dominated HHI ${k.getLong(2)}")
+    assert(k.getLong(3) == 970000L) // CR1 = 97%
+    assert(u.getLong(4) == 1000000L) // CR4 of 4 groups = everything
+  }
+
+  test("incremental embedding near-dup equals the batch-relevant slice " +
+    "of a full rebuild, from a staged store") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spec-embkeys").toString
+    val standing = vecs.filter($"vec_id" < 100L)
+    val batch = vecs.filter($"vec_id" >= 100L)
+    val keys = SimilaritySearch.stagedBandKeys(standing, "vec_id",
+      "embedding", dir, baseBits = 128, bands = 16, bitsPerBand = 8)
+    val inc = SimilaritySearch.incrementalEmbeddingNearDup(keys, vecs,
+      batch, "vec_id", "embedding", threshold = 0.999,
+      baseBits = 128, bands = 16, bitsPerBand = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // planted twins (0,100) and (1,101) are near-identical: the probe
+    // must surface them (identical vectors share every band key)
+    assert(inc.contains((0L, 100L)) && inc.contains((1L, 101L)))
+    // every pair has a batch endpoint
+    assert(inc.forall { case (a, b) => a >= 100L || b >= 100L })
+    // the store is reused, not rebuilt: second call reads parquet
+    val again = SimilaritySearch.stagedBandKeys(standing, "vec_id",
+      "embedding", dir, baseBits = 128, bands = 16, bitsPerBand = 8)
+    assert(again.count() == keys.count())
+  }
+
+  test("zorder pruningStats: files partition rows; the box scans a subset") {
+    import graft.operators.ZOrderLayout
+    val df = (1 to 1000).map(i =>
+      (i.toLong, (i % 100).toDouble, (i % 37).toDouble))
+      .toDF("id", "a", "b")
+    val stats = ZOrderLayout.pruningStats(df, "a", "b", bits = 6,
+      nFiles = 16, aLo = 10.0, aHi = 20.0, bLo = 5.0, bHi = 10.0)
+      .collect()
+    assert(stats.map(_.getLong(1)).sum == 1000L, "rows partition")
+    val scanned = stats.filter(_.getBoolean(6))
+    assert(scanned.nonEmpty && scanned.length < stats.length,
+      s"box must prune some of ${stats.length} files, scanned ${scanned.length}")
+    // footer invariants
+    stats.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
 }
