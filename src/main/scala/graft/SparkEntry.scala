@@ -60,6 +60,26 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the caller's value after. The STREAMING gates use
+    * this with a small n: a stateful micro-batch pays per-partition
+    * state-store open/commit/checkpoint overhead on every trigger, so
+    // 32 state partitions × 4-5 micro-batches × (1-2 stateful ops) is
+    * pure fixed cost at gate volumes — while at cluster scale the
+    * state partition count is sized to the cluster, not to this
+    * harness. Gated OUTPUTS are partitioning-independent by the
+    * repo's determinism discipline, so this is a cost knob only.
+    * NOTE the eager `.parquet()` read-back inside each streaming gate
+    * materializes before restore; callers returning LAZY frames must
+    * not let them escape the block. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** events.ts is long epoch NANOS by the [[Tables]] loader contract
     * (normalizeTs converts whichever physical parquet type the driver
     * generated — NANOS-as-long or MICROS-as-timestamp); integer
@@ -1452,7 +1472,7 @@ object SparkEntry {
     // reliance on a post-final-file flush — and the sentinels' own
     // windows sit strictly above every watermark ever computed, so
     // they never leak into the gate.
-    "q169_watermark_window" -> ((s, dir) => {
+    "q169_watermark_window" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val ev = T(s, dir, "events")
         .select(col("event_type"), tsSec.cast("long").as("tsSec"),
@@ -1546,7 +1566,7 @@ object SparkEntry {
     // watermark. No sentinels: dedup emits on arrival (not on
     // watermark crossing), so every behavior is visible without a
     // flush.
-    "q175_watermark_dedup" -> ((s, dir) => {
+    "q175_watermark_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val ev = T(s, dir, "events")
         .select(col("user_id").cast("long").as("uid"),
@@ -1595,7 +1615,7 @@ object SparkEntry {
     // left ts, right ts) for right events inside [left, left+1h).
     // The batch oracle unrolls the two-store state machine with the
     // same lagged-watermark rules q169/q175 pinned.
-    "q177_stream_interval_join" -> ((s, dir) => {
+    "q177_stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val ev = T(s, dir, "events")
         .select(col("user_id").cast("long").as("uid"),
@@ -2223,7 +2243,7 @@ object SparkEntry {
     // so the split needs no global sort). Driver-side state is ONLY the
     // per-group final summary (≤ k counters each); the exact counts it
     // is audited against are computed distributed and joined.
-    "q77_streaming_heavy_hitters" -> ((s, dir) => {
+    "q77_streaming_heavy_hitters" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val k = 64
       val ev = T(s, dir, "events")
@@ -2284,7 +2304,7 @@ object SparkEntry {
     // moves through the driver. Gated columns are the order-independent
     // session identity (user, start, end, n_events); float sums
     // accumulate in a different order on the stream path and stay out.
-    "q78_streaming_sessions" -> ((s, dir) => {
+    "q78_streaming_sessions" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val ev = T(s, dir, "events")
         .select(col("user_id").cast("long").as("userId"),
