@@ -60,6 +60,66 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** The q177/q181 stream-stream join harness: even event ids feed
+    * the left stream, odd the right; each side ships three on-time
+    * value slices plus a late fourth file; the join is same-uid with
+    * the right event inside [left, left+1h), watermark 30 min on both
+    * sides. Returns (uid, l_ts, r_ts) — r_ts NULL on the left-outer
+    * null-extended rows. */
+  private def streamIntervalJoinGate(s: SparkSession, dir: String,
+      joinType: String): DataFrame = withShufflePartitions(s, 8) {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+      .select(col("user_id").cast("long").as("uid"),
+        tsSec.cast("long").as("tsSec"),
+        col("event_id").cast("long").as("eid"))
+    if (ev.isEmpty) {
+      Seq.empty[(Long, Long, Long)].toDF("uid", "l_ts", "r_ts")
+    } else {
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0 &&
+          pmod(col("eid"), lit(10)) =!= 5)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      // per side: 3 value slices on-time, slice 3 = the late sample
+      def staged(side: DataFrame, lateMod: Int) = side
+        .crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === lateMod, lit(3))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 3L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("uid"), col("tsSec"), col("b"))
+      val dirL = java.nio.file.Files
+        .createTempDirectory("graft-ssj-l").toString
+      val dirR = java.nio.file.Files
+        .createTempDirectory("graft-ssj-r").toString
+      graft.streaming.Streams.stageBatchFiles(
+        staged(ev.filter(pmod(col("eid"), lit(2)) === 0), 0), "b", dirL)
+      graft.streaming.Streams.stageBatchFiles(
+        staged(ev.filter(pmod(col("eid"), lit(2)) === 1), 5), "b", dirR)
+      def src(d: String, tCol: String) = s.readStream
+        .schema("uid LONG, tsSec LONG")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .withColumn(tCol, timestamp_seconds(col("tsSec")))
+        .withColumnRenamed("tsSec", tCol + "_sec")
+      val joined = graft.streaming.Streams.joinWithinGap(
+        src(dirL, "l_t"), src(dirR, "r_t"), "uid",
+        "l_t", "r_t", gapSeconds = 3600L, watermark = "30 minutes",
+        joinType = joinType)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-ssj-out").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$outDir/rows")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/rows")
+        .select(col("uid"), col("l_t_sec").as("l_ts"),
+          col("r_t_sec").as("r_ts"))
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the caller's value after. The STREAMING gates use
     * this with a small n: a stateful micro-batch pays per-partition
@@ -1615,57 +1675,15 @@ object SparkEntry {
     // left ts, right ts) for right events inside [left, left+1h).
     // The batch oracle unrolls the two-store state machine with the
     // same lagged-watermark rules q169/q175 pinned.
-    "q177_stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      val ev = T(s, dir, "events")
-        .select(col("user_id").cast("long").as("uid"),
-          tsSec.cast("long").as("tsSec"),
-          col("event_id").cast("long").as("eid"))
-      if (ev.isEmpty) {
-        Seq.empty[(Long, Long, Long)].toDF("uid", "l_ts", "r_ts")
-      } else {
-      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0 &&
-          pmod(col("eid"), lit(10)) =!= 5)
-        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
-      // per side: 3 value slices on-time, slice 3 = the late sample
-      def staged(side: DataFrame, lateMod: Int) = side
-        .crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(pmod(col("eid"), lit(10)) === lateMod, lit(3))
-            .otherwise(call_function("div",
-              (col("tsSec") - col("mn")) * 3L,
-              col("mx") - col("mn") + 1L)).cast("int"))
-        .select(col("uid"), col("tsSec"), col("b"))
-      val dirL = java.nio.file.Files
-        .createTempDirectory("graft-q177-l").toString
-      val dirR = java.nio.file.Files
-        .createTempDirectory("graft-q177-r").toString
-      graft.streaming.Streams.stageBatchFiles(
-        staged(ev.filter(pmod(col("eid"), lit(2)) === 0), 0), "b", dirL)
-      graft.streaming.Streams.stageBatchFiles(
-        staged(ev.filter(pmod(col("eid"), lit(2)) === 1), 5), "b", dirR)
-      def src(d: String, tCol: String) = s.readStream
-        .schema("uid LONG, tsSec LONG")
-        .option("maxFilesPerTrigger", "1").parquet(d)
-        .withColumn(tCol, timestamp_seconds(col("tsSec")))
-        .withColumnRenamed("tsSec", tCol + "_sec")
-      val joined = graft.streaming.Streams.joinWithinGap(
-        src(dirL, "l_t"), src(dirR, "r_t"), "uid",
-        "l_t", "r_t", gapSeconds = 3600L, watermark = "30 minutes")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q177-out").toString
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$outDir/rows")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/rows")
-        .select(col("uid"), col("l_t_sec").as("l_ts"),
-          col("r_t_sec").as("r_ts"))
-      }
-    }),
+    "q177_stream_interval_join" -> ((s, dir) =>
+      streamIntervalJoinGate(s, dir, "inner")),
+
+    // ---- streaming: LEFT-OUTER stream-stream join — q177's harness
+    // with the null-extending side: a left event whose state evicts
+    // without ever matching emits (uid, l_ts, NULL) — the "click with
+    // no purchase in the window" stream, produced incrementally
+    "q181_stream_left_join" -> ((s, dir) =>
+      streamIntervalJoinGate(s, dir, "leftOuter")),
 
     // ---- tokenizer: BPE merge-rule training — the first 3 merges
     // learned from the corpus word-frequency table (pair counts
@@ -1675,6 +1693,13 @@ object SparkEntry {
     "q174_bpe_merges" -> ((s, dir) =>
       BpeTrain.topMerges(T(s, dir, "documents"), "doc_id", "text",
         rounds = 3)),
+
+    // ---- tokenizer: ENCODE under the q174 model — per doc, word
+    // count and BPE token count (tokens-per-distinct-word join, no
+    // per-doc merge scans): the train-then-apply round trip
+    "q180_bpe_encode" -> ((s, dir) =>
+      BpeTrain.encodeTokenCounts(T(s, dir, "documents"), "doc_id",
+        "text", rounds = 3)),
 
     // ---- stats: exact trimmed mean — price cents per return flag
     // with the top/bottom 10% dropped by rank (the robust location
@@ -2752,6 +2777,76 @@ object SparkEntry {
        |  WHERE $batchPred
        |  GROUP BY 1, 2),
        |${lshVerifyCtes(threshold)}""".stripMargin
+
+  /** Shared q177/q181 chain: sides, per-batch maxima, the lagged
+    * watermark table `w` (W2), candidate matches `m`, and the
+    * emitted-match set `mm` (input-admitted at each side's own batch,
+    * state-alive at the match batch k*). */
+  private lazy val streamJoinCtes: String =
+    """ev AS (SELECT user_id AS uid,
+      |    epoch_ns(ts) // 1000000000 AS ts, event_id AS eid
+      |  FROM events),
+      |rng AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev
+      |  WHERE eid % 10 <> 0 AND eid % 10 <> 5),
+      |l AS (SELECT uid, ts,
+      |    CASE WHEN eid % 10 = 0 THEN 3
+      |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
+      |  FROM ev, rng WHERE eid % 2 = 0),
+      |r AS (SELECT uid, ts,
+      |    CASE WHEN eid % 10 = 5 THEN 3
+      |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
+      |  FROM ev, rng WHERE eid % 2 = 1),
+      |pl AS (SELECT b, max(ts) AS pmax FROM l GROUP BY 1),
+      |pr AS (SELECT b, max(ts) AS pmax FROM r GROUP BY 1),
+      |w AS (SELECT k, CASE WHEN k >= 2 THEN
+      |      least((SELECT max(pmax) FROM pl WHERE b <= k - 2),
+      |            (SELECT max(pmax) FROM pr WHERE b <= k - 2)) - 1800
+      |    END AS wv
+      |  FROM (SELECT unnest([0, 1, 2, 3]) AS k)),
+      |m AS (SELECT l.uid, l.ts AS l_ts, r.ts AS r_ts,
+      |    l.b AS ka, r.b AS kb, greatest(l.b, r.b) AS ks
+      |  FROM l JOIN r ON r.uid = l.uid
+      |    AND r.ts >= l.ts AND r.ts < l.ts + 3600),
+      |mm AS (SELECT m.uid, m.l_ts, m.r_ts FROM m
+      |  LEFT JOIN w ws ON ws.k = m.ks
+      |  LEFT JOIN w wa ON wa.k = m.ka
+      |  LEFT JOIN w wb ON wb.k = m.kb
+      |  WHERE (ws.wv IS NULL
+      |      OR (m.l_ts >= ws.wv - 3600 AND m.r_ts >= ws.wv))
+      |    AND (wa.wv IS NULL OR m.l_ts >= wa.wv)
+      |    AND (wb.wv IS NULL OR m.r_ts >= wb.wv))""".stripMargin
+
+  /** The q174/q180 BPE training chain: word-frequency table, three
+    * unrolled merge rounds (1-based-subscript adjacent-pair counts,
+    * (count desc, pair asc) argmax, left-to-right `replace`
+    * application), ending in per-round picks m1..m3 and the fully
+    * merged word table s4. */
+  private lazy val bpeTrainCtes: String = {
+    def round_(k: Int) =
+      s"""t$k AS (SELECT w, freq, string_split(s$k.syms, ' ') AS a
+         |  FROM s$k),
+         |u$k AS (SELECT w, freq, generate_subscripts(a, 1) AS i,
+         |    unnest(a) AS s FROM t$k),
+         |p$k AS (SELECT x.s AS l, y.s AS r,
+         |    CAST(sum(x.freq) AS BIGINT) AS cnt
+         |  FROM u$k x JOIN u$k y ON y.w = x.w AND y.i = x.i + 1
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, cnt FROM p$k
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |s${k + 1} AS (SELECT s$k.w, s$k.freq,
+         |    replace(s$k.syms, m$k.l || ' ' || m$k.r, m$k.l || m$k.r)
+         |      AS syms
+         |  FROM s$k, m$k)""".stripMargin
+    s"""wf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |s1 AS (SELECT w, freq,
+       |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+       |  FROM wf),
+       |${round_(1)},
+       |${round_(2)},
+       |${round_(3)}""".stripMargin
+  }
 
   /** Distinct 5-gram list comprehension over a words array `ws` —
     * mirrors Dedup.explodedShingles(n = 5) for the q51 oracle. */
@@ -5048,42 +5143,42 @@ object SparkEntry {
          |FROM t, tp""".stripMargin
     },
 
-    // q177: the full interval join minus the pairs streaming loses to
-    // lateness/eviction — per pair, one admission check at the LATER
-    // side's batch k* (the two-batch-lagged global watermark
-    // min(maxL, maxR through k*-2) − 1800 is monotone, so the batch-
-    // by-batch eviction collapses to the k* check): the left row must
-    // satisfy l_ts >= W − gap (evictable once no admissible right row
-    // can match it), the right row r_ts >= W. Pinned empirically
-    // against the engine run (231 batch matches, 174 streamed).
+    // q177/q181: the full interval join minus what streaming loses to
+    // lateness/eviction. Pinned rules (engine-diffed to zero on both
+    // the inner and left-outer runs):
+    //  - INPUT filtering drops a row below the TWO-batch-lagged
+    //    global watermark W2(k) = min(maxL, maxR through k-2) − 1800
+    //    on the row's own event time (the q169/q175 "previous
+    //    watermark" rule — no gap allowance: the predicate is the
+    //    event-time column vs the global watermark);
+    //  - STATE eviction uses the freshly-advanced one-batch-lagged
+    //    W1(j): a left row dies once l_ts + gap < W1(j) (no
+    //    admissible right can match it), a right row once
+    //    r_ts < W1(j). Both are monotone, so "alive at the match
+    //    batch k*" collapses to l_ts >= W2(k*) − gap / r_ts >= W2(k*)
+    //    (W1(k*−1) = W2(k*)), and "ever evicted" collapses to the
+    //    final W1(3);
+    //  - a LEFT-OUTER null row emits for an admitted left row with NO
+    //    emitted match once eviction reaches it (l_ts + gap < W1(3)).
     "q177_stream_interval_join" ->
-      """WITH ev AS (SELECT user_id AS uid,
-        |    epoch_ns(ts) // 1000000000 AS ts, event_id AS eid
-        |  FROM events),
-        |rng AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev
-        |  WHERE eid % 10 <> 0 AND eid % 10 <> 5),
-        |l AS (SELECT uid, ts,
-        |    CASE WHEN eid % 10 = 0 THEN 3
-        |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
-        |  FROM ev, rng WHERE eid % 2 = 0),
-        |r AS (SELECT uid, ts,
-        |    CASE WHEN eid % 10 = 5 THEN 3
-        |         ELSE (ts - mn) * 3 // (mx - mn + 1) END AS b
-        |  FROM ev, rng WHERE eid % 2 = 1),
-        |pl AS (SELECT b, max(ts) AS pmax FROM l GROUP BY 1),
-        |pr AS (SELECT b, max(ts) AS pmax FROM r GROUP BY 1),
-        |w AS (SELECT k, CASE WHEN k >= 2 THEN
-        |      least((SELECT max(pmax) FROM pl WHERE b <= k - 2),
-        |            (SELECT max(pmax) FROM pr WHERE b <= k - 2)) - 1800
-        |    END AS wv
-        |  FROM (SELECT unnest([0, 1, 2, 3]) AS k)),
-        |m AS (SELECT l.uid, l.ts AS l_ts, r.ts AS r_ts,
-        |    greatest(l.b, r.b) AS ks
-        |  FROM l JOIN r ON r.uid = l.uid
-        |    AND r.ts >= l.ts AND r.ts < l.ts + 3600)
-        |SELECT uid, l_ts, r_ts FROM m LEFT JOIN w ON w.k = m.ks
-        |WHERE w.wv IS NULL
-        |   OR (l_ts >= w.wv - 3600 AND r_ts >= w.wv)""".stripMargin,
+      s"""WITH $streamJoinCtes
+         |SELECT uid, l_ts, r_ts FROM mm""".stripMargin,
+
+    "q181_stream_left_join" ->
+      s"""WITH $streamJoinCtes,
+         |wfin AS (SELECT least(
+         |      (SELECT max(pmax) FROM pl WHERE b <= 2),
+         |      (SELECT max(pmax) FROM pr WHERE b <= 2)) - 1800 AS wv),
+         |nulls AS (SELECT l.uid, l.ts AS l_ts FROM l
+         |  LEFT JOIN w wa ON wa.k = l.b
+         |  WHERE (wa.wv IS NULL OR l.ts >= wa.wv)
+         |    AND NOT EXISTS (SELECT 1 FROM mm
+         |      WHERE mm.uid = l.uid AND mm.l_ts = l.ts)
+         |    AND l.ts + 3600 < (SELECT wv FROM wfin))
+         |SELECT uid, l_ts, r_ts FROM mm
+         |UNION ALL
+         |SELECT uid, l_ts, CAST(NULL AS BIGINT) AS r_ts FROM nulls"""
+        .stripMargin,
 
     // q175: the five-batch state machine unrolled — the same
     // deterministic (user, file)-reduced feed, then per batch k:
@@ -5144,37 +5239,29 @@ object SparkEntry {
     // i/i+1 self-join), the identical argmax tie order, and replace()
     // (left-to-right non-overlapping in both engines) applying each
     // adopted merge before the next round counts
-    "q174_bpe_merges" -> {
-      def round_(k: Int) =
-        s"""t$k AS (SELECT w, freq, string_split(s$k.syms, ' ') AS a
-           |  FROM s$k),
-           |u$k AS (SELECT w, freq, generate_subscripts(a, 1) AS i,
-           |    unnest(a) AS s FROM t$k),
-           |p$k AS (SELECT x.s AS l, y.s AS r,
-           |    CAST(sum(x.freq) AS BIGINT) AS cnt
-           |  FROM u$k x JOIN u$k y ON y.w = x.w AND y.i = x.i + 1
-           |  GROUP BY 1, 2),
-           |m$k AS (SELECT l, r, cnt FROM p$k
-           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-           |s${k + 1} AS (SELECT s$k.w, s$k.freq,
-           |    replace(s$k.syms, m$k.l || ' ' || m$k.r, m$k.l || m$k.r)
-           |      AS syms
-           |  FROM s$k, m$k)""".stripMargin
-      s"""WITH wf AS (SELECT w, count(*) AS freq
-         |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY 1),
-         |s1 AS (SELECT w, freq,
-         |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
-         |  FROM wf),
-         |${round_(1)},
-         |${round_(2)},
-         |${round_(3)}
+    "q174_bpe_merges" ->
+      s"""WITH $bpeTrainCtes
          |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS left_sym,
          |  r AS right_sym, l || r AS merged, cnt AS pair_count FROM m1
          |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM m2
          |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM m3"""
-        .stripMargin
-    },
+        .stripMargin,
+
+    // q180: the s4 word table (every adopted merge applied) keys the
+    // encode — tokens per distinct word, summed per document through
+    // the same word stream; docs with no words emit zeros
+    "q180_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
+         |wtok AS (SELECT w,
+         |    CAST(len(string_split(syms, ' ')) AS BIGINT) AS ntok
+         |  FROM s4),
+         |t AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |tw AS (SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(ntok) AS BIGINT) AS n_bpe
+         |  FROM t JOIN wtok USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_bpe, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN tw USING (doc_id)""".stripMargin,
 
     // q173: identical rank/trim arithmetic ((n·1)//10 floor cut on
     // both engines — positives, so div == //), identical rounding

@@ -29,22 +29,21 @@ object BpeTrain {
   private def charSyms(word: Column): Column =
     trim(regexp_replace(word, "(.)", "$1 "))
 
-  /** The first `rounds` merges: (merge_rank, left_sym, right_sym,
-    * merged, pair_count). Stops early (fewer rows) if the vocabulary
-    * runs out of adjacent pairs. */
-  def topMerges(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
+  /** Train `rounds` merges; returns (merge table rows, the word table
+    * (w, freq, syms) with every adopted merge applied). The word table
+    * carries the trained segmentation — [[encodeTokenCounts]] reads
+    * tokens-per-word straight off it. */
+  private def trainRounds(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 16,
       "each round is a full vocabulary pass; rounds in [1, 16]")
-    val spark = df.sparkSession
-    import spark.implicits._
     val wf = graft.Caches.register(df
       .select(explode(graft.functions.TextFns.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", charSyms(col("w")))
       .persist())
-    var cur = wf.select(col("freq"), col("syms"))
+    var cur = wf
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -70,7 +69,45 @@ object BpeTrain {
           col("syms"), lit(s"$l $r"), lit(l + r)))
       }
     }
-    merges.result().toDF("merge_rank", "left_sym", "right_sym",
-      "merged", "pair_count")
+    (merges.result(), cur)
+  }
+
+  /** The first `rounds` merges: (merge_rank, left_sym, right_sym,
+    * merged, pair_count). Stops early (fewer rows) if the vocabulary
+    * runs out of adjacent pairs. */
+  def topMerges(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainRounds(df, idCol, textCol, rounds)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** APPLY the trained merges: per document, the whitespace word count
+    * and the BPE token count under the `rounds`-merge model — the
+    * train-then-encode round trip a tokenizer pipeline runs, and the
+    * corpus statistic (tokens before/after merging) that prices a
+    * vocabulary. Encoding cost is per DISTINCT WORD (the merge chain
+    * runs on the vocabulary table once); documents join their words
+    * against the encoded vocabulary — at 100 TB the corpus pass is
+    * one explode + one hash join on word, never a per-doc merge
+    * scan. */
+  def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, encoded) = trainRounds(df, idCol, textCol, rounds)
+    val wordTokens = encoded.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_toks__"))
+    val docWords = df
+      .select(col(idCol),
+        explode(graft.functions.TextFns.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val per = docWords.join(wordTokens, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks__")).as("n_bpe_tokens"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

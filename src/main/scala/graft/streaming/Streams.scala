@@ -133,14 +133,20 @@ object Streams {
     * watermark passes it. Emission happens in the micro-batch where
     * the LATER side arrives — no flush sentinel needed for matches
     * whose both sides arrive while the stream runs. */
+  /** `joinType` "inner" emits matches only; "leftOuter" additionally
+    * emits a null-extended row for a left event whose state is
+    * evicted without ever having matched — the "click with no
+    * purchase inside the window" stream, produced incrementally as
+    * the watermark closes each left row's window. */
   def joinWithinGap(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, gapSeconds: Long,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, watermark).alias("l")
     val r = right.withWatermark(rightTime, watermark).alias("r")
     l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTime >= l.$leftTime AND " +
-        s"r.$rightTime < l.$leftTime + interval $gapSeconds seconds"))
+        s"r.$rightTime < l.$leftTime + interval $gapSeconds seconds"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 
