@@ -1685,6 +1685,59 @@ object SparkEntry {
     "q181_stream_left_join" -> ((s, dir) =>
       streamIntervalJoinGate(s, dir, "leftOuter")),
 
+    // ---- streaming: WATERMARK-TIMEOUT sessionization — q78's gap
+    // sessions closed by GroupStateTimeout.EventTimeTimeout instead
+    // of a sentinel flush: each state update arms a timeout at
+    // last + gap; when the watermark passes it, the group re-invokes
+    // with hasTimedOut and the session emits. Sessions still open at
+    // stream end (the tail of event time) stay in state and are NOT
+    // emitted — exactly the production contract, and the gated
+    // difference vs q78.
+    "q182_session_timeout" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("userId"),
+          tsSec.cast("long").as("tsSec"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "session_start", "session_end", "n_events")
+      } else {
+      val rng = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
+      val batched = ev.crossJoin(broadcast(rng))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("userId"), col("tsSec"), col("b"))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q182-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream.schema("userId LONG, tsSec LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+        .withWatermark("ts", "30 minutes")
+        .withColumn("value", lit(0.0))
+        .select(col("userId"), col("tsSec"), col("value"), col("ts"))
+        .as[graft.streaming.Streams.TimedSessionEvent]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q182-out").toString
+      val q = graft.streaming.Streams
+        .statefulSessionsTimeout(src, gapSec = 1800L)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/sessions")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/sessions")
+        .select(col("userId").as("user_id"),
+          col("start").as("session_start"),
+          col("end").as("session_end"),
+          col("n").as("n_events"))
+      }
+    }),
+
     // ---- tokenizer: BPE merge-rule training — the first 3 merges
     // learned from the corpus word-frequency table (pair counts
     // weighted by word freq, argmax with (count desc, pair asc) ties,
@@ -5179,6 +5232,35 @@ object SparkEntry {
          |UNION ALL
          |SELECT uid, l_ts, CAST(NULL AS BIGINT) AS r_ts FROM nulls"""
         .stripMargin,
+
+    // q182: q78's batch sessionization, minus the sessions the
+    // timeout never reached — a user's FINAL session emits only if
+    // its timeout timestamp (end + gap) fell below the final
+    // watermark (global max event time − 1800). Pinned empirically:
+    // unlike the join operators, flatMapGroupsWithState timeouts DO
+    // get a post-final-file pass under AvailableNow, so the final
+    // watermark covers the last batch's data (13 tail sessions stay
+    // open at sf0.01 — the gated difference vs q78's sentinel flush).
+    // Every non-final session closed in-stream via the gap rule.
+    "q182_session_timeout" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |        OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s2 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_seq FROM s),
+        |sess AS (SELECT user_id, min(ts_s) AS session_start,
+        |    max(ts_s) AS session_end, count(*) AS n_events
+        |  FROM s2 GROUP BY user_id, session_seq),
+        |f AS (SELECT *, max(session_end)
+        |    OVER (PARTITION BY user_id) AS umax FROM sess),
+        |mx AS (SELECT max(ts_s) AS m FROM e)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM f, mx
+        |WHERE session_end < umax
+        |   OR session_end + 1800 < m - 1800""".stripMargin,
 
     // q175: the five-batch state machine unrolled — the same
     // deterministic (user, file)-reduced feed, then per batch k:

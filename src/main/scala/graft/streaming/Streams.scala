@@ -77,6 +77,62 @@ object Streams {
       }
   }
 
+  /** [[statefulSessions]] with WATERMARK-driven closure
+    * (GroupStateTimeout.EventTimeTimeout): instead of a sentinel row
+    * flushing open sessions, each update arms an event-time timeout at
+    * last + gap; when the watermark passes it, Spark re-invokes the
+    * function with an empty batch and `state.hasTimedOut`, and the
+    * session closes and emits THEN — the production shape where open
+    * sessions survive in the state store across runs and close
+    * themselves as event time advances, with no artificial flush
+    * traffic. `events` must already carry a watermark on its
+    * event-time column (`withWatermark` upstream); timestamps inside
+    * the state stay integer seconds. */
+  /** [[SessionEvent]] plus the WATERMARKED event-time column — the
+    * typed row must keep `ts` or the projection strips the watermark
+    * the event-time timeout requires. */
+  case class TimedSessionEvent(userId: Long, tsSec: Long, value: Double,
+      ts: java.sql.Timestamp)
+
+  def statefulSessionsTimeout(
+      events: org.apache.spark.sql.Dataset[TimedSessionEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TimedSessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.tsSec, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsSec - s.last > gapSec =>
+                  closed += ClosedSession(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, e.tsSec),
+                    s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time passes last + gap (seconds -> ms)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming heavy hitters: a Misra–Gries summary as PER-GROUP stream
     * state via `mapGroupsWithState` — the streaming twin of
     * [[graft.operators.FrequentItems]]. State per group is at most `k`
