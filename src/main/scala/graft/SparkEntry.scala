@@ -1607,6 +1607,19 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- ranking: per-group top-k — the 3 priciest orders per
+    // order-priority class; the declared rank-filter idiom lets
+    // Catalyst plant WindowGroupLimit (map-side size-k heaps before
+    // the shuffle — PlanAuditSpec pins it)
+    "q183_group_topk" -> ((s, dir) =>
+      RankOps.groupTopK(
+        T(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c")),
+        Seq("o_orderpriority"), k = 3,
+        value = col("price_c"), tieBreaks = Seq(col("o_orderkey")))),
+
     // ---- mixture QA: source concentration — HHI + CR1/CR4 of char
     // mass across sources, all exact scaled integers: the "is the
     // corpus dominated by a few sources?" one-row diagnostic
@@ -5174,6 +5187,19 @@ object SparkEntry {
     "q179_incremental_embedding_neardup" ->
       s"""WITH ${lshProbeCtes("0.3", "a.vec_id % 17 = 0")}
          |SELECT id_a, id_b, cosine FROM p""".stripMargin,
+
+    // q183: identical window rank + filter
+    "q183_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, price_c, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT) DESC,
+        |        o_orderkey ASC) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
 
     // q178: same positive-weight group table, HUGEINT Σw²/total²
     // rational for HHI, top-4 by (weight desc, group asc)

@@ -86,6 +86,27 @@ object RankOps {
       ascending: Boolean = false): DataFrame =
     topKMulti(df, k, value, Seq(tieBreak), ascending)
 
+  /** Per-GROUP deterministic top-k — the "3 best per segment" staple.
+    * Declared as the plain rank-filter idiom (row_number window +
+    * `<= k` filter) ON PURPOSE: Catalyst's InferWindowGroupLimit
+    * rewrites exactly this shape into a WindowGroupLimit that keeps a
+    * size-k heap per group on the MAP side before the shuffle — at
+    * 100 TB the exchange moves ~k rows per (group × input partition),
+    * not the table. PlanAuditSpec pins the rewrite so a refactor
+    * can't silently fall back to the full window sort. Ordering is
+    * total per group ((value dir, tieBreaks asc) — callers pass a
+    * unique tie-break) so results are engine-exact. */
+  def groupTopK(df: DataFrame, groups: Seq[String], k: Int,
+      value: Column, tieBreaks: Seq[Column],
+      ascending: Boolean = false, rankCol: String = "rnk"): DataFrame = {
+    require(k >= 1 && groups.nonEmpty, "need k >= 1 and group columns")
+    val ord = if (ascending) value.asc_nulls_last else value.desc_nulls_last
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(ord +: tieBreaks.map(_.asc): _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** [[topK]] with a COMPOSITE tie-break — for callers whose natural
     * uniqueness key is a tuple (e.g. a bigram (w1, w2)). A concatenated
     * single-column tie-break is NOT equivalent: tuple order and

@@ -300,6 +300,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the latest-pick window must partition by key:\n$p")
   }
 
+  test("groupTopK plants WindowGroupLimit (map-side per-group heaps)") {
+    val df = (1 to 2000).map(i =>
+      (s"g${i % 5}", i.toLong, i.toLong * 7 % 1000)).toDF("g", "id", "v")
+    val p = plan(graft.operators.RankOps.groupTopK(
+      df, Seq("g"), 3, col("v"), Seq(col("id"))))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-filter idiom must trigger InferWindowGroupLimit:\n$p")
+  }
+
   test("compressibility is one codegen'd pass: no Generate, no shuffle") {
     val docs = (1 to 50).map(i => (i.toLong, "ab" * i + "\ncc"))
       .toDF("doc_id", "text")

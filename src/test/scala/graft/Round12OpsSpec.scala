@@ -143,6 +143,24 @@ class Round12OpsSpec extends SparkSpec {
     assert(again.count() == keys.count())
   }
 
+  test("groupTopK keeps exactly k per group in total order") {
+    import graft.operators.RankOps
+    val df = (1 to 100).map(i => (s"g${i % 4}", i.toLong, (i * 13 % 50).toLong))
+      .toDF("g", "id", "v")
+    val top = RankOps.groupTopK(df, Seq("g"), 3, col("v"), Seq(col("id")))
+      .collect()
+    assert(top.length == 12)
+    top.groupBy(_.getString(0)).foreach { case (g, rows) =>
+      assert(rows.length == 3, s"$g")
+      val ranked = rows.sortBy(_.getLong(3))
+      // descending value, id tie-break ascending
+      ranked.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(1) < b.getLong(1)))
+      }
+    }
+  }
+
   test("zorder pruningStats: files partition rows; the box scans a subset") {
     import graft.operators.ZOrderLayout
     val df = (1 to 1000).map(i =>
