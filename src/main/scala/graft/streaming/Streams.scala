@@ -244,6 +244,33 @@ object Streams {
         ()
       }
 
+  /** EXACTLY-ONCE append sink: each micro-batch lands in its own
+    * `graft_batch_id=N` partition via DYNAMIC partition overwrite, so
+    * a replayed batch (committed files but a checkpoint that never
+    * recorded them — the failure window that makes a plain parquet
+    * append at-least-once) OVERWRITES its own partition instead of
+    * appending next to its first attempt. Readers scan `path`
+    * normally; the partition column is harness metadata. This is the
+    * batchId-keyed idempotent write the [[decontaminateSink]] caveat
+    * prescribes, packaged as the general sink. */
+  def idempotentAppendSink(stream: DataFrame,
+      path: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, path)
+      }
+
+  /** The per-batch idempotent write — exposed so a spec can replay a
+    * batch id directly and assert no duplication. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+      path: String): Unit =
+    batch.withColumn("graft_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("graft_batch_id")
+      .parquet(path)
+
   /** Stream-static enrichment: join a stream against a (small) dimension
     * table with a broadcast hint — each micro-batch hash-joins against
     * the broadcast dim, no stream-side state. The streaming twin of the

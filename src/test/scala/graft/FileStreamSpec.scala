@@ -77,4 +77,37 @@ class FileStreamSpec extends SparkSpec {
     assert(spark.read.parquet(target).select($"doc_id")
       .as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("idempotent sink: a replayed batch overwrites, never duplicates") {
+    val root = Files.createTempDirectory("graft_idem")
+    val src = s"$root/incoming"
+    val target = s"$root/out"
+    val checkpoint = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType)))
+    Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = Streams.runAvailableNow(
+      Streams.idempotentAppendSink(stream, target), checkpoint)
+    q.awaitTermination()
+    spark.catalog.refreshByPath(target)
+    assert(spark.read.parquet(target).count() == 2)
+    // simulate the at-least-once failure window: the batch's files
+    // committed but the checkpoint never recorded it -> the batch
+    // REPLAYS with the same id. The batchId-keyed dynamic overwrite
+    // must leave the sink identical, where a plain append doubles it.
+    Streams.writeBatchIdempotent(
+      Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v"), 0L, target)
+    spark.catalog.refreshByPath(target)
+    val rows = spark.read.parquet(target)
+    assert(rows.count() == 2, "replay must not duplicate")
+    assert(rows.select($"k").as[String].collect().toSet == Set("A", "B"))
+    // a DIFFERENT batch id still appends
+    Streams.writeBatchIdempotent(
+      Seq(("C", 3.0)).toDF("k", "v"), 1L, target)
+    spark.catalog.refreshByPath(target)
+    assert(spark.read.parquet(target).count() == 3)
+  }
 }
