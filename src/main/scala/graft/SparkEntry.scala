@@ -1607,6 +1607,26 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- source: JSON-lines ingest with corrupt-record handling —
+    // records are constructed by IDENTICAL string concatenation in
+    // both engines (so no to_json formatting divergence), every 50th
+    // record truncated to a malformed line; from_json PERMISSIVE
+    // yields NULL fields + the is_corrupt flag instead of failing
+    "q184_json_ingest" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val js = concat(lit("{\"k\":"), col("c_custkey").cast("string"),
+        lit(",\"n\":\""), col("c_name"),
+        lit("\",\"seg\":\""), col("c_mktsegment"), lit("\"}"))
+      val raw = when(pmod(col("c_custkey"), lit(50)) === 0,
+        expr("substring(js__, 1, length(js__) - 1)")).otherwise(col("js__"))
+      graft.sources.JsonIngest.parseRecords(
+        cust.select(col("c_custkey"), js.as("js__"))
+          .select(col("c_custkey"), raw.as("raw__")),
+        col("raw__"), "k LONG, n STRING, seg STRING",
+        requiredField = "k")
+        .drop("raw__")
+    }),
+
     // ---- ranking: per-group top-k — the 3 priciest orders per
     // order-priority class; the declared rank-filter idiom lets
     // Catalyst plant WindowGroupLimit (map-side size-k heaps before
@@ -5187,6 +5207,28 @@ object SparkEntry {
     "q179_incremental_embedding_neardup" ->
       s"""WITH ${lshProbeCtes("0.3", "a.vec_id % 17 = 0")}
          |SELECT id_a, id_b, cosine FROM p""".stripMargin,
+
+    // q184: identical string construction and truncation. PINNED
+    // PERMISSIVE reality: Spark returns a NON-null struct with
+    // all-null fields for a malformed record, so the flag keys on the
+    // required field k; DuckDB mirrors with json_valid (the truncated
+    // record is invalid JSON, all extractions null, flag true)
+    "q184_json_ingest" ->
+      """WITH j AS (SELECT c_custkey,
+        |    '{"k":' || CAST(c_custkey AS VARCHAR) || ',"n":"' ||
+        |      c_name || '","seg":"' || c_mktsegment || '"}' AS js
+        |  FROM customer),
+        |r AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 50 = 0
+        |         THEN substring(js, 1, length(js) - 1) ELSE js END AS raw
+        |  FROM j)
+        |SELECT c_custkey,
+        |  CASE WHEN json_valid(raw)
+        |       THEN CAST(raw ->> 'k' AS BIGINT) END AS k,
+        |  CASE WHEN json_valid(raw) THEN raw ->> 'n' END AS n,
+        |  CASE WHEN json_valid(raw) THEN raw ->> 'seg' END AS seg,
+        |  NOT json_valid(raw) AS is_corrupt
+        |FROM r""".stripMargin,
 
     // q183: identical window rank + filter
     "q183_group_topk" ->
