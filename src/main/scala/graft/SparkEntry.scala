@@ -1607,6 +1607,13 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- QA: Merkle-style bucketed column checksums — q159's
+    // order-independent lanes per key-hash bucket (16 buckets): the
+    // "WHERE do two table versions differ?" localizer
+    "q185_bucket_checksums" -> ((s, dir) =>
+      Profile.bucketChecksums(T(s, dir, "customer"), "c_custkey",
+        Seq("c_custkey", "c_name", "c_mktsegment"), nBuckets = 16)),
+
     // ---- source: JSON-lines ingest with corrupt-record handling —
     // records are constructed by IDENTICAL string concatenation in
     // both engines (so no to_json formatting divergence), every 50th
@@ -5002,6 +5009,28 @@ object SparkEntry {
            |  ${lane(1)} AS checksum_hi,
            |  ${lane(9)} AS checksum_lo
            |FROM customer""".stripMargin
+      }
+      s"""${one("c_custkey")}
+         |UNION ALL ${one("c_name")}
+         |UNION ALL ${one("c_mktsegment")}""".stripMargin
+    },
+
+    // q185: q159's hex-lane mirrors grouped by the low-32-bit bucket
+    "q185_bucket_checksums" -> {
+      val mod = 1L << 62
+      val bucket =
+        s"(${hex32Sql("md5(CAST(c_custkey AS VARCHAR))", 9)}) % 16"
+      def one(c: String) = {
+        val md5c = s"md5(CAST($c AS VARCHAR))"
+        def lane(from: Int) =
+          s"""CAST(coalesce(sum(CASE WHEN $c IS NOT NULL THEN
+             |    CAST(${hex32Sql(md5c, from)} AS HUGEINT) END), 0)
+             |  % $mod AS BIGINT)""".stripMargin
+        s"""SELECT $bucket AS bucket, '$c' AS col_name,
+           |  CAST(count($c) AS BIGINT) AS n_values,
+           |  ${lane(1)} AS checksum_hi,
+           |  ${lane(9)} AS checksum_lo
+           |FROM customer GROUP BY 1""".stripMargin
       }
       s"""${one("c_custkey")}
          |UNION ALL ${one("c_name")}

@@ -203,6 +203,50 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("r__")).select(col("r__.*"))
   }
 
+  /** MERKLE-STYLE drill-down of [[columnChecksums]]: the same
+    * order-independent per-column lanes, but per KEY-HASH BUCKET — the
+    * cheap "WHERE do two table versions differ?" localizer: compare
+    * two runs bucket by bucket; only buckets whose checksums diverge
+    * need row-level diffing, so a one-row discrepancy in a 100 TB
+    * table is narrowed to 1/nBuckets of it for the price of two scans
+    * and a 2·nBuckets-row compare. The bucket key is the low 32 bits
+    * of the row key's md5-prefix64 mod nBuckets (non-negative in both
+    * engines — no signed-mod mirroring).
+    *
+    * Shape at scale: one scan, one map-side-combinable aggregate over
+    * nBuckets groups. */
+  def bucketChecksums(df: DataFrame, keyCol: String, cols: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty && nBuckets >= 1, "need columns and buckets")
+    val dec = "decimal(38,0)"
+    val mod = 1L << 62
+    def h(c: String) =
+      graft.expressions.Md5Prefix64(col(c).cast("string"))
+    val bucket = pmod(
+      graft.expressions.Md5Prefix64(col(keyCol).cast("string"))
+        .bitwiseAND(lit(0xffffffffL)),
+      lit(nBuckets.toLong))
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"n__$c"),
+      sum(when(col(c).isNotNull,
+        shiftrightunsigned(h(c), 32)).cast(dec)).as(s"hi__$c"),
+      sum(when(col(c).isNotNull,
+        h(c).bitwiseAND(lit(0xffffffffL))).cast(dec)).as(s"lo__$c"))
+    }
+    val wide = df.groupBy(bucket.as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val zero = lit(0L).cast(dec)
+    val rows = cols.map { c => struct(
+      lit(c).as("col_name"), col(s"n__$c").as("n_values"),
+      pmod(coalesce(col(s"hi__$c"), zero), lit(mod).cast(dec))
+        .cast("long").as("checksum_hi"),
+      pmod(coalesce(col(s"lo__$c"), zero), lit(mod).cast(dec))
+        .cast("long").as("checksum_lo"))
+    }
+    wide.select(col("bucket"), explode(array(rows: _*)).as("r__"))
+      .select(col("bucket"), col("r__.*"))
+  }
+
   /** Join-fanout estimate — the exact size a key-equi-join WOULD
     * produce (Σ over matched keys of n_left·n_right) plus the top
     * contributing keys: the pre-flight check before a join whose
