@@ -1607,6 +1607,15 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- eval: per-class precision/recall/F1 — q133's NCM confusion
+    // tallied into the classifier eval sheet, every metric an exact
+    // e6 rational (F1 as the single rational 2tp/(n_true+n_pred))
+    "q186_class_metrics" -> ((s, dir) =>
+      EvalMetrics.classMetrics(
+        Prototypes.prototypeConfusion(T(s, dir, "embeddings"),
+          "vec_id", "embedding", "label"),
+        "true_label", "assigned_label", "n_vecs")),
+
     // ---- QA: Merkle-style bucketed column checksums — q159's
     // order-independent lanes per key-hash bucket (16 buckets): the
     // "WHERE do two table versions differ?" localizer
@@ -2870,6 +2879,32 @@ object SparkEntry {
        |  WHERE $batchPred
        |  GROUP BY 1, 2),
        |${lshVerifyCtes(threshold)}""".stripMargin
+
+  /** The q133/q186 nearest-class-mean chain: e6 integer units, exact
+    * per-label prototypes, squared-L2 argmin (dist asc, label asc),
+    * ending in the confusion tally `conf(true_label, assigned_label,
+    * n_vecs)`. */
+  private lazy val protoConfusionCtes: String =
+    s"""u AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+       |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) AS u
+       |  FROM embeddings),
+       |s AS (SELECT true_label AS label, dim, count(*) AS n,
+       |    sum(CAST(u AS HUGEINT)) AS s FROM u GROUP BY 1, 2),
+       |pp AS (SELECT label AS cand_label, dim,
+       |    ${graft.functions.ExactRound.ratioScaledSignedSql(
+            "s", "n", 0)} AS mean_e6 FROM s),
+       |d AS (SELECT u.vec_id, u.true_label, pp.cand_label,
+       |    sum(CAST(u.u - pp.mean_e6 AS HUGEINT) *
+       |        CAST(u.u - pp.mean_e6 AS HUGEINT)) AS dist2
+       |  FROM u JOIN pp USING (dim)
+       |  GROUP BY 1, 2, 3),
+       |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist2 ASC, cand_label ASC) AS rn FROM d),
+       |conf AS (SELECT true_label, cand_label AS assigned_label,
+       |    count(*) AS n_vecs
+       |  FROM a WHERE rn = 1 GROUP BY 1, 2)""".stripMargin
 
   /** Shared q177/q181 chain: sides, per-batch maxima, the lagged
     * watermark table `w` (W2), candidate matches `m`, and the
@@ -4517,26 +4552,38 @@ object SparkEntry {
     // q133: q130's prototype CTE inlined; exact HUGEINT squared-L2,
     // argmin with cand-label tie-break, confusion tally
     "q133_prototype_confusion" ->
-      s"""WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
-         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
-         |      AS BIGINT) AS u
-         |  FROM embeddings),
-         |s AS (SELECT true_label AS label, dim, count(*) AS n,
-         |    sum(CAST(u AS HUGEINT)) AS s FROM u GROUP BY 1, 2),
-         |pp AS (SELECT label AS cand_label, dim,
-         |    ${graft.functions.ExactRound.ratioScaledSignedSql(
-              "s", "n", 0)} AS mean_e6 FROM s),
-         |d AS (SELECT u.vec_id, u.true_label, pp.cand_label,
-         |    sum(CAST(u.u - pp.mean_e6 AS HUGEINT) *
-         |        CAST(u.u - pp.mean_e6 AS HUGEINT)) AS dist2
-         |  FROM u JOIN pp USING (dim)
-         |  GROUP BY 1, 2, 3),
-         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dist2 ASC, cand_label ASC) AS rn FROM d)
-         |SELECT true_label, cand_label AS assigned_label,
-         |  count(*) AS n_vecs
-         |FROM a WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+      s"""WITH $protoConfusionCtes
+         |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q186: per-class tallies off the shared confusion CTE; F1 as the
+    // single rational 2tp/(n_true + n_pred)
+    "q186_class_metrics" ->
+      s"""WITH $protoConfusionCtes,
+         |cls AS (SELECT true_label AS label FROM conf
+         |  UNION SELECT assigned_label FROM conf),
+         |tp AS (SELECT true_label AS label,
+         |    CAST(sum(n_vecs) AS BIGINT) AS tp FROM conf
+         |  WHERE true_label = assigned_label GROUP BY 1),
+         |tc AS (SELECT true_label AS label,
+         |    CAST(sum(n_vecs) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+         |pc AS (SELECT assigned_label AS label,
+         |    CAST(sum(n_vecs) AS BIGINT) AS n_pred FROM conf GROUP BY 1)
+         |SELECT cls.label, coalesce(tp, 0) AS tp,
+         |  coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+         |  coalesce(n_true, 0) - coalesce(tp, 0) AS fn,
+         |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(tp, 0)", "coalesce(n_pred, 0)", 6)}
+         |    AS precision_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "coalesce(tp, 0)", "coalesce(n_true, 0)", 6)}
+         |    AS recall_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "2 * coalesce(tp, 0)",
+              "coalesce(n_true, 0) + coalesce(n_pred, 0)", 6)} AS f1_e6
+         |FROM cls LEFT JOIN tp USING (label)
+         |  LEFT JOIN tc USING (label) LEFT JOIN pc USING (label)"""
+        .stripMargin,
 
     // q134: row_number rankings (total order: value desc, doc asc),
     // full join, each RRF term through the rounding identity
