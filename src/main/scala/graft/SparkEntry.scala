@@ -1607,6 +1607,14 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- eval: stratified 5-fold assignment — per language stratum,
+    // folds taken round-robin along the (md5, key) permutation:
+    // balanced to within one row per stratum, reproducible everywhere
+    "q187_stratified_kfold" -> ((s, dir) =>
+      Sampling.stratifiedKFold(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 5)),
+
     // ---- eval: per-class precision/recall/F1 — q133's NCM confusion
     // tallied into the classifier eval sheet, every metric an exact
     // e6 rational (F1 as the single rational 2tp/(n_true+n_pred))
@@ -4554,6 +4562,14 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q187: identical permutation and round-robin arithmetic
+    "q187_stratified_kfold" ->
+      """SELECT doc_id, lang, (rn - 1) % 5 AS fold
+        |FROM (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)""".stripMargin,
 
     // q186: per-class tallies off the shared confusion CTE; F1 as the
     // single rational 2tp/(n_true + n_pred)

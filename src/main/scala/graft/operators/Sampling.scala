@@ -244,6 +244,28 @@ object Sampling {
     * per row >= 0, exactly n picks total), so NULL and negative
     * weights are both clamped to 0 (r11 advice) — such rows can never
     * be picked but keep the line monotone. */
+  /** Stratified K-FOLD assignment — per stratum, members take folds
+    * round-robin along the (md5(key), key) permutation, so every
+    * stratum's folds are balanced to within one row and the
+    * assignment is reproducible across engines, reruns, and
+    * partitionings (the repo's split discipline, extended to
+    * cross-validation). fold ∈ [0, k).
+    *
+    * Shape at scale: the per-stratum rank runs through
+    * [[ScalableRank.groupRowNumber]]'s range-partitioned sort — a
+    * dominant stratum never lands in one window task. */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val base = df.select(col(stratumCol), col(keyCol),
+      md5(col(keyCol).cast("string")).as("h__"))
+    ScalableRank.groupRowNumber(base, Seq(stratumCol),
+        Seq(col("h__").asc, col(keyCol).asc),
+        rnCol = "rn__", nCol = "n__")
+      .select(col(keyCol), col(stratumCol),
+        pmod(col("rn__") - 1L, lit(k.toLong)).as("fold"))
+  }
+
   def systematicWeighted(df: DataFrame, keyCol: String,
       weightCol: String, n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
