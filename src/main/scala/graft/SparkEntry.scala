@@ -1607,6 +1607,18 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- dedup: CORPUS-level gram overlap — even-doc half vs
+    // odd-doc half: Jaccard + both containments of the distinct
+    // 3-gram sets, the dataset-similarity gauge an aggregation or
+    // contamination decision reads before any per-doc work
+    "q188_corpus_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.corpusGramOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 3)
+    }),
+
     // ---- eval: stratified 5-fold assignment — per language stratum,
     // folds taken round-robin along the (md5, key) permutation:
     // balanced to within one row per stratum, reproducible everywhere
@@ -4562,6 +4574,32 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q188: per-half distinct 3-gram sets via the shared words/gram
+    // fragments, membership bits, one-row rationals
+    "q188_corpus_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     for i in range(1, len(ws) - 1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |sa AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 2 = 0),
+         |sb AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 2 = 1),
+         |bits AS (SELECT coalesce(sa.shingle, sb.shingle) AS shingle,
+         |    CASE WHEN sa.shingle IS NULL THEN 0 ELSE 1 END AS ia,
+         |    CASE WHEN sb.shingle IS NULL THEN 0 ELSE 1 END AS ib
+         |  FROM sa FULL JOIN sb ON sb.shingle = sa.shingle)
+         |SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+         |  CAST(sum(ib) AS BIGINT) AS n_b,
+         |  CAST(sum(ia * ib) AS BIGINT) AS n_inter,
+         |  count(*) AS n_union,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(ia * ib)", "count(*)", 6)} AS jaccard_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(ia * ib)", "sum(ia)", 6)} AS cont_a_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "sum(ia * ib)", "sum(ib)", 6)} AS cont_b_e6
+         |FROM bits""".stripMargin,
 
     // q187: identical permutation and round-robin arithmetic
     "q187_stratified_kfold" ->

@@ -175,6 +175,41 @@ object Dedup {
     (cand, sh, sizes)
   }
 
+  /** CORPUS-level n-gram overlap — one row comparing two corpora's
+    * DISTINCT n-gram sets: Jaccard plus both directed containments,
+    * all exact e6 rationals. The dataset-granularity twin of the
+    * per-doc pair operators: "how much of corpus B is already in A?"
+    * is the question an aggregation / licensing / contamination
+    * decision asks before any doc-level work.
+    *
+    * Shape at scale: each side's distinct grams (map-side-combinable),
+    * ONE union tagged with side flags, one groupBy(shingle) collapsing
+    * to membership bits, one 1-row aggregate — a single shuffle on
+    * the gram key, no pairwise anything. */
+  def corpusGramOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    def side(df: DataFrame, flag: String) =
+      explodedShingles(df, idCol, textCol, n)
+        .select(col("shingle")).distinct()
+        .select(col("shingle"), lit(flag).as("side__"))
+    val tagged = side(a, "a").unionByName(side(b, "b"))
+    val bits = tagged.groupBy(col("shingle"))
+      .agg(max(when(col("side__") === "a", 1L).otherwise(0L)).as("ia__"),
+        max(when(col("side__") === "b", 1L).otherwise(0L)).as("ib__"))
+    bits.agg(
+        sum(col("ia__")).as("n_a"),
+        sum(col("ib__")).as("n_b"),
+        sum(col("ia__") * col("ib__")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        graft.functions.ExactRound.ratioScaled(col("n_inter"),
+          col("n_union"), 6).as("jaccard_e6"),
+        graft.functions.ExactRound.ratioScaled(col("n_inter"),
+          col("n_a"), 6).as("cont_a_e6"),
+        graft.functions.ExactRound.ratioScaled(col("n_inter"),
+          col("n_b"), 6).as("cont_b_e6"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER
     * document's shingle set lives inside the other. Jaccard punishes a
     * short doc fully embedded in a long one (|A∩B|/|A∪B| stays small
