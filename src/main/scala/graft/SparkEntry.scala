@@ -1607,6 +1607,14 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- dedup: pair EXPLANATIONS — per verified near-dup pair, the
+    // 3 rarest shared trigrams with their document frequencies (the
+    // reviewer evidence next to the score; rarest-first because
+    // boilerplate explains nothing)
+    "q189_pair_explanations" -> ((s, dir) =>
+      Dedup.explainPairs(T(s, dir, "documents"), "doc_id", "text",
+        n = 3, thrNum = 1L, thrDen = 2L, k = 3)),
+
     // ---- dedup: CORPUS-level gram overlap — even-doc half vs
     // odd-doc half: Jaccard + both containments of the distinct
     // 3-gram sets, the dataset-similarity gauge an aggregation or
@@ -4574,6 +4582,42 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q189: q22's pair surface + shared-shingle fetch, ranked by
+    // (gram_df asc, shingle asc) within each pair
+    "q189_pair_explanations" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     for i in range(1, len(ws) - 1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |    ${graft.functions.ExactRound.ratioSql("inter",
+              "sa.n_sh + sb.n_sh - inter", 4)} AS jaccard
+         |  FROM pairs
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) /
+         |    CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5),
+         |dfreq AS (SELECT shingle, count(*) AS gram_df FROM sh
+         |  GROUP BY 1),
+         |shared AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    x.shingle, dfreq.gram_df
+         |  FROM p JOIN sh x ON x.doc_id = p.doc_a
+         |    JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |    JOIN dfreq ON dfreq.shingle = x.shingle),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY doc_a, doc_b
+         |      ORDER BY gram_df ASC, shingle ASC) AS BIGINT) AS rnk
+         |  FROM shared)
+         |SELECT doc_a, doc_b, jaccard, rnk, shingle, gram_df
+         |FROM r WHERE rnk <= 3""".stripMargin,
 
     // q188: per-half distinct 3-gram sets via the shared words/gram
     // fragments, membership bits, one-row rationals

@@ -175,6 +175,38 @@ object Dedup {
     (cand, sh, sizes)
   }
 
+  /** Pair EXPLANATIONS — for every verified near-dup pair, the `k`
+    * rarest shared shingles with their document frequencies: the
+    * evidence a human reviewer (or a downstream allow-list rule)
+    * reads next to the score. Rarest-first because hot shingles
+    * (boilerplate) explain nothing; a df-2 shared trigram is the
+    * smoking gun.
+    *
+    * Shape at scale: the shared-shingle fetch is the verify kernel's
+    * pair-restricted join shape; the per-pair window runs over that
+    * pair's intersection only (bounded by doc size). */
+  def explainPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = prefixFilteredJaccard(df, idCol, textCol, n,
+      thrNum, thrDen)
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val dfreq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("gram_df"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("gram_df").asc, col("shingle").asc)
+    pairs
+      .join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("rnk"), col("shingle"), col("gram_df"))
+  }
+
   /** CORPUS-level n-gram overlap — one row comparing two corpora's
     * DISTINCT n-gram sets: Jaccard plus both directed containments,
     * all exact e6 rationals. The dataset-granularity twin of the
