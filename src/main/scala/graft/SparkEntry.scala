@@ -1607,6 +1607,15 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- monitoring: EWMA daily series — per event type and
+    // observed day, the decayed trailing count over the shared exact
+    // e6 (4/5)^age table (q111's decay powers as a SERIES, the
+    // smoothed line a regression detector thresholds against)
+    "q190_ewma_series" -> ((s, dir) =>
+      EventAnalytics.ewmaDailySeries(T(s, dir, "events"),
+        "event_type", "ts", decayNum = 4, decayDen = 5,
+        maxAgeDays = 30)),
+
     // ---- dedup: pair EXPLANATIONS — per verified near-dup pair, the
     // 3 rarest shared trigrams with their document frequencies (the
     // reviewer evidence next to the score; rarest-first because
@@ -4582,6 +4591,27 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q190: the same e6 decay table as a list literal (q111 pattern),
+    // bounded offset fan-out over the DAILY aggregate, semi-join to
+    // observed days
+    "q190_ewma_series" -> {
+      val arr = graft.operators.EventAnalytics.decayPowersE6(4, 5, 30)
+        .mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT generate_subscripts(a, 1) - 1 AS off, unnest(a) AS p
+         |  FROM (SELECT $arr AS a)),
+         |c AS (SELECT d.event_type, d.day + w.off AS t_day,
+         |    CAST(sum(d.n_events * w.p) AS BIGINT) AS ewma_e6
+         |  FROM d CROSS JOIN w
+         |  GROUP BY 1, 2)
+         |SELECT d.event_type, d.day, d.n_events, c.ewma_e6
+         |FROM d JOIN c ON c.event_type = d.event_type
+         |  AND c.t_day = d.day""".stripMargin
+    },
 
     // q189: q22's pair surface + shared-shingle fetch, ranked by
     // (gram_df asc, shingle asc) within each pair

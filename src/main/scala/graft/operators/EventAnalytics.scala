@@ -245,6 +245,45 @@ object EventAnalytics {
       ((BigInt(2000000) * nk + dk) / (dk * 2)).toLong
     }
 
+  /** EWMA daily metric SERIES — per (group, observed day), the
+    * exponentially-decayed trailing event count
+    * Σ_{0 <= t-d <= maxAgeDays} n_d · decay^(t-d), with the decay
+    * powers as the shared exact e6 integer table ([[decayPowersE6]] —
+    * one Scala derivation for engine and oracle, no libm per row):
+    * the smoothed monitoring line a burst/regression detector
+    * thresholds against, where a plain trailing mean ([[q120]]-style)
+    * over-weights old days.
+    *
+    * Shape at scale: daily counts FIRST (map-side-combinable over the
+    * corpus), then the bounded offset explode (maxAgeDays+1 rows per
+    * (group, day) AGGREGATE, never per event), one groupBy, one
+    * semi-join back to observed days. */
+  def ewmaDailySeries(events: DataFrame, groupCol: String,
+      tsNanosCol: String, decayNum: Int = 4, decayDen: Int = 5,
+      maxAgeDays: Int = 30): DataFrame = {
+    val powers = decayPowersE6(decayNum, decayDen, maxAgeDays)
+    val wArr = array(powers.map(lit): _*)
+    val day = graft.functions.TimeFns.floorDiv(col(tsNanosCol),
+      86400L * 1000000000L)
+    val daily = events
+      .select(col(groupCol), day.as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val contrib = daily
+      .select(col(groupCol), col("day"), col("n_events"),
+        explode(sequence(lit(0), lit(maxAgeDays))).as("off__"))
+      .select(col(groupCol).as("g__"), (col("day") + col("off__")).as("t_day"),
+        (col("n_events") *
+          element_at(wArr, col("off__").cast("int") + 1)).as("c__"))
+      .groupBy(col("g__"), col("t_day"))
+      .agg(sum(col("c__")).as("ewma_e6"))
+    daily
+      .join(contrib,
+        col(groupCol) === col("g__") && col("day") === col("t_day"))
+      .select(col(groupCol), col("day"), col("n_events"),
+        col("ewma_e6"))
+  }
+
   /** Recency-weighted user activity — the time-decayed engagement score
     * feature stores compute (each event contributes decay^age_days;
     * half-life ≈ ln2/ln(den/num) days): per user, the event count and
