@@ -1607,6 +1607,66 @@ object SparkEntry {
         lshBaseBits, lshBands, lshBitsPerBand)
     }),
 
+    // ---- dedup: cluster-SIZE histogram — how big near-dup clusters
+    // run (size -> n_clusters, singletons included): the one-glance
+    // "is dedup facing pairs or families?" gauge over the mirrored-
+    // LSH component structure
+    "q191_cluster_size_histogram" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cc = Dedup.connectedComponents(
+        lshNearDupPairs(s, dir, threshold = 0.45)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      emb.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("rep"))
+        .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // ---- streaming: STREAM-STATIC ENRICH — the broadcast dim join
+    // per micro-batch (the J1/J2 shape on a stream), gated end to
+    // end: file-stream events enriched with a derived event-type dim,
+    // summed per type — equal to the batch join by construction (no
+    // state, no watermark; the gate closes §2.9's last spec-only row)
+    "q192_stream_enrich" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("long").as("uid"),
+          col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("event_type", "type_weight", "n_events", "weighted_sum")
+      } else {
+      val dim = ev.groupBy(col("event_type"))
+        .agg((count(lit(1)) % 7L + 1L).as("type_weight"))
+      val batched = ev
+        .withColumn("b", pmod(col("eid"), lit(3)).cast("int"))
+        .select(col("event_type"), col("uid"), col("b"))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q192-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream.schema("event_type STRING, uid LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val enriched = graft.streaming.Streams.enrich(src, dim,
+        "event_type", joinType = "left")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q192-out").toString
+      val q = enriched.writeStream.format("parquet")
+        .option("path", s"$outDir/rows")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/rows")
+        .groupBy(col("event_type"), col("type_weight"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("uid") * col("type_weight")).as("weighted_sum"))
+      }
+    }),
+
     // ---- monitoring: EWMA daily series — per event type and
     // observed day, the decayed trailing count over the shared exact
     // e6 (4/5)^age table (q111's decay powers as a SERIES, the
@@ -4591,6 +4651,33 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q191: the recursive component CTE over the mirrored-LSH edges,
+    // sizes (singletons via left join), then the size histogram
+    "q191_cluster_size_histogram" ->
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |sz AS (SELECT coalesce(cc.component, emb.vec_id) AS rep,
+         |    count(*) AS s
+         |  FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+         |  GROUP BY 1)
+         |SELECT s AS cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    // q192: the plain batch join + aggregate (stream-static enrich
+    // has no state: the stream path must equal this by construction)
+    "q192_stream_enrich" ->
+      """WITH dim AS (SELECT event_type,
+        |    count(*) % 7 + 1 AS type_weight
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(d.type_weight AS BIGINT) AS type_weight,
+        |  count(*) AS n_events,
+        |  CAST(sum(e.user_id * d.type_weight) AS BIGINT) AS weighted_sum
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // q190: the same e6 decay table as a list literal (q111 pattern),
     // bounded offset fan-out over the DAILY aggregate, semi-join to
