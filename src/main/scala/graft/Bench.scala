@@ -41,6 +41,16 @@ object Bench {
     // transient load visible (min << median) instead of fatal.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3")
       .toInt.max(1)
+    // Box-health fingerprint (round-12 task #7): record 1-min loadavg
+    // before and after the run so a contended driver box is machine-
+    // detectable from the artifact instead of needing a forensic pass
+    // over per-query spreads (the r12 driver run inflated heavy queries
+    // up to 17x; only a manual min-vs-median read exposed it).
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
@@ -64,9 +74,20 @@ object Bench {
     // the driver's log-capture window (see flatLine note below)
     val qsFlat = results.map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.2f" }
       .mkString("{", ",", "}")
+    // Noisy-neighbor signature: back-to-back samples of the SAME query
+    // growing monotonically (run1 < run2 < run3) means the box load was
+    // ramping during the measurement — the exact pattern the r12 driver
+    // run showed (q30: 12.3 / 50.3 / 123.8 s). One query can do this by
+    // chance; MANY doing it is contention, so the count is an artifact-
+    // level health flag.
+    def isMonotonic(runs: Seq[Double]): Boolean =
+      runs.size >= 2 && runs.sliding(2).forall(p => p(1) > p(0) * 1.05)
+    val monotonicQs = results.collect {
+      case (k, (_, _, runs)) if isMonotonic(runs) => k }
     val runsJson = results.map { case (k, (_, min, runs)) =>
       "\"" + k + "\":{\"min\":" + f"$min%.3f" + ",\"runs\":[" +
-        runs.map(r => f"$r%.3f").mkString(",") + "]}"
+        runs.map(r => f"$r%.3f").mkString(",") +
+        (if (isMonotonic(runs)) "],\"monotonic_growth\":true}" else "]}")
     }.mkString("{", ",", "}")
     // q40 re-runs every sketch's exact quadratic twin — an audit of the
     // approximate operators, not an operator. Its time is reported
@@ -98,22 +119,33 @@ object Bench {
       "built on first touch — visible as an inflated first run in " +
       "query_runs); q73's residual cost is the honest probe: batch " +
       "re-shingle + band join + exact-Jaccard verify"
-    // stdout carries the FLAT r9-era shape only (metric/value/queries
-    // medians) — the r11 driver artifact recorded "parsed": null
-    // because the enriched single line (query_runs raw samples + long
-    // notes, ~19 KB) outgrew what the driver's log capture preserves;
-    // the per-run enrichment now lives ONLY in the file artifact.
-    val flatLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"queries":$qsFlat,"sf":"$sfDir"}"""
-    println(flatLine)
-    val richLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"notes":"$notes","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir"}"""
-    // Also persist as a file artifact: the r9 driver artifact had
-    // "parsed":null with a truncated stdout tail that lost 20 queries'
-    // timings — a file can be lifted whole regardless of log clipping.
+    val loadAfter = loadAvg()
+    val monoJson = monotonicQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val richLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"monotonic_growth_queries":$monoJson,"notes":"$notes","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir"}"""
+    // Persist the full per-query map as a file artifact: the r9 driver
+    // artifact had "parsed":null with a truncated stdout tail that lost
+    // 20 queries' timings — a file can be lifted whole regardless of
+    // log clipping.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), richLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // The LAST stdout line must survive the driver's 2,000-char log-tail
+    // capture (r10/r11/r12 artifacts all recorded "parsed": null because
+    // the full 192-query map is ~6 KB). So stdout ends with a COMPACT
+    // summary: totals + the slowest-10 map + a pointer to the committed
+    // file artifact holding every timing. The full flat map is still
+    // printed FIRST (useful when the whole log is kept), but the final
+    // line is the one guaranteed to parse.
+    println(f"""{"metric":"total_full_map","value":$total%.3f,"unit":"sec","queries":$qsFlat,"sf":"$sfDir"}""")
+    val slowest = ops.sortBy(-_._2._1).take(10)
+      .map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.2f" }
+      .mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"n_queries":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    require(compact.length < 1900,
+      s"compact bench line must fit the driver capture, got ${compact.length}")
+    println(compact)
     spark.stop()
   }
 }

@@ -1611,6 +1611,26 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- multimodal: REAL compressed-image decode, gated by
+    // construction (round-13) — one deterministic PNG per doc_id
+    // (generator formula + dims mirrored in the oracle), encoded AND
+    // decoded through the JDK's javax.imageio codec (PNG is lossless →
+    // decoded pixels equal the generator exactly), then resampled to
+    // 5x3 via the integer nearest-neighbor path and re-decoded from
+    // the PPM re-encode. All statistics are integers; the oracle
+    // enumerates the same pixels straight from the formula (the q27
+    // PPM pattern, now exercising a real compressed codec end to end).
+    "q193_image_decode" -> ((s, dir) => {
+      val png = Multimodal.synthPngPayloads(
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val dec = Multimodal.pixelFeatures(png, "doc_id", "payload")
+      val rs = Multimodal.resize(png, "doc_id", "payload", 5, 3)
+      val rsStats = Multimodal.pixelFeatures(rs, "doc_id", "payload")
+        .select(col("doc_id"), col("px_sum").as("rs_sum"),
+          col("px_min").as("rs_min"), col("px_max").as("rs_max"))
+      dec.join(rsStats, Seq("doc_id"))
+    }),
+
     "q191_cluster_size_histogram" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val cc = Dedup.connectedComponents(
@@ -4652,6 +4672,44 @@ object SparkEntry {
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
 
+    // q193: the engine synthesizes + ImageIO-encodes + ImageIO-decodes
+    // real PNGs; the oracle never touches bytes — it enumerates the
+    // SAME pixels from the shared generator formula (synthChannel /
+    // synthDims mirrored verbatim) because lossless PNG makes
+    // decode(encode(pixels)) == pixels by construction. Resize mirrors
+    // the integer nearest-neighbor source index ((x*w)//5, (y*h)//3).
+    "q193_image_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 11 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    ((d.doc_id % 100003) * 31 + x.i * 7 + y.i * 13 + c.i * 97)
+        |      % 256 AS v
+        |  FROM d,
+        |    (SELECT unnest(range(0, 16)) AS i) x,
+        |    (SELECT unnest(range(0, 14)) AS i) y,
+        |    (SELECT unnest(range(0, 3)) AS i) c
+        |  WHERE x.i < d.w AND y.i < d.h),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+        |    CAST(min(v) AS INTEGER) AS px_min,
+        |    CAST(max(v) AS INTEGER) AS px_max
+        |  FROM px GROUP BY 1),
+        |rpx AS (SELECT d.doc_id,
+        |    ((d.doc_id % 100003) * 31 + ((x.i * d.w) // 5) * 7
+        |      + ((y.i * d.h) // 3) * 13 + c.i * 97) % 256 AS v
+        |  FROM d,
+        |    (SELECT unnest(range(0, 5)) AS i) x,
+        |    (SELECT unnest(range(0, 3)) AS i) y,
+        |    (SELECT unnest(range(0, 3)) AS i) c),
+        |r AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS rs_sum,
+        |    CAST(min(v) AS INTEGER) AS rs_min,
+        |    CAST(max(v) AS INTEGER) AS rs_max
+        |  FROM rpx GROUP BY 1)
+        |SELECT d.doc_id, 'png' AS px_format, d.w AS px_w, d.h AS px_h,
+        |  s.px_sum, s.px_min, s.px_max, r.rs_sum, r.rs_min, r.rs_max
+        |FROM d JOIN s USING (doc_id) JOIN r USING (doc_id)""".stripMargin,
+
     // q191: the recursive component CTE over the mirrored-LSH edges,
     // sizes (singletons via left join), then the size histogram
     "q191_cluster_size_histogram" ->
@@ -6122,9 +6180,7 @@ object SparkEntry {
         |    AND substring(text, 1, 6) IN ('GIF87a', 'GIF89a')
         |    THEN CAST(ascii(substring(text, 9, 1))
         |      + 256 * ascii(substring(text, 10, 1)) AS INTEGER)
-        |    ELSE CAST(NULL AS INTEGER) END AS img_height,
-        |  CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_width,
-        |  CAST(1 + strlen(text) % 48 AS INTEGER) AS fake_height
+        |    ELSE CAST(NULL AS INTEGER) END AS img_height
         |FROM documents),
         |pxv AS (SELECT doc_id,
         |    ascii(substring(text, CAST(idx.i AS INTEGER), 1)) AS b

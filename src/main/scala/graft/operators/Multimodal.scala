@@ -13,18 +13,26 @@ import org.apache.spark.sql.types._
   *
   * Container-header METADATA (format, pixel dimensions) is parsed for
   * real — [[parseImageHeader]] reads the actual PNG/JPEG/GIF byte
-  * layouts, pure JVM, no media libraries — and both codec-free decode
-  * paths are real end-to-end: [[parseWav]] walks the RIFF/WAVE
-  * container and decodes PCM16 samples (peak/RMS/duration), and
-  * [[decodeImagePixels]] decodes PPM-P6 / uncompressed 24-bit BMP
-  * pixel data (channel sum/min/max), since neither needs a codec. Only
-  * the COMPRESSED-image decode (and resize / frame extraction) remains
-  * STUBBED, as this container has no image codecs:
-  * `stubDecode`/`stubResize` derive deterministic fake payloads so the
-  * Spark-side contract — schema, partitioning, batch iteration,
-  * null-safety — stays real and oracle-tested.
+  * layouts, pure JVM, no media libraries — and the decode paths are
+  * real end-to-end: [[parseWav]] walks the RIFF/WAVE container and
+  * decodes PCM16 samples (peak/RMS/duration); [[decodeImagePixels]]
+  * decodes PPM-P6 / uncompressed 24-bit BMP pixel data byte-level and,
+  * since round 13, COMPRESSED rasters (PNG/JPEG/GIF + non-trivial BMP)
+  * through the JDK's own `javax.imageio` codecs ([[decodeToRgb]]) — no
+  * external media library, headless-safe. [[resize]] decodes any of
+  * those, nearest-neighbor-resamples with exact integer index math,
+  * and re-encodes as PPM-P6 (a deterministic byte-exact container, so
+  * the resampled payload itself is gate-able). The ONLY remaining stub
+  * is video frame extraction ([[stubFrameSample]]): the JDK ships no
+  * video demuxer/codec, so that path derives deterministic pseudo-
+  * frames to keep the Spark-side contract — schema, partitioning,
+  * batch iteration, null-safety — real and oracle-tested.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache serializes concurrent decodes
+  // on tmp-dir I/O; all payloads here are in-memory byte arrays.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val featureSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
@@ -32,9 +40,7 @@ object Multimodal {
     StructField("last_byte", IntegerType, nullable = true),
     StructField("format", StringType, nullable = false),
     StructField("img_width", IntegerType, nullable = true),
-    StructField("img_height", IntegerType, nullable = true),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false)))
+    StructField("img_height", IntegerType, nullable = true)))
 
   /** REAL container-header parse — (format, width, height) from the
     * actual byte layouts, no decode:
@@ -305,7 +311,9 @@ object Multimodal {
       val h = math.abs(hRaw)
       val ok = le32(14) >= 40 && le16(28) == 24 && le32(30) == 0 &&
         w > 0 && h > 0 && dataOff >= 54
-      if (!ok) ("bmp", None, None, None, None, None)
+      // not the byte-decodable 24-bpp/BI_RGB layout: hand the payload
+      // to the JDK codec, which covers the other BMP bit depths
+      if (!ok) imageIoStats(p, "bmp")
       else {
         // row math in LONG: a crafted width near 2^31/3 would overflow
         // w*3 to a negative rowSize and slip past the truncation guard
@@ -319,7 +327,111 @@ object Multimodal {
           ("bmp", Some(w), Some(h), Some(sum), Some(mn), Some(mx))
         }
       }
-    } else ("unknown", None, None, None, None, None)
+    } else parseImageHeader(p) match {
+      // compressed rasters: REAL decode through the JDK's javax.imageio
+      // codecs (PNG is lossless, so decoded statistics are exact and
+      // oracle-reproducible from the pixel generator — the q193 gate)
+      case (fmt @ ("png" | "jpeg" | "gif"), _, _) => imageIoStats(p, fmt)
+      case _ => ("unknown", None, None, None, None, None)
+    }
+  }
+
+  /** REAL compressed-image decode via `javax.imageio` (JDK-bundled
+    * PNG/JPEG/GIF/BMP readers, headless): Some((w, h, row-major packed
+    * sRGB ints)) or None when no registered codec can read the bytes.
+    * Deterministic: PNG/GIF/BMP are lossless; JPEG decode is a fixed
+    * IDCT for a given payload. */
+  def decodeToRgb(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Channel-byte statistics (R,G,B per pixel — alpha excluded, like
+    * the byte-level PPM/BMP paths) over a [[decodeToRgb]] decode;
+    * recognized-but-undecodable keeps the format tag with null stats
+    * (the parseWav corrupt-path contract). */
+  private def imageIoStats(p: Array[Byte], fmt: String): (String, Option[Int],
+      Option[Int], Option[Long], Option[Int], Option[Int]) =
+    decodeToRgb(p) match {
+      case None => (fmt, None, None, None, None, None)
+      case Some((w, h, rgb)) =>
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var i = 0
+        while (i < rgb.length) {
+          val v = rgb(i)
+          var c = 0
+          while (c < 3) {
+            val b = (v >> (16 - 8 * c)) & 0xff
+            sum += b
+            if (b < mn) mn = b
+            if (b > mx) mx = b
+            c += 1
+          }
+          i += 1
+        }
+        (fmt, Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+    }
+
+  /** Encode row-major packed-RGB pixels as PNG through the JDK codec —
+    * the synthesis half of the decode gate (PNG is lossless, so
+    * encode→decode round-trips pixel-exactly). */
+  def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"need $w*$h pixels, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic pixel generator shared by the q193 gate's Spark
+    * harness and its DuckDB oracle: channel byte for (id, x, y, c) —
+    * pure integer arithmetic so both engines reproduce it exactly. */
+  def synthChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id % 100003L) * 31 + x.toLong * 7 + y.toLong * 13 + c.toLong * 97) % 256).toInt
+
+  /** Deterministic synthetic-image dims for id: bounded (≤16 × ≤14)
+    * so the oracle can enumerate pixels with a fixed unnest range. */
+  def synthDims(id: Long): (Int, Int) =
+    ((4 + (id % 13)).toInt, (4 + (id % 11)).toInt)
+
+  /** Synthesize one REAL PNG payload per input row from the row's id
+    * alone — the by-construction harness for the compressed-decode
+    * gate (q193): the generator formula is mirrored in SQL, PNG is
+    * lossless, so decode statistics are oracle-exact. Narrow
+    * per-partition map, no shuffle. */
+  def synthPngPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(idIdx)
+      val (w, h) = synthDims(id)
+      val rgb = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          rgb(y * w + x) = (synthChannel(id, x, y, 0) << 16) |
+            (synthChannel(id, x, y, 1) << 8) | synthChannel(id, x, y, 2)
+          x += 1
+        }
+        y += 1
+      }
+      Row(id, encodePng(w, h, rgb))
+    })
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** PPM-P6 header walk shared by decode and resize: Some((w, h,
@@ -446,31 +558,29 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Decoder: header metadata is REAL ([[parseImageHeader]]); the
-    * trailing fake_* features remain the declared stub for the
-    * byte→pixels step. Deterministic on the payload so the oracle can
-    * reproduce it. */
-  def stubDecode(payload: Array[Byte]): Row = {
-    val len = payload.length.toLong
-    val first = if (payload.nonEmpty) payload(0) & 0xff else null
-    val last = if (payload.nonEmpty) payload(payload.length - 1) & 0xff else null
-    val (fmt, w, h) = parseImageHeader(payload)
-    Row(len,
-      first.asInstanceOf[Any],
-      last.asInstanceOf[Any],
-      fmt, w.map(Int.box).orNull, h.map(Int.box).orNull,
-      (1 + len % 64).toInt, (1 + len % 48).toInt)
-  }
-
-  /** STUB resize: a real implementation would decode, scale to
-    * (w, h), and re-encode; the stub derives a deterministic payload of
-    * the target "pixel" count from the input bytes so downstream schema
-    * and sizing logic are real. */
-  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
-    if (payload.nonEmpty) {
-      var i = 0
-      while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+  /** Nearest-neighbor resample of a [[decodeToRgb]] decode re-encoded
+    * as PPM-P6 — the same exact integer index math as [[resizePpm]]
+    * (srcY = y·h div outH), and PPM output makes the resampled payload
+    * byte-deterministic (PNG re-encode would be codec-dependent). */
+  def resizeRgbToPpm(w: Int, h: Int, rgb: Array[Int],
+      outW: Int, outH: Int): Array[Byte] = {
+    val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + outW * outH * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    var o = header.length
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val v = rgb(sy * w + sx)
+        out(o) = ((v >> 16) & 0xff).toByte
+        out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = (v & 0xff).toByte
+        o += 3; x += 1
+      }
+      y += 1
     }
     out
   }
@@ -489,15 +599,19 @@ object Multimodal {
 
   /** Resize pipeline: (id, payload) -> (id, resized payload, w, h) via
     * per-partition iteration — same plan shape as `extractFeatures`.
-    * PPM payloads resample for REAL ([[resizePpm]], nearest-neighbor,
-    * re-encoded PPM); everything else falls back to the declared
-    * stub — the compressed formats are the only remaining stub path. */
+    * REAL for every decodable raster: PPM resamples byte-level
+    * ([[resizePpm]]); compressed formats (PNG/JPEG/GIF/BMP) decode
+    * through `javax.imageio` ([[decodeToRgb]]) and resample with the
+    * identical integer math ([[resizeRgbToPpm]]). Both paths re-encode
+    * as PPM-P6 so the output payload is byte-deterministic. Payloads no
+    * codec can read emit a NULL payload (the corrupt-path contract —
+    * no fabricated bytes). */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
@@ -506,7 +620,9 @@ object Multimodal {
       val payload =
         if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
       val resized = resizePpm(payload, w, h)
-        .getOrElse(stubResize(payload, w, h))
+        .orElse(decodeToRgb(payload).map { case (sw, sh, rgb) =>
+          resizeRgbToPpm(sw, sh, rgb, w, h) })
+        .orNull
       Row(row.getLong(idIdx), resized, w, h)
     })
     spark.createDataFrame(rdd, outSchema)
@@ -533,8 +649,10 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Attach a binary payload column + extract features per partition.
-    * `idCol` long id, `payloadCol` binary. Output: id + featureSchema. */
+  /** Attach a binary payload column + extract header features per
+    * partition — byte length, boundary bytes, and the REAL container-
+    * header parse ([[parseImageHeader]]). `idCol` long id, `payloadCol`
+    * binary. Output: id + featureSchema. */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
@@ -546,8 +664,12 @@ object Multimodal {
         val id = row.getLong(idIdx)
         val payload =
           if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
-        val f = stubDecode(payload)
-        Row.fromSeq(id +: f.toSeq)
+        val (fmt, w, h) = parseImageHeader(payload)
+        Row(id, payload.length.toLong,
+          (if (payload.nonEmpty) Int.box(payload(0) & 0xff) else null): Any,
+          (if (payload.nonEmpty) Int.box(payload(payload.length - 1) & 0xff)
+           else null): Any,
+          fmt, w.map(Int.box).orNull, h.map(Int.box).orNull)
       }
     }
     spark.createDataFrame(rdd, outSchema)

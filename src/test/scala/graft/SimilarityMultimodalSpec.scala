@@ -69,12 +69,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
   }
 
   test("multimodal resize and frame-sample plumbing") {
+    // undecodable bytes: resize emits a NULL payload (corrupt-path
+    // contract — no fabricated pixels), target dims still recorded
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "txt")
       .select($"doc_id", $"txt".cast("binary").as("payload"))
     val resized = Multimodal.resize(df, "doc_id", "payload", 4, 3)
       .collect()(0)
-    assert(resized.getAs[Array[Byte]](1).length == 12)
+    assert(resized.isNullAt(1))
     assert(resized.getInt(2) == 4 && resized.getInt(3) == 3)
+    // a real PPM payload resamples for real through the same pipeline
+    val ppm = "P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val rs = Multimodal.resize(Seq((2L, ppm)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 4, 2).collect()(0)
+    assert(Multimodal.decodeImagePixels(rs.getAs[Array[Byte]](1)) ==
+      (("ppm", Some(4), Some(2), Some(2L * (2 * 6 + 2 * 15)), Some(1), Some(6))))
     val frames = Multimodal.frameSample(df, "doc_id", "payload",
       frameLen = 3, stride = 2)
       .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
@@ -82,19 +90,75 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((0, "abc"), (2, "ghi")))
   }
 
-  test("multimodal stub decode extracts deterministic features incl. null payload") {
+  test("extractFeatures: header features incl. null payload") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
       .select($"doc_id", $"txt".cast("binary").as("payload"))
       .union(Seq((3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload"))
     val out = Multimodal.extractFeatures(df, "doc_id", "payload")
-      .select("doc_id", "byte_len", "first_byte", "last_byte", "format",
-        "fake_width", "fake_height")
+      .select("doc_id", "byte_len", "first_byte", "last_byte", "format")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4),
-          r.getInt(5), r.getInt(6))).toMap
-    assert(out(1L) == ((3L, Some(97), Some(99), "unknown", 4, 4))) // 'a'=97, 'c'=99
-    assert(out(2L) == ((0L, None, None, "unknown", 1, 1)))
-    assert(out(3L) == ((0L, None, None, "unknown", 1, 1)))
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4))).toMap
+    assert(out(1L) == ((3L, Some(97), Some(99), "unknown"))) // 'a'=97, 'c'=99
+    assert(out(2L) == ((0L, None, None, "unknown")))
+    assert(out(3L) == ((0L, None, None, "unknown")))
+  }
+
+  test("decodeToRgb: real javax.imageio PNG decode round-trips the generator") {
+    val id = 42L
+    val (w, h) = Multimodal.synthDims(id)
+    val rgb = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (Multimodal.synthChannel(id, x, y, 0) << 16) |
+        (Multimodal.synthChannel(id, x, y, 1) << 8) |
+        Multimodal.synthChannel(id, x, y, 2)
+    }
+    val png = Multimodal.encodePng(w, h, rgb)
+    // it is a real PNG container...
+    assert(Multimodal.parseImageHeader(png) == (("png", Some(w), Some(h))))
+    // ...and the JDK codec decodes it pixel-exactly (PNG is lossless)
+    val Some((dw, dh, drgb)) = Multimodal.decodeToRgb(png)
+    assert(dw == w && dh == h)
+    assert(drgb.map(_ & 0xffffff).toSeq == rgb.toSeq)
+    // decodeImagePixels routes compressed rasters through the codec
+    val (fmt, pw, ph, sum, mn, mx) = Multimodal.decodeImagePixels(png)
+    val chans = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      yield Multimodal.synthChannel(id, x, y, c)
+    assert(fmt == "png" && pw.contains(w) && ph.contains(h))
+    assert(sum.contains(chans.map(_.toLong).sum))
+    assert(mn.contains(chans.min) && mx.contains(chans.max))
+    // resize: codec decode + the exact NN index math, PPM re-encode
+    val rs = Multimodal.resizeRgbToPpm(w, h, rgb, 5, 3)
+    val expected = for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      yield Multimodal.synthChannel(id, (x * w) / 5, (y * h) / 3, c)
+    val (rfmt, rw, rh, rsum, rmn, rmx) = Multimodal.decodeImagePixels(rs)
+    assert(rfmt == "ppm" && rw.contains(5) && rh.contains(3))
+    assert(rsum.contains(expected.map(_.toLong).sum))
+    assert(rmn.contains(expected.min) && rmx.contains(expected.max))
+  }
+
+  test("decodeImagePixels: real JPEG decode through the JDK codec") {
+    // encode a smooth gradient as JPEG with the JDK writer, decode it
+    // back: dims are exact; JPEG is lossy so statistics are asserted
+    // within a quantization tolerance rather than bit-exactly (the
+    // oracle-exact gate uses lossless PNG — q193)
+    val (w, h) = (16, 12)
+    val rgb = Array.tabulate(w * h) { i =>
+      val g = 64 + 8 * (i % w) / 2 // gentle horizontal ramp
+      (g << 16) | (g << 8) | g
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    val (fmt, pw, ph, sum, mn, mx) = Multimodal.decodeImagePixels(jpeg)
+    assert(fmt == "jpeg" && pw.contains(w) && ph.contains(h))
+    val trueMean = rgb.map(v => ((v >> 16) & 0xff).toLong * 3).sum / (w * h * 3)
+    val decMean = sum.get / (w * h * 3)
+    assert(math.abs(decMean - trueMean) <= 8,
+      s"JPEG mean drifted: $decMean vs $trueMean")
+    assert(mn.exists(_ >= 32) && mx.exists(_ <= 160))
   }
 
   test("parseImageHeader reads real PNG/JPEG/GIF container headers") {
@@ -238,7 +302,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
     // downscale 2x1 -> 1x1 keeps the left pixel (floor index math)
     val down = Multimodal.resizePpm(src, 1, 1).get
     assert(Multimodal.decodeImagePixels(down)._4.contains(6L)) // 1+2+3
-    // non-PPM payloads return None (resize() falls back to the stub)
+    // non-PPM payloads return None (resize() then tries the JDK codec)
     assert(Multimodal.resizePpm("not an image".getBytes, 2, 2).isEmpty)
   }
 

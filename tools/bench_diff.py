@@ -35,6 +35,21 @@ def main(cur_path, prev_path, out_path=None):
         "current_total": cur.get("value"), "previous_total": prev.get("value"),
         "regressed": [], "improved": [], "added": [], "removed": [],
     }
+    # Box-health fingerprint (r12 task #7): high loadavg bracketing the
+    # run, or many queries whose back-to-back samples grew monotonically,
+    # auto-labels the whole artifact as contention-suspect so the reader
+    # need not re-derive it from per-query spreads.
+    mono = cur.get("monotonic_growth_queries") or []
+    loads = [cur.get("load_before"), cur.get("load_after")]
+    loads = [x for x in loads if isinstance(x, (int, float)) and x >= 0]
+    n_q = max(len(cur_q), 1)
+    report["box_health"] = {
+        "load_before": cur.get("load_before"),
+        "load_after": cur.get("load_after"),
+        "monotonic_growth_count": len(mono),
+        "likely_contention": (len(mono) / n_q > 0.15) or
+                             (bool(loads) and max(loads) > 40),
+    }
     for name in sorted(set(cur_q) | set(prev_q)):
         c, p = cur_q.get(name), prev_q.get(name)
         if c is None:
