@@ -1904,14 +1904,17 @@ object SparkEntry {
       }
     }),
 
-    // ---- tokenizer: BPE merge-rule training — the first 3 merges
-    // learned from the corpus word-frequency table (pair counts
-    // weighted by word freq, argmax with (count desc, pair asc) ties,
-    // left-to-right non-overlapping application); the merge table is
-    // the tokenizer artifact a data pipeline trains and ships
+    // ---- tokenizer: BATCHED BPE merge-rule training (round 13 —
+    // tokenizer scale): 16 vocabulary passes adopting up to 16
+    // symbol-disjoint top pairs each (passes ≪ merges — ~5/pass keep
+    // rate on prose yields ~75-80 merges here;
+    // (count desc, pair asc) candidate order, boundary-anchored
+    // greedy application); the merge table is the tokenizer artifact
+    // a data pipeline trains and ships. The sequential per-merge
+    // trainer stays gated through q180's 3-round encode.
     "q174_bpe_merges" -> ((s, dir) =>
-      BpeTrain.topMerges(T(s, dir, "documents"), "doc_id", "text",
-        rounds = 3)),
+      BpeTrain.topMergesBatched(T(s, dir, "documents"), "doc_id",
+        "text", passes = 16, batchCap = 16, candN = 256)),
 
     // ---- tokenizer: ENCODE under the q174 model — per doc, word
     // count and BPE token count (tokens-per-distinct-word join, no
@@ -3061,11 +3064,23 @@ object SparkEntry {
       |    AND (wa.wv IS NULL OR m.l_ts >= wa.wv)
       |    AND (wb.wv IS NULL OR m.r_ts >= wb.wv))""".stripMargin
 
-  /** The q174/q180 BPE training chain: word-frequency table, three
-    * unrolled merge rounds (1-based-subscript adjacent-pair counts,
-    * (count desc, pair asc) argmax, left-to-right `replace`
-    * application), ending in per-round picks m1..m3 and the fully
-    * merged word table s4. */
+  /** Boundary-ANCHORED merge application (round-13; mirrors
+    * BpeTrain.applyMerge verbatim): plain `replace(syms, 'l r', lr)`
+    * matches across symbol boundaries when l is a suffix of another
+    * symbol ("ca b" contains the substring "a b"). RE2 (DuckDB's
+    * regex engine) has no lookarounds, so both engines anchor with
+    * string ops: double the inter-symbol spaces, pad, replace the
+    * doubled-gap form, collapse, trim. `e` is the syms expression,
+    * `pat`/`rep` SQL expressions for " l  r " / " lr ". */
+  private def bpeApplySql(e: String, pat: String, rep: String): String =
+    s"trim(replace(replace(' ' || replace($e, ' ', '  ') || ' ', " +
+      s"$pat, $rep), '  ', ' '))"
+
+  /** The q180 BPE training chain: word-frequency table, three
+    * unrolled SEQUENTIAL merge rounds (1-based-subscript
+    * adjacent-pair counts, (count desc, pair asc) argmax,
+    * left-to-right anchored-`replace` application), ending in
+    * per-round picks m1..m3 and the fully merged word table s4. */
   private lazy val bpeTrainCtes: String = {
     def round_(k: Int) =
       s"""t$k AS (SELECT w, freq, string_split(s$k.syms, ' ') AS a
@@ -3079,8 +3094,9 @@ object SparkEntry {
          |m$k AS (SELECT l, r, cnt FROM p$k
          |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |s${k + 1} AS (SELECT s$k.w, s$k.freq,
-         |    replace(s$k.syms, m$k.l || ' ' || m$k.r, m$k.l || m$k.r)
-         |      AS syms
+         |    ${bpeApplySql(s"s$k.syms",
+              s"' ' || m$k.l || '  ' || m$k.r || ' '",
+              s"' ' || m$k.l || m$k.r || ' '")} AS syms
          |  FROM s$k, m$k)""".stripMargin
     s"""wf AS (SELECT w, count(*) AS freq
        |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
@@ -3091,6 +3107,57 @@ object SparkEntry {
        |${round_(1)},
        |${round_(2)},
        |${round_(3)}""".stripMargin
+  }
+
+  /** The q174 BATCHED BPE chain (mirrors BpeTrain.topMergesBatched):
+    * per pass — pair counts, top-256 candidates ranked (cnt desc, l,
+    * r), keep candidates whose {l, r, l||r} triple shares no symbol
+    * with ANY higher-ranked candidate (NOT EXISTS over the exploded
+    * triples — the order-free statement of the engine's scan), adopt
+    * the first 16 kept, and apply them in kr order as a list_reduce
+    * fold of the anchored replace (pat/rep packed tab-separated; tab
+    * cannot occur inside symbols — words are split on whitespace). */
+  private def bpeBatchedCtes(passes: Int): String = {
+    // MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
+    // CTEs by default, and an 8-pass chain where each pass references
+    // its word table ~3x would otherwise expand the base scan
+    // exponentially (observed as fd exhaustion at pass 8)
+    def pass_(k: Int) =
+      s"""bu$k AS MATERIALIZED (SELECT w, freq,
+         |    generate_subscripts(a, 1) AS i, unnest(a) AS s
+         |  FROM (SELECT w, freq, string_split(bs$k.syms, ' ') AS a
+         |    FROM bs$k)),
+         |bp$k AS (SELECT x.s AS l, y.s AS r,
+         |    CAST(sum(x.freq) AS BIGINT) AS cnt
+         |  FROM bu$k x JOIN bu$k y ON y.w = x.w AND y.i = x.i + 1
+         |  GROUP BY 1, 2),
+         |br$k AS MATERIALIZED (SELECT * FROM (SELECT l, r, cnt,
+         |    row_number()
+         |    OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk FROM bp$k)
+         |  WHERE rk <= 256),
+         |by$k AS MATERIALIZED (SELECT rk, unnest([l, r, l || r]) AS sym
+         |  FROM br$k),
+         |bk$k AS (SELECT l, r, cnt, row_number() OVER (ORDER BY rk) AS kr
+         |  FROM br$k t WHERE NOT EXISTS (SELECT 1 FROM by$k a
+         |    JOIN by$k b ON a.sym = b.sym AND a.rk < b.rk
+         |    WHERE b.rk = t.rk)),
+         |ba$k AS MATERIALIZED (SELECT l, r, cnt, kr FROM bk$k
+         |  WHERE kr <= 16),
+         |bs${k + 1} AS MATERIALIZED (SELECT bs$k.w, bs$k.freq,
+         |    list_reduce(list_prepend(bs$k.syms, m.mp), (acc, x) ->
+         |      ${bpeApplySql("acc", "split_part(x, chr(9), 1)",
+                "split_part(x, chr(9), 2)")}) AS syms
+         |  FROM bs$k CROSS JOIN (SELECT coalesce(list(
+         |      ' ' || l || '  ' || r || ' ' || chr(9) ||
+         |      ' ' || l || r || ' ' ORDER BY kr), []) AS mp
+         |    FROM ba$k) m)""".stripMargin
+    s"""bwf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |bs1 AS MATERIALIZED (SELECT w, freq,
+       |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+       |  FROM bwf),
+       |${(1 to passes).map(pass_).mkString(",\n")}""".stripMargin
   }
 
   /** Distinct 5-gram list comprehension over a words array `ws` —
@@ -5733,18 +5800,22 @@ object SparkEntry {
          |  UNION ALL SELECT uid, ts FROM em4)""".stripMargin
     },
 
-    // q174: the same three BPE rounds unrolled — word-frequency
-    // table, per-round adjacent-pair counts (1-based subscripts,
-    // i/i+1 self-join), the identical argmax tie order, and replace()
-    // (left-to-right non-overlapping in both engines) applying each
-    // adopted merge before the next round counts
-    "q174_bpe_merges" ->
-      s"""WITH $bpeTrainCtes
-         |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS left_sym,
-         |  r AS right_sym, l || r AS merged, cnt AS pair_count FROM m1
-         |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM m2
-         |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM m3"""
-        .stripMargin,
+    // q174: the 8 batched passes unrolled — per pass the same pair
+    // counts, candidate ranking, symbol-disjointness keep rule (NOT
+    // EXISTS over exploded {l, r, lr} triples vs every higher-ranked
+    // candidate), 16-pair adoption, and a list_reduce fold of the
+    // anchored replace applying the batch in kr order before the
+    // next pass counts; global merge_rank numbers (pass, kr)
+    "q174_bpe_merges" -> {
+      val union = (1 to 16).map(k =>
+        s"SELECT $k AS pass, l, r, cnt, kr FROM ba$k")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH ${bpeBatchedCtes(16)}
+         |SELECT row_number() OVER (ORDER BY pass, kr) AS merge_rank,
+         |  pass, l AS left_sym, r AS right_sym, l || r AS merged,
+         |  cnt AS pair_count
+         |FROM ($union)""".stripMargin
+    },
 
     // q180: the s4 word table (every adopted merge applied) keys the
     // encode — tokens per distinct word, summed per document through

@@ -15,19 +15,50 @@ import org.apache.spark.sql.functions._
   * Shape at scale: BPE statistics live on the WORD-FREQUENCY table —
   * the corpus collapses to its vocabulary (one groupBy) before any
   * pair work, so each round is a vocabulary-sized pass, not a corpus
-  * pass; the per-round argmax is a 1-row `limit(1)` collect (bounded
-  * driver state, the P-offsets discipline), and the merge application
-  * is a codegen'd string `replace` on the space-joined symbol form
-  * ("a b c" — symbols are split on whitespace, so the joined form is
-  * unambiguous). `replace` scans left-to-right non-overlapping in
-  * both engines (Java String.replace / DuckDB replace), which is
-  * exactly BPE's greedy application rule.
+  * pass; the per-round argmax is a bounded-rows collect (the
+  * P-offsets discipline), and the merge application is a codegen'd
+  * string `replace` on the space-joined symbol form. `replace` scans
+  * left-to-right non-overlapping in both engines (Java String.replace
+  * / DuckDB replace), which is exactly BPE's greedy application rule.
+  *
+  * Two trainers:
+  *  - [[topMerges]]/[[encodeTokenCounts]]: the textbook SEQUENTIAL
+  *    trainer — one merge per vocabulary pass, capped at 16 rounds
+  *    (each round is a full pass; honest demonstration scale).
+  *  - [[topMergesBatched]] (round 13): the TOKENIZER-SCALE trainer —
+  *    per vocabulary pass, rank all pairs by (count desc, pair asc)
+  *    and adopt up to `batchCap` pairs whose symbol triples
+  *    {l, r, l||r} are disjoint from EVERY higher-ranked candidate's
+  *    triple (checked against all candidates, kept or not — a
+  *    non-recursive rule both engines express identically). Disjoint
+  *    pairs neither create nor destroy each other's occurrences, so
+  *    applying the batch in rank order equals any order, and passes
+  *    ≪ merges: 8 passes train up to 128 merges.
   */
 object BpeTrain {
 
   /** "abc" -> "a b c" (per code point; the initial symbol state). */
   private def charSyms(word: Column): Column =
     trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Boundary-ANCHORED merge application (round-13 fix): plain
+    * substring replace of "l r" matches across symbol boundaries when
+    * l is a suffix of another symbol (word 'cab' segmented "ca b" must
+    * NOT match merge (a,b) — "ca b" contains the substring "a b").
+    * DuckDB's regex engine (RE2) has no lookarounds, so both engines
+    * anchor with pure string ops instead: double every inter-symbol
+    * space, pad the ends, replace " l  r " (the doubled gap can only
+    * be a full symbol boundary), collapse the doubles back, trim.
+    * Left-to-right non-overlapping `replace` on the doubled form is
+    * still exactly BPE's greedy rule ("a a a" merges positions 1-2,
+    * not 2-3). On an already-applied (trimmed, single-spaced) input
+    * with no match the wrap is the identity. Mirrored verbatim in the
+    * oracle ([[SparkEntry]] bpeTrainCtes / bpeBatchedCtes). */
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
+    trim(call_function("replace", call_function("replace",
+      concat(lit(" "),
+        call_function("replace", syms, lit(" "), lit("  ")), lit(" ")),
+      lit(s" $l  $r "), lit(s" $l$r ")), lit("  "), lit(" ")))
 
   /** Train `rounds` merges; returns (merge table rows, the word table
     * (w, freq, syms) with every adopted merge applied). The word table
@@ -36,14 +67,9 @@ object BpeTrain {
   private def trainRounds(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 16,
-      "each round is a full vocabulary pass; rounds in [1, 16]")
-    val wf = graft.Caches.register(df
-      .select(explode(graft.functions.TextFns.words(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("syms", charSyms(col("w")))
-      .persist())
-    var cur = wf
+      "each round is a full vocabulary pass; rounds in [1, 16] — " +
+        "use topMergesBatched for tokenizer-scale merge counts")
+    var cur = wordFreq(df, textCol)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -65,11 +91,100 @@ object BpeTrain {
         merges += ((round.toLong, l, r, l + r, c))
         // literal args via lit(), never SQL interpolation — corpus
         // symbols may contain quotes
-        cur = cur.withColumn("syms", call_function("replace",
-          col("syms"), lit(s"$l $r"), lit(l + r)))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
       }
     }
     (merges.result(), cur)
+  }
+
+  /** The shared word-frequency table (one corpus pass). */
+  private def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    graft.Caches.register(df
+      .select(explode(graft.functions.TextFns.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", charSyms(col("w")))
+      .persist())
+
+  /** BATCHED trainer — tokenizer scale: up to `passes * batchCap`
+    * merges in `passes` vocabulary passes. Per pass: pair counts, the
+    * top `candN` candidates collected in (count desc, l, r) order
+    * (bounded driver state: candN rows), and the greedy disjointness
+    * scan described in the object doc; adopted pairs apply as a chain
+    * of boundary-anchored replaces, and the word table persists per
+    * pass so pass k+1 reads materialized symbols, not a k-pass-deep
+    * expression. Returns ((merge_rank, pass, l, r, merged, count)*,
+    * final word table). */
+  private def trainBatchedRounds(df: DataFrame, textCol: String,
+      passes: Int, batchCap: Int, candN: Int)
+      : (Seq[(Long, Int, String, String, String, Long)], DataFrame) = {
+    require(passes >= 1 && passes <= 32, "passes in [1, 32]")
+    require(batchCap >= 1 && batchCap <= 64, "batchCap in [1, 64]")
+    require(candN >= batchCap && candN <= 4096, "candN in [batchCap, 4096]")
+    var cur = wordFreq(df, textCol)
+    val merges = Seq.newBuilder[(Long, Int, String, String, String, Long)]
+    var rank = 0L
+    var exhausted = false
+    for (pass <- 1 to passes if !exhausted) {
+      // adjacent pairs via a zip of the symbol array with its own
+      // tail — codegen'd native functions end to end (slice /
+      // arrays_zip / explode). The earlier transform(sequence(...))
+      // lambda formulation was interpreted AND duplicated the split
+      // per element_at reference (the documented HOF pitfall); at 16
+      // passes that dominated the trainer's runtime (~2 s/pass).
+      val cands = cur
+        .select(col("freq"), split(col("syms"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "arrays_zip(slice(a, 1, size(a) - 1), " +
+            "slice(a, 2, size(a) - 1))")).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(candN)
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        // keep a candidate iff its {l, r, lr} triple is disjoint from
+        // every HIGHER-RANKED candidate's triple (kept or not) — the
+        // order-free formulation the oracle states as a NOT EXISTS
+        var seen = Set.empty[String]
+        val kept = Seq.newBuilder[(String, String, Long)]
+        var nKept = 0
+        cands.foreach { row =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          val trio = Set(l, r, l + r)
+          if (trio.forall(s => !seen.contains(s))) {
+            kept += ((l, r, c)); nKept += 1
+          }
+          seen ++= trio
+        }
+        val adopt = kept.result().take(batchCap)
+        adopt.foreach { case (l, r, c) =>
+          rank += 1; merges += ((rank, pass, l, r, l + r, c))
+        }
+        val applied = adopt.foldLeft(col("syms")) {
+          case (acc, (l, r, _)) => applyMerge(acc, l, r)
+        }
+        // localCheckpoint (the GraphRank loop discipline) — a persist
+        // chain keeps the full 16-pass lineage, and Catalyst re-walks
+        // the ever-deeper plan on every pass; truncating lineage each
+        // pass keeps pass cost flat
+        cur = cur.withColumn("syms", applied).localCheckpoint(true)
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Merge table from the batched trainer: (merge_rank, pass,
+    * left_sym, right_sym, merged, pair_count). */
+  def topMergesBatched(df: DataFrame, idCol: String, textCol: String,
+      passes: Int, batchCap: Int, candN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainBatchedRounds(df, textCol, passes, batchCap, candN)._1
+      .toDF("merge_rank", "pass", "left_sym", "right_sym", "merged",
+        "pair_count")
   }
 
   /** The first `rounds` merges: (merge_rank, left_sym, right_sym,

@@ -569,6 +569,14 @@ object ScaleProbe {
         .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
       Sampling.systematicWeighted(sizes, "rep", "cluster_size", n = 100)
     }
+    // Batched BPE at corpus scale (r13): 2M docs collapse to one
+    // word-frequency vocabulary, then 16 vocabulary passes adopting
+    // up to 16 symbol-disjoint merges each — the probe demonstrates
+    // passes ≪ merges holds when the corpus is 100x the gate tables
+    time("bpe_batched_train") {
+      graft.operators.BpeTrain.topMergesBatched(diverseDocs, "doc_id",
+        "text", passes = 16, batchCap = 16, candN = 256)
+    }
     // PPJoin filter pruning power (r12: length + positional filters
     // joined the prefix filter): candidate volume the exact verify
     // actually touches, against the all-pairs bound

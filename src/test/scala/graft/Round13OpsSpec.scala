@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.BpeTrain
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator semantics: BPE boundary anchoring and the batched
+  * symbol-disjoint trainer. */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BPE merge application anchors to symbol boundaries " +
+    "(ADVICE r12: 'ca b' must not match merge (a,b))") {
+    // freq: ca:3, cab:1, ab:2
+    // round 1: pairs (c,a) 3+1=4, (a,b) 1+2=3 -> adopt (c,a)
+    //   word 'cab': "c a b" -> "ca b"
+    // round 2: pairs (ca,b) 1, (a,b) 2 (only 'ab' contributes — 'cab'
+    //   is now "ca b" whose symbol pair is (ca,b)) -> adopt (a,b)
+    //   word 'cab' is "ca b" — symbol pair is (ca,b), NOT (a,b): the
+    //   old substring replace matched the "a b" INSIDE "ca b" and
+    //   produced "cab" (a partial-symbol merge); anchored apply must
+    //   leave it segmented
+    // round 3: pairs (ca,b) 1 -> adopt (ca,b)
+    val docs = Seq((1L, "ca ca ca cab ab ab")).toDF("doc_id", "text")
+    val m = BpeTrain.topMerges(docs, "doc_id", "text", rounds = 3)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq(("c", "a", 4L), ("a", "b", 2L), ("ca", "b", 1L)))
+    // observable through encode: under 2 rounds, 'cab' must stay 2
+    // tokens ("ca b"), so the doc counts 6 words / 3*1 + 2 + 2*1 = 7
+    // tokens; the boundary bug yielded 6
+    val enc = BpeTrain.encodeTokenCounts(docs, "doc_id", "text", rounds = 2)
+      .collect()(0)
+    assert(enc.getLong(1) == 6L && enc.getLong(2) == 7L)
+  }
+
+  test("batched BPE keeps only pairs symbol-disjoint from every " +
+    "higher-ranked candidate, one batch per pass") {
+    // vocab: xy:3 ("x y"), yz:2 ("y z"), zw:1 ("z w")
+    // pass 1 candidates ranked: (x,y,3), (y,z,2), (z,w,1)
+    //   keep (x,y); (y,z) shares y -> skipped (but its symbols still
+    //   block lower ranks); (z,w) shares z with the SKIPPED (y,z) ->
+    //   skipped too (the rule checks all higher-ranked candidates)
+    // pass 2: "xy" done; (y,z,2) kept, (z,w,1) blocked again
+    // pass 3: (z,w,1) kept
+    val docs = Seq((1L, "xy xy xy yz yz zw")).toDF("doc_id", "text")
+    val m = BpeTrain.topMergesBatched(docs, "doc_id", "text",
+      passes = 4, batchCap = 16, candN = 256)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(m.toSeq == Seq(
+      (1L, 1, "x", "y", "xy", 3L),
+      (2L, 2, "y", "z", "yz", 2L),
+      (3L, 3, "z", "w", "zw", 1L)))
+  }
+
+  test("batched BPE applies self-pairs greedily left-to-right") {
+    // 'aaaa' x2: pass 1 pair (a,a) cnt 6 (3 adjacencies x freq 2);
+    // greedy application merges positions 1-2 and 3-4 -> "aa aa",
+    // so pass 2 sees (aa,aa) cnt 2 — an overlapping (wrong) apply
+    // would leave "aa a a" or collapse differently
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = BpeTrain.topMergesBatched(docs, "doc_id", "text",
+      passes = 2, batchCap = 16, candN = 256)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getLong(5)))
+    assert(m.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
+
+  test("batched BPE adopts independent pairs together in one pass") {
+    // two disjoint alphabets in one corpus: (p,q) and (u,v) share no
+    // symbols, so BOTH adopt in pass 1
+    val docs = Seq((1L, "pq pq uv")).toDF("doc_id", "text")
+    val m = BpeTrain.topMergesBatched(docs, "doc_id", "text",
+      passes = 1, batchCap = 16, candN = 256)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getLong(5)))
+    assert(m.toSeq == Seq((1, "p", "q", 2L), (1, "u", "v", 1L)))
+  }
+
+  test("multimodal: ImageIO decode handles truncated PNG bytes " +
+    "as recognized-but-undecodable") {
+    val id = 7L
+    val (w, h) = graft.operators.Multimodal.synthDims(id)
+    val rgb = Array.fill(w * h)(0x102030)
+    val png = graft.operators.Multimodal.encodePng(w, h, rgb)
+    val truncated = png.take(png.length / 2)
+    val (fmt, pw, ph, sum, mn, mx) =
+      graft.operators.Multimodal.decodeImagePixels(truncated)
+    // header parse still tags it a PNG; the codec either fails (null
+    // stats — the corrupt-path contract) or, if this JDK's reader
+    // tolerates the truncation, reports the true dims; no exception
+    // escapes either way
+    assert(fmt == "png")
+    if (sum.isDefined) assert(pw.contains(w) && ph.contains(h))
+    else assert(mn.isEmpty && mx.isEmpty)
+  }
+}
