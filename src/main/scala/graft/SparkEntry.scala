@@ -5046,8 +5046,10 @@ object SparkEntry {
          |surv AS (SELECT c.* FROM cand c
          |  LEFT JOIN p ON p.id_a = c.id_a AND p.id_b = c.id_b
          |  WHERE p.id_a IS NULL),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY src, id_a,
+         |    id_b ORDER BY ring_dist) AS dn FROM surv),
          |k AS (SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY ring_dist) AS rk FROM surv)
+         |    ORDER BY ring_dist) AS rk FROM dd WHERE dn = 1)
          |SELECT id_a, id_b, CAST(ring_dist AS BIGINT) AS ring_dist
          |FROM k WHERE rk <= 2""".stripMargin,
 
@@ -5855,7 +5857,9 @@ object SparkEntry {
 
     // q171: same md5-prefix bench split, exact cosine of every
     // (corpus, bench) pair, max/count/flag with the threshold on the
-    // UNROUNDED cosine exactly as the engine computes it
+    // e6-ROUNDED cosine (r13: Spark and DuckDB sum the dot product in
+    // different orders — a pair exactly at the threshold must not
+    // flip the hit count between engines)
     "q171_semantic_decontam" ->
       """WITH bench AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'),
@@ -5873,9 +5877,10 @@ object SparkEntry {
         |    dot / (sqrt(cn.nn) * sqrt(bn.nn)) AS cos
         |  FROM d JOIN cn USING (vec_id) JOIN bn USING (b_id))
         |SELECT vec_id, max(round(cos, 4)) AS max_cosine,
-        |  CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_bench_hits,
-        |  sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) > 0 AS contaminated
+        |  CAST(sum(CASE WHEN round(cos, 6) >= 0.3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bench_hits,
+        |  sum(CASE WHEN round(cos, 6) >= 0.3 THEN 1 ELSE 0 END) > 0
+        |    AS contaminated
         |FROM c GROUP BY 1""".stripMargin,
 
     // q170: q82's exact ranked run (round(cos,6) desc, id tie-break)

@@ -167,8 +167,13 @@ object Decontaminate {
     * (thousands), so the bench side broadcasts and the corpus is
     * scanned ONCE — O(n·|B|·d) fused cosine work inside one codegen'd
     * stage, a map-side-combinable per-id aggregate, no shuffle of the
-    * corpus beyond it. The threshold compares the UNROUNDED cosine
-    * (the reported max is display-rounded to 4). */
+    * corpus beyond it. The threshold compares the cosine ROUNDED to
+    * e6 (r13, mirrored in the oracle): Spark and DuckDB accumulate
+    * the dot product in different orders, so a pair sitting exactly
+    * at the threshold could otherwise flip the hit count between
+    * engines — the exact-rational discipline, applied to the one
+    * boundary compare this operator makes. (The reported max stays
+    * display-rounded to 4.) */
   def semanticReport(corpus: DataFrame, bench: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     val b = bench.select(col(vecCol).as("b_vec__"))
@@ -178,7 +183,7 @@ object Decontaminate {
         graft.functions.VectorFns.cosineNative(col(vecCol), col("b_vec__")))
       .groupBy(col(idCol))
       .agg(max(round(col("cos__"), 4)).as("max_cosine"),
-        sum(when(col("cos__") >= threshold, 1L).otherwise(0L))
+        sum(when(round(col("cos__"), 6) >= threshold, 1L).otherwise(0L))
           .as("n_bench_hits"))
       .withColumn("contaminated", col("n_bench_hits") > 0)
   }

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * <= ringWidth rows. Degenerate n <= ringWidth inputs would let a
   * probe wrap all the way to its own node — those self-pairs are
   * filtered, so tiny graphs lose candidates rather than emit
-  * (x, x) non-edges. */
+  * (x, x) non-edges — and can reach the SAME neighbor via two
+  * offsets — those duplicates dedup to the min ring_dist before
+  * keep-k (r12 advice), so perNode keeps DISTINCT negatives. */
 object NegativeSampling {
 
   /** (id_a, id_b, ring_dist) non-edges, id_a < id_b normalized;
@@ -57,7 +59,16 @@ object NegativeSampling {
       greatest(col(eaCol), col(ebCol)).as("id_b")).distinct()
     val keep = Window.partitionBy(col("src__"))
       .orderBy(col("ring_dist").asc)
+    // r12 advice: when n <= ringWidth a probe can reach the same
+    // neighbor via two offsets; without dedup the duplicate survives
+    // to keep-k and crowds out a distinct negative on tiny graphs.
+    // Keep the min ring_dist per (src, pair) — partitioned on the
+    // same src__ key as keep-k, so both windows share one shuffle.
+    val dedup = Window.partitionBy(col("src__"), col("id_a"), col("id_b"))
+      .orderBy(col("ring_dist").asc)
     cands.join(normEdges, Seq("id_a", "id_b"), "left_anti")
+      .withColumn("d__", row_number().over(dedup))
+      .filter(col("d__") === 1)
       .withColumn("k__", row_number().over(keep))
       .filter(col("k__") <= perNode)
       .select(col("id_a"), col("id_b"), col("ring_dist"))

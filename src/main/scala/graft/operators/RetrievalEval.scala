@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * Shape at scale: the run comes from
   * [[SimilaritySearch.bruteForceTopKBatchRanked]] (one corpus scan
   * against the broadcast query set, two-phase top-k — no global
-  * sort); labels/counts attach by broadcast joins (|Q| and |labels|
-  * rows); the metric aggregate is per-query over k rows. At 100 TB
-  * the corpus scan dominates and is one pass regardless of |Q|.
+  * sort). Label attachment broadcasts the |Q|·k RUN into a streamed
+  * scan of the corpus label projection (r13 fix: the corpus side is
+  * one row per corpus vector and must never be the broadcast side);
+  * only the genuinely small sides — the query labels (|Q| rows) and
+  * the per-label counts (|distinct labels| rows) — broadcast. The
+  * metric aggregate is per-query over k rows. At 100 TB the corpus
+  * scans dominate and stay one pass regardless of |Q|.
   */
 object RetrievalEval {
 
@@ -55,9 +59,11 @@ object RetrievalEval {
     val labCounts = df
       .groupBy(col(labelCol).cast("long").as("q_lab"))
       .agg(count(lit(1)).as("n_lab"))
-    val per = run
-      .join(broadcast(qlab), "query_id")
-      .join(broadcast(labels), col(idCol) === col("cid__"))
+    // labels is corpus-sized: stream it and broadcast the |Q|·k run
+    // (broadcasting the corpus label projection OOMs at real scale)
+    val per = labels
+      .join(broadcast(run.join(broadcast(qlab), "query_id")),
+        col("cid__") === col(idCol))
       .withColumn("rel__",
         when(col("c_lab") === col("q_lab"), 1L).otherwise(0L))
       .groupBy(col("query_id"), col("q_lab"))

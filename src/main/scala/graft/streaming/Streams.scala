@@ -312,6 +312,25 @@ object Streams {
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(s"$batchCol="))
       .sortBy(_.getPath.getName.stripPrefix(s"$batchCol=").toLong)
+    // The streaming oracles (q169/q175/q177/q181/q182/q192) pin
+    // micro-batch numbering to the staged-file order, which assumes
+    // every batch value 0..k-1 actually produced a file — a missing
+    // value silently renumbers the engine's batches but not the
+    // oracle's (r12 advice). Fail fast as a HARNESS error instead:
+    val staged = batchDirs
+      .map(_.getPath.getName.stripPrefix(s"$batchCol=").toLong).toSeq
+    require(staged == staged.indices.map(_.toLong),
+      s"staged batch values must be contiguous 0..k-1, got $staged — " +
+        "a missing/empty batch would desync engine and oracle batch " +
+        "numbering")
+    // ...and the previous-batch-watermark / AvailableNow-timeout-pass
+    // pinnings were validated against Spark 4.1.x micro-batch
+    // internals; surface a version bump as a harness error, not an
+    // oracle diff
+    require(spark.version.startsWith("4.1."),
+      s"streaming-oracle batch pinning validated on Spark 4.1.x; " +
+        s"running ${spark.version} — re-validate the q169/q175/q177/" +
+        "q181/q182 oracles before trusting their gates")
     val base = System.currentTimeMillis() - (batchDirs.length + 2) * 2000L
     batchDirs.zipWithIndex.foreach { case (bd, i) =>
       val parts = fs.listStatus(bd.getPath)
