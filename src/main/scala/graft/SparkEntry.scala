@@ -30,12 +30,27 @@ object SparkEntry {
     * representatives, splits, label propagation, negative sampling)
     * routes through here (r12); the O(n²·d) exact kernel remains only
     * in the q29/q40 audit surfaces and the guarantee gates that
-    * measure LSH recall against it. */
+    * measure LSH recall against it.
+    *
+    * Round 13: the band-key table comes from the STAGED full-corpus
+    * store (source-stamped, built on first touch) and the per-query
+    * work is [[SimilaritySearch.embeddingNearDupFromKeys]] — the 8
+    * graph consumers previously re-signed the corpus per query (~2 s
+    * each, ~20 s of suite); key derivation is deterministic, so the
+    * staged path is pair-for-pair identical and the oracle is
+    * untouched. q30 keeps the unstaged embeddingNearDup build as the
+    * from-scratch gate of the signing stage itself. */
   private def lshNearDupPairs(s: SparkSession, dir: String,
-      threshold: Double): DataFrame =
-    SimilaritySearch.embeddingNearDup(T(s, dir, "embeddings"),
-      "vec_id", "embedding", threshold, baseBits = lshBaseBits,
-      bands = lshBands, bitsPerBand = lshBitsPerBand)
+      threshold: Double): DataFrame = {
+    val stamp = Dedup.sourceStamp(s, s"$dir/embeddings.parquet")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "target/graft-stage")
+    val keys = SimilaritySearch.stagedBandKeys(
+      T(s, dir, "embeddings"), "vec_id", "embedding",
+      s"$root/embkeys-full-$stamp-b$lshBaseBits-n$lshBands-r$lshBitsPerBand",
+      lshBaseBits, lshBands, lshBitsPerBand)
+    SimilaritySearch.embeddingNearDupFromKeys(keys,
+      T(s, dir, "embeddings"), "vec_id", "embedding", threshold)
+  }
 
   /** The corpus-wide MinHash index over `documents`, staged to a local
     * parquet store keyed by the source file's stamp (name+size+mtime —
@@ -1425,9 +1440,7 @@ object SparkEntry {
     "q161_cluster_weighted_sample" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val cc = Dedup.connectedComponents(
-        SimilaritySearch.embeddingNearDup(emb, "vec_id",
-          "embedding", threshold = 0.45, baseBits = lshBaseBits,
-          bands = lshBands, bitsPerBand = lshBitsPerBand)
+        lshNearDupPairs(s, dir, threshold = 0.45)
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b")
       val sizes = emb.select(col("vec_id"))
@@ -1977,10 +1990,7 @@ object SparkEntry {
     // with no quadratic lineage on either engine.
     "q117_label_propagation" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val pairs = SimilaritySearch.embeddingNearDup(emb,
-        "vec_id", "embedding", threshold = 0.3,
-        baseBits = lshBaseBits, bands = lshBands,
-        bitsPerBand = lshBitsPerBand)
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.3)
         .select(col("id_a"), col("id_b"))
       val nodes = emb.select(col("vec_id"),
         when(pmod(col("vec_id"), lit(4)) === 0,

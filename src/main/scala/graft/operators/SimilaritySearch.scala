@@ -563,6 +563,33 @@ object SimilaritySearch {
         col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))
   }
 
+  /** [[embeddingNearDup]]'s bucket-expand + cosine-verify stages over
+    * an ALREADY-KEYED (id, pkey) table — the consumer half of
+    * [[stagedBandKeys]]: every query that feeds from the near-dup
+    * graph reads the one staged key store instead of re-signing the
+    * corpus per query (r12 verdict: the 8 graph consumers paid the
+    * same band join 8x; a production pipeline signs once and shares
+    * the index). Key derivations are deterministic, so
+    * `fromKeys(stagedKeys(df)) == embeddingNearDup(df)` exactly —
+    * the mirrored [[SparkEntry]] lshPairCtes oracle is unchanged. */
+  def embeddingNearDupFromKeys(keys: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val pairs = keys.groupBy(col("pkey"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", VectorFns.cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Incremental embedding near-dup — pairs with at least one endpoint
     * in the NEW batch, against a standing key store plus the batch
     * itself, WITHOUT re-signing the standing corpus: the batch's keys
