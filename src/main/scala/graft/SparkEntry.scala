@@ -75,6 +75,34 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Fixed staging root shared by the CSV-surface gates (q194-q198)
+    * and their DuckDB oracles: the engine stages deterministic CSV
+    * files DERIVED FROM THE GATE TABLES here at query time; the
+    * oracle `read_csv`s the very same files (the streaming gates'
+    * file-harness trick, applied to the §2.1 CSV rows). */
+  private lazy val csvGateRoot: String =
+    s"${sys.props("java.io.tmpdir").stripSuffix("/")}/graft-csv-gate"
+
+  /** Stage `df` as exactly ONE headered CSV file at csvGateRoot/name
+    * (optionally pinning its mtime — the S2 latest-file gate needs a
+    * controlled modification order). */
+  private def stageCsv(s: SparkSession, df: DataFrame, name: String,
+      mtime: Long = -1L): String = {
+    val tmp = s"$csvGateRoot/_tmp-${name.replace('/', '_')}"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val root = new org.apache.hadoop.fs.Path(csvGateRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$csvGateRoot/$name")
+    fs.mkdirs(dest.getParent)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    if (mtime >= 0L) fs.setTimes(dest, mtime, -1L)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    dest.toUri.getPath
+  }
+
   /** The q177/q181 stream-stream join harness: even event ids feed
     * the left stream, odd the right; each side ships three on-time
     * value slices plus a late fourth file; the join is same-uid with
@@ -1624,6 +1652,107 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- sources: header-CSV ingest (S1/P1/P2/P3/F9 — the §2.1
+    // spec-only rows graduate, round 13): a screener-shaped CSV is
+    // staged from `part` (blank keys for P3, empty numerics,
+    // comma-grouped prices and %-suffixed values for P2, an unmapped
+    // column for P1's intersection rule), re-ingested via readCsv +
+    // canonicalize under a FIXED stamp clock (F9), and the oracle
+    // re-reads the SAME staged file with read_csv + the mirrored
+    // cleanse chain.
+    "q194_csv_ingest" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val src = T(s, dir, "part").select(
+        when(pmod(col("p_partkey"), lit(13)) === 0, lit(""))
+          .otherwise(concat(lit("SYM"), col("p_partkey"))).as("Symbol"),
+        col("p_name").as("Description"),
+        when(pmod(col("p_partkey"), lit(7)) === 0, lit(""))
+          .otherwise(format_number(col("p_retailprice"), 2)).as("Price"),
+        concat(col("p_size").cast("string"), lit("%"))
+          .as("Performance % Year to date"),
+        col("p_brand").as("Analyst Rating"),
+        col("p_type").as("Unmapped Extra"))
+      stageCsv(s, src, "q194/screener.csv")
+      graft.sources.CsvIngest.canonicalize(
+          graft.sources.CsvIngest.readCsv(s,
+            s"$csvGateRoot/q194/screener.csv"),
+          graft.sources.CsvIngest.technicalMap,
+          stampTime = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .select(col("symbol"), col("description"), col("analyst_rating"),
+          col("performance_ytd"), col("price"),
+          unix_timestamp(col("last_modified_date")).as("stamp_epoch"))
+    }),
+
+    // ---- sources: LATEST-file-by-mtime (S2/T4): three nation slices
+    // staged with strictly increasing mtimes; the engine must resolve
+    // the newest by mtime and ingest THAT file — the oracle reads
+    // slice 2 by name, so resolving any other file hash-fails.
+    "q195_latest_file" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val n = T(s, dir, "nation")
+      val base = System.currentTimeMillis() - 60000L
+      (0 to 2).foreach { i =>
+        stageCsv(s, n.filter(pmod(col("n_nationkey"), lit(3)) === i)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          s"q195/nation-$i.csv", base + i * 2000L)
+      }
+      val latest = Tables.latestByMtime(s, s"$csvGateRoot/q195/nation-*.csv")
+        .getOrElse(sys.error("no staged q195 files"))
+      graft.sources.CsvIngest.readCsv(s, latest)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // ---- filters: scrape-noise predicate (P4) over real part names
+    // plus injected header echoes / dates / analysis rows / blanks /
+    // over-length rows — the oracle mirrors every arm of the predicate
+    "q196_scrape_noise" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val noise = Seq("Sector: Financials", "2024-01-01 report",
+        "filed 0001-01-01", "Strengths: momentum", "Neutral outlook",
+        "   ", "x" * 60, "Acme Industrial Holdings").toDF("name")
+      T(s, dir, "part").select(col("p_name").as("name"))
+        .unionAll(noise)
+        .filter(graft.sources.CsvIngest.scrapeNoiseFilter(col("name")))
+        .groupBy(col("name")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- serving: screener registry + CSV→JSON emit (S11/§2.11):
+    // the btst screener (top-20 by composite, symbol tie-break) over
+    // a part-derived scored frame, emitted through toJsonRecords —
+    // the oracle rebuilds the identical JSON strings (long score, so
+    // no float formatting divergence)
+    "q197_screener_serve" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val scored = T(s, dir, "part").select(
+        concat(lit("SYM"), col("p_partkey")).as("symbol"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("composite_score"))
+      graft.serve.Screeners
+        .toJsonRecords(graft.serve.Screeners.run("btst", scored))
+        .toDF("json")
+    }),
+
+    // ---- pipeline: news-prep (P6 premium filter + F8 surrogate key
+    // + F11 truncation + P3 key validity) under a fixed clock — the
+    // news-shaped frame derives from `documents` (premium flags, null
+    // flags, blank URLs all planted by doc_id residue)
+    "q198_news_prepare" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val raw = T(s, dir, "documents").select(
+        col("text").as("headline"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(""))
+          .otherwise(concat(lit("https://news.example/a/"), col("doc_id")))
+          .as("article_url"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("boolean"))
+          .otherwise(pmod(col("doc_id"), lit(5)) === 0).as("is_premium"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(null).cast("boolean"))
+          .otherwise(lit(true)).as("is_critical"))
+      graft.pipeline.NewsIngestPipeline.prepare(raw,
+          postedAt = to_timestamp(lit("2026-01-01 00:00:00")))
+        .select(col("article_url"), col("headline"), col("tweet_id"),
+          col("is_critical"),
+          unix_timestamp(col("posted_at")).as("posted_epoch"))
+    }),
+
     // ---- multimodal: REAL compressed-image decode, gated by
     // construction (round-13) — one deterministic PNG per doc_id
     // (generator formula + dims mirrored in the oracle), encoded AND
@@ -4748,6 +4877,90 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q194-q198 (round 13): the CSV/serving/news surfaces gate through
+    // the staged-file trick — the engine stages deterministic CSVs
+    // derived from the gate tables under csvGateRoot; the oracle
+    // read_csv's the same files and mirrors every cleanse arm. The
+    // fixed stamp clock (2026-01-01 UTC = epoch 1767225600) replaces
+    // the wall clock on both sides.
+    "q194_csv_ingest" -> {
+      // clean_value mirror: unicode minus -> '-', strip %/,/+ and a
+      // trailing K/M/B/T INR unit, trim, TRY_CAST (coercion -> NULL),
+      // then the 2dp display round — Cleanse.cleanNumber/cleanDouble
+      def num(c: String) =
+        s"""round(try_cast(trim(regexp_replace(regexp_replace($c,
+           |    '−', '-', 'g'),
+           |    '[%,+]|\\s*[KMBT]?\\s*INR\\s*$$', '', 'g')) AS DOUBLE), 2)"""
+          .stripMargin
+      s"""WITH raw AS (SELECT * FROM read_csv(
+         |    '$csvGateRoot/q194/screener.csv',
+         |    header=true, all_varchar=true)),
+         |c AS (SELECT
+         |    nullif(trim("Symbol"), '') AS symbol,
+         |    nullif(trim("Description"), '') AS description,
+         |    nullif(trim("Analyst Rating"), '') AS analyst_rating,
+         |    ${num("\"Performance % Year to date\"")} AS performance_ytd,
+         |    ${num("\"Price\"")} AS price
+         |  FROM raw)
+         |SELECT *, CAST(1767225600 AS BIGINT) AS stamp_epoch FROM c
+         |WHERE symbol IS NOT NULL AND len(trim(symbol)) > 0""".stripMargin
+    },
+
+    // q195: the oracle names slice 2 (the newest mtime) explicitly —
+    // the engine resolving any other file by mtime hash-fails
+    "q195_latest_file" ->
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+         |FROM read_csv('$csvGateRoot/q195/nation-2.csv',
+         |  header=true, all_varchar=true)""".stripMargin,
+
+    // q196: every arm of the scrape-noise predicate mirrored
+    "q196_scrape_noise" ->
+      """WITH names AS (SELECT p_name AS name FROM part
+        |  UNION ALL SELECT unnest(['Sector: Financials',
+        |    '2024-01-01 report', 'filed 0001-01-01',
+        |    'Strengths: momentum', 'Neutral outlook', '   ',
+        |    repeat('x', 60), 'Acme Industrial Holdings']))
+        |SELECT name, count(*) AS n FROM names
+        |WHERE name IS NOT NULL AND len(name) <= 50
+        |  AND NOT contains(name, 'Sector')
+        |  AND NOT contains(name, '0001-01-01')
+        |  AND NOT contains(name, 'Strengths:')
+        |  AND NOT contains(name, 'Neutral')
+        |  AND len(trim(name)) > 0
+        |  AND NOT regexp_matches(name, '^\d{4}-\d{2}-\d{2}')
+        |GROUP BY 1""".stripMargin,
+
+    // q197: the btst screener is top-20 by (composite desc, symbol
+    // asc); the JSON string rebuilds exactly (integer score — no
+    // float formatting divergence; toJSON emits fields in schema
+    // order and the symbols are quote-free ASCII)
+    "q197_screener_serve" ->
+      """WITH sc AS (SELECT 'SYM' || CAST(p_partkey AS VARCHAR) AS symbol,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS composite_score
+        |  FROM part),
+        |t AS (SELECT * FROM sc
+        |  ORDER BY composite_score DESC, symbol ASC LIMIT 20)
+        |SELECT '{"symbol":"' || symbol || '","composite_score":'
+        |  || CAST(composite_score AS VARCHAR) || '}' AS json
+        |FROM t""".stripMargin,
+
+    // q198: premium filter (NULL -> keep), key validity, 500-char
+    // truncation, md5 surrogate key, fixed posted-at clock
+    "q198_news_prepare" ->
+      """SELECT 'https://news.example/a/' || CAST(doc_id AS VARCHAR)
+        |    AS article_url,
+        |  substring(text, 1, 500) AS headline,
+        |  'tv_' || substring(md5('https://news.example/a/'
+        |    || CAST(doc_id AS VARCHAR)), 1, 20) AS tweet_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN false ELSE true END AS is_critical,
+        |  CAST(1767225600 AS BIGINT) AS posted_epoch
+        |FROM documents
+        |WHERE doc_id % 11 <> 0
+        |  AND NOT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE doc_id % 5 = 0 END, false)""".stripMargin,
 
     // q193: the engine synthesizes + ImageIO-encodes + ImageIO-decodes
     // real PNGs; the oracle never touches bytes — it enumerates the

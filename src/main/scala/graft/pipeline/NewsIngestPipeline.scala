@@ -16,15 +16,18 @@ import graft.streaming.Streams
   */
 object NewsIngestPipeline {
 
-  /** Cleansing projection shared by batch and streaming paths. */
-  def prepare(raw: DataFrame): DataFrame =
+  /** Cleansing projection shared by batch and streaming paths.
+    * `postedAt` overrides the stored-at stamp with a fixed clock for
+    * the oracle gate; production callers leave the wall clock. */
+  def prepare(raw: DataFrame,
+      postedAt: org.apache.spark.sql.Column = current_timestamp()): DataFrame =
     raw
       .filter(!coalesce(col("is_premium"), lit(false))) // ref :184-190
       .filter(Cleanse.validKey(col("article_url")))
       .withColumn("headline", Cleanse.truncateTo(col("headline"), 500)) // ref :303-304
       .withColumn("tweet_id", Cleanse.surrogateKey(col("article_url"))) // ref :297-299
       .withColumn("is_critical", coalesce(col("is_critical"), lit(false)))
-      .withColumn("posted_at", current_timestamp())
+      .withColumn("posted_at", postedAt)
 
   /** Batch: keep only unseen URLs then append (S10). */
   def newItems(scraped: DataFrame, existing: DataFrame): DataFrame =

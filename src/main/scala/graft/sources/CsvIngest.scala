@@ -143,9 +143,13 @@ object CsvIngest {
       .csv(path)
 
   /** P1 + P2 + F9: rename-map projection keeping the intersection of the
-    * map and the actual header, with per-type cleansing. */
+    * map and the actual header, with per-type cleansing. `stampTime`
+    * overrides the F9 load-time stamp with a fixed clock — the oracle
+    * gate needs a deterministic stamp; production callers leave the
+    * default wall clock. */
   def canonicalize(raw: DataFrame, mapping: Seq[(String, String)],
-      keyCol: String = "symbol"): DataFrame = {
+      keyCol: String = "symbol",
+      stampTime: Option[Column] = None): DataFrame = {
     val present = mapping.filter { case (src, _) => raw.columns.contains(src) }
     val cols: Seq[Column] = present.map { case (src, dst) =>
       val c = col(s"`$src`")
@@ -158,7 +162,8 @@ object CsvIngest {
     }
     raw.select(cols: _*)
       .filter(Cleanse.validKey(col(keyCol)))
-      .withColumn("last_modified_date", current_timestamp())
+      .withColumn("last_modified_date",
+        stampTime.getOrElse(current_timestamp()))
   }
 
   /** P4 — scrape-noise predicate on a name column
