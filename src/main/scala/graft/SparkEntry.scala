@@ -1652,6 +1652,76 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- streaming: CRASH-RECOVERY exactly-once (round 13, r12 task
+    // #6): the same file-stream query runs TWICE against one
+    // checkpoint — first over half the feed, then, after the batch-1
+    // COMMIT record is deleted (the torn-batch window: sink files
+    // committed, checkpoint never recorded the batch — precisely the
+    // failure that makes a plain parquet append at-least-once) and
+    // the rest of the feed arrives, a restart. Recovery replays batch
+    // 1 through writeBatchIdempotent's dynamic partition overwrite
+    // and resumes numbering from the checkpoint; the gate's
+    // (batch_id, type) aggregate equals the one-shot batch result
+    // ONLY if the replay overwrote instead of appended and the
+    // restart did not reprocess already-committed files.
+    "q199_stream_recovery" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events").select(col("event_type"),
+        col("user_id").cast("long").as("uid"),
+        col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("graft_batch_id", "event_type", "n_events", "sum_uid")
+      } else {
+        val batched = ev
+          .withColumn("b", pmod(col("eid"), lit(4)).cast("int"))
+          .select(col("event_type"), col("uid"), col("b"))
+        val stageDir = java.nio.file.Files
+          .createTempDirectory("graft-q199-stage").toString
+        val nFiles = graft.streaming.Streams
+          .stageBatchFiles(batched, "b", stageDir)
+        require(nFiles == 4, s"q199 expects 4 staged batches, got $nFiles")
+        val workDir = java.nio.file.Files
+          .createTempDirectory("graft-q199").toString
+        val (feedDir, sink, ckpt) =
+          (s"$workDir/feed", s"$workDir/rows", s"$workDir/ckpt")
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(workDir).getFileSystem(conf)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+        val base = System.currentTimeMillis() - 60000L
+        def feed(i: Int): Unit = {
+          val name = f"batch-$i%05d.parquet"
+          val dst = new org.apache.hadoop.fs.Path(s"$feedDir/$name")
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$stageDir/$name"),
+            fs, dst, false, conf)
+          fs.setTimes(dst, base + i * 2000L, -1L)
+        }
+        def runOnce(): Unit = {
+          val src = s.readStream.schema("event_type STRING, uid LONG")
+            .option("maxFilesPerTrigger", "1").parquet(feedDir)
+          graft.streaming.Streams.runAvailableNow(
+            graft.streaming.Streams.idempotentAppendSink(src, sink), ckpt)
+            .awaitTermination()
+        }
+        feed(0); feed(1)
+        runOnce()
+        // tear batch 1: its offset entry stays, its commit record goes
+        // — the public checkpoint contract (offsets/ and commits/)
+        // defines exactly this as "batch ran, completion never
+        // recorded", and recovery must re-run it
+        val commit = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+        require(fs.exists(commit), "q199: no commit record for batch 1")
+        fs.delete(commit, false)
+        feed(2); feed(3)
+        runOnce()
+        s.read.parquet(sink)
+          .groupBy(col("graft_batch_id").cast("long").as("graft_batch_id"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("uid")).as("sum_uid"))
+      }
+    }),
+
     // ---- sources: header-CSV ingest (S1/P1/P2/P3/F9 — the §2.1
     // spec-only rows graduate, round 13): a screener-shaped CSV is
     // staged from `part` (blank keys for P3, empty numerics,
@@ -4877,6 +4947,16 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q199: recovery must land exactly the one-shot result — file i
+    // is batch i (mtime order, one file per trigger, numbering
+    // resumed from the checkpoint across the restart), each batch's
+    // partition written exactly once despite the batch-1 replay
+    "q199_stream_recovery" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS graft_batch_id,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // q194-q198 (round 13): the CSV/serving/news surfaces gate through
     // the staged-file trick — the engine stages deterministic CSVs

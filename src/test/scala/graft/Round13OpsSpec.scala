@@ -78,6 +78,61 @@ class Round13OpsSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "p", "q", 2L), (1, "u", "v", 1L)))
   }
 
+  test("torn-batch recovery: idempotent sink replays batch once, " +
+    "a plain append sink duplicates it (q199's failure harness is real)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    def scenario(idempotent: Boolean): Seq[(String, Long)] = {
+      val root = Files.createTempDirectory("graft_torn").toString
+      val (src, sink, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+      new java.io.File(src).mkdirs()
+      val schema = StructType(Seq(StructField("k", StringType),
+        StructField("v", LongType)))
+      def drop(name: String, rows: Seq[(String, Long)], mtime: Long): Unit = {
+        val tmp = s"$root/tmp-$name"
+        rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(s"$src/$name")
+        assert(f.renameTo(dst)); dst.setLastModified(mtime)
+      }
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val writer =
+          if (idempotent) graft.streaming.Streams
+            .idempotentAppendSink(stream, sink)
+          else stream.writeStream.outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(sink); ()
+            }
+        graft.streaming.Streams.runAvailableNow(writer, ckpt)
+          .awaitTermination()
+      }
+      val base = System.currentTimeMillis() - 60000L
+      drop("f0.parquet", Seq(("a", 1L)), base)
+      drop("f1.parquet", Seq(("b", 2L)), base + 2000)
+      runOnce()
+      // tear batch 1: offsets kept, commit record deleted (through the
+      // Hadoop fs so the ChecksumFileSystem's .crc sidecar goes too)
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/1"),
+        false))
+      drop("f2.parquet", Seq(("c", 3L)), base + 4000)
+      runOnce()
+      spark.read.parquet(sink).select("k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    }
+    // idempotent: batch 1 replays into its own partition -> no dupes
+    assert(scenario(idempotent = true) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // plain append: the replayed batch appends a second copy of "b" -
+    // proving the harness genuinely re-runs the torn batch
+    assert(scenario(idempotent = false) ==
+      Seq(("a", 1L), ("b", 2L), ("b", 2L), ("c", 3L)))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
