@@ -63,6 +63,20 @@ object SparkEntry {
     * repeats, the sibling query, the next session over unchanged data)
     * pays three parquet scans — the append-only production shape where
     * the archive is never re-shingled. */
+  /** The q174/q200 batched-BPE tokenizer artifact, staged once per
+    * corpus (source-stamped like the MinHash / band-key stores): the
+    * 16-pass trainer runs on first touch and ships (merge table,
+    * word segmentation); both gates read the shipped tables — the
+    * train-once production shape. */
+  private def stagedBpeModel(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val stamp = Dedup.sourceStamp(s, s"$dir/documents.parquet")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "target/graft-stage")
+    BpeTrain.stagedBatchedModel(T(s, dir, "documents"), "text",
+      s"$root/bpe-$stamp-p16-c16-n256", passes = 16, batchCap = 16,
+      candN = 256)
+  }
+
   private def stagedDocsIndex(s: SparkSession, dir: String): Dedup.MinHashIndex = {
     val src = s"$dir/documents.parquet"
     val stamp = Dedup.sourceStamp(s, src)
@@ -1652,6 +1666,14 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- tokenizer: ENCODE under the q174 BATCHED model — the
+    // train-then-apply round trip at tokenizer scale (tokens per
+    // distinct word off the 16-pass word table, one corpus join),
+    // reading the SAME staged artifact q174 ships
+    "q200_bpe_encode_batched" -> ((s, dir) =>
+      BpeTrain.encodeFromWordTable(T(s, dir, "documents"), "doc_id",
+        "text", stagedBpeModel(s, dir)._2)),
+
     // ---- streaming: CRASH-RECOVERY exactly-once (round 13, r12 task
     // #6): the same file-stream query runs TWICE against one
     // checkpoint — first over half the feed, then, after the batch-1
@@ -2124,9 +2146,7 @@ object SparkEntry {
     // greedy application); the merge table is the tokenizer artifact
     // a data pipeline trains and ships. The sequential per-merge
     // trainer stays gated through q180's 3-round encode.
-    "q174_bpe_merges" -> ((s, dir) =>
-      BpeTrain.topMergesBatched(T(s, dir, "documents"), "doc_id",
-        "text", passes = 16, batchCap = 16, candN = 256)),
+    "q174_bpe_merges" -> ((s, dir) => stagedBpeModel(s, dir)._1),
 
     // ---- tokenizer: ENCODE under the q174 model — per doc, word
     // count and BPE token count (tokens-per-distinct-word join, no
@@ -4947,6 +4967,21 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q200: q180's encode join keyed by the BATCHED (16-pass) word
+    // table bs17 instead of the sequential s4
+    "q200_bpe_encode_batched" ->
+      s"""WITH ${bpeBatchedCtes(16)},
+         |wtok AS (SELECT w,
+         |    CAST(len(string_split(syms, ' ')) AS BIGINT) AS ntok
+         |  FROM bs17),
+         |t AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |tw AS (SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(ntok) AS BIGINT) AS n_bpe
+         |  FROM t JOIN wtok USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_bpe, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN tw USING (doc_id)""".stripMargin,
 
     // q199: recovery must land exactly the one-shot result — file i
     // is batch i (mtime order, one file per trigger, numbering

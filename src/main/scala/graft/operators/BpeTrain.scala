@@ -208,8 +208,54 @@ object BpeTrain {
     * one explode + one hash join on word, never a per-doc merge
     * scan. */
   def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val (_, encoded) = trainRounds(df, idCol, textCol, rounds)
+      rounds: Int): DataFrame =
+    encodeFromWordTable(df, idCol, textCol,
+      trainRounds(df, idCol, textCol, rounds)._2)
+
+  /** Encode under the BATCHED model (q174's trainer): the
+    * train-then-apply round trip at tokenizer scale — same
+    * tokens-per-distinct-word join as [[encodeTokenCounts]], keyed by
+    * the multi-pass word table. */
+  def encodeTokenCountsBatched(df: DataFrame, idCol: String,
+      textCol: String, passes: Int, batchCap: Int,
+      candN: Int): DataFrame =
+    encodeFromWordTable(df, idCol, textCol,
+      trainBatchedRounds(df, textCol, passes, batchCap, candN)._2)
+
+  /** Train-once ARTIFACT store for the batched model: the merge table
+    * and the final word segmentation persist to `storeDir` on first
+    * touch and read back as parquet ever after — the shipping shape
+    * of a tokenizer artifact (a corpus trains once; every consumer —
+    * the encode pass, vocabulary stats, the next session — reads the
+    * shipped tables). Deterministic trainer ⇒ the staged store equals
+    * a fresh train. Returns (merge table, word table). */
+  def stagedBatchedModel(df: DataFrame, textCol: String,
+      storeDir: String, passes: Int, batchCap: Int,
+      candN: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      val (merges, words) =
+        trainBatchedRounds(df, textCol, passes, batchCap, candN)
+      import spark.implicits._
+      merges.toDF("merge_rank", "pass", "left_sym", "right_sym",
+          "merged", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/merges")
+      words.write.mode("overwrite").parquet(s"$storeDir/words")
+      fs.create(marker, true).close()
+    }
+    (spark.read.parquet(s"$storeDir/merges"),
+      spark.read.parquet(s"$storeDir/words"))
+  }
+
+  /** The encode join shared by both trainers: tokens per DISTINCT
+    * word off the trained word table, documents joining their word
+    * stream against it — at 100 TB the corpus pass is one explode +
+    * one hash join on word, never a per-doc merge scan. */
+  def encodeFromWordTable(df: DataFrame, idCol: String,
+      textCol: String, encoded: DataFrame): DataFrame = {
     val wordTokens = encoded.select(col("w"),
       size(split(col("syms"), " ")).cast("long").as("n_toks__"))
     val docWords = df

@@ -52,6 +52,22 @@ class Round13OpsSpec extends SparkSpec {
       (1L, 1, "x", "y", "xy", 3L),
       (2L, 2, "y", "z", "yz", 2L),
       (3L, 3, "z", "w", "zw", 1L)))
+    // encode under the same model: every word fully merged -> 1 token
+    val enc = BpeTrain.encodeTokenCountsBatched(docs, "doc_id", "text",
+      passes = 4, batchCap = 16, candN = 256).collect()(0)
+    assert(enc.getLong(1) == 6L && enc.getLong(2) == 6L)
+    // staged artifact round-trips: the shipped tables equal the
+    // direct train (deterministic trainer)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-spec-bpe-store").toString
+    val (sm, sw) = BpeTrain.stagedBatchedModel(docs, "text", store,
+      passes = 4, batchCap = 16, candN = 256)
+    assert(sm.orderBy($"merge_rank").collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq((1L, "x", "y"), (2L, "y", "z"), (3L, "z", "w")))
+    assert(sw.collect().map(r =>
+      (r.getAs[String]("w"), r.getAs[String]("syms"))).toMap ==
+      Map("xy" -> "xy", "yz" -> "yz", "zw" -> "zw"))
   }
 
   test("batched BPE applies self-pairs greedily left-to-right") {
