@@ -1666,6 +1666,21 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- eval: filter AGREEMENT (Cohen's kappa) — the q18 scored
+    // quality filter (rounded composite >= 0.5) against the q81
+    // Gopher rule gate, chance-corrected: the "can filter B replace
+    // filter A" number a curation pipeline reads before swapping
+    // filters; exact e6 rationals end to end
+    "q201_filter_agreement" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val a = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("quality") >= 0.5).as("a_keep"))
+      val b = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep").as("b_keep"))
+      EvalMetrics.cohenKappa(a.join(b, "doc_id"), "a_keep", "b_keep")
+    }),
+
     // ---- tokenizer: ENCODE under the q174 BATCHED model — the
     // train-then-apply round trip at tokenizer scale (tokens per
     // distinct word off the 16-pass word table, one corpus join),
@@ -4967,6 +4982,51 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q201: both filters re-derived from their existing mirrors (q18
+    // quality rational, q81 Gopher rules), then the 2×2 table and
+    // κ = (n·agree − E)/(n² − E) in HUGEINT — the exact twin of the
+    // engine's DECIMAL(38,0) path
+    "q201_filter_agreement" -> {
+      import graft.functions.ExactRound.{ratioSql, ratioScaledSql,
+        ratioScaledSignedSql}
+      val eTerm = "(CAST(na AS HUGEINT) * nb + " +
+        "CAST(n - na AS HUGEINT) * (n - nb))"
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioSql(qScoreNum, qScoreDen, 4)} AS q,
+         |    CAST(len($wordsSql) AS BIGINT) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT (q >= 0.5) AS a_keep,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS b_keep
+         |  FROM t),
+         |g AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN a_keep THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN b_keep THEN 1 ELSE 0 END) AS nb,
+         |    sum(CASE WHEN a_keep AND b_keep THEN 1 ELSE 0 END) AS nab
+         |  FROM j)
+         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(na AS BIGINT)
+         |    AS n_a_keep,
+         |  CAST(nb AS BIGINT) AS n_b_keep, CAST(nab AS BIGINT)
+         |    AS n_both_keep,
+         |  CAST(2 * nab + n - na - nb AS BIGINT) AS n_agree,
+         |  ${ratioScaledSql("2 * nab + n - na - nb", "n", 6)} AS po_e6,
+         |  ${ratioScaledSql(eTerm, "CAST(n AS HUGEINT) * n", 6)} AS pe_e6,
+         |  ${ratioScaledSignedSql(
+            s"CAST(n AS HUGEINT) * (2 * nab + n - na - nb) - $eTerm",
+            s"CAST(n AS HUGEINT) * n - $eTerm", 6)} AS kappa_e6
+         |FROM g""".stripMargin
+    },
 
     // q200: q180's encode join keyed by the BATCHED (16-pass) word
     // table bs17 instead of the sequential s4

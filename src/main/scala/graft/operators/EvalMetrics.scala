@@ -48,4 +48,40 @@ object EvalMetrics {
         graft.functions.ExactRound.ratioScaled(col("tp") * 2,
           col("n_true") + col("n_pred"), 6).as("f1_e6"))
   }
+
+  /** Cohen's kappa between two BOOLEAN judgments over the same rows —
+    * chance-corrected agreement, the "do these two quality filters
+    * measure the same thing?" number a curation pipeline reads before
+    * swapping one filter for another. One aggregate pass yields the
+    * 2×2 table (n, a-keeps, b-keeps, both); then
+    * κ = (n·agree − E) / (n² − E) with E = na·nb + (n−na)(n−nb) —
+    * a single exact rational, emitted e6-scaled through the DECIMAL
+    * (38,0) path (n² overflows a long at real corpus sizes). κ is 0
+    * when the chance term saturates (n² = E — both raters constant),
+    * matching [[graft.functions.ExactRound.ratioScaledSigned]]'s
+    * zero-on-empty-denominator contract.
+    *
+    * Shape at scale: one map-side-combinable aggregate over the
+    * joined judgments; everything after is arithmetic on one row. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val agg = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(aCol), 1L).otherwise(0L)).as("n_a_keep"),
+      sum(when(col(bCol), 1L).otherwise(0L)).as("n_b_keep"),
+      sum(when(col(aCol) && col(bCol), 1L).otherwise(0L))
+        .as("n_both_keep"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val n = col("n_docs")
+    val agree = lit(2L) * col("n_both_keep") + n -
+      col("n_a_keep") - col("n_b_keep")
+    val e = d(col("n_a_keep")) * d(col("n_b_keep")) +
+      d(n - col("n_a_keep")) * d(n - col("n_b_keep"))
+    agg.select(n, col("n_a_keep"), col("n_b_keep"), col("n_both_keep"),
+      agree.as("n_agree"),
+      ExactRound.ratioScaled(agree, n, 6).as("po_e6"),
+      ExactRound.ratioScaledBig(e, d(n) * d(n), 6).as("pe_e6"),
+      ExactRound.ratioScaledSigned(d(n) * d(agree) - e,
+        d(n) * d(n) - e, 6).as("kappa_e6"))
+  }
 }

@@ -94,6 +94,30 @@ class Round13OpsSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "p", "q", 2L), (1, "u", "v", 1L)))
   }
 
+  test("cohenKappa: exact chance-corrected agreement on a hand table") {
+    // 2x2 table: TT x3, TF x1, FT x2, FF x4 -> n=10, na=4, nb=5,
+    // nab=3, agree=7, po=0.7, E=4*5+6*5=50, pe=0.5,
+    // kappa=(70-50)/(100-50)=0.4
+    val rows = (Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("a", "b")
+    val r = graft.operators.EvalMetrics.cohenKappa(rows, "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L &&
+      r.getLong(2) == 5L && r.getLong(3) == 3L && r.getLong(4) == 7L)
+    assert(r.getLong(5) == 700000L && r.getLong(6) == 500000L &&
+      r.getLong(7) == 400000L)
+    // constant raters: chance term saturates -> kappa pinned to 0
+    val const = Seq.fill(5)((true, true)).toDF("a", "b")
+    assert(graft.operators.EvalMetrics.cohenKappa(const, "a", "b")
+      .collect()(0).getLong(7) == 0L)
+    // perfect disagreement on balanced marginals -> kappa -1
+    val anti = (Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)))
+      .toDF("a", "b")
+    assert(graft.operators.EvalMetrics.cohenKappa(anti, "a", "b")
+      .collect()(0).getLong(7) == -1000000L)
+  }
+
   test("torn-batch recovery: idempotent sink replays batch once, " +
     "a plain append sink duplicates it (q199's failure harness is real)") {
     import java.nio.file.Files
