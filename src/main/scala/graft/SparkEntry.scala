@@ -1666,6 +1666,54 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- eval: deterministic BOOTSTRAP error bars — 32 key-hash
+    // half-rate replicates of mean document length, each an exact e6
+    // mean; the replicate spread is the corpus metric's sampling
+    // uncertainty, reproducible bit for bit (no RNG)
+    "q202_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapMeans(
+        T(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).as("n_chars")),
+        "doc_id", "n_chars", reps = 32)),
+
+    // ---- eval: CALIBRATION of the scored quality filter against the
+    // Gopher rule outcome — reliability-diagram bins + ECE (Guo et
+    // al. 2017): "when the score says 0.7, do the rules keep 70%?";
+    // the q201 agreement pair read as (confidence, outcome)
+    "q203_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("q_e4"))
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.calibrationBins(scored.join(label, "doc_id"),
+        "q_e4", "keep", bins = 10)
+    }),
+
+    // ---- selection: DSIR-flavored importance score — per-doc mean
+    // smoothed unigram likelihood ratio of the lang='en' target slice
+    // vs the whole corpus, exact e6 rationals (the "does this doc
+    // look like the target distribution?" selector signal)
+    "q205_importance_score" -> ((s, dir) =>
+      ImportanceScore.targetLikeness(T(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en")),
+
+    // ---- mixing: UniMax EPOCH-CAPPED water-filling — equal budget
+    // split across sources, no source repeated past 2 epochs, freed
+    // budget re-split (closed-form prefix saturation; budget = 17/10
+    // of corpus chars so small sources genuinely saturate at the gate
+    // SF while the rest share the water line)
+    "q204_unimax_waterfill" -> ((s, dir) =>
+      Apportion.epochCappedWaterFill(
+        T(s, dir, "documents").select(col("source"),
+          length(col("text")).as("n_chars")),
+        "source", "n_chars", budgetNum = 17L, budgetDen = 10L,
+        maxEpochs = 2L)),
+
     // ---- eval: filter AGREEMENT (Cohen's kappa) — the q18 scored
     // quality filter (rounded composite >= 0.5) against the q81
     // Gopher rule gate, chance-corrected: the "can filter B replace
@@ -4982,6 +5030,95 @@ object SparkEntry {
     "q133_prototype_confusion" ->
       s"""WITH $protoConfusionCtes
          |SELECT true_label, assigned_label, n_vecs FROM conf""".stripMargin,
+
+    // q203: q201's t/j derivation with the score kept as its e4
+    // integer; equal-width bins (top edge clamped), exact e6 per-bin
+    // rationals, ECE re-aggregating the SAME rounded gaps
+    "q203_calibration" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioScaledSql(qScoreNum, qScoreDen, 4)} AS q_e4,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT q_e4,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS keep
+         |  FROM t),
+         |b AS (SELECT least(q_e4 // 1000, 9) AS bin,
+         |    count(*) AS n_rows, sum(q_e4) AS sum_q,
+         |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT bin, n_rows, n_pos,
+         |    ${ratioScaledSql("sum_q", "n_rows", 2)} AS conf_e6,
+         |    ${ratioScaledSql("n_pos", "n_rows", 6)} AS acc_e6
+         |  FROM b),
+         |g AS (SELECT *, abs(conf_e6 - acc_e6) AS gap_e6 FROM c)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_rows,
+         |  CAST(n_pos AS BIGINT) AS n_pos, conf_e6, acc_e6, gap_e6,
+         |  ${ratioScaledSql(
+             "sum(CAST(n_rows AS HUGEINT) * gap_e6) OVER ()",
+             "sum(n_rows) OVER ()", 0)} AS ece_e6
+         |FROM g""".stripMargin
+    },
+
+    // q205: one token scan builds both count tables (target count as
+    // a conditional sum), scalar totals cross-join back, identical
+    // cross-multiplied HUGEINT rounding — the q85 shape
+    "q205_importance_score" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+         |    unnest($wordsSql) AS w
+         |  FROM documents),
+         |c AS (SELECT w, count(*) AS cc,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+         |  FROM t GROUP BY 1),
+         |g AS (SELECT CAST(sum(cc) AS HUGEINT) AS allc,
+         |    CAST(sum(ct) AS HUGEINT) AS allt,
+         |    CAST(count(*) AS HUGEINT) AS vocab
+         |  FROM c),
+         |s AS (SELECT doc_id, ${ratioScaledSql(
+              "(ct + 1) * (allc + vocab)",
+              "(allt + vocab) * (cc + 1)", 6)} AS r6
+         |  FROM t JOIN c USING (w) CROSS JOIN g),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(r6) AS BIGINT) AS sum_r
+         |  FROM s GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(sum_r, 0) AS sum_ratio_e6,
+         |  ${ratioScaledSql("sum_r", "n_words", 0)} AS mean_ratio_e6
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+    },
+
+    // q204: the shared mirror emits the same prefix-saturation
+    // predicate, residual hand-out and HUGEINT lineage
+    "q204_unimax_waterfill" ->
+      s"""${Apportion.epochCappedWaterFillSql(
+            "(SELECT source, length(text) AS n_chars FROM documents) d__",
+            "source", "n_chars", 17L, 10L, 2L)}""".stripMargin,
+
+    // q202: the same md5("key:rep") membership rule and exact e6
+    // replicate means (char length: both engines count CHARACTERS)
+    "q202_bootstrap_ci" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH b AS (SELECT r.rep, length(d.text) AS v
+         |  FROM documents d,
+         |    (SELECT unnest(range(0, 32)) AS rep) r
+         |  WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':'
+         |    || CAST(r.rep AS VARCHAR)), 1, 1) < '8')
+         |SELECT CAST(rep AS INTEGER) AS rep, count(*) AS n_rows,
+         |  ${ratioScaledSql("sum(v)", "count(*)", 6)} AS mean_e6
+         |FROM b GROUP BY 1""".stripMargin
+    },
 
     // q201: both filters re-derived from their existing mirrors (q18
     // quality rational, q81 Gopher rules), then the 2×2 table and

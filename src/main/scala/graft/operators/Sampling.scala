@@ -290,4 +290,33 @@ object Sampling {
       .select(col(keyCol), col("weight"), col("cum_w"),
         (col("pick__") - col("prev__")).as("n_picks"))
   }
+
+  /** Deterministic BOOTSTRAP replicate means — the error bar a corpus
+    * metric ships with at scale: `reps` half-rate pseudo-resamples,
+    * each defined by the same key-hash rule as [[hashSample]] (row k
+    * joins replicate r iff the first hex digit of md5("k:r") is
+    * below 8 — ~50% of key-space, exact per (key, rep), independent
+    * of partitioning), each emitting its exact e6 mean. The spread
+    * of the replicate means IS the metric's sampling uncertainty; no
+    * RNG, so reruns and the oracle reproduce it bit for bit.
+    *
+    * Shape at scale: one explode (×reps) into a map-side-combinable
+    * 2-long aggregate per replicate — the shuffle moves reps rows per
+    * input partition, not the table; at 100 TB pick reps ≤ 64 and the
+    * amplification stays cheaper than a second corpus scan. */
+  def bootstrapMeans(df: DataFrame, keyCol: String, valueCol: String,
+      reps: Int): DataFrame = {
+    require(reps >= 1 && reps <= 256, "reps in [1, 256]")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k__"),
+        col(valueCol).cast("long").as("v__"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .filter(substring(md5(concat(col("k__"), lit(":"),
+        col("rep").cast("string"))), 1, 1) < "8")
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v__")).as("sum_v"))
+      .select(col("rep"), col("n_rows"),
+        graft.functions.ExactRound.ratioScaled(col("sum_v"),
+          col("n_rows"), 6).as("mean_e6"))
+  }
 }

@@ -94,6 +94,93 @@ class Round13OpsSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "p", "q", 2L), (1, "u", "v", 1L)))
   }
 
+  test("bootstrapMeans: membership is the md5(key:rep) rule, means exact") {
+    val rows = Seq((1L, 2L), (2L, 4L), (3L, 6L))
+    val out = graft.operators.Sampling.bootstrapMeans(
+        rows.toDF("id", "v"), "id", "v", reps = 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def member(k: Long, rep: Int): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < '8'
+    }
+    (0 until 8).foreach { rep =>
+      val vs = rows.filter(p => member(p._1, rep)).map(_._2)
+      if (vs.isEmpty) assert(!out.contains(rep))
+      else {
+        val (n, m) = out(rep)
+        assert(n == vs.size.toLong)
+        // ratioScaled's exact half-up identity
+        assert(m == (vs.sum * 2000000L + vs.size) / (2L * vs.size))
+      }
+    }
+    // replicates genuinely differ (the rule depends on rep)
+    assert(out.values.map(_._1).toSet.size > 1 ||
+      out.keySet.size < 8)
+  }
+
+  test("calibrationBins: bins clamp, exact rationals, ECE over rounded gaps") {
+    // scores e4; bin width 2500 (4 bins): rows -> bins 0,0,1,3(clamped),3
+    val rows = Seq((1000L, false), (2000L, true), (3000L, true),
+      (10000L, true), (9000L, false))
+    val out = graft.operators.EvalMetrics.calibrationBins(
+        rows.toDF("q_e4", "keep"), "q_e4", "keep", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6))).toMap
+    // bin 0: n=2, sum_q=3000 -> conf=round(3000*100/2)=150000,
+    //        acc=round(1*1e6/2)=500000, gap=350000
+    assert(out(0L) == (2L, 1L, 150000L, 500000L, 350000L, out(0L)._6))
+    // bin 1: n=1 conf=300000 acc=1000000 gap=700000
+    assert(out(1L) == (1L, 1L, 300000L, 1000000L, 700000L, out(1L)._6))
+    // bin 3 (10000 clamps in, true score kept in the sum): n=2,
+    //        conf=round(19000*100/2)=950000, acc=500000, gap=450000
+    assert(out(3L) == (2L, 1L, 950000L, 500000L, 450000L, out(3L)._6))
+    // ECE = round((2*350000 + 1*700000 + 2*450000)/5) = 460000
+    assert(out.values.map(_._6).toSet == Set(460000L))
+  }
+
+  test("epochCappedWaterFill: prefix saturation, residual order, exact sum") {
+    // weights 1,2,10,10 E=2 -> caps 2,4,20,20; budget = 23*1 = 23
+    // sat check (cap asc): 2*4=8<=23 sat; 4*3+2=14<=23 sat;
+    //   20*2+6=46>23 not. k=2, rem=23-6=17, m=2, base=8, res=1
+    // allocs: a=2, b=4, big1=9 (first non-sat gets +1), big2=8
+    val rows = Seq(("a", 1L), ("b", 2L), ("c", 10L), ("d", 10L))
+    val out = graft.operators.Apportion.epochCappedWaterFill(
+        rows.toDF("source", "w"), "source", "w",
+        budgetNum = 1L, budgetDen = 1L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(out("a") == (2L, true, 2L))
+    assert(out("b") == (4L, true, 4L))
+    assert(out("c") == (20L, false, 9L))
+    assert(out("d") == (20L, false, 8L))
+    assert(out.values.map(_._3).sum == 23L)
+    // budget >= total caps: everything saturates at cap
+    val sat = graft.operators.Apportion.epochCappedWaterFill(
+        rows.toDF("source", "w"), "source", "w",
+        budgetNum = 5L, budgetDen = 1L, maxEpochs = 2L)
+      .collect().map(r => (r.getBoolean(3), r.getLong(2) == r.getLong(4)))
+    assert(sat.forall { case (s, capEq) => s && capEq })
+  }
+
+  test("targetLikeness: smoothed unigram ratio, exact on a hand corpus") {
+    // tokens: doc1 (target) a,b; doc2 a; doc3 empty
+    // wc: a cc=2 ct=1; b cc=1 ct=1; totals Cc=3 Ct=2 V=2
+    // r(a) = (1+1)(3+2)/((2+2)(2+1)) = 10/12 -> 833333
+    // r(b) = 10/((2+2)(1+1))        = 10/8  -> 1250000
+    val docs = Seq((1L, "a b", "en"), (2L, "a", "de"), (3L, "", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.ImportanceScore.targetLikeness(
+        docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 2083333L, 1041667L))
+    assert(out(2L) == (1L, 833333L, 833333L))
+    assert(out(3L) == (0L, 0L, 0L))
+  }
+
   test("cohenKappa: exact chance-corrected agreement on a hand table") {
     // 2x2 table: TT x3, TF x1, FT x2, FF x4 -> n=10, na=4, nb=5,
     // nab=3, agree=7, po=0.7, E=4*5+6*5=50, pe=0.5,
