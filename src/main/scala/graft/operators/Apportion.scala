@@ -152,4 +152,109 @@ object Apportion {
        |SELECT g AS $group, CAST(weight AS BIGINT) AS weight, base, rem,
        |  base + (CASE WHEN total > 0 AND rk <= extra THEN 1 ELSE 0 END) AS alloc
        |FROM r""".stripMargin
+
+  /** EPOCH-CAPPED water-filling — UniMax proper (Chung et al. 2023):
+    * split `budget` EQUALLY across groups, except no group may exceed
+    * `maxEpochs` passes over its own volume (cap_g = E·w_g). Small
+    * groups saturate at their cap; the freed budget re-splits equally
+    * among the rest. Closed form instead of the paper's iterative
+    * loop: order groups by cap ascending (group name tiebreak); group
+    * i of G saturates iff even after granting every smaller cap the
+    * equal split of what's left covers it —
+    *
+    *   cap_i·(G−i+1) + Σ_{j<i} cap_j ≤ B
+    *
+    * The left side is non-decreasing in i (caps ascend), so the
+    * saturated set is a PREFIX of the order: k = #saturated falls out
+    * of one window sum. Non-saturated groups take
+    * base = ⌊(B−S_k)/(G−k)⌋, with the mod-(G−k) residual granted one
+    * unit each to the first residual-many in cap order — every step
+    * integer (DECIMAL(38,0): cap·G crosses long range once corpus
+    * bytes reach ~1e14 at thousands of groups). `budget` is the
+    * rational budgetNum/budgetDen OF the total volume, so the gate is
+    * scale-free across SF dirs. If B ≥ Σcap every group saturates and
+    * the surplus stays unallocated (the corpus simply can't absorb
+    * the budget at ≤E epochs) — alloc still sums to min(B', Σcap)
+    * exactly where B' is the grantable part.
+    *
+    * Shape at scale: identical to [[largestRemainder]] — one
+    * map-side-combinable corpus aggregate, then windows over the
+    * bounded group frame (thousands of rows at most). */
+  def epochCappedWaterFill(df: DataFrame, groupCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long,
+      maxEpochs: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && maxEpochs >= 1,
+      "budget fraction non-negative, maxEpochs >= 1")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val all = Window.partitionBy()
+    val ord = Window.partitionBy()
+      .orderBy(col("cap").asc, col(groupCol).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("weight"))
+      .withColumn("cap", col("weight") * lit(maxEpochs))
+      .withColumn("budget__",
+        call_function("div",
+          d(sum(col("weight")).over(all)) * lit(budgetNum),
+          lit(budgetDen).cast("decimal(38,0)")).cast("long"))
+      .withColumn("g__", count(lit(1)).over(all))
+      .withColumn("i__", row_number().over(ord))
+      .withColumn("cum__", sum(col("cap")).over(run))
+      .withColumn("saturated",
+        d(col("cap")) * d(col("g__") - col("i__") + 1L) +
+          d(col("cum__") - col("cap")) <= d(col("budget__")))
+      .withColumn("k__",
+        sum(when(col("saturated"), 1L).otherwise(0L)).over(all))
+      .withColumn("rem__", col("budget__") -
+        coalesce(sum(when(col("saturated"), col("cap"))).over(all),
+          lit(0L)))
+      .withColumn("m__", col("g__") - col("k__"))
+      .withColumn("base__", when(col("m__") > 0,
+        call_function("div", d(col("rem__")), d(col("m__")))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("res__", when(col("m__") > 0,
+        col("rem__") - col("base__") * col("m__")).otherwise(lit(0L)))
+      .select(col(groupCol), col("weight"), col("cap"), col("saturated"),
+        when(col("saturated"), col("cap"))
+          .otherwise(col("base__") +
+            when(col("i__") - col("k__") <= col("res__"), 1L)
+              .otherwise(0L)).as("alloc"))
+  }
+
+  /** The DuckDB mirror of [[epochCappedWaterFill]] for oracle SQL —
+    * same order, same prefix-saturation predicate, same residual
+    * hand-out, HUGEINT throughout. */
+  def epochCappedWaterFillSql(table: String, group: String,
+      weight: String, budgetNum: Long, budgetDen: Long,
+      maxEpochs: Long): String =
+    s"""WITH wc AS (SELECT $group AS g,
+       |    CAST(sum($weight) AS HUGEINT) AS weight
+       |  FROM $table GROUP BY 1),
+       |wp AS (SELECT g, weight, $maxEpochs * weight AS cap,
+       |    (sum(weight) OVER () * $budgetNum) // $budgetDen AS budget,
+       |    count(*) OVER () AS gn,
+       |    row_number() OVER (ORDER BY $maxEpochs * weight ASC, g ASC)
+       |      AS i,
+       |    sum($maxEpochs * weight) OVER (
+       |      ORDER BY $maxEpochs * weight ASC, g ASC
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM wc),
+       |ws AS (SELECT *,
+       |    (cap * (gn - i + 1) + (cum - cap) <= budget) AS saturated
+       |  FROM wp),
+       |wk AS (SELECT *,
+       |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS k,
+       |    budget - coalesce(sum(CASE WHEN saturated THEN cap END)
+       |      OVER (), 0) AS rem
+       |  FROM ws),
+       |wm AS (SELECT *, gn - k AS m,
+       |    CASE WHEN gn > k THEN rem // (gn - k) ELSE 0 END AS base
+       |  FROM wk)
+       |SELECT g AS $group, CAST(weight AS BIGINT) AS weight,
+       |  CAST(cap AS BIGINT) AS cap, saturated,
+       |  CAST(CASE WHEN saturated THEN cap
+       |    ELSE base + (CASE WHEN i - k <= rem - base * m
+       |      THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+       |FROM wm""".stripMargin
 }

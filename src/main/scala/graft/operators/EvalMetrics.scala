@@ -84,4 +84,49 @@ object EvalMetrics {
       ExactRound.ratioScaledSigned(d(n) * d(agree) - e,
         d(n) * d(n) - e, 6).as("kappa_e6"))
   }
+
+  /** Reliability diagram + expected calibration error (ECE) for a
+    * scored filter against a boolean outcome — "when the quality
+    * model says 0.7, is it right 70% of the time?" (Guo et al. 2017's
+    * eval, the standard check before a scored filter's threshold is
+    * trusted). Input: one row per doc with an e4-scaled integer score
+    * (0..10000) and a boolean label. Scores bin equal-width into
+    * `bins` buckets (top edge clamped into the last bin); per bin the
+    * mean confidence and empirical positive rate are exact e6
+    * rationals, and ECE = Σ n_b·|conf_b − acc_b| / N re-aggregates
+    * the rounded per-bin gaps (both engines round the same sequence,
+    * so the composition is gate-exact).
+    *
+    * Shape at scale: one map-side-combinable aggregate from corpus
+    * rows down to ≤`bins` rows; the ECE window runs over that bounded
+    * frame only (the Apportion precedent), never the corpus. */
+  def calibrationBins(df: DataFrame, scoreE4Col: String,
+      labelCol: String, bins: Int): DataFrame = {
+    import graft.functions.ExactRound
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 1 && 10000 % bins == 0,
+      "bins must divide the e4 score range")
+    val width = 10000L / bins
+    val all = Window.partitionBy()
+    df.select(col(scoreE4Col).cast("long").as("s__"),
+        col(labelCol).cast("boolean").as("y__"))
+      // clamp the BIN, not the score: a perfect 1.0000 lands in the
+      // top bin with its true value still in the confidence sum
+      .groupBy(least(call_function("div", col("s__"), lit(width)),
+        lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("s__")).as("sum_q__"),
+        sum(when(col("y__"), 1L).otherwise(0L)).as("n_pos"))
+      // mean of e4 scores re-scaled to e6: round(sum_q·100/n)
+      .withColumn("conf_e6",
+        ExactRound.ratioScaled(col("sum_q__"), col("n_rows"), 2))
+      .withColumn("acc_e6",
+        ExactRound.ratioScaled(col("n_pos"), col("n_rows"), 6))
+      .withColumn("gap_e6", abs(col("conf_e6") - col("acc_e6")))
+      .withColumn("ece_e6", ExactRound.ratioScaled(
+        sum(col("n_rows") * col("gap_e6")).over(all),
+        sum(col("n_rows")).over(all), 0))
+      .select(col("bin"), col("n_rows"), col("n_pos"), col("conf_e6"),
+        col("acc_e6"), col("gap_e6"), col("ece_e6"))
+  }
 }

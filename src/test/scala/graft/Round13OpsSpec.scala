@@ -166,19 +166,22 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   test("targetLikeness: smoothed unigram ratio, exact on a hand corpus") {
-    // tokens: doc1 (target) a,b; doc2 a; doc3 empty
-    // wc: a cc=2 ct=1; b cc=1 ct=1; totals Cc=3 Ct=2 V=2
-    // r(a) = (1+1)(3+2)/((2+2)(2+1)) = 10/12 -> 833333
-    // r(b) = 10/((2+2)(1+1))        = 10/8  -> 1250000
+    // TextFns.words('') is [''] (string_split mirrors), so doc3
+    // contributes one empty-string token to the corpus counts:
+    // tokens: doc1 (target) a,b; doc2 a; doc3 ''
+    // wc: a cc=2 ct=1; b cc=1 ct=1; '' cc=1 ct=0; Cc=4 Ct=2 V=3
+    // r(a)  = (1+1)(4+3)/((2+3)(2+1)) = 14/15 -> 933333
+    // r(b)  = 14/((5)(1+1))           = 14/10 -> 1400000
+    // r('') = (0+1)(7)/((5)(1+1))     = 7/10  -> 700000
     val docs = Seq((1L, "a b", "en"), (2L, "a", "de"), (3L, "", "de"))
       .toDF("doc_id", "text", "lang")
     val out = graft.operators.ImportanceScore.targetLikeness(
         docs, "doc_id", "text", $"lang" === "en")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(out(1L) == (2L, 2083333L, 1041667L))
-    assert(out(2L) == (1L, 833333L, 833333L))
-    assert(out(3L) == (0L, 0L, 0L))
+    assert(out(1L) == (2L, 2333333L, 1166667L))
+    assert(out(2L) == (1L, 933333L, 933333L))
+    assert(out(3L) == (1L, 700000L, 700000L))
   }
 
   test("cohenKappa: exact chance-corrected agreement on a hand table") {
