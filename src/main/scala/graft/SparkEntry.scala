@@ -1666,6 +1666,21 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- profile: per-source LEXICAL DIVERSITY card — Gini–Simpson
+    // (the rational stand-in for entropy), type–token ratio, hapax
+    // share, top-10 token mass; one token shuffle, map-side top-k
+    "q206_lexical_diversity" -> ((s, dir) =>
+      LexicalDiversity.perSource(T(s, dir, "documents"), "doc_id",
+        "text", "source", topK = 10)),
+
+    // ---- tokenizer: FERTILITY by language under the q174/q200
+    // staged BATCHED model — tokens-per-word / chars-per-token per
+    // lang, the "which slice does the trained vocabulary fragment?"
+    // audit read straight off the shipped word table
+    "q207_bpe_fertility" -> ((s, dir) =>
+      BpeTrain.fertilityByGroup(T(s, dir, "documents"), "doc_id",
+        "text", "lang", stagedBpeModel(s, dir)._2)),
+
     // ---- eval: deterministic BOOTSTRAP error bars — 32 key-hash
     // half-rate replicates of mean document length, each an exact e6
     // mean; the replicate spread is the corpus metric's sampling
@@ -5069,6 +5084,37 @@ object SparkEntry {
              "sum(CAST(n_rows AS HUGEINT) * gap_e6) OVER ()",
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
+    },
+
+    // q206: shared mirror — same split, HUGEINT Σc²/C², same
+    // (count desc, word asc) top-k order
+    "q206_lexical_diversity" ->
+      LexicalDiversity.perSourceSql("documents", "source", wordsSql,
+        topK = 10),
+
+    // q207: the q200 batched-train CTEs re-derive the word table;
+    // fertility is the same wtok join grouped by lang, e6-exact
+    "q207_bpe_fertility" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ${bpeBatchedCtes(16)},
+         |wtok AS (SELECT w,
+         |    CAST(len(string_split(syms, ' ')) AS BIGINT) AS ntok,
+         |    CAST(length(w) AS BIGINT) AS nch
+         |  FROM bs17),
+         |t AS (SELECT lang, unnest($wordsSql) AS w FROM documents),
+         |tw AS (SELECT lang, count(*) AS n_words,
+         |    CAST(sum(ntok) AS BIGINT) AS n_bpe,
+         |    CAST(sum(nch) AS BIGINT) AS nchars
+         |  FROM t JOIN wtok USING (w) GROUP BY 1),
+         |dd AS (SELECT lang, count(*) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT dd.lang, n_docs, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_bpe, 0) AS n_bpe_tokens,
+         |  coalesce(nchars, 0) AS n_word_chars,
+         |  ${ratioScaledSql("n_bpe", "n_words", 6)} AS fertility_e6,
+         |  ${ratioScaledSql("nchars", "n_bpe", 6)}
+         |    AS chars_per_token_e6
+         |FROM dd LEFT JOIN tw USING (lang)""".stripMargin
     },
 
     // q205: one token scan builds both count tables (target count as

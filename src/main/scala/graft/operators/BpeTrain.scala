@@ -250,6 +250,43 @@ object BpeTrain {
       spark.read.parquet(s"$storeDir/words"))
   }
 
+  /** Tokenizer FERTILITY report — tokens-per-word and
+    * chars-per-token for each group (language, source): the standard
+    * "how well does the trained vocabulary fit each slice?" audit
+    * (high fertility = the slice fragments into many subwords — its
+    * scripts/vocabulary are under-represented in training). Reads the
+    * trained word table (fresh or [[stagedBatchedModel]]'s artifact),
+    * so the corpus pass is the same explode + word-table hash join as
+    * [[encodeFromWordTable]] plus one group aggregate; n_docs counts
+    * every document (blank ones too) via a separate group count.
+    * All ratios exact e6 rationals (ExactRound). */
+  def fertilityByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, encoded: DataFrame): DataFrame = {
+    import graft.functions.ExactRound
+    val wordTokens = encoded.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_toks__"),
+      length(col("w")).cast("long").as("n_chars__"))
+    val per = df
+      .select(col(groupCol),
+        explode(graft.functions.TextFns.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordTokens, "w")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks__")).as("n_bpe_tokens"),
+        sum(col("n_chars__")).as("n_word_chars"))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
+        ExactRound.ratioScaled(col("n_bpe_tokens"), col("n_words"), 6)
+          .as("fertility_e6"),
+        ExactRound.ratioScaled(col("n_word_chars"),
+          col("n_bpe_tokens"), 6).as("chars_per_token_e6"))
+  }
+
   /** The encode join shared by both trainers: tokens per DISTINCT
     * word off the trained word table, documents joining their word
     * stream against it — at 100 TB the corpus pass is one explode +

@@ -263,6 +263,56 @@ class Round13OpsSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 2L), ("b", 2L), ("c", 3L)))
   }
 
+  test("lexicalDiversity: exact Gini–Simpson, hapax, top-k mass " +
+    "on a hand corpus") {
+    // source s1: docs "a a b" + "a" -> counts a:3 b:1; C=4 V=2
+    //   gini = (16-10)/16 = 0.375 -> 375000; ttr = 2/4 -> 500000
+    //   hapax = 1/2 -> 500000; top1 (a,3) mass = 3/4 -> 750000
+    // source s2: one blank doc -> words('') = ['']: C=1 V=1
+    //   gini = (1-1)/1 = 0; ttr = hapax = top1 mass = 1000000
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a", "s1"), (3L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.LexicalDiversity.perSource(
+        docs, "doc_id", "text", "source", topK = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("s1") ==
+      (2L, 4L, 2L, 500000L, 375000L, 500000L, 750000L))
+    assert(out("s2") ==
+      (1L, 1L, 1L, 1000000L, 0L, 1000000L, 1000000L))
+  }
+
+  test("bpeFertility: tokens-per-word off the trained word table, " +
+    "blank groups emit zero ratios") {
+    // corpus "ab ab b": 1 round adopts (a,b); word table: ab->"ab"
+    //   (1 tok), b->"b" (1 tok)
+    // group g1 = doc1 "ab ab b": 3 words, 3 toks, 5 chars
+    //   fertility = 1.0 -> 1000000; chars/tok = 5/3 -> 1666667
+    // group g2 = doc2 "": zero words after the length filter
+    val docs = Seq((1L, "ab ab b", "g1"), (2L, "", "g2"))
+      .toDF("doc_id", "text", "g")
+    val model = BpeTrain.encodeTokenCounts(docs, "doc_id", "text",
+      rounds = 1) // just to exercise train; word table via topMerges path
+    assert(model.count() == 2L)
+    val encoded = {
+      // reuse the sequential trainer's word table through the public
+      // staged surface: train once, read the words DataFrame
+      val dirTmp = java.nio.file.Files
+        .createTempDirectory("bpe-fert").toString
+      val (_, words) = BpeTrain.stagedBatchedModel(docs, "text",
+        dirTmp, passes = 1, batchCap = 16, candN = 16)
+      words
+    }
+    val out = graft.operators.BpeTrain.fertilityByGroup(
+        docs, "doc_id", "text", "g", encoded)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("g1") == (1L, 3L, 3L, 5L, 1000000L, 1666667L))
+    assert(out("g2") == (1L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
