@@ -1666,6 +1666,13 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- profile: pairwise LEXICAL DIVERGENCE matrix — exact TV
+    // distance between every source pair's unigram distributions via
+    // the inner-join + totals identity (unique words never shuffle
+    // twice); the mixture-design "which slices are redundant?" input
+    "q208_lexical_tv_matrix" -> ((s, dir) =>
+      Drift.lexicalTvMatrix(T(s, dir, "documents"), "text", "source")),
+
     // ---- profile: per-source LEXICAL DIVERSITY card — Gini–Simpson
     // (the rational stand-in for entropy), type–token ratio, hapax
     // share, top-10 token mass; one token shuffle, map-side top-k
@@ -5085,6 +5092,10 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q208: shared mirror — same inner-join + totals identity
+    "q208_lexical_tv_matrix" ->
+      Drift.lexicalTvMatrixSql("documents", "source", wordsSql),
 
     // q206: shared mirror — same split, HUGEINT Σc²/C², same
     // (count desc, word asc) top-k order

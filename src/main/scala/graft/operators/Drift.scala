@@ -128,4 +128,95 @@ object Drift {
           col("nr__").cast(dec) * col("nc__") * lit(2L), 6)
           .as("tvd_e6"))
   }
+
+  /** Pairwise LEXICAL DIVERGENCE matrix — exact total-variation
+    * distance between every pair of sources' unigram distributions:
+    * the "which slices are redundant / which add genuinely different
+    * text?" input to mixture design. TV needs every word either side
+    * emits, but materializing the union per pair is wasteful at a
+    * billion-word vocabulary; the identity
+    *
+    *   Σ_w |c_a·C_b − c_b·C_a|
+    *     = Σ_{w∈both} |c_a·C_b − c_b·C_a|
+    *       + (C_a − S_a)·C_b + (C_b − S_b)·C_a
+    *
+    * (S = each side's token mass over the SHARED vocabulary) turns it
+    * into an INNER join on word plus per-source totals — words unique
+    * to one side never shuffle twice. tv_e6 = num / (2·C_a·C_b),
+    * exact e6 (products ≤ 2·C² run in DECIMAL(38,0)); disjoint
+    * vocabularies give exactly 1e6 via the no-shared-rows left-join
+    * fallback.
+    *
+    * Shape at scale: one token shuffle to (source, word) counts, the
+    * self-join keyed on word (≤ |sources|² rows per word — hundreds,
+    * not corpus-sized), per-pair map-side-combinable aggregate; the
+    * |sources|² pair frame and totals are broadcast. */
+  def lexicalTvMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wc = df.select(col(sourceCol).as("src__"),
+        explode(graft.functions.TextFns.words(col(textCol))).as("w"))
+      .groupBy(col("src__"), col("w")).agg(count(lit(1)).as("c__"))
+    val tot = wc.groupBy(col("src__"))
+      .agg(sum(col("c__")).as("ct__"), count(lit(1)).as("v__"))
+    val wt = wc.join(broadcast(tot), "src__")
+    val a = wt.select(col("src__").as("source_a"), col("w"),
+      col("c__").as("ca__"), col("ct__").as("cta__"))
+    val b = wt.select(col("src__").as("source_b"), col("w"),
+      col("c__").as("cb__"), col("ct__").as("ctb__"))
+    val shared = a.join(b, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(col("ca__")).as("sa__"), sum(col("cb__")).as("sb__"),
+        sum(abs(col("ca__").cast(dec) * col("ctb__") -
+          col("cb__").cast(dec) * col("cta__"))).as("cross__"))
+    val pairs = broadcast(tot.select(col("src__").as("source_a"),
+        col("ct__").as("cta__"), col("v__").as("va__")))
+      .crossJoin(broadcast(tot.select(col("src__").as("source_b"),
+        col("ct__").as("ctb__"), col("v__").as("vb__"))))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("va__").as("vocab_a"), col("vb__").as("vocab_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+        ExactRound.ratioScaledBig(
+          coalesce(col("cross__"), lit(0L).cast(dec)) +
+            (col("cta__") - coalesce(col("sa__"), lit(0L))).cast(dec) *
+              col("ctb__") +
+            (col("ctb__") - coalesce(col("sb__"), lit(0L))).cast(dec) *
+              col("cta__"),
+          col("cta__").cast(dec) * col("ctb__") * lit(2L), 6)
+          .as("tv_e6"))
+  }
+
+  /** The DuckDB mirror of [[lexicalTvMatrix]]. */
+  def lexicalTvMatrixSql(table: String, source: String,
+      wordsExpr: String): String =
+    s"""WITH t AS (SELECT $source AS src, unnest($wordsExpr) AS w
+       |  FROM $table),
+       |wc AS (SELECT src, w, count(*) AS c FROM t GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ct,
+       |    count(*) AS v FROM wc GROUP BY 1),
+       |wt AS (SELECT wc.src, wc.w, wc.c, tot.ct
+       |  FROM wc JOIN tot USING (src)),
+       |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+       |    count(*) AS shared_vocab,
+       |    CAST(sum(a.c) AS BIGINT) AS sa,
+       |    CAST(sum(b.c) AS BIGINT) AS sb,
+       |    sum(abs(CAST(a.c AS HUGEINT) * b.ct
+       |      - CAST(b.c AS HUGEINT) * a.ct)) AS crs
+       |  FROM wt a JOIN wt b ON a.w = b.w AND a.src < b.src
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a.src AS src_a, b.src AS src_b, a.ct AS cta,
+       |    b.ct AS ctb, a.v AS va, b.v AS vb
+       |  FROM tot a JOIN tot b ON a.src < b.src)
+       |SELECT src_a AS source_a, src_b AS source_b,
+       |  va AS vocab_a, vb AS vocab_b,
+       |  coalesce(shared_vocab, 0) AS shared_vocab,
+       |  ${ExactRound.ratioScaledSql(
+           "coalesce(crs, 0) + CAST(cta - coalesce(sa, 0) AS HUGEINT) * ctb" +
+             " + CAST(ctb - coalesce(sb, 0) AS HUGEINT) * cta",
+           "CAST(cta AS HUGEINT) * ctb * 2", 6)} AS tv_e6
+       |FROM p LEFT JOIN sh USING (src_a, src_b)""".stripMargin
 }

@@ -313,6 +313,22 @@ class Round13OpsSpec extends SparkSpec {
     assert(out("g2") == (1L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("lexicalTvMatrix: inner-join identity equals the full TV sum, " +
+    "disjoint vocabularies read exactly 1e6") {
+    // s1 "a a b": p=(a 2/3, b 1/3); s2 "a c": p=(a 1/2, c 1/2)
+    //   TV = (|2/3-1/2| + 1/3 + 1/2)/2 = 1/2 -> 500000
+    //   identity: crs=|2*2-1*3|=1, num=1+(3-2)*2+(2-1)*3=6, den=12
+    // s3 "d" shares nothing with either -> tv exactly 1000000
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a c", "s2"),
+      (3L, "d", "s3")).toDF("doc_id", "text", "source")
+    val out = graft.operators.Drift.lexicalTvMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("s1", "s2")) == (2L, 2L, 1L, 500000L))
+    assert(out(("s1", "s3")) == (2L, 1L, 0L, 1000000L))
+    assert(out(("s2", "s3")) == (2L, 1L, 0L, 1000000L))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
