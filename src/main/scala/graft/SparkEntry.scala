@@ -2170,6 +2170,14 @@ object SparkEntry {
     "q181_stream_left_join" -> ((s, dir) =>
       streamIntervalJoinGate(s, dir, "leftOuter")),
 
+    // ---- streaming: FULL-OUTER stream-stream interval join — q181's
+    // harness with BOTH sides null-extending at state eviction (the
+    // last stream-stream join type; left rows null-extend once
+    // l_ts + gap falls below the final watermark, right rows once
+    // r_ts does)
+    "q209_stream_full_join" -> ((s, dir) =>
+      streamIntervalJoinGate(s, dir, "fullOuter")),
+
     // ---- streaming: WATERMARK-TIMEOUT sessionization — q78's gap
     // sessions closed by GroupStateTimeout.EventTimeTimeout instead
     // of a sentinel flush: each state update arms a timeout at
@@ -6309,6 +6317,35 @@ object SparkEntry {
          |SELECT uid, l_ts, r_ts FROM mm
          |UNION ALL
          |SELECT uid, l_ts, CAST(NULL AS BIGINT) AS r_ts FROM nulls"""
+        .stripMargin,
+
+    // q209: q181's rules applied to BOTH sides — a right-null row
+    // emits for an admitted left row with no emitted match once
+    // l_ts + gap < W1(3); a left-null row for an admitted right row
+    // with no emitted match once r_ts < W1(3) (the right-side
+    // eviction rule has no gap term)
+    "q209_stream_full_join" ->
+      s"""WITH $streamJoinCtes,
+         |wfin AS (SELECT least(
+         |      (SELECT max(pmax) FROM pl WHERE b <= 2),
+         |      (SELECT max(pmax) FROM pr WHERE b <= 2)) - 1800 AS wv),
+         |lnulls AS (SELECT l.uid, l.ts AS l_ts FROM l
+         |  LEFT JOIN w wa ON wa.k = l.b
+         |  WHERE (wa.wv IS NULL OR l.ts >= wa.wv)
+         |    AND NOT EXISTS (SELECT 1 FROM mm
+         |      WHERE mm.uid = l.uid AND mm.l_ts = l.ts)
+         |    AND l.ts + 3600 < (SELECT wv FROM wfin)),
+         |rnulls AS (SELECT r.uid, r.ts AS r_ts FROM r
+         |  LEFT JOIN w wb ON wb.k = r.b
+         |  WHERE (wb.wv IS NULL OR r.ts >= wb.wv)
+         |    AND NOT EXISTS (SELECT 1 FROM mm
+         |      WHERE mm.uid = r.uid AND mm.r_ts = r.ts)
+         |    AND r.ts < (SELECT wv FROM wfin))
+         |SELECT uid, l_ts, r_ts FROM mm
+         |UNION ALL
+         |SELECT uid, l_ts, CAST(NULL AS BIGINT) AS r_ts FROM lnulls
+         |UNION ALL
+         |SELECT uid, CAST(NULL AS BIGINT) AS l_ts, r_ts FROM rnulls"""
         .stripMargin,
 
     // q182: q78's batch sessionization, minus the sessions the

@@ -203,7 +203,12 @@ object Streams {
       s"l.$key = r.$key AND r.$rightTime >= l.$leftTime AND " +
         s"r.$rightTime < l.$leftTime + interval $gapSeconds seconds"),
       joinType)
-      .drop(col(s"r.$key"))
+      // one key column whichever side a null-extended row kept (on a
+      // fullOuter join l.key is NULL for right-only rows)
+      .withColumn("graft_join_key__",
+        coalesce(col(s"l.$key"), col(s"r.$key")))
+      .drop(col(s"l.$key")).drop(col(s"r.$key"))
+      .withColumnRenamed("graft_join_key__", key)
   }
 
   /** Upsert sink: every micro-batch merges into the parquet dir by key
