@@ -591,6 +591,22 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // r13 token-shuffle operators: each is one explode-to-(group,word)
+    // shuffle plus bounded-frame re-aggregates — the probes pin that
+    // none of them hides a per-doc or per-pair blowup at 100x gate
+    // volume (TV matrix: |groups|^2 rows per word, groups = 30 langs)
+    time("importance_score") {
+      graft.operators.ImportanceScore.targetLikeness(docs, "doc_id",
+        "text", col("lang") === "L0")
+    }
+    time("lexical_diversity") {
+      graft.operators.LexicalDiversity.perSource(docs, "doc_id",
+        "text", "lang", topK = 10)
+    }
+    time("lexical_tv_matrix") {
+      graft.operators.Drift.lexicalTvMatrix(docs, "text", "lang")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -337,4 +337,33 @@ class PlanAuditSpec extends SparkSpec {
       s"no nested-loop in the verify:\n$p")
     Caches.unpersistAll(blocking = true)
   }
+
+  test("lexical diversity: top-k mass rides WindowGroupLimit, " +
+    "no unpartitioned window") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"w${i % 9} w${i % 4} tail$i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val p = plan(graft.operators.LexicalDiversity.perSource(
+      docs, "doc_id", "text", "source", topK = 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source top-k must map-side heap:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+  }
+
+  test("lexical TV matrix: word-keyed equi self-join; only the " +
+    "|sources|^2 pair frame is nested-loop") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"w${i % 9} w${i % 4} tail$i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val p = plan(graft.operators.Drift.lexicalTvMatrix(
+      docs, "text", "source"))
+    // the corpus-sized join must be the word-keyed equi join; the
+    // cross of per-source TOTALS (|sources| rows) is the one allowed
+    // nested-loop surface
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected word equi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian appeared:\n$p")
+  }
 }
