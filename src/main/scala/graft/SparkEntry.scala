@@ -1666,6 +1666,19 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- pipeline: the CURATION FUNNEL's per-stage survivor counts,
+    // oracle-gated end to end — exact dedup → benchmark decontam
+    // (q51's bench rule) → quality+repetition gates → (PII scrub →
+    // langid) → per-language quota sample. Every stage reuses an
+    // already-gated operator; this gate pins the COMPOSITION.
+    "q210_curation_funnel" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      graft.pipeline.CurationPipeline.funnelStats(docs, bench,
+        "doc_id", "text",
+        graft.pipeline.CurationPipeline.Config(quotaPerLang = 30))
+    }),
+
     // ---- profile: pairwise LEXICAL DIVERGENCE matrix — exact TV
     // distance between every source pair's unigram distributions via
     // the inner-join + totals identity (unique words never shuffle
@@ -3484,6 +3497,24 @@ object SparkEntry {
 
   /** Distinct 5-gram list comprehension over a words array `ws` —
     * mirrors Dedup.explodedShingles(n = 5) for the q51 oracle. */
+  /** The q19 marker-count language-ID mirror over any (doc_id, text)
+    * table/CTE — generated from `TextAnalysis.langMarkers` (one
+    * source of truth); shared by the q19 gate and the q210 funnel. */
+  private def langIdSql(table: String): String = {
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter($wordsSql, w -> ${ms.map(m => s"w = '$m'").mkString(" OR ")}))"
+    val langs = TextAnalysis.langMarkers
+    val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }.mkString(",\n  ")
+    val mx = s"greatest(${langs.map(l => s"cnt_${l._1}").mkString(", ")})"
+    val cases = langs.map { case (l, _) =>
+      s"WHEN $mx > 0 AND cnt_$l = $mx THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |  $cols
+       |FROM $table)""".stripMargin
+  }
+
   private val gram5Sql: String =
     "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || " +
       "ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws)-3)])"
@@ -4217,20 +4248,7 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
-    "q19_langid" -> {
-      def cnt(ms: Seq[String]) =
-        s"len(list_filter($wordsSql, w -> ${ms.map(m => s"w = '$m'").mkString(" OR ")}))"
-      val langs = TextAnalysis.langMarkers
-      val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }.mkString(",\n  ")
-      val mx = s"greatest(${langs.map(l => s"cnt_${l._1}").mkString(", ")})"
-      val cases = langs.map { case (l, _) =>
-        s"WHEN $mx > 0 AND cnt_$l = $mx THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
-         |FROM (SELECT doc_id,
-         |  $cols
-         |FROM documents)""".stripMargin
-    },
+    "q19_langid" -> langIdSql("documents"),
 
     "q20_fingerprint" ->
       s"""SELECT doc_id, md5($wsNorm) AS fp,
@@ -5104,6 +5122,86 @@ object SparkEntry {
     // q208: shared mirror — same inner-join + totals identity
     "q208_lexical_tv_matrix" ->
       Drift.lexicalTvMatrixSql("documents", "source", wordsSql),
+
+    // q210: the funnel's five stage counts from the stages' own
+    // mirrors chained on each other — q21 dedup, q51 bench rule +
+    // contamination ratio, q18 quality rational, q55 repetition flag,
+    // q56 scrub regexes (per-doc functions computed over `documents`
+    // and joined: doc-local, so values equal the staged computation),
+    // q19 langid over the SCRUBBED text, q52 sampling order
+    "q210_curation_funnel" -> {
+      import graft.functions.ExactRound.ratioSql
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+?[0-9]{2,3}[- ][0-9]{3}[- ][0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val ratio = "CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0 " +
+        "ELSE CAST(coalesce(n_hit, 0) AS DOUBLE) / coalesce(n_grams, 0) END"
+      val d2raw = "CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
+      val d3raw = "CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)"
+      val twraw = "CAST(mx AS DOUBLE) / CAST(nw AS DOUBLE)"
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5($wsNorm)),
+         |ddocs AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN dd USING (doc_id)),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
+         |bt AS (SELECT doc_id, $wordsSql AS ws FROM documents
+         |  JOIN bench USING (doc_id)),
+         |bg AS (SELECT DISTINCT unnest($gram5Sql) AS shingle FROM bt
+         |  WHERE len(ws) >= 5),
+         |ct AS (SELECT doc_id, $wordsSql AS ws FROM ddocs),
+         |cg AS (SELECT doc_id, unnest($gram5Sql) AS shingle FROM ct
+         |  WHERE len(ws) >= 5),
+         |sz AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+         |hit AS (SELECT cg.doc_id, count(*) AS n_hit
+         |  FROM cg JOIN bg USING (shingle) GROUP BY 1),
+         |clean AS (SELECT ddocs.doc_id, ddocs.text FROM ddocs
+         |  LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)
+         |  WHERE NOT (($ratio) >= 0.3)),
+         |qual AS (SELECT doc_id FROM documents
+         |  WHERE ${ratioSql(qScoreNum, qScoreDen)} >= 0.2),
+         |rt AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |rwc AS (SELECT doc_id, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM rt)
+         |  GROUP BY doc_id, w),
+         |rws AS (SELECT doc_id, sum(c) AS nw, max(c) AS mx
+         |  FROM rwc GROUP BY 1),
+         |rs2 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS t2,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS d2
+         |  FROM (SELECT doc_id,
+         |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS l
+         |    FROM rt WHERE len(ws) >= 2)),
+         |rs3 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS t3,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS d3
+         |  FROM (SELECT doc_id,
+         |      [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |        for i in range(1, len(ws)-1)] AS l
+         |    FROM rt WHERE len(ws) >= 3)),
+         |rep AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN rws USING (doc_id) LEFT JOIN rs2 USING (doc_id)
+         |  LEFT JOIN rs3 USING (doc_id)
+         |  WHERE NOT (coalesce(nw, 0) >= 10
+         |    AND (coalesce($d2raw, 0.0) > 0.2
+         |      OR coalesce($d3raw, 0.0) > 0.18
+         |      OR coalesce($twraw, 0.0) > 0.2))),
+         |gated AS (SELECT c.doc_id, c.text FROM clean c
+         |  JOIN qual USING (doc_id) JOIN rep USING (doc_id)),
+         |scr AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text
+         |  FROM gated),
+         |lid AS (${langIdSql("scr")}),
+         |samp AS (SELECT doc_id FROM (SELECT l.doc_id,
+         |      row_number() OVER (PARTITION BY pred_lang
+         |        ORDER BY md5(CAST(l.doc_id AS VARCHAR)), l.doc_id) AS rn
+         |    FROM lid l) WHERE rn <= 30)
+         |SELECT stage, n_docs FROM (
+         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '1_deduped', count(*) FROM ddocs
+         |  UNION ALL SELECT '2_decontaminated', count(*) FROM clean
+         |  UNION ALL SELECT '3_quality_gated', count(*) FROM gated
+         |  UNION ALL SELECT '4_sampled', count(*) FROM samp)""".stripMargin
+    },
 
     // q206: shared mirror — same split, HUGEINT Σc²/C², same
     // (count desc, word asc) top-k order
