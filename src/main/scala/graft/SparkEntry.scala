@@ -1666,6 +1666,14 @@ object SparkEntry {
     // run (size -> n_clusters, singletons included): the one-glance
     // "is dedup facing pairs or families?" gauge over the mirrored-
     // LSH component structure
+    // ---- mixing: proportional INTERLEAVE order — the materialized
+    // low-discrepancy training schedule ((2r−1)/2n positions; any
+    // prefix holds ≈ the corpus mix); rank via the range-partitioned
+    // ScalableRank path, never a per-source window partition
+    "q211_mixture_order" -> ((s, dir) =>
+      Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
+        "source")),
+
     // ---- pipeline: the CURATION FUNNEL's per-stage survivor counts,
     // oracle-gated end to end — exact dedup → benchmark decontam
     // (q51's bench rule) → quality+repetition gates → (PII scrub →
@@ -5118,6 +5126,10 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q211: same rank order (md5 then id), same e12 position scaling
+    "q211_mixture_order" ->
+      Apportion.interleaveOrderSql("documents", "doc_id", "source"),
 
     // q208: shared mirror — same inner-join + totals identity
     "q208_lexical_tv_matrix" ->

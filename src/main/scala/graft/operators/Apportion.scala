@@ -222,6 +222,56 @@ object Apportion {
               .otherwise(0L)).as("alloc"))
   }
 
+  /** Proportional INTERLEAVE order — materialize the deterministic
+    * global training order in which every source is spread evenly
+    * across the run instead of concatenated ("don't front-load one
+    * source", the schedule the mixing allocators above feed). Each
+    * doc gets its within-source rank r (deterministic md5-then-id
+    * order, the q52 sampling order) out of n_g, and the canonical
+    * low-discrepancy position
+    *
+    *   pos = (2r − 1) / (2·n_g)
+    *
+    * — source g's docs sit at odd multiples of 1/(2n_g), so reading
+    * in (pos, source, r) order interleaves sources proportionally to
+    * their sizes (any prefix of the order holds ≈ the corpus mix).
+    * pos is emitted as the exact e12-scaled integer `pos_e12`
+    * (ExactRound; distinct ranks stay distinct up to n_g ≈ 5·10¹¹
+    * docs per source — beyond any real corpus).
+    *
+    * Shape at scale: the rank is [[ScalableRank.groupRowNumber]]'s
+    * range-partitioned global sort + offset arithmetic — NEVER a
+    * per-source window partition (a 40% source would be one straggler
+    * task); position math is a codegen'd projection. Consumers sort
+    * by (pos_e12, source, rn) — a global range sort, which Spark
+    * distributes. */
+  def interleaveOrder(df: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val ranked = ScalableRank.groupRowNumber(
+      df.select(col(idCol), col(sourceCol))
+        .filter(col(idCol).isNotNull), Seq(sourceCol),
+      Seq(md5(col(idCol).cast("string")), col(idCol)), "rn", "n")
+    ranked.select(col(idCol), col(sourceCol),
+      col("rn").cast("long").as("rn"), col("n").cast("long").as("n"),
+      ExactRound.ratioScaled(lit(2L) * col("rn") - 1L,
+        lit(2L) * col("n"), 12).as("pos_e12"))
+  }
+
+  /** The DuckDB mirror of [[interleaveOrder]]. */
+  def interleaveOrderSql(table: String, id: String,
+      source: String): String =
+    s"""WITH r AS (SELECT $id, $source,
+       |    row_number() OVER (PARTITION BY $source
+       |      ORDER BY md5(CAST($id AS VARCHAR)), $id) AS rn,
+       |    count(*) OVER (PARTITION BY $source) AS n
+       |  FROM $table WHERE $id IS NOT NULL)
+       |SELECT $id, $source, CAST(rn AS BIGINT) AS rn,
+       |  CAST(n AS BIGINT) AS n,
+       |  ${graft.functions.ExactRound.ratioScaledSql(
+            "2 * rn - 1", "2 * n", 12)} AS pos_e12
+       |FROM r""".stripMargin
+
   /** The DuckDB mirror of [[epochCappedWaterFill]] for oracle SQL —
     * same order, same prefix-saturation predicate, same residual
     * hand-out, HUGEINT throughout. */

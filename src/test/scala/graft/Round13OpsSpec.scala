@@ -329,6 +329,28 @@ class Round13OpsSpec extends SparkSpec {
     assert(out(("s2", "s3")) == (2L, 1L, 0L, 1000000L))
   }
 
+  test("interleaveOrder: low-discrepancy positions, prefix holds the " +
+    "mix, scalable-rank path") {
+    // sources: A has 4 docs, B has 2 -> A at 1/8,3/8,5/8,7/8;
+    // B at 1/4,3/4. Sorted by pos: A,B,A,A,B,A — every prefix of the
+    // order is within one doc of the 2:1 mix
+    val docs = (1L to 4L).map(i => (i, "A")) ++ Seq((5L, "B"), (6L, "B"))
+    val out = graft.operators.Apportion.interleaveOrder(
+        docs.toDF("doc_id", "source"), "doc_id", "source")
+      .collect()
+    val pos = out.map(r => (r.getString(1), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(pos(("A", 1L)) == 125000000000L &&
+      pos(("A", 4L)) == 875000000000L)
+    assert(pos(("B", 1L)) == 250000000000L &&
+      pos(("B", 2L)) == 750000000000L)
+    // within a source, rank follows (md5(id), id) — all ranks distinct
+    assert(out.filter(_.getString(1) == "A").map(_.getLong(2)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L)))
+    val ordered = out.sortBy(r => (r.getLong(4), r.getString(1)))
+      .map(_.getString(1)).toSeq
+    assert(ordered == Seq("A", "B", "A", "A", "B", "A"))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
