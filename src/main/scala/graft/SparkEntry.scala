@@ -1674,6 +1674,14 @@ object SparkEntry {
       Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
         "source")),
 
+    // ---- mixing: SHARD-MIX audit of the q211 schedule — per
+    // contiguous position slice, each source's share vs the global
+    // mix with the exact e6 deviation (the interleave property AS A
+    // GATE, not a claim)
+    "q212_shard_mix" -> ((s, dir) =>
+      Apportion.interleaveShardMix(T(s, dir, "documents"), "doc_id",
+        "source", shards = 10)),
+
     // ---- pipeline: the CURATION FUNNEL's per-stage survivor counts,
     // oracle-gated end to end — exact dedup → benchmark decontam
     // (q51's bench rule) → quality+repetition gates → (PII scrub →
@@ -5126,6 +5134,11 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q212: same position math, slice + share mirror
+    "q212_shard_mix" ->
+      Apportion.interleaveShardMixSql("documents", "doc_id", "source",
+        shards = 10),
 
     // q211: same rank order (md5 then id), same e12 position scaling
     "q211_mixture_order" ->

@@ -272,6 +272,79 @@ object Apportion {
             "2 * rn - 1", "2 * n", 12)} AS pos_e12
        |FROM r""".stripMargin
 
+  /** Shard-mix audit of [[interleaveOrder]] — cut the interleaved
+    * order into `shards` contiguous position ranges (shard =
+    * ⌊pos·k⌋ clamped, i.e. equal slices of [0,1)) and report each
+    * shard's source composition against the global mix: the
+    * "any prefix/slice of the schedule holds ≈ the corpus mix" claim
+    * as a gate, with the per-(shard, source) absolute deviation in
+    * exact e6. A curation pipeline runs this before shipping a
+    * schedule; a dataloader reading shard i gets dev_e6-bounded skew.
+    *
+    * Shape at scale: [[interleaveOrder]]'s rank pass, then one
+    * map-side-combinable (shard, source) aggregate; shares re-derive
+    * from broadcast shard/global totals over the |shards|·|sources|
+    * frame. */
+  def interleaveShardMix(df: DataFrame, idCol: String,
+      sourceCol: String, shards: Int): DataFrame = {
+    import graft.functions.ExactRound
+    require(shards >= 1, "shards >= 1")
+    val per = interleaveOrder(df, idCol, sourceCol)
+      .withColumn("shard", least(
+        call_function("div", col("pos_e12") * shards,
+          lit(1000000000000L)),
+        lit(shards - 1L)))
+      .groupBy(col("shard"), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val shardTot = per.groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("shard_n"))
+    val srcTot = per.groupBy(col(sourceCol))
+      .agg(sum(col("n_docs")).as("src_n"))
+    val all = srcTot.agg(sum(col("src_n")).as("total_n"))
+    per.join(broadcast(shardTot), "shard")
+      .join(broadcast(srcTot), sourceCol)
+      .crossJoin(broadcast(all))
+      .select(col("shard"), col(sourceCol), col("n_docs"),
+        ExactRound.ratioScaled(col("n_docs"), col("shard_n"), 6)
+          .as("share_e6"),
+        ExactRound.ratioScaled(col("src_n"), col("total_n"), 6)
+          .as("global_share_e6"))
+      .withColumn("dev_e6",
+        abs(col("share_e6") - col("global_share_e6")))
+  }
+
+  /** The DuckDB mirror of [[interleaveShardMix]]. */
+  def interleaveShardMixSql(table: String, id: String, source: String,
+      shards: Int): String = {
+    val rs = graft.functions.ExactRound
+    s"""WITH r AS (SELECT $id, $source,
+       |    row_number() OVER (PARTITION BY $source
+       |      ORDER BY md5(CAST($id AS VARCHAR)), $id) AS rn,
+       |    count(*) OVER (PARTITION BY $source) AS n
+       |  FROM $table WHERE $id IS NOT NULL),
+       |p AS (SELECT $id, $source,
+       |    ${rs.ratioScaledSql("2 * rn - 1", "2 * n", 12)} AS pos
+       |  FROM r),
+       |per AS (SELECT least(pos * $shards // 1000000000000,
+       |      ${shards - 1}) AS shard, $source,
+       |    count(*) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |st AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS shard_n
+       |  FROM per GROUP BY 1),
+       |sc AS (SELECT $source, CAST(sum(n_docs) AS BIGINT) AS src_n
+       |  FROM per GROUP BY 1),
+       |tt AS (SELECT CAST(sum(src_n) AS BIGINT) AS total_n FROM sc)
+       |SELECT CAST(shard AS BIGINT) AS shard, $source,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  ${rs.ratioScaledSql("n_docs", "shard_n", 6)} AS share_e6,
+       |  ${rs.ratioScaledSql("src_n", "total_n", 6)}
+       |    AS global_share_e6,
+       |  abs(${rs.ratioScaledSql("n_docs", "shard_n", 6)}
+       |    - ${rs.ratioScaledSql("src_n", "total_n", 6)}) AS dev_e6
+       |FROM per JOIN st USING (shard) JOIN sc USING ($source)
+       |CROSS JOIN tt""".stripMargin
+  }
+
   /** The DuckDB mirror of [[epochCappedWaterFill]] for oracle SQL —
     * same order, same prefix-saturation predicate, same residual
     * hand-out, HUGEINT throughout. */

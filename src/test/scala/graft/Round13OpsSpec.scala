@@ -351,6 +351,23 @@ class Round13OpsSpec extends SparkSpec {
     assert(ordered == Seq("A", "B", "A", "A", "B", "A"))
   }
 
+  test("interleaveShardMix: slices hold the global mix, exact shares") {
+    // 8 docs of A, 4 of B, 2 shards: each shard gets 4 A + 2 B
+    // (positions (2r-1)/16 for A, (2r-1)/8 for B; first half of each
+    // source's ranks lands in shard 0) -> share 666667/333333 in both
+    // shards; dev_e6 = 0/1 (rounding of 2/3 vs 1/3 is exact-stable)
+    val docs = ((1L to 8L).map(i => (i, "A")) ++
+      (9L to 12L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val out = graft.operators.Apportion.interleaveShardMix(
+        docs, "doc_id", "source", shards = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (sh <- Seq(0L, 1L)) {
+      assert(out((sh, "A")) == (4L, 666667L, 666667L, 0L))
+      assert(out((sh, "B")) == (2L, 333333L, 333333L, 0L))
+    }
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
