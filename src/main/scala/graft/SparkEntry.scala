@@ -1674,6 +1674,17 @@ object SparkEntry {
       Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
         "source")),
 
+    // ---- mixing: EPOCH SCHEDULE of the q204 water-fill — per-source
+    // repeat factors (full passes + exact e6 partial fraction), the
+    // q88 decomposition applied to the capped allocator; saturated
+    // sources read exactly maxEpochs full passes
+    "q213_waterfill_epochs" -> ((s, dir) =>
+      Apportion.waterFillEpochPlan(
+        T(s, dir, "documents").select(col("source"),
+          length(col("text")).as("n_chars")),
+        "source", "n_chars", budgetNum = 17L, budgetDen = 10L,
+        maxEpochs = 2L)),
+
     // ---- mixing: SHARD-MIX audit of the q211 schedule — per
     // contiguous position slice, each source's share vs the global
     // mix with the exact e6 deviation (the interleave property AS A
@@ -5134,6 +5145,12 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q213: the q204 mirror wrapped in the same epoch decomposition
+    "q213_waterfill_epochs" ->
+      Apportion.waterFillEpochPlanSql(
+        "(SELECT source, length(text) AS n_chars FROM documents) d__",
+        "source", "n_chars", 17L, 10L, 2L),
 
     // q212: same position math, slice + share mirror
     "q212_shard_mix" ->

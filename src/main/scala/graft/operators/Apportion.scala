@@ -272,6 +272,50 @@ object Apportion {
             "2 * rn - 1", "2 * n", 12)} AS pos_e12
        |FROM r""".stripMargin
 
+  /** Epoch schedule of the water-fill allocation — [[epochPlan]]'s
+    * decomposition applied to [[epochCappedWaterFill]]: per group the
+    * repeat factor a dataloader actually consumes (full passes over
+    * the group + the partial-pass remainder, both integer-exact, and
+    * the partial fraction as exact e6). By construction
+    * full_epochs ≤ maxEpochs, with equality exactly on saturated
+    * groups (cap = E·w divides evenly). Same shape as the allocator:
+    * aggregate + windows over the bounded group frame. */
+  def waterFillEpochPlan(df: DataFrame, groupCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long,
+      maxEpochs: Long): DataFrame = {
+    import graft.functions.ExactRound
+    epochCappedWaterFill(df, groupCol, weightCol, budgetNum,
+        budgetDen, maxEpochs)
+      .select(col(groupCol), col("weight"), col("alloc"),
+        col("saturated"),
+        when(col("weight") > 0,
+          call_function("div", col("alloc"), col("weight")))
+          .otherwise(lit(0L)).as("full_epochs"),
+        when(col("weight") > 0, pmod(col("alloc"), col("weight")))
+          .otherwise(lit(0L)).as("partial_units"),
+        ExactRound.ratioScaled(
+          when(col("weight") > 0, pmod(col("alloc"), col("weight")))
+            .otherwise(lit(0L)),
+          col("weight"), 6).as("frac_epoch_e6"))
+  }
+
+  /** The DuckDB mirror of [[waterFillEpochPlan]]. */
+  def waterFillEpochPlanSql(table: String, group: String,
+      weight: String, budgetNum: Long, budgetDen: Long,
+      maxEpochs: Long): String = {
+    val rs = graft.functions.ExactRound
+    s"""SELECT $group, weight, alloc, saturated,
+       |  CASE WHEN weight > 0 THEN alloc // weight
+       |    ELSE CAST(0 AS BIGINT) END AS full_epochs,
+       |  CASE WHEN weight > 0 THEN alloc % weight
+       |    ELSE CAST(0 AS BIGINT) END AS partial_units,
+       |  ${rs.ratioScaledSql(
+           "CASE WHEN weight > 0 THEN alloc % weight ELSE 0 END",
+           "weight", 6)} AS frac_epoch_e6
+       |FROM (${epochCappedWaterFillSql(table, group, weight,
+           budgetNum, budgetDen, maxEpochs)}) wf__""".stripMargin
+  }
+
   /** Shard-mix audit of [[interleaveOrder]] — cut the interleaved
     * order into `shards` contiguous position ranges (shard =
     * ⌊pos·k⌋ clamped, i.e. equal slices of [0,1)) and report each

@@ -368,6 +368,31 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("waterFillEpochPlan: saturated groups read maxEpochs full " +
+    "passes, partial fraction exact") {
+    // weights a:10 b:30; E=2 caps 20/60; budget = 5/4 of 40 = 50
+    //   a saturates (20*2 + 0 = 40 <= 50); b takes 50-20 = 30
+    //   a: 2 full epochs; b: alloc 30 of 30 -> 1 full epoch, frac 0
+    val df = Seq(("a", 10L), ("b", 30L)).toDF("g", "w")
+    val out = graft.operators.Apportion.waterFillEpochPlan(
+        df, "g", "w", budgetNum = 5L, budgetDen = 4L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out("a") == (20L, true, 2L, 0L, 0L))
+    assert(out("b") == (30L, false, 1L, 0L, 0L))
+    // a non-even split: budget 7/8 of 40 = 35; nobody saturates
+    // (a: 20*2+0=40 > 35); equal split 17 each, residual 1 -> a 18
+    //   a: alloc 18 of 10 -> 1 full + 8/10 -> frac 800000
+    //   b: alloc 17 of 30 -> 0 full + 17/30 -> 566667
+    val out2 = graft.operators.Apportion.waterFillEpochPlan(
+        df, "g", "w", budgetNum = 7L, budgetDen = 8L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out2("a") == (18L, 1L, 8L, 800000L))
+    assert(out2("b") == (17L, 0L, 17L, 566667L))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
