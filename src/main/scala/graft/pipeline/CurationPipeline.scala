@@ -36,17 +36,21 @@ object CurationPipeline {
       packCapacity: Long = 256L,
       packBuckets: Int = 16)
 
-  /** Docs surviving stages 1-4: (id, lang stratum, scrubbed text). */
-  def curated(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, cfg: Config = Config()): DataFrame = {
-    // 1. exact dedup — keep each fingerprint's min-id representative
+  /** Stages 1-2: exact dedup (min-id representative), then benchmark
+    * decontamination. */
+  private def decontaminatedPool(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, cfg: Config): DataFrame = {
     val reps = Dedup.exact(docs, idCol, textCol)
       .select(col("rep_id").as(idCol))
     val deduped = docs.join(reps, Seq(idCol), "left_semi")
-    // 2. decontamination against the benchmark
-    val decontaminated = Decontaminate.clean(deduped, bench, idCol, textCol,
+    Decontaminate.clean(deduped, bench, idCol, textCol,
       n = cfg.gram, threshold = cfg.decontamThreshold)
-    // 3. quality + repetition gates
+  }
+
+  /** Stages 3-4 from an already-decontaminated pool: quality +
+    * repetition gates, PII scrub, language stratum. */
+  private def gatePool(decontaminated: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame = {
     val quality = TextAnalysis.qualityScore(decontaminated, idCol, textCol)
       .filter(col("quality") >= cfg.minQuality).select(col(idCol))
     val notRepetitive =
@@ -55,7 +59,6 @@ object CurationPipeline {
     val gated = decontaminated
       .join(quality, Seq(idCol), "left_semi")
       .join(notRepetitive, Seq(idCol), "left_semi")
-    // 4. scrub PII; masked text replaces the original
     val scrubbed = PiiScrub.scrub(gated, idCol, textCol)
       .select(col(idCol), col("text_clean").as(textCol))
     // language stratum for sampling, from the gated text
@@ -64,6 +67,12 @@ object CurationPipeline {
         .withColumnRenamed("pred_lang", "lang_stratum"),
       Seq(idCol))
   }
+
+  /** Docs surviving stages 1-4: (id, lang stratum, scrubbed text). */
+  def curated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame =
+    gatePool(decontaminatedPool(docs, bench, idCol, textCol, cfg),
+      idCol, textCol, cfg)
 
   /** Full funnel: curated docs → per-language quota sample → packed
     * context windows. Output: (id, lang_stratum, n_tokens, bucket,
@@ -82,8 +91,12 @@ object CurationPipeline {
   }
 
   /** One row per funnel stage with its surviving doc count — the
-    * audit/monitoring artifact. Triggers one job per stage; persist
-    * `docs` first at scale. */
+    * audit/monitoring artifact. Triggers one job per stage, but each
+    * stage is built ONCE: dedup feeds decontamination feeds the
+    * quality gates (the decontaminated pool — the only frame two
+    * counts and the downstream chain all read — is persisted for the
+    * duration), instead of re-deriving the chain per count. Persist
+    * `docs` upstream too at scale. */
   def funnelStats(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
@@ -91,9 +104,11 @@ object CurationPipeline {
     val reps = Dedup.exact(docs, idCol, textCol)
       .select(col("rep_id").as(idCol))
     val deduped = docs.join(reps, Seq(idCol), "left_semi")
-    val decontaminated = Decontaminate.clean(deduped, bench, idCol, textCol,
-      n = cfg.gram, threshold = cfg.decontamThreshold)
-    val pool = curated(docs, bench, idCol, textCol, cfg)
+    val decontaminated = graft.Caches.register(
+      Decontaminate.clean(deduped, bench, idCol, textCol,
+          n = cfg.gram, threshold = cfg.decontamThreshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pool = gatePool(decontaminated, idCol, textCol, cfg)
     val sampled = Sampling.stratifiedSample(pool, "lang_stratum", idCol,
       cfg.quotaPerLang)
     Seq(
