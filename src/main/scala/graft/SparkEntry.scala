@@ -1674,6 +1674,66 @@ object SparkEntry {
       Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
         "source")),
 
+    // ---- text: Flesch–Kincaid readability card per source — the
+    // grade-level rational cleared to one signed e6 integer per doc
+    // (sentence/syllable surrogates via mirrored marker-run counts),
+    // then a map-side-combinable per-source rollup
+    "q218_readability" -> ((s, dir) =>
+      TextAnalysis.readabilityBySource(T(s, dir, "documents"),
+        "text", "source")),
+
+    // ---- scrape ingest: URL canonicalization dedup — synthesized
+    // feed-link variants (upper-cased www+port / trailing-slash+utm+
+    // fragment / ref-tracking) collapse to one canonical article URL;
+    // group sizes + representative doc per canonical link. Pure
+    // regexp/array built-ins, no UDF; one groupBy shuffle.
+    "q217_url_canonical_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      import graft.functions.UrlCanon
+      docs.select(col("doc_id"), UrlCanon.canonicalUrl(
+          UrlCanon.synthUrl(col("doc_id"))).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    }),
+
+    // ---- multimodal × dedup: perceptual-hash near-duplicate images —
+    // REAL ImageIO decode of synthesized variant PNGs (groups of 4
+    // share a base, one perturbed source pixel), 9×8 dHash, then the
+    // q24 multi-index banded-hamming join (4 bands, hamming ≤ 3)
+    "q216_image_dhash_neardup" -> ((s, dir) => {
+      val png = Multimodal.synthVariantPngPayloads(
+        T(s, dir, "documents").select(col("doc_id")), "doc_id",
+        groupSize = 4)
+      Dedup.simhashFromFingerprints(
+        Multimodal.dhashFingerprints(png, "doc_id", "payload"),
+        bands = 4, maxHamming = 3)
+    }),
+
+    // ---- eval: exact ROC-AUC of the quality score against the
+    // Gopher keep label — tie-corrected Mann–Whitney over the q203
+    // score/label surface; per-distinct-score tally + range-
+    // partitioned below-count, never pairwise
+    "q215_roc_auc" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("q_e4"))
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.rocAuc(scored.join(label, "doc_id"), "q_e4", "keep")
+    }),
+
+    // ---- embeddings: pairwise CENTROID similarity matrix — the
+    // semantic twin of q208's lexical TV matrix over the q130
+    // prototypes; signed cos² as the exact rational carrying cosine's
+    // ordering (sqrt stays out of the gate)
+    "q214_centroid_similarity" -> ((s, dir) =>
+      Prototypes.centroidSimilarity(T(s, dir, "embeddings"),
+        "embedding", "label")),
+
     // ---- mixing: EPOCH SCHEDULE of the q204 water-fill — per-source
     // repeat factors (full passes + exact e6 partial fraction), the
     // q88 decomposition applied to the capped allocator; saturated
@@ -5145,6 +5205,166 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q218: the same marker-run counts (literal-@ corrected), the
+    // same cleared FK rational, the same rounded-value mean
+    "q218_readability" -> {
+      import graft.functions.ExactRound.ratioScaledSignedSql
+      val sRuns = "length(regexp_replace(text, '[.!?]+', '@', 'g')) " +
+        "- length(regexp_replace(regexp_replace(text, '[.!?]+', '@', " +
+        "'g'), '@', '', 'g'))"
+      val yRuns = "length(regexp_replace(text, '[aeiouyAEIOUY]+', " +
+        "'@', 'g')) - length(regexp_replace(regexp_replace(text, " +
+        "'[aeiouyAEIOUY]+', '@', 'g'), '@', '', 'g'))"
+      val at = "(length(text) - length(regexp_replace(text, '@', " +
+        "'', 'g')))"
+      s"""WITH t AS (SELECT source, $qNWords AS w,
+         |    greatest($sRuns - $at, 1) AS s,
+         |    ($yRuns - $at) AS y
+         |  FROM documents),
+         |f AS (SELECT source, ${ratioScaledSignedSql(
+             "39 * CAST(w AS HUGEINT) * w + 1180 * CAST(y AS HUGEINT) * s " +
+               "- 1559 * CAST(s AS HUGEINT) * w",
+             "100 * CAST(s AS HUGEINT) * w", 6)} AS fk_e6
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  ${ratioScaledSignedSql("sum(fk_e6)", "count(*)", 0)}
+         |    AS fk_avg_e6,
+         |  min(fk_e6) AS fk_min_e6, max(fk_e6) AS fk_max_e6
+         |FROM f GROUP BY 1""".stripMargin
+    },
+
+    // q217: the mirrored synth-URL variants through the same
+    // canonicalization stages (fragment strip, scheme/host lowering,
+    // default-port + www strip, trailing-slash strip, tracking-param
+    // filter + param sort), then the dedup rollup
+    "q217_url_canonical_dedup" -> {
+      import graft.functions.UrlCanon
+      s"""WITH u AS (SELECT doc_id,
+         |    ${UrlCanon.synthUrlSql("doc_id")} AS url
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    regexp_replace(url, '#.*', '') AS nf FROM u),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(nf,
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    lower(regexp_extract(nf,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+         |    regexp_replace(regexp_extract(nf,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+         |      '/+$$', '') AS path,
+         |    list_sort(list_filter(
+         |      string_split(regexp_extract(nf, '\\?(.*)$$', 1), '&'),
+         |      q -> q <> '' AND NOT regexp_matches(q,
+         |        '${UrlCanon.trackParamRe}'))) AS params
+         |  FROM f),
+         |c AS (SELECT doc_id, scheme || '://' ||
+         |    regexp_replace(CASE
+         |      WHEN scheme = 'https'
+         |        THEN regexp_replace(hostport, ':443$$', '')
+         |      WHEN scheme = 'http'
+         |        THEN regexp_replace(hostport, ':80$$', '')
+         |      ELSE hostport END, '^www\\.', '') || path ||
+         |    CASE WHEN len(params) > 0
+         |      THEN '?' || array_to_string(params, '&')
+         |      ELSE '' END AS canonical_url
+         |  FROM p)
+         |SELECT canonical_url, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY 1""".stripMargin
+    },
+
+    // q216: the oracle never touches bytes (the q193 contract) — it
+    // re-derives gray levels from the mirrored variant generator at
+    // the resampled source indices, rebuilds the dHash bit table, and
+    // runs the SAME band-candidate + exact-hamming verify in SQL
+    "q216_image_dhash_neardup" ->
+      """WITH dim AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v,
+        |    4 + (doc_id // 4) % 13 AS w, 4 + (doc_id // 4) % 11 AS h
+        |  FROM documents),
+        |gray AS (SELECT d.doc_id, x.i AS x, y.i AS y,
+        |    sum(CASE WHEN ((x.i * d.w) // 9) = 0
+        |        AND ((y.i * d.h) // 8) = 0
+        |      THEN (((d.base % 100003) * 31 + c.i * 97) % 256
+        |        + d.v * 40) % 256
+        |      ELSE ((d.base % 100003) * 31 + ((x.i * d.w) // 9) * 7
+        |        + ((y.i * d.h) // 8) * 13 + c.i * 97) % 256 END) AS g
+        |  FROM dim d,
+        |    (SELECT unnest(range(0, 9)) AS i) x,
+        |    (SELECT unnest(range(0, 8)) AS i) y,
+        |    (SELECT unnest(range(0, 3)) AS i) c
+        |  GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (SELECT doc_id, idx // 16 AS band,
+        |    sum(bit << (idx % 16)) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.idx = ba.idx
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // q215: q203's t/j score/label derivation; per-distinct-score
+    // tally, exclusive below-window, one HUGEINT pair aggregate
+    "q215_roc_auc" -> {
+      import graft.functions.ExactRound.{ratioScaledSql,
+        ratioScaledSignedSql}
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioScaledSql(qScoreNum, qScoreDen, 4)} AS q_e4,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT q_e4 AS s,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS y
+         |  FROM t),
+         |g AS (SELECT s,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS below
+         |  FROM g),
+         |a AS (SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+         |    count(*) AS n_scores,
+         |    sum(CAST(pos AS HUGEINT) * below) AS wins,
+         |    sum(CAST(pos AS HUGEINT) * neg) AS ties
+         |  FROM c)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg, n_scores,
+         |  ${ratioScaledSql("2 * wins + ties",
+             "2 * CAST(n_pos AS HUGEINT) * n_neg", 6)} AS auc_e6,
+         |  ${ratioScaledSignedSql(
+             "2 * wins + ties - CAST(n_pos AS HUGEINT) * n_neg",
+             "CAST(n_pos AS HUGEINT) * n_neg", 6)} AS gini_e6
+         |FROM a""".stripMargin
+    },
+
+    // q214: the q130 prototype CTE + the same pair algebra
+    "q214_centroid_similarity" ->
+      Prototypes.centroidSimilaritySql("embeddings", "embedding",
+        "label"),
 
     // q213: the q204 mirror wrapped in the same epoch decomposition
     "q213_waterfill_epochs" ->

@@ -85,6 +85,50 @@ object EvalMetrics {
         d(n) * d(n) - e, 6).as("kappa_e6"))
   }
 
+  /** Exact ROC-AUC (the Mann–Whitney statistic, tie-corrected) of an
+    * integer score against a boolean outcome — "does the quality
+    * model rank kept docs above dropped ones?", the threshold-free
+    * companion to [[calibrationBins]]. Over all (positive, negative)
+    * pairs, AUC = (wins + ties/2) / (n_pos·n_neg) with
+    * wins = #{s_p > s_n}, ties = #{s_p = s_n} — a single exact
+    * rational, emitted e6 through the DECIMAL(38,0) path (pair counts
+    * square the corpus size). Gini = 2·AUC − 1 is rounded from the
+    * same exact rational, not from the rounded AUC. Degenerate inputs
+    * (no positives or no negatives) emit 0 on the zero-denominator
+    * convention.
+    *
+    * Never pairwise: tally per DISTINCT score (map-side combinable),
+    * then wins = Σ_s pos_s · (negatives strictly below s) with the
+    * below-count from [[BudgetSelect.runningTotal]]'s range-
+    * partitioned prefix sum — no single-partition window even when
+    * every score is distinct; the finale is one global aggregate. */
+  def rocAuc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val tally = df.select(col(scoreCol).cast("long").as("s__"),
+        col(labelCol).cast("boolean").as("y__"))
+      .groupBy(col("s__"))
+      .agg(sum(when(col("y__"), 1L).otherwise(0L)).as("pos__"),
+        sum(when(!col("y__"), 1L).otherwise(0L)).as("neg__"))
+    val (cum, _) = BudgetSelect.runningTotal(tally, col("neg__"),
+      Seq(col("s__")), "cumneg__")
+    val agg = cum.agg(
+      sum(col("pos__")).as("n_pos"),
+      sum(col("neg__")).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      sum(d(col("pos__")) * d(col("cumneg__") - col("neg__")))
+        .as("wins__"),
+      sum(d(col("pos__")) * d(col("neg__"))).as("ties__"))
+    val pairs = d(col("n_pos")) * d(col("n_neg"))
+    val num2 = d(lit(2L)) * col("wins__") + col("ties__")
+    agg.select(col("n_pos"), col("n_neg"), col("n_scores"),
+      ExactRound.ratioScaledBig(num2, d(lit(2L)) * pairs, 6)
+        .as("auc_e6"),
+      ExactRound.ratioScaledSigned(num2 - pairs, pairs, 6)
+        .as("gini_e6"))
+  }
+
   /** Reliability diagram + expected calibration error (ECE) for a
     * scored filter against a boolean outcome — "when the quality
     * model says 0.7, is it right 70% of the time?" (Guo et al. 2017's

@@ -434,6 +434,99 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[synthChannel]] with a GROUPED perturbation: `groupSize`
+    * consecutive ids share a base image (base = id / groupSize), and
+    * the group-local variant v = id % groupSize shifts ONLY source
+    * pixel (0,0)'s channels by v·40 (mod 256). Within a group the
+    * dHash fingerprints of [[dhashFingerprints]] can differ only in
+    * the band-boundary bits of the resample rows/cols covering source
+    * (0,0) — near-duplicates by construction, with the formula
+    * mirrored verbatim in the q216 oracle. */
+  def synthVariantChannel(id: Long, groupSize: Int, x: Int, y: Int,
+      c: Int): Int = {
+    val raw = synthChannel(id / groupSize, x, y, c)
+    if (x == 0 && y == 0)
+      ((raw + (id % groupSize) * 40) % 256).toInt
+    else raw
+  }
+
+  /** [[synthPngPayloads]] over the VARIANT generator — real PNG
+    * payloads where groups of `groupSize` consecutive ids are
+    * perceptual near-duplicates (dims come from the shared base, so
+    * group members always align pixel-for-pixel). */
+  def synthVariantPngPayloads(df: DataFrame, idCol: String,
+      groupSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(idIdx)
+      val (w, h) = synthDims(id / groupSize)
+      val rgb = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          rgb(y * w + x) =
+            (synthVariantChannel(id, groupSize, x, y, 0) << 16) |
+            (synthVariantChannel(id, groupSize, x, y, 1) << 8) |
+            synthVariantChannel(id, groupSize, x, y, 2)
+          x += 1
+        }
+        y += 1
+      }
+      Row(id, encodePng(w, h, rgb))
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** dHash (difference-hash) perceptual fingerprints over REAL decoded
+    * images: [[decodeToRgb]] (any ImageIO-supported codec), exact
+    * integer nearest-neighbor resample to a 9×8 grayscale grid
+    * (src = (x·w)/9, (y·h)/8; gray = R+G+B — monotone, no /3 rounding
+    * to mirror), then bit (x,y) = gray(x,y) > gray(x+1,y) packed at
+    * y·8+x — one 64-bit long per image, (doc, fp). Two images hash
+    * close iff their horizontal gradient signs agree — the standard
+    * scaled/re-encoded-duplicate detector. Undecodable payloads drop:
+    * the perceptual surface is defined only over decodable images.
+    *
+    * Shape at scale: narrow per-partition map (decode + 72 pixel
+    * probes per image), no shuffle; downstream banding reuses
+    * [[Dedup.simhashFromFingerprints]]'s multi-index join — identical
+    * hamming ≤ 3 pigeonhole guarantee at 4 bands. */
+  def dhashFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val id = row.getLong(idIdx)
+      decodeToRgb(row.getAs[Array[Byte]](pIdx)).map { case (w, h, rgb) =>
+        def gray(x: Int, y: Int): Int = {
+          val p = rgb((y * h / 8) * w + (x * w / 9))
+          ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+        var fp = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x, y) > gray(x + 1, y)) fp |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, fp)
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** PPM-P6 header walk shared by decode and resize: Some((w, h,
     * pixel-data offset)) for a well-formed header with a complete
     * w·h·3-byte body, None for malformed/truncated. Dimension product

@@ -94,6 +94,86 @@ object Prototypes {
     *
     * Shape at scale: one explode + map-side-combinable groupBy(vec),
     * one left join back to keep empty vectors. */
+  /** Pairwise CENTROID similarity matrix — the semantic twin of the
+    * lexical TV matrix: for every label pair, how aligned are their
+    * class centroids? Redundant classes (near-parallel centroids)
+    * and contrastive ones (anti-parallel) fall straight out. Cosine
+    * itself needs square roots, so the emitted number is the exact
+    * rational that carries the same information:
+    *
+    *   cos2_signed_e6 = sign(a·b) · round(1e6 · (a·b)² / (|a|²|b|²))
+    *
+    * over the e6-quantized integer centroids of [[labelPrototypes]]
+    * (cos = sign·sqrt(|cos2|)/1e3 for display; orderings by |cos|
+    * and by |cos2| agree). All products run in DECIMAL(38,0): with
+    * d dims and e6 means, dot ≤ d·1e12 and dot² ≤ d²·1e24 — inside
+    * 128-bit headroom for any real embedding width. Zero centroids
+    * emit 0 (the den-0 convention).
+    *
+    * Shape at scale: the |labels|·dims prototype table self-joins on
+    * dim (|labels|² rows per dim — classes are bounded, never
+    * corpus-sized), one map-side-combinable pair aggregate; norms
+    * and counts broadcast back onto the |labels|² pair frame. */
+  def centroidSimilarity(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val protos = labelPrototypes(emb, vecCol, labelCol)
+      .select(col("label"), col("dim"), col("mean_e6"), col("n"))
+    val per = protos.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(d(col("mean_e6")) * d(col("mean_e6"))).as("nsq__"))
+    val a = protos.select(col("label").as("label_a"), col("dim"),
+      col("mean_e6").as("ma__"))
+    val b = protos.select(col("label").as("label_b"), col("dim"),
+      col("mean_e6").as("mb__"))
+    val dots = a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(d(col("ma__")) * d(col("mb__"))).as("dot__"))
+    dots
+      .join(broadcast(per.select(col("label").as("label_a"),
+        col("n_vecs").as("n_a"), col("nsq__").as("nsqa__"))), "label_a")
+      .join(broadcast(per.select(col("label").as("label_b"),
+        col("n_vecs").as("n_b"), col("nsq__").as("nsqb__"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        ExactRound.ratioScaledSigned(
+          col("dot__") * abs(col("dot__")),
+          col("nsqa__") * col("nsqb__"), 6).as("cos2_signed_e6"))
+  }
+
+  /** The DuckDB mirror of [[centroidSimilarity]] (the q130 prototype
+    * CTE + the same pair algebra). */
+  def centroidSimilaritySql(table: String, vecCol: String,
+      labelCol: String): String = {
+    val rs = ExactRound
+    s"""WITH u AS (SELECT CAST($labelCol AS BIGINT) AS label,
+       |    CAST(generate_subscripts($vecCol, 1) AS BIGINT) AS dim,
+       |    CAST(round(CAST(unnest($vecCol) AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) AS u
+       |  FROM $table),
+       |s AS (SELECT label, dim, count(*) AS n,
+       |    sum(CAST(u AS HUGEINT)) AS s
+       |  FROM u GROUP BY 1, 2),
+       |c AS (SELECT label, dim, n,
+       |    ${rs.ratioScaledSignedSql("s", "n", 0)} AS m
+       |  FROM s),
+       |per AS (SELECT label, max(n) AS n_vecs,
+       |    sum(CAST(m AS HUGEINT) * m) AS nsq
+       |  FROM c GROUP BY 1),
+       |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+       |    sum(CAST(a.m AS HUGEINT) * b.m) AS dot
+       |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  pa.n_vecs AS n_a, pb.n_vecs AS n_b,
+       |  ${rs.ratioScaledSignedSql("CAST(dot AS HUGEINT) * abs(dot)",
+            "pa.nsq * pb.nsq", 6)} AS cos2_signed_e6
+       |FROM dots
+       |JOIN per pa ON pa.label = dots.label_a
+       |JOIN per pb ON pb.label = dots.label_b""".stripMargin
+  }
+
   def embeddingQa(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -539,6 +539,57 @@ object TextAnalysis {
     * bounded explode, then ONE equi-join on (doc, position) against
     * the token stream — never a range join — and a
     * map-side-combinable pivot groupBy per hit. */
+  /** Flesch–Kincaid grade-level card per source — the classic
+    * readability signal a curation pipeline bands corpora by (Kincaid
+    * et al. 1975: grade = 0.39·words/sentences + 11.8·syllables/words
+    * − 15.59). Exact: clearing denominators gives the single signed
+    * rational (39·w² + 1180·y·s − 1559·s·w) / (100·s·w), emitted e6
+    * through the DECIMAL(38,0) path. Counts are deterministic text
+    * surrogates both engines mirror glyph-for-glyph:
+    *   - w = whitespace words ([[graft.functions.TextFns.words]]),
+    *   - s = runs of sentence terminators `[.!?]+` (floored at 1 so
+    *     terminator-free fragments read as one sentence),
+    *   - y = vowel-letter runs `[aeiouy]+` (either case) — the
+    *     standard syllable approximation.
+    * Run counting collapses each run to `@` and length-diffs, with
+    * the text's own literal `@`s subtracted back out (the q203 marker
+    * discipline). Per-doc fk_e6 rounds once; the per-source mean
+    * re-aggregates those rounded values, so both engines compose the
+    * identical sequence.
+    *
+    * Shape at scale: per-doc arithmetic is one codegen'd projection
+    * (regexp lengths — no explode, no array materialization beyond
+    * the shared word split); then a single map-side-combinable
+    * groupBy(source). */
+  def readabilityBySource(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    def runs(c: Column, re: String): Column = {
+      val coll = regexp_replace(c, re, "@")
+      val at = length(c) - length(regexp_replace(c, "@", ""))
+      (length(coll) - length(regexp_replace(coll, "@", "")) - at)
+        .cast("long")
+    }
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val w = size(TextFns.words(col(textCol))).cast("long")
+    val s = greatest(runs(col(textCol), "[.!?]+"), lit(1L))
+    val y = runs(col(textCol), "[aeiouyAEIOUY]+")
+    val num = d(lit(39L)) * d(w) * d(w) + d(lit(1180L)) * d(y) * d(s) -
+      d(lit(1559L)) * d(s) * d(w)
+    val fk = ExactRound.ratioScaledSigned(num,
+      d(lit(100L)) * d(s) * d(w), 6)
+    df.select(col(sourceCol).as("source"), fk.as("fk_e6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fk_e6")).as("sum_fk__"),
+        min(col("fk_e6")).as("fk_min_e6"),
+        max(col("fk_e6")).as("fk_max_e6"))
+      .select(col("source"), col("n_docs"),
+        ExactRound.ratioScaledSigned(col("sum_fk__"), col("n_docs"), 0)
+          .as("fk_avg_e6"),
+        col("fk_min_e6"), col("fk_max_e6"))
+  }
+
   def concordance(df: DataFrame, idCol: String, textCol: String,
       term: String, context: Int = 2): DataFrame = {
     require(context >= 1, "context must be >= 1")

@@ -393,6 +393,123 @@ class Round13OpsSpec extends SparkSpec {
     assert(out2("b") == (17L, 0L, 17L, 566667L))
   }
 
+  test("centroidSimilarity: signed cos^2 exact on orthogonal, " +
+    "anti-parallel and 45-degree centroids") {
+    // centroids (e6): L0 (1e6,0) from two copies; L1 (0,1e6);
+    // L2 (-1e6,0); L3 (1e6,1e6)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 2),
+      (5L, Array(1.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Prototypes.centroidSimilarity(
+        emb, "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((0L, 1L)) == (2L, 1L, 0L))          // orthogonal
+    assert(out((0L, 2L)) == (2L, 1L, -1000000L))   // anti-parallel
+    assert(out((0L, 3L)) == (2L, 1L, 500000L))     // cos^2 = 1/2
+    assert(out((1L, 2L)) == (1L, 1L, 0L))
+    assert(out.size == 6)
+  }
+
+  test("rocAuc: tie-corrected Mann-Whitney exact on hand pairs; " +
+    "degenerate single-class emits zeros") {
+    // pos scores {3,2}, neg {1,2}: wins 3 of 4 pairs, one tie ->
+    // AUC = 3.5/4 = 0.875, Gini = 0.75
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("s", "y")
+    val r = graft.operators.EvalMetrics.rocAuc(df, "s", "y")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 3L))
+    assert(r.getLong(3) == 875000L)
+    assert(r.getLong(4) == 750000L)
+    // a perfect ranker and a perfectly wrong one
+    val perfect = Seq((5L, true), (4L, true), (1L, false))
+      .toDF("s", "y")
+    val p = graft.operators.EvalMetrics.rocAuc(perfect, "s", "y")
+      .collect().head
+    assert(p.getLong(3) == 1000000L && p.getLong(4) == 1000000L)
+    val inverted = Seq((1L, true), (5L, false)).toDF("s", "y")
+    val i = graft.operators.EvalMetrics.rocAuc(inverted, "s", "y")
+      .collect().head
+    assert(i.getLong(3) == 0L && i.getLong(4) == -1000000L)
+    // degenerate: no negatives -> zero-denominator convention
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val o = graft.operators.EvalMetrics.rocAuc(onlyPos, "s", "y")
+      .collect().head
+    assert(o.getLong(3) == 0L && o.getLong(4) == 0L)
+  }
+
+  test("readabilityBySource: FK rational exact on a hand sentence; " +
+    "terminator-free text floors at one sentence") {
+    // "Hello world. It is done!": w=5, s=2 runs, y=7 vowel runs ->
+    // (39*25 + 1180*7*2 - 1559*2*5) / (100*2*5) = 1905/1000 -> 1905000
+    val df = Seq(("Hello world. It is done!", "a"), ("bcd", "b"))
+      .toDF("text", "source")
+    val out = graft.operators.TextAnalysis
+      .readabilityBySource(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (1L, 1905000L, 1905000L, 1905000L))
+    // "bcd": w=1, s=1 (floored), y=0 ->
+    // (39 + 0 - 1559) / 100 = -15.2 -> -15200000
+    assert(out("b") == (1L, -15200000L, -15200000L, -15200000L))
+  }
+
+  test("canonicalUrl: case/port/www/fragment/tracking/slash variants " +
+    "collapse; non-default schemes keep their port") {
+    import graft.functions.UrlCanon
+    val in = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+      "http://ex.com:80/",
+      "ftp://Ex.com:443/x",
+      "https://ex.com/x?ref=home&fbclid=1&gclid=2&utm_a=b",
+      "https://ex.com/x?id=3").toDF("url")
+    val out = in.select(UrlCanon.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://ex.com/A/B?a=1&b=2")
+    assert(out(1) == "http://ex.com")
+    assert(out(2) == "ftp://ex.com:443/x")
+    assert(out(3) == "https://ex.com/x")
+    assert(out(4) == "https://ex.com/x?id=3")
+    // the three synth variants of one article collapse to one link
+    val synth = Seq(0L, 1L, 2L).toDF("doc_id")
+      .select(UrlCanon.canonicalUrl(
+        UrlCanon.synthUrl(col("doc_id"))).as("c"))
+      .distinct().collect().map(_.getString(0))
+    assert(synth.toSeq == Seq("https://src0.com/News/Item-0?id=0"))
+  }
+
+  test("dhashFingerprints: monotone gradients pin the fp; variant " +
+    "groups are banded-hamming near-dups") {
+    import graft.operators.{Multimodal, Dedup}
+    // 9x8 grayscale gradients: strictly decreasing in x sets every
+    // gray(x) > gray(x+1) bit (fp = -1L); increasing sets none
+    def grad(desc: Boolean): Array[Int] = Array.tabulate(72) { i =>
+      val v = if (desc) 255 - 20 * (i % 9) else 20 * (i % 9)
+      (v << 16) | (v << 8) | v
+    }
+    val png = Seq(
+      (1L, Multimodal.encodePng(9, 8, grad(desc = true))),
+      (2L, Multimodal.encodePng(9, 8, grad(desc = false))))
+      .toDF("doc_id", "payload")
+    val fps = Multimodal.dhashFingerprints(png, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == -1L && fps(2L) == 0L)
+    // one variant group (ids 0..3 share base 0, one perturbed source
+    // pixel): all 6 pairs surface via shared bands with hamming <= 3
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val pairs = Dedup.simhashFromFingerprints(
+      Multimodal.dhashFingerprints(
+        Multimodal.synthVariantPngPayloads(ids, "doc_id", 4),
+        "doc_id", "payload"), bands = 4, maxHamming = 3)
+      .collect()
+    assert(pairs.length == 6)
+    assert(pairs.forall(_.getLong(2) <= 3L))
+  }
+
   test("multimodal: ImageIO decode handles truncated PNG bytes " +
     "as recognized-but-undecodable") {
     val id = 7L
