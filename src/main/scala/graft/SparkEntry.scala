@@ -1674,6 +1674,46 @@ object SparkEntry {
       Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
         "source")),
 
+    // ---- splits: purged/embargoed temporal split over events (last
+    // 7 days test, 3-day embargo, rest train) with the train-entity
+    // leakage audit; edges relative to the observed max day
+    "q223_embargo_split" -> ((s, dir) =>
+      Sampling.embargoSplit(T(s, dir, "events"), "ts", "user_id",
+        testDays = 7L, embargoDays = 3L)),
+
+    // ---- dedup graph: per-node triangles / degree / clustering
+    // coefficient over the LSH near-dup edges — clique-y components
+    // (one doc radiating variants) vs chained borderline pairs.
+    // Degree-ordered compact-forward orientation: wedges only between
+    // out-neighbors, so hub nodes never square
+    "q222_dedup_graph_triangles" -> ((s, dir) =>
+      GraphRank.triangleStats(
+        lshNearDupPairs(s, dir, threshold = 0.45)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b")),
+
+    // ---- monitoring: one-sided CUSUM change-point detection over
+    // each event type's daily count series — the max(0, S+x−k)
+    // recursion in its exact prefix form (cum − running min), windows
+    // over the bounded daily frame only
+    "q219_cusum_drift" -> ((s, dir) =>
+      EventAnalytics.cusumDaily(T(s, dir, "events"), "event_type",
+        "ts", hMult = 5L)),
+
+    // ---- mixing: loss-weight REWEIGHTING to the water-fill
+    // allocation — the sampling-free twin of q204: per source, the
+    // e6 weight alloc/n plus natural vs target shares (budget 3/4 of
+    // the corpus, epoch cap 3: small sources up-weight toward 3e6,
+    // big ones down-weight below 1e6)
+    "q220_mix_reweight" -> ((s, dir) =>
+      Apportion.reweightToAllocation(T(s, dir, "documents"), "source",
+        budgetNum = 3L, budgetDen = 4L, maxEpochs = 3L)),
+
+    // ---- text: Heaps-law vocabulary growth over nested md5-prefix
+    // subcorpora (1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all): one explode, per-word
+    // min-level aggregate, 4-row cumulative rollup
+    "q221_vocab_growth" -> ((s, dir) =>
+      VocabBuild.vocabGrowth(T(s, dir, "documents"), "doc_id", "text")),
+
     // ---- text: Flesch–Kincaid readability card per source — the
     // grade-level rational cleared to one signed e6 integer per doc
     // (sentence/syllable surrogates via mirrored marker-run counts),
@@ -5205,6 +5245,116 @@ object SparkEntry {
              "sum(n_rows) OVER ()", 0)} AS ece_e6
          |FROM g""".stripMargin
     },
+
+    // q223: same relative day edges, same distinct-entity overlap
+    "q223_embargo_split" ->
+      """WITH b AS (SELECT user_id AS ent,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |t AS (SELECT ent, day, CASE
+        |    WHEN day > (SELECT max(day) FROM b) - 7 THEN 'test'
+        |    WHEN day > (SELECT max(day) FROM b) - 10 THEN 'embargo'
+        |    ELSE 'train' END AS split
+        |  FROM b),
+        |per AS (SELECT split, count(*) AS n_events,
+        |    min(day) AS first_day, max(day) AS last_day
+        |  FROM t GROUP BY 1),
+        |ents AS (SELECT DISTINCT split, ent FROM t),
+        |us AS (SELECT split, count(*) AS n_entities
+        |  FROM ents GROUP BY 1),
+        |ov AS (SELECT e.split, count(*) AS n_train_overlap
+        |  FROM ents e JOIN ents tr
+        |    ON tr.split = 'train' AND tr.ent = e.ent
+        |  GROUP BY 1)
+        |SELECT per.split, per.n_events,
+        |  coalesce(us.n_entities, 0) AS n_entities,
+        |  coalesce(ov.n_train_overlap, 0) AS n_train_overlap,
+        |  per.first_day, per.last_day
+        |FROM per
+        |LEFT JOIN us ON us.split = per.split
+        |LEFT JOIN ov ON ov.split = per.split""".stripMargin,
+
+    // q222: the mirrored-LSH pair surface (p = verified a<b pairs),
+    // then the naive x<y<z triangle join — sound for the oracle's
+    // bounded pair volume; the engine's orientation counts the same
+    // triangles exactly once each
+    "q222_dedup_graph_triangles" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ${lshPairCtes("0.45")},
+         |ed AS (SELECT id_a AS u, id_b AS v FROM p),
+         |deg AS (SELECT node, count(*) AS degree
+         |  FROM (SELECT u AS node FROM ed
+         |    UNION ALL SELECT v AS node FROM ed) GROUP BY 1),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pt AS (SELECT node, count(*) AS triangles
+         |  FROM (SELECT x AS node FROM tri
+         |    UNION ALL SELECT y AS node FROM tri
+         |    UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+         |SELECT d.node, d.degree,
+         |  coalesce(pt.triangles, 0) AS triangles,
+         |  ${ratioScaledSql("2 * coalesce(pt.triangles, 0)",
+             "d.degree * (d.degree - 1)", 6)} AS clustering_e6
+         |FROM deg d LEFT JOIN pt ON pt.node = d.node""".stripMargin
+    },
+
+    // q219: same daily aggregate as q190, ceil-mean allowance, then
+    // the two cumulative windows of the prefix-form CUSUM
+    "q219_cusum_drift" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |per AS (SELECT event_type,
+        |    (sum(n_events) + count(*) - 1) // count(*) AS k
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, d.n_events, p.k,
+        |    sum(d.n_events - p.k) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily d JOIN per p USING (event_type)),
+        |m AS (SELECT *, min(cum) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn
+        |  FROM c)
+        |SELECT event_type, day, n_events, CAST(k AS BIGINT) AS k,
+        |  CAST(cum - least(0, mn) AS BIGINT) AS cusum,
+        |  (cum - least(0, mn)) > k * 5 AS alarm
+        |FROM m""".stripMargin,
+
+    // q220: the q204 mirror with weight 1 per doc, wrapped in the
+    // same share/weight rationals
+    "q220_mix_reweight" ->
+      Apportion.reweightToAllocationSql("documents", "source",
+        3L, 4L, 3L),
+
+    // q221: the same md5-prefix nesting rule (q49 thresholds), one
+    // unnest, per-word min level, cumulative rollup over 4 rows
+    "q221_vocab_growth" ->
+      s"""WITH d0 AS (SELECT
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hp,
+         |    $wordsSql AS ws
+         |  FROM documents),
+         |d AS (SELECT CASE WHEN hp < '20' THEN 0
+         |    WHEN hp < '40' THEN 1 WHEN hp < '80' THEN 2
+         |    ELSE 3 END AS lvl, ws
+         |  FROM d0),
+         |pd AS (SELECT lvl, count(*) AS nd,
+         |    sum(CAST(len(ws) AS BIGINT)) AS nt
+         |  FROM d GROUP BY 1),
+         |mw AS (SELECT w, min(lvl) AS lvl
+         |  FROM (SELECT lvl, unnest(ws) AS w FROM d) GROUP BY 1),
+         |mv AS (SELECT lvl, count(*) AS v FROM mw GROUP BY 1),
+         |lv AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS level)
+         |SELECT level,
+         |  CAST(sum(coalesce(pd.nd, 0)) OVER (ORDER BY level
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(pd.nt, 0)) OVER (ORDER BY level
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(mv.v, 0)) OVER (ORDER BY level
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+         |FROM lv
+         |LEFT JOIN pd ON pd.lvl = lv.level
+         |LEFT JOIN mv ON mv.lvl = lv.level""".stripMargin,
 
     // q218: the same marker-run counts (literal-@ corrected), the
     // same cleared FK rational, the same rounded-value mean

@@ -392,6 +392,56 @@ object Apportion {
   /** The DuckDB mirror of [[epochCappedWaterFill]] for oracle SQL —
     * same order, same prefix-saturation predicate, same residual
     * hand-out, HUGEINT throughout. */
+  /** Post-hoc REWEIGHTING to the capped water-fill allocation — the
+    * sampling-free twin of [[epochCappedWaterFill]]: keep every doc
+    * and give source g the loss weight alloc_g / n_g instead of
+    * physically resampling (the standard move when the mixture is
+    * applied at training time as example weights rather than at
+    * materialization time as repeats). Per source: doc count, the
+    * allocation, the e6 loss weight, and natural vs target corpus
+    * shares — weights > 1e6 mark up-weighted (epoch-repeated)
+    * sources, < 1e6 down-weighted ones.
+    *
+    * Shape at scale: everything after the allocator runs on the
+    * |sources|-row frame (the Apportion bounded-window precedent). */
+  def reweightToAllocation(df: DataFrame, groupCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Long): DataFrame = {
+    import graft.functions.ExactRound
+    val wf = epochCappedWaterFill(
+      df.select(col(groupCol)).withColumn("one__", lit(1L)),
+      groupCol, "one__", budgetNum, budgetDen, maxEpochs)
+    val all = Window.partitionBy()
+    wf.select(col(groupCol), col("weight").as("n_docs"), col("alloc"),
+        sum(col("weight")).over(all).as("tot__"),
+        sum(col("alloc")).over(all).as("tota__"))
+      .select(col(groupCol), col("n_docs"), col("alloc"),
+        ExactRound.ratioScaled(col("alloc"), col("n_docs"), 6)
+          .as("loss_weight_e6"),
+        ExactRound.ratioScaled(col("n_docs"), col("tot__"), 6)
+          .as("share_nat_e6"),
+        ExactRound.ratioScaled(col("alloc"), col("tota__"), 6)
+          .as("share_target_e6"))
+  }
+
+  /** The DuckDB mirror of [[reweightToAllocation]] — wraps the
+    * [[epochCappedWaterFillSql]] mirror and applies the same share
+    * and weight rationals. */
+  def reweightToAllocationSql(table: String, group: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Long): String = {
+    import graft.functions.ExactRound.ratioScaledSql
+    s"""WITH wf AS (
+       |${epochCappedWaterFillSql(table, group, "1", budgetNum,
+           budgetDen, maxEpochs)}),
+       |rw AS (SELECT $group, weight, alloc,
+       |    sum(weight) OVER () AS tot, sum(alloc) OVER () AS tota
+       |  FROM wf)
+       |SELECT $group, weight AS n_docs, alloc,
+       |  ${ratioScaledSql("alloc", "weight", 6)} AS loss_weight_e6,
+       |  ${ratioScaledSql("weight", "tot", 6)} AS share_nat_e6,
+       |  ${ratioScaledSql("alloc", "tota", 6)} AS share_target_e6
+       |FROM rw""".stripMargin
+  }
+
   def epochCappedWaterFillSql(table: String, group: String,
       weight: String, budgetNum: Long, budgetDen: Long,
       maxEpochs: Long): String =

@@ -258,6 +258,48 @@ object EventAnalytics {
     * corpus), then the bounded offset explode (maxAgeDays+1 rows per
     * (group, day) AGGREGATE, never per event), one groupBy, one
     * semi-join back to observed days. */
+  /** One-sided CUSUM change-point detection over each group's daily
+    * count series (Page 1954; the sequential-analysis standard for
+    * "which event streams shifted upward, and on what day?").
+    * Textbook recursion S_t = max(0, S_(t-1) + x_t − k) is running
+    * state with reset — not directly distributable — but it has the
+    * exact prefix form
+    *
+    *   S_t = cum_t − least(0, min_(j≤t) cum_j),  cum = Σ (x − k),
+    *
+    * so two cumulative windows compute it. The allowance k per group
+    * is ceil(mean daily count) — a stream at its historical level
+    * accumulates nothing; the alarm fires when S_t > hMult·k (the
+    * classic h = 5σ-flavored multiple, in count units). All integer.
+    *
+    * Shape at scale: one map-side-combinable daily aggregate (corpus
+    * → |groups|·|days| rows); the windows run per group over that
+    * bounded daily frame only — the [[ewmaDailySeries]] precedent —
+    * and the per-group k joins back via broadcast. */
+  def cusumDaily(events: DataFrame, groupCol: String,
+      tsNanosCol: String, hMult: Long = 5L): DataFrame = {
+    require(hMult >= 1, "hMult >= 1")
+    val day = graft.functions.TimeFns.floorDiv(col(tsNanosCol),
+      86400L * 1000000000L)
+    val daily = events
+      .select(col(groupCol), day.as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val per = daily.groupBy(col(groupCol))
+      .agg(call_function("div",
+        sum(col("n_events")) + count(lit(1)) - 1L,
+        count(lit(1))).as("k"))
+    val run = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(per), Seq(groupCol))
+      .withColumn("cum__",
+        sum(col("n_events") - col("k")).over(run))
+      .withColumn("cusum",
+        col("cum__") - least(lit(0L), min(col("cum__")).over(run)))
+      .select(col(groupCol), col("day"), col("n_events"), col("k"),
+        col("cusum"), (col("cusum") > col("k") * hMult).as("alarm"))
+  }
+
   def ewmaDailySeries(events: DataFrame, groupCol: String,
       tsNanosCol: String, decayNum: Int = 4, decayDen: Int = 5,
       maxAgeDays: Int = 30): DataFrame = {

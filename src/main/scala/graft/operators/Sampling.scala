@@ -319,4 +319,57 @@ object Sampling {
         graft.functions.ExactRound.ratioScaled(col("sum_v"),
           col("n_rows"), 6).as("mean_e6"))
   }
+
+  /** Purged/embargoed TEMPORAL split (the de Prado 2018 discipline
+    * for serially-correlated data): the last `testDays` days are
+    * test, the `embargoDays` before them are an embargo buffer
+    * excluded from training, everything earlier is train — so
+    * trailing autocorrelation can't leak label information across
+    * the boundary. Split edges are RELATIVE to the observed max day
+    * (scale-factor-proof). Per split: event and distinct-entity
+    * counts, the day span, and the entity overlap with TRAIN — the
+    * leakage audit (an entity active in both train and test is the
+    * residual risk an entity-level split would remove; cf. q110).
+    *
+    * Shape at scale: the max-day anchor is a 1-row broadcast
+    * crossJoin (never a global window); then one distinct over
+    * (split, entity), one map-side-combinable aggregate, and a
+    * broadcast-sized overlap join on the ≤3-row frame. */
+  def embargoSplit(events: DataFrame, tsNanosCol: String,
+      entityCol: String, testDays: Long = 7L,
+      embargoDays: Long = 3L): DataFrame = {
+    require(testDays >= 1 && embargoDays >= 0, "testDays >= 1")
+    val day = graft.functions.TimeFns.floorDiv(col(tsNanosCol),
+      86400L * 1000000000L)
+    val base = events.select(col(entityCol).as("ent__"),
+      day.as("day__"))
+    val mx = base.agg(max(col("day__")).as("mx__"))
+    val tagged = graft.Caches.register(base
+      .crossJoin(broadcast(mx))
+      .withColumn("split",
+        when(col("day__") > col("mx__") - testDays, "test")
+          .when(col("day__") > col("mx__") - testDays - embargoDays,
+            "embargo")
+          .otherwise("train"))
+      .persist())
+    val per = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day__")).as("first_day"),
+        max(col("day__")).as("last_day"))
+    val ents = graft.Caches.register(tagged
+      .select(col("split"), col("ent__")).distinct().persist())
+    val users = ents.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_entities"))
+    val trainEnts = ents.filter(col("split") === "train")
+      .select(col("ent__"))
+    val overlap = ents.join(trainEnts, Seq("ent__"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_train_overlap"))
+    per.join(users, Seq("split"), "left")
+      .join(overlap, Seq("split"), "left")
+      .select(col("split"), col("n_events"),
+        coalesce(col("n_entities"), lit(0L)).as("n_entities"),
+        coalesce(col("n_train_overlap"), lit(0L)).as("n_train_overlap"),
+        col("first_day"), col("last_day"))
+  }
 }

@@ -74,4 +74,47 @@ object VocabBuild {
         graft.functions.ExactRound.ratioScaled(coalesce(col("n_oov"),
           lit(0L)), col("n_tokens"), 4).as("oov_e4"))
   }
+
+  /** Heaps-law vocabulary growth curve — distinct-word counts at
+    * nested subcorpora of 1/8, 1/4, 1/2, and all docs: the evidence
+    * behind "how much new vocabulary does 10× more data buy?" when
+    * sizing a tokenizer. Subcorpus membership is the md5-prefix rule
+    * of [[Sampling.hashSample]] (thresholds 0x20/0x40/0x80), so the
+    * levels NEST — the 1/8 sample is inside the 1/4 sample — and the
+    * curve is monotone by construction. Per level: cumulative docs,
+    * tokens, and vocabulary (words whose FIRST level of appearance is
+    * ≤ this level).
+    *
+    * Shape at scale: ONE corpus explode feeding a per-word min-level
+    * aggregate (map-side combinable) — never a rescan per level; the
+    * cumulative windows run over the literal 4-row level frame. */
+  def vocabGrowth(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val hp = substring(md5(col(idCol).cast("string")), 1, 2)
+    val level = when(hp < "20", 0L).when(hp < "40", 1L)
+      .when(hp < "80", 2L).otherwise(3L)
+    val staged = graft.Caches.register(docs
+      .select(level.as("lvl__"), TextFns.words(col(textCol)).as("ws__"))
+      .persist())
+    val perDoc = staged
+      .select(col("lvl__"), size(col("ws__")).cast("long").as("nt__"))
+      .groupBy(col("lvl__"))
+      .agg(count(lit(1)).as("d__"), sum(col("nt__")).as("t__"))
+    val perLevelVocab = staged
+      .select(col("lvl__"), explode(col("ws__")).as("w__"))
+      .groupBy(col("w__")).agg(min(col("lvl__")).as("lvl__"))
+      .groupBy(col("lvl__")).agg(count(lit(1)).as("v__"))
+    val run = Window.orderBy(col("level"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(4).select(col("id").as("level"))
+      .join(perDoc.withColumnRenamed("lvl__", "level"), Seq("level"),
+        "left")
+      .join(perLevelVocab.withColumnRenamed("lvl__", "level"),
+        Seq("level"), "left")
+      .select(col("level"),
+        sum(coalesce(col("d__"), lit(0L))).over(run).as("n_docs"),
+        sum(coalesce(col("t__"), lit(0L))).over(run).as("n_tokens"),
+        sum(coalesce(col("v__"), lit(0L))).over(run).as("vocab"))
+  }
 }

@@ -607,6 +607,79 @@ object ScaleProbe {
       graft.operators.Drift.lexicalTvMatrix(docs, "text", "lang")
     }
 
+    // r13 late additions: eval / multimodal-dedup / ingest / text
+    time("roc_auc") {
+      // full n rows, ~10k distinct scores: the probe pins the
+      // per-distinct-score tally + range-partitioned below-count path
+      val scored = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(41)), lit(10000)).as("s"),
+        (pmod(xxhash64(col("id"), lit(42)), lit(3)) === 0).as("y"))
+      graft.operators.EvalMetrics.rocAuc(scored, "s", "y")
+    }
+    time("centroid_similarity") {
+      // |labels|=100 -> 4,950 pair rows off one explode + dim join
+      graft.operators.Prototypes.centroidSimilarity(labeledVecs,
+        "embedding", "label")
+    }
+    time("url_canonical_dedup") {
+      val u = graft.functions.UrlCanon
+      spark.range(n).select(col("id"),
+          u.canonicalUrl(u.synthUrl(col("id"))).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+    }
+    time("readability") {
+      graft.operators.TextAnalysis.readabilityBySource(docs, "text",
+        "lang")
+    }
+    // the q216 pipeline probes SPLIT (an earlier fused probe taught
+    // the lesson): (1) the PNG encode + ImageIO decode + dHash narrow
+    // map, timed alone — its cost is per-image CPU, embarrassingly
+    // parallel; (2) the multi-index banded-hamming join at FULL n
+    // over entropy-realistic 64-bit fingerprints with planted
+    // near-dup groups. The fused probe at 200k synthetic ≤16×14-px
+    // images ground a single straggler for an hour — NOT an operator
+    // flaw: 4-px-wide sources pin most resampled comparisons to
+    // equal pixels, collapsing dHash entropy to a few bits, so both
+    // the band buckets AND the true hamming≤3 pair set are
+    // quadratically dense. Real photographs are not 4 pixels wide;
+    // the generator was the degenerate part, and the probe below
+    // keeps the decode cost measured without the synthetic
+    // entropy collapse.
+    time("image_dhash_decode") {
+      graft.operators.Multimodal.dhashFingerprints(
+        graft.operators.Multimodal.synthVariantPngPayloads(
+          spark.range(nDocs).select(col("id").as("doc_id")), "doc_id",
+          groupSize = 4), "doc_id", "payload")
+    }
+    locally {
+      // groups of 4 share a random 64-bit base fp; variants flip one
+      // or two distinct planted bits (pairwise hamming <= 2), the
+      // rest of keyspace is uniform — n/4 * 6 guaranteed pairs
+      val t0 = System.nanoTime()
+      val grp = call_function("div", col("id"), lit(4L))
+      val base = xxhash64(grp, lit(77))
+      val b1 = pmod(xxhash64(grp, lit(78)), lit(64))
+      val b2 = pmod(b1 + lit(1L) + pmod(xxhash64(grp, lit(79)),
+        lit(63)), lit(64))
+      val v = pmod(col("id"), lit(4))
+      val f1 = call_function("shiftleft", lit(1L), b1.cast("int"))
+      val f2 = call_function("shiftleft", lit(1L), b2.cast("int"))
+      val fp = base
+        .bitwiseXOR(when(v === 1 || v === 3, f1).otherwise(lit(0L)))
+        .bitwiseXOR(when(v === 2 || v === 3, f2).otherwise(lit(0L)))
+      val fps = spark.range(n).select(col("id").as("doc"), fp.as("fp"))
+      val pairs = graft.operators.Dedup.simhashFromFingerprints(
+        fps, bands = 4, maxHamming = 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val allPairs = BigInt(n) * BigInt(n - 1) / 2
+      emit(f"""{"probe":"dhash_banded_join","rows":$n,""" +
+        f""""sec":$sec%.2f,"pairs":$pairs,"planted":${n / 4 * 6},""" +
+        s""""all_pairs":$allPairs,""" +
+        s""""sub_quadratic":${BigInt(pairs) * 100 < allPairs}}""")
+      spark.catalog.clearCache()
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -442,6 +442,101 @@ class Round13OpsSpec extends SparkSpec {
     assert(o.getLong(3) == 0L && o.getLong(4) == 0L)
   }
 
+  test("embargoSplit: relative edges, per-split counts, and the " +
+    "train-entity overlap audit on a hand timeline") {
+    val day = 86400L * 1000000000L
+    val ev = ((1 to 20).map(d => ("A", d * day)) ++
+      Seq(("B", 1 * day), ("B", 20 * day)))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Sampling
+      .embargoSplit(ev, "ts", "user_id", testDays = 7L,
+        embargoDays = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("train") == (11L, 2L, 2L, 1L, 10L))
+    assert(out("embargo") == (3L, 1L, 1L, 11L, 13L))
+    assert(out("test") == (8L, 2L, 2L, 14L, 20L))
+  }
+
+  test("triangleStats: 4-clique + pendant exact; duplicate and " +
+    "reversed edges normalize") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 1L)).toDF("a", "b")
+    val out = graft.operators.GraphRank.triangleStats(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (4L, 3L, 500000L))
+    assert(out(2L) == (3L, 3L, 1000000L))
+    assert(out(3L) == (3L, 3L, 1000000L))
+    assert(out(4L) == (3L, 3L, 1000000L))
+    assert(out(5L) == (1L, 0L, 0L))
+    // total triangle incidence = 3 * (number of triangles) = 12
+    assert(out.values.map(_._2).sum == 12L)
+  }
+
+  test("cusumDaily: prefix form equals the max(0, S+x-k) recursion " +
+    "on a hand series; alarm fires past hMult*k") {
+    val day = 86400L * 1000000000L
+    // counts by day: 1,1,1,100 -> k = ceil(103/4) = 26
+    // S: max-recursion gives (0,0,0,74); alarm at hMult=2 -> 74 > 52
+    val rows = Seq.tabulate(1)(_ => (0L, 1)) ++ Seq((1L, 1), (2L, 1)) ++
+      Seq.fill(100)((3L, 1))
+    val ev = (rows.zipWithIndex.map { case ((d, _), i) =>
+      ("a", d * day + i) }).toDF("event_type", "ts")
+    val out = graft.operators.EventAnalytics
+      .cusumDaily(ev, "event_type", "ts", hMult = 2L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(out(0L) == (1L, 26L, 0L, false))
+    assert(out(1L) == (1L, 26L, 0L, false))
+    assert(out(2L) == (1L, 26L, 0L, false))
+    assert(out(3L) == (100L, 26L, 74L, true))
+  }
+
+  test("reweightToAllocation: weights and shares exact on a hand mix") {
+    // sources a:8, b:2, c:1 docs; budget 3/4 -> 8; epoch cap 3:
+    // caps (24,6,3), none saturates, base 2 + residual 2 by cap order
+    // -> alloc c=3, b=3, a=2
+    val docs = (Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("source")
+    val out = graft.operators.Apportion
+      .reweightToAllocation(docs, "source", 3L, 4L, 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("a") == (8L, 2L, 250000L, 727273L, 250000L))
+    assert(out("b") == (2L, 3L, 1500000L, 181818L, 375000L))
+    assert(out("c") == (1L, 3L, 3000000L, 90909L, 375000L))
+  }
+
+  test("vocabGrowth: nested md5-prefix levels give a monotone curve " +
+    "matching a hand recomputation") {
+    val ids = (0L until 10L).toSeq
+    def lvl(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "20") 0 else if (hex < "40") 1
+      else if (hex < "80") 2 else 3
+    }
+    val docs = ids.map(i => (i, s"t$i common")).toDF("doc_id", "text")
+    val out = graft.operators.VocabBuild
+      .vocabGrowth(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 4)
+    (0 to 3).foreach { l =>
+      val in = ids.filter(i => lvl(i) <= l)
+      val vocab = in.flatMap(i => Seq(s"t$i", "common")).distinct.size
+      assert(out(l.toLong) == (in.size.toLong, 2L * in.size, vocab.toLong),
+        s"level $l")
+    }
+    // monotone and the full level covers everything
+    assert(out(3L) == (10L, 20L, 11L))
+  }
+
   test("readabilityBySource: FK rational exact on a hand sentence; " +
     "terminator-free text floors at one sentence") {
     // "Hello world. It is done!": w=5, s=2 runs, y=7 vowel runs ->
