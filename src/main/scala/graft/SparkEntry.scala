@@ -1674,6 +1674,54 @@ object SparkEntry {
       Apportion.interleaveOrder(T(s, dir, "documents"), "doc_id",
         "source")),
 
+    // ---- streaming: the CUSUM state machine fed by a day-ordered
+    // file stream (value-slice batches, q78 stager; sentinel day
+    // closes the final real day) — must equal the batch prefix form
+    // row-for-row, so it shares q219's oracle verbatim
+    "q224_stream_cusum" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events").select(
+        col("event_type").as("group"),
+        graft.functions.TimeFns.floorDiv(col("ts"),
+          86400L * 1000000000L).as("day"))
+      val allowance = ev.groupBy(col("group"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("group"))
+        .agg(call_function("div",
+          sum(col("n")) + count(lit(1)) - 1L, count(lit(1))).as("k"))
+        .as[(String, Long)].collect().toMap
+      val mm = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val sentinel = ev.select(col("group")).distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("group"), (col("mx") + 1L).as("day"))
+      val batched = ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("day") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("group"), col("day"), col("b"))
+        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q224-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream.schema("group STRING, day LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .as[graft.streaming.Streams.DayEvent]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q224-out").toString
+      val q = graft.streaming.Streams
+        .streamingCusum(src, allowance, hMult = 5L)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/cusum")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/cusum")
+        .select(col("group").as("event_type"), col("day"),
+          col("n_events"), col("k"), col("cusum"), col("alarm"))
+    }),
+
     // ---- splits: purged/embargoed temporal split over events (last
     // 7 days test, 3-day embargo, rest train) with the train-entity
     // leakage audit; edges relative to the observed max day
@@ -1747,6 +1795,53 @@ object SparkEntry {
       Dedup.simhashFromFingerprints(
         Multimodal.dhashFingerprints(png, "doc_id", "payload"),
         bands = 4, maxHamming = 3)
+    }),
+
+    // ---- multimodal × dedup: the q216 surface through the BUCKET-
+    // CAPPED banded join (the r13 probe's straggler lesson as a
+    // first-class skew guard; cap 16 binds on the low-entropy bands)
+    "q225_dhash_capped_bands" -> ((s, dir) => {
+      val png = Multimodal.synthVariantPngPayloads(
+        T(s, dir, "documents").select(col("doc_id")), "doc_id",
+        groupSize = 4)
+      Dedup.simhashFromFingerprintsCapped(
+        Multimodal.dhashFingerprints(png, "doc_id", "payload"),
+        bands = 4, maxHamming = 3, maxBucket = 16L)
+    }),
+
+    // ---- dedup: cross-source duplication matrix — which sources
+    // copy from which: the verified MinHash pair surface (staged
+    // index, q23) rolled up to unordered source pairs with the exact
+    // pair RATE (pairs / possible pairs; C(n,2) on the diagonal)
+    "q226_cross_source_dup" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val pairs = Dedup.minhashLSHFromIndex(stagedDocsIndex(s, dir),
+        threshold = 0.5).select(col("doc_a"), col("doc_b"))
+      val srcMap = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val cnt = srcMap.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val m = pairs
+        .join(srcMap.select(col("doc_id").as("doc_a"),
+          col("source").as("sa__")), "doc_a")
+        .join(srcMap.select(col("doc_id").as("doc_b"),
+          col("source").as("sb__")), "doc_b")
+        .select(least(col("sa__"), col("sb__")).as("source_a"),
+          greatest(col("sa__"), col("sb__")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      m.join(broadcast(cnt.select(col("source").as("source_a"),
+          col("n").as("na__"))), "source_a")
+        .join(broadcast(cnt.select(col("source").as("source_b"),
+          col("n").as("nb__"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          graft.functions.ExactRound.ratioScaledBig(col("n_pairs"),
+            when(col("source_a") === col("source_b"),
+              call_function("div",
+                d(col("na__")) * d(col("na__") - 1L), lit(2L))
+                .cast("decimal(38,0)"))
+              .otherwise(d(col("na__")) * d(col("nb__"))), 6)
+            .as("rate_e6"))
     }),
 
     // ---- eval: exact ROC-AUC of the quality score against the
@@ -3439,6 +3534,78 @@ object SparkEntry {
        |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= $threshold),
        |e AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION SELECT id_b, id_a FROM p)""".stripMargin
+
+  /** The q216/q225 shared oracle: variant-PNG dHash near-dup — gray
+    * levels from the mirrored generator at the resampled indices, the
+    * dHash bit table, band candidates (optionally bucket-capped, the
+    * q225 skew guard), exact-hamming verify. */
+  private def dhashNearDupOracleSql(bucketCap: Option[Long]): String = {
+    val candSrc = bucketCap match {
+      case None => "bands"
+      case Some(cap) =>
+        s"""(SELECT b.* FROM bands b JOIN (SELECT band, bkey
+           |    FROM bands GROUP BY band, bkey
+           |    HAVING count(*) <= $cap) ok
+           |  USING (band, bkey))""".stripMargin
+    }
+    s"""WITH dim AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v,
+       |    4 + (doc_id // 4) % 13 AS w, 4 + (doc_id // 4) % 11 AS h
+       |  FROM documents),
+       |gray AS (SELECT d.doc_id, x.i AS x, y.i AS y,
+       |    sum(CASE WHEN ((x.i * d.w) // 9) = 0
+       |        AND ((y.i * d.h) // 8) = 0
+       |      THEN (((d.base % 100003) * 31 + c.i * 97) % 256
+       |        + d.v * 40) % 256
+       |      ELSE ((d.base % 100003) * 31 + ((x.i * d.w) // 9) * 7
+       |        + ((y.i * d.h) // 8) * 13 + c.i * 97) % 256 END) AS g
+       |  FROM dim d,
+       |    (SELECT unnest(range(0, 9)) AS i) x,
+       |    (SELECT unnest(range(0, 8)) AS i) y,
+       |    (SELECT unnest(range(0, 3)) AS i) c
+       |  GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx,
+       |    CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y
+       |    AND b.x = a.x + 1
+       |  WHERE a.x < 8),
+       |bands AS (SELECT doc_id, idx // 16 AS band,
+       |    sum(bit << (idx % 16)) AS bkey
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM $candSrc a JOIN $candSrc b ON a.band = b.band
+       |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ham AS (SELECT c.doc_a, c.doc_b,
+       |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.doc_a
+       |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.idx = ba.idx
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM ham WHERE hamming <= 3""".stripMargin
+  }
+
+  /** The q219/q224 shared oracle: the prefix-form CUSUM over daily
+    * event counts (ceil-mean allowance, hMult = 5) — the batch
+    * operator and the streaming state machine must both equal it. */
+  private val cusumDailyOracleSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |per AS (SELECT event_type,
+      |    (sum(n_events) + count(*) - 1) // count(*) AS k
+      |  FROM daily GROUP BY 1),
+      |c AS (SELECT d.event_type, d.day, d.n_events, p.k,
+      |    sum(d.n_events - p.k) OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM daily d JOIN per p USING (event_type)),
+      |m AS (SELECT *, min(cum) OVER (PARTITION BY event_type
+      |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn
+      |  FROM c)
+      |SELECT event_type, day, n_events, CAST(k AS BIGINT) AS k,
+      |  CAST(cum - least(0, mn) AS BIGINT) AS cusum,
+      |  (cum - least(0, mn)) > k * 5 AS alarm
+      |FROM m""".stripMargin
 
   private def lshPairCtes(threshold: String): String =
     s"""$lshKeyCtes,
@@ -5301,25 +5468,12 @@ object SparkEntry {
 
     // q219: same daily aggregate as q190, ceil-mean allowance, then
     // the two cumulative windows of the prefix-form CUSUM
-    "q219_cusum_drift" ->
-      """WITH daily AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |per AS (SELECT event_type,
-        |    (sum(n_events) + count(*) - 1) // count(*) AS k
-        |  FROM daily GROUP BY 1),
-        |c AS (SELECT d.event_type, d.day, d.n_events, p.k,
-        |    sum(d.n_events - p.k) OVER (PARTITION BY d.event_type
-        |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM daily d JOIN per p USING (event_type)),
-        |m AS (SELECT *, min(cum) OVER (PARTITION BY event_type
-        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn
-        |  FROM c)
-        |SELECT event_type, day, n_events, CAST(k AS BIGINT) AS k,
-        |  CAST(cum - least(0, mn) AS BIGINT) AS cusum,
-        |  (cum - least(0, mn)) > k * 5 AS alarm
-        |FROM m""".stripMargin,
+    "q219_cusum_drift" -> cusumDailyOracleSql,
+
+    // q224: the STREAM path must equal the batch prefix form
+    // row-for-row — same oracle verbatim (the q192 stream-equals-
+    // batch contract, state-machine edition)
+    "q224_stream_cusum" -> cusumDailyOracleSql,
 
     // q220: the q204 mirror with weight 1 per doc, wrapped in the
     // same share/weight rationals
@@ -5428,41 +5582,34 @@ object SparkEntry {
     // re-derives gray levels from the mirrored variant generator at
     // the resampled source indices, rebuilds the dHash bit table, and
     // runs the SAME band-candidate + exact-hamming verify in SQL
-    "q216_image_dhash_neardup" ->
-      """WITH dim AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v,
-        |    4 + (doc_id // 4) % 13 AS w, 4 + (doc_id // 4) % 11 AS h
-        |  FROM documents),
-        |gray AS (SELECT d.doc_id, x.i AS x, y.i AS y,
-        |    sum(CASE WHEN ((x.i * d.w) // 9) = 0
-        |        AND ((y.i * d.h) // 8) = 0
-        |      THEN (((d.base % 100003) * 31 + c.i * 97) % 256
-        |        + d.v * 40) % 256
-        |      ELSE ((d.base % 100003) * 31 + ((x.i * d.w) // 9) * 7
-        |        + ((y.i * d.h) // 8) * 13 + c.i * 97) % 256 END) AS g
-        |  FROM dim d,
-        |    (SELECT unnest(range(0, 9)) AS i) x,
-        |    (SELECT unnest(range(0, 8)) AS i) y,
-        |    (SELECT unnest(range(0, 3)) AS i) c
-        |  GROUP BY 1, 2, 3),
-        |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx,
-        |    CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
-        |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y
-        |    AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |bands AS (SELECT doc_id, idx // 16 AS band,
-        |    sum(bit << (idx % 16)) AS bkey
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band
-        |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |ham AS (SELECT c.doc_a, c.doc_b,
-        |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM cand c
-        |  JOIN bits ba ON ba.doc_id = c.doc_a
-        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.idx = ba.idx
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 3""".stripMargin,
+    "q216_image_dhash_neardup" -> dhashNearDupOracleSql(None),
+
+    // q225: the identical dHash mirror with the bucket-size guard in
+    // the candidate stage (band buckets > 16 drop before the join)
+    "q225_dhash_capped_bands" -> dhashNearDupOracleSql(Some(16L)),
+
+    // q226: the q23 exact-Jaccard pair mirror wrapped as a CTE, then
+    // the source rollup with C(n,2)-diagonal pair-rate denominators
+    "q226_cross_source_dup" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH p2 AS ($jaccardSql),
+         |s AS (SELECT doc_id, source FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b,
+         |    count(*) AS n_pairs
+         |  FROM p2 JOIN s sa ON sa.doc_id = p2.doc_a
+         |  JOIN s sb ON sb.doc_id = p2.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b, m.n_pairs,
+         |  ${ratioScaledSql("m.n_pairs",
+             "CASE WHEN m.source_a = m.source_b " +
+               "THEN (CAST(ca.n AS HUGEINT) * (ca.n - 1)) // 2 " +
+               "ELSE CAST(ca.n AS HUGEINT) * cb.n END", 6)} AS rate_e6
+         |FROM m
+         |JOIN c ca ON ca.source = m.source_a
+         |JOIN c cb ON cb.source = m.source_b""".stripMargin
+    },
 
     // q215: q203's t/j score/label derivation; per-distinct-score
     // tally, exclusive below-window, one HUGEINT pair aggregate

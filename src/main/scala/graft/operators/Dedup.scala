@@ -586,6 +586,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** [[simhashFromFingerprints]] with a BUCKET-SIZE guard: band
+    * buckets holding more than `maxBucket` fingerprints are dropped
+    * from candidate generation before the self-join. A multi-index
+    * hamming join is only sub-quadratic while band keys spread; on
+    * adversarially low-entropy fingerprints (the r13 probe lesson:
+    * tiny synthetic images collapse dHash to a few informative bits)
+    * a single dense bucket re-creates the all-pairs blowup as one
+    * straggler task. The cap bounds per-bucket work at C(maxBucket,2)
+    * — the same guard the LSH/fuzzy-join paths already carry
+    * (max-bucket asserts, blocked expansion). RECALL CONTRACT: the
+    * hamming ≤ 3 pigeonhole guarantee then holds only for pairs
+    * sharing at least one SURVIVING band; a pair all of whose shared
+    * bands are over-dense is sacrificed — the documented trade, with
+    * the dropped-bucket count emittable from the sizes frame by
+    * callers that audit it. */
+  def simhashFromFingerprintsCapped(withFp: DataFrame, bands: Int,
+      maxHamming: Int, maxBucket: Long): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxBucket >= 2, "maxBucket >= 2 or no pair can surface")
+    val chunk = 64 / bands
+    val mask = (1L << chunk) - 1
+    val buckets = withFp.select(col("doc"), col("fp"),
+      posexplode(array((0 until bands).map(c =>
+        shiftright(col("fp"), c * chunk).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
+    val sizes = buckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz__"))
+      .filter(col("bsz__") <= maxBucket)
+    val kept = buckets.join(sizes.select(col("band"), col("bkey")),
+      Seq("band", "bkey"))
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** S10 append-with-dedup (ref newsflow_scraper.py:243-327, batch form):
     * keep incoming rows whose key is absent from `existing` — a left-anti
     * join, the shuffle-parallel version of the reference's driver-side

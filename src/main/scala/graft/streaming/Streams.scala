@@ -77,6 +77,56 @@ object Streams {
       }
   }
 
+  /** Streaming one-sided CUSUM — the stateful twin of
+    * [[graft.operators.EventAnalytics.cusumDaily]]: per group the
+    * state is ONE record (current day, its running count, the CUSUM
+    * level), updated by the textbook recursion
+    * S ← max(0, S + n_day − k) each time a later day's first event
+    * closes the current day; the closed day emits
+    * (group, day, n_events, k, cusum, alarm). The allowance k per
+    * group arrives as a precomputed map (in production, calibrated on
+    * a reference window; in the gate, the batch formula — which makes
+    * stream output equal the batch operator row-for-row). Feed
+    * batches must be day-ordered (the value-slice stager) and the
+    * final real day closes via a sentinel event on a later day, which
+    * itself rides in state and never emits — the q78 flush contract.
+    * A day straddling two micro-batches is safe: its count simply
+    * keeps accumulating in state. */
+  case class DayEvent(group: String, day: Long)
+  case class CusumState(day: Long, cnt: Long, s: Long)
+  case class CusumPoint(group: String, day: Long, n_events: Long,
+    k: Long, cusum: Long, alarm: Boolean)
+
+  def streamingCusum(events: org.apache.spark.sql.Dataset[DayEvent],
+      allowance: Map[String, Long],
+      hMult: Long): org.apache.spark.sql.Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[DayEvent], state: GroupState[CusumState]) =>
+          val k = allowance.getOrElse(group, 1L)
+          val out = Seq.newBuilder[CusumPoint]
+          var cur = state.getOption
+          batch.toSeq.sortBy(_.day).foreach { e =>
+            cur match {
+              case Some(st) if e.day == st.day =>
+                cur = Some(st.copy(cnt = st.cnt + 1))
+              case Some(st) =>
+                val s2 = math.max(0L, st.s + st.cnt - k)
+                out += CusumPoint(group, st.day, st.cnt, k, s2,
+                  s2 > k * hMult)
+                cur = Some(CusumState(e.day, 1L, s2))
+              case None =>
+                cur = Some(CusumState(e.day, 1L, 0L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** [[statefulSessions]] with WATERMARK-driven closure
     * (GroupStateTimeout.EventTimeTimeout): instead of a sentinel row
     * flushing open sessions, each update arms an event-time timeout at

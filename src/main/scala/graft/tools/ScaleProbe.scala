@@ -646,11 +646,16 @@ object ScaleProbe {
     // the generator was the degenerate part, and the probe below
     // keeps the decode cost measured without the synthetic
     // entropy collapse.
-    time("image_dhash_decode") {
+    locally {
+      val t0 = System.nanoTime()
       graft.operators.Multimodal.dhashFingerprints(
         graft.operators.Multimodal.synthVariantPngPayloads(
           spark.range(nDocs).select(col("id").as("doc_id")), "doc_id",
           groupSize = 4), "doc_id", "payload")
+        .write.format("noop").mode("overwrite").save()
+      emit(f"""{"probe":"image_dhash_decode","rows":$nDocs,""" +
+        f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      spark.catalog.clearCache()
     }
     locally {
       // groups of 4 share a random 64-bit base fp; variants flip one

@@ -442,6 +442,61 @@ class Round13OpsSpec extends SparkSpec {
     assert(o.getLong(3) == 0L && o.getLong(4) == 0L)
   }
 
+  test("simhashFromFingerprintsCapped: dense buckets drop, sparse " +
+    "pairs survive, uncapped path keeps everything") {
+    import graft.operators.Dedup
+    // 20 identical fingerprints (every band bucket size 20) + one
+    // isolated pair in its own buckets
+    val fps = ((0L until 20L).map(i => (i, 0L)) ++
+      Seq((100L, 5L), (101L, 5L))).toDF("doc", "fp")
+    val capped = Dedup.simhashFromFingerprintsCapped(fps, bands = 4,
+      maxHamming = 3, maxBucket = 16L).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((100L, 101L, 0L)))
+    // uncapped: 190 zero-zero pairs + the (100,101) pair + 40
+    // cross pairs (0 vs 5 is hamming 2, sharing the dense key-0
+    // buckets) — the capped path sacrifices exactly those cross
+    // pairs, the documented recall trade
+    val uncapped = Dedup.simhashFromFingerprints(fps, bands = 4,
+      maxHamming = 3).count()
+    assert(uncapped == 190L + 1L + 40L)
+  }
+
+  test("streamingCusum: day-ordered feed reproduces the batch " +
+    "recursion; sentinel closes the final day; straddled day " +
+    "accumulates across batches") {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cusum_stream")
+    val src = s"$root/feed"
+    new java.io.File(src).mkdirs()
+    // counts by day: 1,1,1,100, k=26 (the cusumDaily fixture); day 3
+    // STRADDLES batches 1 and 2; sentinel day 4 ships last
+    def rows(day: Long, n: Int, b: Int) = Seq.fill(n)(("a", day, b))
+    Streams.stageBatchFiles(
+      (rows(0L, 1, 0) ++ rows(1L, 1, 0) ++ rows(2L, 1, 1) ++
+        rows(3L, 40, 1) ++ rows(3L, 60, 2) ++ rows(4L, 1, 2))
+        .toDF("group", "day", "b"), "b", src)
+    val stream = spark.readStream
+      .schema("group STRING, day LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[Streams.DayEvent]
+    val out = s"$root/out"
+    val q = Streams.streamingCusum(stream, Map("a" -> 26L), hMult = 2L)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      0L -> (1L, 0L, false), 1L -> (1L, 0L, false),
+      2L -> (1L, 0L, false), 3L -> (100L, 74L, true)))
+  }
+
   test("embargoSplit: relative edges, per-split counts, and the " +
     "train-entity overlap audit on a hand timeline") {
     val day = 86400L * 1000000000L
