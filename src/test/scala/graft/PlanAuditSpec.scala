@@ -366,4 +366,77 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"a non-broadcast cartesian appeared:\n$p")
   }
+
+  test("rocAuc's below-count rides range partitioning; no " +
+    "unpartitioned corpus window") {
+    val df = (1 to 500).map(i => (i.toLong % 97, i % 3 == 0))
+      .toDF("s", "y")
+    val p = plan(graft.operators.EvalMetrics.rocAuc(df, "s", "y"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected the runningTotal range partition:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+  }
+
+  test("triangleStats: equi-joins only, no window, no cartesian") {
+    val e = (1 to 200).map(i => (i.toLong, (i % 50).toLong + 300L))
+      .toDF("a", "b")
+    val p = plan(graft.operators.GraphRank.triangleStats(e, "a", "b"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the triangle path:\n$p")
+    assert(!p.contains("Window"),
+      s"a window operator appeared in triangle counting:\n$p")
+  }
+
+  test("readability is projections + one aggregate — no explode, " +
+    "one scan-equivalent") {
+    val df = Seq(("a b c. d!", "s"), ("x y?", "t"))
+      .toDF("text", "source")
+    val p = plan(graft.operators.TextAnalysis
+      .readabilityBySource(df, "text", "source"))
+    assert(!p.contains("Generate"),
+      s"an explode crept into readability:\n$p")
+    assert(!p.contains("Window"),
+      s"a window crept into readability:\n$p")
+  }
+
+  test("url canonicalization is a pure codegen projection before " +
+    "its rollup") {
+    import graft.functions.UrlCanon
+    val proj = spark.range(100).select(UrlCanon.canonicalUrl(
+      UrlCanon.synthUrl(col("id"))).as("c"))
+    val p = plan(proj)
+    // one Project over the source — no explode, no shuffle. (The
+    // param filter/sort lambdas are higher-order functions, which
+    // Spark evaluates interpreted — acceptable here: the arrays are
+    // a URL's query params, a handful of elements.)
+    assert(!p.contains("Generate") && !p.contains("Exchange"),
+      s"canonicalization should be a narrow projection:\n$p")
+  }
+
+  test("embargo split anchors on a broadcast 1-row aggregate, " +
+    "never a cartesian") {
+    val day = 86400L * 1000000000L
+    val ev = (1 to 300).map(i => (i.toLong % 40, (i % 25).toLong * day))
+      .toDF("user_id", "ts")
+    val p = plan(graft.operators.Sampling.embargoSplit(
+      ev, "ts", "user_id"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected the broadcast max-day anchor:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian appeared:\n$p")
+  }
+
+  test("cusumDaily windows partition by group — never the whole " +
+    "daily frame") {
+    val day = 86400L * 1000000000L
+    val ev = (1 to 400).map(i => (s"t${i % 5}", (i % 30).toLong * day))
+      .toDF("event_type", "ts")
+    val p = plan(graft.operators.EventAnalytics.cusumDaily(
+      ev, "event_type", "ts"))
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+  }
 }
