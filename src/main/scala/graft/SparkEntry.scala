@@ -1844,6 +1844,95 @@ object SparkEntry {
             .as("rate_e6"))
     }),
 
+    // ---- dedup: SUBSTRING-level duplication coverage — per doc, the
+    // exact fraction of tokens lying inside some 8-token span that
+    // occurs more than once in the corpus (Lee et al. span dedup; the
+    // partial-copy signal doc-level MinHash can't see). Union-of-
+    // intervals sweep, all integer, e4 exact ratio.
+    "q227_dup_span_coverage" -> ((s, dir) =>
+      Dedup.dupSpanCoverage(T(s, dir, "documents"), "doc_id", "text",
+        k = 8)),
+
+    // ---- eval: decile LIFT / cumulative-GAIN table of the quality
+    // score against the Gopher keep label (the q215 score/label pair
+    // as a selection-policy sheet: per decile the positive rate, the
+    // lift over base rate, the gain curve). Range-partitioned rank,
+    // unique (score desc, doc_id asc) tie-break mirrored in the oracle.
+    "q228_lift_table" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("q_e4"))
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.liftTable(scored.join(label, "doc_id"), "doc_id",
+        "q_e4", "keep", buckets = 10)
+    }),
+
+    // ---- streaming: SLIDING-window agg under the same late-data feed
+    // as q169 (1 h window / 30 min slide / 30 min watermark). The
+    // Expand generates both windows per event BEFORE the late-row
+    // filter, so a late event merges into its still-open window while
+    // dropping from the emitted one — the oracle applies the q169
+    // admission rule per (event, window) pair. Same sentinel guarantee:
+    // every real window end sits below the final watermark while a
+    // data batch still runs; sentinel windows never emit.
+    "q229_sliding_window" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
+          round(col("value") * 100, 0).cast("long").as("v"),
+          col("event_id").cast("long").as("eid"))
+      if (ev.isEmpty) {
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("win_start", "event_type", "n_events", "value_sum")
+      } else {
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      val batched = ev.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === 0, lit(2))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 2L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("event_type"), col("tsSec"), col("v"), col("b"))
+        .unionByName(
+          rng.select(lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7200L).as("tsSec"), lit(0L).as("v"),
+              lit(3).cast("int").as("b"))
+            .unionByName(rng.select(
+              lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7800L).as("tsSec"), lit(0L).as("v"),
+              lit(4).cast("int").as("b"))))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q229-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream
+        .schema("event_type STRING, tsSec LONG, v LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val agg = graft.streaming.Streams.slidingWindowedAgg(src, "ts",
+        windowLen = "1 hour", slideLen = "30 minutes",
+        watermark = "30 minutes",
+        keyCols = Seq("event_type"), valueCol = "v")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q229-out").toString
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$outDir/wins")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/wins")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_events"), col("value_sum"))
+      }
+    }),
+
     // ---- eval: exact ROC-AUC of the quality score against the
     // Gopher keep label — tie-corrected Mann–Whitney over the q203
     // score/label surface; per-distinct-score tally + range-
@@ -5610,6 +5699,116 @@ object SparkEntry {
          |JOIN c ca ON ca.source = m.source_a
          |JOIN c cb ON cb.source = m.source_b""".stripMargin
     },
+
+    // q227: positional 8-grams via a range lateral (1-based; the
+    // engine's 0-based posexplode cancels — only aggregates export),
+    // occurrence counts >= 2, then the identical running-max
+    // union-of-intervals sweep
+    "q227_dup_span_coverage" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      val k = 8
+      val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |p AS (SELECT doc_id, ws, unnest(range(1, len(ws)-${k - 2})) AS i
+         |  FROM t WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, i AS pos, $gramExpr AS gram FROM p),
+         |c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY 1),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)
+         |  WHERE c.n_occ >= 2),
+         |sw AS (SELECT doc_id, pos,
+         |    max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_end
+         |  FROM d),
+         |per AS (SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(greatest(pos + $k -
+         |      greatest(coalesce(prev_end, pos), pos), 0)) AS covered
+         |  FROM sw GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(per.covered, 0) AS BIGINT) AS covered_tokens,
+         |  ${ratioScaledSql("coalesce(per.covered, 0)", "len(t.ws)", 4)}
+         |    AS dup_cov_e4
+         |FROM t LEFT JOIN per ON per.doc_id = t.doc_id""".stripMargin
+    },
+
+    // q228: q215's t/j score+label derivation; row_number with the
+    // identical (s DESC, doc_id ASC) unique tie-break, integer decile
+    // cut ((rn-1)*10 // n), bounded cumulative window over 10 rows
+    "q228_lift_table" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioScaledSql(qScoreNum, qScoreDen, 4)} AS q_e4,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT doc_id, q_e4 AS s,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS y
+         |  FROM t),
+         |r AS (SELECT doc_id, s, y,
+         |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+         |  FROM j),
+         |a AS (SELECT count(*) AS n_total,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS pos_total
+         |  FROM j),
+         |b AS (SELECT ((rn - 1) * 10) // a.n_total AS bucket,
+         |    count(*) AS n_rows,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM r, a GROUP BY 1),
+         |c AS (SELECT bucket, n_rows, n_pos,
+         |    sum(n_pos) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_pos
+         |  FROM b)
+         |SELECT c.bucket, CAST(c.n_rows AS BIGINT) AS n_rows, c.n_pos,
+         |  ${ratioScaledSql("c.n_pos", "c.n_rows", 6)} AS rate_e6,
+         |  ${ratioScaledSql("CAST(c.n_pos AS HUGEINT) * a.n_total",
+             "CAST(c.n_rows AS HUGEINT) * a.pos_total", 6)} AS lift_e6,
+         |  ${ratioScaledSql("c.cum_pos", "a.pos_total", 6)}
+         |    AS cum_gain_e6
+         |FROM c, a""".stripMargin
+    },
+
+    // q229: q169's batch recomputation with the sliding twist — each
+    // event unnests into BOTH its candidate windows (starts at
+    // (t//1800)·1800 and that minus 1800) before the admission rule,
+    // so the window-end-vs-previous-watermark test runs per
+    // (event, window) pair exactly as the Expand-then-filter engine
+    // order does; late rows can survive in one window and drop from
+    // the other. Sentinels are harness rows and never appear.
+    "q229_sliding_window" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000000000 AS tsec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    event_id AS eid
+        |  FROM events),
+        |rng AS (SELECT min(tsec) AS mn, max(tsec) AS mx FROM ev
+        |  WHERE eid % 10 <> 0),
+        |b AS (SELECT event_type, tsec, v,
+        |    CASE WHEN eid % 10 = 0 THEN 2
+        |         ELSE (tsec - mn) * 2 // (mx - mn + 1) END AS bb
+        |  FROM ev, rng),
+        |x AS (SELECT event_type, tsec, v, bb,
+        |    unnest([(tsec // 1800) * 1800 - 1800,
+        |            (tsec // 1800) * 1800]) AS ws
+        |  FROM b),
+        |w AS (SELECT max(tsec) - 1800 AS wl FROM b WHERE bb = 0),
+        |kept AS (SELECT event_type, ws, v FROM x, w
+        |  WHERE bb IN (0, 1) OR ws + 3600 > wl)
+        |SELECT ws AS win_start, event_type,
+        |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
+        |FROM kept GROUP BY 1, 2""".stripMargin,
 
     // q215: q203's t/j score/label derivation; per-distinct-score
     // tally, exclusive below-window, one HUGEINT pair aggregate

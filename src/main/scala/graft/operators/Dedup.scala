@@ -767,4 +767,70 @@ object Dedup {
       comp.select(col(idCol)), Seq(idCol), "left_anti")
     best.unionByName(singletons)
   }
+
+  /** SUBSTRING-level duplication coverage — the exact-span dedup
+    * statistic of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better": for each document, the fraction of its
+    * tokens covered by some k-token span that occurs MORE THAN ONCE in
+    * the corpus (any second occurrence — another document or a repeat
+    * inside the same one). Doc-level MinHash (q23) misses partial
+    * copies — a paragraph pasted into an otherwise-novel page; this is
+    * the operator that sees them, and its coverage column is the
+    * standard cut for span-level dedup ("drop docs >X% duplicated
+    * text", RefinedWeb §3.2-style).
+    *
+    * Exactness: duplicated token positions form overlapping intervals
+    * [pos, pos+k); the per-doc covered count is the measure of their
+    * UNION, computed with the classic running-max sweep — sort spans by
+    * start, each contributes `max(0, end − max(prev_max_end, start))`
+    * where `prev_max_end` is a window max over preceding rows. All
+    * integer; the coverage ratio is an exact-rounded e4 scaled int.
+    *
+    * Shape at scale: posexplode to a positional token stream, k−1
+    * per-doc `lead`s to form positional k-grams (per-doc windows,
+    * never global), ONE gram-key shuffle for occurrence counts (the
+    * posting-list pattern — at 100 TB swap the raw gram string for its
+    * [[graft.expressions.Md5Prefix64]] so the shuffle carries 8 bytes),
+    * a join back on gram, and a per-doc window sweep. No pairwise
+    * stage ever materializes — cost is linear in corpus token count. */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "span length k must be >= 2")
+    val toks = df.select(col(idCol).as("doc__"),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos__", "w__")))
+    val byDoc = Window.partitionBy(col("doc__")).orderBy(col("pos__"))
+    val withLeads = (1 until k).foldLeft(toks)((d, j) =>
+      d.withColumn(s"w${j}__", lead(col("w__"), j).over(byDoc)))
+    val grams = withLeads.filter(col(s"w${k - 1}__").isNotNull)
+      .select(col("doc__"), col("pos__"),
+        concat_ws(" ",
+          col("w__") +: (1 until k).map(j => col(s"w${j}__")): _*)
+          .as("gram__"))
+    val counts = grams.groupBy(col("gram__"))
+      .agg(count(lit(1)).as("n_occ__"))
+    val dupStarts = grams.join(counts, "gram__")
+      .filter(col("n_occ__") >= 2L)
+      .select(col("doc__"), col("pos__"))
+    // union-of-intervals sweep: contribution of each span clipped to
+    // what the running max end has not already covered
+    val before = Window.partitionBy(col("doc__")).orderBy(col("pos__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = dupStarts
+      .withColumn("prev_end__", max(col("pos__") + k).over(before))
+      .groupBy(col("doc__"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(greatest(lit(0L),
+          col("pos__") + lit(k.toLong) -
+            greatest(coalesce(col("prev_end__"), col("pos__")),
+              col("pos__")))).as("covered_tokens"))
+    df.select(col(idCol).as("doc__"),
+        size(TextFns.words(col(textCol))).cast("long").as("n_tokens"))
+      .join(per, Seq("doc__"), "left")
+      .select(col("doc__").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        graft.functions.ExactRound.ratioScaled(
+          coalesce(col("covered_tokens"), lit(0L)), col("n_tokens"), 4)
+          .as("dup_cov_e4"))
+  }
 }

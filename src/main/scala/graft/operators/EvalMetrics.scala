@@ -173,4 +173,57 @@ object EvalMetrics {
       .select(col("bin"), col("n_rows"), col("n_pos"), col("conf_e6"),
         col("acc_e6"), col("gap_e6"), col("ece_e6"))
   }
+
+  /** Decile LIFT / cumulative-GAIN table — the model-eval sheet next
+    * to q215's ROC-AUC and q203's calibration: rows ranked by score
+    * descending and cut into `buckets` equal-count slices; per slice
+    * the positive rate, the lift over the base rate
+    * (rate_slice / rate_overall as the exact rational
+    * n_pos·n_total / (n_rows·pos_total)), and the cumulative share of
+    * all positives captured so far (the gain curve a top-X% selection
+    * policy reads). All counts integer, every ratio an exact-rounded
+    * e6 scaled int.
+    *
+    * Determinism: the rank's sort key is (score DESC, id ASC) — with
+    * a unique `idCol` the total order is unique, so bucket boundaries
+    * cannot flap on score ties (mirror the same tie-break in any
+    * oracle). Shape at scale: the rank is the range-partitioned
+    * [[ScalableRank.withGlobalPosition]] path (no global window); the
+    * bucket aggregate is map-side combinable; the only windows run
+    * over the `buckets`-row table (bounded by construction). */
+  def liftTable(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    import graft.functions.ExactRound
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranked = ScalableRank.withGlobalPosition(
+      df.select(col(idCol).as("id__"), col(scoreCol).as("s__"),
+        col(labelCol).cast("boolean").as("y__")),
+      Seq(col("s__").desc, col("id__").asc), nParts, "rn__")
+    val n = ranked.agg(count(lit(1)).as("n_total"),
+      sum(when(col("y__"), 1L).otherwise(0L)).as("pos_total"))
+    val perBucket = ranked
+      .crossJoin(broadcast(n))
+      .groupBy(call_function("div",
+          (col("rn__") - 1L) * buckets, col("n_total")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("y__"), 1L).otherwise(0L)).as("n_pos"),
+        first(col("n_total")).as("n_total__"),
+        first(col("pos_total")).as("pos_total__"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_pos__", sum(col("n_pos")).over(byBucket))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        ExactRound.ratioScaled(col("n_pos"), col("n_rows"), 6)
+          .as("rate_e6"),
+        ExactRound.ratioScaledBig(
+          col("n_pos").cast("decimal(38,0)") * col("n_total__"),
+          col("n_rows").cast("decimal(38,0)") * col("pos_total__"), 6)
+          .as("lift_e6"),
+        ExactRound.ratioScaled(col("cum_pos__"), col("pos_total__"), 6)
+          .as("cum_gain_e6"))
+  }
 }

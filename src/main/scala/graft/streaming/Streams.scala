@@ -38,6 +38,26 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("value_sum"))
 
+  /** SLIDING-window counts/sums per key: each event lands in
+    * `windowLen / slideLen` overlapping windows (Spark generates them
+    * with one Expand — no self-join), each window emitting once its
+    * end passes the watermark. Late-data semantics follow the
+    * per-generated-window admission rule: because the Expand runs
+    * BEFORE the aggregation's late-row filter, one late event can be
+    * merged into its still-open later window while being dropped for
+    * the already-emitted earlier one — the oracle must apply the
+    * window-end test per (event, window) pair, not per event. State is
+    * one row per open (window, key): bounded by watermark horizon ×
+    * slide count, independent of stream length. */
+  def slidingWindowedAgg(stream: DataFrame, eventTime: String,
+      windowLen: String, slideLen: String, watermark: String,
+      keyCols: Seq[String], valueCol: String): DataFrame =
+    stream.withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen, slideLen) +:
+        keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_sum"))
+
   /** Custom-state stateful streaming: gap-based sessionization with
     * `flatMapGroupsWithState` (the KeyValueGroupedDataset custom-state
     * API). A session CLOSES — and emits — when a later event arrives

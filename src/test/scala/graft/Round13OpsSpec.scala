@@ -677,4 +677,47 @@ class Round13OpsSpec extends SparkSpec {
     if (sum.isDefined) assert(pw.contains(w) && ph.contains(h))
     else assert(mn.isEmpty && mx.isEmpty)
   }
+
+  test("dupSpanCoverage: union-of-intervals exact — overlapping " +
+    "within-doc repeats, disjoint cross-doc spans, short docs zero") {
+    // k=3. dup grams: "a b c" (docs 1+2), "d e f" (docs 1+2),
+    // "z z z" (doc 3, positions 0 AND 1 — a within-doc repeat whose
+    // intervals [0,3)+[1,4) overlap: union is 4, not 6)
+    val docs = Seq(
+      (1L, "a b c d e f"),      // spans [0,3)+[3,6) -> 6/6 covered
+      (2L, "a b c x d e f"),    // spans [0,3)+[4,7) -> 6/7 covered
+      (3L, "z z z z"),          // spans [0,3)+[1,4) -> 4/4 covered
+      (4L, "q r")               // < k tokens -> all zeros
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .dupSpanCoverage(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 2L, 6L, 10000L),
+      (2L, 7L, 2L, 6L, 8571L),   // round-half-up(6/7 * 1e4)
+      (3L, 4L, 2L, 4L, 10000L),
+      (4L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("liftTable: exact decile cut, lift over base rate, gain curve; " +
+    "score ties broken by id so bucket edges cannot flap") {
+    // 6 rows, 3 buckets of 2; positives at ids 1, 2, 4; ids 3 and 4
+    // tie on score across the bucket-1 boundary -> id asc decides
+    val rows = Seq(
+      (1L, 60L, 1), (2L, 50L, 1), (3L, 40L, 0),
+      (4L, 40L, 1), (5L, 20L, 0), (6L, 10L, 0)
+    ).toDF("id", "score", "y")
+    val out = graft.operators.EvalMetrics
+      .liftTable(rows, "id", "score", "y", buckets = 3)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // bucket, n_rows, n_pos, rate_e6, lift_e6, cum_gain_e6
+      (0L, 2L, 2L, 1000000L, 2000000L, 666667L),
+      (1L, 2L, 1L, 500000L, 1000000L, 1000000L),
+      (2L, 2L, 0L, 0L, 0L, 1000000L)))
+  }
 }
