@@ -1918,6 +1918,7 @@ object SparkEntry {
         windowLen = "1 hour", slideLen = "30 minutes",
         watermark = "30 minutes",
         keyCols = Seq("event_type"), valueCol = "v")
+      // (sliding variant of the q169 harness — same sink and sentinels)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-q229-out").toString
       val q = agg.writeStream.format("parquet")
@@ -1932,6 +1933,16 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("value_sum"))
       }
     }),
+
+    // ---- clustering: UNSUPERVISED k-means (Lloyd, 3 fixed
+    // iterations, k=4) over the embedding corpus — deterministic
+    // md5-order seeding, exact integer squared-L2 assignment, signed
+    // exact-round centroid means; every iteration mirrored as an
+    // unrolled CTE (the q108 PageRank discipline applied to
+    // clustering). Gate = final centroids + member counts + inertia.
+    "q230_kmeans" -> ((s, dir) =>
+      Prototypes.kmeansLloyd(T(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iterations = 3)),
 
     // ---- eval: exact ROC-AUC of the quality score against the
     // Gopher keep label — tie-corrected Mann–Whitney over the q203
@@ -5809,6 +5820,54 @@ object SparkEntry {
         |SELECT ws AS win_start, event_type,
         |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // q230: the Lloyd loop unrolled as CTEs (the q108 discipline) —
+    // q130's e6 quantization, HUGEINT squared-L2, (d2, c) argmin,
+    // signed exact-round means with empty clusters inheriting their
+    // previous centroid; one extra assign pass (a4) for the final
+    // membership/inertia under the final centroids
+    "q230_kmeans" -> {
+      import graft.functions.ExactRound.ratioScaledSignedSql
+      def iter(t: Int) =
+        s"""d$t AS (SELECT u.vec_id, c.c,
+           |    sum(CAST(u.u - c.ce6 AS HUGEINT) * (u.u - c.ce6)) AS d2
+           |  FROM u JOIN c${t - 1} c USING (dim) GROUP BY 1, 2),
+           |a$t AS (SELECT vec_id, c, d2 FROM (SELECT vec_id, c, d2,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2, c) AS rn FROM d$t) WHERE rn = 1),
+           |c$t AS (SELECT p.c, p.dim, coalesce(nc.m, p.ce6) AS ce6
+           |  FROM c${t - 1} p LEFT JOIN (
+           |    SELECT a.c, u.dim,
+           |      ${ratioScaledSignedSql("sum(CAST(u.u AS HUGEINT))",
+                  "count(*)", 0)} AS m
+           |    FROM a$t a JOIN u USING (vec_id) GROUP BY 1, 2) nc
+           |    ON nc.c = p.c AND nc.dim = p.dim)""".stripMargin
+      s"""WITH u AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |sd AS (SELECT vec_id, CAST(c AS BIGINT) AS c FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+         |    FROM embeddings) WHERE c < 4),
+         |c0 AS (SELECT sd.c, u.dim, u.u AS ce6
+         |  FROM sd JOIN u USING (vec_id)),
+         |${(1 to 3).map(iter).mkString(",\n")},
+         |d4 AS (SELECT u.vec_id, c.c,
+         |    sum(CAST(u.u - c.ce6 AS HUGEINT) * (u.u - c.ce6)) AS d2
+         |  FROM u JOIN c3 c USING (dim) GROUP BY 1, 2),
+         |a4 AS (SELECT vec_id, c, d2 FROM (SELECT vec_id, c, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, c) AS rn FROM d4) WHERE rn = 1),
+         |sz AS (SELECT c, count(*) AS n_members,
+         |    CAST(sum(d2) // 1000000 AS BIGINT) AS inertia_e6
+         |  FROM a4 GROUP BY 1)
+         |SELECT ct.c, ct.dim, ct.ce6,
+         |  CAST(coalesce(sz.n_members, 0) AS BIGINT) AS n_members,
+         |  coalesce(sz.inertia_e6, 0) AS inertia_e6
+         |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
+    },
 
     // q215: q203's t/j score/label derivation; per-distinct-score
     // tally, exclusive below-window, one HUGEINT pair aggregate

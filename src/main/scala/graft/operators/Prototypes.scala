@@ -193,4 +193,91 @@ object Prototypes {
       .withColumn("is_zero", col("norm2_e12") === 0L)
       .withColumn("is_empty", col("n_dims") === 0L)
   }
+
+  /** UNSUPERVISED k-means (Lloyd's algorithm, fixed iteration count) —
+    * the clustering primitive behind topic bucketing, IVF coarse
+    * quantizers, and SemDeDup-style cluster-then-dedup, here with a
+    * fully deterministic, engine-exact lineage so every iteration
+    * hash-matches an unrolled SQL oracle:
+    *   - init: the k seed vectors with the smallest (md5(id), id) — a
+    *     deterministic pseudo-random draw, cluster index = seed rank;
+    *   - assign: exact integer squared-L2 over e6-quantized components
+    *     (the [[prototypeConfusion]] arithmetic), argmin with ties
+    *     broken by cluster index ascending;
+    *   - update: per-(cluster, dim) integer mean with the signed exact
+    *     round ([[labelPrototypes]]' mean_e6); an emptied cluster
+    *     keeps its previous centroid (no respawn heuristic — the rule
+    *     an oracle can mirror).
+    * Output: one row per (cluster, dim) with the final centroid
+    * component, the cluster's member count under the FINAL centroids,
+    * and its inertia (Σ d², e12 units floor-scaled to e6 so the total
+    * stays in BIGINT range at corpus scale).
+    *
+    * Shape at scale: centroids are k·dims rows — always broadcast; the
+    * per-iteration cost is one broadcast join + two map-side-
+    * combinable aggregates over the exploded unit stream; the argmin
+    * window partitions by vector (k rows each). `localCheckpoint`
+    * truncates the loop lineage exactly as [[GraphRank.pageRank]]. */
+  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iterations: Int = 3): DataFrame = {
+    require(k >= 1 && iterations >= 1,
+      "need k >= 1 and iterations >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val dec = "decimal(38,0)"
+    val units = graft.Caches.register(emb
+      .select(col(idCol).cast("long").as("id__"),
+        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
+      .select(col("id__"), (col("pos__") + 1).cast("long").as("dim"),
+        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val wSeed = Window.orderBy(md5(col("id__").cast("string")).asc,
+      col("id__").asc)
+    // the k-row sort is bounded by construction: limit(k) runs as a
+    // distributed TakeOrdered before the k-row row_number window
+    val seeds = emb.select(col(idCol).cast("long").as("id__"))
+      .orderBy(md5(col("id__").cast("string")).asc, col("id__").asc)
+      .limit(k)
+      .select(col("id__"), (row_number().over(wSeed) - 1).cast("long")
+        .as("c"))
+    var centroids = units
+      .join(seeds, "id__")
+      .select(col("c"), col("dim"), col("u__").as("ce6"))
+      .localCheckpoint(true)
+    def assignTo(cents: DataFrame): DataFrame = {
+      val dists = units.join(broadcast(cents), "dim")
+        .groupBy(col("id__"), col("c"))
+        .agg(sum(((col("u__") - col("ce6")).cast(dec) *
+          (col("u__") - col("ce6"))).cast(dec)).as("d2__"))
+      val pick = Window.partitionBy(col("id__"))
+        .orderBy(col("d2__").asc, col("c").asc)
+      dists.withColumn("rn__", row_number().over(pick))
+        .filter(col("rn__") === 1)
+        .select(col("id__"), col("c"), col("d2__"))
+    }
+    for (_ <- 1 to iterations) {
+      val assign = assignTo(centroids)
+      val upd = units.join(assign.select(col("id__"), col("c")), "id__")
+        .groupBy(col("c"), col("dim"))
+        .agg(count(lit(1)).as("n__"),
+          sum(col("u__").cast(dec)).as("s__"))
+        .select(col("c"), col("dim"),
+          ExactRound.ratioScaledSigned(col("s__"), col("n__"), 0)
+            .as("new__"))
+      centroids = centroids
+        .join(upd, Seq("c", "dim"), "left")
+        .select(col("c"), col("dim"),
+          coalesce(col("new__"), col("ce6")).as("ce6"))
+        .localCheckpoint(true)
+    }
+    val finalAssign = assignTo(centroids)
+    val sizes = finalAssign.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_members"),
+        call_function("div", sum(col("d2__")), lit(1000000L))
+          .cast("long").as("inertia_e6"))
+    centroids.join(sizes, Seq("c"), "left")
+      .select(col("c"), col("dim"), col("ce6"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia_e6"), lit(0L)).as("inertia_e6"))
+  }
 }

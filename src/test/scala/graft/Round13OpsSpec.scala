@@ -720,4 +720,26 @@ class Round13OpsSpec extends SparkSpec {
       (1L, 2L, 1L, 500000L, 1000000L, 1000000L),
       (2L, 2L, 0L, 0L, 0L, 1000000L)))
   }
+
+  test("kmeansLloyd: two well-separated pairs converge to their exact " +
+    "means from ANY md5 seeding within 3 iterations; inertia exact") {
+    // clusters A {(0,0),(0,2)} and B {(10,10),(10,12)}: means (0,1)
+    // and (10,11); per-cluster inertia 2·(1e6)² = 2e12 -> e6 2000000.
+    // 3 Lloyd iterations reach the stable partition even when both
+    // seeds land inside one cluster, so the assertion is seeding-free.
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 2f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(10f, 12f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Prototypes
+      .kmeansLloyd(emb, "vec_id", "embedding", k = 2, iterations = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      // (dim, ce6, n_members, inertia_e6) — cluster index is
+      // seed-order-dependent, the geometry is not
+      (1L, 0L, 2L, 2000000L), (2L, 1000000L, 2L, 2000000L),
+      (1L, 10000000L, 2L, 2000000L), (2L, 11000000L, 2L, 2000000L)))
+  }
 }
