@@ -1944,6 +1944,24 @@ object SparkEntry {
       Prototypes.kmeansLloyd(T(s, dir, "embeddings"), "vec_id",
         "embedding", k = 4, iterations = 3)),
 
+    // ---- QA: Benford first-digit card over order totals (cents) —
+    // the fabricated-data / broken-ingest tripwire. Expected shares
+    // are the pinned e6 log10(1+1/d) constants (the q170 weight-table
+    // discipline); first digit via a 19-arm integer-division ladder,
+    // no float formatting in either engine.
+    "q231_benford_card" -> ((s, dir) =>
+      Profile.benfordCard(T(s, dir, "orders"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
+    // ---- dedup: SPAN REMOVAL — the q227 measurement as a transform:
+    // every duplicated 8-gram span deleted except its first
+    // (min (doc, pos)) occurrence; gate pins the RECONSTRUCTED kept
+    // text bytes via md5, not just the accounting.
+    "q232_span_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(T(s, dir, "documents"), "doc_id", "text",
+        k = 8)),
+
     // ---- eval: exact ROC-AUC of the quality score against the
     // Gopher keep label — tie-corrected Mann–Whitney over the q203
     // score/label surface; per-distinct-score tally + range-
@@ -5867,6 +5885,81 @@ object SparkEntry {
          |  CAST(coalesce(sz.n_members, 0) AS BIGINT) AS n_members,
          |  coalesce(sz.inertia_e6, 0) AS inertia_e6
          |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
+    },
+
+    // q231: identical cents scaling, the same 19-arm // ladder, the
+    // same pinned e6 expectation VALUES table, exact share + gap
+    "q231_benford_card" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS v
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) > 0),
+         |d AS (SELECT ${graft.operators.Profile
+                 .firstDigitLadderSql("v")} AS digit,
+         |    count(*) AS n
+         |  FROM v GROUP BY 1),
+         |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+         |  FROM d),
+         |e(digit, benford_e6) AS ${graft.operators.Profile
+                .benfordTableSql},
+         |s AS (SELECT CAST(e.digit AS BIGINT) AS digit,
+         |    CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+         |    ${ratioScaledSql("coalesce(d.n, 0)", "t.total", 6)}
+         |      AS share_e6,
+         |    CAST(e.benford_e6 AS BIGINT) AS benford_e6
+         |  FROM e LEFT JOIN d ON d.digit = e.digit, t)
+         |SELECT digit, n, share_e6, benford_e6,
+         |  abs(share_e6 - benford_e6) AS gap_e6
+         |FROM s""".stripMargin
+    },
+
+    // q232: q227's positional grams + the keeper rule (row_number per
+    // gram by (doc, pos)), then the same running-max sweep over
+    // tokens ∪ removal-starts (removals sort first at equal pos) and
+    // the per-doc reconstruction; 1-based positions cancel as in q227
+    "q232_span_removal" -> {
+      val k = 8
+      val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |    FROM t)),
+         |p AS (SELECT doc_id, ws, unnest(range(1, len(ws)-${k - 2})) AS i
+         |  FROM t WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, i AS pos, $gramExpr AS gram FROM p),
+         |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+         |dup AS (SELECT g.gram, g.doc_id, g.pos FROM g JOIN c
+         |  USING (gram) WHERE c.n >= 2),
+         |kp AS (SELECT gram, doc_id AS kd, pos AS kpos FROM (
+         |    SELECT gram, doc_id, pos, row_number() OVER (
+         |      PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM dup)
+         |  WHERE rn = 1),
+         |rem AS (SELECT d.doc_id, d.pos, d.pos + $k AS e
+         |  FROM dup d JOIN kp USING (gram)
+         |  WHERE NOT (d.doc_id = kp.kd AND d.pos = kp.kpos)),
+         |comb AS (SELECT doc_id, pos, w, 1 AS is_tok,
+         |    CAST(NULL AS BIGINT) AS e
+         |  FROM tok
+         |  UNION ALL SELECT doc_id, pos, NULL, 0, e FROM rem),
+         |sw AS (SELECT doc_id, pos, w, is_tok,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos, is_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS me
+         |  FROM comb),
+         |tk AS (SELECT doc_id, pos, w,
+         |    (me IS NOT NULL AND me > pos) AS cov
+         |  FROM sw WHERE is_tok = 1),
+         |per AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed
+         |  FROM tk GROUP BY 1),
+         |kept AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS s
+         |  FROM tk WHERE NOT cov GROUP BY 1)
+         |SELECT per.doc_id, per.n_tokens, per.n_removed,
+         |  md5(coalesce(kept.s, '')) AS kept_fp
+         |FROM per LEFT JOIN kept USING (doc_id)""".stripMargin
     },
 
     // q215: q203's t/j score/label derivation; per-distinct-score

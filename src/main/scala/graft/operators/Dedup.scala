@@ -793,19 +793,31 @@ object Dedup {
     * [[graft.expressions.Md5Prefix64]] so the shuffle carries 8 bytes),
     * a join back on gram, and a per-doc window sweep. No pairwise
     * stage ever materializes — cost is linear in corpus token count. */
-  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
-    require(k >= 2, "span length k must be >= 2")
-    val toks = df.select(col(idCol).as("doc__"),
+  /** Positional token stream for the span-dedup family: one row per
+    * (doc, pos, token). */
+  private def positionalTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc__"),
       posexplode(TextFns.words(col(textCol))).as(Seq("pos__", "w__")))
+
+  /** Positional k-grams via k−1 per-doc `lead`s over the token
+    * stream: (doc, start pos, gram). */
+  private def positionalGrams(toks: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc__")).orderBy(col("pos__"))
     val withLeads = (1 until k).foldLeft(toks)((d, j) =>
       d.withColumn(s"w${j}__", lead(col("w__"), j).over(byDoc)))
-    val grams = withLeads.filter(col(s"w${k - 1}__").isNotNull)
+    withLeads.filter(col(s"w${k - 1}__").isNotNull)
       .select(col("doc__"), col("pos__"),
         concat_ws(" ",
           col("w__") +: (1 until k).map(j => col(s"w${j}__")): _*)
           .as("gram__"))
+  }
+
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "span length k must be >= 2")
+    val grams = positionalGrams(
+      positionalTokens(df, idCol, textCol), k)
     val counts = grams.groupBy(col("gram__"))
       .agg(count(lit(1)).as("n_occ__"))
     val dupStarts = grams.join(counts, "gram__")
@@ -832,5 +844,64 @@ object Dedup {
         graft.functions.ExactRound.ratioScaled(
           coalesce(col("covered_tokens"), lit(0L)), col("n_tokens"), 4)
           .as("dup_cov_e4"))
+  }
+
+  /** SPAN REMOVAL — the transform [[dupSpanCoverage]] only measures:
+    * delete every duplicated k-token span EXCEPT its first occurrence
+    * (first = lexicographic-min (doc, pos) per gram — the
+    * deterministic rule Lee et al.'s span dedup applies corpus-wide),
+    * keeping one copy of each duplicated passage. Emits per doc the
+    * token counts and the md5 fingerprint of the RECONSTRUCTED kept
+    * text, so the gate pins the transform's output bytes, not just
+    * its accounting. A fully-duplicated doc keeps nothing
+    * (fingerprint of the empty string); short docs (< k tokens) pass
+    * through untouched.
+    *
+    * Shape at scale: the same gram-key shuffle as the coverage pass
+    * plus one min(struct(doc, pos)) keeper aggregate (map-side
+    * combinable — never a per-gram window), then ONE per-doc sweep
+    * over tokens ∪ removal-starts (running max of span ends) and one
+    * per-doc reconstruction aggregate. The collect_list is bounded by
+    * document length — the row a text column already carries. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "span length k must be >= 2")
+    val toks = positionalTokens(df, idCol, textCol)
+    val grams = positionalGrams(toks, k)
+    val counts = grams.groupBy(col("gram__"))
+      .agg(count(lit(1)).as("n_occ__"))
+    val dup = grams.join(counts, "gram__")
+      .filter(col("n_occ__") >= 2L)
+      .select(col("gram__"), col("doc__"), col("pos__"))
+    val keeper = dup.groupBy(col("gram__"))
+      .agg(min(struct(col("doc__"), col("pos__"))).as("kp__"))
+    val removals = dup.join(keeper, "gram__")
+      .filter(!(col("doc__") === col("kp__.doc__") &&
+        col("pos__") === col("kp__.pos__")))
+      .select(col("doc__"), col("pos__"),
+        (col("pos__") + k).cast("long").as("end__"))
+    val comb = toks.select(col("doc__"), col("pos__"), col("w__"),
+        lit(1).as("isTok__"), lit(null).cast("long").as("end__"))
+      .unionByName(removals.select(col("doc__"), col("pos__"),
+        lit(null).cast("string").as("w__"), lit(0).as("isTok__"),
+        col("end__")))
+    // removal rows sort before the token at the same pos, so a span
+    // covers its own start token
+    val sweep = Window.partitionBy(col("doc__"))
+      .orderBy(col("pos__"), col("isTok__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    comb.withColumn("me__", max(col("end__")).over(sweep))
+      .filter(col("isTok__") === 1)
+      .withColumn("cov__",
+        col("me__").isNotNull && col("me__") > col("pos__"))
+      .groupBy(col("doc__"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov__"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("cov__"),
+            struct(col("pos__"), col("w__"))))),
+          x => x.getField("w__")), " ")).as("kept_fp"))
+      .select(col("doc__").as(idCol), col("n_tokens"),
+        col("n_removed"), col("kept_fp"))
   }
 }

@@ -384,4 +384,74 @@ object Profile {
         dims.map(d => col(s"g_$d")) ++
         Seq(col("n_rows"), col("sum_units")): _*)
   }
+
+  /** Benford's-law e6 expected shares for first digits 1-9 —
+    * round(log10(1 + 1/d) · 1e6), the published constants pinned as
+    * literals so no libm call sits in any gate lineage (the q170 DCG
+    * weight-table discipline). Shared with the oracle SQL via
+    * [[benfordTableSql]]. */
+  val benfordE6: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+    5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** The DuckDB VALUES-list mirror of [[benfordE6]]. */
+  def benfordTableSql: String = benfordE6
+    .map { case (d, e) => s"($d, $e)" }.mkString("(VALUES ", ", ", ")")
+
+  /** Benford first-digit QA card — the classic fabricated-data /
+    * broken-ingest tripwire: the first significant digit of a
+    * naturally-spread positive metric follows log10(1+1/d); a flat or
+    * spiked digit histogram means truncation, defaults, or synthetic
+    * values leaked into the column. Per digit 1-9: observed count,
+    * exact e6 observed share, the pinned expected share, and the
+    * absolute gap — all integers, no libm.
+    *
+    * `valueUnits` must be a positive integer column (scale decimals to
+    * units first, the q183 cents pattern); zero/negative/null rows are
+    * excluded and reported against the positive-row total. The first
+    * digit comes from a 19-arm integer-division CASE ladder (covers
+    * the full long range), identical in the oracle — no string
+    * formatting, whose float rendering differs across engines.
+    *
+    * Shape at scale: one codegen'd projection + one 9-group map-side
+    * combinable aggregate; the digit table joins the 9-row expectation
+    * literal. */
+  def benfordCard(df: DataFrame, valueUnits: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = valueUnits.cast("long")
+    val digits = df.select(v.as("v__"))
+      .filter(col("v__").isNotNull && col("v__") > 0L)
+      .select(firstDigitLadder(col("v__")).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expect = benfordE6.toDF("digit", "benford_e6")
+    val total = digits.agg(sum(col("n")).as("total__"))
+    expect.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        graft.functions.ExactRound.ratioScaled(
+          coalesce(col("n"), lit(0L)), col("total__"), 6)
+          .as("share_e6"),
+        col("benford_e6"))
+      .withColumn("gap_e6", abs(col("share_e6") - col("benford_e6")))
+  }
+
+  /** The 19-arm integer-division ladder extracting the first
+    * significant digit of a positive long — mirrored verbatim in
+    * oracle SQL by [[firstDigitLadderSql]]. */
+  private[operators] def firstDigitLadder(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to 18).foldLeft(v) { (acc, p) =>
+      val pow = math.pow(10, p).toLong
+      when(v >= pow, call_function("div", v, lit(pow))).otherwise(acc)
+    }
+
+  /** DuckDB mirror of [[firstDigitLadder]] over SQL expression `v`. */
+  def firstDigitLadderSql(v: String): String =
+    (18 to 1 by -1).map { p =>
+      val pow = math.pow(10, p).toLong
+      s"WHEN ($v) >= $pow THEN ($v) // $pow"
+    }.mkString("(CASE ", " ", s" ELSE ($v) END)")
 }

@@ -24,6 +24,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    // optional second arg: comma-separated probe names — run only
+    // those (append the emitted lines to the committed artifact by
+    // hand; a partial run must not overwrite the full record)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(',').toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -49,6 +54,7 @@ object ScaleProbe {
     // by-name: operators with eager internals (checkpointing iterative
     // loops) must run INSIDE the timer, not at argument evaluation
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       emit(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
@@ -288,6 +294,7 @@ object ScaleProbe {
       import spark.implicits._
       val m = math.min(n, 2000000L).toInt
       def streamProbe(name: String)(run: Int => Unit): Unit = {
+        if (!only.forall(_.contains(name))) return
         val t0 = System.nanoTime()
         run(m)
         emit(f"""{"probe":"$name","rows":$m,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
@@ -452,7 +459,8 @@ object ScaleProbe {
     // ---- pairwise-shape metrics (the round-11 "stays sub-quadratic"
     // evidence): candidate volumes and block-size distribution, with
     // explicit bound checks against the all-pairs count nDocs²/2
-    locally {
+    if (only.forall(s => s.contains("containment_candidates") ||
+        s.contains("fuzzy_join_blocks"))) {
       val allPairs = nDocs * (nDocs - 1) / 2
       // containment/jaccard candidate volume on the DIVERSE corpus =
       // Σ df·(df−1)/2 over shingles — what the posting self-join emits
@@ -528,7 +536,7 @@ object ScaleProbe {
     // 500-2,000 vectors; at nDocs = n/10 = 200k, r=16 keeps buckets
     // near-singleton: expected candidates ≈ b·n²/2^(r+1) — r grows
     // with log₂(n), never a code change).
-    locally {
+    if (only.forall(_.contains("lsh_neardup_candidates"))) {
       val allVecPairs = nDocs * (nDocs - 1) / 2
       val bandKeys = graft.expressions.HyperplaneBandKeys(
         col("embedding"), dim, 512, 96, 16)
@@ -580,7 +588,7 @@ object ScaleProbe {
     // PPJoin filter pruning power (r12: length + positional filters
     // joined the prefix filter): candidate volume the exact verify
     // actually touches, against the all-pairs bound
-    locally {
+    if (only.forall(_.contains("jaccard_prefix_candidates"))) {
       val allDocPairs = nDocs * (nDocs - 1) / 2
       val cand = graft.operators.Dedup.prefixJaccardCandidates(
         diverseDocs, "doc_id", "text", n = 3, thrNum = 1L, thrDen = 2L)
@@ -646,7 +654,7 @@ object ScaleProbe {
     // the generator was the degenerate part, and the probe below
     // keeps the decode cost measured without the synthetic
     // entropy collapse.
-    locally {
+    if (only.forall(_.contains("image_dhash_decode"))) {
       val t0 = System.nanoTime()
       graft.operators.Multimodal.dhashFingerprints(
         graft.operators.Multimodal.synthVariantPngPayloads(
@@ -657,7 +665,7 @@ object ScaleProbe {
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       spark.catalog.clearCache()
     }
-    locally {
+    if (only.forall(_.contains("dhash_banded_join"))) {
       // groups of 4 share a random 64-bit base fp; variants flip one
       // or two distinct planted bits (pairwise hamming <= 2), the
       // rest of keyspace is uniform — n/4 * 6 guaranteed pairs
@@ -683,6 +691,35 @@ object ScaleProbe {
         s""""all_pairs":$allPairs,""" +
         s""""sub_quadratic":${BigInt(pairs) * 100 < allPairs}}""")
       spark.catalog.clearCache()
+    }
+
+    // ---- r13 batch-2 additions: span dedup, lift table, k-means
+    time("dup_span_coverage") {
+      // n/10 docs × 12 words; the 6-word head vocab makes 8-grams
+      // genuinely dense — the probe stresses the gram-key shuffle,
+      // the count join, and the per-doc interval sweep together
+      graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text",
+        k = 8)
+    }
+    time("lift_table") {
+      // full n rows, ~10k distinct scores: the range-partitioned
+      // global rank is the cost; buckets/cum windows are 10 rows
+      val scored = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id"), lit(51)), lit(10000)).as("s"),
+        (pmod(xxhash64(col("id"), lit(52)), lit(4)) === 0).as("y"))
+      graft.operators.EvalMetrics.liftTable(scored, "id", "s", "y")
+    }
+    time("span_removal") {
+      // the transform twin of dup_span_coverage: adds the keeper
+      // aggregate and the per-doc reconstruction collect_list
+      graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text",
+        k = 8)
+    }
+    time("kmeans_lloyd") {
+      // n/10 64-dim vectors, k=8, 3 iterations + final assign: four
+      // broadcast-join assign passes over the 64×nDocs unit stream
+      graft.operators.Prototypes.kmeansLloyd(labeledVecs, "vec_id",
+        "embedding", k = 8, iterations = 3)
     }
 
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>

@@ -439,4 +439,69 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"),
       s"an unpartitioned window appeared:\n$p")
   }
+
+  test("dupSpanCoverage: gram-count equi-join, per-doc windows only, " +
+    "no cartesian") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"w${i % 3} w${i % 5} w${i % 3} w${i % 5} w${i % 2}"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.dupSpanCoverage(
+      docs, "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the span path:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared (lead/sweep must partition " +
+        s"by doc):\n$p")
+  }
+
+  test("liftTable rank rides range partitioning; only the bounded " +
+    "bucket-table window is unpartitioned") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toLong, i % 3 == 0))
+      .toDF("id", "s", "y")
+    val p = plan(graft.operators.EvalMetrics.liftTable(
+      df, "id", "s", "y"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected the scalable-rank range exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian appeared (the totals join must " +
+        s"broadcast its 1-row side):\n$p")
+  }
+
+  test("kmeansLloyd assigns via a broadcast centroid join — never a " +
+    "shuffled or cartesian distance stage") {
+    val emb = (1 to 200).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Prototypes.kmeansLloyd(
+      emb, "vec_id", "embedding", k = 2, iterations = 1))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian crept into the assign stage:\n$p")
+  }
+
+  test("removeDupSpans: keeper is a min-struct aggregate (no per-gram " +
+    "window); only per-doc windows; no cartesian") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"w${i % 3} w${i % 5} w${i % 3} w${i % 5} w${i % 2}"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.removeDupSpans(
+      docs, "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the removal path:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+  }
+
+  test("benfordCard is one projection + one 9-group aggregate; the " +
+    "totals join broadcasts its 1-row side") {
+    val vals = (1 to 300).map(i => Tuple1(i.toLong * 7)).toDF("v")
+    val p = plan(graft.operators.Profile.benfordCard(vals, col("v")))
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian appeared:\n$p")
+    assert(!p.contains("Window"),
+      s"a window operator appeared in the digit card:\n$p")
+  }
 }

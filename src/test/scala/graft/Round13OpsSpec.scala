@@ -742,4 +742,44 @@ class Round13OpsSpec extends SparkSpec {
       (1L, 0L, 2L, 2000000L), (2L, 1000000L, 2L, 2000000L),
       (1L, 10000000L, 2L, 2000000L), (2L, 11000000L, 2L, 2000000L)))
   }
+
+  test("benfordCard: ladder digit extraction exact across magnitudes; " +
+    "null/zero/negative rows excluded; gaps vs the pinned table") {
+    val vals = Seq(Some(1L), Some(23L), Some(456L), Some(7890L),
+      Some(12345L), None, Some(0L), Some(-5L)).toDF("v")
+    val out = graft.operators.Profile.benfordCard(vals, $"v")
+      .orderBy($"digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // digits of 1, 23, 456, 7890, 12345 -> 1,2,4,7,1 over total 5
+    assert(out.toSeq == Seq(
+      (1L, 2L, 400000L, 98970L), (2L, 1L, 200000L, 23909L),
+      (3L, 0L, 0L, 124939L), (4L, 1L, 200000L, 103090L),
+      (5L, 0L, 0L, 79181L), (6L, 0L, 0L, 66947L),
+      (7L, 1L, 200000L, 142008L), (8L, 0L, 0L, 51153L),
+      (9L, 0L, 0L, 45757L)))
+  }
+
+  test("removeDupSpans: first occurrence survives, copies delete, " +
+    "reconstruction fingerprint pins the kept bytes") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // k=3: "a b c" in docs 1,2,3 (keeper doc1@0), "d e f" in docs
+    // 1,2 (keeper doc1@3). Doc 2 keeps only its middle "x"; doc 3 is
+    // a full duplicate and keeps nothing; doc 4 is too short for any
+    // gram and passes through untouched.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x d e f"),
+      (3L, "a b c"), (4L, "q r")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeDupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, md5hex("a b c d e f")),
+      (2L, 7L, 6L, md5hex("x")),
+      (3L, 3L, 3L, md5hex("")),
+      (4L, 2L, 0L, md5hex("q r"))))
+  }
 }
