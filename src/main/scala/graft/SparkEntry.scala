@@ -1962,6 +1962,28 @@ object SparkEntry {
       Dedup.removeDupSpans(T(s, dir, "documents"), "doc_id", "text",
         k = 8)),
 
+    // ---- decontamination: SPAN-level scrub — the surgical form of
+    // q51's doc-level report: every 5-gram appearing anywhere in the
+    // benchmark sample is deleted from the training corpus (ALL
+    // occurrences, no keeper), the rest of each doc survives. Gate
+    // pins the rebuilt text bytes.
+    "q233_span_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val corpus = docs.join(bench.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      Dedup.scrubBenchSpans(corpus, bench, "doc_id", "text", k = 5)
+    }),
+
+    // ---- reshaping: RelationalGroupedDataset.pivot — the wide
+    // source × language count matrix (explicit value list, so the
+    // schema is static and the absent cells read 0 on both sides).
+    "q234_lang_pivot" -> ((s, dir) =>
+      T(s, dir, "documents").groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // ---- eval: exact ROC-AUC of the quality score against the
     // Gopher keep label — tie-corrected Mann–Whitney over the q203
     // score/label surface; per-distinct-score tally + range-
@@ -5960,6 +5982,63 @@ object SparkEntry {
          |SELECT per.doc_id, per.n_tokens, per.n_removed,
          |  md5(coalesce(kept.s, '')) AS kept_fp
          |FROM per LEFT JOIN kept USING (doc_id)""".stripMargin
+    },
+
+    // q233: q51's bench split (md5 prefix < '1a'), corpus 5-gram
+    // occurrences SEMI-joined against the distinct bench gram set,
+    // then the q232 sweep/rebuild tail (no keeper — every hit
+    // removes)
+    "q233_span_decontaminate" -> {
+      val k = 5
+      val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'),
+         |ct AS (SELECT t.doc_id, t.ws FROM t
+         |  ANTI JOIN bench USING (doc_id)),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |    FROM ct)),
+         |bg AS (SELECT DISTINCT $gramExpr AS gram
+         |  FROM (SELECT ws, unnest(range(1, len(ws)-${k - 2})) AS i
+         |    FROM t JOIN bench USING (doc_id) WHERE len(ws) >= $k)),
+         |g AS (SELECT doc_id, i AS pos, $gramExpr AS gram
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-${k - 2}))
+         |      AS i
+         |    FROM ct WHERE len(ws) >= $k)),
+         |rem AS (SELECT g.doc_id, g.pos, g.pos + $k AS e
+         |  FROM g SEMI JOIN bg USING (gram)),
+         |comb AS (SELECT doc_id, pos, w, 1 AS is_tok,
+         |    CAST(NULL AS BIGINT) AS e
+         |  FROM tok
+         |  UNION ALL SELECT doc_id, pos, NULL, 0, e FROM rem),
+         |sw AS (SELECT doc_id, pos, w, is_tok,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos, is_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS me
+         |  FROM comb),
+         |tk AS (SELECT doc_id, pos, w,
+         |    (me IS NOT NULL AND me > pos) AS cov
+         |  FROM sw WHERE is_tok = 1),
+         |per AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed
+         |  FROM tk GROUP BY 1),
+         |kept AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS s
+         |  FROM tk WHERE NOT cov GROUP BY 1)
+         |SELECT per.doc_id, per.n_tokens, per.n_removed,
+         |  md5(coalesce(kept.s, '')) AS kept_fp
+         |FROM per LEFT JOIN kept USING (doc_id)""".stripMargin
+    },
+
+    // q234: the pivot matrix as explicit conditional counts
+    "q234_lang_pivot" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cols = langs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS $l").mkString(",\n  ")
+      s"""SELECT source,
+         |  $cols
+         |FROM documents GROUP BY 1""".stripMargin
     },
 
     // q215: q203's t/j score/label derivation; per-distinct-score

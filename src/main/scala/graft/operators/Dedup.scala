@@ -880,13 +880,21 @@ object Dedup {
         col("pos__") === col("kp__.pos__")))
       .select(col("doc__"), col("pos__"),
         (col("pos__") + k).cast("long").as("end__"))
+    sweepAndRebuild(toks, removals, idCol)
+  }
+
+  /** Shared tail of the span-scrub family: mark every token covered
+    * by a removal interval [pos, pos+k) (running-max sweep — removal
+    * rows sort before the token at the same pos, so a span covers its
+    * own start token), then rebuild the kept text per doc and
+    * fingerprint it. `removals` must carry (doc__, pos__, end__). */
+  private def sweepAndRebuild(toks: DataFrame, removals: DataFrame,
+      idCol: String): DataFrame = {
     val comb = toks.select(col("doc__"), col("pos__"), col("w__"),
         lit(1).as("isTok__"), lit(null).cast("long").as("end__"))
       .unionByName(removals.select(col("doc__"), col("pos__"),
         lit(null).cast("string").as("w__"), lit(0).as("isTok__"),
         col("end__")))
-    // removal rows sort before the token at the same pos, so a span
-    // covers its own start token
     val sweep = Window.partitionBy(col("doc__"))
       .orderBy(col("pos__"), col("isTok__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -903,5 +911,33 @@ object Dedup {
           x => x.getField("w__")), " ")).as("kept_fp"))
       .select(col("doc__").as(idCol), col("n_tokens"),
         col("n_removed"), col("kept_fp"))
+  }
+
+  /** SPAN-level DECONTAMINATION — the surgical form of q51's
+    * doc-level report: delete from every corpus document each k-token
+    * span that appears ANYWHERE in the benchmark corpus (all
+    * occurrences — unlike [[removeDupSpans]] there is no keeper: a
+    * benchmark passage must not survive in training data at all),
+    * keeping the rest of the document instead of dropping it whole.
+    * Same output contract: token accounting + md5 of the rebuilt
+    * text.
+    *
+    * Shape at scale: the bench gram set is distinct-deduped before
+    * the LEFT SEMI join against corpus gram occurrences (posting-list
+    * shape on the gram key — benchmarks are tiny next to the corpus,
+    * so the join's build side stays small), then the shared
+    * sweep/rebuild tail. */
+  def scrubBenchSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, "span length k must be >= 2")
+    val toks = positionalTokens(corpus, idCol, textCol)
+    val benchGrams = positionalGrams(
+      positionalTokens(bench, idCol, textCol), k)
+      .select(col("gram__")).distinct()
+    val removals = positionalGrams(toks, k)
+      .join(benchGrams, Seq("gram__"), "left_semi")
+      .select(col("doc__"), col("pos__"),
+        (col("pos__") + k).cast("long").as("end__"))
+    sweepAndRebuild(toks, removals, idCol)
   }
 }

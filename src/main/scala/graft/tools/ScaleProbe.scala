@@ -715,6 +715,15 @@ object ScaleProbe {
       graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text",
         k = 8)
     }
+    time("span_decontaminate") {
+      // ~10% bench split; the semi join's build side is the distinct
+      // bench gram set — small next to the corpus gram stream
+      val bench = Sampling.hashSample(docs, "doc_id", rate256 = 26)
+      val corpus = docs.join(bench.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      graft.operators.Dedup.scrubBenchSpans(corpus, bench, "doc_id",
+        "text", k = 5)
+    }
     time("kmeans_lloyd") {
       // n/10 64-dim vectors, k=8, 3 iterations + final assign: four
       // broadcast-join assign passes over the 64×nDocs unit stream

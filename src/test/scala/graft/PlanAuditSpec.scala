@@ -495,6 +495,21 @@ class PlanAuditSpec extends SparkSpec {
       s"an unpartitioned window appeared:\n$p")
   }
 
+  test("scrubBenchSpans: bench grams SEMI-join corpus occurrences; " +
+    "no cartesian, only per-doc windows") {
+    val bench = (1 to 5).map(i => (i.toLong, s"b$i b${i + 1} b${i + 2}"))
+      .toDF("doc_id", "text")
+    val corpus = (10 to 60).map(i =>
+      (i.toLong, s"w${i % 3} b2 b3 b4 w${i % 5}")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.scrubBenchSpans(
+      corpus, bench, "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the scrub path:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+  }
+
   test("benfordCard is one projection + one 9-group aggregate; the " +
     "totals join broadcasts its 1-row side") {
     val vals = (1 to 300).map(i => Tuple1(i.toLong * 7)).toDF("v")

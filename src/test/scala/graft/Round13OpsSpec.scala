@@ -782,4 +782,27 @@ class Round13OpsSpec extends SparkSpec {
       (3L, 3L, 3L, md5hex("")),
       (4L, 2L, 0L, md5hex("q r"))))
   }
+
+  test("scrubBenchSpans: EVERY bench-gram occurrence removes (no " +
+    "keeper); non-bench corpus duplicates survive") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val bench = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x a b c y"),        // one hit mid-doc -> keeps "x y"
+      (11L, "p q r"),            // clean -> untouched
+      (12L, "a b c z a b c"),    // two hits -> keeps only "z"
+      (13L, "p q r")             // duplicates 11 but NOT in bench ->
+    ).toDF("doc_id", "text")     //   span dedup is not this op's job
+    val out = graft.operators.Dedup
+      .scrubBenchSpans(corpus, bench, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10L, 5L, 3L, md5hex("x y")),
+      (11L, 3L, 0L, md5hex("p q r")),
+      (12L, 7L, 6L, md5hex("z")),
+      (13L, 3L, 0L, md5hex("p q r"))))
+  }
 }
