@@ -1984,6 +1984,74 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // ---- joins: NEAREST as-of (pandas merge_asof direction=nearest,
+    // ties backward) — one union + one window shuffle computes both
+    // carries; the projection picks the nearer purchase per click.
+    "q235_asof_nearest" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"))
+      AsOfJoin.leftAsOfNearest(clicks, purchases, Seq("user_id"),
+        "ts", "ts", rightPayload = Seq("purchase_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("right_purchase_event_id").as("nearest_purchase_id"),
+          TimeFns.floorDiv(abs(col("right_ts") - col("ts")),
+            1000000000L).as("gap_abs_s"),
+          col("matched_back"))
+    }),
+
+    // ---- joins: RANGE-OVERLAP self-join per part — each lineitem's
+    // [ship, ship + transit] day window against every other line of
+    // the SAME part; bucket decomposition turns the theta join into
+    // an equi join, the first-common-bucket rule dedupes without a
+    // shuffle. Transit days are a deterministic hash of the line id,
+    // mirrored in the oracle.
+    "q236_range_overlap" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("lid__"),
+        // NTZ parquet date: micros since epoch (UTC session) → days
+        TimeFns.floorDiv(
+          unix_micros(col("l_shipdate").cast("timestamp")),
+          86400L * 1000000L).as("sd__"))
+        .withColumn("ed__", col("sd__") + pmod(col("lid__"), lit(20L)))
+      val left = li.select(col("l_partkey"), col("lid__").as("id_a"),
+        col("sd__").as("sa__"), col("ed__").as("ea__"))
+      val right = li.select(col("l_partkey"), col("lid__").as("id_b"),
+        col("sd__").as("sb__"), col("ed__").as("eb__"))
+      IntervalJoin.rangeOverlap(left, right, "sa__", "ea__",
+          "sb__", "eb__", keys = Seq("l_partkey"), bucketWidth = 16L)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+
+    // ---- analytics: LAST-TOUCH ATTRIBUTION — each purchase credits
+    // the most recent click by the same user within a 24 h horizon
+    // (backward as-of + window cap); outside-horizon and clickless
+    // purchases read organic (null attribution).
+    "q237_attribution" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("value_c"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event_id"))
+      val horizon = 86400L * 1000000000L
+      val inWin = col("right_ts").isNotNull &&
+        col("ts") - col("right_ts") <= horizon
+      AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightPayload = Seq("click_event_id", "ts"))
+        .select(col("event_id"), col("user_id"), col("value_c"),
+          when(inWin, col("right_click_event_id"))
+            .as("attributed_click_id"),
+          when(inWin, TimeFns.floorDiv(col("ts") - col("right_ts"),
+            1000000000L)).as("gap_s"))
+    }),
+
     // ---- eval: exact ROC-AUC of the quality score against the
     // Gopher keep label — tie-corrected Mann–Whitney over the q203
     // score/label surface; per-distinct-score tally + range-
@@ -6040,6 +6108,65 @@ object SparkEntry {
          |  $cols
          |FROM documents GROUP BY 1""".stripMargin
     },
+
+    // q235: per click, argmin over purchases of (|Δt|, direction)
+    // with backward (dir 0) winning ties — the same rule the
+    // engine's distB <= distF projection encodes; clickless users
+    // null-extend
+    "q235_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, epoch_ns(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, p.pid, p.pt,
+        |    abs(p.pt - c.t) AS d,
+        |    CASE WHEN p.pt <= c.t THEN 0 ELSE 1 END AS dir
+        |  FROM c JOIN p USING (user_id)),
+        |b AS (SELECT event_id, pid, d, dir, row_number() OVER (
+        |    PARTITION BY event_id ORDER BY d, dir, pt) AS rn FROM j)
+        |SELECT c.event_id, c.user_id,
+        |  b.pid AS nearest_purchase_id,
+        |  b.d // 1000000000 AS gap_abs_s,
+        |  CASE WHEN b.pid IS NULL THEN NULL
+        |       ELSE (b.dir = 0) END AS matched_back
+        |FROM c LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+        |  USING (event_id)""".stripMargin,
+
+    // q236: the direct theta self-join the bucketed engine plan must
+    // equal — same day conversion, same lid-derived transit days,
+    // closed-interval overlap, id_a < id_b
+    "q236_range_overlap" ->
+      """WITH li AS (SELECT l_partkey,
+        |    l_orderkey * 10 + l_linenumber AS lid,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 86400 AS sd
+        |  FROM lineitem),
+        |r AS (SELECT l_partkey, lid, sd, sd + (lid % 20) AS ed FROM li)
+        |SELECT a.l_partkey, count(*) AS n_overlaps
+        |FROM r a JOIN r b ON a.l_partkey = b.l_partkey
+        |  AND a.lid < b.lid AND a.sd <= b.ed AND b.sd <= a.ed
+        |GROUP BY 1""".stripMargin,
+
+    // q237: last click per purchase (ct <= t, max ct), credited only
+    // inside the 24 h horizon; organic purchases null-extend
+    "q237_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS cid, epoch_ns(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.t, c.cid, c.ct
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ct <= p.t),
+        |b AS (SELECT event_id, t, cid, ct, row_number() OVER (
+        |    PARTITION BY event_id ORDER BY ct DESC) AS rn FROM j)
+        |SELECT p.event_id, p.user_id, p.value_c,
+        |  CASE WHEN b.ct IS NOT NULL
+        |      AND p.t - b.ct <= 86400000000000
+        |    THEN b.cid END AS attributed_click_id,
+        |  CASE WHEN b.ct IS NOT NULL
+        |      AND p.t - b.ct <= 86400000000000
+        |    THEN (p.t - b.ct) // 1000000000 END AS gap_s
+        |FROM p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+        |  USING (event_id)""".stripMargin,
 
     // q215: q203's t/j score/label derivation; per-distinct-score
     // tally, exclusive below-window, one HUGEINT pair aggregate

@@ -95,4 +95,66 @@ object AsOfJoin {
       .drop("asof_side__", "asof_r__")
       .withColumnRenamed("asof_ts__", leftTs)
   }
+
+  /** NEAREST as-of: attach the right row whose timestamp is CLOSEST
+    * to the left row's (pandas `merge_asof(direction='nearest')`),
+    * ties broken backward. ONE union + ONE window shuffle computes
+    * BOTH carries — `last(ignoreNulls)` looking back and
+    * `first(ignoreNulls)` looking forward over the same (key, ts,
+    * side) sort — then a projection picks the nearer side, so nearest
+    * costs exactly what one directional as-of costs.
+    *
+    * Equal-timestamp subtlety: right rows sort BEFORE left rows at
+    * the same ts, so an exactly-simultaneous right row is captured by
+    * the BACKWARD carry at distance 0 (which beats any forward
+    * candidate) — the forward carry's effective semantics are strict
+    * `>`, and nearest remains exact. The right timestamp is always
+    * surfaced as `right_<rightTs>` plus the sign flag `matched_back`
+    * (did the nearest row precede the left row?). */
+  def leftAsOfNearest(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pay = (rightPayload :+ rightTs).distinct
+    val rightStruct = struct(pay.map(col): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("asof_ts__"),
+        lit(0).as("asof_side__"),
+        rightStruct.as("asof_r__")): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("asof_ts__"),
+        lit(1).as("asof_side__")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col): _*)
+    val unioned =
+      leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val order = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("asof_ts__").asc, col("asof_side__").asc)
+    val wBack = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wFwd = order.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("asof_b__", last(col("asof_r__"), ignoreNulls = true)
+        .over(wBack))
+      .withColumn("asof_f__", first(col("asof_r__"), ignoreNulls = true)
+        .over(wFwd))
+    val distB = col("asof_ts__") - col(s"asof_b__.$rightTs")
+    val distF = col(s"asof_f__.$rightTs") - col("asof_ts__")
+    val pickBack = col("asof_f__").isNull ||
+      (col("asof_b__").isNotNull && distB <= distF)
+    val chosen = carried.filter(col("asof_side__") === 1)
+      .withColumn("asof_r__",
+        when(pickBack, col("asof_b__")).otherwise(col("asof_f__")))
+      .withColumn("matched_back",
+        when(col("asof_r__").isNull, lit(null).cast("boolean"))
+          .otherwise(pickBack))
+    val unpacked = pay.foldLeft(chosen) { (d, c) =>
+      d.withColumn(s"right_$c", col(s"asof_r__.$c"))
+    }
+    unpacked
+      .drop("asof_side__", "asof_r__", "asof_b__", "asof_f__")
+      .withColumnRenamed("asof_ts__", leftTs)
+  }
 }

@@ -71,4 +71,47 @@ object IntervalJoin {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("graft_bucket__")
   }
+
+  /** RANGE-OVERLAP join — both sides are intervals; emit every
+    * (left, right) pair whose CLOSED ranges intersect
+    * (lStart <= rEnd AND rStart <= lEnd), optionally equi-keyed. The
+    * same bucket decomposition as [[pointInInterval]] turns the theta
+    * join into an equi join on (keys, bucket); a pair sharing several
+    * buckets is emitted ONCE by the classic first-common-bucket rule —
+    * keep the pair only in the bucket where the overlap begins
+    * (bucket == max(floor(lStart/w), floor(rStart/w))), a pure filter,
+    * no dedup shuffle.
+    *
+    * Column names must be disjoint across the two inputs (pre-rename,
+    * as the other join operators require). `bucketWidth` is the scale
+    * knob: width ≈ the typical interval length keeps the per-interval
+    * explode factor near 2 and bucket occupancy balanced. */
+  def rangeOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      keys: Seq[String] = Nil, bucketWidth: Long = 3600L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = {
+      val nb = floorDiv(col(e), bucketWidth) -
+        floorDiv(col(s), bucketWidth) + 1
+      df.filter(col(s) <= col(e))
+        .withColumn("graft_nb__",
+          when(nb <= maxBucketsPerInterval, nb)
+            .otherwise(raise_error(concat(
+              lit(s"interval spans more than $maxBucketsPerInterval " +
+                s"buckets of width $bucketWidth "), col(s), lit(".."),
+              col(e)))))
+        .withColumn("graft_bucket__",
+          explode(sequence(floorDiv(col(s), bucketWidth),
+            floorDiv(col(s), bucketWidth) + col("graft_nb__") - 1)))
+        .drop("graft_nb__")
+    }
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), keys :+ "graft_bucket__")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("graft_bucket__") ===
+        greatest(floorDiv(col(lStart), bucketWidth),
+          floorDiv(col(rStart), bucketWidth)))
+      .drop("graft_bucket__")
+  }
 }

@@ -724,6 +724,33 @@ object ScaleProbe {
       graft.operators.Dedup.scrubBenchSpans(corpus, bench, "doc_id",
         "text", k = 5)
     }
+    time("asof_nearest") {
+      // n left rows vs n/10 right rows over 50k keys: the single
+      // union+window shuffle that prices BOTH directional carries
+      val l = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id"), lit(61)), lit(50000)).as("k"),
+        pmod(xxhash64(col("id"), lit(62)), lit(1000000000L)).as("ts"))
+      val r = spark.range(n / 10).select(
+        pmod(xxhash64(col("id"), lit(63)), lit(50000)).as("k"),
+        pmod(xxhash64(col("id"), lit(64)), lit(1000000000L)).as("ts"),
+        col("id").as("rid"))
+      graft.operators.AsOfJoin.leftAsOfNearest(l, r, Seq("k"), "ts",
+        "ts", Seq("rid"))
+    }
+    time("range_overlap") {
+      // n self-paired ranges (width <= 32 over a 1e6 span, 2000
+      // keys): sparse overlaps, bucket width = max range width
+      val a = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id"), lit(65)), lit(2000)).as("k"),
+        pmod(xxhash64(col("id"), lit(66)), lit(1000000L)).as("sa"))
+        .withColumn("ea",
+          col("sa") + pmod(xxhash64(col("id_a"), lit(67)), lit(32)))
+      val b = a.select(col("id_a").as("id_b"), col("k"),
+        col("sa").as("sb"), col("ea").as("eb"))
+      graft.operators.IntervalJoin.rangeOverlap(a, b, "sa", "ea",
+          "sb", "eb", keys = Seq("k"), bucketWidth = 32L)
+        .filter(col("id_a") < col("id_b"))
+    }
     time("kmeans_lloyd") {
       // n/10 64-dim vectors, k=8, 3 iterations + final assign: four
       // broadcast-join assign passes over the 64×nDocs unit stream

@@ -36,4 +36,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[Any]("right_v") == null)
     assert(out.getAs[String]("right_tag") == "new")
   }
+
+  test("leftAsOfNearest: picks the closer side, ties go backward, " +
+    "equal ts matches backward at distance 0, no-match null-extends") {
+    val left = Seq((10L, "A", 10L), (11L, "A", 25L), (12L, "A", 30L),
+      (13L, "A", 20L), (14L, "B", 5L)).toDF("id", "k", "ts")
+    val right = Seq(("A", 8L, 108L), ("A", 20L, 120L), ("A", 40L, 140L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.leftAsOfNearest(left, right, Seq("k"), "ts",
+        "ts", rightPayload = Seq("rid")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("right_rid")),
+          Option(r.getAs[Any]("matched_back"))))).toMap
+    assert(out(10L) == ((Some(108L), Some(true))))  // d 2 back vs 10 fwd
+    assert(out(11L) == ((Some(120L), Some(true))))  // d 5 back vs 15 fwd
+    assert(out(12L) == ((Some(120L), Some(true))))  // 10 vs 10: tie back
+    assert(out(13L) == ((Some(120L), Some(true))))  // exact ts: d 0 back
+    assert(out(14L) == ((None, None)))              // key B: no rights
+  }
 }

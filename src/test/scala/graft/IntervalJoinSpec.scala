@@ -79,4 +79,18 @@ class IntervalJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("buckets") ||
       ex.getCause != null && ex.getCause.getMessage.contains("buckets"))
   }
+
+  test("rangeOverlap: closed-interval semantics, multi-bucket pairs " +
+    "emit exactly once (first-common-bucket rule)") {
+    val left = Seq((1L, 0L, 10L)).toDF("id_a", "sa", "ea")
+    val right = Seq((2L, 5L, 8L), (3L, 10L, 12L), (4L, 11L, 15L))
+      .toDF("id_b", "sb", "eb")
+    val out = IntervalJoin.rangeOverlap(left, right, "sa", "ea",
+        "sb", "eb", bucketWidth = 4L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // 1-2 overlaps across buckets 1 and 2 -> ONE row; 1-3 touches at
+    // the closed endpoint 10; 1-4 starts after ea -> absent
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L)))
+  }
 }

@@ -510,6 +510,32 @@ class PlanAuditSpec extends SparkSpec {
       s"an unpartitioned window appeared:\n$p")
   }
 
+  test("rangeOverlap plans an equi-join on (key, bucket) — the naive " +
+    "theta form nested-loops, the bucketed form must not") {
+    val a = (1 to 100).map(i => (i.toLong, i.toLong % 7, i * 5L, i * 5L + 8))
+      .toDF("id_a", "k", "sa", "ea")
+    val b = a.select(col("id_a").as("id_b"), col("k"),
+      col("sa").as("sb"), col("ea").as("eb"))
+    val p = plan(IntervalJoin.rangeOverlap(a, b, "sa", "ea", "sb", "eb",
+      keys = Seq("k"), bucketWidth = 8L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range overlap fell back to a non-equi join:\n$p")
+  }
+
+  test("leftAsOfNearest: both carries ride ONE keyed window family — " +
+    "no unpartitioned window, no join at all") {
+    val l = (1 to 200).map(i => (i.toLong, i.toLong % 9, i.toLong * 3))
+      .toDF("id", "k", "ts")
+    val r = (1 to 50).map(i => (i.toLong % 9, i.toLong * 11, i.toLong))
+      .toDF("k", "ts", "rid")
+    val p = plan(graft.operators.AsOfJoin.leftAsOfNearest(
+      l, r, Seq("k"), "ts", "ts", Seq("rid")))
+    assert(!p.contains("windowspecdefinition()"),
+      s"an unpartitioned window appeared:\n$p")
+    assert(!p.contains("Join"), s"nearest as-of should be join-free:\n$p")
+  }
+
   test("benfordCard is one projection + one 9-group aggregate; the " +
     "totals join broadcasts its 1-row side") {
     val vals = (1 to 300).map(i => Tuple1(i.toLong * 7)).toDF("v")
