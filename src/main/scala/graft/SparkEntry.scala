@@ -2028,6 +2028,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // ---- OLAP: CUBE over (source, lang) — rollup's prefix levels
+    // PLUS the cross marginals (per-lang-across-sources), one Expand,
+    // grouping indicators, exact sums (q143's cube twin).
+    "q238_cube_stats" -> ((s, dir) =>
+      Profile.cubeStats(T(s, dir, "documents"), Seq("source", "lang"),
+        col("n_chars"))),
+
+    // ---- selection: k-CENTER GREEDY coreset (Gonzalez) — 5 diverse
+    // exemplars of the embedding corpus, each step adding the point
+    // farthest (exact integer L2) from the selected set; the emitted
+    // min_d2 curve is the coverage radius² per size. Unrolled-CTE
+    // oracle like q230.
+    "q239_kcenter_coreset" -> ((s, dir) =>
+      Prototypes.kCenterGreedy(T(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5)),
+
     // ---- analytics: LAST-TOUCH ATTRIBUTION — each purchase credits
     // the most recent click by the same user within a 24 h horizon
     // (backward as-of + window cap); outside-horizon and clickless
@@ -6145,6 +6161,50 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.l_partkey = b.l_partkey
         |  AND a.lid < b.lid AND a.sd <= b.ed AND b.sd <= a.ed
         |GROUP BY 1""".stripMargin,
+
+    // q238: native CUBE with GROUPING indicators (the q58 rollup
+    // oracle's cube twin)
+    "q238_cube_stats" ->
+      """SELECT source, lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sum_units
+        |FROM documents
+        |GROUP BY CUBE (source, lang)""".stripMargin,
+
+    // q239: the greedy loop unrolled — per step, distances of every
+    // unselected candidate to each selected point (u self-join
+    // restricted to the selected ids), min per candidate, 1-row
+    // argmax by (d2 DESC, id ASC), selection grows by UNION ALL
+    "q239_kcenter_coreset" -> {
+      def iter(t: Int) =
+        s"""d$t AS (SELECT a.vec_id, s.vec_id AS sv,
+           |    sum(CAST(a.u - b.u AS HUGEINT) * (a.u - b.u)) AS d2
+           |  FROM u a, sel${t - 1} s
+           |  JOIN u b ON b.vec_id = s.vec_id
+           |  WHERE b.dim = a.dim
+           |    AND a.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  GROUP BY 1, 2),
+           |m$t AS (SELECT vec_id, min(d2) AS md FROM d$t GROUP BY 1),
+           |n$t AS (SELECT vec_id, md FROM m$t
+           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |sel$t AS (SELECT * FROM sel${t - 1}
+           |  UNION ALL SELECT $t AS step, vec_id,
+           |    CAST(md AS HUGEINT) AS md FROM n$t)""".stripMargin
+      s"""WITH u AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |sel0 AS (SELECT 0 AS step, vec_id, CAST(0 AS HUGEINT) AS md
+         |  FROM (SELECT vec_id FROM embeddings
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT CAST(step AS BIGINT) AS step, vec_id,
+         |  CAST(md AS BIGINT) AS min_d2_e12
+         |FROM sel4""".stripMargin
+    },
 
     // q237: last click per purchase (ct <= t, max ct), credited only
     // inside the 24 h horizon; organic purchases null-extend

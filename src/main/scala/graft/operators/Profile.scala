@@ -385,6 +385,26 @@ object Profile {
         Seq(col("n_rows"), col("sum_units")): _*)
   }
 
+  /** CUBE variant of [[rollupStats]] — all 2^|dims| grouping-set
+    * combinations (the rollup's prefix levels PLUS the cross
+    * marginals, e.g. per-lang-across-sources), one Expand lane per
+    * set, same exact decimal sums and grouping indicators. */
+  def cubeStats(df: DataFrame, dims: Seq[String],
+      valueUnits: org.apache.spark.sql.Column): DataFrame = {
+    require(dims.nonEmpty, "need at least one cube dimension")
+    val dec = "decimal(38,0)"
+    val aggs =
+      dims.map(d => grouping(col(d)).cast("long").as(s"g_$d")) ++
+        Seq(count(lit(1)).as("n_rows"),
+          sum(col("u__").cast(dec)).cast("long").as("sum_units"))
+    df.select(dims.map(col) :+ valueUnits.cast("long").as("u__"): _*)
+      .cube(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(dims.map(col) ++
+        dims.map(d => col(s"g_$d")) ++
+        Seq(col("n_rows"), col("sum_units")): _*)
+  }
+
   /** Benford's-law e6 expected shares for first digits 1-9 —
     * round(log10(1 + 1/d) · 1e6), the published constants pinned as
     * literals so no libm call sits in any gate lineage (the q170 DCG

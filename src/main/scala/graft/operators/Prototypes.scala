@@ -280,4 +280,71 @@ object Prototypes {
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         coalesce(col("inertia_e6"), lit(0L)).as("inertia_e6"))
   }
+
+  /** k-CENTER GREEDY coreset selection (Gonzalez' 2-approximation —
+    * the diverse-subset picker behind active-learning coresets and
+    * "cover the embedding space with k exemplars" data pruning): start
+    * from a deterministic seed (smallest (md5(id), id)), then k−1
+    * times add the point FARTHEST from the already-selected set
+    * (max over candidates of min over selected of exact integer
+    * squared-L2; ties by id ascending). Each step's `min_d2_e12` is
+    * the coverage radius² the selection guarantees at that size — the
+    * curve a "how many exemplars do I need?" decision reads.
+    *
+    * Shape at scale: the selected set is ≤ k ids — its unit rows
+    * BROADCAST to the corpus unit stream each step; per step one
+    * map-side-combinable (candidate, selected) distance aggregate, a
+    * min per candidate, and a 1-row TakeOrdered argmax. k steps of
+    * linear passes, `localCheckpoint` truncating the loop lineage as
+    * [[kmeansLloyd]]. */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val dec = "decimal(38,0)"
+    val units = graft.Caches.register(emb
+      .select(col(idCol).cast("long").as("id__"),
+        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
+      .select(col("id__"), (col("pos__") + 1).cast("long").as("dim"),
+        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var selected = emb.select(col(idCol).cast("long").as("id__"))
+      .orderBy(md5(col("id__").cast("string")).asc, col("id__").asc)
+      .limit(1)
+      .select(lit(0L).as("step"), col("id__"),
+        lit(0L).as("min_d2_e12"))
+      .localCheckpoint(true)
+    for (t <- 1 until k) {
+      val minD = kcMinDist(units, selected)
+      val next = minD
+        .orderBy(col("md__").desc, col("id__").asc).limit(1)
+        .select(lit(t.toLong).as("step"), col("id__"),
+          col("md__").cast("long").as("min_d2_e12"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select(col("step"), col("id__").as(idCol),
+      col("min_d2_e12"))
+  }
+
+  /** The k-center distance stage, factored for plan audits (the loop
+    * checkpoints eagerly, so the returned frame's plan is a scan):
+    * min over the selected set of exact squared-L2 per unselected
+    * candidate, the selected units broadcast. `units` = (id__, dim,
+    * u__); `selected` carries id__. */
+  private[graft] def kcMinDist(units: DataFrame,
+      selected: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val selUnits = units.join(
+      selected.select(col("id__").as("sid__")),
+      col("id__") === col("sid__"))
+      .select(col("sid__"), col("dim"), col("u__").as("su__"))
+    units
+      .join(selected.select(col("id__")), Seq("id__"), "left_anti")
+      .join(broadcast(selUnits), "dim")
+      .groupBy(col("id__"), col("sid__"))
+      .agg(sum(((col("u__") - col("su__")).cast(dec) *
+        (col("u__") - col("su__"))).cast(dec)).as("d2__"))
+      .groupBy(col("id__"))
+      .agg(min(col("d2__")).as("md__"))
+  }
 }

@@ -751,6 +751,12 @@ object ScaleProbe {
           "sb", "eb", keys = Seq("k"), bucketWidth = 32L)
         .filter(col("id_a") < col("id_b"))
     }
+    time("kcenter_coreset") {
+      // k=5 over n/10 64-dim vectors: four linear passes with a <= k
+      // broadcast selected set
+      graft.operators.Prototypes.kCenterGreedy(labeledVecs, "vec_id",
+        "embedding", k = 5)
+    }
     time("kmeans_lloyd") {
       // n/10 64-dim vectors, k=8, 3 iterations + final assign: four
       // broadcast-join assign passes over the 64×nDocs unit stream

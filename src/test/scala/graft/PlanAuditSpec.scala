@@ -536,6 +536,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"nearest as-of should be join-free:\n$p")
   }
 
+  test("kCenterGreedy distance stage: selected-set units broadcast, " +
+    "no cartesian (the loop checkpoints, so the stage is audited " +
+    "directly)") {
+    val units = (1 to 150).flatMap(i => Seq(
+      (i.toLong, 1L, (i % 13).toLong), (i.toLong, 2L, (i % 17).toLong)))
+      .toDF("id__", "dim", "u__")
+    val selected = Seq(Tuple1(7L)).toDF("id__")
+    val p = plan(graft.operators.Prototypes.kcMinDist(units, selected))
+    assert(p.contains("BroadcastHashJoin"),
+      s"selected-set join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian crept into the distance stage:\n$p")
+  }
+
   test("benfordCard is one projection + one 9-group aggregate; the " +
     "totals join broadcasts its 1-row side") {
     val vals = (1 to 300).map(i => Tuple1(i.toLong * 7)).toDF("v")

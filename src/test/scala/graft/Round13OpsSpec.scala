@@ -805,4 +805,43 @@ class Round13OpsSpec extends SparkSpec {
       (12L, 7L, 6L, md5hex("z")),
       (13L, 3L, 0L, md5hex("p q r"))))
   }
+
+  test("cubeStats: all four grouping sets, indicators tell the " +
+    "lanes apart, exact sums") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("s", "l", "u")
+    val out = graft.operators.Profile.cubeStats(df, Seq("s", "l"), $"u")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      (Some("a"), Some("x"), 0L, 0L, 1L, 1L),
+      (Some("a"), Some("y"), 0L, 0L, 1L, 2L),
+      (Some("b"), Some("x"), 0L, 0L, 1L, 4L),
+      (Some("a"), None, 0L, 1L, 2L, 3L),
+      (Some("b"), None, 0L, 1L, 1L, 4L),
+      (None, Some("x"), 1L, 0L, 2L, 5L),   // the cross marginal
+      (None, Some("y"), 1L, 0L, 1L, 2L),   // rollup cannot produce
+      (None, None, 1L, 1L, 3L, 7L)))
+  }
+
+  test("kCenterGreedy: md5 seed, farthest-point steps, distance ties " +
+    "broken by id ascending; radius curve exact") {
+    // md5 order of "1".."5": 4 < 1 < 2 < 5 < 3 -> seed is id 4 (5,5).
+    // step 1: ids 1,2,3 all sit at d² = 5e13 from the seed, id 1 wins
+    // the tie; step 2: id 5 is pinned at 1e10 to id 1, ids 2/3 tie at
+    // 5e13 again -> id 2.
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)),
+      (4L, Seq(5f, 5f)), (5L, Seq(0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Prototypes
+      .kCenterGreedy(emb, "vec_id", "embedding", k = 3)
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 0L),
+      (1L, 1L, 50000000000000L),
+      (2L, 2L, 50000000000000L)))
+  }
 }
