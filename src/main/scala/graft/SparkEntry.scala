@@ -2028,6 +2028,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // ---- eval: SPEARMAN rank correlation per return flag — q75's
+    // monotonic twin: Pearson over DOUBLED tie-averaged ranks
+    // (2·below + ties + 1, always integer), tie correction for free,
+    // same exact-sum discipline.
+    "q240_spearman" -> ((s, dir) =>
+      GroupStats.spearman(T(s, dir, "lineitem"), Seq("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        expr("cast(round(l_quantity, 0) as bigint)"))),
+
     // ---- OLAP: CUBE over (source, lang) — rollup's prefix levels
     // PLUS the cross marginals (per-lang-across-sources), one Expand,
     // grouping indicators, exact sums (q143's cube twin).
@@ -6161,6 +6170,50 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.l_partkey = b.l_partkey
         |  AND a.lid < b.lid AND a.sd <= b.ed AND b.sd <= a.ed
         |GROUP BY 1""".stripMargin,
+
+    // q240: q75's five-sum mirror fed by doubled tie-averaged ranks
+    // from per-group distinct tallies + below-count windows
+    "q240_spearman" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |tx AS (SELECT l_returnflag, x, count(*) AS cnt,
+        |    coalesce(sum(count(*)) OVER (PARTITION BY l_returnflag
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS below
+        |  FROM c GROUP BY 1, 2),
+        |ty AS (SELECT l_returnflag, y, count(*) AS cnt,
+        |    coalesce(sum(count(*)) OVER (PARTITION BY l_returnflag
+        |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS below
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT c.l_returnflag,
+        |    2 * tx.below + tx.cnt + 1 AS rx,
+        |    2 * ty.below + ty.cnt + 1 AS ry
+        |  FROM c JOIN tx ON tx.l_returnflag = c.l_returnflag
+        |    AND tx.x = c.x
+        |  JOIN ty ON ty.l_returnflag = c.l_returnflag AND ty.y = c.y),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+        |    sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy
+        |  FROM r GROUP BY 1),
+        |v AS (SELECT l_returnflag, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) AS cov_num,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)) *
+        |       sqrt(CAST(CAST(vy AS VARCHAR) AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM v""".stripMargin,
 
     // q238: native CUBE with GROUPING indicators (the q58 rollup
     // oracle's cube twin)

@@ -57,6 +57,54 @@ object GroupStats {
         col("r"): _*)
   }
 
+  /** Per-group SPEARMAN rank correlation — Pearson over tie-averaged
+    * ranks, the monotonic-association eval next to [[pearson]]'s
+    * linear one. Exactness trick: the tie-averaged rank of a value
+    * with `below` smaller rows and `ties` equals is
+    * (2·below + ties + 1) / 2; Pearson is scale-invariant, so the
+    * DOUBLED rank `2·below + ties + 1` — always an integer — feeds
+    * the same exact-DECIMAL sum discipline, and tie correction falls
+    * out for free. Ranks come from a per-group DISTINCT-value tally +
+    * a below-count window over the tally (rows = distinct values, not
+    * the corpus — the q215 shape), joined back to rows.
+    *
+    * Same output contract as [[pearson]]: n, cov_num (over doubled
+    * ranks), rho (NULL when either side is constant). */
+  def spearman(df: DataFrame, groupCols: Seq[String],
+      xUnits: Column, yUnits: Column, roundTo: Int = 6): DataFrame = {
+    val base = df
+      .select(groupCols.map(col) :+ xUnits.cast("long").as("x__") :+
+        yUnits.cast("long").as("y__"): _*)
+      .filter(col("x__").isNotNull && col("y__").isNotNull)
+    // below-counts ride the range-partitioned prefix sum (the q215
+    // discipline) — a window partitioned by the few group keys would
+    // put one group's whole distinct-value spectrum in one task. The
+    // global running sum re-bases per group via min(run − cnt) (= the
+    // group's first exclusive prefix, since running is monotone).
+    def rank2(vCol: String, out: String): DataFrame = {
+      val tally = base
+        .groupBy(groupCols.map(col) :+ col(vCol): _*)
+        .agg(count(lit(1)).as("cnt__"))
+      val (cum, _) = BudgetSelect.runningTotal(tally, col("cnt__"),
+        groupCols.map(col) :+ col(vCol), "run__")
+      val off = cum.groupBy(groupCols.map(col): _*)
+        .agg(min(col("run__") - col("cnt__")).as("off__"))
+        .select(groupCols.map(g => col(g).as(s"graft_g_${g}__")) :+
+          col("off__"): _*)
+      val cond = groupCols.map(g => col(g) <=> col(s"graft_g_${g}__"))
+        .reduce(_ && _)
+      cum.join(off, cond)
+        .select(groupCols.map(col) :+ col(vCol) :+
+          (lit(2L) * (col("run__") - col("cnt__") - col("off__")) +
+            col("cnt__") + 1L).as(out): _*)
+    }
+    val ranked = base
+      .join(rank2("x__", "rx2__"), groupCols :+ "x__")
+      .join(rank2("y__", "ry2__"), groupCols :+ "y__")
+    pearson(ranked, groupCols, col("rx2__"), col("ry2__"), roundTo)
+      .withColumnRenamed("r", "rho")
+  }
+
   /** Per-group OLS trend line over integer-unit observations — the
     * group-wise drift detector (is this source's quality declining? is
     * this metric trending?): slope and intercept of y ~ x as EXACT

@@ -751,6 +751,14 @@ object ScaleProbe {
           "sb", "eb", keys = Seq("k"), bucketWidth = 32L)
         .filter(col("id_a") < col("id_b"))
     }
+    time("spearman") {
+      // full n rows, skewed groups, ~100k distinct values per side:
+      // the two runningTotal prefix passes dominate
+      graft.operators.GroupStats.spearman(
+        df.filter(col("m1").isNotNull),
+        Seq("seg"), (col("m1") * 100).cast("long"),
+        (col("m2") * 10).cast("long"))
+    }
     time("kcenter_coreset") {
       // k=5 over n/10 64-dim vectors: four linear passes with a <= k
       // broadcast selected set

@@ -550,6 +550,18 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian crept into the distance stage:\n$p")
   }
 
+  test("spearman ranks ride range partitioning (q215 discipline) — " +
+    "never a window partitioned by the few group keys") {
+    val df = (1 to 400).map(i =>
+      (i % 3, (i % 97).toLong, (i % 89).toLong)).toDF("k", "x", "y")
+    val p = plan(graft.operators.GroupStats.spearman(
+      df, Seq("k"), col("x"), col("y")))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected the runningTotal range exchange:\n$p")
+    assert(!p.contains("windowspecdefinition(k#"),
+      s"a group-keyed corpus window appeared:\n$p")
+  }
+
   test("benfordCard is one projection + one 9-group aggregate; the " +
     "totals join broadcasts its 1-row side") {
     val vals = (1 to 300).map(i => Tuple1(i.toLong * 7)).toDF("v")

@@ -825,6 +825,20 @@ class Round13OpsSpec extends SparkSpec {
       (None, None, 1L, 1L, 3L, 7L)))
   }
 
+  test("spearman: tie-averaged ranks via the doubled-rank identity; " +
+    "perfect inverse thirds on a hand fixture") {
+    // x [1,2,2,4] -> avg ranks [1,2.5,2.5,4]; y [10,20,20,5] ->
+    // [2,3.5,3.5,1]; rho = -1/3 exactly, cov_num over DOUBLED ranks
+    // = 4·94 - 20·20 = -24
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 20L),
+      ("g", 4L, 5L)).toDF("k", "x", "y")
+    val r = graft.operators.GroupStats
+      .spearman(df, Seq("k"), $"x", $"y").collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("cov_num") == -24.0)
+    assert(r.getAs[Double]("rho") == -0.333333)
+  }
+
   test("kCenterGreedy: md5 seed, farthest-point steps, distance ties " +
     "broken by id ascending; radius curve exact") {
     // md5 order of "1".."5": 4 < 1 < 2 < 5 < 3 -> seed is id 4 (5,5).
