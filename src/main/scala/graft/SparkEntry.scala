@@ -2028,6 +2028,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // ---- multimodal: per-frame ZERO-CROSSING RATE of the q163
+    // synth WAVs — crossings of the 16384 midline (the ASCII-pinned
+    // samples are always positive, so textbook zero is degenerate;
+    // the DC-offset crossing is the meaningful discriminator) plus
+    // Σ|v − midline|, frame-local in both engines.
+    "q241_audio_zcr" -> ((s, dir) => {
+      def le32(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+        ((v >> 24) & 255).toByte)
+      def le16(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte)
+      val hdr = "RIFF".getBytes("UTF-8") ++ le32(100) ++
+        "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++ le32(64)
+      val wavs = T(s, dir, "documents")
+        .filter(length(col("text")) >= 64 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit(hdr), substring(col("text"), 1, 64).cast("binary"))
+            .as("payload"))
+      Multimodal.frameZcr(wavs, "doc_id", "payload",
+        frameSamples = 8, midline = 16384L)
+    }),
+
+    // ---- graph: HITS hubs & authorities over the q108 purchase
+    // graph — e6 sum-normalized integer half-steps, 3 iterations,
+    // unrolled-CTE oracle (PageRank's bipartite twin).
+    "q242_hits" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+      GraphRank.hits(edges, "src", "dst", iterations = 3)
+    }),
+
     // ---- eval: SPEARMAN rank correlation per return flag — q75's
     // monotonic twin: Pearson over DOUBLED tie-averaged ranks
     // (2·below + ties + 1, always integer), tie correction for free,
@@ -6170,6 +6207,61 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.l_partkey = b.l_partkey
         |  AND a.lid < b.lid AND a.sd <= b.ed AND b.sd <= a.ed
         |GROUP BY 1""".stripMargin,
+
+    // q241: the q163 sample reconstruction + lag over sidx; boundary
+    // transitions (sidx % 8 = 0) excluded so frames stay frame-local
+    "q241_audio_zcr" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 64) AS t
+        |  FROM documents
+        |  WHERE length(text) >= 64 AND strlen(text) = length(text)),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+        |    ascii(substring(t, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ascii(substring(t, CAST(2 * i + 2 AS INTEGER), 1))
+        |      AS v
+        |  FROM d, (SELECT unnest(range(0, 32)) AS i) idx),
+        |p AS (SELECT doc_id, sidx, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY sidx) AS pv
+        |  FROM s),
+        |f AS (SELECT doc_id, sidx // 8 AS frame, count(*) AS n_samples,
+        |    CAST(sum(CASE WHEN sidx % 8 <> 0
+        |        AND ((pv >= 16384) <> (v >= 16384))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |    CAST(sum(abs(v - 16384)) AS BIGINT) AS sum_dev
+        |  FROM p GROUP BY 1, 2)
+        |SELECT doc_id, frame, n_samples, zcr, sum_dev FROM f"""
+        .stripMargin,
+
+    // q242: the HITS half-steps unrolled — per iteration, an
+    // authority aggregate + e6 sum-normalization, then the hub
+    // mirror; truncating // equals the engine's IntegralDivide
+    "q242_hits" -> {
+      def iter(t: Int) =
+        s"""ar$t AS (SELECT e.dst AS node, sum(h.s) AS raw
+           |  FROM edges e JOIN h${t - 1} h ON h.node = e.src
+           |  GROUP BY 1),
+           |a$t AS (SELECT d.node,
+           |    (coalesce(r.raw, 0) * 1000000) //
+           |      (SELECT sum(raw) FROM ar$t) AS s
+           |  FROM dsts d LEFT JOIN ar$t r USING (node)),
+           |hr$t AS (SELECT e.src AS node, sum(a.s) AS raw
+           |  FROM edges e JOIN a$t a ON a.node = e.dst
+           |  GROUP BY 1),
+           |h$t AS (SELECT sr.node,
+           |    (coalesce(r.raw, 0) * 1000000) //
+           |      (SELECT sum(raw) FROM hr$t) AS s
+           |  FROM srcs sr LEFT JOIN hr$t r USING (node))""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |srcs AS (SELECT DISTINCT src AS node FROM edges),
+         |dsts AS (SELECT DISTINCT dst AS node FROM edges),
+         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM srcs),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_e6
+         |FROM h3
+         |UNION ALL
+         |SELECT node, 'auth', CAST(s AS BIGINT) FROM a3""".stripMargin
+    },
 
     // q240: q75's five-sum mirror fed by doubled tie-averaged ranks
     // from per-group distinct tallies + below-count windows

@@ -131,4 +131,61 @@ object GraphRank {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg) — [[pageRank]]'s bipartite
+    * twin for "good pointers vs good targets" source ranking:
+    * authority(j) = Σ hub over in-edges, hub(i) = Σ authority over
+    * out-edges, SUM-normalized to e6 mass each half-step so every
+    * score is an exact long (raw·1e6 div Σraw — truncating integer
+    * division, oracle-identical; float L2 normalization would
+    * reassociate). Emits (node, kind ∈ hub|auth, score_e6) after
+    * `iterations` rounds.
+    *
+    * Shape at scale: identical to [[pageRank]] — cached distinct edge
+    * list, per-iteration one join + map-side-combinable aggregate per
+    * side, a 1-row broadcast for each normalizer, `localCheckpoint`
+    * truncating the loop. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val srcs = graft.Caches.register(
+      e.select(col("src").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dsts = graft.Caches.register(
+      e.select(col("dst").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def normalize(raw: DataFrame, all: DataFrame): DataFrame = {
+      val total = raw.agg(sum(col("raw__")).as("t__"))
+      all.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          expr("(coalesce(raw__, 0) * 1000000) div t__").as("s_e6"))
+    }
+    var hubs = srcs.select(col("node"), lit(1000000L).as("s_e6"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e
+        .join(hubs.select(col("node").as("src"), col("s_e6")), "src")
+        .groupBy(col("dst")).agg(sum(col("s_e6")).as("raw__"))
+        .withColumnRenamed("dst", "node")
+      auths = normalize(aRaw, dsts).localCheckpoint(true)
+      val hRaw = e
+        .join(auths.select(col("node").as("dst"), col("s_e6")), "dst")
+        .groupBy(col("src")).agg(sum(col("s_e6")).as("raw__"))
+        .withColumnRenamed("src", "node")
+      hubs = normalize(hRaw, srcs).localCheckpoint(true)
+    }
+    hubs.select(col("node"), lit("hub").as("kind"),
+        col("s_e6").as("score_e6"))
+      .unionByName(auths.select(col("node"), lit("auth").as("kind"),
+        col("s_e6").as("score_e6")))
+  }
 }

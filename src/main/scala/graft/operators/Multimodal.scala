@@ -259,6 +259,60 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-frame ZERO-CROSSING RATE + absolute deviation — the classic
+    * cheap speech/tone discriminator next to [[frameEnergy]]'s
+    * loudness: how often the signal crosses `midline` between
+    * consecutive samples WITHIN a frame (boundary transitions belong
+    * to neither frame, so frame stats are frame-local in both
+    * engines), plus Σ|v − midline|. `midline` 0 is textbook ZCR; a
+    * positive midline measures crossings of the DC offset — what the
+    * ASCII-pinned synth WAVs need, their samples being always
+    * positive. All integers; same mapPartitions no-shuffle shape and
+    * corrupt-path contract as [[frameEnergy]]. */
+  def frameZcr(df: DataFrame, idCol: String, payloadCol: String,
+      frameSamples: Int, midline: Long = 0L): DataFrame = {
+    require(frameSamples >= 1, "frameSamples must be >= 1")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("zcr", LongType, nullable = false),
+      StructField("sum_dev", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte]
+        else row.getAs[Array[Byte]](pIdx)
+      pcm16Data(payload) match {
+        case None => Iterator.empty
+        case Some((off, n)) =>
+          def u8(i: Int) = payload(i) & 0xff
+          def sample(s: Int): Long =
+            (((u8(off + 2 * s) | (u8(off + 2 * s + 1) << 8))
+              << 16) >> 16).toLong
+          val id = row.getLong(idIdx)
+          (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+            val s0 = f * frameSamples
+            val s1 = math.min(s0 + frameSamples, n)
+            var zcr = 0L
+            var dev = 0L
+            var s = s0
+            while (s < s1) {
+              val v = sample(s)
+              dev += math.abs(v - midline)
+              if (s > s0 &&
+                (sample(s - 1) >= midline) != (v >= midline)) zcr += 1
+              s += 1
+            }
+            Row(id, f.toLong, (s1 - s0).toLong, zcr, dev)
+          }
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL image pixel decode for the two codec-free raster formats —
     * the image twin of [[parseWav]]'s PCM16 path, closing the "only
     * audio decodes for real" gap. Returns

@@ -759,6 +759,17 @@ object ScaleProbe {
         Seq("seg"), (col("m1") * 100).cast("long"),
         (col("m2") * 10).cast("long"))
     }
+    time("hits_bipartite") {
+      // 2M-edge bipartite graph, 100k hubs × 10k authorities with a
+      // hash-skewed degree distribution: six half-step joins + six
+      // 1-row normalizers
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(71)), lit(100000)).as("s"),
+        (pmod(xxhash64(col("id"), lit(72)),
+          pmod(xxhash64(col("id"), lit(73)), lit(10000)) + 1))
+          .as("d"))
+      graft.operators.GraphRank.hits(edges, "s", "d", iterations = 3)
+    }
     time("kcenter_coreset") {
       // k=5 over n/10 64-dim vectors: four linear passes with a <= k
       // broadcast selected set

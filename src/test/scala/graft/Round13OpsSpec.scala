@@ -825,6 +825,44 @@ class Round13OpsSpec extends SparkSpec {
       (None, None, 1L, 1L, 3L, 7L)))
   }
 
+  test("frameZcr: sign changes counted frame-locally, boundary " +
+    "transition excluded, deviation exact") {
+    def le32(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 24) & 255).toByte)
+    def le16(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte)
+    val samples = Seq(100, -50, 30, -10, 5, 5, -5, 8,
+      1, 2, 3, 4, -4, -3, -2, -1)
+    val hdr = "RIFF".getBytes("UTF-8") ++ le32(68) ++
+      "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+      le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++ le32(32)
+    val payload = hdr ++ samples.flatMap(le16)
+    val out = graft.operators.Multimodal.frameZcr(
+      Seq((1L, payload)).toDF("doc_id", "payload"),
+      "doc_id", "payload", frameSamples = 8)
+      .orderBy($"frame").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // frame 0 signs +−+−++−+ -> 6 crossings; frame 1 ++++−−−− -> 1
+    // (the 8→7? boundary pair (idx 7, idx 8) belongs to neither)
+    assert(out.toSeq == Seq((0L, 8L, 6L, 213L), (1L, 8L, 1L, 20L)))
+  }
+
+  test("hits: one half-step pair exact on a hand graph (e6 " +
+    "sum-normalized, truncating division)") {
+    // edges 1→a, 1→b, 2→b (a=10, b=11): auth raw (1e6, 2e6) →
+    // (333333, 666666); hub raw (999999, 666666) over total 1666665
+    // → (600000, 400000) — both divisions land exact
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L)).toDF("s", "d")
+    val out = graft.operators.GraphRank
+      .hits(edges, "s", "d", iterations = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "hub", 600000L), (2L, "hub", 400000L),
+      (10L, "auth", 333333L), (11L, "auth", 666666L)))
+  }
+
   test("spearman: tie-averaged ranks via the doubled-rank identity; " +
     "perfect inverse thirds on a hand fixture") {
     // x [1,2,2,4] -> avg ranks [1,2.5,2.5,4]; y [10,20,20,5] ->
