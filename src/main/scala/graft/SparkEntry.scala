@@ -2028,6 +2028,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // ---- streaming: THROTTLE state machine — q150's debounce rule
+    // as flatMapGroupsWithState (state = last raw ts per key,
+    // advanced by every event); time-sliced feed makes stream output
+    // equal the batch operator row-for-row, so the gate SHARES q150's
+    // oracle. Gaps straddling micro-batches ride in state.
+    "q243_stream_throttle" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events").select(
+        concat(col("user_id").cast("string"), lit("|"),
+          col("event_type")).as("key"),
+        col("ts").as("tsNanos"),
+        col("event_id").cast("long").as("eventId"))
+      val mm = ev.agg(min(col("tsNanos")).as("mn"),
+        max(col("tsNanos")).as("mx"))
+      val batched = ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("tsNanos") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("key"), col("tsNanos"), col("eventId"), col("b"))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q243-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream
+        .schema("key STRING, tsNanos LONG, eventId LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .as[graft.streaming.Streams.SpacedEvent]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q243-out").toString
+      val q = graft.streaming.Streams
+        .streamingThrottle(src, minGapSeconds = 60L)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/kept")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/kept")
+        .select(col("eventId").as("event_id"),
+          substring_index(col("key"), "|", 1).cast("long")
+            .as("user_id"),
+          substring_index(col("key"), "|", -1).as("event_type"),
+          col("tsNanos").as("ts"))
+    }),
+
     // ---- multimodal: per-frame ZERO-CROSSING RATE of the q163
     // synth WAVs — crossings of the 16384 midline (the ASCII-pinned
     // samples are always positive, so textbook zero is degenerate;
@@ -3527,6 +3572,18 @@ object SparkEntry {
   /** Shared SQL fragments. */
   private val wsNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($wsNorm, ' ')"
+
+  /** The q150 lag-vs-previous-raw-event throttle rule — shared by the
+    * batch gate (q150) and its streaming state-machine twin (q243),
+    * whose time-ordered feed reproduces the batch output exactly. */
+  private val throttleOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) AS tsn FROM events),
+      |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY tsn, event_id) AS prev FROM e)
+      |SELECT event_id, user_id, event_type, tsn AS ts FROM l
+      |WHERE prev IS NULL
+      |   OR tsn - prev > CAST(60 AS BIGINT) * 1000000000""".stripMargin
 
   /** Shared q30/q62 gate shape: the exact near-dup pair surface plus
     * in-engine recall/precision guarantee booleans, closed over any
@@ -7285,14 +7342,11 @@ object SparkEntry {
     },
 
     // q150: same lag rule; kept rows pass through raw
-    "q150_throttle" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |    epoch_ns(ts) AS tsn FROM events),
-        |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id, event_type
-        |    ORDER BY tsn, event_id) AS prev FROM e)
-        |SELECT event_id, user_id, event_type, tsn AS ts FROM l
-        |WHERE prev IS NULL
-        |   OR tsn - prev > CAST(60 AS BIGINT) * 1000000000""".stripMargin,
+    "q150_throttle" -> throttleOracleSql,
+
+    // q243: the streaming state machine reproduces the batch rule
+    // row-for-row (time-ordered feed) — SAME oracle as q150
+    "q243_stream_throttle" -> throttleOracleSql,
 
     // q151: identical e6 quantization, exact HUGEINT norms; empty
     // vectors survive via the left join

@@ -117,6 +117,42 @@ object Streams {
   case class CusumPoint(group: String, day: Long, n_events: Long,
     k: Long, cusum: Long, alarm: Boolean)
 
+  /** Streaming THROTTLE / minimum-spacing filter — the stateful twin
+    * of [[graft.operators.EventAnalytics.throttle]] (q150's
+    * double-fire debounce): per key, an event is kept iff it arrives
+    * MORE than `minGapSeconds` after the key's previous RAW event;
+    * state is one long (the last raw timestamp), advanced by every
+    * event whether kept or dropped — exactly the batch lag rule, so a
+    * per-key time-ordered feed reproduces the batch operator
+    * row-for-row and the two share one oracle. Kept events emit
+    * immediately (no window close), so no sentinel flush is needed;
+    * an inter-event gap straddling two micro-batches is safe — the
+    * last timestamp rides in state. */
+  case class SpacedEvent(key: String, tsNanos: Long, eventId: Long)
+  case class ThrottleState(lastTs: Long)
+
+  def streamingThrottle(events: org.apache.spark.sql.Dataset[SpacedEvent],
+      minGapSeconds: Long): org.apache.spark.sql.Dataset[SpacedEvent] = {
+    require(minGapSeconds >= 1, "minGapSeconds must be >= 1")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gap = minGapSeconds * 1000000000L
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[ThrottleState, SpacedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SpacedEvent],
+            state: GroupState[ThrottleState]) =>
+          val out = Seq.newBuilder[SpacedEvent]
+          var last = state.getOption.map(_.lastTs)
+          batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
+            if (last.forall(l => e.tsNanos - l > gap)) out += e
+            last = Some(e.tsNanos)
+          }
+          last.foreach(l => state.update(ThrottleState(l)))
+          out.result().iterator
+      }
+  }
+
   def streamingCusum(events: org.apache.spark.sql.Dataset[DayEvent],
       allowance: Map[String, Long],
       hMult: Long): org.apache.spark.sql.Dataset[CusumPoint] = {

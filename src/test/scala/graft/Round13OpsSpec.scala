@@ -497,6 +497,40 @@ class Round13OpsSpec extends SparkSpec {
       2L -> (1L, 0L, false), 3L -> (100L, 74L, true)))
   }
 
+  test("streamingThrottle: state advances on dropped events too; a " +
+    "gap straddling micro-batches rides in state") {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_throttle_stream")
+    val src = s"$root/feed"
+    new java.io.File(src).mkdirs()
+    val ns = 1000000000L
+    // key a: ts 0 (keep), 30 (drop), 95 (95-30=65>60 keep) with the
+    // 95 event in batch 2 — the 30 ride must persist; 150 (55, drop).
+    // key b: 0 (keep), 61 (keep, exactly >60)
+    Streams.stageBatchFiles(Seq(
+      ("a", 0L * ns, 1L, 0), ("a", 30L * ns, 2L, 0),
+      ("b", 0L * ns, 5L, 0),
+      ("a", 95L * ns, 3L, 1), ("b", 61L * ns, 6L, 1),
+      ("a", 150L * ns, 4L, 1)
+    ).toDF("key", "tsNanos", "eventId", "b"), "b", src)
+    val stream = spark.readStream
+      .schema("key STRING, tsNanos LONG, eventId LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[Streams.SpacedEvent]
+    val out = s"$root/out"
+    val q = Streams.streamingThrottle(stream, minGapSeconds = 60L)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out)
+      .collect().map(_.getAs[Long]("eventId")).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+  }
+
   test("embargoSplit: relative edges, per-split counts, and the " +
     "train-entity overlap audit on a hand timeline") {
     val day = 86400L * 1000000000L
