@@ -51,8 +51,16 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadAvg()
+    // Noisy-neighbor signature: back-to-back samples of the SAME query
+    // growing monotonically (run1 < run2 < run3) means the box load was
+    // ramping during the measurement — the exact pattern the r12 driver
+    // run showed (q30: 12.3 / 50.3 / 123.8 s). One query can do this by
+    // chance; MANY doing it is contention, so the count is an artifact-
+    // level health flag.
+    def isMonotonic(runs: Seq[Double]): Boolean =
+      runs.size >= 2 && runs.sliding(2).forall(p => p(1) > p(0) * 1.05)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -64,6 +72,18 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      var runs = (1 to repeats).map(_ => sample()).toVector
+      // Self-heal (r13 verdict): a monotonic-growth sample set is the
+      // contended-window fingerprint — take up to 2 extra samples so
+      // the published median has a chance to settle once the transient
+      // load passes, instead of entering the artifact contaminated.
+      // Still-monotonic after the extras ⇒ the query keeps its
+      // monotonic_growth flag and the median is read as suspect.
+      var extra = 0
+      while (repeats >= 2 && isMonotonic(runs) && extra < 2) {
+        runs = runs :+ sample()
+        extra += 1
+      }
       val sorted = runs.sorted
       val median = sorted(sorted.size / 2)
       name -> (median, sorted.head, runs)
@@ -74,14 +94,6 @@ object Bench {
     // the driver's log-capture window (see flatLine note below)
     val qsFlat = results.map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.2f" }
       .mkString("{", ",", "}")
-    // Noisy-neighbor signature: back-to-back samples of the SAME query
-    // growing monotonically (run1 < run2 < run3) means the box load was
-    // ramping during the measurement — the exact pattern the r12 driver
-    // run showed (q30: 12.3 / 50.3 / 123.8 s). One query can do this by
-    // chance; MANY doing it is contention, so the count is an artifact-
-    // level health flag.
-    def isMonotonic(runs: Seq[Double]): Boolean =
-      runs.size >= 2 && runs.sliding(2).forall(p => p(1) > p(0) * 1.05)
     val monotonicQs = results.collect {
       case (k, (_, _, runs)) if isMonotonic(runs) => k }
     val runsJson = results.map { case (k, (_, min, runs)) =>
@@ -139,12 +151,19 @@ object Bench {
     // printed FIRST (useful when the whole log is kept), but the final
     // line is the one guaranteed to parse.
     println(f"""{"metric":"total_full_map","value":$total%.3f,"unit":"sec","queries":$qsFlat,"sf":"$sfDir"}""")
-    val slowest = ops.sortBy(-_._2._1).take(10)
-      .map { case (k, (med, _, _)) => "\"" + k + f"\":$med%.2f" }
-      .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"n_queries":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    require(compact.length < 1900,
-      s"compact bench line must fit the driver capture, got ${compact.length}")
+    // The compact line SELF-TRUNCATES to the capture budget instead of
+    // require-crashing (which would fail the run AFTER the expensive
+    // measurement succeeded): shrink the slowest-k map until it fits,
+    // down to a minimal totals-only line that always does.
+    def compactLine(k: Int): String = {
+      val slowest = ops.sortBy(-_._2._1).take(k)
+        .map { case (q, (med, _, _)) => "\"" + q + f"\":$med%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"n_queries":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    }
+    val compact = (10 to 0 by -5).map(compactLine)
+      .find(_.length < 1900)
+      .getOrElse(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ops.size},"artifact":"BENCH_LOCAL.json"}""")
     println(compact)
     spark.stop()
   }

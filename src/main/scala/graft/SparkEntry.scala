@@ -6229,9 +6229,10 @@ object SparkEntry {
     },
 
     // q235: per click, argmin over purchases of (|Δt|, direction)
-    // with backward (dir 0) winning ties — the same rule the
-    // engine's distB <= distF projection encodes; clickless users
-    // null-extend
+    // with backward (dir 0) winning ties and the LOWEST purchase id
+    // winning same-(user, ts) duplicates — the engine's distB <= distF
+    // projection plus AsOfJoin's min-payload-struct canonicalization;
+    // clickless users null-extend
     "q235_asof_nearest" ->
       """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS t
         |  FROM events WHERE event_type = 'click'),
@@ -6242,7 +6243,8 @@ object SparkEntry {
         |    CASE WHEN p.pt <= c.t THEN 0 ELSE 1 END AS dir
         |  FROM c JOIN p USING (user_id)),
         |b AS (SELECT event_id, pid, d, dir, row_number() OVER (
-        |    PARTITION BY event_id ORDER BY d, dir, pt) AS rn FROM j)
+        |    PARTITION BY event_id ORDER BY d, dir, pt, pid) AS rn
+        |  FROM j)
         |SELECT c.event_id, c.user_id,
         |  b.pid AS nearest_purchase_id,
         |  b.d // 1000000000 AS gap_abs_s,
@@ -7904,7 +7906,7 @@ object SparkEntry {
          |  UNION ALL SELECT uid, ts FROM em4)""".stripMargin
     },
 
-    // q174: the 8 batched passes unrolled — per pass the same pair
+    // q174: the 16 batched passes unrolled — per pass the same pair
     // counts, candidate ranking, symbol-disjointness keep rule (NOT
     // EXISTS over exploded {l, r, lr} triples vs every higher-ranked
     // candidate), 16-pair adoption, and a list_reduce fold of the

@@ -22,19 +22,36 @@ import org.apache.spark.sql.functions._
   * one in-partition sort — sort-merge-join cost, no range explosion, no
   * driver loops. Right rows with ts equal to a left row sort BEFORE it,
   * so equality matches (>=), standard ASOF semantics.
+  *
+  * Tie rule: several right rows sharing (key, ts) are canonicalized to
+  * the MINIMUM payload struct (field-ordinal struct comparison — with a
+  * unique id leading the payload, the lowest id wins) BEFORE the union,
+  * so the chosen match is total-ordered and run/engine-deterministic
+  * (the window's (ts, side) sort alone would leave last()/first() free
+  * to pick either duplicate). The canonicalization is a
+  * map-side-combinable min aggregate, so duplicate-heavy right sides
+  * SHRINK before the union shuffle rather than costing extra.
   */
 object AsOfJoin {
+
+  /** One canonical right row per (key, rightTs): min payload struct. */
+  private def canonicalRight(right: DataFrame, keys: Seq[String],
+      rightTs: String, rightStruct: org.apache.spark.sql.Column,
+      side: Int): DataFrame =
+    right
+      .select(keys.map(col) ++ Seq(col(rightTs).as("asof_ts__"),
+        rightStruct.as("asof_r__")): _*)
+      .groupBy((keys :+ "asof_ts__").map(col): _*)
+      .agg(min(col("asof_r__")).as("asof_r__"))
+      .withColumn("asof_side__", lit(side))
 
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightStruct = struct(rightPayload.map(col): _*)
-    val rightTagged = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("asof_ts__"),
-        lit(0).as("asof_side__"),
-        rightStruct.as("asof_r__")): _*)
+    val rightTagged =
+      canonicalRight(right, keys, rightTs, rightStruct, side = 0)
     val leftTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("asof_ts__"),
@@ -63,19 +80,15 @@ object AsOfJoin {
     * right rows at equal ts (side 0 < 1) and `first(ignoreNulls)` runs
     * over (currentRow, unboundedFollowing), so an exactly-simultaneous
     * right row matches (>= semantics). Ties among right rows with
-    * identical (key, ts) are broken by the window's (ts, side) order
-    * only — give right rows unique timestamps (this repo's events
-    * carry ns-unique ts per user) or disambiguate upstream. */
+    * identical (key, ts) resolve to the minimum payload struct (the
+    * class-level tie rule). */
   def leftAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightStruct = struct(rightPayload.map(col): _*)
-    val rightTagged = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("asof_ts__"),
-        lit(1).as("asof_side__"),
-        rightStruct.as("asof_r__")): _*)
+    val rightTagged =
+      canonicalRight(right, keys, rightTs, rightStruct, side = 1)
     val leftTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("asof_ts__"),
@@ -110,18 +123,17 @@ object AsOfJoin {
     * candidate) — the forward carry's effective semantics are strict
     * `>`, and nearest remains exact. The right timestamp is always
     * surfaced as `right_<rightTs>` plus the sign flag `matched_back`
-    * (did the nearest row precede the left row?). */
+    * (did the nearest row precede the left row?). Right rows sharing
+    * (key, ts) resolve to the minimum payload struct (class-level tie
+    * rule), so the emitted payload is deterministic. */
   def leftAsOfNearest(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val pay = (rightPayload :+ rightTs).distinct
     val rightStruct = struct(pay.map(col): _*)
-    val rightTagged = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("asof_ts__"),
-        lit(0).as("asof_side__"),
-        rightStruct.as("asof_r__")): _*)
+    val rightTagged =
+      canonicalRight(right, keys, rightTs, rightStruct, side = 0)
     val leftTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("asof_ts__"),

@@ -163,10 +163,17 @@ object GraphRank {
         .persist(StorageLevel.MEMORY_AND_DISK))
     def normalize(raw: DataFrame, all: DataFrame): DataFrame = {
       val total = raw.agg(sum(col("raw__")).as("t__"))
+      // raw__ · 1e6 can exceed Long.MaxValue in the un-normalized first
+      // half-step (raw__ = in_degree·1e6, wraps past 2⁶³ at in-degree
+      // ~9.2M under non-ANSI long arithmetic); the oracle runs this in
+      // HUGEINT, so widen to decimal(38,0) before the scale-up — the
+      // ExactRound discipline — and the div lands back in long range
+      // (result ≤ 1e6 by sum-normalization).
       all.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(total))
         .select(col("node"),
-          expr("(coalesce(raw__, 0) * 1000000) div t__").as("s_e6"))
+          expr("(cast(coalesce(raw__, 0) as decimal(38,0)) * 1000000)" +
+            " div t__").as("s_e6"))
     }
     var hubs = srcs.select(col("node"), lit(1000000L).as("s_e6"))
       .localCheckpoint(true)
