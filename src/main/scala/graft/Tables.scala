@@ -51,6 +51,27 @@ object Tables {
     }
   }
 
+  /** Stage a deterministic derived table to `storeDir` on first touch
+    * and read it back as parquet ever after — the generic form of the
+    * staged MinHash / band-key / BPE stores: a production pipeline
+    * derives its standing tables (edge lists, indexes, models) ONCE
+    * per corpus and every consumer reads the store instead of
+    * re-deriving per query. Callers key `storeDir` by the source
+    * stamp(s) so a regenerated corpus forces a rebuild. The `_staged`
+    * marker commits AFTER the write, so a killed writer leaves a
+    * partial store the next call rebuilds. */
+  def stagedParquet(spark: SparkSession, storeDir: String)
+      (build: => DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      build.write.mode("overwrite").parquet(s"$storeDir/data")
+      fs.create(marker, true).close()
+    }
+    spark.read.parquet(s"$storeDir/data")
+  }
+
   /** Latest-file selection (SURVEY §2.1 S2, ref uploadtodb.py:46-57):
     * resolve newest path matching a glob by modification time, driver-side,
     * before handing the single path to a distributed scan.

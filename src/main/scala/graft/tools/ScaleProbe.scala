@@ -459,9 +459,11 @@ object ScaleProbe {
     // ---- pairwise-shape metrics (the round-11 "stays sub-quadratic"
     // evidence): candidate volumes and block-size distribution, with
     // explicit bound checks against the all-pairs count nDocs²/2
-    if (only.forall(s => s.contains("containment_candidates") ||
-        s.contains("fuzzy_join_blocks"))) {
-      val allPairs = nDocs * (nDocs - 1) / 2
+    // Each probe's emit is gated on its OWN name (r13 ADVICE: the
+    // shared forall let a partial run requesting one name emit both,
+    // duplicating the other's line in a hand-appended artifact).
+    val allPairs = nDocs * (nDocs - 1) / 2
+    if (only.forall(_.contains("containment_candidates"))) {
       // containment/jaccard candidate volume on the DIVERSE corpus =
       // Σ df·(df−1)/2 over shingles — what the posting self-join emits
       val ss = graft.operators.Dedup.shingleStats(diverseDocs,
@@ -471,6 +473,8 @@ object ScaleProbe {
         s""""n_shingles":${ss.getLong(0)},"max_df":${ss.getLong(1)},""" +
         s""""candidate_pairs":$cand,"all_pairs":$allPairs,""" +
         s""""sub_quadratic":${cand * 100 < allPairs}}""")
+    }
+    if (only.forall(_.contains("fuzzy_join_blocks"))) {
       // fuzzy-join block-size distribution on the names fixture: the
       // pair expansion is Σ nb² — bounded by max_block · rows
       val names = spark.range(nDocs).select(col("id").as("k"),
@@ -769,6 +773,44 @@ object ScaleProbe {
           pmod(xxhash64(col("id"), lit(73)), lit(10000)) + 1))
           .as("d"))
       graft.operators.GraphRank.hits(edges, "s", "d", iterations = 3)
+    }
+    // r14: the two graph probes the r13 verdict flagged as the only
+    // headline family without 2M scale evidence (q108 is the suite's
+    // slowest query). Same fixed-iteration localCheckpoint loop shapes
+    // as the gates; edge volume n, node domains sized so degree skew
+    // is real.
+    time("pagerank") {
+      // 2M edges, 100k sources, hash-skewed destination domain (dst
+      // domains of 1..50k per edge draw → heavy head): 5 iterations,
+      // each one join + one groupBy(dst) aggregate
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000)).as("s"),
+        pmod(xxhash64(col("id"), lit(82)),
+          pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
+      graft.operators.GraphRank.pageRank(edges, "s", "d", iterations = 5)
+    }
+    time("triangle_stats") {
+      // half the edges are 5-cliques over consecutive ids (n/20 groups
+      // × 10 edges → 10 real triangles each), half hash-random pairs
+      // over n/10 nodes, plus a 20k-degree hub node — the shape the
+      // compact-forward orientation exists for: the hub's wedge set
+      // must stay O(√m), not hub-degree²
+      val nn = n / 10
+      val cliquePairs = Seq((0, 1), (0, 2), (0, 3), (0, 4), (1, 2),
+        (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+      val cliques = spark.range(n / 20)
+        .select(col("id").as("g"), explode(array(cliquePairs.map {
+          case (i, j) => struct(lit(i).as("i"), lit(j).as("j"))
+        }: _*)).as("p"))
+        .select((col("g") * 5 + col("p.i")).as("a"),
+          (col("g") * 5 + col("p.j")).as("b"))
+      val rand = spark.range(n * 2 / 5).select(
+        pmod(xxhash64(col("id"), lit(84)), lit(nn)).as("a"),
+        pmod(xxhash64(col("id"), lit(85)), lit(nn)).as("b"))
+      val hub = spark.range(n / 10).select(lit(nn + 1).as("a"),
+        pmod(xxhash64(col("id"), lit(86)), lit(nn)).as("b"))
+      graft.operators.GraphRank.triangleStats(
+        cliques.union(rand).union(hub), "a", "b")
     }
     time("kcenter_coreset") {
       // k=5 over n/10 64-dim vectors: four linear passes with a <= k

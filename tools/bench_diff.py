@@ -24,12 +24,13 @@ def load(path):
         d = json.load(f)
     qs = d.get("queries") or {}
     runs = d.get("query_runs") or {}
-    return d, qs, runs
+    mono = set(d.get("monotonic_growth_queries") or [])
+    return d, qs, runs, mono
 
 
 def main(cur_path, prev_path, out_path=None):
-    cur, cur_q, cur_runs = load(cur_path)
-    prev, prev_q, _ = load(prev_path)
+    cur, cur_q, cur_runs, cur_mono = load(cur_path)
+    prev, prev_q, _, prev_mono = load(prev_path)
     report = {
         "current": cur_path, "previous": prev_path,
         "current_total": cur.get("value"), "previous_total": prev.get("value"),
@@ -67,6 +68,17 @@ def main(cur_path, prev_path, out_path=None):
             entry["min_ratio"] = round(rr["min"] / p, 2)
             # median inflated but min held: contention, not regression
             entry["likely_contention"] = ratio > 2.0 and rr["min"] / p <= 1.5
+        # r14 (verdict #2/#6 follow-through): a sample that either
+        # artifact's own tooling flagged as load-ramp-contaminated
+        # (back-to-back samples grew monotonically) never produces a
+        # HARD regression verdict — the number is a box artifact, not
+        # a plan change (q181's 10.5 s in r13 was exactly this).
+        if name in cur_mono or name in prev_mono:
+            entry["flagged_sample"] = (
+                ("current" if name in cur_mono else "") +
+                ("+previous" if name in prev_mono and name in cur_mono
+                 else "previous" if name in prev_mono else ""))
+            entry["likely_contention"] = True
         if ratio > 2.0 and (c - p) > 0.5:  # ignore sub-second jitter
             report["regressed"].append(entry)
         elif ratio < 0.5 and (p - c) > 0.5:
