@@ -2125,6 +2125,41 @@ object SparkEntry {
       GraphRank.hits(stagedPurchaseEdges(s, dir), "src", "dst",
         iterations = 3)),
 
+    // ---- S8 truncate-and-load through the REAL write path (the last
+    // spec-only §2 row): load a full snapshot into a store, then
+    // overwrite it with the current (filtered) snapshot and read the
+    // store back. An "overwrite" that appended instead of truncating
+    // would leak first-load rows into the read-back and fail the
+    // row-count + hash gate — exactly the failure S8 guards against.
+    "q244_truncate_load" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q244").toString + "/store"
+      val snapshot = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sinks.MergeByKey.overwrite(snapshot, store)
+      graft.sinks.MergeByKey.overwrite(
+        snapshot.filter(col("s_acctbal") > 0), store)
+      s.read.parquet(store)
+    }),
+
+    // ---- multimodal: REAL Y4M video frame demux (q193's video
+    // sibling — the container synthesized by construction from ASCII
+    // document bytes, the demux + per-frame luma/chroma accounting
+    // real). 4x2 C420 → 8 Y bytes + 4 chroma bytes per frame, two
+    // frames per doc from text[1..12] and text[13..24].
+    "q245_video_frames" -> ((s, dir) => {
+      val hdr = "YUV4MPEG2 W4 H2 F25:1 C420\n".getBytes("US-ASCII")
+      val fm = "FRAME\n".getBytes("US-ASCII")
+      val vids = T(s, dir, "documents")
+        .filter(length(col("text")) >= 24 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit(hdr), lit(fm),
+            substring(col("text"), 1, 12).cast("binary"), lit(fm),
+            substring(col("text"), 13, 12).cast("binary")).as("payload"))
+      Multimodal.y4mFrameStats(vids, "doc_id", "payload")
+    }),
+
     // ---- eval: SPEARMAN rank correlation per return flag — q75's
     // monotonic twin: Pearson over DOUBLED tie-averaged ranks
     // (2·below + ties + 1, always integer), tie correction for free,
@@ -6304,6 +6339,28 @@ object SparkEntry {
         |  FROM p GROUP BY 1, 2)
         |SELECT doc_id, frame, n_samples, zcr, sum_dev FROM f"""
         .stripMargin,
+
+    // q244: the store's final content IS the second (filtered) load —
+    // any surviving first-load row breaks rows + hash
+    "q244_truncate_load" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0""".stripMargin,
+
+    // q245: the Y4M payload is document bytes by construction — frame
+    // f's Y plane is text[1+12f .. 8+12f], chroma text[9+12f .. 12+12f]
+    "q245_video_frames" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 24 AND strlen(text) = length(text)),
+        |f AS (SELECT doc_id, text, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(1 + 12 * fi AS INTEGER) AS o
+        |  FROM d, (SELECT unnest(range(0, 2)) AS fi) idx)
+        |SELECT doc_id, frame_idx,
+        |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+        |  CAST((SELECT sum(ascii(substring(text, CAST(o + i AS INTEGER), 1)))
+        |    FROM range(0, 8) t(i)) AS BIGINT) AS y_sum,
+        |  CAST((SELECT sum(ascii(substring(text, CAST(o + 8 + i AS INTEGER), 1)))
+        |    FROM range(0, 4) t(i)) AS BIGINT) AS c_sum
+        |FROM f""".stripMargin,
 
     // q242: the HITS half-steps unrolled — per iteration, an
     // authority aggregate + e6 sum-normalization, then the hub

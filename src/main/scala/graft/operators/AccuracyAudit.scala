@@ -69,6 +69,20 @@ object AccuracyAudit {
   def apply(s: SparkSession, dir: String,
       maxAuditRows: Int = 1000000): DataFrame = {
     import s.implicits._
+    // The audit's driver-side sets are bounded BY CONTRACT (inputs are
+    // sliced to maxAuditRows and a healthy corpus yields far fewer
+    // audit pairs than rows); enforce rather than assume — fetch one
+    // row past the cap and fail loudly instead of OOMing the driver on
+    // a pathologically dense slice. One extra row, no recompute.
+    val collectCap = 4 * maxAuditRows
+    def boundedSet[T](ds: org.apache.spark.sql.Dataset[T],
+        what: String): Set[T] = {
+      val rows = ds.limit(collectCap + 1).collect()
+      require(rows.length <= collectCap,
+        s"audit '$what' exceeded the bounded-collect cap $collectCap — " +
+          "the audited slice is pathologically dense; lower maxAuditRows")
+      rows.toSet
+    }
     val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     val docs = slice(Tables(s, dir, "documents"), "doc_id", maxAuditRows, cached)
     val emb = slice(Tables(s, dir, "embeddings"), "vec_id", maxAuditRows, cached)
@@ -93,17 +107,19 @@ object AccuracyAudit {
       val ex = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
         .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-        .as[(Long, Long)].collect().toSet
+        .as[(Long, Long)]
       val ls = Dedup.simhashFromFingerprints(fps, bands = 4, maxHamming = 3)
         .select(col("doc_a"), col("doc_b"))
-        .as[(Long, Long)].collect().toSet
+        .as[(Long, Long)]
+      val (exSet, lsSet) = (boundedSet(ex, "simhash_exact_pairs"),
+        boundedSet(ls, "simhash_banded_pairs"))
       fps.unpersist(blocking = false)
-      ex == ls // banding may neither miss nor invent
+      exSet == lsSet // banding may neither miss nor invent
     })
 
     // --- ANN: exact top-10 once, both approximate variants against it.
-    def ids(df: DataFrame): Set[Long] = df.select(col("vec_id"))
-      .as[Long].collect().toSet
+    def ids(df: DataFrame): Set[Long] =
+      boundedSet(df.select(col("vec_id")).as[Long], "ann_top_ids")
     val fExactTop = Future(timed("ann_exact_top10")(ids(SimilaritySearch.bruteForceTopK(
       emb, "vec_id", "embedding", queryId = 0L, k = 10))))
     // measured 9/10 at sf0.01 and sf0.1 (true neighbors at cos 0.28-0.41,
@@ -119,8 +135,8 @@ object AccuracyAudit {
     // --- embedding near-dup LSH recall vs the exact O(n²) kernel
     // (measured 1.0 at sf0.01, 0.958 at sf0.1; vacuous-pass if the
     // corpus has no true pairs)
-    def pairs(df: DataFrame): Set[(Long, Long)] =
-      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    def pairs(df: DataFrame): Set[(Long, Long)] = boundedSet(
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)], "neardup_pairs")
     val fExactPairs = Future(timed("embedding_exact_pairs")(
       pairs(SimilaritySearch.embeddingNearDupExact(
         emb, "vec_id", "embedding", threshold = 0.45))))
@@ -152,8 +168,9 @@ object AccuracyAudit {
     // bounded — at fpp=0.01 a doc needs many coincidental bit hits to
     // cross the 0.3 containment threshold (measured 0 excess docs at
     // sf0.01/sf0.1; gate allows 2% of the corpus).
-    def flagged(df: DataFrame): Set[Long] = df.filter(col("contaminated"))
-      .select(col("doc_id")).as[Long].collect().toSet
+    def flagged(df: DataFrame): Set[Long] = boundedSet(
+      df.filter(col("contaminated")).select(col("doc_id")).as[Long],
+      "decontaminate_flagged")
     val benchB = Sampling.hashSample(docs, "doc_id", rate256 = 26)
     val corpusB = docs.join(benchB.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val fExactFlag = Future(timed("decontaminate_exact")(

@@ -22,11 +22,16 @@ import org.apache.spark.sql.types._
   * external media library, headless-safe. [[resize]] decodes any of
   * those, nearest-neighbor-resamples with exact integer index math,
   * and re-encodes as PPM-P6 (a deterministic byte-exact container, so
-  * the resampled payload itself is gate-able). The ONLY remaining stub
-  * is video frame extraction ([[stubFrameSample]]): the JDK ships no
-  * video demuxer/codec, so that path derives deterministic pseudo-
-  * frames to keep the Spark-side contract — schema, partitioning,
-  * batch iteration, null-safety — real and oracle-tested.
+  * the resampled payload itself is gate-able). Video frame extraction
+  * is REAL since round 14 for the one container the JDK can read
+  * without a codec: Y4M / YUV4MPEG2 (plain-text header + uncompressed
+  * planar YCbCr frames — mjpegtools' interchange format, what
+  * ffmpeg/x264 pipe between stages). [[parseY4m]] walks the container
+  * and [[frameSample]]/[[y4mFrameStats]] demux every `stride`-th
+  * frame; compressed containers (MP4/MKV) stay out of scope — the JDK
+  * ships no inter-frame codec, and fabricating frames would violate
+  * the corrupt-path contract (unreadable payload → no rows, never
+  * fake bytes).
   */
 object Multimodal {
 
@@ -732,15 +737,70 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling: a real implementation would demux a video
-    * container and decode every `stride`-th frame; the stub slices the
-    * payload into `frameLen`-byte pseudo-frames and keeps every
-    * `stride`-th. Returns (frame_idx, frame_bytes) pairs. */
-  def stubFrameSample(payload: Array[Byte], frameLen: Int,
-      stride: Int): Seq[(Int, Array[Byte])] = {
-    if (payload.isEmpty || frameLen <= 0) Seq.empty
-    else (0 until payload.length / frameLen by math.max(1, stride)).map { f =>
-      f -> payload.slice(f * frameLen, (f + 1) * frameLen)
+  /** A demuxed Y4M stream: pixel dims, colorspace tag, and one byte
+    * slice per frame (planar Y then Cb then Cr, no compression). */
+  final case class Y4mVideo(width: Int, height: Int, colorspace: String,
+      frames: Seq[(Int, Array[Byte])])
+
+  /** REAL video frame demux for the YUV4MPEG2 (Y4M) container — the
+    * one video format readable with zero codecs (plain-ASCII stream
+    * header `YUV4MPEG2 W.. H.. F..` + `FRAME...\n`-delimited
+    * uncompressed planar YCbCr frames; mjpegtools' interchange format).
+    * Frame byte size follows the colorspace tag: C420* = W·H·3/2,
+    * C422 = 2·W·H, C444 = 3·W·H, Cmono = W·H (C420 when absent, per
+    * spec). Returns None — never fabricated frames — when the magic,
+    * a dimension, a FRAME marker, or a frame's byte budget is missing
+    * or malformed (the corrupt-path contract). */
+  def parseY4m(payload: Array[Byte]): Option[Y4mVideo] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (payload.length < magic.length + 1 ||
+        !payload.take(magic.length).sameElements(magic)) return None
+    val hdrEnd = payload.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val params = new String(payload, 0, hdrEnd, "US-ASCII")
+      .split(' ').drop(1).filter(_.nonEmpty)
+    def tagged(c: Char): Option[String] =
+      params.find(_.head == c).map(_.tail)
+    val wh = for {
+      w <- tagged('W').flatMap(_.toIntOption) if w > 0
+      h <- tagged('H').flatMap(_.toIntOption) if h > 0
+    } yield (w, h)
+    wh.flatMap { case (w, h) =>
+      val cs = tagged('C').getOrElse("420")
+      val frameLen: Option[Long] = cs match {
+        case c if c.startsWith("420") =>
+          // 2x2-subsampled chroma needs even dims to tile
+          if (w % 2 == 0 && h % 2 == 0) Some(w.toLong * h * 3 / 2) else None
+        case c if c.startsWith("422") =>
+          if (w % 2 == 0) Some(w.toLong * h * 2) else None
+        case c if c.startsWith("444") => Some(w.toLong * h * 3)
+        case c if c.startsWith("mono") => Some(w.toLong * h)
+        case _ => None
+      }
+      frameLen.filter(_ <= Int.MaxValue.toLong).flatMap { fl =>
+        val fLen = fl.toInt
+        val fm = "FRAME".getBytes("US-ASCII")
+        val out = Seq.newBuilder[(Int, Array[Byte])]
+        var pos = hdrEnd + 1
+        var idx = 0
+        var bad = false
+        while (!bad && pos < payload.length) {
+          // each frame: "FRAME" [ ' 'params... ] '\n' then fLen bytes
+          if (pos + fm.length > payload.length ||
+              !payload.slice(pos, pos + fm.length).sameElements(fm)) {
+            bad = true
+          } else {
+            val nl = payload.indexOf('\n'.toByte, pos + fm.length)
+            if (nl < 0 || nl + 1 + fLen > payload.length) bad = true
+            else {
+              out += idx -> payload.slice(nl + 1, nl + 1 + fLen)
+              pos = nl + 1 + fLen
+              idx += 1
+            }
+          }
+        }
+        if (bad) None else Some(Y4mVideo(w, h, cs, out.result()))
+      }
     }
   }
 
@@ -775,22 +835,68 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Frame-sample pipeline: one output row per kept frame — the
-    * explode-shaped multimodal op (id, frame_idx, frame). */
+  /** Frame-sample pipeline: REAL Y4M demux ([[parseY4m]]), one output
+    * row per kept (every `stride`-th) frame — the explode-shaped
+    * multimodal op (id, frame_idx, width, height, frame). Non-Y4M /
+    * corrupt payloads emit no rows (never fabricated frames). Narrow
+    * map, no shuffle; frames materialize one row at a time. */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String,
-      frameLen: Int, stride: Int): DataFrame = {
+      stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions(_.flatMap { row =>
       val payload =
         if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
-      stubFrameSample(payload, frameLen, stride).map { case (f, bytes) =>
-        Row(row.getLong(idIdx), f, bytes)
+      parseY4m(payload).iterator.flatMap { v =>
+        v.frames.iterator.filter(_._1 % stride == 0).map { case (f, bytes) =>
+          Row(row.getLong(idIdx), f, v.width, v.height, bytes)
+        }
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-frame luma/chroma accounting over a Y4M column: one row per
+    * frame with the Y-plane byte sum and the combined chroma-plane
+    * byte sum (for Cmono, chroma is 0) — the cheap per-frame signal a
+    * video curation pass filters on (all-black / frozen-frame /
+    * exposure drift detection) before any expensive model sees the
+    * pixels. Same narrow demux map as [[frameSample]]. */
+  def y4mFrameStats(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("y_sum", LongType, nullable = false),
+      StructField("c_sum", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
+      parseY4m(payload).iterator.flatMap { v =>
+        val ySize = v.width * v.height
+        v.frames.iterator.map { case (f, bytes) =>
+          var ySum = 0L
+          var cSum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            if (i < ySize) ySum += bytes(i) & 0xff else cSum += bytes(i) & 0xff
+            i += 1
+          }
+          Row(row.getLong(idIdx), f, v.width, v.height, ySum, cSum)
+        }
       }
     })
     spark.createDataFrame(rdd, outSchema)

@@ -669,6 +669,21 @@ object ScaleProbe {
         f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       spark.catalog.clearCache()
     }
+    time("y4m_frame_demux") {
+      // r14: real Y4M demux at volume — n/10 videos x 4 frames of
+      // 8x4 C420 (48 bytes each), payload synthesized from md5 hex
+      // (ASCII, so cast to binary is byte-stable); per-frame
+      // luma/chroma sums through the narrow demux map
+      val hdr = "YUV4MPEG2 W8 H4 F25:1 C420\n"
+      def frame(f: Int) = concat(lit("FRAME\n"),
+        substring(concat(
+          md5(concat(col("id").cast("string"), lit(s"-$f-a"))),
+          md5(concat(col("id").cast("string"), lit(s"-$f-b")))), 1, 48))
+      val vids = spark.range(n / 10).select(col("id").as("doc_id"),
+        concat(lit(hdr), frame(0), frame(1), frame(2), frame(3))
+          .cast("binary").as("payload"))
+      graft.operators.Multimodal.y4mFrameStats(vids, "doc_id", "payload")
+    }
     if (only.forall(_.contains("dhash_banded_join"))) {
       // groups of 4 share a random 64-bit base fp; variants flip one
       // or two distinct planted bits (pairwise hamming <= 2), the

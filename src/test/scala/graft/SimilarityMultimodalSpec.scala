@@ -83,11 +83,43 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "doc_id", "payload", 4, 2).collect()(0)
     assert(Multimodal.decodeImagePixels(rs.getAs[Array[Byte]](1)) ==
       (("ppm", Some(4), Some(2), Some(2L * (2 * 6 + 2 * 15)), Some(1), Some(6))))
-    val frames = Multimodal.frameSample(df, "doc_id", "payload",
-      frameLen = 3, stride = 2)
-      .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
-    // 10 bytes / 3 = 3 frames (0,1,2), stride 2 keeps 0 and 2
-    assert(frames.toSeq == Seq((0, "abc"), (2, "ghi")))
+    // non-Y4M bytes: frameSample emits NO rows (corrupt-path contract)
+    assert(Multimodal.frameSample(df, "doc_id", "payload", stride = 1)
+      .count() == 0L)
+    // a real Y4M stream demuxes for real: 4x2 C420 = 8 Y + 4 chroma
+    // bytes per frame, 3 frames, stride 2 keeps frames 0 and 2
+    val y4m = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII") ++
+      (0 until 3).flatMap(f => "FRAME\n".getBytes("US-ASCII") ++
+        Array.tabulate[Byte](12)(i => (f * 12 + i).toByte)).toArray
+    val frames = Multimodal.frameSample(
+      Seq((7L, y4m)).toDF("doc_id", "payload"), "doc_id", "payload",
+      stride = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getAs[Array[Byte]](4).toSeq))
+    assert(frames.toSeq == Seq(
+      (0, 4, 2, Array.tabulate[Byte](12)(_.toByte).toSeq),
+      (2, 4, 2, Array.tabulate[Byte](12)(i => (24 + i).toByte).toSeq)))
+    // per-frame stats: Y plane = first 8 bytes, chroma = last 4
+    val stats = Multimodal.y4mFrameStats(
+      Seq((7L, y4m)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => (r.getInt(1), r.getLong(4), r.getLong(5)))
+    assert(stats.toSeq == Seq(
+      (0, (0 to 7).sum.toLong, (8 to 11).sum.toLong),
+      (1, (12 to 19).sum.toLong, (20 to 23).sum.toLong),
+      (2, (24 to 31).sum.toLong, (32 to 35).sum.toLong)))
+    // truncated last frame / bad marker: None, not partial frames
+    assert(Multimodal.parseY4m(y4m.dropRight(1)).isEmpty)
+    assert(Multimodal.parseY4m("YUV4MPEG2 W4 H2\n".getBytes ++
+      "FRUME\n".getBytes ++ new Array[Byte](12)).isEmpty)
+    // odd dims under 2x2 subsampling cannot tile: reject
+    assert(Multimodal.parseY4m(
+      "YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes ++ new Array[Byte](9))
+      .isEmpty)
+    // mono colorspace: W*H bytes per frame, zero chroma
+    val mono = "YUV4MPEG2 W2 H2 Cmono\nFRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val mv = Multimodal.parseY4m(mono).get
+    assert(mv.colorspace == "mono" && mv.frames.map(_._1) == Seq(0))
   }
 
   test("extractFeatures: header features incl. null payload") {
