@@ -2142,6 +2142,27 @@ object SparkEntry {
       s.read.parquet(store)
     }),
 
+    // ---- multimodal: SCENE-CUT detection over 4-frame Y4M videos —
+    // q245's curation consumer: per-frame luma deltas, cut when
+    // |Δ| ≥ 1/20 of the frame's full-scale luma budget (4·2·255).
+    // Lowercase ASCII words sit in a ~26-value byte band, so an
+    // 8-byte Y plane's sum moves by ~tens between frames — the 102
+    // threshold (measured: |Δ| median 37, p75 77 on this corpus)
+    // keeps cuts the minority class while firing ~140 times.
+    "q246_scene_cuts" -> ((s, dir) => {
+      val hdr = "YUV4MPEG2 W4 H2 F25:1 C420\n".getBytes("US-ASCII")
+      val fm = "FRAME\n".getBytes("US-ASCII")
+      val vids = T(s, dir, "documents")
+        .filter(length(col("text")) >= 48 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat((lit(hdr) +: (0 until 4).flatMap(f => Seq(lit(fm),
+            substring(col("text"), 1 + 12 * f, 12).cast("binary")))): _*)
+            .as("payload"))
+      Multimodal.sceneChanges(vids, "doc_id", "payload",
+        thrNum = 1L, thrDen = 20L)
+    }),
+
     // ---- multimodal: REAL Y4M video frame demux (q193's video
     // sibling — the container synthesized by construction from ASCII
     // document bytes, the demux + per-frame luma/chroma accounting
@@ -6345,6 +6366,26 @@ object SparkEntry {
     "q244_truncate_load" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal
         |FROM supplier WHERE s_acctbal > 0""".stripMargin,
+
+    // q246: q245's per-frame Y sums over 4 frames + a lag window;
+    // cut = |Δ|·20 ≥ 2040 (1/20 of 4·2·255), frame 0 never a cut
+    "q246_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 48 AND strlen(text) = length(text)),
+        |f AS (SELECT doc_id, text, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(1 + 12 * fi AS INTEGER) AS o
+        |  FROM d, (SELECT unnest(range(0, 4)) AS fi) idx),
+        |s AS (SELECT doc_id, frame_idx,
+        |    CAST((SELECT sum(ascii(substring(text, CAST(o + i AS INTEGER), 1)))
+        |      FROM range(0, 8) t(i)) AS BIGINT) AS y_sum
+        |  FROM f),
+        |l AS (SELECT doc_id, frame_idx, y_sum,
+        |    y_sum - lag(y_sum) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS delta
+        |  FROM s)
+        |SELECT doc_id, frame_idx, y_sum, delta,
+        |  coalesce(abs(delta) * 20 >= 2040, false) AS is_cut
+        |FROM l""".stripMargin,
 
     // q245: the Y4M payload is document bytes by construction — frame
     // f's Y plane is text[1+12f .. 8+12f], chroma text[9+12f .. 12+12f]

@@ -902,6 +902,33 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Scene-cut detection over a Y4M column — the standard first pass
+    * of a video curation pipeline (segment at cuts, then sample/dedup
+    * per scene instead of per raw frame): demux per-frame luma sums
+    * ([[y4mFrameStats]]) and flag every frame whose total-luma jump
+    * from the previous frame reaches `thrNum/thrDen` of the frame's
+    * full-scale luma budget (width·height·255). Exact integer test —
+    * |Δ|·thrDen ≥ thrNum·W·H·255 — so the flag is engine-portable.
+    * Frame 0 has no predecessor: delta NULL, never a cut (a cut is a
+    * transition, not a start). One narrow demux map + one per-video
+    * window; videos are independent, so the window shuffle partitions
+    * by id and no video's frames cross executors. */
+  def sceneChanges(df: DataFrame, idCol: String, payloadCol: String,
+      thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0, "need thrNum >= 0 and thrDen > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    y4mFrameStats(df, idCol, payloadCol)
+      .select(col(idCol), col("frame_idx"), col("width"), col("height"),
+        col("y_sum"),
+        (col("y_sum") - lag(col("y_sum"), 1).over(w)).as("delta"))
+      .select(col(idCol), col("frame_idx"), col("y_sum"), col("delta"),
+        coalesce(
+          abs(col("delta")) * thrDen >=
+            col("width").cast("long") * col("height") * 255L * thrNum,
+          lit(false)).as("is_cut"))
+  }
+
   /** Attach a binary payload column + extract header features per
     * partition — byte length, boundary bytes, and the REAL container-
     * header parse ([[parseImageHeader]]). `idCol` long id, `payloadCol`

@@ -684,6 +684,19 @@ object ScaleProbe {
           .cast("binary").as("payload"))
       graft.operators.Multimodal.y4mFrameStats(vids, "doc_id", "payload")
     }
+    time("y4m_scene_cuts") {
+      // same synthetic videos, demux + per-video lag window
+      val hdr = "YUV4MPEG2 W8 H4 F25:1 C420\n"
+      def frame(f: Int) = concat(lit("FRAME\n"),
+        substring(concat(
+          md5(concat(col("id").cast("string"), lit(s"-$f-a"))),
+          md5(concat(col("id").cast("string"), lit(s"-$f-b")))), 1, 48))
+      val vids = spark.range(n / 10).select(col("id").as("doc_id"),
+        concat(lit(hdr), frame(0), frame(1), frame(2), frame(3))
+          .cast("binary").as("payload"))
+      graft.operators.Multimodal.sceneChanges(vids, "doc_id", "payload",
+        thrNum = 1L, thrDen = 20L)
+    }
     if (only.forall(_.contains("dhash_banded_join"))) {
       // groups of 4 share a random 64-bit base fp; variants flip one
       // or two distinct planted bits (pairwise hamming <= 2), the

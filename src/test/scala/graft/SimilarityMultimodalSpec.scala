@@ -122,6 +122,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(mv.colorspace == "mono" && mv.frames.map(_._1) == Seq(0))
   }
 
+  test("sceneChanges: luma-delta cuts, frame 0 never a cut") {
+    // 3 frames: dark (Y=0), bright (Y=255 -> delta 2040 = full
+    // budget), bright again (delta 0). At thr 1/2 only the dark->
+    // bright transition is a cut; frame 0's delta is NULL.
+    def frm(y: Int) = "FRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(y.toByte) ++ Array.fill[Byte](4)(128.toByte)
+    val y4m = "YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII") ++
+      frm(0) ++ frm(255) ++ frm(255)
+    val out = Multimodal.sceneChanges(
+      Seq((1L, y4m)).toDF("doc_id", "payload"), "doc_id", "payload",
+      thrNum = 1L, thrDen = 2L)
+      .orderBy($"frame_idx")
+      .collect().map(r => (r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (0, 0L, None, false),
+      (1, 2040L, Some(2040L), true),
+      (2, 2040L, Some(0L), false)))
+  }
+
   test("extractFeatures: header features incl. null payload") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
       .select($"doc_id", $"txt".cast("binary").as("payload"))
