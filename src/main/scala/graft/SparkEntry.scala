@@ -2142,6 +2142,16 @@ object SparkEntry {
       s.read.parquet(store)
     }),
 
+    // ---- clustering QA: SIMPLIFIED SILHOUETTE per q230 k-means
+    // cluster (Hruschka's centroid variant — linear, not the O(n²)
+    // classic) on exact integer squared distances: a = d² to own
+    // centroid, b = d² to nearest other, s = (b−a)/b e6-scaled;
+    // per-cluster member count + mean s. Same seeds/iterations as
+    // q230, so the oracle re-runs the identical unrolled CTE chain.
+    "q247_silhouette" -> ((s, dir) =>
+      Prototypes.simplifiedSilhouette(T(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iterations = 3)),
+
     // ---- multimodal: SCENE-CUT detection over 4-frame Y4M videos —
     // q245's curation consumer: per-frame luma deltas, cut when
     // |Δ| ≥ 1/20 of the frame's full-scale luma budget (4·2·255).
@@ -6165,6 +6175,56 @@ object SparkEntry {
          |  CAST(coalesce(sz.n_members, 0) AS BIGINT) AS n_members,
          |  coalesce(sz.inertia_e6, 0) AS inertia_e6
          |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
+    },
+
+    // q247: q230's unrolled Lloyd chain (identical seeds/iterations),
+    // then the rank-2 extraction and the same exact-ratio ladders
+    "q247_silhouette" -> {
+      import graft.functions.ExactRound.{ratioScaledSignedSql,
+        ratioScaledSql}
+      def iter(t: Int) =
+        s"""d$t AS (SELECT u.vec_id, c.c,
+           |    sum(CAST(u.u - c.ce6 AS HUGEINT) * (u.u - c.ce6)) AS d2
+           |  FROM u JOIN c${t - 1} c USING (dim) GROUP BY 1, 2),
+           |a$t AS (SELECT vec_id, c, d2 FROM (SELECT vec_id, c, d2,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2, c) AS rn FROM d$t) WHERE rn = 1),
+           |c$t AS (SELECT p.c, p.dim, coalesce(nc.m, p.ce6) AS ce6
+           |  FROM c${t - 1} p LEFT JOIN (
+           |    SELECT a.c, u.dim,
+           |      ${ratioScaledSignedSql("sum(CAST(u.u AS HUGEINT))",
+                  "count(*)", 0)} AS m
+           |    FROM a$t a JOIN u USING (vec_id) GROUP BY 1, 2) nc
+           |    ON nc.c = p.c AND nc.dim = p.dim)""".stripMargin
+      s"""WITH u AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |sd AS (SELECT vec_id, CAST(c AS BIGINT) AS c FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+         |    FROM embeddings) WHERE c < 4),
+         |c0 AS (SELECT sd.c, u.dim, u.u AS ce6
+         |  FROM sd JOIN u USING (vec_id)),
+         |${(1 to 3).map(iter).mkString(",\n")},
+         |d4 AS (SELECT u.vec_id, c.c,
+         |    sum(CAST(u.u - c.ce6 AS HUGEINT) * (u.u - c.ce6)) AS d2
+         |  FROM u JOIN c3 c USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT vec_id, c, d2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d4),
+         |ab AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN c END) AS c,
+         |    max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         |    max(CASE WHEN rn = 2 THEN d2 END) AS b2
+         |  FROM r WHERE rn <= 2 GROUP BY 1),
+         |s AS (SELECT c,
+         |    ${ratioScaledSql("b2 - a2", "b2", 6)} AS s_e6
+         |  FROM ab)
+         |SELECT c, count(*) AS n_members,
+         |  ${ratioScaledSignedSql("sum(s_e6)", "count(*)", 0)}
+         |    AS mean_sil_e6
+         |FROM s GROUP BY 1""".stripMargin
     },
 
     // q231: identical cents scaling, the same 19-arm // ladder, the

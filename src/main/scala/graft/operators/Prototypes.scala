@@ -218,6 +218,17 @@ object Prototypes {
     * combinable aggregates over the exploded unit stream; the argmin
     * window partitions by vector (k rows each). `localCheckpoint`
     * truncates the loop lineage exactly as [[GraphRank.pageRank]]. */
+  /** The shared e6 quantization of an embedding column to exact
+    * integer (id, dim, unit) rows — ONE IEEE multiply + round per
+    * element, bit-identical across engines; every exact-lineage
+    * consumer (Lloyd, k-center, silhouette) reads the same units. */
+  private[operators] def unitsE6(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = emb
+    .select(col(idCol).cast("long").as("id__"),
+      posexplode(col(vecCol)).as(Seq("pos__", "x__")))
+    .select(col("id__"), (col("pos__") + 1).cast("long").as("dim"),
+      round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
+
   def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iterations: Int = 3): DataFrame = {
     require(k >= 1 && iterations >= 1,
@@ -225,12 +236,9 @@ object Prototypes {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val dec = "decimal(38,0)"
-    val units = graft.Caches.register(emb
-      .select(col(idCol).cast("long").as("id__"),
-        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
-      .select(col("id__"), (col("pos__") + 1).cast("long").as("dim"),
-        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val units = graft.Caches.register(
+      unitsE6(emb, idCol, vecCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val wSeed = Window.orderBy(md5(col("id__").cast("string")).asc,
       col("id__").asc)
     // the k-row sort is bounded by construction: limit(k) runs as a
@@ -281,6 +289,52 @@ object Prototypes {
         coalesce(col("inertia_e6"), lit(0L)).as("inertia_e6"))
   }
 
+  /** Per-cluster SIMPLIFIED SILHOUETTE over the [[kmeansLloyd]]
+    * clustering — the linear-time cluster-quality card (Hruschka et
+    * al.'s centroid variant of Rousseeuw's silhouette: distances to
+    * centroids, not all pairs, so it scales where the classic O(n²)
+    * silhouette cannot). Per point: a = d²(x, own centroid), b = d²(x,
+    * nearest OTHER centroid), s = (b − a) / max(a, b) — here on exact
+    * integer SQUARED distances (no libm sqrt; monotone in the same
+    * separation signal), e6-scaled via the house exact-ratio rounding.
+    * Under nearest-centroid assignment b ≥ a always, so s ∈ [0, 1e6]:
+    * ~0 = boundary point, ~1e6 = deep inside its cluster. Output one
+    * row per cluster: n_members + mean s (e6).
+    *
+    * Shape at scale: Lloyd's passes plus ONE more broadcast-join
+    * distance pass (k·dims rows broadcast), a width-2 min extraction
+    * per point, and a k-row aggregate — linear in rows × dims × k,
+    * no pairwise anything. */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, iterations: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cents = kmeansLloyd(emb, idCol, vecCol, k, iterations)
+      .select(col("c"), col("dim"), col("ce6"))
+    val units = unitsE6(emb, idCol, vecCol)
+    val dists = units.join(broadcast(cents), "dim")
+      .groupBy(col("id__"), col("c"))
+      .agg(sum(((col("u__") - col("ce6")).cast(dec) *
+        (col("u__") - col("ce6"))).cast(dec)).as("d2__"))
+    // own centroid = the assignment's (d2 asc, c asc) pick; b = the
+    // second-nearest, i.e. the best of the OTHER clusters
+    val pick = Window.partitionBy(col("id__"))
+      .orderBy(col("d2__").asc, col("c").asc)
+    val ab = dists.withColumn("rn__", row_number().over(pick))
+      .filter(col("rn__") <= 2)
+      .groupBy(col("id__"))
+      .agg(max(when(col("rn__") === 1, col("c"))).as("c"),
+        max(when(col("rn__") === 1, col("d2__"))).as("a2__"),
+        max(when(col("rn__") === 2, col("d2__"))).as("b2__"))
+    val s = ab.select(col("c"),
+      ExactRound.ratioScaledBig(col("b2__") - col("a2__"), col("b2__"),
+        6).as("s_e6"))
+    s.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_members"),
+        ExactRound.ratioScaledSigned(sum(col("s_e6")), count(lit(1)), 0)
+          .as("mean_sil_e6"))
+  }
+
   /** k-CENTER GREEDY coreset selection (Gonzalez' 2-approximation —
     * the diverse-subset picker behind active-learning coresets and
     * "cover the embedding space with k exemplars" data pruning): start
@@ -302,12 +356,9 @@ object Prototypes {
     require(k >= 1, "need k >= 1")
     import org.apache.spark.storage.StorageLevel
     val dec = "decimal(38,0)"
-    val units = graft.Caches.register(emb
-      .select(col(idCol).cast("long").as("id__"),
-        posexplode(col(vecCol)).as(Seq("pos__", "x__")))
-      .select(col("id__"), (col("pos__") + 1).cast("long").as("dim"),
-        round(col("x__").cast("double") * 1e6).cast("long").as("u__"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val units = graft.Caches.register(
+      unitsE6(emb, idCol, vecCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var selected = emb.select(col(idCol).cast("long").as("id__"))
       .orderBy(md5(col("id__").cast("string")).asc, col("id__").asc)
       .limit(1)

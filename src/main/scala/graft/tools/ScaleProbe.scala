@@ -852,6 +852,12 @@ object ScaleProbe {
       graft.operators.Prototypes.kmeansLloyd(labeledVecs, "vec_id",
         "embedding", k = 8, iterations = 3)
     }
+    time("simplified_silhouette") {
+      // r14: Lloyd's passes + one more broadcast distance pass and a
+      // width-2 rank extraction — the linear cluster-quality card
+      graft.operators.Prototypes.simplifiedSilhouette(labeledVecs,
+        "vec_id", "embedding", k = 8, iterations = 3)
+    }
 
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

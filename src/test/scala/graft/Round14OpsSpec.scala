@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Prototypes
+
+/** Round-14 operator semantics: simplified silhouette over the Lloyd
+  * clustering. */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simplifiedSilhouette: exact (b-a)/b on squared distances, " +
+    "per-cluster means, k=1 degenerates to 0") {
+    // 1-dim corpus with two tight groups around 0.0 and 1.0; with
+    // k = 2 Lloyd converges to the group means whatever the md5 seed
+    // order, so a/b are hand-computable from the final centroids.
+    val emb = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.1f)),
+      (2L, Seq(1.0f)), (3L, Seq(1.1f))).toDF("vec_id", "embedding")
+    val out = Prototypes.simplifiedSilhouette(
+      emb, "vec_id", "embedding", k = 2, iterations = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    // centroids land on 0.05 and 1.05 (e6: 50000, 1050000): every
+    // point has a2 = 50000², b2 = 950000² or 1050000²... compute both
+    // cluster means exactly the way the operator rounds:
+    def sE6(a2: BigInt, b2: BigInt): Long =
+      (((b2 - a2) * 2000000 + b2) / (b2 * 2)).toLong
+    def mean(ss: Seq[Long]): Long =
+      ((BigInt(ss.sum) * 2 + ss.length) / (ss.length * 2)).toLong
+    val lo = mean(Seq(
+      sE6(BigInt(50000).pow(2), BigInt(1050000).pow(2)),   // x=0.0
+      sE6(BigInt(50000).pow(2), BigInt(950000).pow(2))))   // x=0.1
+    val hi = mean(Seq(
+      sE6(BigInt(50000).pow(2), BigInt(950000).pow(2)),    // x=1.0
+      sE6(BigInt(50000).pow(2), BigInt(1050000).pow(2))))  // x=1.1
+    assert(out.map(_._1) == Seq(2L, 2L))
+    assert(out.map(_._2).toSet == Set(lo, hi))
+    // all points deep inside their cluster: s well above 0.9 e6
+    assert(out.forall(_._2 > 900000L))
+    // k = 1: no "other" cluster, b2 is NULL, s collapses to 0
+    val one = Prototypes.simplifiedSilhouette(
+      emb, "vec_id", "embedding", k = 1, iterations = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(one == Seq((4L, 0L)))
+  }
+}
