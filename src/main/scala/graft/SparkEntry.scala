@@ -2142,6 +2142,15 @@ object SparkEntry {
       s.read.parquet(store)
     }),
 
+    // ---- corpus audit: OCTAVE-BINNED ZIPF FIT per source — the
+    // rank-frequency health card (template/spam sources bend the
+    // log-log line away from slope ≈ −1). Types ranked by the
+    // range-partitioned group row-number (no per-source vocabulary
+    // window), each contributing the exact integer point
+    // (⌊log2 rank⌋, ⌊log2 freq⌋) to the q116 e6 OLS ladder.
+    "q248_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(T(s, dir, "documents"), "text", "source")),
+
     // ---- clustering QA: SIMPLIFIED SILHOUETTE per q230 k-means
     // cluster (Hruschka's centroid variant — linear, not the O(n²)
     // classic) on exact integer squared distances: a = d² to own
@@ -6175,6 +6184,45 @@ object SparkEntry {
          |  CAST(coalesce(sz.n_members, 0) AS BIGINT) AS n_members,
          |  coalesce(sz.inertia_e6, 0) AS inertia_e6
          |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
+    },
+
+    // q248: type frequencies off the shared word split, rank by
+    // (freq desc, word asc), exact ⌊log2⌋ via binary-digit length
+    // (no libm), then the q116 signed half-away OLS ladder
+    "q248_zipf_slope" -> {
+      def sgn(a: String, b: String) = s"CAST(sign($a) * sign($b) AS BIGINT)"
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS w
+         |  FROM documents),
+         |f AS (SELECT source, w, count(*) AS f
+         |  FROM t WHERE w <> '' GROUP BY 1, 2),
+         |r AS (SELECT source, f, row_number() OVER (
+         |    PARTITION BY source ORDER BY f DESC, w ASC) AS r
+         |  FROM f),
+         |p AS (SELECT source,
+         |    CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+         |    CAST(length(bin(f)) - 1 AS BIGINT) AS y
+         |  FROM r),
+         |s AS (SELECT source, count(*) AS n_types,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM p GROUP BY 1),
+         |v AS (SELECT source, n_types, sx, sy,
+         |    CAST(n_types AS HUGEINT) * sxy - sx * sy AS num,
+         |    CAST(n_types AS HUGEINT) * sxx - sx * sx AS vx
+         |  FROM s),
+         |w AS (SELECT source, n_types, num, vx,
+         |    sy * vx - num * sx AS inum,
+         |    CAST(n_types AS HUGEINT) * vx AS iden
+         |  FROM v)
+         |SELECT source, n_types,
+         |  CASE WHEN vx > 0 THEN ${sgn("num", "vx")} *
+         |    CAST((abs(num) * 2000000 + abs(vx)) // (abs(vx) * 2)
+         |      AS BIGINT) END AS slope_e6,
+         |  CASE WHEN vx > 0 THEN ${sgn("inum", "iden")} *
+         |    CAST((abs(inum) * 2000000 + abs(iden)) // (abs(iden) * 2)
+         |      AS BIGINT) END AS intercept_e6
+         |FROM w""".stripMargin
     },
 
     // q247: q230's unrolled Lloyd chain (identical seeds/iterations),

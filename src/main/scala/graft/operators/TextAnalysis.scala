@@ -615,4 +615,39 @@ object TextAnalysis {
         concat_ws(" ",
           (-context to context).map(d => col(s"m_$d")): _*).as("snippet"))
   }
+
+  /** OCTAVE-BINNED ZIPF FIT per group — the token-distribution-health
+    * card of a corpus audit: a natural-language source's
+    * rank-frequency curve is near-linear in log-log with slope ≈ −1
+    * (Zipf's law); template/boilerplate-heavy or spam sources bend it
+    * (flat head = few templates dominate; steep tail = vocabulary
+    * collapse). Fully exact lineage: per-group type frequencies, a
+    * skew-proof range-partitioned rank ([[ScalableRank.groupRowNumber]]
+    * — no per-group single-partition window over the vocabulary), then
+    * each type contributes the integer point (⌊log2 rank⌋, ⌊log2
+    * freq⌋) — computed via binary-digit length, no libm — to the
+    * group's exact e6 OLS ([[GroupStats.olsTrend]]). `slope_e6` is the
+    * Zipf exponent in octaves (base-2 log-log slope equals the
+    * natural-log-log slope). Output: group, n_types, slope_e6,
+    * intercept_e6.
+    *
+    * Shape at scale: one token shuffle to type counts (map-side
+    * combined), the range-partitioned rank's two passes over the TYPE
+    * table (≪ corpus), and a k-group OLS aggregate. */
+  def zipfSlope(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val freq = df
+      .select(col(groupCol), explode(TextFns.words(col(textCol))).as("w__"))
+      .filter(col("w__") =!= "")
+      .groupBy(col(groupCol), col("w__"))
+      .agg(count(lit(1)).as("f__"))
+    val ranked = ScalableRank.groupRowNumber(freq, Seq(groupCol),
+      Seq(col("f__").desc, col("w__").asc), rnCol = "r__", nCol = "nt__")
+    def log2i(c: Column) = (length(conv(c, 10, 2)) - 1).cast("long")
+    GroupStats.olsTrend(
+      ranked.select(col(groupCol), log2i(col("r__")).as("x__"),
+        log2i(col("f__")).as("y__")),
+      Seq(groupCol), col("x__"), col("y__"))
+      .withColumnRenamed("n", "n_types")
+  }
 }

@@ -644,6 +644,11 @@ object ScaleProbe {
       graft.operators.TextAnalysis.readabilityBySource(docs, "text",
         "lang")
     }
+    time("zipf_slope") {
+      // r14: token shuffle to type counts + range-partitioned rank
+      // over the type table + a per-lang OLS aggregate
+      graft.operators.TextAnalysis.zipfSlope(docs, "text", "lang")
+    }
     // the q216 pipeline probes SPLIT (an earlier fused probe taught
     // the lesson): (1) the PNG encode + ImageIO decode + dHash narrow
     // map, timed alone — its cost is per-image CPU, embarrassingly

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Prototypes
+import graft.operators.{Prototypes, TextAnalysis}
 
 /** Round-14 operator semantics: simplified silhouette over the Lloyd
   * clustering. */
@@ -40,5 +40,21 @@ class Round14OpsSpec extends SparkSpec {
       emb, "vec_id", "embedding", k = 1, iterations = 1)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(one == Seq((4L, 0L)))
+  }
+
+  test("zipfSlope: exact octave points and e6 OLS on a hand-built " +
+    "rank-frequency curve") {
+    // freqs a:8 b:4 c:2 d:1 -> ranks 1..4 -> octave points
+    // (0,3) (1,2) (1,1) (2,0); OLS: slope -12/8 = -1.5, intercept 3
+    val docs = Seq(
+      (1L, "g1", ("a " * 8 + "b " * 4 + "c c d").trim),
+      // second group: uniform freqs -> flat slope 0 through y=0
+      (2L, "g2", "x y z")).toDF("doc_id", "grp", "text")
+    val out = TextAnalysis.zipfSlope(docs, "text", "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("g1", 4L, -1500000L, 3000000L),
+      ("g2", 3L, 0L, 0L)))
   }
 }
