@@ -2142,6 +2142,21 @@ object SparkEntry {
       s.read.parquet(store)
     }),
 
+    // ---- spectral: TOP PRINCIPAL COMPONENT of the embedding corpus
+    // by power iteration (Mu & Viswanath's ABTT common direction) —
+    // e6 mean-centering, 3 exact integer v ← Xᵀ(Xv) steps with
+    // max-|·| renormalization; one row per dimension.
+    "q249_top_pc" -> ((s, dir) =>
+      Spectral.topPcPower(T(s, dir, "embeddings"), "vec_id",
+        "embedding", iterations = 3)),
+
+    // ---- spectral: per-vector PROJECTION onto the q249 direction —
+    // the common-component magnitude ABTT removal would subtract and
+    // the "dominated by the common direction" outlier score.
+    "q250_pc_projection" -> ((s, dir) =>
+      Spectral.pcProjection(T(s, dir, "embeddings"), "vec_id",
+        "embedding", iterations = 3)),
+
     // ---- corpus audit: OCTAVE-BINNED ZIPF FIT per source — the
     // rank-frequency health card (template/spam sources bend the
     // log-log line away from slope ≈ −1). Types ranked by the
@@ -3778,6 +3793,39 @@ object SparkEntry {
     (from until from + 8)
       .map(i => nibSql(col, i) + s" * ${1L << (4 * (from + 7 - i))}")
       .mkString(" + ")
+
+  /** The q249/q250 power-iteration CTE chain: e6 units, signed-exact
+    * mean centering, all-ones e6 start, and `iterations` unrolled
+    * v ← Xᵀ(Xv) steps with max-|w| e6 renormalization — HUGEINT end
+    * to end, finished by the caller's SELECT over x / v{iterations}. */
+  private def topPcSql(iterations: Int, select: String): String = {
+    import graft.functions.ExactRound.ratioScaledSignedSql
+    def iter(t: Int) =
+      s"""d$t AS (SELECT x.vec_id,
+         |    sum(CAST(x.x AS HUGEINT) * v.v) AS dot
+         |  FROM x JOIN v${t - 1} v USING (dim) GROUP BY 1),
+         |w$t AS (SELECT x.dim,
+         |    sum(CAST(x.x AS HUGEINT) * d.dot) AS w
+         |  FROM x JOIN d$t d USING (vec_id) GROUP BY 1),
+         |n$t AS (SELECT max(abs(w)) AS nrm FROM w$t),
+         |v$t AS (SELECT dim,
+         |    ${ratioScaledSignedSql("w", "nrm", 6)} AS v
+         |  FROM w$t, n$t)""".stripMargin
+    s"""WITH u AS (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) AS u
+       |  FROM embeddings),
+       |m AS (SELECT dim,
+       |    ${ratioScaledSignedSql("sum(CAST(u AS HUGEINT))",
+            "count(*)", 0)} AS m
+       |  FROM u GROUP BY 1),
+       |x AS (SELECT u.vec_id, u.dim, u.u - m.m AS x
+       |  FROM u JOIN m USING (dim)),
+       |v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM m),
+       |${(1 to iterations).map(iter).mkString(",\n")}
+       |$select""".stripMargin
+  }
 
   /** Exact ANN top-10 oracle (q25's query), parameterized with extra
     * constant columns so the graduated approximate-ANN gates (q26/q31)
@@ -6185,6 +6233,19 @@ object SparkEntry {
          |  coalesce(sz.inertia_e6, 0) AS inertia_e6
          |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
     },
+
+    // q249/q250: the power steps unrolled — per step a per-vector
+    // HUGEINT dot, a per-dim accumulate, and the signed half-away
+    // e6 renormalization by max |w|; q250 adds one more dot ladder
+    "q249_top_pc" -> topPcSql(3,
+      "SELECT dim, CAST(v AS BIGINT) AS pc_e6 FROM v3"),
+
+    "q250_pc_projection" -> topPcSql(3,
+      s"""SELECT x.vec_id,
+         |  ${graft.functions.ExactRound.ratioScaledSignedSql(
+              "sum(CAST(x.x AS HUGEINT) * v.v)", "1000000", 0)}
+         |    AS proj_e6
+         |FROM x JOIN v3 v USING (dim) GROUP BY 1""".stripMargin),
 
     // q248: type frequencies off the shared word split, rank by
     // (freq desc, word asc), exact ⌊log2⌋ via binary-digit length

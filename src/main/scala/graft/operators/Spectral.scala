@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+
+/** Spectral diagnostics over an embedding corpus — the top principal
+  * component by POWER ITERATION and the per-vector projections onto
+  * it. Embedding spaces produced by neural encoders carry a large
+  * "common component" (Mu & Viswanath 2018, "All-but-the-Top"):
+  * subtracting the mean and the projection onto the first principal
+  * component(s) measurably sharpens cosine similarity, so a curation
+  * pipeline computes the top PC both as a QA card (how anisotropic is
+  * this embedding table?) and as the input to common-component
+  * removal. Power iteration needs only matrix-vector products —
+  * v ← Xᵀ(Xv) — so it distributes as two linear passes per step and
+  * never materializes the dims×dims covariance.
+  *
+  * Exact integer lineage end to end (the house discipline): e6 unit
+  * quantization ([[Prototypes.unitsE6]]), e6 signed-exact mean
+  * centering, DECIMAL(38,0) dot/accumulate, and per-step max-|·|
+  * normalization back to e6 via the shared signed half-away ratio —
+  * a fixed iteration count therefore hash-matches the mirrored
+  * unrolled HUGEINT CTE chain bit for bit. Xᵀ X is PSD, so the
+  * iterate's sign pattern is stable (no eigenvalue sign flips); the
+  * all-ones e6 start vector is deterministic and, on mean-centered
+  * data, never exactly orthogonal to the top PC in practice (if it
+  * were, the iterate collapses to zeros — observable, not wrong).
+  *
+  * Shape at scale: the centered units persist once; each step is a
+  * dims-row broadcast join + per-id aggregate (the dot), then a
+  * per-dim aggregate (the update) — map-side combinable both ways, no
+  * window, no pairwise anything. Headroom: |w| ≤ rows·dims·(4e6)²·1e6
+  * stays inside DECIMAL(38,0)/HUGEINT up to ~5·10¹⁰ rows (the final
+  * ·2e6 rounding term is the binding constraint).
+  */
+object Spectral {
+
+  private val dec = "decimal(38,0)"
+
+  /** Mean-centered e6 units (id, dim, x) — shared by both ops. */
+  private def centered(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val units = Prototypes.unitsE6(emb, idCol, vecCol)
+    val means = units.groupBy(col("dim"))
+      .agg(ExactRound.ratioScaledSigned(sum(col("u__").cast(dec)),
+        count(lit(1)), 0).as("m__"))
+    units.join(broadcast(means), "dim")
+      .select(col("id__"), col("dim"), (col("u__") - col("m__")).as("x__"))
+  }
+
+  private def iterate(x: DataFrame, v0: DataFrame,
+      iterations: Int): DataFrame = {
+    var v = v0.localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dots = x.join(broadcast(v), "dim")
+        .groupBy(col("id__"))
+        .agg(sum((col("x__").cast(dec) * col("v_e6")).cast(dec))
+          .as("dot__"))
+      val w = x.join(dots, "id__")
+        .groupBy(col("dim"))
+        .agg(sum((col("x__").cast(dec) * col("dot__")).cast(dec))
+          .as("w__"))
+      val nrm = w.agg(max(abs(col("w__"))).as("nrm__"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          ExactRound.ratioScaledSigned(col("w__"), col("nrm__"), 6)
+            .as("v_e6"))
+        .localCheckpoint(true)
+    }
+    v
+  }
+
+  /** The top principal direction after `iterations` power steps, one
+    * row per dimension, e6-scaled with max-component magnitude 1e6. */
+  def topPcPower(emb: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val x = graft.Caches.register(centered(emb, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val v0 = x.select(col("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v_e6"))
+    iterate(x, v0, iterations)
+      .select(col("dim"), col("v_e6").as("pc_e6"))
+  }
+
+  /** Per-vector projection coefficient onto the [[topPcPower]]
+    * direction (e6 units — ⟨x, v⟩/1e6 with signed half-away
+    * rounding): the magnitude each vector would lose to ABTT
+    * common-component removal, and the outlier score a "dominated by
+    * the common direction" QA filter thresholds. One extra broadcast
+    * join + per-id aggregate past [[topPcPower]]. */
+  def pcProjection(emb: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val x = graft.Caches.register(centered(emb, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val v0 = x.select(col("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v_e6"))
+    val v = iterate(x, v0, iterations)
+    x.join(broadcast(v), "dim")
+      .groupBy(col("id__"))
+      .agg(ExactRound.ratioScaledSigned(
+        sum((col("x__").cast(dec) * col("v_e6")).cast(dec)),
+        lit(1000000L), 0).as("proj_e6"))
+      .select(col("id__").as(idCol), col("proj_e6"))
+  }
+}

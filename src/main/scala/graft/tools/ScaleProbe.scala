@@ -857,6 +857,12 @@ object ScaleProbe {
       graft.operators.Prototypes.kmeansLloyd(labeledVecs, "vec_id",
         "embedding", k = 8, iterations = 3)
     }
+    time("pc_projection") {
+      // r14: 3 power steps (broadcast-dims join + two aggregates per
+      // step) + the projection pass over n/10 64-dim vectors
+      graft.operators.Spectral.pcProjection(labeledVecs, "vec_id",
+        "embedding", iterations = 3)
+    }
     time("simplified_silhouette") {
       // r14: Lloyd's passes + one more broadcast distance pass and a
       // width-2 rank extraction — the linear cluster-quality card

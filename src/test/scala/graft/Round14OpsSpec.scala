@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Prototypes, TextAnalysis}
+import graft.operators.{Prototypes, Spectral, TextAnalysis}
 
 /** Round-14 operator semantics: simplified silhouette over the Lloyd
   * clustering. */
@@ -56,5 +56,26 @@ class Round14OpsSpec extends SparkSpec {
     assert(out == Seq(
       ("g1", 4L, -1500000L, 3000000L),
       ("g2", 3L, 0L, 0L)))
+  }
+
+  test("topPcPower/pcProjection: exact convergence on perfectly " +
+    "1-D data") {
+    // all four vectors lie on direction (2, 1), mean exactly zero:
+    // one power step already lands on the line; max-|.| renorm makes
+    // dim1 = 1e6 and dim2 = (1e6+1)//2 = 500000 (exact half-away)
+    val emb = Seq(
+      (0L, Seq(2.0f, 1.0f)), (1L, Seq(-2.0f, -1.0f)),
+      (2L, Seq(4.0f, 2.0f)), (3L, Seq(-4.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val pc = Spectral.topPcPower(emb, "vec_id", "embedding",
+      iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pc == Seq((1L, 1000000L), (2L, 500000L)))
+    // projections: round(x·v / 1e6) — (2e6,1e6)·(1e6,5e5) = 2.5e12
+    val proj = Spectral.pcProjection(emb, "vec_id", "embedding",
+      iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(proj == Seq((0L, 2500000L), (1L, -2500000L),
+      (2L, 5000000L), (3L, -5000000L)))
   }
 }
