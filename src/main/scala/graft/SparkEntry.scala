@@ -2142,6 +2142,14 @@ object SparkEntry {
       s.read.parquet(store)
     }),
 
+    // ---- corpus audit: CROSS-SOURCE CONTAINMENT matrix — for every
+    // ordered source pair, shared distinct 3-grams and C(A→B) =
+    // |A∩B|/|A| e4-scaled: the "source B mirrors source A" card.
+    // Inverted-index self-join over the per-source TYPE table.
+    "q251_source_containment" -> ((s, dir) =>
+      Dedup.sourceContainment(T(s, dir, "documents"), "text",
+        "source", n = 3)),
+
     // ---- spectral: TOP PRINCIPAL COMPONENT of the embedding corpus
     // by power iteration (Mu & Viswanath's ABTT common direction) —
     // e6 mean-centering, 3 exact integer v ← Xᵀ(Xv) steps with
@@ -6233,6 +6241,25 @@ object SparkEntry {
          |  coalesce(sz.inertia_e6, 0) AS inertia_e6
          |FROM c3 ct LEFT JOIN sz USING (c)""".stripMargin
     },
+
+    // q251: the jaccardSql shingle split per SOURCE, cross-source
+    // distinct, inverted-index self-join, exact e4 containment
+    "q251_source_containment" ->
+      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     for i in range(1, len(ws)-1)]) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |sz AS (SELECT source, count(*) AS n_grams_a FROM g GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.shingle = b.shingle
+         |    AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "p.n_shared", "sz.n_grams_a", 4)} AS containment_e4
+         |FROM p JOIN sz ON sz.source = p.src_a""".stripMargin,
 
     // q249/q250: the power steps unrolled — per step a per-vector
     // HUGEINT dot, a per-dim accumulate, and the signed half-away

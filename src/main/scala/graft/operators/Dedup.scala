@@ -242,6 +242,39 @@ object Dedup {
           col("n_b"), 6).as("cont_b_e6"))
   }
 
+  /** Cross-SOURCE containment matrix — [[corpusGramOverlap]]'s
+    * per-group generalization and the "is source B a scrape/mirror of
+    * source A?" curation card: for every ordered source pair with any
+    * overlap, the count of shared distinct n-grams and the containment
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| (e4-scaled exact). A
+    * row near 1e4 means source A's shingle set lives almost entirely
+    * inside B — dedup/downweight A before it double-counts in a
+    * training mix.
+    *
+    * Shape at scale: distinct (source, gram) — the TYPE table, ≪
+    * corpus — then one inverted-index self-join on gram whose fan-out
+    * per gram is bounded by the SOURCE count (not doc count: grams
+    * are already distinct per source), and a sources² aggregate. */
+  def sourceContainment(df: DataFrame, textCol: String,
+      groupCol: String, n: Int = 3): DataFrame = {
+    val grams = explodedShingles(
+        df.select(col(groupCol), col(textCol)), groupCol, textCol, n)
+      .select(col("doc").as("src_a"), col("shingle"))
+      .distinct()
+    val sizes = grams.groupBy(col("src_a"))
+      .agg(count(lit(1)).as("n_grams_a"))
+    grams
+      .join(grams.select(col("src_a").as("src_b"), col("shingle")),
+        "shingle")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        graft.functions.ExactRound.ratioScaled(col("n_shared"),
+          col("n_grams_a"), 4).as("containment_e4"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: how much of the SMALLER
     * document's shingle set lives inside the other. Jaccard punishes a
     * short doc fully embedded in a long one (|A∩B|/|A∪B| stays small

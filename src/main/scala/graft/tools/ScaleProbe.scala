@@ -649,6 +649,13 @@ object ScaleProbe {
       // over the type table + a per-lang OLS aggregate
       graft.operators.TextAnalysis.zipfSlope(docs, "text", "lang")
     }
+    time("source_containment") {
+      // r14: per-lang distinct 3-gram type table + inverted-index
+      // self-join whose per-gram fan-out is bounded by the lang count
+      graft.operators.Dedup.sourceContainment(diverseDocs
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "text", "lang", n = 3)
+    }
     // the q216 pipeline probes SPLIT (an earlier fused probe taught
     // the lesson): (1) the PNG encode + ImageIO decode + dHash narrow
     // map, timed alone — its cost is per-image CPU, embarrassingly

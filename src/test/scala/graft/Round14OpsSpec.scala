@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Prototypes, Spectral, TextAnalysis}
+import graft.operators.{Dedup, Prototypes, Spectral, TextAnalysis}
 
 /** Round-14 operator semantics: simplified silhouette over the Lloyd
   * clustering. */
@@ -77,5 +77,18 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(proj == Seq((0L, 2500000L), (1L, -2500000L),
       (2L, 5000000L), (3L, -5000000L)))
+  }
+
+  test("sourceContainment: asymmetric shared-gram shares, " +
+    "non-overlapping sources emit no row") {
+    // A: grams {a b c, b c d}; B: {a b c, b c x}; C: {z z z} (the
+    // doc's repeated gram collapses via per-source distinct)
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "a b c x"), ("C", "z z z z z"))
+      .toDF("source", "text")
+    val out = Dedup.sourceContainment(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(out == Seq(("A", "B", 1L, 5000L), ("B", "A", 1L, 5000L)))
   }
 }
