@@ -2117,6 +2117,31 @@ object SparkEntry {
         frameSamples = 8, midline = 16384L)
     }),
 
+    // ---- multimodal: SILENCE-TRIM card over the q241 synth WAVs —
+    // VAD-lite: frames whose |v − midline| deviation sum sits below
+    // 80000 read as quiet (measured span 69k-105k on this corpus, so
+    // both arms fire); per clip the quiet count and the edge-run trim
+    // offsets, pure conditional aggregates, no window.
+    "q252_silence_trim" -> ((s, dir) => {
+      def le32(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+        ((v >> 24) & 255).toByte)
+      def le16(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte)
+      val hdr = "RIFF".getBytes("UTF-8") ++ le32(100) ++
+        "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++ le32(64)
+      val wavs = T(s, dir, "documents")
+        .filter(length(col("text")) >= 64 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit(hdr), substring(col("text"), 1, 64).cast("binary"))
+            .as("payload"))
+      Multimodal.silenceTrim(wavs, "doc_id", "payload",
+        frameSamples = 8, midline = 16384L, devThreshold = 80000L)
+    }),
+
     // ---- graph: HITS hubs & authorities over the q108 purchase
     // graph — e6 sum-normalized integer half-steps, 3 iterations,
     // unrolled-CTE oracle (PageRank's bipartite twin). Edges from the
@@ -6556,6 +6581,30 @@ object SparkEntry {
         |  FROM p GROUP BY 1, 2)
         |SELECT doc_id, frame, n_samples, zcr, sum_dev FROM f"""
         .stripMargin,
+
+    // q252: q241's sample/frame chain reduced to sum_dev, then the
+    // quiet flag + edge-run extraction as conditional aggregates
+    "q252_silence_trim" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 64) AS t
+        |  FROM documents
+        |  WHERE length(text) >= 64 AND strlen(text) = length(text)),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+        |    ascii(substring(t, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ascii(substring(t, CAST(2 * i + 2 AS INTEGER), 1))
+        |      AS v
+        |  FROM d, (SELECT unnest(range(0, 32)) AS i) idx),
+        |f AS (SELECT doc_id, sidx // 8 AS frame,
+        |    CAST(sum(abs(v - 16384)) AS BIGINT) AS sum_dev
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN sum_dev < 80000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quiet,
+        |  coalesce(min(CASE WHEN sum_dev >= 80000 THEN frame END),
+        |    count(*)) AS lead_quiet,
+        |  coalesce(count(*) - 1 -
+        |      max(CASE WHEN sum_dev >= 80000 THEN frame END),
+        |    count(*)) AS trail_quiet
+        |FROM f GROUP BY 1""".stripMargin,
 
     // q244: the store's final content IS the second (filtered) load —
     // any surviving first-load row breaks rows + hash

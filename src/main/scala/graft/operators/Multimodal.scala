@@ -902,6 +902,32 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** SILENCE-TRIM card over a PCM16/WAV column — the VAD-lite first
+    * pass of an audio curation pipeline (trim leading/trailing quiet,
+    * drop mostly-quiet clips before any expensive model): frames from
+    * [[frameZcr]], a frame is QUIET when its summed |v − midline|
+    * deviation sits below `devThreshold`, and the per-clip card is
+    * (n_frames, n_quiet, lead_quiet, trail_quiet) where lead/trail
+    * count the quiet run at each edge (= the trim offsets in frames;
+    * both equal n_frames when every frame is quiet). Pure conditional
+    * aggregates over the frame stream — no window, map-side
+    * combinable, one shuffle per corpus. */
+  def silenceTrim(df: DataFrame, idCol: String, payloadCol: String,
+      frameSamples: Int, midline: Long,
+      devThreshold: Long): DataFrame = {
+    val quiet = col("sum_dev") < devThreshold
+    frameZcr(df, idCol, payloadCol, frameSamples, midline)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(quiet, 1L).otherwise(0L)).as("n_quiet"),
+        min(when(!quiet, col("frame"))).as("fl__"),
+        max(when(!quiet, col("frame"))).as("ll__"))
+      .select(col(idCol), col("n_frames"), col("n_quiet"),
+        coalesce(col("fl__"), col("n_frames")).as("lead_quiet"),
+        coalesce(col("n_frames") - 1 - col("ll__"), col("n_frames"))
+          .as("trail_quiet"))
+  }
+
   /** Scene-cut detection over a Y4M column — the standard first pass
     * of a video curation pipeline (segment at cuts, then sample/dedup
     * per scene instead of per raw frame): demux per-frame luma sums

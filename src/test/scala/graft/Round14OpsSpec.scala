@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, Prototypes, Spectral, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Prototypes, Spectral,
+  TextAnalysis}
 
 /** Round-14 operator semantics: simplified silhouette over the Lloyd
   * clustering. */
@@ -90,5 +91,30 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSeq.sorted
     assert(out == Seq(("A", "B", 1L, 5000L), ("B", "A", 1L, 5000L)))
+  }
+
+  test("silenceTrim: quiet flags, edge runs, all-quiet degenerate") {
+    def le32(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 24) & 255).toByte)
+    def le16(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte)
+    def wav(samples: Seq[Int]) = "RIFF".getBytes("UTF-8") ++
+      le32(36 + samples.length * 2) ++ "WAVE".getBytes("UTF-8") ++
+      "fmt ".getBytes("UTF-8") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("UTF-8") ++ le32(samples.length * 2) ++
+      samples.toArray.flatMap(le16)
+    // frames of 2 at midline 0, thr 1000: quiet/loud/quiet/quiet
+    val a = wav(Seq(0, 0, 1000, 1000, 0, 0, 0, 0))
+    val b = wav(Seq(0, 0)) // one all-quiet frame
+    val out = Multimodal.silenceTrim(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "payload"),
+      "doc_id", "payload", frameSamples = 2, midline = 0L,
+      devThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 3L, 1L, 2L)))
+    assert(out(2L) == ((1L, 1L, 1L, 1L)))
   }
 }
