@@ -2150,6 +2150,118 @@ object SparkEntry {
       GraphRank.hits(stagedPurchaseEdges(s, dir), "src", "dst",
         iterations = 3)),
 
+    // ---- stats: CHI-SQUARED independence of (source, lang) plus
+    // Cramér's V² — "is the language mix independent of the source?"
+    // Full r×c grid including empty cells; the two-stage truncating
+    // ladder keeps every intermediate 128-bit-safe (GroupStats doc).
+    "q253_chi_square" -> ((s, dir) =>
+      GroupStats.chiSquare(T(s, dir, "documents"), "source", "lang")),
+
+    // ---- graph: multi-source BFS hop distance over the UNDIRECTED
+    // q108 purchase graph — seeds are customers with c_custkey % 100
+    // = 0 (order-less seeds stay isolated at hops 0), 3 rounds of
+    // Bellman-Ford relaxation; reached ball only, unrolled-CTE oracle.
+    "q254_bfs_hops" -> ((s, dir) =>
+      GraphRank.bfsHops(stagedPurchaseEdges(s, dir), "src", "dst",
+        T(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") * 2L).as("node")),
+        "node", maxHops = 3)),
+
+    // ---- sequence mining: ANY-GAP ordered event-type pair support —
+    // users who did A strictly before B (PrefixSpan's length-2
+    // pattern, the gap-tolerant complement of q122's adjacent
+    // transitions), with lift vs independent marginals. Pair
+    // expansion over the per-user TYPE summary, never raw events.
+    "q255_ordered_pairs" -> ((s, dir) =>
+      EventAnalytics.orderedPairSupport(T(s, dir, "events"),
+        "user_id", "ts", "event_type")),
+
+    // ---- association rules A → B over user → event-type baskets —
+    // support / confidence / lift as exact e6 rationals on the q100
+    // capped-basket discipline; both directions per co-pair.
+    "q256_assoc_rules" -> ((s, dir) =>
+      CoOccurrence.associationRules(T(s, dir, "events"), "user_id",
+        "event_type", minSupport = 2L, maxBasketSize = 64)),
+
+    // ---- drift: two-sample KOLMOGOROV-SMIRNOV per source vs the
+    // rest of the corpus on document length — binning-free max-ECDF-
+    // gap via cross-multiplied integers over the distinct-value
+    // tally; at_units = smallest value attaining the max.
+    "q257_ks_stat" -> ((s, dir) =>
+      Drift.ksGroupVsRest(T(s, dir, "documents"), "source",
+        col("n_chars"))),
+
+    // ---- calibration: ISOTONIC regression over the q203 bins — PAV
+    // via its minimax characterization (max_{j≤i} min_{k≥i} pooled
+    // rate), exact e6; the monotone-repair step after q203's ECE
+    // diagnosis, on the very same quality-score/gopher-label pair.
+    "q258_isotonic_fit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 4)
+            .as("q_e4"))
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.isotonicCalibration(scored.join(label, "doc_id"),
+        "q_e4", "keep", bins = 10)
+    }),
+
+    // ---- engagement: consecutive-day activity STREAKS per user —
+    // gaps-and-islands (day − row_number anchor), per-user distinct-
+    // day partitions bounded by the calendar.
+    "q260_streaks" -> ((s, dir) =>
+      EventAnalytics.activityStreaks(T(s, dir, "events"), "user_id",
+        "ts")),
+
+    // ---- stats: per-group TWO-REGRESSOR OLS (price ~ quantity +
+    // discount) — Cramer's rule on exact integer sums, signed e6 βs;
+    // y in whole dollars to respect the quartic headroom contract.
+    "q261_ols2" -> ((s, dir) =>
+      GroupStats.ols2(T(s, dir, "lineitem"), Seq("l_returnflag"),
+        x1Units = expr("cast(round(l_quantity, 0) as long)"),
+        x2Units = expr("cast(round(l_discount * 100, 0) as long)"),
+        yUnits = expr("cast(round(l_extendedprice, 0) as long)"))),
+
+    // ---- graph: k-CORE of the purchase graph (k = 8, 4 peels) —
+    // customers with < 8 distinct suppliers fall away, supplier
+    // degrees recompute, repeat; the dense trading heart survives.
+    "q262_kcore" -> ((s, dir) =>
+      GraphRank.kCore(stagedPurchaseEdges(s, dir), "src", "dst",
+        k = 8, rounds = 4)),
+
+    // ---- funnels: signup→purchase conversion-latency quantile grid
+    // per signup-day cohort — first purchase strictly after the
+    // user's first signup; exact observed-value quantiles (q35's
+    // type-preserving convention) at p250/p500/p750/p900.
+    "q263_convert_cohort" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0__"))
+      val delays = ev.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("ts") > col("t0__"))
+        .groupBy(col("user_id"), col("t0__"))
+        .agg(min(col("ts")).as("tc__"))
+        .select(graft.functions.TimeFns
+            .floorDiv(col("t0__"), 86400L * 1000000000L)
+            .as("cohort_day"),
+          (col("tc__") - col("t0__")).as("delay_ns"))
+      GroupStats.quantileGrid(delays, Seq("cohort_day"),
+        col("delay_ns"), permilles = Seq(250, 500, 750, 900))
+    }),
+
+    // ---- graph: degree ASSORTATIVITY of the LSH near-dup graph —
+    // Newman's r over the directed double cover of (deg_u, deg_v),
+    // through the q75 exact five-sum Pearson discipline. Positive:
+    // mirrored corpora; negative: templates radiating variants.
+    "q259_assortativity" -> ((s, dir) =>
+      GraphRank.degreeAssortativity(
+        lshNearDupPairs(s, dir, threshold = 0.45)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b")),
+
     // ---- S8 truncate-and-load through the REAL write path (the last
     // spec-only §2 row): load a full snapshot into a store, then
     // overwrite it with the current (filtered) snapshot and read the
@@ -6679,6 +6791,341 @@ object SparkEntry {
          |UNION ALL
          |SELECT node, 'auth', CAST(s AS BIGINT) FROM a3""".stripMargin
     },
+
+    // q253: full r×c grid (empty cells carry expected mass too); the
+    // engine's two-stage truncating ladder mirrored verbatim —
+    // ((|diff|·1e3) // (Ra·Cb) · |diff| · 1e3) // N
+    "q253_chi_square" ->
+      """WITH cells AS (SELECT source AS a, lang AS b, count(*) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS rr FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cc FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
+        |    count(DISTINCT b) AS c FROM cells),
+        |g AS (SELECT ra.rr, cb.cc, coalesce(cells.o, 0) AS o,
+        |    t.n, t.r, t.c
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        |  CROSS JOIN tot t),
+        |t2 AS (SELECT n, r, c,
+        |    abs(CAST(o AS HUGEINT) * n - CAST(rr AS HUGEINT) * cc)
+        |      AS diff,
+        |    CAST(rr AS HUGEINT) * cc AS ec FROM g),
+        |t3 AS (SELECT n, r, c,
+        |    (((diff * 1000) // ec) * diff * 1000) // n AS term
+        |  FROM t2),
+        |agg AS (SELECT n, r, c, sum(term) AS chi FROM t3
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(n AS BIGINT) AS n, r AS r_levels, c AS c_levels,
+        |  (r - 1) * (c - 1) AS dof,
+        |  CAST(chi AS BIGINT) AS chi2_e6,
+        |  CAST(chi // (CAST(n AS HUGEINT) * least(r - 1, c - 1))
+        |    AS BIGINT) AS v2_e6
+        |FROM agg""".stripMargin,
+
+    // q254: the engine's Bellman-Ford rounds unrolled — per round,
+    // min(carry, neighbor + 1) over the symmetrized edge set
+    "q254_bfs_hops" -> {
+      def iter(t: Int) =
+        s"""d$t AS (SELECT node, min(hops) AS hops FROM (
+           |  SELECT node, hops FROM d${t - 1}
+           |  UNION ALL
+           |  SELECT e.v AS node, d.hops + 1 AS hops
+           |  FROM e JOIN d${t - 1} d ON e.u = d.node) GROUP BY 1)"""
+          .stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u,
+         |    l_suppkey * 2 + 1 AS v
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, 0 AS hops
+         |  FROM customer WHERE c_custkey % 100 = 0),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT node, CAST(hops AS BIGINT) AS hops FROM d3"""
+        .stripMargin
+    },
+
+    // q255: the per-user (type, min_ts, max_ts) summary makes "some A
+    // strictly before some B" a bounded self-join, never raw events
+    "q255_ordered_pairs" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH pt AS (SELECT user_id AS u, event_type AS t,
+         |    min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT count(DISTINCT u) AS nu FROM pt),
+         |marg AS (SELECT t, count(*) AS n_users FROM pt GROUP BY 1),
+         |pp AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+         |  FROM pt a JOIN pt b ON a.u = b.u AND a.t <> b.t
+         |    AND a.mn < b.mx
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_ab, ma.n_users AS n_a,
+         |  mb.n_users AS n_b,
+         |  ${ratioScaledSql("CAST(n_ab AS HUGEINT) * nu",
+             "CAST(ma.n_users AS HUGEINT) * mb.n_users", 6)} AS lift_e6
+         |FROM pp JOIN marg ma ON ma.t = type_a
+         |JOIN marg mb ON mb.t = type_b
+         |CROSS JOIN tot""".stripMargin
+    },
+
+    // q256: q100's capped-basket discipline, then both rule
+    // directions with shared support/lift and per-direction
+    // confidence
+    "q256_assoc_rules" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH bi AS (SELECT DISTINCT user_id AS bk, event_type AS it
+         |  FROM events),
+         |sz AS (SELECT bk, count(*) AS bs FROM bi GROUP BY 1),
+         |capped AS (SELECT bi.bk, bi.it FROM bi
+         |  JOIN sz USING (bk) WHERE bs <= 64),
+         |tot AS (SELECT count(DISTINCT bk) AS nb FROM capped),
+         |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+         |    count(*) AS n_co
+         |  FROM capped a JOIN capped b ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |freq AS (SELECT it, count(*) AS c FROM capped GROUP BY 1),
+         |und AS (SELECT item_a, item_b, n_co, fa.c AS n_a, fb.c AS n_b
+         |  FROM pairs JOIN freq fa ON fa.it = item_a
+         |  JOIN freq fb ON fb.it = item_b),
+         |dr AS (SELECT item_a AS antecedent, item_b AS consequent,
+         |    n_co, n_a AS n_ante, n_b AS n_cons FROM und
+         |  UNION ALL SELECT item_b, item_a, n_co, n_b, n_a FROM und)
+         |SELECT antecedent, consequent, n_co, n_ante, n_cons,
+         |  ${ratioScaledSql("n_co", "nb", 6)} AS support_e6,
+         |  ${ratioScaledSql("n_co", "n_ante", 6)} AS confidence_e6,
+         |  ${ratioScaledSql("CAST(n_co AS HUGEINT) * nb",
+             "CAST(n_ante AS HUGEINT) * n_cons", 6)} AS lift_e6
+         |FROM dr CROSS JOIN tot""".stripMargin
+    },
+
+    // q257: cross-multiplied integer ECDF gaps over the
+    // distinct-value tally; max per group, smallest value attaining
+    // it as the tie-break
+    "q257_ks_stat" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH gv AS (SELECT source AS g, n_chars AS v, count(*) AS c
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pv AS (SELECT v, sum(c) AS cv FROM gv GROUP BY 1),
+         |pg AS (SELECT g, sum(c) AS na FROM gv GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM gv),
+         |grid AS (SELECT pg.g, pv.v, pg.na, t.n - pg.na AS nb, pv.cv,
+         |    coalesce(gv.c, 0) AS cgv
+         |  FROM pg CROSS JOIN pv
+         |  LEFT JOIN gv ON gv.g = pg.g AND gv.v = pv.v
+         |  CROSS JOIN tot t),
+         |cum AS (SELECT g, v, na, nb,
+         |    sum(cgv) OVER w AS cuma, sum(cv) OVER w AS cumall
+         |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |gaps AS (SELECT g, v, na, nb,
+         |    abs(CAST(cuma AS HUGEINT) * nb -
+         |      CAST(cumall - cuma AS HUGEINT) * na) AS gap
+         |  FROM cum),
+         |mx AS (SELECT g, na, nb, max(gap) AS mg FROM gaps
+         |  GROUP BY 1, 2, 3),
+         |att AS (SELECT gaps.g, min(v) AS at_units FROM gaps
+         |  JOIN mx ON mx.g = gaps.g AND gaps.gap = mx.mg GROUP BY 1)
+         |SELECT mx.g AS source, CAST(na AS BIGINT) AS n_group,
+         |  CAST(nb AS BIGINT) AS n_rest,
+         |  ${ratioScaledSql("mg", "CAST(na AS HUGEINT) * nb", 6)}
+         |    AS d_e6,
+         |  at_units
+         |FROM mx JOIN att ON att.g = mx.g""".stripMargin
+    },
+
+    // q258: q203's bin aggregate, then PAV by its minimax form —
+    // fitted(i) = max_{j≤i} min_{k≥i} pooled-rate(j..k) over the
+    // bounded bin table
+    "q258_isotonic_fit" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioScaledSql(qScoreNum, qScoreDen, 4)} AS q_e4,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT q_e4,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS keep
+         |  FROM t),
+         |b AS (SELECT least(q_e4 // 1000, 9) AS bin,
+         |    count(*) AS n_rows,
+         |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos
+         |  FROM j GROUP BY 1),
+         |pref AS (SELECT bin, n_rows, n_pos,
+         |    sum(n_rows) OVER o AS pc, sum(n_pos) OVER o AS pp
+         |  FROM b WINDOW o AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+         |lo AS (SELECT bin AS jb, pc - n_rows AS pcj, pp - n_pos AS ppj
+         |  FROM pref),
+         |hi AS (SELECT bin AS kb, pc AS pck, pp AS ppk FROM pref),
+         |iv AS (SELECT jb, kb,
+         |    ${ratioScaledSql("ppk - ppj", "pck - pcj", 6)} AS rate
+         |  FROM lo JOIN hi ON jb <= kb),
+         |mm AS (SELECT b.bin, b.n_rows, b.n_pos, iv.jb,
+         |    min(iv.rate) AS m
+         |  FROM b JOIN iv ON iv.jb <= b.bin AND iv.kb >= b.bin
+         |  GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT bin, n_rows, n_pos, max(m) AS fitted_e6 FROM mm
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_rows,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  ${ratioScaledSql("n_pos", "n_rows", 6)} AS rate_e6,
+         |  fitted_e6
+         |FROM f""".stripMargin
+    },
+
+    // q259: q222's pair surface → degree table → the directed double
+    // cover fed through q75's exact five-sum Pearson mirror
+    "q259_assortativity" ->
+      s"""WITH ${lshPairCtes("0.45")},
+         |ed AS (SELECT id_a AS u, id_b AS v FROM p),
+         |deg AS (SELECT node, count(*) AS degree
+         |  FROM (SELECT u AS node FROM ed
+         |    UNION ALL SELECT v AS node FROM ed) GROUP BY 1),
+         |bo AS (SELECT du.degree AS dx, dv.degree AS dy
+         |  FROM ed JOIN deg du ON du.node = ed.u
+         |  JOIN deg dv ON dv.node = ed.v),
+         |cov AS (SELECT dx AS x, dy AS y FROM bo
+         |  UNION ALL SELECT dy, dx FROM bo),
+         |s AS (SELECT count(*) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM cov),
+         |v AS (SELECT n,
+         |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+         |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+         |  FROM s)
+         |SELECT n,
+         |  CAST(CAST(num AS VARCHAR) AS DOUBLE) AS cov_num,
+         |  CASE WHEN vx > 0 AND vy > 0 THEN
+         |    round(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+         |      (sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)) *
+         |       sqrt(CAST(CAST(vy AS VARCHAR) AS DOUBLE))), 6)
+         |  END AS r
+         |FROM v""".stripMargin,
+
+    // q260: gaps-and-islands — day − row_number is constant inside a
+    // consecutive run
+    "q260_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |i AS (SELECT user_id,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS isl
+        |  FROM d),
+        |r AS (SELECT user_id, isl, count(*) AS run FROM i
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(run) AS BIGINT) AS n_days,
+        |  count(*) AS n_streaks, max(run) AS longest_streak
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q261: the centered normal equations via Cramer's rule, HUGEINT
+    // end to end, q116's signed half-away e6 rounding on each β
+    "q261_ols2" -> {
+      def sgn(a: String, b: String) =
+        s"CAST(sign($a) * sign($b) AS BIGINT)"
+      def e6(a: String, b: String) =
+        s"CASE WHEN det > 0 THEN ${sgn(a, b)} * " +
+          s"CAST((abs($a) * 2000000 + abs($b)) // (abs($b) * 2) " +
+          "AS BIGINT) END"
+      s"""WITH c AS (SELECT l_returnflag,
+         |    CAST(round(l_quantity, 0) AS BIGINT) AS x1,
+         |    CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+         |    CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+         |  FROM lineitem),
+         |s AS (SELECT l_returnflag, count(*) AS n,
+         |    sum(CAST(x1 AS HUGEINT)) AS s1,
+         |    sum(CAST(x2 AS HUGEINT)) AS s2,
+         |    sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
+         |  FROM c GROUP BY 1),
+         |a AS (SELECT l_returnflag, n, s1, s2, sy,
+         |    CAST(n AS HUGEINT) * s11 - s1 * s1 AS a11,
+         |    CAST(n AS HUGEINT) * s12 - s1 * s2 AS a12,
+         |    CAST(n AS HUGEINT) * s22 - s2 * s2 AS a22,
+         |    CAST(n AS HUGEINT) * s1y - s1 * sy AS b1,
+         |    CAST(n AS HUGEINT) * s2y - s2 * sy AS b2
+         |  FROM s),
+         |d AS (SELECT l_returnflag, n, s1, s2, sy,
+         |    a11 * a22 - a12 * a12 AS det,
+         |    b1 * a22 - b2 * a12 AS n1,
+         |    b2 * a11 - b1 * a12 AS n2
+         |  FROM a),
+         |w AS (SELECT l_returnflag, n, det, n1, n2,
+         |    sy * det - n1 * s1 - n2 * s2 AS inum,
+         |    CAST(n AS HUGEINT) * det AS iden
+         |  FROM d)
+         |SELECT l_returnflag, n,
+         |  ${e6("n1", "det")} AS beta1_e6,
+         |  ${e6("n2", "det")} AS beta2_e6,
+         |  ${e6("inum", "iden")} AS beta0_e6
+         |FROM w""".stripMargin
+    },
+
+    // q262: the fixed peels unrolled — per round, degrees of the
+    // edge set induced by the previous alive set, keep >= k
+    "q262_kcore" -> {
+      def peel(t: Int) =
+        s"""e$t AS (SELECT e.u, e.v FROM e
+           |  JOIN a${t - 1} x ON x.node = e.u
+           |  JOIN a${t - 1} y ON y.node = e.v),
+           |d$t AS (SELECT node, count(*) AS degree FROM (
+           |    SELECT u AS node FROM e$t
+           |    UNION ALL SELECT v AS node FROM e$t) GROUP BY 1),
+           |a$t AS (SELECT node FROM d$t WHERE degree >= 8)"""
+          .stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS u,
+         |    l_suppkey * 2 + 1 AS v
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |a0 AS (SELECT u AS node FROM e
+         |  UNION SELECT v AS node FROM e),
+         |${(1 to 4).map(peel).mkString(",\n")}
+         |SELECT node, degree FROM d4 WHERE degree >= 8"""
+        .stripMargin
+    },
+
+    // q263: first purchase strictly after first signup; observed-
+    // value rank ceil(q·n/1000) per signup-day cohort
+    "q263_convert_cohort" ->
+      """WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, s.t0, min(epoch_ns(e.ts)) AS tc
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s.t0
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT t0 // 86400000000000 AS cohort_day,
+        |    tc - t0 AS delay FROM p),
+        |r AS (SELECT cohort_day, delay,
+        |    CAST(row_number() OVER (PARTITION BY cohort_day
+        |      ORDER BY delay) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_day) AS n
+        |  FROM dl)
+        |SELECT cohort_day, count(*) AS n,
+        |  max(CASE WHEN rn = (n * 250 + 999) // 1000 THEN delay END)
+        |    AS p250_units,
+        |  max(CASE WHEN rn = (n * 500 + 999) // 1000 THEN delay END)
+        |    AS p500_units,
+        |  max(CASE WHEN rn = (n * 750 + 999) // 1000 THEN delay END)
+        |    AS p750_units,
+        |  max(CASE WHEN rn = (n * 900 + 999) // 1000 THEN delay END)
+        |    AS p900_units
+        |FROM r GROUP BY 1""".stripMargin,
 
     // q240: q75's five-sum mirror fed by doubled tie-averaged ranks
     // from per-group distinct tallies + below-count windows

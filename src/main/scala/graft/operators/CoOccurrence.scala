@@ -27,10 +27,13 @@ object CoOccurrence {
 
   /** Item pairs (item_a < item_b) co-occurring in >= `minSupport`
     * baskets: (item_a, item_b, n_co, n_a, n_b, jaccard_e6). */
-  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
+  /** The capped distinct (basket, item) set both [[basketPairs]] and
+    * [[associationRules]] derive from — see the object doc for the
+    * `maxBasketSize` guard. */
+  private def cappedBaskets(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = graft.Caches.register(df
+    graft.Caches.register(df
       .select(col(basketCol).as("b__"), col(itemCol).as("it__"))
       .distinct()
       .withColumn("bs__",
@@ -38,6 +41,11 @@ object CoOccurrence {
       .filter(col("bs__") <= maxBasketSize)
       .select(col("b__"), col("it__"))
       .persist())
+  }
+
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
     val pairs = capped.select(col("b__"), col("it__").as("item_a"))
       .join(capped.select(col("b__"), col("it__").as("item_b")), Seq("b__"))
       .filter(col("item_a") < col("item_b"))
@@ -54,5 +62,49 @@ object CoOccurrence {
         col("n_b"),
         graft.functions.ExactRound.ratioScaled(col("n_co"),
           col("n_a") + col("n_b") - col("n_co"), 6).as("jaccard_e6"))
+  }
+
+  /** DIRECTIONAL association rules A → B from the same capped basket
+    * set: for every co-occurring ordered item pair with
+    * `n_co >= minSupport`, the classic market-basket triple
+    *
+    *   support_e6    = n_co / B           (B = capped basket count)
+    *   confidence_e6 = n_co / n_ante      (P(B | A))
+    *   lift_e6       = n_co·B / (n_a·n_b) (>1e6 ⇒ positively associated)
+    *
+    * as exact-rounded e6 integers — the "users who did A also did B"
+    * sheet over event types, and the related-documents linker over
+    * co-click baskets. Each undirected pair emits BOTH directions
+    * (confidence is asymmetric; support and lift are shared).
+    *
+    * Shape at scale: [[basketPairs]]' bounded pair expansion plus a
+    * 1-row broadcast basket total; lift's denominator n_a·n_b is a
+    * product of longs, so the wide-denominator [[graft.functions
+    * .ExactRound.ratioScaledBig]] guard applies. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
+    import graft.functions.ExactRound
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
+    val totB = capped.select(col("b__")).distinct()
+      .agg(count(lit(1)).as("nb__"))
+    val undirected = basketPairs(df, basketCol, itemCol, minSupport,
+      maxBasketSize)
+    val directed = undirected.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_co"),
+        col("n_a").as("n_ante"), col("n_b").as("n_cons"))
+      .union(undirected.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_co"),
+        col("n_b").as("n_ante"), col("n_a").as("n_cons")))
+    directed.crossJoin(broadcast(totB))
+      .select(col("antecedent"), col("consequent"), col("n_co"),
+        col("n_ante"), col("n_cons"),
+        ExactRound.ratioScaled(col("n_co"), col("nb__"), 6)
+          .as("support_e6"),
+        ExactRound.ratioScaled(col("n_co"), col("n_ante"), 6)
+          .as("confidence_e6"),
+        ExactRound.ratioScaledBig(
+          col("n_co").cast("decimal(38,0)") * col("nb__"),
+          col("n_ante").cast("decimal(38,0)") * col("n_cons"), 6)
+          .as("lift_e6"))
   }
 }

@@ -219,4 +219,59 @@ object Drift {
              " + CAST(ctb - coalesce(sb, 0) AS HUGEINT) * cta",
            "CAST(cta AS HUGEINT) * ctb * 2", 6)} AS tv_e6
        |FROM p LEFT JOIN sh USING (src_a, src_b)""".stripMargin
+
+  /** Two-sample KOLMOGOROV-SMIRNOV statistic, each group vs the REST
+    * of the corpus: D = max over pooled values of |ECDF_g − ECDF_rest|
+    * — the binning-free drift test next to [[binDrift]]'s decile TVD
+    * ("does this source's length distribution differ from everyone
+    * else's, and where?"). Exact rational throughout: at each
+    * distinct value v the cross-multiplied gap
+    * |cumA·nB − cumB·nA| is an integer, the max is taken over
+    * integers, and D_e6 = maxgap·10⁶ div (nA·nB) — no float ECDFs to
+    * disagree on. Output per group: (group, n_group, n_rest, d_e6,
+    * at_units) where `at_units` is the SMALLEST value attaining the
+    * max (deterministic tie-break; the units where the distributions
+    * diverge most).
+    *
+    * Shape at scale: the sweep runs over the DISTINCT-VALUE tally,
+    * never corpus rows (the q215 discipline): one (group, value)
+    * count, one per-value total, a bounded-groups × distinct-values
+    * grid (groups = sources: bounded), and per-group cumulative
+    * windows over that tally. `valueUnits` must be integral units. */
+  def ksGroupVsRest(df: DataFrame, groupCol: String,
+      valueUnits: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val gv = graft.Caches.register(df
+      .select(col(groupCol).as("g__"), valueUnits.cast("long").as("v__"))
+      .filter(col("v__").isNotNull && col("g__").isNotNull)
+      .groupBy(col("g__"), col("v__")).agg(count(lit(1)).as("c_gv__"))
+      .persist())
+    val perVal = gv.groupBy(col("v__")).agg(sum(col("c_gv__")).as("c_v__"))
+    val perGrp = gv.groupBy(col("g__")).agg(sum(col("c_gv__")).as("na__"))
+    val totN = gv.agg(sum(col("c_gv__")).as("n__"))
+    val grid = broadcast(perGrp.crossJoin(broadcast(totN)))
+      .crossJoin(perVal)
+      .join(gv, Seq("g__", "v__"), "left")
+      .select(col("g__"), col("v__"), col("na__"),
+        (col("n__") - col("na__")).as("nb__"), col("c_v__"),
+        coalesce(col("c_gv__"), lit(0L)).as("c_gv__"))
+    val w = Window.partitionBy(col("g__")).orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = grid
+      .withColumn("cuma__", sum(col("c_gv__")).over(w))
+      .withColumn("cumall__", sum(col("c_v__")).over(w))
+      .select(col("g__"), col("v__"), col("na__"), col("nb__"),
+        abs(col("cuma__").cast(dec) * col("nb__") -
+          (col("cumall__") - col("cuma__")).cast(dec) * col("na__"))
+          .as("gap__"))
+    gaps.groupBy(col("g__"), col("na__"), col("nb__"))
+      .agg(max(struct(col("gap__"), (-col("v__")).as("nv__")))
+        .as("best__"))
+      .select(col("g__").as(groupCol), col("na__").as("n_group"),
+        col("nb__").as("n_rest"),
+        ExactRound.ratioScaledBig(col("best__.gap__"),
+          col("na__").cast(dec) * col("nb__"), 6).as("d_e6"),
+        (-col("best__.nv__")).as("at_units"))
+  }
 }

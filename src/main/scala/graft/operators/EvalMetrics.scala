@@ -174,6 +174,69 @@ object EvalMetrics {
         col("acc_e6"), col("gap_e6"), col("ece_e6"))
   }
 
+  /** ISOTONIC regression calibration over score bins — the
+    * monotone-repair step after [[calibrationBins]]' diagnosis (Zadrozny
+    * & Elkan 2002: map raw scores to the best monotone-nondecreasing
+    * positive-rate curve). Uses the minimax characterization of the
+    * pool-adjacent-violators fit on the binned data:
+    *
+    *   fitted(i) = max_{j≤i} min_{k≥i} rate(j..k)
+    *
+    * where rate(j..k) is the pooled positive rate of occupied bins
+    * j..k — exactly PAV's solution, computed as joins instead of the
+    * inherently sequential pooling loop. Interval rates are exact e6
+    * integers (pos·10⁶ over cnt via the ratioScaled ladder), and the
+    * minimax runs over those integers, so the fit is gate-exact; the
+    * ±1-ulp monotonicity slack from rounding BEFORE the minimax is
+    * shared by both engines (documented, not observable at e6).
+    *
+    * Shape at scale: the corpus collapses to ≤`bins` rows in one
+    * map-side-combinable aggregate; everything after — prefix sums,
+    * the (j,k) interval table, the (i,j,k) minimax join — is O(bins³)
+    * rows on a BOUNDED table (bins ≤ 20 by contract), the Apportion
+    * allowance. Output: (bin, n_rows, n_pos, rate_e6, fitted_e6),
+    * occupied bins only, fitted_e6 monotone nondecreasing in bin. */
+  def isotonicCalibration(df: DataFrame, scoreE4Col: String,
+      labelCol: String, bins: Int): DataFrame = {
+    import graft.functions.ExactRound
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 1 && bins <= 20 && 10000 % bins == 0,
+      "bins must divide the e4 score range and stay bounded")
+    val width = 10000L / bins
+    val b = df.select(col(scoreE4Col).cast("long").as("s__"),
+        col(labelCol).cast("boolean").as("y__"))
+      .groupBy(least(call_function("div", col("s__"), lit(width)),
+        lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("y__"), 1L).otherwise(0L)).as("n_pos"))
+    val ord = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = b
+      .withColumn("pc__", sum(col("n_rows")).over(ord))
+      .withColumn("pp__", sum(col("n_pos")).over(ord))
+    val lo = pref.select(col("bin").as("j__"),
+      (col("pc__") - col("n_rows")).as("pcj__"),
+      (col("pp__") - col("n_pos")).as("ppj__"))
+    val hi = pref.select(col("bin").as("k__"), col("pc__").as("pck__"),
+      col("pp__").as("ppk__"))
+    val intervals = lo.join(hi, col("j__") <= col("k__"))
+      .select(col("j__"), col("k__"),
+        ExactRound.ratioScaled(col("ppk__") - col("ppj__"),
+          col("pck__") - col("pcj__"), 6).as("rate_e6__"))
+    val anchors = b.select(col("bin"), col("n_rows"), col("n_pos"))
+    val fitted = anchors
+      .join(intervals,
+        col("j__") <= col("bin") && col("k__") >= col("bin"))
+      .groupBy(col("bin"), col("n_rows"), col("n_pos"), col("j__"))
+      .agg(min(col("rate_e6__")).as("m__"))
+      .groupBy(col("bin"), col("n_rows"), col("n_pos"))
+      .agg(max(col("m__")).as("fitted_e6"))
+    fitted.select(col("bin"), col("n_rows"), col("n_pos"),
+      ExactRound.ratioScaled(col("n_pos"), col("n_rows"), 6)
+        .as("rate_e6"),
+      col("fitted_e6"))
+  }
+
   /** Decile LIFT / cumulative-GAIN table — the model-eval sheet next
     * to q215's ROC-AUC and q203's calibration: rows ranked by score
     * descending and cut into `buckets` equal-count slices; per slice

@@ -361,6 +361,90 @@ object EventAnalytics {
       .withColumnRenamed("user__", userCol)
   }
 
+  /** ANY-GAP ordered-pair support — for every ordered event-type pair
+    * (A, B), how many users did A at some point STRICTLY BEFORE some
+    * B (not necessarily adjacently — the gap-tolerant complement of
+    * [[transitionMatrix]]'s consecutive-step counts, i.e. the
+    * sequential-pattern support of the length-2 pattern ⟨A B⟩ à la
+    * PrefixSpan), plus the lift of the pair against the independent
+    * marginals: lift_e6 = n_ab·U / (n_a·n_b) over U total users.
+    *
+    * The existential "some A before some B" collapses to a per-user
+    * TYPE SUMMARY — a user supports ⟨A B⟩ iff min_ts(A) < max_ts(B) —
+    * so the pair expansion runs over the per-user distinct-type table
+    * (≤ |types| rows per user, bounded by the event vocabulary),
+    * never over raw events: one per-(user, type) min/max aggregate,
+    * one per-user self-join with bounded multiplicity, one
+    * map-side-combinable distinct-user count, two broadcast marginal
+    * joins. A = B rows are excluded (self-precedence is near-vacuous
+    * for any user with 2+ events of a type). */
+  def orderedPairSupport(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val perType = graft.Caches.register(events
+      .select(col(userCol).as("u__"), col(typeCol).as("t__"),
+        col(tsCol).as("ts__"))
+      .groupBy(col("u__"), col("t__"))
+      .agg(min(col("ts__")).as("min_ts__"), max(col("ts__")).as("max_ts__"))
+      .persist())
+    val totU = perType.select(col("u__")).distinct()
+      .agg(count(lit(1)).as("nu__"))
+    val marg = perType.groupBy(col("t__"))
+      .agg(count(lit(1)).as("n_users__"))
+    val a = perType.select(col("u__"), col("t__").as("type_a"),
+      col("min_ts__"))
+    val b = perType.select(col("u__"), col("t__").as("type_b"),
+      col("max_ts__"))
+    a.join(b, Seq("u__"))
+      .filter(col("type_a") =!= col("type_b") &&
+        col("min_ts__") < col("max_ts__"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("t__").as("type_a"),
+        col("n_users__").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("t__").as("type_b"),
+        col("n_users__").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totU))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ExactRound.ratioScaledBig(
+          col("n_ab").cast("decimal(38,0)") * col("nu__"),
+          col("n_a").cast("decimal(38,0)") * col("n_b"), 6)
+          .as("lift_e6"))
+  }
+
+  /** Consecutive-day activity STREAKS per user — the classic
+    * gaps-and-islands rollup (engagement streaks for retention
+    * features; also the "N consecutive days of scrape success" health
+    * card): per user the count of distinct active days, the number of
+    * maximal consecutive-day runs, and the longest run. The island
+    * key is `day − row_number()` over the user's distinct days —
+    * constant within a consecutive run, strictly decreasing across a
+    * gap — so islands fall out of one window + two groupBys, all
+    * integer.
+    *
+    * Shape at scale: the window partitions by USER over the per-user
+    * DISTINCT-day table (≤ horizon-days rows per partition, bounded
+    * by the calendar, not the corpus); both rollups are
+    * map-side-combinable. */
+  def activityStreaks(events: DataFrame, userCol: String,
+      tsNanosCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user__")).orderBy(col("d__"))
+    events
+      .select(col(userCol).as("user__"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("d__"))
+      .distinct()
+      .withColumn("isl__", col("d__") - row_number().over(w))
+      .groupBy(col("user__"), col("isl__"))
+      .agg(count(lit(1)).as("run__"))
+      .groupBy(col("user__"))
+      .agg(sum(col("run__")).cast("long").as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("run__")).as("longest_streak"))
+      .withColumnRenamed("user__", userCol)
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

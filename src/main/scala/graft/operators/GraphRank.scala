@@ -195,4 +195,126 @@ object GraphRank {
       .unionByName(auths.select(col("node"), lit("auth").as("kind"),
         col("s_e6").as("score_e6")))
   }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED reading of the
+    * edge list: (node, hops) for every node within `maxHops` of any
+    * seed — the "blast radius" primitive (which documents sit ≤ k
+    * near-dup hops from a known-bad cluster; which suppliers are ≤ k
+    * purchase hops from a flagged customer). Unreached nodes are
+    * absent, seeds report 0.
+    *
+    * Bellman-Ford-by-rounds, not frontier-queue BFS (no driver
+    * state): each of the `maxHops` rounds relaxes
+    * dist' = min(dist, neighbor dist + 1) via one join of the
+    * current distance table against the cached symmetrized adjacency
+    * and one map-side-combinable min — after round t every node at
+    * true distance ≤ t is final (monotone convergence; extra rounds
+    * are no-ops), so the fixed unrolling is exact, mirrored by the
+    * oracle's unrolled CTE. Each round `localCheckpoint`s to keep
+    * lineage flat (the [[pageRank]] discipline). The distance table
+    * only ever holds REACHED nodes — on a corpus-scale graph with a
+    * small seed set, state is the k-hop ball, not the node set. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "need maxHops >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val fwd = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val adj = graft.Caches.register(fwd
+      .union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj
+        .join(dist.select(col("node").as("u"), col("hops")), "u")
+        .select(col("v").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** k-CORE decomposition by iterative peeling — the maximal subgraph
+    * where every node keeps degree ≥ k (the "dense heart" of a
+    * near-dup graph: a k-core that survives aggressive peeling is a
+    * template cluster, not chained borderline pairs; pendant chains
+    * and isolated pairs peel away). Runs `rounds` fixed peels of
+    * "drop nodes whose CURRENT degree < k, recompute degrees"; peeling
+    * is monotone (alive sets only shrink), so once a round is a no-op
+    * every later round is too — `rounds` at the graph's peel depth is
+    * exact, and ANY fixed `rounds` is still oracle-identical because
+    * the unrolled CTE runs the same count. Output: surviving (node,
+    * degree within the surviving subgraph), empty when the graph has
+    * no k-core within the horizon.
+    *
+    * Shape at scale: the cached undirected edge list re-joins the
+    * shrinking alive set each round (two hash joins + one
+    * map-side-combinable degree count per round, the [[pageRank]]
+    * loop discipline, alive set `localCheckpoint`ed); no windows, no
+    * driver state. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.Caches.register(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var alive = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val ea = e
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+      deg = ea.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k.toLong)
+        .localCheckpoint(true)
+      alive = deg.select(col("node"))
+    }
+    deg
+  }
+
+  /** Degree ASSORTATIVITY of an undirected edge list — Pearson r
+    * between endpoint degrees over the directed double cover (each
+    * edge contributes both (deg_u, deg_v) and (deg_v, deg_u), the
+    * standard Newman 2002 estimator) — plus the same exact integer
+    * sum discipline as [[GroupStats.pearson]], which it delegates to.
+    * Positive r: hubs link to hubs (a mirrored-corpus near-dup graph);
+    * negative: hubs link to leaves (one template radiating variants).
+    * Output: one row (n, cov_num, r) where n = 2·|edges|.
+    *
+    * Shape at scale: degree aggregate + two joins of the edge list
+    * against the (node, degree) table, then a 5-sum reduce; no
+    * windows. */
+  def degreeAssortativity(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = graft.Caches.register(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist())
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val both = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du__")),
+        "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv__")),
+        "v")
+    val cover = both.select(col("du__").as("x__"), col("dv__").as("y__"))
+      .union(both.select(col("dv__").as("x__"), col("du__").as("y__")))
+    GroupStats.pearson(cover, Seq.empty, col("x__"), col("y__"))
+  }
 }

@@ -153,6 +153,74 @@ object GroupStats {
         col("intercept_e6"): _*)
   }
 
+  /** Per-group TWO-REGRESSOR OLS — y = β0 + β1·x1 + β2·x2 via the
+    * normal equations in centered form, solved by Cramer's rule on
+    * exact integer sums ([[olsTrend]]'s big sibling; the "quality ~
+    * length + punctuation" style multi-feature fit a curation
+    * pipeline runs before trusting a single-feature story):
+    *
+    *   A11 = n·S11 − S1², A12 = n·S12 − S1·S2, A22 = n·S22 − S2²
+    *   b1  = n·S1y − S1·Sy, b2 = n·S2y − S2·Sy, det = A11·A22 − A12²
+    *   β1 = (b1·A22 − b2·A12)/det, β2 = (b2·A11 − b1·A12)/det
+    *   β0 = (Sy·det − β1num·S1 − β2num·S2)/(n·det)
+    *
+    * Every sum and every Cramer numerator/denominator is DECIMAL(38,0)
+    * (HUGEINT on the oracle side); the final βs are signed exact-e6
+    * roundings of integer rationals. HEADROOM CONTRACT: the numerator
+    * products are quartic in group size × unit range — with
+    * unit-bounded regressors (|x| ≤ 10⁴ units) the 38-digit budget
+    * holds to n ≈ 10⁸ rows per group; a larger corpus must coarsen
+    * units first (the documented trade, same as the q116 OLS ladder).
+    * Collinear regressors (det ≤ 0) yield NULL βs.
+    *
+    * Shape at scale: one map-side-combinable 9-sum aggregate; no
+    * windows, no second pass. */
+  def ols2(df: DataFrame, groupCols: Seq[String], x1Units: Column,
+      x2Units: Column, yUnits: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def e6RoundSigned(num: Column, den: Column): Column = {
+      val s = signum(num.cast("double")) * signum(den.cast("double"))
+      val q = call_function("div",
+        abs(num).cast(dec) * lit(2000000L) + abs(den).cast(dec),
+        abs(den).cast(dec) * lit(2L))
+      s.cast("long") * q.cast("long")
+    }
+    val sums = df
+      .select(groupCols.map(col) :+ x1Units.cast(dec).as("x1__") :+
+        x2Units.cast(dec).as("x2__") :+ yUnits.cast(dec).as("y__"): _*)
+      .filter(col("x1__").isNotNull && col("x2__").isNotNull &&
+        col("y__").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1__")).as("s1"),
+        sum(col("x2__")).as("s2"),
+        sum(col("y__")).as("sy"),
+        sum((col("x1__") * col("x1__")).cast(dec)).as("s11"),
+        sum((col("x2__") * col("x2__")).cast(dec)).as("s22"),
+        sum((col("x1__") * col("x2__")).cast(dec)).as("s12"),
+        sum((col("x1__") * col("y__")).cast(dec)).as("s1y"),
+        sum((col("x2__") * col("y__")).cast(dec)).as("s2y"))
+    val n = col("n").cast(dec)
+    val a11 = (n * col("s11") - col("s1") * col("s1")).cast(dec)
+    val a12 = (n * col("s12") - col("s1") * col("s2")).cast(dec)
+    val a22 = (n * col("s22") - col("s2") * col("s2")).cast(dec)
+    val b1 = (n * col("s1y") - col("s1") * col("sy")).cast(dec)
+    val b2 = (n * col("s2y") - col("s2") * col("sy")).cast(dec)
+    val det = (a11 * a22 - a12 * a12).cast(dec)
+    val n1 = (b1 * a22 - b2 * a12).cast(dec)
+    val n2 = (b2 * a11 - b1 * a12).cast(dec)
+    val iNum = (col("sy").cast(dec) * det - n1 * col("s1") -
+      n2 * col("s2")).cast(dec)
+    sums
+      .withColumn("beta1_e6", when(det > 0, e6RoundSigned(n1, det)))
+      .withColumn("beta2_e6", when(det > 0, e6RoundSigned(n2, det)))
+      .withColumn("beta0_e6",
+        when(det > 0, e6RoundSigned(iNum, (n * det).cast(dec))))
+      .select(groupCols.map(col) :+ col("n") :+ col("beta1_e6") :+
+        col("beta2_e6") :+ col("beta0_e6"): _*)
+  }
+
   /** Majority-vote label resolution — the multi-annotator (or
     * multi-model) label-merge step of a training-data pipeline: per
     * key, the label with the most votes, with ties broken by label
@@ -321,5 +389,68 @@ object GroupStats {
         graft.functions.ExactRound.ratioScaledBig(
           col("N__") * col("N__") - col("ss__"),
           col("N__") * col("N__"), 6).as("gini_e6"))
+  }
+
+  /** Pearson CHI-SQUARED test of independence between two categorical
+    * columns, plus Cramér's V² — "is the language mix independent of
+    * the source?", the association audit a mixture designer runs
+    * before treating (source, lang) shares as a product of marginals.
+    * Entirely integer lineage (the [[giniDiversity]] / q85 gate
+    * discipline): per cell of the full r×c grid (EMPTY cells
+    * included — they carry expected mass Ra·Cb/N too),
+    *
+    *   χ² cell term = (O·N − Ra·Cb)² / (N·Ra·Cb)
+    *
+    * evaluated as a documented two-stage truncating-division ladder
+    * (diff² would need 2·log₁₀N² ≈ 40+ digits at fleet N and overflow
+    * even 128-bit; the staged form caps intermediates at ~1e26):
+    *
+    *   q1      = (|diff| · 10³) div (Ra·Cb)
+    *   term_e6 = (q1 · |diff| · 10³) div N          -- e6-scaled
+    *
+    * Both engines run the identical ladder, so the sum is gate-exact;
+    * the ladder's floor error per cell is < 10⁻³·|diff|/N relative —
+    * noise against any χ² threshold. V² = χ²/(N·min(r−1,c−1)) stays a
+    * truncating e6 integer (squared form for the same reason q214
+    * ships cos²: no sqrt on the gate surface).
+    *
+    * Shape at scale: one (a,b) count aggregate over the corpus, two
+    * bounded marginal re-aggregates, and an r×c BROADCAST cross grid
+    * (categories, not rows — the contingency table itself); no
+    * windows, no driver state. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = graft.Caches.register(df
+      .select(col(aCol).as("a__"), col(bCol).as("b__"))
+      .filter(col("a__").isNotNull && col("b__").isNotNull)
+      .groupBy(col("a__"), col("b__"))
+      .agg(count(lit(1)).as("o__"))
+      .persist())
+    val ra = cells.groupBy(col("a__")).agg(sum(col("o__")).as("ra__"))
+    val cb = cells.groupBy(col("b__")).agg(sum(col("o__")).as("cb__"))
+    val tot = cells.agg(sum(col("o__")).as("n__"),
+      count_distinct(col("a__")).as("r__"),
+      count_distinct(col("b__")).as("c__"))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a__", "b__"), "left")
+      .crossJoin(broadcast(tot))
+    val diff = abs(coalesce(col("o__"), lit(0L)).cast(dec) * col("n__") -
+      col("ra__").cast(dec) * col("cb__"))
+    val q1 = call_function("div", diff * lit(1000L),
+      col("ra__").cast(dec) * col("cb__"))
+    val term = call_function("div",
+      q1.cast(dec) * diff * lit(1000L), col("n__").cast(dec))
+    grid
+      .select(col("n__"), col("r__"), col("c__"), term.as("t__"))
+      .groupBy(col("n__"), col("r__"), col("c__"))
+      .agg(sum(col("t__")).as("chi2_e6"))
+      .select(col("n__").as("n"), col("r__").as("r_levels"),
+        col("c__").as("c_levels"),
+        ((col("r__") - 1L) * (col("c__") - 1L)).as("dof"),
+        col("chi2_e6").cast("long").as("chi2_e6"),
+        call_function("div", col("chi2_e6").cast(dec),
+          col("n__").cast(dec) *
+            least(col("r__") - 1L, col("c__") - 1L))
+          .as("v2_e6"))
   }
 }

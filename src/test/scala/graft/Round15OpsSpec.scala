@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-15 operator semantics: chi-squared independence, BFS hops,
+  * ordered-pair support, association rules, KS drift, isotonic
+  * calibration, degree assortativity — each against a hand-computed
+  * fixture. */
+class Round15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chiSquare: balanced 2x2 association is exact (chi2 = 20, " +
+    "V^2 = 0.25)") {
+    // X:(p 30, q 10), Y:(p 10, q 30): N=80, all marginals 40, E=20.
+    // chi2 = 4 * (10^2/20) = 20; per-cell ladder: diff=800, ec=1600,
+    // q1 = 800000//1600 = 500, term = (500*800*1000)//80 = 5e6.
+    val rows = Seq.fill(30)(("X", "p")) ++ Seq.fill(10)(("X", "q")) ++
+      Seq.fill(10)(("Y", "p")) ++ Seq.fill(30)(("Y", "q"))
+    val out = GroupStats.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(out.getLong(0) == 80L && out.getLong(1) == 2L &&
+      out.getLong(2) == 2L && out.getLong(3) == 1L)
+    assert(out.getLong(4) == 20000000L)
+    assert(out.getLong(5) == 250000L)
+  }
+
+  test("chiSquare: EMPTY cells carry their expected mass " +
+    "(the r x c grid, not just observed cells)") {
+    // X:(p 4), Y:(p 1, q 5) — cell (X, q) is absent but E = 2.
+    // Hand ladder: all four |diff| = 20; X-row ec=20 -> term 2e6 each,
+    // Y-row ec=30 -> q1 = 20000//30 = 666, term = 1332000 each.
+    val rows = Seq.fill(4)(("X", "p")) ++ Seq(("Y", "p")) ++
+      Seq.fill(5)(("Y", "q"))
+    val out = GroupStats.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(out.getLong(4) == 6664000L) // exact chi2 = 6.6667
+    assert(out.getLong(5) == 666400L)
+  }
+
+  test("bfsHops: path graph distances, ball cut at maxHops, " +
+    "unreached absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = GraphRank.bfsHops(edges, "s", "d",
+        Seq(1L).toDF("node"), "node", maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("bfsHops: multi-source takes the MIN over seeds; isolated " +
+    "seeds report 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = GraphRank.bfsHops(edges, "s", "d",
+        Seq(1L, 5L, 99L).toDF("node"), "node", maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(3L) == 2L && got(2L) == 1L && got(4L) == 1L &&
+      got(99L) == 0L)
+  }
+
+  test("orderedPairSupport: min(A) < max(B) is the existential " +
+    "'some A strictly before some B'") {
+    // u1: A@1 B@2 -> (A,B). u2: B@1 A@2 -> (B,A).
+    // u3: A@1 A@5 B@3 -> BOTH (A@1<B@3 and B@3<A@5).
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "B"),
+      (2L, 2L, "A"), (3L, 1L, "A"), (3L, 5L, "A"), (3L, 3L, "B"))
+      .toDF("u", "ts", "t")
+    val got = EventAnalytics.orderedPairSupport(ev, "u", "ts", "t")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // U=3, n_A = n_B = 3; lift = n_ab*3/9
+    assert(got(("A", "B")) == (2L, 3L, 3L, 666667L))
+    assert(got(("B", "A")) == (2L, 3L, 3L, 666667L))
+  }
+
+  test("associationRules: support shared, confidence directional, " +
+    "lift symmetric") {
+    // b1{x,y} b2{x,y} b3{x} b4{y,z}: pair (x,y) n_co=2, n_x=3, n_y=3,
+    // B=4 baskets.
+    val ev = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (4L, "y"), (4L, "z")).toDF("b", "it")
+    val got = CoOccurrence.associationRules(ev, "b", "it",
+        minSupport = 2L, maxBasketSize = 64)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got.size == 2)
+    // support 2/4, confidence 2/3, lift 2*4/(3*3)
+    assert(got(("x", "y")) == (2L, 500000L, 666667L, 888889L))
+    assert(got(("y", "x")) == (2L, 500000L, 666667L, 888889L))
+  }
+
+  test("ksGroupVsRest: disjoint supports give D = 1 at the group's " +
+    "top value; at_units is the smallest argmax") {
+    val docs = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val got = Drift.ksGroupVsRest(docs, "g", col("v"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // max gap at v=2 on both sides: |cumA*nB - cumB*nA| = 4 of 4
+    assert(got("A") == (2L, 2L, 1000000L, 2L))
+    assert(got("B") == (2L, 2L, 1000000L, 2L))
+  }
+
+  test("isotonicCalibration: a decreasing pair pools to the shared " +
+    "mean (PAV via minimax)") {
+    // bin0: 2/2 pos, bin1: 0/2 — violator; PAV pools both to 1/2.
+    val df = Seq((100L, true), (150L, true), (1500L, false),
+      (1600L, false)).toDF("s", "y")
+    val got = EvalMetrics.isotonicCalibration(df, "s", "y", bins = 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == (1000000L, 500000L))
+    assert(got(1L) == (0L, 500000L))
+  }
+
+  test("isotonicCalibration: an already-monotone curve is fixed " +
+    "unchanged") {
+    val df = Seq((100L, false), (150L, false), (9500L, true),
+      (9600L, true)).toDF("s", "y")
+    val got = EvalMetrics.isotonicCalibration(df, "s", "y", bins = 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == (0L, 0L))
+    assert(got(9L) == (1000000L, 1000000L))
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative " +
+    "(r = -1)") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = GraphRank.degreeAssortativity(e, "a", "b").collect()(0)
+    assert(out.getLong(0) == 6L) // double cover of 3 edges
+    assert(out.getDouble(1) == -36.0)
+    assert(out.getDouble(2) == -1.0)
+  }
+
+  test("activityStreaks: islands split on the missing day") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(1L, 2L, 3L, 7L, 8L, 8L) // dup day must not double
+      .map(d => (5L, d * day + 42L)).toDF("u", "ts")
+    val out = EventAnalytics.activityStreaks(ev, "u", "ts")
+      .collect()(0)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((5L, 2L, 3L)))
+  }
+
+  test("ols2: recovers an exact plane y = 2 + 3*x1 - 2*x2") {
+    val pts = Seq((0L, 0L, 2L), (1L, 0L, 5L), (0L, 1L, 0L),
+      (1L, 1L, 3L), (2L, 1L, 6L)).toDF("x1", "x2", "y")
+    val out = GroupStats.ols2(pts, Seq.empty, col("x1"), col("x2"),
+      col("y")).collect()(0)
+    assert(out.getLong(0) == 5L)
+    assert(out.getLong(1) == 3000000L)  // beta1
+    assert(out.getLong(2) == -2000000L) // beta2
+    assert(out.getLong(3) == 2000000L)  // beta0
+  }
+
+  test("kCore: pendant chain peels over successive rounds, the " +
+    "triangle core survives") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphRank.kCore(e, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round fewer still counts node 4's stale edge into node 3
+    val shallow = GraphRank.kCore(e, "a", "b", k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shallow(3L) == 3L && !shallow.contains(5L))
+  }
+}
