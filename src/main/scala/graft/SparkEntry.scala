@@ -2209,6 +2209,83 @@ object SparkEntry {
         "q_e4", "keep", bins = 10)
     }),
 
+    // ---- STREAMING EWMA daily series — the q190 batch operator's
+    // stateful twin (flatMapGroupsWithState; state = the trailing
+    // ring of observed day-counts within the 30-day horizon). Same
+    // day-ordered feed + sentinel-flush harness as q224; shares
+    // q190's oracle row-for-row.
+    "q264_stream_ewma" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events").select(
+        col("event_type").as("group"),
+        graft.functions.TimeFns.floorDiv(col("ts"),
+          86400L * 1000000000L).as("day"))
+      val mm = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val sentinel = ev.select(col("group")).distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("group"), (col("mx") + 1L).as("day"))
+      val batched = ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("day") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("group"), col("day"), col("b"))
+        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q264-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream.schema("group STRING, day LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .as[graft.streaming.Streams.DayEvent]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q264-out").toString
+      val q = graft.streaming.Streams
+        .streamingEwma(src,
+          EventAnalytics.decayPowersE6(4, 5, 30))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/ewma")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/ewma")
+        .select(col("group").as("event_type"), col("day"),
+          col("n_events"), col("ewma_e6"))
+    }),
+
+    // ---- vectors: per-dimension INT8 quantization card — affine
+    // 256-level grid per dim, reconstruction error carried as the
+    // division-free exact integer err255 = |255·(u−lo) − q·span|.
+    "q265_int8_card" -> ((s, dir) =>
+      Spectral.quantizeInt8Card(T(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
+    // ---- tokenizer: per-source OOV exposure vs the corpus-global
+    // top-1000 vocabulary ((count DESC, word ASC) total order; top-k
+    // via TakeOrderedAndProject, broadcast vocab join).
+    "q266_oov_rate" -> ((s, dir) =>
+      VocabBuild.oovRate(T(s, dir, "documents"), "text", "source",
+        vocabSize = 1000)),
+
+    // ---- multimodal: per-image LUMA CONTRAST card over real P6
+    // decode (q27's synthesized-PPM pin) — BT.709 e4 integer luma,
+    // dynamic range and the exact RMS-contrast variance numerator.
+    "q267_contrast_card" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ppm = docs.filter(length(col("text")) >= 96 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit("P6\n8 4\n255\n".getBytes("UTF-8")),
+            substring(col("text"), 1, 96).cast("binary")).as("payload"))
+      val dec = "decimal(38,0)"
+      Multimodal.contrastCard(ppm, "doc_id", "payload")
+        .select(col("doc_id"), col("n_px"), col("min_l"), col("max_l"),
+          (col("max_l") - col("min_l")).as("dyn_range"),
+          (col("n_px").cast(dec) * col("sumsq_l") -
+            col("sum_l").cast(dec) * col("sum_l")).cast("long")
+            .as("var_num"))
+    }),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -4197,6 +4274,26 @@ object SparkEntry {
   /** The q219/q224 shared oracle: the prefix-form CUSUM over daily
     * event counts (ceil-mean allowance, hMult = 5) — the batch
     * operator and the streaming state machine must both equal it. */
+  /** q190's EWMA daily-series oracle — shared verbatim by its
+    * streaming twin q264 (the stream-equals-batch contract). */
+  private val ewmaSeriesOracleSql: String = {
+    val arr = graft.operators.EventAnalytics.decayPowersE6(4, 5, 30)
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT event_type,
+       |    epoch_ns(ts) // 86400000000000 AS day,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT generate_subscripts(a, 1) - 1 AS off, unnest(a) AS p
+       |  FROM (SELECT $arr AS a)),
+       |c AS (SELECT d.event_type, d.day + w.off AS t_day,
+       |    CAST(sum(d.n_events * w.p) AS BIGINT) AS ewma_e6
+       |  FROM d CROSS JOIN w
+       |  GROUP BY 1, 2)
+       |SELECT d.event_type, d.day, d.n_events, c.ewma_e6
+       |FROM d JOIN c ON c.event_type = d.event_type
+       |  AND c.t_day = d.day""".stripMargin
+  }
+
   private val cusumDailyOracleSql: String =
     """WITH daily AS (SELECT event_type,
       |    epoch_ns(ts) // 86400000000000 AS day,
@@ -7016,6 +7113,82 @@ object SparkEntry {
          |  END AS r
          |FROM v""".stripMargin,
 
+    // q265: same e6 unit quantization and half-up grid ladder —
+    // q = ((u−lo)·510 + span) // (2·span), err255 = |255·(u−lo) − q·span|
+    "q265_int8_card" ->
+      """WITH u AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |b AS (SELECT dim, min(u) AS lo, max(u) AS hi FROM u GROUP BY 1),
+        |e AS (SELECT u.dim, u.u, b.lo, b.hi, b.hi - b.lo AS span
+        |  FROM u JOIN b USING (dim)),
+        |qv AS (SELECT dim, lo, hi, span, u,
+        |    CASE WHEN span > 0
+        |      THEN ((u - lo) * 510 + span) // (2 * span)
+        |      ELSE 0 END AS q
+        |  FROM e),
+        |er AS (SELECT dim, lo, hi,
+        |    abs(255 * (u - lo) - q * span) AS err
+        |  FROM qv)
+        |SELECT dim, count(*) AS n, lo, hi,
+        |  max(err) AS max_err255, CAST(sum(err) AS BIGINT) AS sum_err255
+        |FROM er GROUP BY 1, 3, 4""".stripMargin,
+
+    // q266: the same (count DESC, word ASC) vocabulary total order;
+    // token/type OOV shares per source
+    "q266_oov_rate" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS w
+         |  FROM documents),
+         |bs AS (SELECT source, w, count(*) AS n FROM t GROUP BY 1, 2),
+         |g AS (SELECT w, sum(n) AS cnt FROM bs GROUP BY 1),
+         |vr AS (SELECT w,
+         |    row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+         |  FROM g),
+         |v AS (SELECT w FROM vr WHERE rn <= 1000),
+         |j AS (SELECT bs.source, bs.n, (v.w IS NOT NULL) AS inv
+         |  FROM bs LEFT JOIN v ON v.w = bs.w),
+         |a AS (SELECT source,
+         |    CAST(sum(n) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN inv THEN 0 ELSE n END) AS BIGINT)
+         |      AS oov_tokens,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS oov_types
+         |  FROM j GROUP BY 1)
+         |SELECT source, total_tokens, oov_tokens, n_types, oov_types,
+         |  ${ratioScaledSql("oov_tokens", "total_tokens", 6)}
+         |    AS oov_token_rate_e6,
+         |  ${ratioScaledSql("oov_types", "n_types", 6)}
+         |    AS oov_type_rate_e6
+         |FROM a""".stripMargin
+    },
+
+    // q267: q27's char-code pixel reconstruction, BT.709 e4 integer
+    // luma per pixel, exact variance numerator in HUGEINT
+    "q267_contrast_card" ->
+      """WITH pxv AS (SELECT doc_id,
+        |    (idx.i - 1) // 3 AS px, (idx.i - 1) % 3 AS ch,
+        |    ascii(substring(text, CAST(idx.i AS INTEGER), 1)) AS b
+        |  FROM documents, (SELECT unnest(range(1, 97)) AS i) idx
+        |  WHERE length(text) >= 96 AND strlen(text) = length(text)),
+        |lum AS (SELECT doc_id, px,
+        |    CAST(sum(CASE ch WHEN 0 THEN 2126 * b
+        |      WHEN 1 THEN 7152 * b ELSE 722 * b END) AS BIGINT) AS l
+        |  FROM pxv GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, count(*) AS n_px,
+        |    CAST(sum(l) AS BIGINT) AS sum_l,
+        |    sum(CAST(l AS HUGEINT) * l) AS sumsq,
+        |    min(l) AS min_l, max(l) AS max_l
+        |  FROM lum GROUP BY 1)
+        |SELECT doc_id, n_px, min_l, max_l,
+        |  max_l - min_l AS dyn_range,
+        |  CAST(CAST(n_px AS HUGEINT) * sumsq -
+        |    CAST(sum_l AS HUGEINT) * sum_l AS BIGINT) AS var_num
+        |FROM ag""".stripMargin,
+
     // q260: gaps-and-islands — day − row_number is constant inside a
     // consecutive run
     "q260_streaks" ->
@@ -7690,23 +7863,12 @@ object SparkEntry {
     // q190: the same e6 decay table as a list literal (q111 pattern),
     // bounded offset fan-out over the DAILY aggregate, semi-join to
     // observed days
-    "q190_ewma_series" -> {
-      val arr = graft.operators.EventAnalytics.decayPowersE6(4, 5, 30)
-        .mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT event_type,
-         |    epoch_ns(ts) // 86400000000000 AS day,
-         |    count(*) AS n_events
-         |  FROM events GROUP BY 1, 2),
-         |w AS (SELECT generate_subscripts(a, 1) - 1 AS off, unnest(a) AS p
-         |  FROM (SELECT $arr AS a)),
-         |c AS (SELECT d.event_type, d.day + w.off AS t_day,
-         |    CAST(sum(d.n_events * w.p) AS BIGINT) AS ewma_e6
-         |  FROM d CROSS JOIN w
-         |  GROUP BY 1, 2)
-         |SELECT d.event_type, d.day, d.n_events, c.ewma_e6
-         |FROM d JOIN c ON c.event_type = d.event_type
-         |  AND c.t_day = d.day""".stripMargin
-    },
+    "q190_ewma_series" -> ewmaSeriesOracleSql,
+
+    // q264: the STREAM path must equal the batch EWMA series
+    // row-for-row — same oracle verbatim (the q224 stream-equals-
+    // batch contract, trailing-ring edition)
+    "q264_stream_ewma" -> ewmaSeriesOracleSql,
 
     // q189: q22's pair surface + shared-shingle fetch, ranked by
     // (gram_df asc, shingle asc) within each pair

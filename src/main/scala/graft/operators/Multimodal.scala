@@ -675,6 +675,71 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  val contrastCardSchema: StructType = StructType(Seq(
+    StructField("n_px", LongType, nullable = true),
+    StructField("sum_l", LongType, nullable = true),
+    StructField("sumsq_l", LongType, nullable = true),
+    StructField("min_l", LongType, nullable = true),
+    StructField("max_l", LongType, nullable = true)))
+
+  /** Per-image LUMA CONTRAST card over REAL P6/PPM pixel decode — the
+    * "is this image blank / low-contrast?" curation filter: per
+    * pixel the BT.709 integer luma (2126·R + 7152·G + 722·B, e4 of
+    * the 0..255 scale — weights sum to 10⁴ so no division enters),
+    * then n, Σl, Σl², min, max as exact longs. Dynamic range is
+    * max−min; the RMS-contrast variance numerator n·Σl²−(Σl)² stays
+    * for the caller (128-bit there — Σl² alone is long-safe to ~1.4M
+    * pixels/image, the documented per-image bound). Non-PPM or
+    * corrupt payloads yield NULL stats (the parseWav contract — no
+    * fabricated pixels).
+    *
+    * Shape at scale: the [[pixelFeatures]] narrow per-partition map —
+    * one row per image in, one out, no shuffle. */
+  def contrastCard(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +:
+        contrastCardSchema.fields.toSeq)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val p =
+        if (row.isNullAt(pIdx)) Array.empty[Byte] else row.getAs[Array[Byte]](pIdx)
+      val stats =
+        if (p.length >= 2 && (p(0) & 0xff) == 'P' && (p(1) & 0xff) == '6')
+          parsePpmHeader(p).flatMap { case (w, h, off) =>
+            if (off + w * h * 3 > p.length) None
+            else {
+              var i = 0
+              var sum = 0L
+              var sumSq = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              while (i < w * h) {
+                val o = off + 3 * i
+                val l = 2126L * (p(o) & 0xff) + 7152L * (p(o + 1) & 0xff) +
+                  722L * (p(o + 2) & 0xff)
+                sum += l
+                sumSq += l * l
+                if (l < mn) mn = l
+                if (l > mx) mx = l
+                i += 1
+              }
+              Some((w.toLong * h, sum, sumSq, mn, mx))
+            }
+          }
+        else None
+      stats match {
+        case Some((n, s, ss, mn, mx)) =>
+          Row(row.getLong(idIdx), n, s, ss, mn, mx)
+        case None =>
+          Row(row.getLong(idIdx), null, null, null, null, null)
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
     StructField("format", StringType, nullable = false),

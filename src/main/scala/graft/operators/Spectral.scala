@@ -107,4 +107,40 @@ object Spectral {
         lit(1000000L), 0).as("proj_e6"))
       .select(col("id__").as(idCol), col("proj_e6"))
   }
+
+  /** Per-dimension INT8 QUANTIZATION card — the vector-store
+    * compression audit: each dimension affine-quantized to its own
+    * [lo, hi] range on a 256-level grid (q = round((u−lo)·255/span),
+    * the standard per-channel scheme), and the reconstruction error
+    * reported WITHOUT leaving integers: err255 = |255·(u−lo) − q·span|
+    * is the absolute reconstruction error scaled by 255·span/span —
+    * i.e. err255/255 e6-units — so max and total error per dimension
+    * are exact longs and the gate surface carries no division at all.
+    * A dimension with span 0 quantizes to level 0 with zero error.
+    * Input floats enter through the shared e6 unit quantization
+    * ([[Prototypes.unitsE6]], the q230/q239 discipline).
+    *
+    * Shape at scale: two map-side-combinable per-dim aggregates with
+    * a BROADCAST (dims-row) bounds join between them; no windows, no
+    * pairwise anything. */
+  def quantizeInt8Card(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val units = Prototypes.unitsE6(emb, idCol, vecCol)
+    val bounds = units.groupBy(col("dim"))
+      .agg(min(col("u__")).as("lo"), max(col("u__")).as("hi"))
+    val e = units.join(broadcast(bounds), "dim")
+      .withColumn("span__", col("hi") - col("lo"))
+      .withColumn("q__",
+        when(col("span__") > 0, call_function("div",
+          (col("u__") - col("lo")) * 510L + col("span__"),
+          col("span__") * 2L)).otherwise(lit(0L)))
+      .withColumn("err__",
+        abs((col("u__") - col("lo")) * 255L - col("q__") * col("span__")))
+    e.groupBy(col("dim"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        max(col("err__")).as("max_err255"),
+        sum(col("err__")).cast("long").as("sum_err255"))
+      .select(col("dim"), col("n"), col("lo"), col("hi"),
+        col("max_err255"), col("sum_err255"))
+  }
 }

@@ -117,4 +117,48 @@ object VocabBuild {
         sum(coalesce(col("t__"), lit(0L))).over(run).as("n_tokens"),
         sum(coalesce(col("v__"), lit(0L))).over(run).as("vocab"))
   }
+
+  /** Per-source OUT-OF-VOCABULARY exposure against the corpus-global
+    * top-`vocabSize` word vocabulary — the "how much of this source
+    * would a fixed vocab tokenizer shatter?" card (the coverage check
+    * run before freezing any vocabulary; a high-OOV source is either
+    * rich or broken, and either way needs a look). Per source: token
+    * occurrences and distinct types outside the vocab, with exact e6
+    * rates. Vocabulary membership is deterministic: top by
+    * (count DESC, word ASC) — the same total order both engines rank.
+    *
+    * Shape at scale: one (source, word) count aggregate (map-side
+    * combinable; the explode is the only corpus-sized pass), a global
+    * word rollup of THAT table (types, not tokens), the top-k via
+    * orderBy+limit (TakeOrderedAndProject — a distributed partial
+    * top-k, never a global window), and a BROADCAST vocab join. */
+  def oovRate(docs: DataFrame, textCol: String, sourceCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    import graft.functions.ExactRound
+    val bySrc = graft.Caches.register(docs
+      .select(col(sourceCol).as("src__"),
+        explode(TextFns.words(col(textCol))).as("w__"))
+      .groupBy(col("src__"), col("w__"))
+      .agg(count(lit(1)).as("n__"))
+      .persist())
+    val vocab = bySrc.groupBy(col("w__"))
+      .agg(sum(col("n__")).as("cnt__"))
+      .orderBy(col("cnt__").desc, col("w__").asc)
+      .limit(vocabSize)
+      .select(col("w__"), lit(1L).as("in__"))
+    bySrc.join(broadcast(vocab), Seq("w__"), "left")
+      .groupBy(col("src__"))
+      .agg(sum(col("n__")).cast("long").as("total_tokens"),
+        sum(when(col("in__").isNull, col("n__")).otherwise(0L))
+          .cast("long").as("oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in__").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_types"))
+      .select(col("src__").as(sourceCol), col("total_tokens"),
+        col("oov_tokens"), col("n_types"), col("oov_types"),
+        ExactRound.ratioScaled(col("oov_tokens"), col("total_tokens"), 6)
+          .as("oov_token_rate_e6"),
+        ExactRound.ratioScaled(col("oov_types"), col("n_types"), 6)
+          .as("oov_type_rate_e6"))
+  }
 }

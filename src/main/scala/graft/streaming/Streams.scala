@@ -153,6 +153,57 @@ object Streams {
       }
   }
 
+  /** Streaming EWMA daily series — the stateful twin of
+    * [[graft.operators.EventAnalytics.ewmaDailySeries]] (q190): per
+    * group, state is the trailing ring of observed (day, count)
+    * entries within the decay horizon plus the open day's running
+    * count; when a LATER day arrives (or the sentinel flushes), the
+    * closed day joins the ring, its EWMA
+    * Σ_{age ≤ maxAge} n(day−age)·powersE6(age) emits — the exact e6
+    * integer table shared with the batch operator and its oracle —
+    * and ring entries older than the horizon evict, so state is
+    * bounded at maxAge+1 entries per key regardless of stream length.
+    * Same feed contract as [[streamingCusum]]: day-ordered batches,
+    * sentinel closes the final real day and itself never emits. */
+  case class DayCount(day: Long, n: Long)
+  case class EwmaState(ring: Seq[DayCount], curDay: Long, curCnt: Long)
+  case class EwmaPoint(group: String, day: Long, n_events: Long,
+    ewma_e6: Long)
+
+  def streamingEwma(events: org.apache.spark.sql.Dataset[DayEvent],
+      powersE6: Seq[Long]): org.apache.spark.sql.Dataset[EwmaPoint] = {
+    require(powersE6.nonEmpty, "need at least the age-0 power")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val maxAge = powersE6.length - 1
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[DayEvent],
+            state: GroupState[EwmaState]) =>
+          val out = Seq.newBuilder[EwmaPoint]
+          var st = state.getOption
+            .getOrElse(EwmaState(Nil, Long.MinValue, 0L))
+          def close(s: EwmaState): EwmaState = {
+            val ring = (s.ring :+ DayCount(s.curDay, s.curCnt))
+              .filter(dc => s.curDay - dc.day <= maxAge)
+            val ewma = ring.map(dc =>
+              dc.n * powersE6((s.curDay - dc.day).toInt)).sum
+            out += EwmaPoint(group, s.curDay, s.curCnt, ewma)
+            EwmaState(ring, Long.MinValue, 0L)
+          }
+          batch.toSeq.sortBy(_.day).foreach { e =>
+            if (st.curDay == e.day) st = st.copy(curCnt = st.curCnt + 1L)
+            else {
+              if (st.curDay != Long.MinValue) st = close(st)
+              st = st.copy(curDay = e.day, curCnt = 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def streamingCusum(events: org.apache.spark.sql.Dataset[DayEvent],
       allowance: Map[String, Long],
       hMult: Long): org.apache.spark.sql.Dataset[CusumPoint] = {

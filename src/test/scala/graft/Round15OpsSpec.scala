@@ -161,6 +161,84 @@ class Round15OpsSpec extends SparkSpec {
     assert(out.getLong(3) == 2000000L)  // beta0
   }
 
+  test("streamingEwma: trailing ring reproduces the batch series; " +
+    "sentinel closes the final day; straddled day accumulates") {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ewma_stream")
+    val src = s"$root/feed"
+    new java.io.File(src).mkdirs()
+    // counts by day: d0=2, d1=1, d3=4 (observed-day gap at d2); day 3
+    // STRADDLES batches 1/2; sentinel day 4 ships last. Powers (1/2)^k
+    // to age 2: [1000000, 500000, 250000] — d3's window drops d0.
+    def rows(day: Long, n: Int, b: Int) = Seq.fill(n)(("a", day, b))
+    Streams.stageBatchFiles(
+      (rows(0L, 2, 0) ++ rows(1L, 1, 0) ++ rows(3L, 2, 1) ++
+        rows(3L, 2, 2) ++ rows(4L, 1, 2))
+        .toDF("group", "day", "b"), "b", src)
+    val stream = spark.readStream
+      .schema("group STRING, day LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[Streams.DayEvent]
+    val out = s"$root/out"
+    val q = Streams
+      .streamingEwma(stream, Seq(1000000L, 500000L, 250000L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // d0: 2*1e6; d1: 1*1e6 + 2*5e5; d3: 4*1e6 + 1*25e4 (d1 at age 2,
+    // d0 evicted past the horizon); sentinel d4 never emits
+    assert(got == Map(0L -> (2L, 2000000L), 1L -> (1L, 2000000L),
+      3L -> (4L, 4250000L)))
+  }
+
+  test("quantizeInt8Card: endpoints land on the grid exactly, the " +
+    "midpoint carries half-step error") {
+    val emb = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Spectral.quantizeInt8Card(emb, "vec_id", "embedding")
+      .collect()(0)
+    // lo=0, hi=1e6; u=5e5 -> q=128, err = |255*5e5 - 128*1e6| = 5e5
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getLong(5)) ==
+      ((1L, 3L, 0L, 1000000L, 500000L, 500000L)))
+  }
+
+  test("oovRate: (count DESC, word ASC) vocabulary order; token and " +
+    "type shares per source") {
+    val docs = Seq(("A", "the cat"), ("B", "the dog dog"))
+      .toDF("source", "text")
+    val got = VocabBuild.oovRate(docs, "text", "source", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // global: the:2 dog:2 cat:1 -> vocab {dog, the}
+    assert(got("A") == (2L, 1L, 2L, 1L, 500000L))
+    assert(got("B") == (3L, 0L, 2L, 0L, 0L))
+  }
+
+  test("contrastCard: BT.709 integer luma stats over a real P6 " +
+    "decode; corrupt payload yields nulls") {
+    val hdr = "P6\n1 2\n255\n".getBytes("UTF-8")
+    val px = Array[Byte](-1, -1, -1, 0, 0, 0) // white, black
+    val df = Seq((1L, hdr ++ px), (2L, "nonsense".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal
+      .contrastCard(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = got(1L)
+    assert((ok.getLong(1), ok.getLong(2), ok.getLong(4),
+      ok.getLong(5)) == ((2L, 2550000L, 0L, 2550000L)))
+    assert(ok.getLong(3) == 2550000L * 2550000L)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(5))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
