@@ -2286,6 +2286,22 @@ object SparkEntry {
             .as("var_num"))
     }),
 
+    // ---- funnels: STRICT ORDERED signup→view→purchase funnel within
+    // a 7-day horizon from the signup anchor — greedy earliest-event
+    // chain (exact for horizon-from-anchor semantics), per-stage
+    // conversion vs stage 1.
+    "q268_funnel_strict" -> ((s, dir) =>
+      EventAnalytics.strictFunnel(T(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"),
+        horizonNanos = 7L * 86400L * 1000000000L)),
+
+    // ---- tokenizer: vocabulary COVERAGE CURVE — share of token
+    // occurrences captured by the top-{100, 1000, 10000} types
+    // ((count DESC, word ASC) rank via the range-partitioned global
+    // position; one conditional aggregate for every cutoff).
+    "q269_coverage_curve" -> ((s, dir) =>
+      VocabBuild.coverageCurve(T(s, dir, "documents"), "text")),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -7189,6 +7205,58 @@ object SparkEntry {
         |    CAST(sum_l AS HUGEINT) * sum_l AS BIGINT) AS var_num
         |FROM ag""".stripMargin,
 
+    // q268: the greedy earliest chain — per stage, min qualifying ts
+    // strictly after the previous stage's pick, within the horizon of
+    // the stage-1 anchor
+    "q268_funnel_strict" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      val h = 7L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t,
+         |    epoch_ns(ts) AS ts FROM events
+         |  WHERE event_type IN ('signup', 'view', 'purchase')),
+         |s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE t = 'signup'
+         |  GROUP BY 1),
+         |s2 AS (SELECT e.u, s1.t1, min(e.ts) AS t2
+         |  FROM e JOIN s1 ON s1.u = e.u
+         |  WHERE e.t = 'view' AND e.ts > s1.t1 AND e.ts - s1.t1 <= $h
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT e.u, s2.t1, min(e.ts) AS t3
+         |  FROM e JOIN s2 ON s2.u = e.u
+         |  WHERE e.t = 'purchase' AND e.ts > s2.t2
+         |    AND e.ts - s2.t1 <= $h
+         |  GROUP BY 1, 2),
+         |c AS (SELECT 1 AS stage, 'signup' AS step, count(*) AS n
+         |    FROM s1
+         |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         |SELECT CAST(stage AS BIGINT) AS stage, step,
+         |  n AS n_users,
+         |  ${ratioScaledSql("n",
+             "first_value(n) OVER (ORDER BY stage)", 6)} AS conv_e6
+         |FROM c""".stripMargin
+    },
+
+    // q269: the same (count DESC, word ASC) rank; conditional sums
+    // per cutoff over the ranked tally
+    "q269_coverage_curve" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |g AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+         |  FROM g),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g),
+         |c AS (SELECT k,
+         |    CAST(sum(CASE WHEN rn <= k THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS vt
+         |  FROM r CROSS JOIN
+         |    (SELECT unnest([100, 1000, 10000]) AS k) GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS cutoff, vt AS vocab_tokens,
+         |  total AS total_tokens,
+         |  ${ratioScaledSql("vt", "total", 6)} AS coverage_e6
+         |FROM c CROSS JOIN tot""".stripMargin
+    },
+
     // q260: gaps-and-islands — day − row_number is constant inside a
     // consecutive run
     "q260_streaks" ->
@@ -7240,15 +7308,17 @@ object SparkEntry {
          |    b1 * a22 - b2 * a12 AS n1,
          |    b2 * a11 - b1 * a12 AS n2
          |  FROM a),
-         |w AS (SELECT l_returnflag, n, det, n1, n2,
-         |    sy * det - n1 * s1 - n2 * s2 AS inum,
-         |    CAST(n AS HUGEINT) * det AS iden
+         |bb AS (SELECT l_returnflag, n, s1, s2, sy, det,
+         |    ${e6("n1", "det")} AS beta1_e6,
+         |    ${e6("n2", "det")} AS beta2_e6
          |  FROM d)
-         |SELECT l_returnflag, n,
-         |  ${e6("n1", "det")} AS beta1_e6,
-         |  ${e6("n2", "det")} AS beta2_e6,
-         |  ${e6("inum", "iden")} AS beta0_e6
-         |FROM w""".stripMargin
+         |SELECT l_returnflag, n, beta1_e6, beta2_e6,
+         |  CASE WHEN det > 0 THEN
+         |    ${graft.functions.ExactRound.ratioScaledSignedSql(
+               "sy * 1000000 - CAST(beta1_e6 AS HUGEINT) * s1 " +
+                 "- CAST(beta2_e6 AS HUGEINT) * s2", "n", 0)}
+         |  END AS beta0_e6
+         |FROM bb""".stripMargin
     },
 
     // q262: the fixed peels unrolled — per round, degrees of the

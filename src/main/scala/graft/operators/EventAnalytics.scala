@@ -445,6 +445,62 @@ object EventAnalytics {
       .withColumnRenamed("user__", userCol)
   }
 
+  /** STRICT ORDERED FUNNEL within a horizon — users who performed the
+    * given steps in order (each event STRICTLY after the previous
+    * step's chosen event, and within `horizonNanos` of the user's
+    * step-1 anchor), with per-stage user counts and conversion vs
+    * stage 1. Greedy earliest-event semantics: each stage binds to
+    * the EARLIEST qualifying event; for "reached within a horizon
+    * from the first entry" queries this matches the exhaustive search
+    * whenever one exists inside the horizon (picking the earliest t₂
+    * only ever widens what t₃ can satisfy — both constraints relax
+    * monotonically in earlier predecessors), so the greedy chain is
+    * exact, not an approximation.
+    *
+    * Shape at scale: one cached (user, type, ts) projection; per
+    * stage one equi-join on user against the shrinking reached set
+    * plus a map-side-combinable min — stages are a bounded constant,
+    * the reached set only shrinks; the conversion window runs over
+    * the ≤|steps|-row stage table. */
+  def strictFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      horizonNanos: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8 &&
+      steps.distinct.size == steps.size,
+      "need 2..8 distinct steps")
+    import graft.functions.ExactRound
+    val ev = graft.Caches.register(events
+      .select(col(userCol).as("u__"), col(typeCol).as("t__"),
+        col(tsCol).cast("long").as("ts__"))
+      .filter(col("t__").isin(steps: _*))
+      .persist())
+    var cur = ev.filter(col("t__") === steps.head)
+      .groupBy(col("u__")).agg(min(col("ts__")).as("t1__"))
+      .select(col("u__"), col("t1__"), col("t1__").as("prev__"))
+    val stages = Seq.newBuilder[DataFrame]
+    stages += cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit(steps.head).as("step"),
+        col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      cur = ev.filter(col("t__") === step)
+        .join(cur, "u__")
+        .filter(col("ts__") > col("prev__") &&
+          col("ts__") - col("t1__") <= horizonNanos)
+        .groupBy(col("u__"), col("t1__"))
+        .agg(min(col("ts__")).as("nx__"))
+        .select(col("u__"), col("t1__"), col("nx__").as("prev__"))
+      stages += cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(step).as("step"),
+          col("n_users"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    stages.result().reduce(_ unionByName _)
+      .withColumn("conv_e6", ExactRound.ratioScaled(col("n_users"),
+        first(col("n_users")).over(w), 6))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

@@ -162,14 +162,18 @@ object GroupStats {
     *   A11 = n·S11 − S1², A12 = n·S12 − S1·S2, A22 = n·S22 − S2²
     *   b1  = n·S1y − S1·Sy, b2 = n·S2y − S2·Sy, det = A11·A22 − A12²
     *   β1 = (b1·A22 − b2·A12)/det, β2 = (b2·A11 − b1·A12)/det
-    *   β0 = (Sy·det − β1num·S1 − β2num·S2)/(n·det)
+    *   β0 = round((Sy·10⁶ − β1_e6·S1 − β2_e6·S2) / n)
     *
     * Every sum and every Cramer numerator/denominator is DECIMAL(38,0)
     * (HUGEINT on the oracle side); the final βs are signed exact-e6
-    * roundings of integer rationals. HEADROOM CONTRACT: the numerator
-    * products are quartic in group size × unit range — with
-    * unit-bounded regressors (|x| ≤ 10⁴ units) the 38-digit budget
-    * holds to n ≈ 10⁸ rows per group; a larger corpus must coarsen
+    * roundings of integer rationals. β0 deliberately derives from the
+    * ALREADY-ROUNDED slopes (a two-stage ladder, mirrored verbatim by
+    * the oracle): the exact form Sy·det/(n·det) is QUINTIC in group
+    * size × unit range and overflows 128 bits around n ≈ 10⁶ at e5
+    * units (found by the 2M scale probe — ANSI Spark throws, it does
+    * not null), while the staged form is bounded by max(|β|)·|S| and
+    * holds to n ≈ 10⁹. Slope headroom (the quartic b·A products) holds
+    * to n ≈ 3·10⁷ at e5-unit regressors; a larger corpus coarsens
     * units first (the documented trade, same as the q116 OLS ladder).
     * Collinear regressors (det ≤ 0) yield NULL βs.
     *
@@ -210,13 +214,15 @@ object GroupStats {
     val det = (a11 * a22 - a12 * a12).cast(dec)
     val n1 = (b1 * a22 - b2 * a12).cast(dec)
     val n2 = (b2 * a11 - b1 * a12).cast(dec)
-    val iNum = (col("sy").cast(dec) * det - n1 * col("s1") -
-      n2 * col("s2")).cast(dec)
+    val iNum = (col("sy").cast(dec) * lit(1000000L) -
+      col("beta1_e6").cast(dec) * col("s1") -
+      col("beta2_e6").cast(dec) * col("s2")).cast(dec)
     sums
       .withColumn("beta1_e6", when(det > 0, e6RoundSigned(n1, det)))
       .withColumn("beta2_e6", when(det > 0, e6RoundSigned(n2, det)))
       .withColumn("beta0_e6",
-        when(det > 0, e6RoundSigned(iNum, (n * det).cast(dec))))
+        when(det > 0, graft.functions.ExactRound
+          .ratioScaledSigned(iNum, n, 0)))
       .select(groupCols.map(col) :+ col("n") :+ col("beta1_e6") :+
         col("beta2_e6") :+ col("beta0_e6"): _*)
   }

@@ -161,4 +161,39 @@ object VocabBuild {
         ExactRound.ratioScaled(col("oov_types"), col("n_types"), 6)
           .as("oov_type_rate_e6"))
   }
+
+  /** Vocabulary COVERAGE CURVE — what fraction of all token
+    * occurrences the top-k types capture, for each requested cutoff
+    * (the Zipf-head sizing sheet read before choosing a vocabulary
+    * budget; [[oovRate]] is one point of this curve split by source).
+    * Type rank is the global (count DESC, word ASC) total order via
+    * the range-partitioned [[ScalableRank.withGlobalPosition]] — no
+    * global window even with corpus-scale vocabularies — and all
+    * cutoffs come out of ONE conditional aggregate over the ranked
+    * tally (adding a cutoff adds a column, never a pass), unpivoted
+    * to a row per cutoff. */
+  def coverageCurve(docs: DataFrame, textCol: String,
+      cutoffs: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted &&
+      cutoffs.distinct.size == cutoffs.size, "cutoffs sorted distinct")
+    import graft.functions.ExactRound
+    val counts = docs
+      .select(explode(TextFns.words(col(textCol))).as("w__"))
+      .groupBy(col("w__")).agg(count(lit(1)).as("cnt__"))
+    val ranked = ScalableRank.withGlobalPosition(counts,
+      Seq(col("cnt__").desc, col("w__").asc), 0, "rank__")
+    val aggs = sum(col("cnt__")).cast("long").as("total__") +:
+      cutoffs.map(k =>
+        sum(when(col("rank__") <= k, col("cnt__")).otherwise(0L))
+          .cast("long").as(s"c${k}__"))
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val stacked = cutoffs.map(k =>
+      one.select(lit(k).as("cutoff"), col(s"c${k}__").as("vocab_tokens"),
+        col("total__").as("total_tokens")))
+      .reduce(_ unionByName _)
+    stacked.select(col("cutoff"), col("vocab_tokens"),
+      col("total_tokens"),
+      ExactRound.ratioScaled(col("vocab_tokens"), col("total_tokens"), 6)
+        .as("coverage_e6"))
+  }
 }

@@ -877,6 +877,113 @@ object ScaleProbe {
         "vec_id", "embedding", k = 8, iterations = 3)
     }
 
+    // ---- r15 probes: the round-15 operator family at 2M rows ----
+    time("chi_square") {
+      // 8 × 120 contingency over 2M rows: two aggregates + the
+      // broadcast r×c grid (960 cells)
+      graft.operators.GroupStats.chiSquare(
+        df.select(col("seg"), col("nat")), "seg", "nat")
+    }
+    time("bfs_hops") {
+      // the pagerank edge shape (100k sources, skewed dst domain),
+      // 100 seeds, 3 relaxation rounds over the symmetrized list
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000)).as("s"),
+        pmod(xxhash64(col("id"), lit(82)),
+          pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
+      val seeds = spark.range(100).select((col("id") * 1000L).as("node"))
+      graft.operators.GraphRank.bfsHops(edges, "s", "d", seeds,
+        "node", maxHops = 3)
+    }
+    time("kcore") {
+      // same edge shape, k=4, 4 peels: per round two alive joins +
+      // one degree count, alive set shrinking monotonically
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000)).as("s"),
+        pmod(xxhash64(col("id"), lit(82)),
+          pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
+      graft.operators.GraphRank.kCore(edges, "s", "d", k = 4, rounds = 4)
+    }
+    time("assortativity") {
+      // n hash pairs over n/10 nodes + a 20k-degree hub: degree join
+      // + the double-cover 5-sum reduce
+      val nn = n / 10
+      val rand = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(84)), lit(nn)).as("a"),
+        pmod(xxhash64(col("id"), lit(85)), lit(nn)).as("b"))
+      val hub = spark.range(n / 100).select(lit(nn + 1).as("a"),
+        pmod(xxhash64(col("id"), lit(86)), lit(nn)).as("b"))
+      graft.operators.GraphRank.degreeAssortativity(
+        rand.union(hub), "a", "b")
+    }
+    time("ordered_pairs") {
+      // 2M events, 100k users × 20 types: the per-user type summary
+      // (≤ 20 rows/user) bounds the self-join
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000)).as("u"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(92)), lit(20))
+          .cast("string")).as("t"),
+        pmod(xxhash64(col("id"), lit(93)), lit(1000000000L)).as("ts"))
+      graft.operators.EventAnalytics.orderedPairSupport(ev, "u", "ts", "t")
+    }
+    time("assoc_rules") {
+      // same basket shape: capped distinct (user, type) baskets, both
+      // rule directions
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000)).as("u"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(92)), lit(20))
+          .cast("string")).as("t"))
+      graft.operators.CoOccurrence.associationRules(ev, "u", "t",
+        minSupport = 2L, maxBasketSize = 64)
+    }
+    time("ks_group_vs_rest") {
+      // 8 groups × ~100k distinct units: the grid is groups ×
+      // distinct values (the documented allowance), cumulative
+      // windows over the tally only
+      graft.operators.Drift.ksGroupVsRest(
+        df.filter(col("m1").isNotNull).select(col("seg"), col("m1")),
+        "seg", (col("m1") * 100).cast("long"))
+    }
+    time("streaks") {
+      // 2M events, 100k users over a 60-day horizon: per-user
+      // distinct-day partitions bounded by the calendar
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(94)), lit(100000)).as("u"),
+        (pmod(xxhash64(col("id"), lit(95)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.activityStreaks(ev, "u", "ts")
+    }
+    time("int8_card") {
+      // n/10 64-dim vectors: two per-dim aggregates + a broadcast
+      // bounds join
+      graft.operators.Spectral.quantizeInt8Card(labeledVecs,
+        "vec_id", "embedding")
+    }
+    time("oov_rate") {
+      // n/10 docs × 12 words, 30 'sources': one (source, word)
+      // aggregate, distributed top-1000, broadcast vocab join
+      graft.operators.VocabBuild.oovRate(docs, "text", "lang",
+        vocabSize = 1000)
+    }
+    time("isotonic_fit") {
+      // hash scores vs a correlated label at corpus size; collapses
+      // to 10 bins then O(bins³) joins
+      val scored = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(96)), lit(10001)).as("s"),
+        (pmod(xxhash64(col("id"), lit(97)), lit(10000)) <
+          pmod(xxhash64(col("id"), lit(96)), lit(10001))).as("y"))
+      graft.operators.EvalMetrics.isotonicCalibration(scored, "s", "y",
+        bins = 10)
+    }
+    time("ols2") {
+      // 8 groups × 2M rows: one 9-sum map-side-combinable aggregate
+      graft.operators.GroupStats.ols2(
+        df.filter(col("m1").isNotNull), Seq("seg"),
+        (col("m2") * 10).cast("long") % 100L,
+        pmod(xxhash64(col("id"), lit(98)), lit(10)),
+        (col("m1") * 100).cast("long") % 100000L)
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -571,4 +571,85 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"a window operator appeared in the digit card:\n$p")
   }
+
+  // ---- round-15 plan guards ----
+
+  test("chiSquare is windowless; the r x c grid and totals ride " +
+    "broadcast, never a shuffled cartesian") {
+    val rows = (1 to 400).map(i => (s"a${i % 4}", s"b${i % 7}"))
+      .toDF("x", "y")
+    val p = plan(graft.operators.GroupStats.chiSquare(rows, "x", "y"))
+    assert(!p.contains("Window"), s"window crept into chi-square:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the category grid must broadcast, not shuffle:\n$p")
+  }
+
+  test("oovRate takes the vocabulary via TakeOrderedAndProject and " +
+    "joins it back broadcast — no global sort, no window") {
+    val docs = (1 to 200).map(i => (s"s${i % 3}", s"w${i % 40} w${i % 7}"))
+      .toDF("source", "text")
+    val p = plan(graft.operators.VocabBuild.oovRate(docs, "text",
+      "source", vocabSize = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k vocabulary must be a distributed partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary must join back broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("quantizeInt8Card's bounds join is broadcast; both stages are " +
+    "hash aggregates") {
+    val emb = (0 until 100).map(i => (i.toLong, Seq(i / 100.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Spectral.quantizeInt8Card(emb,
+      "vec_id", "embedding"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim bounds must broadcast back:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("ksGroupVsRest windows partition by GROUP over the value " +
+    "tally — never a single global partition") {
+    val docs = (1 to 300).map(i => (s"s${i % 4}", (i % 37).toLong))
+      .toDF("g", "v")
+    val p = plan(graft.operators.Drift.ksGroupVsRest(docs, "g",
+      col("v")))
+    assert(p.contains("windowspecdefinition(g__#") ||
+      p.contains("partitionBy=[g__"),
+      s"the cumulative window must partition by group:\n$p")
+  }
+
+  test("orderedPairSupport expands pairs from the per-user type " +
+    "summary and broadcasts the marginals") {
+    val ev = (1 to 300).map(i =>
+      ((i % 40).toLong, (i % 13).toLong, s"t${i % 5}"))
+      .toDF("u", "ts", "t")
+    val p = plan(graft.operators.EventAnalytics.orderedPairSupport(
+      ev, "u", "ts", "t"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginals must broadcast:\n$p")
+    // the 1-row totals ride a broadcast nested loop (the Apportion
+    // allowance); the PAIR expansion itself must be an equi-join
+    // keyed on the user column
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("BroadcastHashJoin [u__") ||
+      p.contains("SortMergeJoin [u__") ||
+      p.contains("ShuffledHashJoin [u__"),
+      s"the pair expansion must stay an equi-join on user:\n$p")
+  }
+
+  test("isotonicCalibration collapses the corpus to bins BEFORE the " +
+    "cubic interval stage (aggregate sits below every join)") {
+    val df = (0 until 500).map(i => ((i * 20 % 10001).toLong, i % 3 == 0))
+      .toDF("s", "y")
+    val p = plan(graft.operators.EvalMetrics.isotonicCalibration(
+      df, "s", "y", bins = 10))
+    val firstJoin = Seq("BroadcastNestedLoopJoin", "SortMergeJoin",
+      "BroadcastHashJoin").map(p.indexOf).filter(_ >= 0)
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstJoin.nonEmpty && lastAgg > firstJoin.max,
+      s"the corpus bin aggregate must feed the joins, not follow " +
+        s"them:\n$p")
+  }
 }

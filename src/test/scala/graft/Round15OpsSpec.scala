@@ -239,6 +239,38 @@ class Round15OpsSpec extends SparkSpec {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(5))
   }
 
+  test("strictFunnel: strictly-after ordering, horizon from the " +
+    "stage-1 anchor, greedy earliest chain") {
+    val h = 100L
+    // u1 completes; u2's purchase precedes its view; u4's view ties
+    // the signup ts (not strictly after); u5's view is past the
+    // horizon; u3 never signs up
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 1L, "view"), (1L, 2L, "purchase"),
+      (2L, 0L, "signup"), (2L, 1L, "purchase"), (2L, 2L, "view"),
+      (3L, 0L, "view"),
+      (4L, 0L, "signup"), (4L, 0L, "view"),
+      (5L, 0L, "signup"), (5L, 101L, "view"))
+      .toDF("u", "ts", "t")
+    val got = EventAnalytics.strictFunnel(ev, "u", "ts", "t",
+        Seq("signup", "view", "purchase"), horizonNanos = h)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("signup", 4L, 1000000L)))
+    assert(got(2L) == (("view", 2L, 500000L)))
+    assert(got(3L) == (("purchase", 1L, 250000L)))
+  }
+
+  test("coverageCurve: cumulative head shares at each cutoff") {
+    val docs = Seq(Tuple1("a a a b b c")).toDF("text")
+    val got = VocabBuild.coverageCurve(docs, "text", Seq(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 6L, 500000L)))
+    assert(got(2L) == ((5L, 6L, 833333L)))
+    assert(got(3L) == ((6L, 6L, 1000000L)))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
