@@ -2302,6 +2302,47 @@ object SparkEntry {
     "q269_coverage_curve" -> ((s, dir) =>
       VocabBuild.coverageCurve(T(s, dir, "documents"), "text")),
 
+    // ---- segmentation: RFM quintiles per user — recency vs the
+    // corpus horizon, frequency, e2 monetary; quintiles over the
+    // unique (metric ASC, user ASC) order via three range-partitioned
+    // global ranks. Ascending convention: 1 = most recent / lightest.
+    "q270_rfm_scores" -> ((s, dir) =>
+      EventAnalytics.rfmScores(T(s, dir, "events"), "user_id", "ts",
+        "value")),
+
+    // ---- journeys: top ENTRY PATHS — each user's first 3 event
+    // types in (ts, event_id) order as a path string, with user
+    // counts (the onboarding-flow card next to q122's transitions).
+    "q271_entry_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(T(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", depth = 3)),
+
+    // ---- dedup: near-dup component SIZE HISTOGRAM — q47/q161's
+    // components rolled to (size, n_components), singletons included
+    // via the q161 coalesce convention; the "how clustered is the
+    // duplication" card.
+    "q272_component_sizes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cc = Dedup.connectedComponents(
+        lshNearDupPairs(s, dir, threshold = 0.45)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      emb.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("rep"))
+        .groupBy(col("rep")).agg(count(lit(1)).as("sz__"))
+        .groupBy(col("sz__").as("size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
+    // ---- attribution: LINEAR multi-touch — q237's last-touch
+    // sibling: views within 24 h strictly before each purchase share
+    // the credit equally (truncating e6); organic purchases report 0.
+    "q273_linear_attribution" -> ((s, dir) =>
+      EventAnalytics.linearAttribution(T(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", touchType = "view",
+        convType = "purchase", windowNanos = 24L * 3600L * 1000000000L)),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -7256,6 +7297,75 @@ object SparkEntry {
          |  ${ratioScaledSql("vt", "total", 6)} AS coverage_e6
          |FROM c CROSS JOIN tot""".stripMargin
     },
+
+    // q270: the same unique (metric ASC, user ASC) total order;
+    // quintile = ((rn−1)·5) // n + 1
+    "q270_rfm_scores" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    max(epoch_ns(ts) // 86400000000000) AS ld,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS m
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT u, (SELECT max(ld) FROM per) - ld AS recency_days,
+        |    f, m FROM per),
+        |r AS (SELECT u, recency_days, f, m,
+        |    ((row_number() OVER (ORDER BY recency_days, u) - 1) * 5)
+        |      // (count(*) OVER ()) + 1 AS r_q,
+        |    ((row_number() OVER (ORDER BY f, u) - 1) * 5)
+        |      // (count(*) OVER ()) + 1 AS f_q,
+        |    ((row_number() OVER (ORDER BY m, u) - 1) * 5)
+        |      // (count(*) OVER ()) + 1 AS m_q
+        |  FROM b)
+        |SELECT u AS user_id, recency_days, f AS frequency,
+        |  m AS monetary_e2, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM r""".stripMargin,
+
+    // q271: per-user first-3 types via row_number, ordered string_agg
+    "q271_entry_paths" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT u, string_agg(t, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1"""
+        .stripMargin,
+
+    // q272: q161's recursive-CTE components + singleton coalesce,
+    // rolled to the size histogram
+    "q272_component_sizes" ->
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |sz AS (SELECT coalesce(cc.component, emb.vec_id) AS rep,
+         |    count(*) AS csize
+         |  FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+         |  GROUP BY 1)
+         |SELECT csize AS size, count(*) AS n_components
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    // q273: per-purchase in-window strictly-before view count,
+    // truncating equal split; organic restored via left join
+    "q273_linear_attribution" ->
+      """WITH c AS (SELECT user_id AS u, event_id AS conv_id,
+        |    epoch_ns(ts) AS ct FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, epoch_ns(ts) AS tt FROM events
+        |  WHERE event_type = 'view'),
+        |n AS (SELECT c.conv_id, count(*) AS n_touches
+        |  FROM c JOIN t ON t.u = c.u
+        |  WHERE t.tt < c.ct AND c.ct - t.tt <= 86400000000000
+        |  GROUP BY 1)
+        |SELECT c.conv_id,
+        |  coalesce(n.n_touches, 0) AS n_touches,
+        |  CASE WHEN coalesce(n.n_touches, 0) > 0
+        |    THEN 1000000 // n.n_touches ELSE 0 END AS credit_e6
+        |FROM c LEFT JOIN n ON n.conv_id = c.conv_id"""
+        .stripMargin,
 
     // q260: gaps-and-islands — day − row_number is constant inside a
     // consecutive run

@@ -501,6 +501,115 @@ object EventAnalytics {
         first(col("n_users")).over(w), 6))
   }
 
+  /** RFM user segmentation — recency / frequency / monetary quintiles
+    * (the classic value-segmentation sheet; also the "which users feed
+    * the training data" weighting input): per user the days since
+    * last activity (vs the corpus horizon — data-derived, so reruns
+    * agree), the event count, and the e2 monetary sum; each metric
+    * quintiled 1..5 over the unique total order (metric ASC, user ASC)
+    * as q = ⌊(rn−1)·5/n⌋ + 1 — deterministic at any tie density, and
+    * identical in the oracle's row_number form. `rfm_code` packs the
+    * three digits. NOTE the ASCENDING convention: r_q 1 = most recent,
+    * f_q/m_q 1 = lightest users.
+    *
+    * Shape at scale: one per-user aggregate, a 1-row broadcast
+    * horizon, and three range-partitioned global ranks
+    * ([[ScalableRank]] — no global window); quintile math is pure
+    * integer. */
+  def rfmScores(events: DataFrame, userCol: String, tsNanosCol: String,
+      valueCol: String): DataFrame = {
+    val per = graft.Caches.register(events
+      .groupBy(col(userCol).as("u__"))
+      .agg(max(col(tsNanosCol).div_(86400L * 1000000000L)).as("ld__"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(valueCol) * 100).cast("long")).as("monetary_e2"))
+      .persist())
+    val hor = per.agg(max(col("ld__")).as("h__"))
+    var base = per.crossJoin(broadcast(hor))
+      .select(col("u__"), (col("h__") - col("ld__")).as("recency_days"),
+        col("frequency"), col("monetary_e2"), lit(1).as("g__"))
+    for ((metric, out) <- Seq("recency_days" -> "r_q",
+        "frequency" -> "f_q", "monetary_e2" -> "m_q")) {
+      base = ScalableRank.groupRowNumber(base, Seq("g__"),
+          Seq(col(metric), col("u__")), "rn__", "n__")
+        .withColumn(out, call_function("div",
+          (col("rn__") - 1L) * 5L, col("n__")) + 1L)
+        .drop("rn__", "n__")
+    }
+    base.select(col("u__").as(userCol), col("recency_days"),
+      col("frequency"), col("monetary_e2"), col("r_q"), col("f_q"),
+      col("m_q"),
+      (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_code"))
+  }
+
+  /** Top ENTRY PATHS — the distribution of each user's first `depth`
+    * event types in time order ("what do journeys start with?", the
+    * onboarding-flow card next to [[transitionMatrix]]'s step edges):
+    * one row per distinct path string with its user count. Users with
+    * fewer than `depth` events contribute their full shorter path.
+    * Order inside a user is (ts, tie) — pass a unique tie column so
+    * the path is total-ordered under same-timestamp events.
+    *
+    * Shape at scale: one per-user window (rank ≤ depth cut), one
+    * per-user collect of ≤ depth structs sorted in-row (array_sort on
+    * (rn, type) — no cross-row ordering dependence), one
+    * map-side-combinable path count. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, depth: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in 1..8")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u__")).orderBy(col("ts__"), col("tie__"))
+    events
+      .select(col(userCol).as("u__"), col(tsCol).as("ts__"),
+        col(tieCol).as("tie__"), col(typeCol).as("t__"))
+      .withColumn("rn__", row_number().over(w))
+      .filter(col("rn__") <= depth)
+      .groupBy(col("u__"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn__"), col("t__")))),
+        x => x.getField("t__")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — q237's last-touch sibling: per
+    * conversion event, every `touchType` event by the same user
+    * STRICTLY before it and within `windowNanos` shares the credit
+    * equally (credit_e6 = 10⁶ div n_touches, truncating — the exact
+    * integer convention; Σ credit ≤ 10⁶ with the remainder
+    * documented). Conversions with no in-window touch report 0
+    * touches and 0 credit (organic).
+    *
+    * Shape at scale: one equi-join on USER between the two filtered
+    * event slices (per-user multiplicities are activity-bounded, the
+    * q237 allowance) + one map-side-combinable per-conversion count;
+    * no windows. */
+  def linearAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, windowNanos: Long): DataFrame = {
+    import graft.functions.ExactRound
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u__"), col(idCol).as("conv_id"),
+        col(tsCol).as("ct__"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u__"), col(tsCol).as("tt__"))
+    val counts = conv.join(touch, Seq("u__"), "left")
+      .filter(col("tt__").isNull ||
+        (col("tt__") < col("ct__") &&
+          col("ct__") - col("tt__") <= windowNanos))
+      .groupBy(col("conv_id"))
+      .agg(sum(when(col("tt__").isNotNull, 1L).otherwise(0L))
+        .cast("long").as("n_touches"))
+    // conversions whose only join rows were out-of-window touches
+    // vanish in the filter — restore them as organic
+    conv.select(col("conv_id"))
+      .join(counts, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        when(coalesce(col("n_touches"), lit(0L)) > 0,
+          call_function("div", lit(1000000L), col("n_touches")))
+          .otherwise(lit(0L)).as("credit_e6"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

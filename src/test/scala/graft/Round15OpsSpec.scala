@@ -271,6 +271,56 @@ class Round15OpsSpec extends SparkSpec {
     assert(got(3L) == ((6L, 6L, 1000000L)))
   }
 
+  test("rfmScores: quintiles over the unique (metric, user) order; " +
+    "recency measured against the corpus horizon") {
+    val day = 86400L * 1000000000L
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(_ => (u.toLong, (11 - u) * day, u.toDouble))
+    }.toDF("u", "ts", "v")
+    val got = EventAnalytics.rfmScores(ev, "u", "ts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))
+      .toMap
+    // u1: 1 event on the horizon day -> recency 0, freq 1, m 100,
+    // all quintiles 1; u5: 5 events 4 days back -> all quintiles 5
+    assert(got(1L) == (0L, 1L, 100L, 111L))
+    assert(got(3L) == (2L, 3L, 900L, 333L))
+    assert(got(5L) == (4L, 5L, 2500L, 555L))
+  }
+
+  test("topPaths: first-k prefix in (ts, tie) order; shorter " +
+    "journeys keep their full path") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (1L, 4L, 40L, "d"),
+      (2L, 1L, 10L, "a"), (2L, 2L, 20L, "b"),
+      (3L, 5L, 50L, "x"), (3L, 5L, 49L, "y")) // tie: id 49 first
+      .toDF("u", "ts", "id", "t")
+    val got = EventAnalytics.topPaths(ev, "u", "ts", "id", "t", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a>b>c" -> 1L, "a>b" -> 1L, "y>x" -> 1L))
+  }
+
+  test("linearAttribution: equal truncating split over in-window " +
+    "strictly-before touches; organic conversions report 0") {
+    val h = 1000L
+    val ev = Seq(
+      // conv 100: 3 touches in window -> 333333 each
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "view"),
+      (1L, 30L, 3L, "view"), (1L, 500L, 100L, "purchase"),
+      // conv 101: one touch AT the conv ts (not strictly before) and
+      // one outside the window -> organic
+      (2L, 700L, 4L, "view"), (2L, 2000L, 5L, "view"),
+      (2L, 2000L, 101L, "purchase"))
+      .toDF("u", "ts", "id", "t")
+    val got = EventAnalytics.linearAttribution(ev, "u", "ts", "id",
+        "t", "view", "purchase", windowNanos = h)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got(100L) == (3L, 333333L))
+    assert(got(101L) == (0L, 0L))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
