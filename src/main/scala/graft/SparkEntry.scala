@@ -2343,6 +2343,13 @@ object SparkEntry {
         "ts", "event_id", "event_type", touchType = "view",
         convType = "purchase", windowNanos = 24L * 3600L * 1000000000L)),
 
+    // ---- vectors: embedding-table QA pre-flight — dimension
+    // consistency, NULL pollution, zero vectors, e12 squared-norm
+    // range (no sqrt on the gate surface).
+    "q274_vector_qa" -> ((s, dir) =>
+      Spectral.vectorQa(T(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -7366,6 +7373,29 @@ object SparkEntry {
         |    THEN 1000000 // n.n_touches ELSE 0 END AS credit_e6
         |FROM c LEFT JOIN n ON n.conv_id = c.conv_id"""
         .stripMargin,
+
+    // q274: same e6 element quantization; count(*) keeps null
+    // elements in dims, squared sums in HUGEINT
+    "q274_vector_qa" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS x
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, count(*) AS dims,
+        |    sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    sum(CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+        |        AS BIGINT) AS HUGEINT) *
+        |      CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+        |      AS sq
+        |  FROM u GROUP BY 1)
+        |SELECT count(*) AS n_vecs,
+        |  min(dims) AS min_dims, max(dims) AS max_dims,
+        |  CAST(sum(CASE WHEN nulls > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_null,
+        |  CAST(sum(CASE WHEN nulls = 0 AND sq = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero,
+        |  CAST(min(sq) AS BIGINT) AS min_sqnorm_e12,
+        |  CAST(max(sq) AS BIGINT) AS max_sqnorm_e12,
+        |  CAST(sum(sq) AS BIGINT) AS sum_sqnorm_e12
+        |FROM p""".stripMargin,
 
     // q260: gaps-and-islands — day − row_number is constant inside a
     // consecutive run

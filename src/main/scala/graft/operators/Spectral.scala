@@ -143,4 +143,39 @@ object Spectral {
       .select(col("dim"), col("n"), col("lo"), col("hi"),
         col("max_err255"), col("sum_err255"))
   }
+
+  /** Embedding-table QA card — the pre-flight every ANN/clustering
+    * consumer should run before trusting a vector column: one row with
+    * vector count, dimension consistency (min/max element count —
+    * ragged tables break every dot-product operator downstream), NULL
+    * pollution (vectors containing null elements), zero vectors
+    * (cosine-undefined), and the e12 squared-norm range (norm
+    * collapse/explosion without a sqrt on the gate surface — q214's
+    * squared discipline). Sums run in DECIMAL(38,0).
+    *
+    * Shape at scale: one explode + per-vector aggregate (map-side
+    * combinable), one corpus reduce; no windows, no driver state. */
+  def vectorQa(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val perVec = emb
+      .select(col(idCol).as("id__"),
+        explode(col(vecCol)).as("x__"))
+      .withColumn("u__", round(col("x__").cast("double") * 1e6)
+        .cast("long"))
+      .groupBy(col("id__"))
+      .agg(count(lit(1)).as("dims__"),
+        sum(when(col("x__").isNull, 1L).otherwise(0L)).as("nulls__"),
+        sum((col("u__") * col("u__")).cast(dec)).as("sq__"))
+    perVec.agg(
+      count(lit(1)).as("n_vecs"),
+      min(col("dims__")).as("min_dims"),
+      max(col("dims__")).as("max_dims"),
+      sum(when(col("nulls__") > 0, 1L).otherwise(0L)).cast("long")
+        .as("n_with_null"),
+      sum(when(col("nulls__") === 0 && col("sq__") === 0, 1L)
+        .otherwise(0L)).cast("long").as("n_zero"),
+      min(col("sq__")).cast("long").as("min_sqnorm_e12"),
+      max(col("sq__")).cast("long").as("max_sqnorm_e12"),
+      sum(col("sq__")).cast(dec).cast("long").as("sum_sqnorm_e12"))
+  }
 }

@@ -321,6 +321,23 @@ class Round15OpsSpec extends SparkSpec {
     assert(got(101L) == (0L, 0L))
   }
 
+  test("vectorQa: ragged dims, null pollution, and zero vectors all " +
+    "surface on the card") {
+    val emb = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 0.0f)),
+      (2L, Seq[java.lang.Float](0.0f, 0.0f)),          // zero vector
+      (3L, Seq[java.lang.Float](0.5f, null, 0.5f)),    // null + ragged
+      (4L, Seq[java.lang.Float](2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Spectral.vectorQa(emb, "vec_id", "embedding").collect()(0)
+    assert(r.getLong(0) == 4L)                      // n_vecs
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 3L))) // dims range
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)   // null / zero
+    assert(r.getLong(5) == 0L)                      // min sqnorm (zero vec)
+    assert(r.getLong(6) == 5000000000000L)          // 4e12 + 1e12
+    assert(r.getLong(7) == 6500000000000L)          // 1e12 + 0 + 0.5e12 + 5e12
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
