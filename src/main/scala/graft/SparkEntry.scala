@@ -2350,6 +2350,27 @@ object SparkEntry {
       Spectral.vectorQa(T(s, dir, "embeddings"), "vec_id",
         "embedding")),
 
+    // ---- features: best GINI decision stump of the gopher keep
+    // label on document length — CART's inner loop as the "does this
+    // feature separate?" audit; q253's two-stage ladder scores the
+    // exact variance reduction, smallest-threshold tie-break.
+    "q275_gini_stump" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.giniStump(
+        docs.select(col("doc_id"), col("n_chars")).join(label, "doc_id"),
+        "keep", col("n_chars"))
+    }),
+
+    // ---- monitoring: WEEK-OVER-WEEK trend per event type — last 7
+    // observed days vs the prior 7 against the corpus horizon, exact
+    // e6 ratio.
+    "q276_week_over_week" -> ((s, dir) =>
+      EventAnalytics.weekOverWeek(T(s, dir, "events"), "event_type",
+        "ts")),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -7396,6 +7417,69 @@ object SparkEntry {
         |  CAST(max(sq) AS BIGINT) AS max_sqnorm_e12,
         |  CAST(sum(sq) AS BIGINT) AS sum_sqnorm_e12
         |FROM p""".stripMargin,
+
+    // q275: cumulative tally over distinct lengths, the q253 ladder
+    // on the exact variance-reduction numerator, (score DESC, v ASC)
+    // argmax
+    "q275_gini_stump" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT n_chars AS v,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS keep
+         |  FROM t),
+         |g AS (SELECT v, count(*) AS cnt,
+         |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT v, sum(cnt) OVER w AS cumn,
+         |    sum(pos) OVER w AS cump,
+         |    (SELECT sum(cnt) FROM g) AS n,
+         |    (SELECT sum(pos) FROM g) AS p
+         |  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |s AS (SELECT v, cumn, cump, n, p,
+         |    abs(CAST(cump AS HUGEINT) * (n - cumn) -
+         |      CAST(p - cump AS HUGEINT) * cumn) AS d,
+         |    CAST(cumn AS HUGEINT) * (n - cumn) AS den
+         |  FROM c WHERE n - cumn > 0),
+         |sc AS (SELECT v, cumn, cump, n, p,
+         |    ((((d * 1000) // den) * d) * 1000) //
+         |      (CAST(n AS HUGEINT) * n) AS score
+         |  FROM s),
+         |b AS (SELECT * FROM sc ORDER BY score DESC, v ASC LIMIT 1)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+         |  v AS best_threshold, CAST(score AS BIGINT) AS score_e6,
+         |  CAST(cumn AS BIGINT) AS n_left,
+         |  CAST(cump AS BIGINT) AS pos_left
+         |FROM b""".stripMargin,
+
+    // q276: 1-row horizon + conditional window-bucket counts, exact
+    // e6 ratio (absent-last-week types read 0 by the zero-den rule)
+    "q276_week_over_week" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH d AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS d FROM events),
+         |h AS (SELECT max(d) AS h FROM d),
+         |a AS (SELECT t,
+         |    CAST(sum(CASE WHEN d.d > h.h - 7 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_recent,
+         |    CAST(sum(CASE WHEN d.d <= h.h - 7 AND d.d > h.h - 14
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_prior
+         |  FROM d CROSS JOIN h GROUP BY 1)
+         |SELECT t AS event_type, n_recent, n_prior,
+         |  ${ratioScaledSql("n_recent", "n_prior", 6)} AS wow_e6
+         |FROM a""".stripMargin
+    },
 
     // q260: gaps-and-islands — day − row_number is constant inside a
     // consecutive run

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classification-quality metrics from a CONFUSION TABLE — per class,
@@ -235,6 +235,59 @@ object EvalMetrics {
       ExactRound.ratioScaled(col("n_pos"), col("n_rows"), 6)
         .as("rate_e6"),
       col("fitted_e6"))
+  }
+
+  /** Best DECISION-STUMP split of a boolean label on a numeric
+    * feature — the univariate feature-selection primitive (CART/C4.5's
+    * inner loop; "does doc length actually separate keep from drop?"):
+    * among all thresholds t (split = value ≤ t), the one maximizing
+    * the exact variance reduction of the 0/1 label,
+    *
+    *   Δ = (posL·nR − posR·nL)² / (n²·nL·nR)
+    *
+    * — for binary labels Gini reduction is exactly 2Δ, so the argmax
+    * is the Gini-best split. Scored through the q253 two-stage
+    * truncating ladder (d² would overflow 128 bits at corpus n):
+    * q1 = (|d|·10³) div (nL·nR), score_e6 = (q1·|d|·10³) div n² —
+    * identical in both engines, floor error immaterial to an argmax
+    * at e6. Ties break to the SMALLEST threshold. The top row only:
+    * (n, n_pos, best_threshold, score_e6, n_left, pos_left).
+    *
+    * Shape at scale: one distinct-value tally, two range-partitioned
+    * running totals over it ([[BudgetSelect.runningTotal]] — no
+    * global window), one codegen'd score projection, one
+    * struct-max reduce. */
+  def giniStump(df: DataFrame, labelCol: String,
+      valueUnits: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tally = df
+      .select(valueUnits.cast("long").as("v__"),
+        col(labelCol).cast("boolean").as("y__"))
+      .filter(col("v__").isNotNull)
+      .groupBy(col("v__"))
+      .agg(count(lit(1)).as("cnt__"),
+        sum(when(col("y__"), 1L).otherwise(0L)).as("pos__"))
+    val (r1, nTotal) = BudgetSelect.runningTotal(tally, col("cnt__"),
+      Seq(col("v__")), "cumn__")
+    val (r2, posTotal) = BudgetSelect.runningTotal(r1, col("pos__"),
+      Seq(col("v__")), "cump__")
+    val nL = col("cumn__")
+    val nR = lit(nTotal) - nL
+    val d = abs(col("cump__").cast(dec) * nR -
+      (lit(posTotal) - col("cump__")).cast(dec) * nL)
+    val q1 = call_function("div", d * lit(1000L),
+      nL.cast(dec) * nR)
+    val score = call_function("div", q1.cast(dec) * d * lit(1000L),
+      lit(nTotal).cast(dec) * lit(nTotal))
+    r2.filter(nR > 0)
+      .select(struct(score.as("s__"), (-col("v__")).as("nv__"),
+        nL.as("nl__"), col("cump__").as("pl__")).as("c__"))
+      .agg(max(col("c__")).as("b__"))
+      .select(lit(nTotal).as("n"), lit(posTotal).as("n_pos"),
+        (-col("b__.nv__")).as("best_threshold"),
+        col("b__.s__").as("score_e6"),
+        col("b__.nl__").as("n_left"),
+        col("b__.pl__").as("pos_left"))
   }
 
   /** Decile LIFT / cumulative-GAIN table — the model-eval sheet next

@@ -610,6 +610,36 @@ object EventAnalytics {
           .otherwise(lit(0L)).as("credit_e6"))
   }
 
+  /** WEEK-OVER-WEEK trend card per event type — last 7 observed days
+    * vs the prior 7, relative to the corpus horizon (data-derived,
+    * rerun-stable): counts plus the exact e6 ratio (the "what spiked
+    * since last week" monitoring sheet next to [[burstHours]]'s
+    * hourly bursts and [[cusumDaily]]'s drift alarms; a type absent
+    * last week reads ratio 0 by the zero-denominator convention —
+    * look at the counts).
+    *
+    * Shape at scale: one 1-row broadcast horizon + one conditional
+    * map-side-combinable aggregate; no windows. */
+  def weekOverWeek(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val dayNs = 86400L * 1000000000L
+    val days = events.select(col(typeCol).as("t__"),
+      col(tsNanosCol).div_(dayNs).as("d__"))
+    val hor = days.agg(max(col("d__")).as("h__"))
+    days.crossJoin(broadcast(hor))
+      .groupBy(col("t__"))
+      .agg(
+        sum(when(col("d__") > col("h__") - 7L, 1L).otherwise(0L))
+          .cast("long").as("n_recent"),
+        sum(when(col("d__") <= col("h__") - 7L &&
+            col("d__") > col("h__") - 14L, 1L).otherwise(0L))
+          .cast("long").as("n_prior"))
+      .select(col("t__").as(typeCol), col("n_recent"), col("n_prior"),
+        ExactRound.ratioScaled(col("n_recent"), col("n_prior"), 6)
+          .as("wow_e6"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

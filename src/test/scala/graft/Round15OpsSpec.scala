@@ -338,6 +338,34 @@ class Round15OpsSpec extends SparkSpec {
     assert(r.getLong(7) == 6500000000000L)          // 1e12 + 0 + 0.5e12 + 5e12
   }
 
+  test("giniStump: the perfect separator scores the exact variance " +
+    "reduction; equal scores break to the smallest threshold") {
+    val perfect = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "y")
+    val r = EvalMetrics.giniStump(perfect, "y", col("v")).collect()(0)
+    // split at v<=2: delta-var = 0.25 -> 250000 via the exact ladder
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 2L, 2L, 250000L, 2L, 2L)))
+    val tied = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("v", "y")
+    val t = EvalMetrics.giniStump(tied, "y", col("v")).collect()(0)
+    // thresholds 1 and 3 tie at 83250; the smaller threshold wins
+    assert(t.getLong(2) == 1L && t.getLong(3) == 83250L)
+  }
+
+  test("weekOverWeek: windows anchor on the CORPUS horizon; absent " +
+    "prior week reads 0 by the zero-denominator rule") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(("A", 20L), ("A", 10L), ("B", 20L), ("B", 19L),
+      ("C", 5L)).map { case (t, d) => (t, d * day) }.toDF("t", "ts")
+    val got = EventAnalytics.weekOverWeek(ev, "t", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") == (1L, 1L, 1000000L))
+    assert(got("B") == (2L, 0L, 0L))
+    assert(got("C") == (0L, 0L, 0L))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
