@@ -2371,6 +2371,19 @@ object SparkEntry {
       EventAnalytics.weekOverWeek(T(s, dir, "events"), "event_type",
         "ts")),
 
+    // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
+    // Jaccard pairs from the prefix-filtered join at 0.25, counted at
+    // each candidate cutoff (pairs + distinct docs touched): the
+    // "where is the knee" sheet before committing to a dedup
+    // threshold.
+    "q277_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.prefixFilteredJaccard(T(s, dir, "documents"),
+        "doc_id", "text", n = 3, thrNum = 1L, thrDen = 4L)
+      Dedup.thresholdCurve(pairs, "doc_a", "doc_b",
+        round(col("jaccard") * 10000).cast("long"),
+        Seq(2500L, 3500L, 4500L, 5500L, 6500L, 7500L))
+    }),
+
     // ---- engagement: consecutive-day activity STREAKS per user —
     // gaps-and-islands (day − row_number anchor), per-user distinct-
     // day partitions bounded by the calendar.
@@ -7479,6 +7492,49 @@ object SparkEntry {
          |SELECT t AS event_type, n_recent, n_prior,
          |  ${ratioScaledSql("n_recent", "n_prior", 6)} AS wow_e6
          |FROM a""".stripMargin
+    },
+
+    // q277: q22's exact pair surface at the 0.25 floor (double ratio
+    // compare is safe: integer operands, nearest tie exactly
+    // representable), e4 scores, tagged per-threshold counts with
+    // zero-fill
+    "q277_threshold_curve" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     for i in range(1, len(ws)-1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT doc_a, doc_b,
+         |    ${ratioScaledSql("inter", "sa.n_sh + sb.n_sh - inter", 4)}
+         |      AS s
+         |  FROM pairs
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) /
+         |    CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.25),
+         |thr AS (SELECT CAST(unnest(
+         |    [2500, 3500, 4500, 5500, 6500, 7500]) AS BIGINT) AS t),
+         |tagged AS (SELECT thr.t, doc_a, doc_b
+         |  FROM scored CROSS JOIN thr WHERE s >= thr.t),
+         |np AS (SELECT t, count(*) AS n_pairs FROM tagged GROUP BY 1),
+         |nd AS (SELECT t, count(*) AS n_docs FROM (
+         |    SELECT DISTINCT t, d FROM (
+         |      SELECT t, doc_a AS d FROM tagged
+         |      UNION ALL SELECT t, doc_b FROM tagged))
+         |  GROUP BY 1)
+         |SELECT thr.t AS threshold_e4,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs
+         |FROM thr
+         |LEFT JOIN np ON np.t = thr.t
+         |LEFT JOIN nd ON nd.t = thr.t""".stripMargin
     },
 
     // q260: gaps-and-islands — day − row_number is constant inside a

@@ -434,6 +434,54 @@ object Dedup {
       idx.signatures.select(col("doc"), col("n_sh")), threshold)
   }
 
+  /** Dedup THRESHOLD-SENSITIVITY curve — how many verified near-dup
+    * pairs (and how many distinct documents) survive each candidate
+    * threshold: the sheet read before committing to a dedup cutoff
+    * (Lee et al. pick 0.8 Jaccard for C4-style dedup, SlimPajama 0.8
+    * on different shingles — the right value is corpus-dependent and
+    * this is the curve that shows the knee). Input is any verified
+    * pair frame with an e4 integer score (the [[prefixFilteredJaccard]]
+    * output at the LOWEST threshold of interest — exact by
+    * construction, so the curve inherits exactness); each requested
+    * threshold reports pairs with score ≥ t and the distinct docs
+    * those pairs touch, zero-filled so every threshold emits a row.
+    *
+    * Shape at scale: the pair frame is near-dup-sized (not corpus-
+    * sized); one |thresholds|-way tagged expansion over it, one count
+    * and one distinct-doc count per threshold, a broadcast zero-fill
+    * join. */
+  def thresholdCurve(pairs: DataFrame, aCol: String, bCol: String,
+      scoreE4: Column, thresholdsE4: Seq[Long]): DataFrame = {
+    require(thresholdsE4.nonEmpty &&
+      thresholdsE4 == thresholdsE4.sorted &&
+      thresholdsE4.distinct.size == thresholdsE4.size,
+      "thresholds sorted distinct")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = graft.Caches.register(pairs
+      .select(col(aCol).as("a__"), col(bCol).as("b__"),
+        scoreE4.cast("long").as("s__"))
+      .persist())
+    val tagged = p
+      .select(explode(array(thresholdsE4.map(lit): _*)).as("t__"),
+        col("a__"), col("b__"), col("s__"))
+      .filter(col("s__") >= col("t__"))
+    val np = tagged.groupBy(col("t__"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = tagged
+      .select(col("t__"), explode(array(col("a__"), col("b__"))).as("d__"))
+      .distinct()
+      .groupBy(col("t__")).agg(count(lit(1)).as("n_docs"))
+    thresholdsE4.toDF("threshold_e4")
+      .join(broadcast(np.withColumnRenamed("t__", "threshold_e4")),
+        Seq("threshold_e4"), "left")
+      .join(broadcast(nd.withColumnRenamed("t__", "threshold_e4")),
+        Seq("threshold_e4"), "left")
+      .select(col("threshold_e4"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Restrict an index to the docs NOT in `ids` (first column = doc id).
     * Every index component is per-doc rows with no cross-doc state, so an
     * anti-joined full-corpus index is EXACTLY the index built over the

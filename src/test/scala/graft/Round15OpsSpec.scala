@@ -366,6 +366,22 @@ class Round15OpsSpec extends SparkSpec {
     assert(got("C") == (0L, 0L, 0L))
   }
 
+  test("thresholdCurve: cumulative pair/doc counts per cutoff, " +
+    "zero-filled tail") {
+    import graft.operators.Dedup
+    // pair scores: (1,2)=9000, (2,3)=5000, (4,5)=3000
+    val pairs = Seq((1L, 2L, 9000L), (2L, 3L, 5000L), (4L, 5L, 3000L))
+      .toDF("a", "b", "s")
+    val got = Dedup.thresholdCurve(pairs, "a", "b", col("s"),
+        Seq(2500L, 5000L, 7500L, 9500L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2500L) == (3L, 5L))
+    assert(got(5000L) == (2L, 3L)) // pairs (1,2),(2,3) -> docs {1,2,3}
+    assert(got(7500L) == (1L, 2L))
+    assert(got(9500L) == (0L, 0L))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
