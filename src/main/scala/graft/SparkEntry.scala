@@ -7015,8 +7015,9 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, r AS r_levels, c AS c_levels,
         |  (r - 1) * (c - 1) AS dof,
         |  CAST(chi AS BIGINT) AS chi2_e6,
-        |  CAST(chi // (CAST(n AS HUGEINT) * least(r - 1, c - 1))
-        |    AS BIGINT) AS v2_e6
+        |  CASE WHEN least(r - 1, c - 1) > 0 THEN
+        |    CAST(chi // (CAST(n AS HUGEINT) * least(r - 1, c - 1))
+        |      AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v2_e6
         |FROM agg""".stripMargin,
 
     // q254: the engine's Bellman-Ford rounds unrolled — per round,
@@ -7345,8 +7346,8 @@ object SparkEntry {
       """WITH per AS (SELECT user_id AS u,
         |    max(epoch_ns(ts) // 86400000000000) AS ld,
         |    count(*) AS f,
-        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |      AS m
+        |    CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)),
+        |      0) AS BIGINT) AS m
         |  FROM events GROUP BY 1),
         |b AS (SELECT u, (SELECT max(ld) FROM per) - ld AS recency_days,
         |    f, m FROM per),

@@ -283,6 +283,9 @@ object EvalMetrics {
       .select(struct(score.as("s__"), (-col("v__")).as("nv__"),
         nL.as("nl__"), col("cump__").as("pl__")).as("c__"))
       .agg(max(col("c__")).as("b__"))
+      // a 0/1-distinct-value input has no split: emit ZERO rows (the
+      // oracle's LIMIT 1 over an empty candidate set), not a null row
+      .filter(col("b__").isNotNull)
       .select(lit(nTotal).as("n"), lit(posTotal).as("n_pos"),
         (-col("b__.nv__")).as("best_threshold"),
         col("b__.s__").as("score_e6"),

@@ -522,7 +522,11 @@ object EventAnalytics {
       .groupBy(col(userCol).as("u__"))
       .agg(max(col(tsNanosCol).div_(86400L * 1000000000L)).as("ld__"),
         count(lit(1)).as("frequency"),
-        sum(round(col(valueCol) * 100).cast("long")).as("monetary_e2"))
+        // coalesce AFTER the sum: an all-null-value user must read 0,
+        // not sort as NULL (Spark sorts nulls first ASC, DuckDB last
+        // — an unguarded NULL would order differently per engine)
+        coalesce(sum(round(col(valueCol) * 100).cast("long")), lit(0L))
+          .as("monetary_e2"))
       .persist())
     val hor = per.agg(max(col("ld__")).as("h__"))
     var base = per.crossJoin(broadcast(hor))

@@ -454,9 +454,13 @@ object GroupStats {
         col("c__").as("c_levels"),
         ((col("r__") - 1L) * (col("c__") - 1L)).as("dof"),
         col("chi2_e6").cast("long").as("chi2_e6"),
-        call_function("div", col("chi2_e6").cast(dec),
-          col("n__").cast(dec) *
-            least(col("r__") - 1L, col("c__") - 1L))
-          .as("v2_e6"))
+        // a single-level factor (dof 0) has no association to
+        // normalize — emit 0, not a division by zero (DuckDB's //
+        // would error where Spark nulls; neither is the contract)
+        when(least(col("r__") - 1L, col("c__") - 1L) > 0,
+          call_function("div", col("chi2_e6").cast(dec),
+            col("n__").cast(dec) *
+              least(col("r__") - 1L, col("c__") - 1L)))
+          .otherwise(lit(0L)).as("v2_e6"))
   }
 }

@@ -198,6 +198,42 @@ class Round15OpsSpec extends SparkSpec {
       3L -> (4L, 4250000L)))
   }
 
+  test("streamingEwma: the open day and trailing ring survive a " +
+    "checkpoint RESTART across separate query runs") {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ewma_restart")
+    val feed = s"$root/feed"
+    val out = s"$root/out"
+    new java.io.File(feed).mkdirs()
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("group STRING, day LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .as[Streams.DayEvent]
+      val q = Streams.streamingEwma(stream, Seq(1000000L, 500000L))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq(("a", 0L), ("a", 0L), ("a", 1L)).toDF("group", "day")
+      .repartition(1).write.mode("append").parquet(feed)
+    run() // emits day 0; day 1 rides OPEN in the checkpointed state
+    Seq(("a", 2L), ("a", 3L)).toDF("group", "day")
+      .repartition(1).write.mode("append").parquet(feed)
+    run() // day 1 closes against state written by the FIRST run
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // powers (1, 1/2), horizon 1 day: d0 = 2e6; d1 = 1e6 + 2*5e5;
+    // d2 = 1e6 + 1*5e5 (d0 evicted past the horizon); d3 still open
+    assert(got == Map(0L -> (2L, 2000000L), 1L -> (1L, 2000000L),
+      2L -> (1L, 1500000L)))
+  }
+
   test("quantizeInt8Card: endpoints land on the grid exactly, the " +
     "midpoint carries half-step error") {
     val emb = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(0.5f)))
