@@ -2371,6 +2371,17 @@ object SparkEntry {
       EventAnalytics.weekOverWeek(T(s, dir, "events"), "event_type",
         "ts")),
 
+    // ---- graph: PERSONALIZED PageRank from the q254 seed customers
+    // — teleport mass restricted to seeds (Haveliwala), the "similar
+    // to these" recommender over the purchase graph; q108's exact
+    // integer ladder with a seed-indicator base term.
+    "q278_personalized_pagerank" -> ((s, dir) =>
+      GraphRank.personalizedPageRank(stagedPurchaseEdges(s, dir),
+        "src", "dst",
+        T(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") * 2L).as("node")),
+        "node", iterations = 5)),
+
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
     // Jaccard pairs from the prefix-filtered join at 0.25, counted at
     // each candidate cutoff (pairs + distinct docs touched): the
@@ -7493,6 +7504,37 @@ object SparkEntry {
          |SELECT t AS event_type, n_recent, n_prior,
          |  ${ratioScaledSql("n_recent", "n_prior", 6)} AS wow_e6
          |FROM a""".stripMargin
+    },
+
+    // q278: q108's unrolled ladder with the teleport base gated on
+    // seed membership; unreached nodes stay 0 and still emit
+    "q278_personalized_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (SELECT n.node,
+           |    (n.is_seed * 15000000 + 85 * coalesce(s.c, 0)) // 100
+           |      AS rank_e6
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(p.rank_e6 // d.deg) AS BIGINT) AS c
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+           |    ON s.node = n.node)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |  WHERE c_custkey % 100 = 0),
+         |nodes AS (SELECT a.node,
+         |    CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |  FROM (SELECT src AS node FROM edges
+         |    UNION SELECT dst FROM edges) a
+         |  LEFT JOIN sd ON sd.node = a.node),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges
+         |  GROUP BY 1),
+         |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT)
+         |    AS rank_e6 FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank_e6 FROM r5""".stripMargin
     },
 
     // q277: q22's exact pair surface at the 0.25 floor (double ratio

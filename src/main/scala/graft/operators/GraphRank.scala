@@ -132,6 +132,68 @@ object GraphRank {
     ranks
   }
 
+  /** PERSONALIZED PageRank — [[pageRank]] with the teleport mass
+    * restricted to a SEED set (Haveliwala 2002): the "similar to
+    * these" recommender over the purchase graph, and the seeded
+    * variant of the near-dup cluster-radiation score. Identical
+    * integer ladder to [[pageRank]] — init 10⁶ on seeds and 0
+    * elsewhere, per-edge contribution `rank div out_degree`, update
+    * r' = [seed]·(den−num)·10⁶/den + num·Σcontrib/den as one exact
+    * truncating division — so two engines agree bit for bit; ranks
+    * are the UNNORMALIZED restart form (comparable within a run, the
+    * consumed signal is order). Nodes never reached stay at rank 0
+    * and are still emitted (the full-node surface [[pageRank]] emits).
+    *
+    * Shape at scale: identical to [[pageRank]] (cached edge list, one
+    * join + one map-side-combinable aggregate per round,
+    * localCheckpoint truncation) plus one broadcast seed membership
+    * join at init and in the update's seed indicator. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "need iterations >= 1 and 0 <= dampNum <= dampDen")
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().select(col("node"), lit(1L).as("is_seed__"))
+    val nodes = graft.Caches.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(broadcast(sd), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("is_seed__"), lit(0L)).as("is_seed__"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.Caches.register(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val base = (dampDen - dampNum) * 1000000L
+    var ranks = nodes
+      .select(col("node"), (col("is_seed__") * 1000000L).as("rank_e6"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank_e6")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank_e6 div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"),
+          "left")
+        .select(col("node"),
+          expr(s"(is_seed__ * $base + $dampNum * coalesce(in_mass, 0))" +
+            s" div $dampDen").as("rank_e6"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg) — [[pageRank]]'s bipartite
     * twin for "good pointers vs good targets" source ranking:
     * authority(j) = Σ hub over in-edges, hub(i) = Σ authority over

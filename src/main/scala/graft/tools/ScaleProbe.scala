@@ -984,6 +984,93 @@ object ScaleProbe {
         (col("m1") * 100).cast("long") % 100000L)
     }
 
+    time("personalized_pagerank") {
+      // the q108 probe shape with a 100-node seed set: same 5-round
+      // join+aggregate loop plus the broadcast seed indicator
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000)).as("s"),
+        pmod(xxhash64(col("id"), lit(82)),
+          pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
+      val seeds = spark.range(100).select((col("id") * 1000L).as("node"))
+      graft.operators.GraphRank.personalizedPageRank(edges, "s", "d",
+        seeds, "node", iterations = 5)
+    }
+    time("strict_funnel") {
+      // 2M events, 100k users, 3 bounded stages against the shrinking
+      // reached set
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000)).as("u"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(92)), lit(5))
+          .cast("string")).as("t"),
+        pmod(xxhash64(col("id"), lit(93)), lit(1000000000L)).as("ts"))
+      graft.operators.EventAnalytics.strictFunnel(ev, "u", "ts", "t",
+        Seq("t0", "t1", "t2"), horizonNanos = 500000000L)
+    }
+    time("coverage_curve") {
+      // n/10 docs x 12 words: one tally + one range-partitioned
+      // global rank + one conditional aggregate
+      graft.operators.VocabBuild.coverageCurve(docs, "text")
+    }
+    time("rfm_scores") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(94)), lit(100000)).as("u"),
+        (pmod(xxhash64(col("id"), lit(95)), lit(60)) *
+          86400000000000L).as("ts"),
+        (pmod(xxhash64(col("id"), lit(96)), lit(10000)) / 100.0)
+          .as("v"))
+      graft.operators.EventAnalytics.rfmScores(ev, "u", "ts", "v")
+    }
+    time("entry_paths") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000)).as("u"),
+        pmod(xxhash64(col("id"), lit(93)), lit(1000000000L)).as("ts"),
+        col("id").as("tie"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(92)), lit(5))
+          .cast("string")).as("t"))
+      graft.operators.EventAnalytics.topPaths(ev, "u", "ts", "tie",
+        "t", depth = 3)
+    }
+    time("linear_attribution") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000)).as("u"),
+        pmod(xxhash64(col("id"), lit(93)), lit(1000000000L)).as("ts"),
+        col("id").as("eid"),
+        when(pmod(xxhash64(col("id"), lit(92)), lit(10)) < 8, "view")
+          .otherwise("purchase").as("t"))
+      graft.operators.EventAnalytics.linearAttribution(ev, "u", "ts",
+        "eid", "t", "view", "purchase", windowNanos = 100000000L)
+    }
+    time("week_over_week") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(92)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(95)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.weekOverWeek(ev, "t", "ts")
+    }
+    time("gini_stump") {
+      // ~100k distinct values; two runningTotal prefix passes + one
+      // struct-max reduce
+      val scored = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(96)), lit(100000)).as("v"),
+        (pmod(xxhash64(col("id"), lit(97)), lit(200000)) <
+          pmod(xxhash64(col("id"), lit(96)), lit(100000))).as("y"))
+      graft.operators.EvalMetrics.giniStump(scored, "y", col("v"))
+    }
+    time("vector_qa") {
+      graft.operators.Spectral.vectorQa(labeledVecs, "vec_id",
+        "embedding")
+    }
+    time("threshold_curve") {
+      // pair-frame input is near-dup-sized by contract: n/4 synthetic
+      // scored pairs through the 6-way tagged expansion
+      val pairs = spark.range(n / 4).select(
+        col("id").as("a"), (col("id") + 1L).as("b"),
+        pmod(xxhash64(col("id"), lit(98)), lit(10001)).as("s"))
+      graft.operators.Dedup.thresholdCurve(pairs, "a", "b", col("s"),
+        Seq(2500L, 5000L, 7500L))
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

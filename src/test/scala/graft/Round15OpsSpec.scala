@@ -418,6 +418,17 @@ class Round15OpsSpec extends SparkSpec {
     assert(got(9500L) == (0L, 0L))
   }
 
+  test("personalizedPageRank: teleport mass lands only on seeds; " +
+    "hand-computed two-iteration chain") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = GraphRank.personalizedPageRank(e, "s", "d",
+        Seq(1L).toDF("node"), "node", iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // r1: 1 -> 150000 (base only), 2 -> 850000, 3 -> 0
+    // r2: 1 -> 150000, 2 -> 85*150000//100, 3 -> 85*850000//100
+    assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
