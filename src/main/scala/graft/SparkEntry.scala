@@ -2382,6 +2382,48 @@ object SparkEntry {
           .select((col("c_custkey") * 2L).as("node")),
         "node", iterations = 5)),
 
+    // ---- events: TEMPORAL co-occurrence — unordered type pairs
+    // firing within 10 minutes for the same user; event pairs counted
+    // once via the unique id order.
+    "q279_temporal_cooccur" -> ((s, dir) =>
+      EventAnalytics.temporalCooccurrence(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        windowNanos = 600L * 1000000000L)),
+
+    // ---- curation: FILTER IMPACT by source — what the gopher filter
+    // does to each source's share of the mix: docs/tokens kept, keep
+    // rate, and the source's corpus token share BEFORE vs AFTER
+    // filtering (the mix-shift sheet a curation run signs off on).
+    "q280_filter_impact" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keep = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      val toks = docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.words(col("text")))
+          .cast("long").as("nw__"))
+      val per = toks.join(keep, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long")
+            .as("n_keep"),
+          sum(col("nw__")).cast("long").as("tokens_total"),
+          sum(when(col("keep"), col("nw__")).otherwise(0L))
+            .cast("long").as("tokens_kept"))
+      val tot = per.agg(
+        sum(col("tokens_total")).cast("long").as("tt__"),
+        sum(col("tokens_kept")).cast("long").as("tk__"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          col("tokens_total"), col("tokens_kept"),
+          graft.functions.ExactRound.ratioScaled(col("n_keep"),
+            col("n_docs"), 6).as("keep_rate_e6"),
+          graft.functions.ExactRound.ratioScaled(col("tokens_total"),
+            col("tt__"), 6).as("share_before_e6"),
+          graft.functions.ExactRound.ratioScaled(col("tokens_kept"),
+            col("tk__"), 6).as("share_after_e6"))
+    }),
+
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
     // Jaccard pairs from the prefix-filtered join at 0.25, counted at
     // each candidate cutoff (pairs + distinct docs touched): the
@@ -7535,6 +7577,59 @@ object SparkEntry {
          |    AS rank_e6 FROM nodes),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank_e6 FROM r5""".stripMargin
+    },
+
+    // q279: unique-id pair order, unordered type emit via
+    // least/greatest, distinct-user rollup
+    "q279_temporal_cooccur" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS ts,
+        |    event_id AS id, event_type AS t FROM events),
+        |p AS (SELECT a.u,
+        |    least(a.t, b.t) AS type_x, greatest(a.t, b.t) AS type_y
+        |  FROM e a JOIN e b ON a.u = b.u AND a.id < b.id
+        |    AND a.t <> b.t AND abs(a.ts - b.ts) <= 600000000000)
+        |SELECT type_x, type_y, count(*) AS n_pairs,
+        |  count(DISTINCT u) AS n_users
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q280: the q203 gopher arms + whitespace token counts; corpus
+    // totals as scalar subqueries, e6 shares before/after
+    "q280_filter_impact" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($wordsSql) AS BIGINT) AS nw0,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT source, nw0,
+         |    ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2)) AS keep
+         |  FROM t),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep,
+         |    CAST(sum(nw0) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN keep THEN nw0 ELSE 0 END) AS BIGINT)
+         |      AS tokens_kept
+         |  FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_keep, tokens_total, tokens_kept,
+         |  ${ratioScaledSql("n_keep", "n_docs", 6)} AS keep_rate_e6,
+         |  ${ratioScaledSql("tokens_total",
+             "(SELECT sum(tokens_total) FROM per)", 6)}
+         |    AS share_before_e6,
+         |  ${ratioScaledSql("tokens_kept",
+             "(SELECT sum(tokens_kept) FROM per)", 6)}
+         |    AS share_after_e6
+         |FROM per""".stripMargin
     },
 
     // q277: q22's exact pair surface at the 0.25 floor (double ratio

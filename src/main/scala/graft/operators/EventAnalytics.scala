@@ -644,6 +644,43 @@ object EventAnalytics {
           .as("wow_e6"))
   }
 
+  /** TEMPORAL co-occurrence — unordered event-type pairs that fire
+    * within `windowNanos` of each other for the same user ("which
+    * actions cluster in time?" — the session-free complement of
+    * [[CoOccurrence.basketPairs]]' all-time baskets and
+    * [[transitionMatrix]]'s adjacent steps): per unordered type pair,
+    * the co-firing event-pair count and the distinct users involved.
+    * Each EVENT pair counts once (the join requires id_a < id_b, a
+    * unique total order), and same-type pairs are excluded.
+    *
+    * Shape at scale: one equi-join on USER with the window predicate
+    * (per-user multiplicity is activity-bounded — the q237/q273
+    * allowance; a time-bucketed decomposition is the escalation path
+    * if per-user volumes explode), then two map-side-combinable
+    * rollups. */
+  def temporalCooccurrence(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      windowNanos: Long): DataFrame = {
+    val a = events.select(col(userCol).as("u__"), col(tsCol).as("ta__"),
+      col(idCol).as("ia__"), col(typeCol).as("xa__"))
+    val b = events.select(col(userCol).as("u__"), col(tsCol).as("tb__"),
+      col(idCol).as("ib__"), col(typeCol).as("xb__"))
+    val pairs = a.join(b, Seq("u__"))
+      .filter(col("ia__") < col("ib__") &&
+        col("xa__") =!= col("xb__") &&
+        abs(col("ta__") - col("tb__")) <= windowNanos)
+      .select(col("u__"),
+        least(col("xa__"), col("xb__")).as("type_x"),
+        greatest(col("xa__"), col("xb__")).as("type_y"))
+    val np = pairs.groupBy(col("type_x"), col("type_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nu = pairs.select(col("type_x"), col("type_y"), col("u__"))
+      .distinct()
+      .groupBy(col("type_x"), col("type_y"))
+      .agg(count(lit(1)).as("n_users"))
+    np.join(nu, Seq("type_x", "type_y"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

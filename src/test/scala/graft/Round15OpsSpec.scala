@@ -429,6 +429,23 @@ class Round15OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
   }
 
+  test("temporalCooccurrence: window bound, unordered type emit, " +
+    "each event pair counted once") {
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "b"),   // within window
+      (1L, 500L, 3L, "b"),                      // outside vs id 1
+      (1L, 40L, 4L, "a"),                       // same type as id 1
+      (2L, 0L, 5L, "b"), (2L, 30L, 6L, "a"))    // second user
+      .toDF("u", "ts", "id", "t")
+    val got = EventAnalytics.temporalCooccurrence(ev, "u", "ts", "id",
+        "t", windowNanos = 100L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // pairs: u1 (1,2) a-b, u1 (2,4) b-a, u2 (5,6) b-a -> 3 pairs,
+    // 2 users
+    assert(got == Map(("a", "b") -> (3L, 2L)))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
