@@ -2424,6 +2424,32 @@ object SparkEntry {
             col("tk__"), 6).as("share_after_e6"))
     }),
 
+    // ---- multimodal: audio CLIPPING card over the q241 synth WAVs —
+    // samples pinned at/above the rail, the longest consecutive
+    // clipped run (flat-topped waves, not single peaks), exact e6
+    // rate. Rail 30000: the ASCII-synthesized samples span 8k..32.4k,
+    // so both arms fire (the true int16 rail is the parameter's
+    // default for real audio).
+    "q281_audio_clipping" -> ((s, dir) => {
+      def le32(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+        ((v >> 24) & 255).toByte)
+      def le16(v: Int) = Array[Byte]((v & 255).toByte,
+        ((v >> 8) & 255).toByte)
+      val hdr = "RIFF".getBytes("UTF-8") ++ le32(100) ++
+        "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++ le32(64)
+      val wavs = T(s, dir, "documents")
+        .filter(length(col("text")) >= 64 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit(hdr), substring(col("text"), 1, 64).cast("binary"))
+            .as("payload"))
+      Multimodal.clippingCard(wavs, "doc_id", "payload",
+        railAbs = 30000L)
+    }),
+
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
     // Jaccard pairs from the prefix-filtered join at 0.25, counted at
     // each candidate cutoff (pairs + distinct docs touched): the
@@ -7577,6 +7603,37 @@ object SparkEntry {
          |    AS rank_e6 FROM nodes),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank_e6 FROM r5""".stripMargin
+    },
+
+    // q281: q241's sample chain; clipped runs via gaps-and-islands
+    // over the clipped sample indexes, e6 rate through the shared
+    // half-up ladder
+    "q281_audio_clipping" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH d AS (SELECT doc_id, substring(text, 1, 64) AS t
+         |  FROM documents
+         |  WHERE length(text) >= 64 AND strlen(text) = length(text)),
+         |s AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+         |    ascii(substring(t, CAST(2 * i + 1 AS INTEGER), 1))
+         |      + 256 * ascii(substring(t, CAST(2 * i + 2 AS INTEGER), 1))
+         |      AS v
+         |  FROM d, (SELECT unnest(range(0, 32)) AS i) idx),
+         |c AS (SELECT doc_id, sidx FROM s WHERE v >= 30000),
+         |isl AS (SELECT doc_id, sidx - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY sidx) AS g
+         |  FROM c),
+         |r AS (SELECT doc_id, count(*) AS run FROM isl
+         |  GROUP BY doc_id, g),
+         |m AS (SELECT doc_id, max(run) AS max_run FROM r GROUP BY 1),
+         |a AS (SELECT doc_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN v >= 30000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS clipped
+         |  FROM s GROUP BY 1)
+         |SELECT a.doc_id, a.n AS n_samples, a.clipped AS n_clipped,
+         |  coalesce(m.max_run, 0) AS max_clip_run,
+         |  ${ratioScaledSql("a.clipped", "a.n", 6)} AS clip_rate_e6
+         |FROM a LEFT JOIN m ON m.doc_id = a.doc_id"""
+        .stripMargin
     },
 
     // q279: unique-id pair order, unordered type emit via

@@ -318,6 +318,62 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Audio CLIPPING card over REAL PCM16 decode — the "is this
+    * recording saturated?" QA filter next to [[frameZcr]]'s activity
+    * and [[silenceTrim]]'s quiet-edge card: per clip the sample
+    * count, samples at the digital rails (|v| ≥ `railAbs`, default
+    * the int16 positive rail 32767 — clipping shows as runs pinned at
+    * either rail), the LONGEST consecutive clipped run (one pinned
+    * sample can be a legitimate peak; a run is a flat-topped wave),
+    * and the exact e6 clipped share. Undecodable payloads emit
+    * nothing (the parseWav corrupt-path contract).
+    *
+    * Shape at scale: the [[frameZcr]] narrow per-partition map — one
+    * row per clip, no shuffle. */
+  def clippingCard(df: DataFrame, idCol: String, payloadCol: String,
+      railAbs: Long = 32767L): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("max_clip_run", LongType, nullable = false),
+      StructField("clip_rate_e6", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val payload =
+        if (row.isNullAt(pIdx)) Array.empty[Byte]
+        else row.getAs[Array[Byte]](pIdx)
+      pcm16Data(payload) match {
+        case None => Iterator.empty
+        case Some((off, n)) =>
+          def u8(i: Int) = payload(i) & 0xff
+          def sample(s: Int): Long =
+            (((u8(off + 2 * s) | (u8(off + 2 * s + 1) << 8))
+              << 16) >> 16).toLong
+          var clipped = 0L
+          var run = 0L
+          var maxRun = 0L
+          var s = 0
+          while (s < n) {
+            if (math.abs(sample(s)) >= railAbs) {
+              clipped += 1
+              run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            s += 1
+          }
+          val rate =
+            if (n == 0) 0L
+            else (clipped * 2000000L + n) / (2L * n)
+          Iterator.single(Row(row.getLong(idIdx), n.toLong, clipped,
+            maxRun, rate))
+      }
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL image pixel decode for the two codec-free raster formats —
     * the image twin of [[parseWav]]'s PCM16 path, closing the "only
     * audio decodes for real" gap. Returns

@@ -446,6 +446,29 @@ class Round15OpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> (3L, 2L)))
   }
 
+  test("clippingCard: rails count on BOTH signs, runs beat single " +
+    "peaks, corrupt payloads emit nothing") {
+    def le32(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 24) & 255).toByte)
+    def le16(v: Int) = Array[Byte]((v & 255).toByte,
+      ((v >> 8) & 255).toByte)
+    val samples = Seq(0, 32767, 32767, 32767, 100, -32768, 0, 50)
+    val data = samples.flatMap(le16(_)).toArray
+    val hdr = "RIFF".getBytes("UTF-8") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+      le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16) ++ "data".getBytes("UTF-8") ++
+      le32(data.length)
+    val df = Seq((1L, hdr ++ data), (2L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal
+      .clippingCard(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(1L -> (8L, 4L, 3L, 500000L)))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
