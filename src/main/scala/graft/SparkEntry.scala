@@ -2450,6 +2450,15 @@ object SparkEntry {
         railAbs = 30000L)
     }),
 
+    // ---- vectors: 1-NN LABEL PURITY over the cosine near-dup pair
+    // surface at 0.3 — each node's best neighbor votes; per label the
+    // agreement rate (the "does the metric respect the labels?" eval).
+    "q282_knn_label_purity" -> ((s, dir) =>
+      EvalMetrics.neighborLabelPurity(
+        lshNearDupPairs(s, dir, threshold = 0.3),
+        "id_a", "id_b", round(col("cosine") * 10000),
+        T(s, dir, "embeddings"), "vec_id", "label")),
+
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
     // Jaccard pairs from the prefix-filtered join at 0.25, counted at
     // each candidate cutoff (pairs + distinct docs touched): the
@@ -7603,6 +7612,33 @@ object SparkEntry {
          |    AS rank_e6 FROM nodes),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank_e6 FROM r5""".stripMargin
+    },
+
+    // q282: the mirrored pair surface doubled, (score DESC, nbr ASC)
+    // argmax per node, label joins, per-label purity
+    "q282_knn_label_purity" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ${lshPairCtes("0.3")},
+         |dr AS (SELECT id_a AS id, id_b AS nbr,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
+         |  UNION ALL SELECT id_b, id_a,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) FROM p),
+         |best AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, nbr ASC) AS rn FROM dr)
+         |  WHERE rn = 1),
+         |j AS (SELECT CAST(ea.label AS BIGINT) AS l,
+         |    CAST(eb.label AS BIGINT) AS nl
+         |  FROM best b
+         |  JOIN embeddings ea ON ea.vec_id = b.id
+         |  JOIN embeddings eb ON eb.vec_id = b.nbr)
+         |SELECT l AS label, count(*) AS n_nodes,
+         |  CAST(sum(CASE WHEN l = nl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  ${ratioScaledSql(
+             "sum(CASE WHEN l = nl THEN 1 ELSE 0 END)", "count(*)", 6)}
+         |    AS purity_e6
+         |FROM j GROUP BY 1""".stripMargin
     },
 
     // q281: q241's sample chain; clipped runs via gaps-and-islands

@@ -293,6 +293,48 @@ object EvalMetrics {
         col("b__.pl__").as("pos_left"))
   }
 
+  /** 1-NN LABEL PURITY over a scored neighbor-pair surface — "does my
+    * similarity metric respect the labels?": each node's single best
+    * neighbor (highest score, ties to the smallest neighbor id — a
+    * total order) votes with its label, and per label the card
+    * reports how many nodes have a neighbor at all and how often the
+    * vote agrees (the embedding-quality eval next to [[rocAuc]] and
+    * the nearest-class-mean confusion; SemDeDup-style pipelines read
+    * exactly this before trusting a threshold). Nodes with no
+    * qualifying pair are absent — their purity is undefined, not 0.
+    *
+    * Shape at scale: the pair surface is near-dup-sized; one
+    * direction-doubling, one struct-max argmax per node (map-side
+    * combinable), two label joins, one rollup. */
+  def neighborLabelPurity(pairs: DataFrame, aCol: String, bCol: String,
+      scoreE4: Column, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val dir = pairs
+      .select(col(aCol).as("id__"), col(bCol).as("nbr__"),
+        scoreE4.cast("long").as("s__"))
+      .union(pairs.select(col(bCol).as("id__"), col(aCol).as("nbr__"),
+        scoreE4.cast("long").as("s__")))
+    val best = dir
+      .groupBy(col("id__"))
+      .agg(max(struct(col("s__"), (-col("nbr__")).as("nn__")))
+        .as("b__"))
+      .select(col("id__"), (-col("b__.nn__")).as("nbr__"))
+    val lab = labels.select(col(idCol).cast("long").as("id__"),
+      col(labelCol).cast("long").as("l__"))
+    best
+      .join(lab, Seq("id__"))
+      .join(lab.select(col("id__").as("nbr__"), col("l__").as("nl__")),
+        Seq("nbr__"))
+      .groupBy(col("l__").as("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("l__") === col("nl__"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select(col("label"), col("n_nodes"), col("n_agree"),
+        ExactRound.ratioScaled(col("n_agree"), col("n_nodes"), 6)
+          .as("purity_e6"))
+  }
+
   /** Decile LIFT / cumulative-GAIN table — the model-eval sheet next
     * to q215's ROC-AUC and q203's calibration: rows ranked by score
     * descending and cut into `buckets` equal-count slices; per slice

@@ -469,6 +469,25 @@ class Round15OpsSpec extends SparkSpec {
     assert(got == Map(1L -> (8L, 4L, 3L, 500000L)))
   }
 
+  test("neighborLabelPurity: best-neighbor argmax with smallest-id " +
+    "ties; nodes without pairs are absent") {
+    // pairs: (1,2,9000) (1,3,9000) tie -> node1's nbr = 2;
+    // (4,5,5000); node 6 isolated
+    val pairs = Seq((1L, 2L, 9000L), (1L, 3L, 9000L), (4L, 5L, 5000L))
+      .toDF("a", "b", "s")
+    val labels = Seq((1L, 10), (2L, 10), (3L, 20), (4L, 10), (5L, 20),
+      (6L, 10)).toDF("vec_id", "label")
+    val got = EvalMetrics.neighborLabelPurity(pairs, "a", "b",
+        col("s"), labels, "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // label 10: nodes 1 (nbr 2, agree), 2 (nbr 1, agree), 4 (nbr 5,
+    // disagree) -> 3 nodes 2 agree; label 20: 3 (nbr 1, disagree),
+    // 5 (nbr 4, disagree)
+    assert(got(10L) == (3L, 2L, 666667L))
+    assert(got(20L) == (2L, 0L, 0L))
+  }
+
   test("kCore: pendant chain peels over successive rounds, the " +
     "triangle core survives") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
