@@ -2459,6 +2459,120 @@ object SparkEntry {
         "id_a", "id_b", round(col("cosine") * 10000),
         T(s, dir, "embeddings"), "vec_id", "label")),
 
+    // ---- privacy: t-CLOSENESS EMD per (nation, segment) class —
+    // q131's k/l flags don't see a class whose acctbal DISTRIBUTION
+    // skews; ordered-distance EMD vs the global distribution over
+    // 1000-dollar buckets (shifted positive so both engines' integer
+    // division agrees), exact e6 through one decimal accumulator.
+    "q283_tcloseness" -> ((s, dir) =>
+      PrivacyAudit.tCloseness(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("(cast(round(c_acctbal * 100, 0) as long) + 100000)" +
+          " div 100000"))),
+
+    // ---- graph: common-neighbor LINK PREDICTION over the 1-NN
+    // best-neighbor graph of the 0.3 near-dup surface (q282's argmax
+    // edges — the thresholded graph itself is a union of cliques on
+    // generated near-dups, with zero open wedges at every threshold,
+    // so the sparser 1-NN stars are the real candidate surface):
+    // non-adjacent sibling pairs with the neighborhood-Jaccard e6
+    // score, the "which pairs did the 1-NN edge set miss?" queue.
+    "q284_link_prediction" -> ((s, dir) =>
+      GraphRank.linkPrediction(
+        GraphRank.bestNeighborEdges(
+          lshNearDupPairs(s, dir, threshold = 0.3), "id_a", "id_b",
+          round(col("cosine") * 10000)),
+        "u", "v")),
+
+    // ---- monitoring: ROLLING 7-day OLS slope per event type —
+    // q120's moving average says where the level is; this says how
+    // fast it's moving (events/day of drift, signed e6 via Cramer on
+    // integer window sums), the decay detector a whole-series fit
+    // (q116) smears out.
+    "q285_rolling_slope" -> ((s, dir) =>
+      EventAnalytics.rollingSlope(T(s, dir, "events"), "event_type",
+        "ts", windowRows = 7)),
+
+    // ---- data-eng: calendar DENSIFY + forward fill — every type ×
+    // every horizon day, zero-filled counts, days-since-observed, and
+    // the carried last observed daily max(value): the gap-filling
+    // pass that makes "7 rows = 7 days" true for q120/q264/q276.
+    "q286_densify_ffill" -> ((s, dir) =>
+      EventAnalytics.densifyDaily(T(s, dir, "events"), "event_type",
+        "ts", "value")),
+
+    // ---- eval: RANK-BIASED OVERLAP per source — do the by-chars and
+    // by-words top-10 doc rankings agree where it matters? RBO_min at
+    // p=0.9 as exact floored-e6 rational terms (Webber et al. 2010),
+    // the top-weighted cousin of q240's Spearman.
+    "q287_rbo" -> ((s, dir) =>
+      EvalMetrics.rankBiasedOverlap(
+        T(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars"),
+          size(TextFns.words(col("text"))).cast("long").as("nw__")),
+        "source", "doc_id", col("n_chars"), col("nw__"),
+        depth = 10, pNum = 9L, pDen = 10L)),
+
+    // ---- multimodal: OTSU threshold per q267 synth PPM — the luma
+    // value maximizing between-class variance on the q275 two-stage
+    // integer ladder, (score DESC, value ASC) argmax: the bimodality
+    // / binarization card next to the contrast card.
+    "q288_otsu_card" -> ((s, dir) => {
+      val ppm = T(s, dir, "documents")
+        .filter(length(col("text")) >= 96 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"),
+          concat(lit("P6\n8 4\n255\n".getBytes("UTF-8")),
+            substring(col("text"), 1, 96).cast("binary")).as("payload"))
+      Multimodal.otsuCard(
+        Multimodal.lumaPixels(ppm, "doc_id", "payload"), "doc_id", "l")
+    }),
+
+    // ---- streaming: A→B PATTERN DETECTION — every purchase matched
+    // live to the latest view strictly before it within 1 h (q273's
+    // attribution anchor as an O(1)-state flatMapGroupsWithState);
+    // q243's time-quartile file feed, batch-SQL oracle.
+    "q289_stream_pattern" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("tsNanos"),
+          col("event_id").cast("long").as("eventId"),
+          col("event_type").as("etype"))
+      val mm = ev.agg(min(col("tsNanos")).as("mn"),
+        max(col("tsNanos")).as("mx"))
+      val batched = ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("tsNanos") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("key"), col("tsNanos"), col("eventId"),
+          col("etype"), col("b"))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q289-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream
+        .schema("key STRING, tsNanos LONG, eventId LONG, etype STRING")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .as[graft.streaming.Streams.TypedEvent]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q289-out").toString
+      val q = graft.streaming.Streams
+        .streamingPatternDetect(src, aType = "view",
+          bType = "purchase", windowNanos = 3600L * 1000000000L)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/hits")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/hits")
+        .select(col("key").cast("long").as("user_id"),
+          col("a_event_id"), col("b_event_id"), col("gap_nanos"))
+    }),
+
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
     // Jaccard pairs from the prefix-filtered join at 0.25, counted at
     // each candidate cutoff (pairs + distinct docs touched): the
@@ -7724,6 +7838,213 @@ object SparkEntry {
          |    AS share_after_e6
          |FROM per""".stripMargin
     },
+
+    // q283: class×value grid with zero-fill, per-class cumulative vs
+    // global cumulative, HUGEINT |cumC·N − cumG·n_c| sum, one e6
+    // division by n_c·N·(m−1)
+    "q283_tcloseness" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH b AS (SELECT c_nationkey AS qn, c_mktsegment AS qs,
+         |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+         |      // 100000 AS v
+         |  FROM customer),
+         |cv AS (SELECT qn, qs, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         |cls AS (SELECT qn, qs, CAST(sum(c) AS BIGINT) AS cs
+         |  FROM cv GROUP BY 1, 2),
+         |gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS g FROM cv
+         |  GROUP BY 1),
+         |gc AS (SELECT v, CAST(sum(g) OVER (ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg FROM gv),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS m FROM gv),
+         |grid AS (SELECT cls.qn, cls.qs, cls.cs, gc.v, gc.cumg,
+         |    coalesce(cv.c, 0) AS c
+         |  FROM cls CROSS JOIN gc
+         |  LEFT JOIN cv ON cv.qn = cls.qn AND cv.qs = cls.qs
+         |    AND cv.v = gc.v),
+         |cum AS (SELECT qn, qs, cs, cumg,
+         |    sum(c) OVER (PARTITION BY qn, qs ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cumc FROM grid),
+         |d AS (SELECT qn, qs, cs,
+         |    sum(abs(CAST(cumc AS HUGEINT) * tot.nn
+         |      - CAST(cumg AS HUGEINT) * cs)) AS dev,
+         |    max(tot.nn) AS nn, max(tot.m) AS m
+         |  FROM cum CROSS JOIN tot GROUP BY 1, 2, 3)
+         |SELECT qn AS c_nationkey, qs AS c_mktsegment,
+         |  cs AS class_size,
+         |  ${ratioScaledSql("dev",
+             "CAST(cs AS HUGEINT) * nn * (m - 1)", 6)} AS emd_e6
+         |FROM d""".stripMargin
+    },
+
+    // q284: q282's (c DESC, nbr ASC) argmax as canonical 1-NN edges,
+    // wedges over the symmetric edge set, NOT EXISTS against the
+    // canonical pairs, neighborhood Jaccard e6
+    "q284_link_prediction" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ${lshPairCtes("0.3")},
+         |dr AS (SELECT id_a AS id, id_b AS nbr,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
+         |  UNION ALL SELECT id_b, id_a,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) FROM p),
+         |best AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, nbr ASC) AS rn FROM dr)
+         |  WHERE rn = 1),
+         |cp AS (SELECT DISTINCT least(id, nbr) AS a,
+         |    greatest(id, nbr) AS b FROM best),
+         |es AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+         |deg AS (SELECT a AS node, count(*) AS d FROM es GROUP BY 1),
+         |cand AS (SELECT w1.b AS u, w2.b AS v, count(*) AS cn
+         |  FROM es w1 JOIN es w2 ON w2.a = w1.a AND w1.b < w2.b
+         |  GROUP BY 1, 2),
+         |ne AS (SELECT cand.u, cand.v, cand.cn FROM cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM cp
+         |    WHERE cp.a = cand.u AND cp.b = cand.v))
+         |SELECT ne.u AS id_a, ne.v AS id_b,
+         |  ne.cn AS common_neighbors, du.d AS deg_a, dv.d AS deg_b,
+         |  ${ratioScaledSql("ne.cn", "du.d + dv.d - ne.cn", 6)}
+         |    AS jaccard_e6
+         |FROM ne JOIN deg du ON du.node = ne.u
+         |JOIN deg dv ON dv.node = ne.v""".stripMargin
+    },
+
+    // q285: daily tally, 7-row window sums, signed Cramer ladder in
+    // HUGEINT (den >= 0 by Cauchy-Schwarz; 1-row windows read 0)
+    "q285_rolling_slope" -> {
+      import graft.functions.ExactRound.ratioScaledSignedSql
+      s"""WITH d AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT t, day, y,
+         |    count(*) OVER w AS n, sum(day) OVER w AS sx,
+         |    sum(y) OVER w AS sy, sum(day * y) OVER w AS sxy,
+         |    sum(day * day) OVER w AS sxx
+         |  FROM d WINDOW w AS (PARTITION BY t ORDER BY day
+         |    ROWS 6 PRECEDING))
+         |SELECT t AS event_type, day, y AS n_events,
+         |  CAST(n AS BIGINT) AS win_rows,
+         |  ${ratioScaledSignedSql(
+             "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy",
+             "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx", 6)}
+         |    AS slope_e6
+         |FROM w""".stripMargin
+    },
+
+    // q286: type x generate_series calendar off the 1-row horizon,
+    // zero-fill, IGNORE NULLS carries for the anchor day and the
+    // observed daily max (a selection - bit-exact across engines)
+    "q286_densify_ffill" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS n, max(value) AS vmax
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT ty.t, CAST(unnest(range(h.d0, h.d1 + 1))
+        |    AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT t FROM d) ty CROSS JOIN h),
+        |j AS (SELECT cal.t, cal.day, d.n, d.vmax FROM cal
+        |  LEFT JOIN d ON d.t = cal.t AND d.day = cal.day),
+        |f AS (SELECT t, day, CAST(coalesce(n, 0) AS BIGINT)
+        |      AS n_events,
+        |    n IS NOT NULL AS observed,
+        |    last_value(CASE WHEN n IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER w AS anchor,
+        |    last_value(vmax IGNORE NULLS) OVER w AS carry_max
+        |  FROM j WINDOW w AS (PARTITION BY t ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT t AS event_type, day, n_events, observed,
+        |  coalesce(day - anchor, -1) AS days_since_obs, carry_max
+        |FROM f""".stripMargin,
+
+    // q287: (score DESC, doc_id ASC) top-10 prefixes per source,
+    // overlap-at-depth via the max-rank trick, per-depth floored e6
+    // terms (9^(d-1)/10^d exact rationals), zero-overlap sources
+    // restored by the left join
+    "q287_rbo" -> {
+      def powL(b: Long, e: Int): Long =
+        (1 to e).foldLeft(1L)((a, _) => a * b)
+      val ovs = (1 to 10).map(d =>
+        s"CAST(sum(CASE WHEN md <= $d THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS ov$d").mkString(",\n    ")
+      val terms = (1 to 10).map(d =>
+        s"(${1000000L * powL(9L, d - 1)} * coalesce(ov$d, 0)) " +
+          s"// ${powL(10L, d) * d}").mkString("\n    + ")
+      s"""WITH b AS (SELECT source, doc_id, n_chars,
+         |    $qNWords AS nw FROM documents),
+         |ra AS (SELECT source, doc_id, row_number() OVER
+         |    (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+         |    AS r FROM b QUALIFY r <= 10),
+         |rb AS (SELECT source, doc_id, row_number() OVER
+         |    (PARTITION BY source ORDER BY nw DESC, doc_id ASC)
+         |    AS r FROM b QUALIFY r <= 10),
+         |j AS (SELECT ra.source, greatest(ra.r, rb.r) AS md
+         |  FROM ra JOIN rb ON rb.source = ra.source
+         |    AND rb.doc_id = ra.doc_id),
+         |ag AS (SELECT source,
+         |    $ovs
+         |  FROM j GROUP BY 1)
+         |SELECT g.source, coalesce(ag.ov10, 0) AS overlap_at_depth,
+         |  ($terms) AS rbo_min_e6
+         |FROM (SELECT DISTINCT source FROM b) g
+         |LEFT JOIN ag ON ag.source = g.source""".stripMargin
+    },
+
+    // q288: the q267 luma chain, per-image (value, count) tally,
+    // cumulative vs total window sums, the q275 two-stage HUGEINT
+    // ladder, (score DESC, v ASC) argmax
+    "q288_otsu_card" ->
+      """WITH pxv AS (SELECT doc_id,
+        |    (idx.i - 1) // 3 AS px, (idx.i - 1) % 3 AS ch,
+        |    ascii(substring(text, CAST(idx.i AS INTEGER), 1)) AS b
+        |  FROM documents, (SELECT unnest(range(1, 97)) AS i) idx
+        |  WHERE length(text) >= 96 AND strlen(text) = length(text)),
+        |lum AS (SELECT doc_id, px,
+        |    CAST(sum(CASE ch WHEN 0 THEN 2126 * b
+        |      WHEN 1 THEN 7152 * b ELSE 722 * b END) AS BIGINT) AS l
+        |  FROM pxv GROUP BY 1, 2),
+        |g AS (SELECT doc_id, l AS v, count(*) AS cnt FROM lum
+        |  GROUP BY 1, 2),
+        |c AS (SELECT doc_id, v,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cumn,
+        |    CAST(sum(v * cnt) OVER w AS BIGINT) AS cums,
+        |    CAST(sum(cnt) OVER p AS BIGINT) AS n,
+        |    CAST(sum(v * cnt) OVER p AS BIGINT) AS s
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING),
+        |    p AS (PARTITION BY doc_id)),
+        |d AS (SELECT doc_id, v, cumn, n,
+        |    abs(CAST(cums AS HUGEINT) * (n - cumn)
+        |      - CAST(s - cums AS HUGEINT) * cumn) AS dd
+        |  FROM c WHERE n - cumn > 0),
+        |sc AS (SELECT doc_id, v, cumn, n,
+        |    (((dd * 1000000) // (CAST(cumn AS HUGEINT) * (n - cumn)))
+        |      * dd) // (CAST(n AS HUGEINT) * n * 1000000) AS score
+        |  FROM d),
+        |bb AS (SELECT doc_id, v, cumn, n, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, v ASC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, n AS n_px, v AS otsu_l, cumn AS n_below,
+        |  CAST(score AS BIGINT) AS score_between
+        |FROM bb WHERE rn = 1""".stripMargin,
+
+    // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
+    // view within the hour — "latest A if within window" = "latest A
+    // within window" since older As only widen the gap
+    "q289_stream_pattern" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS ts,
+        |    event_id AS id, event_type AS t FROM events
+        |  WHERE user_id IS NOT NULL),
+        |bb AS (SELECT u, ts, id FROM e WHERE t = 'purchase'),
+        |aa AS (SELECT u, ts, id FROM e WHERE t = 'view'),
+        |m AS (SELECT bb.u, aa.id AS a_event_id, bb.id AS b_event_id,
+        |    bb.ts - aa.ts AS gap_nanos,
+        |    row_number() OVER (PARTITION BY bb.id
+        |      ORDER BY aa.ts DESC, aa.id DESC) AS rn
+        |  FROM bb JOIN aa ON aa.u = bb.u AND aa.ts < bb.ts
+        |    AND bb.ts - aa.ts <= 3600000000000)
+        |SELECT u AS user_id, a_event_id, b_event_id, gap_nanos
+        |FROM m WHERE rn = 1""".stripMargin,
 
     // q277: q22's exact pair surface at the 0.25 floor (double ratio
     // compare is safe: integer operands, nearest tie exactly

@@ -387,4 +387,59 @@ object EvalMetrics {
         ExactRound.ratioScaled(col("cum_pos__"), col("pos_total__"), 6)
           .as("cum_gain_e6"))
   }
+
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010) between
+    * two rankings of the same items, per group — the
+    * top-weighted "do these two orderings agree where it matters?"
+    * score next to [[graft.operators.GroupStats.spearman]]'s
+    * whole-list correlation: RBO = (1−p)·Σ_d p^(d−1)·overlap_d/d,
+    * truncated at `depth` (the RBO_min lower bound; the geometric
+    * tail is the unknowable extrapolation and is NOT added).
+    *
+    * Exactness: with p = pNum/pDen rational, each depth term
+    * (1−p)·p^(d−1)·ov_d/d = pNum^(d−1)·(pDen−pNum)·ov_d /
+    * (pDen^d·d) is an exact integer rational; terms ship FLOORED at
+    * e6 (integer `div`, mirrored by the oracle's `//`) and summed —
+    * per-term flooring is order-independent, so the result is
+    * engine-exact. Rankings are (score DESC, id ASC) — totally
+    * ordered via the unique id, so prefixes cannot flap on ties.
+    *
+    * Shape at scale: two [[RankOps.groupTopK]] rank-filter passes
+    * (Catalyst's WindowGroupLimit keeps a size-`depth` heap per group
+    * map-side), one join of two ≤depth·|groups| tables, `depth`
+    * conditional aggregates, zero-overlap groups restored by a left
+    * join from the distinct-group table. */
+  def rankBiasedOverlap(df: DataFrame, groupCol: String, idCol: String,
+      scoreA: Column, scoreB: Column, depth: Int = 10,
+      pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    // depth cap keeps 1e6·pNum^(depth−1)·(pDen−pNum)·ov inside long
+    // (at p = 9/10, depth 12: ~3.7e17 < 2^63)
+    require(depth >= 1 && depth <= 12, "depth must be in [1, 12]")
+    require(0 < pNum && pNum < pDen, "need 0 < pNum < pDen")
+    val base = df.select(col(groupCol).as("g__"), col(idCol).as("id__"),
+      scoreA.as("sa__"), scoreB.as("sb__"))
+    val ra = RankOps.groupTopK(base, Seq("g__"), depth, col("sa__"),
+        Seq(col("id__")), rankCol = "ra__")
+      .select(col("g__"), col("id__"), col("ra__"))
+    val rb = RankOps.groupTopK(base, Seq("g__"), depth, col("sb__"),
+        Seq(col("id__")), rankCol = "rb__")
+      .select(col("g__"), col("id__"), col("rb__"))
+    val joined = ra.join(rb, Seq("g__", "id__"))
+      .select(col("g__"), greatest(col("ra__"), col("rb__")).as("md__"))
+    val ovAggs = (1 to depth).map(d =>
+      sum(when(col("md__") <= d, 1L).otherwise(0L)).cast("long")
+        .as(s"ov__$d"))
+    val ag = joined.groupBy(col("g__")).agg(ovAggs.head, ovAggs.tail: _*)
+    def powL(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b)
+    val terms = (1 to depth).map { d =>
+      val num = lit(1000000L * powL(pNum, d - 1) * (pDen - pNum)) *
+        coalesce(col(s"ov__$d"), lit(0L))
+      call_function("div", num, lit(powL(pDen, d) * d))
+    }
+    base.select(col("g__")).distinct()
+      .join(ag, Seq("g__"), "left")
+      .select(col("g__").as(groupCol),
+        coalesce(col(s"ov__$depth"), lit(0L)).as("overlap_at_depth"),
+        terms.reduce(_ + _).as("rbo_min_e6"))
+  }
 }

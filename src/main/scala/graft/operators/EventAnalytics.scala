@@ -681,6 +681,88 @@ object EventAnalytics {
     np.join(nu, Seq("type_x", "type_y"))
   }
 
+  /** ROLLING OLS trend slope per event type — the windowed sibling of
+    * [[graft.operators.GroupStats.olsTrend]]'s whole-series fit and of
+    * [[rollingDailyMetrics]]' moving average: over the last
+    * `windowRows` OBSERVED days (rows frame, the [[burstHours]]
+    * convention), the least-squares slope of daily count on day,
+    * signed exact e6 via Cramer's rule on integer window sums —
+    * events/day of drift, the "is this source decaying right now?"
+    * monitor that a whole-series fit smears out.
+    *
+    * Denominator n·Σx² − (Σx)² is ≥ 0 by Cauchy–Schwarz and 0 only
+    * for a 1-row window, which reads slope 0 by the zero-denominator
+    * convention. Shape at scale: one daily aggregate shuffle, one
+    * bounded per-type window (cardinality days×types); the sums stay
+    * in long (|Σxy| ≤ rows·day·count ≪ 2^63), the Cramer products in
+    * DECIMAL(38,0). */
+  def rollingSlope(events: DataFrame, typeCol: String,
+      tsNanosCol: String, windowRows: Int = 7): DataFrame = {
+    require(windowRows >= 2, "windowRows must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y__"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    daily
+      .withColumn("n__", count(lit(1)).over(w))
+      .withColumn("sx__", sum(col("day")).over(w))
+      .withColumn("sy__", sum(col("y__")).over(w))
+      .withColumn("sxy__", sum(col("day") * col("y__")).over(w))
+      .withColumn("sxx__", sum(col("day") * col("day")).over(w))
+      .select(col("event_type"), col("day"), col("y__").as("n_events"),
+        col("n__").cast("long").as("win_rows"),
+        graft.functions.ExactRound.ratioScaledSigned(
+          dec(col("n__")) * col("sxy__") - dec(col("sx__")) * col("sy__"),
+          dec(col("n__")) * col("sxx__") - dec(col("sx__")) * col("sx__"),
+          6).as("slope_e6"))
+  }
+
+  /** Calendar DENSIFY + forward-fill per event type — the gap-filling
+    * pass a daily-series consumer (rolling windows, EWMA, WoW cards)
+    * needs before trusting "7 rows = 7 days": every type × every
+    * calendar day of the corpus horizon, zero-filled counts, the
+    * observed flag, days since the last observed day (−1 before the
+    * first), and the forward-carried last observed daily max of
+    * `valueCol` (a selection, not a sum — bit-exact across engines).
+    *
+    * Shape at scale: the calendar is |types| × |days| — days bounded
+    * by the horizon (years, not data volume), so the sequence-explode
+    * off a broadcast 1-row horizon is safe by construction; one daily
+    * aggregate shuffle plus one per-type ordered window. */
+  def densifyDaily(events: DataFrame, typeCol: String,
+      tsNanosCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"),
+        col(valueCol).as("v__"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n__"), max(col("v__")).as("vmax__"))
+    val horizon = daily.agg(min(col("day")).as("d0__"),
+      max(col("day")).as("d1__"))
+    val cal = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        explode(sequence(col("d0__"), col("d1__"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("anchor__",
+        last(when(col("n__").isNotNull, col("day")), ignoreNulls = true)
+          .over(w))
+      .select(col("event_type"), col("day"),
+        coalesce(col("n__"), lit(0L)).as("n_events"),
+        col("n__").isNotNull.as("observed"),
+        coalesce(col("day") - col("anchor__"), lit(-1L))
+          .as("days_since_obs"),
+        last(col("vmax__"), ignoreNulls = true).over(w).as("carry_max"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic integer-scaled PageRank over an edge list — the
@@ -92,6 +92,79 @@ object GraphRank {
       .select(col("node"), col("degree"), col("triangles"),
         ExactRound.ratioScaled(col("triangles") * 2,
           col("degree") * (col("degree") - 1L), 6).as("clustering_e6"))
+  }
+
+  /** Common-neighbor LINK PREDICTION over an undirected graph — for
+    * every NON-adjacent node pair sharing at least one neighbor: the
+    * common-neighbor count and the exact e6 Jaccard of the two
+    * neighborhoods (Liben-Nowell & Kleinberg 2003's two classical
+    * unsupervised scores) — the "which near-dup pairs did the
+    * threshold miss?" / "who should be linked next?" card over a
+    * dedup or interaction graph.
+    *
+    * Shape at scale: candidates come only from wedge enumeration
+    * (adjacency self-joined on the shared center), never from an
+    * all-pairs product; wedge volume is Σ_c d_c·(d_c−1)/2, bounded for
+    * banded near-dup graphs where per-node degree is capped by the
+    * candidate generator. For hub-heavy graphs, cap the center degree
+    * upstream (the q225 bucket-cap pattern) before calling. One
+    * shuffle for the wedge join, one for the pair count, a left-anti
+    * against the (cached) edge set, and two broadcast-able degree
+    * joins. */
+  /** The 1-NN BEST-NEIGHBOR edge set of a scored pair surface — per
+    * node (pairs doubled to both directions), the single neighbor with
+    * the highest score, ties to the smallest neighbor id (the
+    * [[graft.operators.EvalMetrics.neighborLabelPurity]] argmax,
+    * exposed as a graph constructor): each node's outgoing 1-NN choice
+    * as a canonical undirected edge. Thresholded similarity graphs
+    * over generated near-dup corpora are unions of cliques —
+    * transitively closed, no open wedges — so graph analytics that
+    * need non-adjacent candidate pairs ([[linkPrediction]]) run on
+    * THIS sparser surface, where popular neighbors form stars.
+    * One struct-max argmax per node, map-side combinable. */
+  def bestNeighborEdges(pairs: DataFrame, aCol: String, bCol: String,
+      scoreE4: Column): DataFrame = {
+    val dir = pairs
+      .select(col(aCol).as("id__"), col(bCol).as("nbr__"),
+        scoreE4.cast("long").as("s__"))
+      .union(pairs.select(col(bCol).as("id__"), col(aCol).as("nbr__"),
+        scoreE4.cast("long").as("s__")))
+    dir.groupBy(col("id__"))
+      .agg(max(struct(col("s__"), (-col("nbr__")).as("nn__"))).as("b__"))
+      .select(least(col("id__"), -col("b__.nn__")).as("u"),
+        greatest(col("id__"), -col("b__.nn__")).as("v"))
+      .distinct()
+  }
+
+  def linkPrediction(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val e = graft.Caches.register(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist())
+    val adj = e.select(col("u").as("c__"), col("v").as("n__"))
+      .union(e.select(col("v").as("c__"), col("u").as("n__")))
+    val deg = graft.Caches.register(adj
+      .groupBy(col("c__").as("node")).agg(count(lit(1)).as("degree"))
+      .persist())
+    adj.select(col("c__"), col("n__").as("u"))
+      .join(adj.select(col("c__"), col("n__").as("v")), Seq("c__"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("degree").as("deg_a")),
+        "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("deg_b")),
+        "v")
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        col("common_neighbors"), col("deg_a"), col("deg_b"),
+        ExactRound.ratioScaled(col("common_neighbors"),
+          col("deg_a") + col("deg_b") - col("common_neighbors"), 6)
+          .as("jaccard_e6"))
   }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,

@@ -731,6 +731,90 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-PIXEL luma rows for P6/PPM payloads — (id, l) with the
+    * [[contrastCard]] BT.709 integer luma per pixel: the exploded
+    * form distribution analyses (histograms, [[otsuCard]]) aggregate,
+    * where the card operators fold in-place. Non-PPM / corrupt
+    * payloads contribute no rows. Narrow per-partition flatMap; row
+    * volume = pixels, bounded by the caller's image dimensions. */
+  def lumaPixels(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("l", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions(_.flatMap { row =>
+      val p =
+        if (row.isNullAt(pIdx)) Array.empty[Byte]
+        else row.getAs[Array[Byte]](pIdx)
+      if (p.length >= 2 && (p(0) & 0xff) == 'P' && (p(1) & 0xff) == '6')
+        parsePpmHeader(p).toSeq.flatMap { case (w, h, off) =>
+          if (off + w * h * 3 > p.length) Seq.empty[Row]
+          else (0 until w * h).map { i =>
+            val o = off + 3 * i
+            Row(row.getLong(idIdx),
+              2126L * (p(o) & 0xff) + 7152L * (p(o + 1) & 0xff) +
+                722L * (p(o + 2) & 0xff))
+          }
+        }
+      else Seq.empty[Row]
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** OTSU binarization threshold per image (Otsu 1979) — over the
+    * [[lumaPixels]] rows: the luma value that maximizes between-class
+    * variance σ²_B = (s0·n1 − s1·n0)² / (n²·n0·n1), computed on the
+    * q275 gini-stump two-stage integer ladder (d·10⁶ div n0·n1, times
+    * d again, div n²·10⁶ — all DECIMAL(38,0), no floats) with the
+    * (score DESC, value ASC) argmax: the document-vs-background
+    * separator quality card for scanned/synthetic image QA ("is there
+    * a bimodal split at all, and where?"). Thresholds with an empty
+    * right class are excluded (zero denominator); an image whose
+    * pixels are all one value emits no row.
+    *
+    * Shape at scale: one (id, value) tally shuffle, one per-image
+    * cumulative window over ≤ distinct-values rows (bounded by
+    * pixels/image), one struct-max argmax — no driver state. */
+  def otsuCard(pixels: DataFrame, idCol: String,
+      lCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = pixels
+      .groupBy(col(idCol), col(lCol).as("v__"))
+      .agg(count(lit(1)).as("cnt__"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = Window.partitionBy(col(idCol))
+    val sc = g
+      .withColumn("cumn__", sum(col("cnt__")).over(w).cast("long"))
+      .withColumn("cums__",
+        sum(col("v__") * col("cnt__")).over(w).cast("long"))
+      .withColumn("n__", sum(col("cnt__")).over(p).cast("long"))
+      .withColumn("s__",
+        sum(col("v__") * col("cnt__")).over(p).cast("long"))
+      .filter(col("n__") - col("cumn__") > 0)
+      .withColumn("d__",
+        abs(dec(col("cums__")) * (col("n__") - col("cumn__")) -
+          dec(col("s__") - col("cums__")) * col("cumn__")))
+      .withColumn("score__",
+        call_function("div",
+          call_function("div", col("d__") * lit(1000000L),
+            dec(col("cumn__")) * (col("n__") - col("cumn__"))) *
+            col("d__"),
+          dec(col("n__")) * col("n__") * lit(1000000L)).cast("long"))
+    sc.groupBy(col(idCol))
+      .agg(first(col("n__")).as("n_px"),
+        max(struct(col("score__"), (-col("v__")).as("nv__"),
+          col("cumn__").as("nb__"))).as("b__"))
+      .select(col(idCol), col("n_px"),
+        (-col("b__.nv__")).as("otsu_l"),
+        col("b__.nb__").as("n_below"),
+        col("b__.score__").as("score_between"))
+  }
+
   val contrastCardSchema: StructType = StructType(Seq(
     StructField("n_px", LongType, nullable = true),
     StructField("sum_l", LongType, nullable = true),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-anonymity / l-diversity audit — the privacy QA pass a dataset
@@ -32,5 +32,66 @@ object PrivacyAudit {
         col("n_sensitive"),
         (col("class_size") >= k).as("k_anonymous"),
         (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung after [[kAnonymity]]'s k/l flags: even an l-diverse
+    * class leaks when its sensitive-value DISTRIBUTION diverges from
+    * the table's ("this zip code skews rich"). Per equivalence class,
+    * the Earth Mover's Distance between the class's distribution of an
+    * ORDERED sensitive attribute (pre-bucketed to integer units by the
+    * caller) and the global distribution, under the standard
+    * equal-spacing ground distance: with the m distinct global values
+    * in order, EMD = (1/(m-1)) · Σ_i |Σ_{j<=i} (p_j − q_j)| — the
+    * normalized sum of absolute cumulative-probability gaps.
+    *
+    * Exact integer lineage: each gap is |cumC·N − cumG·n_c| / (n_c·N),
+    * so the per-class sum is one DECIMAL(38,0) accumulator and the
+    * single final division ships as the half-up `emd_e6` long (0 when
+    * m = 1, the zero-denominator convention — one global value means
+    * nothing to leak).
+    *
+    * Shape at scale: the class×value grid is |classes|·m rows (m is
+    * bounded by the caller's bucketing, so the cross join broadcasts
+    * m rows), one per-class cumulative window over that grid, and a
+    * 1-row broadcast of the corpus totals. The global cumulative runs
+    * over the m-row value table only — a bounded single-partition
+    * window, not a data-sized one. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveUnits: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ExactRound
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val q = quasiCols.map(col)
+    val cv = df
+      .select(q :+ sensitiveUnits.cast("long").as("v__"): _*)
+      .groupBy(q :+ col("v__"): _*)
+      .agg(count(lit(1)).as("c__"))
+    val cls = cv.groupBy(q: _*)
+      .agg(sum(col("c__")).cast("long").as("class_size"))
+    val gv = cv.groupBy(col("v__"))
+      .agg(sum(col("c__")).cast("long").as("g__"))
+    val wg = Window.orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gv.select(col("v__"),
+      sum(col("g__")).over(wg).cast("long").as("cumg__"))
+    val tot = gv.agg(sum(col("g__")).cast("long").as("n__"),
+      count(lit(1)).cast("long").as("m__"))
+    val wc = Window.partitionBy(q: _*).orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cls
+      .crossJoin(broadcast(gcum))
+      .join(cv, quasiCols :+ "v__", "left")
+      .withColumn("cc__", coalesce(col("c__"), lit(0L)))
+      .withColumn("cumc__", sum(col("cc__")).over(wc).cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy(q :+ col("class_size") :+ col("n__") :+ col("m__"): _*)
+      .agg(sum(abs(col("cumc__").cast("decimal(38,0)") * col("n__")
+        - col("cumg__").cast("decimal(38,0)") * col("class_size")))
+        .as("dev__"))
+      .select(q ++ Seq(col("class_size"),
+        ExactRound.ratioScaledBig(col("dev__"),
+          col("class_size").cast("decimal(38,0)") * col("n__")
+            * (col("m__") - lit(1L)), 6).as("emd_e6")): _*)
   }
 }

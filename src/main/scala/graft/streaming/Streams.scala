@@ -153,6 +153,59 @@ object Streams {
       }
   }
 
+  case class TypedEvent(key: String, tsNanos: Long, eventId: Long,
+    etype: String)
+  case class PatternState(aTs: Long, aId: Long)
+  case class PatternHit(key: String, a_event_id: Long,
+    b_event_id: Long, gap_nanos: Long)
+
+  /** Streaming A→B PATTERN DETECTION — per key, every `bType` event
+    * matched to the LATEST `aType` event STRICTLY before it and
+    * within `windowNanos` (the streaming twin of the q237/q273
+    * attribution anchor: "which view triggered this purchase, live?").
+    * A events are NOT consumed — several Bs may share an anchor.
+    *
+    * Determinism: events are processed in (tsNanos, eventId) order
+    * (batch-internal sort; the feed contract is time-ordered batches,
+    * the [[streamingThrottle]] harness), and "latest A" is the max
+    * (ts, id) A seen so far — an equal-timestamp A is excluded by the
+    * strict >, whichever side of the sort it lands on. Because any
+    * older A has a strictly larger gap, "latest A, if within window"
+    * equals "latest A within window", so the batch mirror is the
+    * row_number()=1 pick over (a.ts DESC, a.id DESC).
+    *
+    * State is O(1) per key — the single latest-A (ts, id) pair — so
+    * the detector is watermark-free by construction; at 100 TB/day
+    * the state store holds |keys| fixed-size entries. */
+  def streamingPatternDetect(
+      events: org.apache.spark.sql.Dataset[TypedEvent], aType: String,
+      bType: String, windowNanos: Long)
+      : org.apache.spark.sql.Dataset[PatternHit] = {
+    require(windowNanos >= 1, "windowNanos must be >= 1")
+    require(aType != bType, "aType and bType must differ")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[PatternState, PatternHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[TypedEvent],
+            state: GroupState[PatternState]) =>
+          val out = Seq.newBuilder[PatternHit]
+          var lastA: Option[PatternState] = state.getOption
+          batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
+            if (e.etype == bType) lastA.foreach { a =>
+              if (e.tsNanos > a.aTs && e.tsNanos - a.aTs <= windowNanos)
+                out += PatternHit(key, a.aId, e.eventId,
+                  e.tsNanos - a.aTs)
+            }
+            if (e.etype == aType)
+              lastA = Some(PatternState(e.tsNanos, e.eventId))
+          }
+          lastA.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming EWMA daily series — the stateful twin of
     * [[graft.operators.EventAnalytics.ewmaDailySeries]] (q190): per
     * group, state is the trailing ring of observed (day, count)

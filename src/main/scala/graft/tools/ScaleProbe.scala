@@ -1071,6 +1071,60 @@ object ScaleProbe {
         Seq(2500L, 5000L, 7500L))
     }
 
+    time("tcloseness") {
+      // ~960 quasi classes x 50 ordered sensitive buckets: the
+      // class-value grid is bounded by construction
+      graft.operators.PrivacyAudit.tCloseness(
+        df.select(col("seg"), col("nat"),
+          pmod(xxhash64(col("id"), lit(99)), lit(50)).as("v")),
+        Seq("seg", "nat"), col("v"))
+    }
+    time("link_prediction") {
+      // n/4 hash edges over n/8 nodes (mean degree ~4): wedge volume
+      // stays linear-ish; candidate surface = open wedges only
+      val e = spark.range(n / 4).select(
+        pmod(xxhash64(col("id"), lit(101)), lit(n / 8)).as("a"),
+        pmod(xxhash64(col("id"), lit(102)), lit(n / 8)).as("b"))
+      graft.operators.GraphRank.linkPrediction(e, "a", "b")
+    }
+
+    time("rolling_slope") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(103)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(104)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.rollingSlope(ev, "t", "ts", 7)
+    }
+    time("densify_ffill") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(105)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(106)), lit(60)) *
+          86400000000000L).as("ts"),
+        (pmod(xxhash64(col("id"), lit(107)), lit(1000)) / 10.0)
+          .as("v"))
+      graft.operators.EventAnalytics.densifyDaily(ev, "t", "ts", "v")
+    }
+    time("rbo") {
+      // 1000 groups x ~2000 rows: the WindowGroupLimit heap keeps
+      // depth rows per group map-side
+      val d2 = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(108)), lit(1000)).as("g"),
+        col("id").as("item"),
+        pmod(xxhash64(col("id"), lit(109)), lit(1000000)).as("sa"),
+        pmod(xxhash64(col("id"), lit(110)), lit(1000000)).as("sb"))
+      graft.operators.EvalMetrics.rankBiasedOverlap(d2, "g", "item",
+        col("sa"), col("sb"), depth = 10)
+    }
+    time("otsu_card") {
+      // n pixels over n/64 images, 32 gray levels
+      val px = spark.range(n).select(
+        call_function("div", col("id"), lit(64L)).as("img"),
+        pmod(xxhash64(col("id"), lit(111)), lit(32)).as("l"))
+      graft.operators.Multimodal.otsuCard(px, "img", "l")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

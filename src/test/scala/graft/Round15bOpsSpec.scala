@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-15 second-wave operator semantics: t-closeness EMD,
+  * best-neighbor 1-NN edges, common-neighbor link prediction — each
+  * against a hand-computed fixture. */
+class Round15bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tCloseness: ordered EMD vs the global distribution, exact " +
+    "e6 half-up") {
+    // Class A values [1,1,2], class B [2,3,3,3]; global v1:2 v2:2
+    // v3:3, N=7, m=3. cumA = 2,3,3; cumB = 0,1,4; global cum 2,4,7.
+    // dev_A = |2*7-2*3| + |3*7-4*3| + 0 = 17 -> 17/(3*7*2) = 404762
+    // dev_B = |0*7-2*4| + |1*7-4*4| + 0 = 17 -> 17/(4*7*2) = 303571
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L),
+      ("B", 3L), ("B", 3L), ("B", 3L)).toDF("q", "v")
+    val got = PrivacyAudit.tCloseness(df, Seq("q"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("A") == (3L, 404762L))
+    assert(got("B") == (4L, 303571L))
+  }
+
+  test("tCloseness: a single global value (m = 1) reads 0 by the " +
+    "zero-denominator convention") {
+    val df = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("q", "v")
+    val got = PrivacyAudit.tCloseness(df, Seq("q"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("A" -> 0L, "B" -> 0L))
+  }
+
+  test("bestNeighborEdges: per-node argmax with smallest-id ties, " +
+    "canonical distinct edges") {
+    val pairs = Seq((1L, 2L, 9000L), (1L, 3L, 9000L), (4L, 5L, 5000L))
+      .toDF("a", "b", "s")
+    val got = GraphRank.bestNeighborEdges(pairs, "a", "b", col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 1 ties (2,3) -> 2; nodes 2 and 3 both pick 1; 4<->5
+    assert(got == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
+  test("linkPrediction: only NON-adjacent wedge pairs emit, with " +
+    "the exact neighborhood Jaccard") {
+    // Edges {12,13,14,23}: open wedge pairs are (2,4) and (3,4),
+    // each with 1 common neighbor (node 1); J = 1/(2+1-1) = 0.5.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val got = GraphRank.linkPrediction(e, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == Set((2L, 4L), (3L, 4L)))
+    assert(got((2L, 4L)) == (1L, 2L, 1L, 500000L))
+    assert(got((3L, 4L)) == (1L, 2L, 1L, 500000L))
+  }
+
+  test("rollingSlope: 2-row window Cramer slope, 1-row windows read " +
+    "0 by the zero-denominator convention") {
+    val day = 86400L * 1000000000L
+    // type a: day1 x1, day2 x3, day4 x5 -> slopes 0, 2e6, 1e6
+    val ev = (Seq.fill(1)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(5)(4L))
+      .map(d => ("a", d * day)).toDF("t", "ts")
+    val got = EventAnalytics.rollingSlope(ev, "t", "ts",
+        windowRows = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (1L, 1L, 0L))
+    assert(got(2L) == (3L, 2L, 2000000L))
+    assert(got(4L) == (5L, 2L, 1000000L))
+  }
+
+  test("rollingSlope: decreasing counts give a NEGATIVE signed slope") {
+    val day = 86400L * 1000000000L
+    val ev = (Seq.fill(5)(1L) ++ Seq.fill(1)(2L))
+      .map(d => ("a", d * day)).toDF("t", "ts")
+    val got = EventAnalytics.rollingSlope(ev, "t", "ts", windowRows = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(got(2L) == -4000000L)
+  }
+
+  test("densifyDaily: calendar gaps zero-fill, carry skips " +
+    "null-valued observed days, never-observed reads -1/null") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      ("a", 1L * day, Some(5.0)), ("a", 1L * day, Some(2.0)),
+      ("a", 3L * day, None), ("b", 4L * day, Some(7.0)))
+      .toDF("t", "ts", "v")
+    val got = EventAnalytics.densifyDaily(ev, "t", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got.size == 8) // 2 types x days 1..4
+    assert(got(("a", 1L)) == (2L, true, 0L, Some(5.0)))
+    assert(got(("a", 2L)) == (0L, false, 1L, Some(5.0)))
+    // day 3 observed but its max(v) is null -> carry stays 5.0
+    assert(got(("a", 3L)) == (1L, true, 0L, Some(5.0)))
+    assert(got(("a", 4L)) == (0L, false, 1L, Some(5.0)))
+    assert(got(("b", 1L)) == (0L, false, -1L, None))
+    assert(got(("b", 4L)) == (1L, true, 0L, Some(7.0)))
+  }
+
+  test("rankBiasedOverlap: identical, reversed, and single-item " +
+    "rankings at p = 1/2 match the closed forms") {
+    // identical 3-item rankings at depth 3: 1 - p^3 = 0.875
+    val same = Seq((1L, 3L, 3L), (2L, 2L, 2L), (3L, 1L, 1L))
+      .map { case (i, a, b) => ("g", i, a, b) }
+      .toDF("g", "id", "sa", "sb")
+    val r1 = EvalMetrics.rankBiasedOverlap(same, "g", "id",
+      col("sa"), col("sb"), depth = 3, pNum = 1L, pDen = 2L).collect()
+    assert(r1.length == 1 &&
+      (r1(0).getLong(1), r1(0).getLong(2)) == (3L, 875000L))
+    // reversed: ov = 0,1,3 -> 0 + 125000 + 125000
+    val rev = Seq((1L, 3L, 1L), (2L, 2L, 2L), (3L, 1L, 3L))
+      .map { case (i, a, b) => ("g", i, a, b) }
+      .toDF("g", "id", "sa", "sb")
+    val r2 = EvalMetrics.rankBiasedOverlap(rev, "g", "id",
+      col("sa"), col("sb"), depth = 3, pNum = 1L, pDen = 2L).collect()
+    assert(r2(0).getLong(2) == 250000L)
+    // single item: ov_d = 1 -> 500000 + 125000 + 41666 (floored)
+    val one = Seq(("g", 1L, 9L, 9L)).toDF("g", "id", "sa", "sb")
+    val r3 = EvalMetrics.rankBiasedOverlap(one, "g", "id",
+      col("sa"), col("sb"), depth = 3, pNum = 1L, pDen = 2L).collect()
+    assert((r3(0).getLong(1), r3(0).getLong(2)) == (1L, 666666L))
+  }
+
+  test("otsuCard: bimodal split maximizes between-class variance " +
+    "exactly; all-right thresholds are excluded") {
+    // pixels [0,0,10,10]: threshold 0 -> sigma_B = .25*100 = 25
+    val px = Seq((1L, 0L), (1L, 0L), (1L, 10L), (1L, 10L))
+      .toDF("doc_id", "l")
+    val got = Multimodal.otsuCard(px, "doc_id", "l").collect()(0)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == (4L, 0L, 2L, 25L))
+    // uniform image: every split has an empty right class -> no row
+    val flat = Seq((2L, 7L), (2L, 7L)).toDF("doc_id", "l")
+    assert(Multimodal.otsuCard(flat, "doc_id", "l").count() == 0L)
+  }
+
+  test("streamingPatternDetect: latest strictly-earlier A within " +
+    "the window anchors each B; state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Streams.TypedEvent]
+    val hits = Streams.streamingPatternDetect(input.toDS(),
+      aType = "view", bType = "purchase", windowNanos = 100L)
+    val q = hits.toDF().writeStream.format("memory")
+      .queryName("stream_pattern").outputMode("append").start()
+    try {
+      // batch 1: A@10(id1), A@20(id2), B@25(id3) -> anchor id2;
+      // B@200(id4) -> gap 180 > 100, no hit
+      input.addData(
+        Streams.TypedEvent("u", 10L, 1L, "view"),
+        Streams.TypedEvent("u", 20L, 2L, "view"),
+        Streams.TypedEvent("u", 25L, 3L, "purchase"),
+        Streams.TypedEvent("u", 200L, 4L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: the batch-1 A@20 is stale; A@210(id5) then B@215
+      // (id6) anchors on it; equal-ts A is excluded by the strict >
+      input.addData(
+        Streams.TypedEvent("u", 210L, 5L, "view"),
+        Streams.TypedEvent("u", 215L, 6L, "purchase"),
+        Streams.TypedEvent("u", 300L, 7L, "view"),
+        Streams.TypedEvent("u", 300L, 8L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("stream_pattern")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set((2L, 3L, 5L), (5L, 6L, 5L)))
+    } finally q.stop()
+  }
+}
