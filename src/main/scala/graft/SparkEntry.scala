@@ -2528,6 +2528,40 @@ object SparkEntry {
         Multimodal.lumaPixels(ppm, "doc_id", "payload"), "doc_id", "l")
     }),
 
+    // ---- attribution: POSITION-BASED (U-shaped 40/20/40) — q273's
+    // equal split replaced by the first/last-heavy convention, one
+    // row per touch with its exact truncating e6 credit.
+    "q290_position_attribution" -> ((s, dir) =>
+      EventAnalytics.positionAttribution(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", touchType = "view",
+        convType = "purchase",
+        windowNanos = 24L * 3600L * 1000000000L)),
+
+    // ---- graph: WEIGHTED PageRank over the purchase multigraph —
+    // rank mass splits by lineitem-count edge weight instead of
+    // out-degree (q108's ladder with floor(rank·w/outw) per edge):
+    // heavy trade lanes pull more centrality.
+    "q291_weighted_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val we = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphRank.weightedPageRank(we, "src", "dst", "w",
+        iterations = 5)
+    }),
+
+    // ---- monitoring: MANN-KENDALL trend per event type — the
+    // non-parametric S statistic + exact e6 tau-a over the daily
+    // series (pairs bounded by the calendar), the spike-robust
+    // monotone-drift alarm next to q285's local slope.
+    "q292_mann_kendall" -> ((s, dir) =>
+      EventAnalytics.mannKendall(T(s, dir, "events"), "event_type",
+        "ts")),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8027,6 +8061,76 @@ object SparkEntry {
         |SELECT doc_id, n AS n_px, v AS otsu_l, cumn AS n_below,
         |  CAST(score AS BIGINT) AS score_between
         |FROM bb WHERE rn = 1""".stripMargin,
+
+    // q290: the q273 in-window join kept per-touch, (tt, id)
+    // row_number positions, the 40/20/40 CASE ladder with floor
+    // middle shares
+    "q290_position_attribution" ->
+      """WITH c AS (SELECT user_id AS u, event_id AS conv_id,
+        |    epoch_ns(ts) AS ct FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, event_id AS tid, epoch_ns(ts) AS tt
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.conv_id, t.tid, t.tt
+        |  FROM c JOIN t ON t.u = c.u
+        |  WHERE t.tt < c.ct AND c.ct - t.tt <= 86400000000000),
+        |r AS (SELECT conv_id, tid,
+        |    CAST(row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY tt, tid) AS BIGINT) AS position,
+        |    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+        |      AS n_touches
+        |  FROM j)
+        |SELECT conv_id, tid AS touch_event_id, position, n_touches,
+        |  CASE WHEN n_touches = 1 THEN 1000000
+        |    WHEN n_touches = 2 THEN 500000
+        |    WHEN position = 1 OR position = n_touches THEN 400000
+        |    ELSE 200000 // (n_touches - 2) END AS credit_e6
+        |FROM r""".stripMargin,
+
+    // q291: weighted edge tally, q278's unrolled ladder with the
+    // per-edge (rank*w) // outw contribution
+    "q291_weighted_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (SELECT n.node,
+           |    (15000000 + 85 * coalesce(s.c, 0)) // 100 AS rank_e6
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((CAST(p.rank_e6 AS HUGEINT) * e.w)
+           |        // o.outw) AS BIGINT) AS c
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    JOIN ow o ON o.node = e.src GROUP BY 1) s
+           |    ON s.node = n.node)""".stripMargin
+      s"""WITH edges AS (SELECT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst, count(*) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outw
+         |  FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6
+         |  FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank_e6 FROM r5""".stripMargin
+    },
+
+    // q292: daily tally, calendar-bounded i<j pair join, signed pair
+    // sum, tau-a through the signed e6 ladder
+    "q292_mann_kendall" -> {
+      import graft.functions.ExactRound.ratioScaledSignedSql
+      s"""WITH d AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.t,
+         |    CASE WHEN b.y > a.y THEN 1
+         |      WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+         |  FROM d a JOIN d b ON b.t = a.t AND a.day < b.day),
+         |ag AS (SELECT t, count(*) AS n_pairs,
+         |    CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1)
+         |SELECT t AS event_type, n_pairs, s_stat,
+         |  ${ratioScaledSignedSql("s_stat", "n_pairs", 6)} AS tau_a_e6
+         |FROM ag""".stripMargin
+    },
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A

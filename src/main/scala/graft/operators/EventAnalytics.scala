@@ -614,6 +614,85 @@ object EventAnalytics {
           .otherwise(lit(0L)).as("credit_e6"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40
+    * sibling of [[linearAttribution]]'s equal split: per conversion,
+    * in-window strictly-earlier touches in (ts, id) order get 40% for
+    * the first, 40% for the last, and the middles share the remaining
+    * 20% equally (single touch: 100%; two: 50/50). Credits are exact
+    * truncating e6 divisions (the q273 convention — floors, so a
+    * conversion's credits may sum slightly under 10⁶; the remainder is
+    * the rounding dust, not a lost touch). Emits one row PER TOUCH
+    * (position, n_touches, credit) — organic conversions have no
+    * touches and appear only in [[linearAttribution]]'s per-conversion
+    * sheet.
+    *
+    * Shape at scale: the same conversion⋈touch in-window join as
+    * [[linearAttribution]], one per-conversion window (bounded by
+    * in-window touches per conversion). */
+  def positionAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, windowNanos: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u__"), col(idCol).as("conv_id"),
+        col(tsCol).as("ct__"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u__"), col(idCol).as("touch_event_id"),
+        col(tsCol).as("tt__"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("tt__"), col("touch_event_id"))
+    val p = Window.partitionBy(col("conv_id"))
+    conv.join(touch, Seq("u__"))
+      .filter(col("tt__") < col("ct__") &&
+        col("ct__") - col("tt__") <= windowNanos)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(p).cast("long"))
+      .select(col("conv_id"), col("touch_event_id"), col("position"),
+        col("n_touches"),
+        when(col("n_touches") === 1L, lit(1000000L))
+          .when(col("n_touches") === 2L, lit(500000L))
+          .when(col("position") === 1L ||
+            col("position") === col("n_touches"), lit(400000L))
+          .otherwise(call_function("div", lit(200000L),
+            col("n_touches") - 2L)).as("credit_e6"))
+  }
+
+  /** MANN-KENDALL trend test per event type — over the daily-count
+    * series, S = Σ_{i<j} sign(y_j − y_i) and Kendall's tau-a
+    * S / (n·(n−1)/2) as the signed exact e6 (tau-b's tie-corrected
+    * denominator needs a square root, so the integer-exact tau-a is
+    * the shipped form; read S and the pair counts for tie context):
+    * the non-parametric "is this series monotonically drifting?"
+    * alarm next to [[rollingSlope]]'s local fit — robust to spikes a
+    * least-squares slope chases.
+    *
+    * Shape at scale: the pair join is |days|² per type — bounded by
+    * the CALENDAR (a 10-year horizon is ~3.7k days → ~7M pairs/type),
+    * not by data volume; one daily-aggregate shuffle feeds it. */
+  def mannKendall(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y__"))
+    val a = daily.select(col("event_type"), col("day").as("di__"),
+      col("y__").as("yi__"))
+    val b = daily.select(col("event_type"), col("day").as("dj__"),
+      col("y__").as("yj__"))
+    a.join(b, Seq("event_type"))
+      .filter(col("di__") < col("dj__"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("yj__") > col("yi__"), 1L)
+          .when(col("yj__") < col("yi__"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      .select(col("event_type"), col("n_pairs"), col("s_stat"),
+        ExactRound.ratioScaledSigned(col("s_stat"), col("n_pairs"), 6)
+          .as("tau_a_e6"))
+  }
+
   /** WEEK-OVER-WEEK trend card per event type — last 7 observed days
     * vs the prior 7, relative to the corpus horizon (data-derived,
     * rerun-stable): counts plus the exact e6 ratio (the "what spiked

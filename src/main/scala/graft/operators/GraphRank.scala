@@ -205,6 +205,63 @@ object GraphRank {
     ranks
   }
 
+  /** WEIGHTED PageRank — [[pageRank]] with per-edge weights: each
+    * node's rank mass splits across out-edges proportionally to
+    * weight (contribution = floor(rank·w / out_weight) per edge — the
+    * exact truncating form both engines compute identically), the
+    * CommonCrawl-style "domains linked MORE count more" ranking over
+    * a multigraph collapsed to weighted edges. Parallel edges are
+    * combined (sum of weights) up front, so callers may pass raw
+    * multi-edge tallies.
+    *
+    * Shape at scale: identical to [[pageRank]] — cached weighted edge
+    * list repartitioned by src, one join + map-side-combinable
+    * aggregate per round, localCheckpoint truncation between rounds;
+    * the per-edge product runs in DECIMAL(38,0) (rank·weight can
+    * exceed long at web scale). */
+  def weightedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iterations: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "need iterations >= 1 and 0 <= dampNum <= dampDen")
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("wgt__"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("wgt__")).cast("long").as("wgt__"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val ow = graft.Caches.register(
+      e.groupBy(col("src")).agg(sum(col("wgt__")).cast("long")
+        .as("outw__"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val base = (dampDen - dampNum) * 1000000L
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank_e6")), "src")
+        .join(ow, "src")
+        .select(col("dst"),
+          expr("(cast(rank_e6 as decimal(38,0)) * wgt__) div outw__")
+            .cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          expr(s"($base + $dampNum * coalesce(in_mass, 0)) div $dampDen")
+            .as("rank_e6"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** PERSONALIZED PageRank — [[pageRank]] with the teleport mass
     * restricted to a SEED set (Haveliwala 2002): the "similar to
     * these" recommender over the purchase graph, and the seeded

@@ -1125,6 +1125,34 @@ object ScaleProbe {
       graft.operators.Multimodal.otsuCard(px, "img", "l")
     }
 
+    time("position_attribution") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(112)), lit(n / 16)).as("u"),
+        pmod(xxhash64(col("id"), lit(113)), lit(1000000000000L)).as("ts"),
+        col("id").as("eid"),
+        when(pmod(xxhash64(col("id"), lit(114)), lit(10)) < 8,
+          lit("view")).otherwise(lit("purchase")).as("t"))
+      graft.operators.EventAnalytics.positionAttribution(ev, "u",
+        "ts", "eid", "t", "view", "purchase",
+        windowNanos = 100000000L)
+    }
+    time("weighted_pagerank") {
+      val we = spark.range(n / 4).select(
+        pmod(xxhash64(col("id"), lit(115)), lit(n / 8)).as("a"),
+        pmod(xxhash64(col("id"), lit(116)), lit(n / 8)).as("b"),
+        (pmod(xxhash64(col("id"), lit(117)), lit(8)) + 1L).as("w"))
+      graft.operators.GraphRank.weightedPageRank(we, "a", "b", "w",
+        iterations = 5)
+    }
+    time("mann_kendall") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(118)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(119)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.mannKendall(ev, "t", "ts")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

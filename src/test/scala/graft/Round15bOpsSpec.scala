@@ -138,6 +138,47 @@ class Round15bOpsSpec extends SparkSpec {
     assert(Multimodal.otsuCard(flat, "doc_id", "l").count() == 0L)
   }
 
+  test("positionAttribution: 40/20/40 with floored middle shares; " +
+    "1- and 2-touch conversions use the degenerate splits") {
+    val ev = Seq(
+      ("u", 10L, 1L, "view"), ("u", 20L, 2L, "view"),
+      ("u", 30L, 3L, "view"), ("u", 100L, 10L, "purchase"),
+      ("v", 10L, 4L, "view"), ("v", 20L, 5L, "view"),
+      ("v", 100L, 11L, "purchase"),
+      ("w", 10L, 6L, "view"), ("w", 100L, 12L, "purchase"))
+      .toDF("u", "ts", "id", "t")
+    val got = EventAnalytics.positionAttribution(ev, "u", "ts", "id",
+        "t", "view", "purchase", windowNanos = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((10L, 1L)) == (1L, 3L, 400000L))
+    assert(got((10L, 2L)) == (2L, 3L, 200000L))
+    assert(got((10L, 3L)) == (3L, 3L, 400000L))
+    assert(got((11L, 4L)) == (1L, 2L, 500000L))
+    assert(got((11L, 5L)) == (2L, 2L, 500000L))
+    assert(got((12L, 6L)) == (1L, 1L, 1000000L))
+  }
+
+  test("weightedPageRank: one round splits rank mass by weight, " +
+    "floor per edge") {
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "d", "w")
+    val got = GraphRank.weightedPageRank(e, "s", "d", "w",
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contrib b = (1e6*3)//4 = 750000 -> (15e6+85*750000)//100
+    assert(got == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  test("mannKendall: signed pair sum with ties contributing 0, " +
+    "exact tau-a") {
+    val day = 86400L * 1000000000L
+    val ev = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L))
+      .map(d => ("a", d * day)).toDF("t", "ts")
+    val r = EventAnalytics.mannKendall(ev, "t", "ts").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 2L, 666667L))
+  }
+
   test("streamingPatternDetect: latest strictly-earlier A within " +
     "the window anchors each B; state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
