@@ -2562,6 +2562,29 @@ object SparkEntry {
       EventAnalytics.mannKendall(T(s, dir, "events"), "event_type",
         "ts")),
 
+    // ---- sharding: RENDEZVOUS (HRW) re-shard movement matrix — doc
+    // assignments at k=4 vs k=5 cross-tabbed; HRW's minimal-movement
+    // property makes every off-diagonal cell land in the shard_after=4
+    // column (keys move ONLY to the new shard), visible in the gate.
+    "q293_rendezvous_shards" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val a = ShardExport.rendezvousAssign(d, "doc_id", 4,
+        "shard_before")
+      ShardExport.rendezvousAssign(a, "doc_id", 5, "shard_after")
+        .groupBy(col("shard_before"), col("shard_after"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- splits: EXACT-COUNT stratified 8/1/1 by language — q50's
+    // hash bands give expected shares; this ranks each stratum by
+    // (md5, id) and cuts at exact floor quotas. Per-doc membership
+    // gated (not just counts).
+    "q294_exact_split" -> ((s, dir) =>
+      Sampling.exactSplit(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", weights = Seq(8, 1, 1),
+        labels = Seq("train", "val", "test"))),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8131,6 +8154,45 @@ object SparkEntry {
          |  ${ratioScaledSignedSql("s_stat", "n_pairs", 6)} AS tau_a_e6
          |FROM ag""".stripMargin
     },
+
+    // q293: per-(doc, shard) digest rows, (h DESC, shard ASC) argmax
+    // at k=4 and k=5, cross-tab
+    "q293_rendezvous_shards" ->
+      """WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks
+        |  FROM documents),
+        |h4 AS (SELECT doc_id, i AS shard,
+        |    md5(ks || ':' || i) AS h
+        |  FROM s, (SELECT unnest(range(0, 4)) AS i) g),
+        |a4 AS (SELECT doc_id, shard FROM (SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, shard ASC) AS rn FROM h4)
+        |  WHERE rn = 1),
+        |h5 AS (SELECT doc_id, i AS shard,
+        |    md5(ks || ':' || i) AS h
+        |  FROM s, (SELECT unnest(range(0, 5)) AS i) g),
+        |a5 AS (SELECT doc_id, shard FROM (SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, shard ASC) AS rn FROM h5)
+        |  WHERE rn = 1)
+        |SELECT a4.shard AS shard_before, a5.shard AS shard_after,
+        |  count(*) AS n_docs
+        |FROM a4 JOIN a5 USING (doc_id) GROUP BY 1, 2""".stripMargin,
+
+    // q294: (md5, id) rank per stratum, exact floor-quota cuts; the
+    // engine's range-partitioned rank and this window agree because
+    // the sort key is unique
+    "q294_exact_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS m FROM b)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn <= (m * 8) // 10 THEN 'train'
+        |    WHEN rn <= (m * 9) // 10 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A

@@ -132,6 +132,42 @@ object Sampling {
       when(col(keyCol).isNotNull, banded).otherwise(lit(null).cast("string")))
   }
 
+  /** EXACT-COUNT stratified split — [[splitByHash]] gives every key a
+    * stable side but only EXPECTED proportions (a 256th-band hash is
+    * binomial per stratum; a small language can land 70/30 when you
+    * asked 80/20). Here each stratum is ranked by (md5(key), key) —
+    * deterministic, unique order — and cut at the exact floor
+    * boundaries rank ≤ (m·Σw_1..i) div Σw, so per-stratum counts are
+    * exactly the floored quotas, membership is rerun/engine-stable,
+    * and a document's side still never depends on partitioning.
+    * NULL keys are excluded ([[hashSample]]'s contract).
+    *
+    * Shape at scale: the rank is
+    * [[ScalableRank.groupRowNumber]] — one global range sort, no
+    * per-stratum single-reducer window — plus the broadcast-joined
+    * group sizes that same call computes. */
+  def exactSplit(df: DataFrame, stratumCol: String, keyCol: String,
+      weights: Seq[Int], labels: Seq[String],
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.size == labels.size,
+      "one label per weight")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val tot = weights.map(_.toLong).sum
+    val ranked = ScalableRank.groupRowNumber(
+      df.filter(col(keyCol).isNotNull)
+        .withColumn("graft_h__", md5(col(keyCol).cast("string"))),
+      Seq(stratumCol), Seq(col("graft_h__"), col(keyCol)),
+      rnCol = "graft_rn__", nCol = "graft_n__")
+    val cum = weights.map(_.toLong).scanLeft(0L)(_ + _).tail
+    val assign = cum.zip(labels).init
+      .foldRight(lit(labels.last): Column) { case ((c, label), acc) =>
+        when(col("graft_rn__") <=
+          expr(s"(graft_n__ * $c) div $tot"), lit(label)).otherwise(acc)
+      }
+    ranked.withColumn(outCol, assign)
+      .drop("graft_h__", "graft_rn__", "graft_n__")
+  }
+
   /** LEAKAGE-FREE train/val/test split: assign splits by NEAR-DUP
     * CLUSTER, not by document. [[splitByHash]] guarantees a document
     * never straddles splits, but two near-copies with different ids

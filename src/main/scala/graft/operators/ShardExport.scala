@@ -46,6 +46,33 @@ object ShardExport {
       .drop("graft_h__", "graft_pos__")
   }
 
+  /** RENDEZVOUS (highest-random-weight, Thaler & Ravishankar 1998)
+    * shard assignment — each key goes to the shard with the largest
+    * md5(key ":" shard) digest. Unlike [[assign]]'s position-mod
+    * (which reshuffles ~everything when the shard count changes),
+    * HRW moves a key ONLY when the winning shard is the newly added
+    * one: growing k→k+1 relocates exactly the keys the new shard
+    * wins (~1/(k+1) of the corpus), the minimal-movement property
+    * consistent re-sharding needs. Digest comparison is on the hex
+    * string (order-isomorphic to the 128-bit value, the
+    * [[Sampling]] convention); the impossible exact tie would break
+    * to the smaller shard id.
+    *
+    * Shape at scale: one row-wise array_max over k structs — a
+    * narrow map, no shuffle, codegen-friendly; k is bounded (≤ 64)
+    * so the per-row work is constant. */
+  def rendezvousAssign(df: DataFrame, keyCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(numShards >= 1 && numShards <= 64,
+      "numShards must be in [1, 64]")
+    val entries = (0 until numShards).map(s =>
+      struct(md5(concat(col(keyCol).cast("string"), lit(":"),
+        lit(s.toString))).as("h__"),
+        lit(-s).as("ns__")))
+    df.withColumn(outCol,
+      (-array_max(array(entries: _*)).getField("ns__")).cast("long"))
+  }
+
   /** Write the assigned frame as one directory per shard with rows in
     * position order inside each file: repartition BY the shard column
     * (each shard's rows land in one task), sort that task by position,

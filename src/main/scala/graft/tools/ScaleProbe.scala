@@ -1153,6 +1153,18 @@ object ScaleProbe {
       graft.operators.EventAnalytics.mannKendall(ev, "t", "ts")
     }
 
+    time("rendezvous_assign") {
+      graft.operators.ShardExport.rendezvousAssign(
+        spark.range(n).toDF("id"), "id", 8)
+    }
+    time("exact_split") {
+      val d2 = spark.range(n).select(col("id"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit(120)), lit(20))
+          .cast("string")).as("st"))
+      graft.operators.Sampling.exactSplit(d2, "st", "id",
+        Seq(8, 1, 1), Seq("train", "val", "test"))
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -179,6 +179,39 @@ class Round15bOpsSpec extends SparkSpec {
       (3L, 2L, 666667L))
   }
 
+  test("rendezvousAssign: shards in range, deterministic, and " +
+    "k->k+1 moves keys ONLY to the new shard") {
+    val d = spark.range(1000L).toDF("id")
+    val a = ShardExport.rendezvousAssign(d, "id", 4, "s4")
+    val both = ShardExport.rendezvousAssign(a, "id", 5, "s5")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(both.forall { case (s4, s5) => s4 >= 0 && s4 < 4 &&
+      s5 >= 0 && s5 < 5 })
+    // HRW minimal movement: a changed assignment can only be a win
+    // by the newly added shard 4
+    assert(both.filter { case (s4, s5) => s4 != s5 }
+      .forall(_._2 == 4L))
+    // and the new shard takes roughly 1/5 (binomial, loose bounds)
+    val moved = both.count(_._2 == 4L)
+    assert(moved > 100 && moved < 300)
+  }
+
+  test("exactSplit: per-stratum counts are exactly the floored " +
+    "quotas, including starved small strata") {
+    val rows = (1 to 10).map(i => ("x", i.toLong)) ++
+      (1 to 3).map(i => ("y", 100L + i))
+    val got = Sampling.exactSplit(rows.toDF("st", "k"), "st", "k",
+        Seq(8, 1, 1), Seq("train", "val", "test"))
+      .groupBy("st", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got(("x", "train")) == 8L && got(("x", "val")) == 1L &&
+      got(("x", "test")) == 1L)
+    // m=3: train = 24//10 = 2, val = 27//10 - 2 = 0, test = 1
+    assert(got(("y", "train")) == 2L && got(("y", "test")) == 1L &&
+      !got.contains(("y", "val")))
+  }
+
   test("streamingPatternDetect: latest strictly-earlier A within " +
     "the window anchors each B; state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
