@@ -2585,6 +2585,50 @@ object SparkEntry {
         "lang", "doc_id", weights = Seq(8, 1, 1),
         labels = Seq("train", "val", "test"))),
 
+    // ---- LM scoring: STUPID BACKOFF trigrams (Brants 2007) — the
+    // md5-half split makes train/score corpora disjoint so the
+    // backoff ladder actually fires; per doc the Σ score and the
+    // backoff-depth histogram (trigram/bigram/unigram hits, OOV).
+    "q295_stupid_backoff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val isRef =
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "80"
+      NgramLm.stupidBackoff(docs.filter(isRef), docs.filter(!isRef),
+        "doc_id", "text")
+    }),
+
+    // ---- curation QA: MULTIMODAL dup-channel agreement — TEXT-
+    // derived PNGs (pixels = first 96 chars, real encode→decode) put
+    // textual and visual near-dup on the same docs, so the dHash pair
+    // surface full-outer-joined with the q23 MinHash pair surface
+    // tallies a real (both / image_only / text_only) split: how noisy
+    // is the cheap visual channel vs content-verified text dedup? At
+    // corpus scale the low-entropy ASCII bands want q225's
+    // bucket-capped variant — this gate keeps the exact uncapped join
+    // on the bounded doc surface.
+    "q296_multimodal_dup_agreement" -> ((s, dir) => {
+      val src = T(s, dir, "documents")
+        .filter(length(col("text")) >= 96 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"))
+      val img = Dedup.simhashFromFingerprints(
+          Multimodal.dhashFingerprints(
+            Multimodal.textPngPayloads(src, "doc_id", "text"),
+            "doc_id", "payload"),
+          bands = 4, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("img__"))
+      val txt = Dedup.minhashLSHFromIndex(stagedDocsIndex(s, dir),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("txt__"))
+      img.join(txt, Seq("doc_a", "doc_b"), "full_outer")
+        .select(when(coalesce(col("img__"), lit(false)) &&
+            coalesce(col("txt__"), lit(false)), "both")
+          .when(coalesce(col("img__"), lit(false)), "image_only")
+          .otherwise("text_only").as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8193,6 +8237,125 @@ object SparkEntry {
         |    WHEN rn <= (m * 9) // 10 THEN 'val'
         |    ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // q295: md5-half reference counts (c12/c2 derived from the gram
+    // tables), scored-half trigram stream through the three-level
+    // CASE ladder, per-doc rollup with zero-fill
+    "q295_stupid_backoff" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+         |      AS is_ref
+         |  FROM documents),
+         |tgr AS (SELECT split_part(g, ' ', 1) AS w1,
+         |    split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+         |  FROM (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' ||
+         |      ws[i+2] for i in range(1, len(ws)-1)]) AS g
+         |    FROM t WHERE is_ref AND len(ws) >= 3)),
+         |tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tgr
+         |  GROUP BY 1, 2, 3),
+         |pre2 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+         |  FROM tri GROUP BY 1, 2),
+         |bgr AS (SELECT split_part(g, ' ', 1) AS w2,
+         |    split_part(g, ' ', 2) AS w3
+         |  FROM (SELECT unnest([ws[i] || ' ' || ws[i+1]
+         |      for i in range(1, len(ws))]) AS g
+         |    FROM t WHERE is_ref AND len(ws) >= 2)),
+         |bi AS (SELECT w2, w3, count(*) AS c23 FROM bgr GROUP BY 1, 2),
+         |pre1 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM bi
+         |  GROUP BY 1),
+         |uni AS (SELECT w3, count(*) AS c3 FROM
+         |  (SELECT unnest(ws) AS w3 FROM t WHERE is_ref) GROUP BY 1),
+         |nt AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS ntok FROM t
+         |  WHERE is_ref),
+         |sg AS (SELECT doc_id, split_part(g, ' ', 1) AS w1,
+         |    split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+         |  FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] ||
+         |      ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g
+         |    FROM t WHERE NOT is_ref AND len(ws) >= 3)),
+         |lv AS (SELECT sg.doc_id,
+         |    CASE WHEN tri.c123 IS NOT NULL THEN 3
+         |      WHEN bi.c23 IS NOT NULL THEN 2
+         |      WHEN uni.c3 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN tri.c123 IS NOT NULL THEN
+         |        ${ratioScaledSql("tri.c123", "pre2.c12", 6)}
+         |      WHEN bi.c23 IS NOT NULL THEN
+         |        ${ratioScaledSql("bi.c23 * 4", "pre1.c2 * 10", 6)}
+         |      WHEN uni.c3 IS NOT NULL THEN
+         |        ${ratioScaledSql("uni.c3 * 16", "nt.ntok * 100", 6)}
+         |      ELSE 0 END AS s6
+         |  FROM sg
+         |  LEFT JOIN tri USING (w1, w2, w3)
+         |  LEFT JOIN pre2 USING (w1, w2)
+         |  LEFT JOIN bi USING (w2, w3)
+         |  LEFT JOIN pre1 USING (w2)
+         |  LEFT JOIN uni USING (w3)
+         |  CROSS JOIN nt),
+         |pd AS (SELECT doc_id, count(*) AS n_trigrams,
+         |    CAST(sum(s6) AS BIGINT) AS sum_score_e6,
+         |    CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_l3,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_l2,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_l1,
+         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov
+         |  FROM lv GROUP BY 1)
+         |SELECT t.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(pd.sum_score_e6, 0) AS sum_score_e6,
+         |  coalesce(pd.n_l3, 0) AS n_l3, coalesce(pd.n_l2, 0) AS n_l2,
+         |  coalesce(pd.n_l1, 0) AS n_l1, coalesce(pd.n_oov, 0) AS n_oov
+         |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
+         |WHERE NOT t.is_ref""".stripMargin
+    },
+
+    // q296: text-pixel gray levels at the dHash resample indices
+    // (w=8, h=4: pixel = (y*4//8)*8 + x*8//9, RGB = chars 3p+1..3p+3),
+    // the q216 bits/bands/hamming chain, full outer join against the
+    // q23 MinHash-exact chain, channel tally
+    "q296_multimodal_dup_agreement" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE length(text) >= 96 AND strlen(text) = length(text)),
+         |gray AS (SELECT doc_id, x.i AS x, y.i AS y,
+         |    ascii(substring(text, CAST((((y.i * 4) // 8) * 8
+         |      + (x.i * 8) // 9) * 3 + 1 AS INTEGER), 1))
+         |    + ascii(substring(text, CAST((((y.i * 4) // 8) * 8
+         |      + (x.i * 8) // 9) * 3 + 2 AS INTEGER), 1))
+         |    + ascii(substring(text, CAST((((y.i * 4) // 8) * 8
+         |      + (x.i * 8) // 9) * 3 + 3 AS INTEGER), 1)) AS g
+         |  FROM d, (SELECT unnest(range(0, 9)) AS i) x,
+         |    (SELECT unnest(range(0, 8)) AS i) y),
+         |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx,
+         |    CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id
+         |    AND b.y = a.y AND b.x = a.x + 1
+         |  WHERE a.x < 8),
+         |bands AS (SELECT doc_id, idx // 16 AS band,
+         |    sum(bit << (idx % 16)) AS bkey
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band
+         |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |img AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN bits ba ON ba.doc_id = c.doc_a
+         |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.idx = ba.idx
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+         |    <= 3),
+         |txt AS (SELECT doc_a, doc_b FROM (
+         |$jaccardSql)),
+         |u AS (SELECT
+         |    i.doc_a IS NOT NULL AS img_flag,
+         |    t2.doc_a IS NOT NULL AS txt_flag
+         |  FROM img i FULL OUTER JOIN txt t2
+         |    ON t2.doc_a = i.doc_a AND t2.doc_b = i.doc_b)
+         |SELECT CASE WHEN img_flag AND txt_flag THEN 'both'
+         |    WHEN img_flag THEN 'image_only'
+         |    ELSE 'text_only' END AS channel,
+         |  count(*) AS n_pairs
+         |FROM u GROUP BY 1""".stripMargin,
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A

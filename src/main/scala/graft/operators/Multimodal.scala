@@ -549,6 +549,37 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** TEXT-derived PNG payloads — the q267 PPM pixel convention (RGB
+    * bytes from the first w·h·3 chars) through a REAL PNG encode →
+    * [[dhashFingerprints]]' ImageIO decode exercises an actual codec
+    * while an oracle recomputes the gray levels from the chars (PNG
+    * is lossless, the q193-gated roundtrip). Because the pixels ARE
+    * the text, textual near-dups become visual near-dups — the
+    * coupling the multimodal-agreement gate needs. Callers must
+    * pre-filter to ASCII-pure rows (octet_length = char_length) of
+    * at least w·h·3 chars, where byte == char. */
+  def textPngPayloads(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, h: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions(_.map { row =>
+      val b = row.getString(tIdx).getBytes("UTF-8")
+      val rgb = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        rgb(i) = ((b(3 * i) & 0xff) << 16) |
+          ((b(3 * i + 1) & 0xff) << 8) | (b(3 * i + 2) & 0xff)
+        i += 1
+      }
+      Row(row.getLong(idIdx), encodePng(w, h, rgb))
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** [[synthChannel]] with a GROUPED perturbation: `groupSize`
     * consecutive ids share a base image (base = id / groupSize), and
     * the group-local variant v = id % groupSize shifts ONLY source

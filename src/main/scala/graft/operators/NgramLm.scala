@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -77,5 +77,112 @@ object NgramLm {
         coalesce(col("sum_p_e6"), lit(0L)).as("sum_p_e6"),
         coalesce(col("min_p_e6"), lit(0L)).as("min_p_e6"),
         coalesce(col("max_p_e6"), lit(0L)).as("max_p_e6"))
+  }
+
+  /** STUPID BACKOFF trigram scoring (Brants et al., EMNLP 2007 — the
+    * score Google's distributed LM shipped instead of a normalized
+    * probability) of `scored` documents against counts trained on a
+    * DISJOINT `ref` corpus — the cross-corpus form is the point:
+    * self-scoring makes every observed trigram a level-3 hit and the
+    * backoff dead code. Per scored trigram (w1,w2,w3):
+    *
+    *   S = c123/c12             if the reference saw the trigram,
+    *     = 0.4 · c23/c2         else if it saw the bigram (w2,w3),
+    *     = 0.4² · c3/N          else if it saw w3,
+    *     = 0                    else (out-of-vocabulary),
+    *
+    * each level an exact e6 half-up rational (0.4 enters as the
+    * integer 4/10 factor, never a float). Per document: trigram
+    * count, Σ score, and the per-level hit tally — the backoff-depth
+    * histogram is the domain-shift signal ("how far does the
+    * reference LM have to reach?").
+    *
+    * Shape at scale: count tables are vocabulary-sized map-side
+    * combinable aggregates (c12/c2 derive from the gram tables, not
+    * second corpus shuffles); scoring is three left hash joins of the
+    * scored gram stream against them plus one 1-row broadcast (N);
+    * the scored base and gram stream persist (two consumers each). */
+  def stupidBackoff(ref: DataFrame, scored: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    def grams3(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .filter(size(col("ws__")) >= 3)
+      .select(keep :+ explode(graft.expressions.WordNGrams
+        .allGrams(col("ws__"), 3)).as("g__"): _*)
+      .select(keep ++ Seq(
+        substring_index(col("g__"), " ", 1).as("w1"),
+        substring_index(substring_index(col("g__"), " ", 2), " ", -1)
+          .as("w2"),
+        substring_index(col("g__"), " ", -1).as("w3")): _*)
+    val refBase = graft.Caches.register(ref
+      .select(graft.functions.TextFns.words(col(textCol)).as("ws__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tri = grams3(refBase, Seq.empty)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123__"))
+    val triC = graft.Caches.register(
+      tri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pre2 = triC.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123__")).cast("long").as("c12__"))
+    val bi = refBase
+      .filter(size(col("ws__")) >= 2)
+      .select(explode(graft.expressions.WordNGrams
+        .allGrams(col("ws__"), 2)).as("g__"))
+      .select(substring_index(col("g__"), " ", 1).as("w2"),
+        substring_index(col("g__"), " ", -1).as("w3"))
+    val biC = graft.Caches.register(bi
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pre1 = biC.groupBy(col("w2"))
+      .agg(sum(col("c23__")).cast("long").as("c2__"))
+    val uni = refBase.select(explode(col("ws__")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("c3__"))
+    val nTok = refBase
+      .agg(sum(size(col("ws__"))).cast("long").as("ntok__"))
+    val scoredBase = graft.Caches.register(scored
+      .select(col(idCol),
+        graft.functions.TextFns.words(col(textCol)).as("ws__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val levels = grams3(scoredBase, Seq(col(idCol)))
+      .join(triC, Seq("w1", "w2", "w3"), "left")
+      .join(pre2, Seq("w1", "w2"), "left")
+      .join(biC, Seq("w2", "w3"), "left")
+      .join(pre1, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(nTok))
+      .select(col(idCol),
+        when(col("c123__").isNotNull, lit(3))
+          .when(col("c23__").isNotNull, lit(2))
+          .when(col("c3__").isNotNull, lit(1))
+          .otherwise(lit(0)).as("lvl__"),
+        when(col("c123__").isNotNull,
+          ExactRound.ratioScaled(col("c123__"), col("c12__"), 6))
+          .when(col("c23__").isNotNull,
+            ExactRound.ratioScaled(col("c23__") * 4L,
+              col("c2__") * 10L, 6))
+          .when(col("c3__").isNotNull,
+            ExactRound.ratioScaled(col("c3__") * 16L,
+              col("ntok__") * 100L, 6))
+          .otherwise(lit(0L)).as("s6__"))
+    val perDoc = levels.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("s6__")).cast("long").as("sum_score_e6"),
+        sum(when(col("lvl__") === 3, 1L).otherwise(0L)).cast("long")
+          .as("n_l3"),
+        sum(when(col("lvl__") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_l2"),
+        sum(when(col("lvl__") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_l1"),
+        sum(when(col("lvl__") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+    scoredBase.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_score_e6"), lit(0L)).as("sum_score_e6"),
+        coalesce(col("n_l3"), lit(0L)).as("n_l3"),
+        coalesce(col("n_l2"), lit(0L)).as("n_l2"),
+        coalesce(col("n_l1"), lit(0L)).as("n_l1"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 }

@@ -1165,6 +1165,26 @@ object ScaleProbe {
         Seq(8, 1, 1), Seq("train", "val", "test"))
     }
 
+    time("stupid_backoff") {
+      // md5-half split of the shared 12-word docs: vocab-sized count
+      // tables, three left joins on the scored gram stream
+      val isRef = substring(md5(col("doc_id").cast("string")), 1, 2)
+        .lt(lit("80"))
+      graft.operators.NgramLm.stupidBackoff(
+        docs.filter(isRef), docs.filter(!isRef), "doc_id", "text")
+    }
+    time("text_png_dhash") {
+      // ~n/10 real PNG encode->decode roundtrips + the banded
+      // hamming join over text-derived fingerprints
+      val src = docs.select(col("doc_id"),
+        rpad(col("text"), 96, "x").as("text"))
+      graft.operators.Dedup.simhashFromFingerprintsCapped(
+        graft.operators.Multimodal.dhashFingerprints(
+          graft.operators.Multimodal.textPngPayloads(
+            src, "doc_id", "text"), "doc_id", "payload"),
+        bands = 4, maxHamming = 3, maxBucket = 64)
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -212,6 +212,37 @@ class Round15bOpsSpec extends SparkSpec {
       !got.contains(("y", "val")))
   }
 
+  test("stupidBackoff: the three-level ladder scores trigram, " +
+    "bigram, unigram hits and counts OOV") {
+    val ref = Seq("a b c a b d").toDF("text")
+      .withColumn("doc_id", lit(0L))
+    val scored = Seq((1L, "a b c x"), (2L, "x a b"), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.stupidBackoff(ref, scored, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc1: (a,b,c) l3 = c123/c12 = 1/2; (b,c,x) full miss
+    assert(got(1L) == (2L, 500000L, 1L, 0L, 0L, 1L))
+    // doc2: (x,a,b) l2 = 0.4 * c23(a,b)/c2(a) = 0.4 * 2/2
+    assert(got(2L) == (1L, 400000L, 0L, 1L, 0L, 0L))
+    // doc3: under 3 words -> zero row
+    assert(got(3L) == (0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("textPngPayloads: identical 96-char prefixes survive the " +
+    "real PNG roundtrip to identical dHash fingerprints") {
+    val base = "The quick brown fox jumps over the lazy dog! " * 3
+    val d = Seq((1L, base), (2L, base + "DIFFERENT TAIL"),
+      (3L, base.toUpperCase)).toDF("doc_id", "text")
+    val fps = Multimodal.dhashFingerprints(
+        Multimodal.textPngPayloads(d, "doc_id", "text"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 3)
+    // docs 1 and 2 share the first 96 chars -> same pixels -> same fp
+    assert(fps(1L) == fps(2L))
+  }
+
   test("streamingPatternDetect: latest strictly-earlier A within " +
     "the window anchors each B; state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
