@@ -2629,6 +2629,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---- drift: TOP TOKEN MOVERS, en vs non-en — add-1 smoothed
+    // relative-rate ratio per token (the log-odds keyword shape
+    // without the log), top 20 each direction: the drill-down behind
+    // q208's scalar TV distances.
+    "q297_token_movers" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Drift.tokenMovers(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", k = 20)
+    }),
+
+    // ---- monitoring: FANO FACTOR per event type — variance-to-mean
+    // of daily counts as one exact e6 rational: the burstiness scalar
+    // next to q98's hourly drill-down (1e6 ~ Poisson).
+    "q298_fano_factor" -> ((s, dir) =>
+      EventAnalytics.fanoFactor(T(s, dir, "events"), "event_type",
+        "ts")),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8356,6 +8373,54 @@ object SparkEntry {
          |    ELSE 'text_only' END AS channel,
          |  count(*) AS n_pairs
          |FROM u GROUP BY 1""".stripMargin,
+
+    // q297: two token tallies, full outer join with zero-fill, the
+    // smoothed cross-rate in HUGEINT, two (score, token) top-20s
+    "q297_token_movers" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ta AS (SELECT unnest($wordsSql) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |tb AS (SELECT unnest($wordsSql) AS token
+         |  FROM documents WHERE lang <> 'en'),
+         |ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
+         |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+         |    coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON cb.token = ca.token),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+         |    CAST(sum(c_b) AS BIGINT) AS nb,
+         |    CAST(count(*) AS BIGINT) AS v FROM j),
+         |sc AS (SELECT token, c_a, c_b,
+         |    ${ratioScaledSql(
+             "CAST(c_a + 1 AS HUGEINT) * (tot.nb + tot.v)",
+             "CAST(c_b + 1 AS HUGEINT) * (tot.na + tot.v)", 6)}
+         |      AS score_e6
+         |  FROM j CROSS JOIN tot),
+         |up AS (SELECT 'a_heavy' AS direction, token, c_a, c_b,
+         |    score_e6
+         |  FROM sc ORDER BY score_e6 DESC, token ASC LIMIT 20),
+         |dn AS (SELECT 'b_heavy' AS direction, token, c_a, c_b,
+         |    score_e6
+         |  FROM sc ORDER BY score_e6 ASC, token ASC LIMIT 20)
+         |SELECT * FROM up UNION ALL SELECT * FROM dn""".stripMargin
+    },
+
+    // q298: daily tally, per-type (n, Σy, Σy²) with HUGEINT squares,
+    // one e6 division
+    "q298_fano_factor" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH d AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT t, count(*) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy FROM d GROUP BY 1)
+         |SELECT t AS event_type, n AS n_days, sy AS n_events,
+         |  ${ratioScaledSql(
+             "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy",
+             "CAST(n AS HUGEINT) * sy", 6)} AS fano_e6
+         |FROM a""".stripMargin
+    },
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A

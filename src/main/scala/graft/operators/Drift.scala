@@ -274,4 +274,54 @@ object Drift {
           col("na__").cast(dec) * col("nb__"), 6).as("d_e6"),
         (-col("best__.nv__")).as("at_units"))
   }
+
+  /** TOP TOKEN MOVERS between two corpora — per token the add-1
+    * smoothed relative-rate ratio
+    * ((c_a+1)/(N_a+V)) / ((c_b+1)/(N_b+V)) as the exact e6 rational
+    * (c_a+1)·(N_b+V) / ((c_b+1)·(N_a+V)): the "which words define
+    * side A?" drill-down behind [[lexicalTvMatrix]]'s scalar distance
+    * (the same keyword-extraction shape as log-odds-ratio with
+    * informative Dirichlet priors — Monroe et al. 2008 — minus the
+    * gate-hostile log). Emits the top `k` movers in EACH direction
+    * ((score DESC|ASC, token ASC) — total order), tagged a_heavy /
+    * b_heavy, with both raw counts.
+    *
+    * Shape at scale: two vocabulary-sized tallies, one full outer
+    * join on token, a 1-row broadcast of (N_a, N_b, V), and two
+    * TakeOrderedAndProject top-ks (per-partition heaps, no global
+    * sort). */
+  def tokenMovers(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    import graft.functions.{ExactRound, TextFns}
+    def tally(df: DataFrame, out: String): DataFrame = df
+      .select(explode(TextFns.words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val ca = tally(a, "c_a")
+    val cb = tally(b, "c_b")
+    val joined = graft.Caches.register(ca
+      .join(cb, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist())
+    val tot = joined.agg(sum(col("c_a")).cast("long").as("na__"),
+      sum(col("c_b")).cast("long").as("nb__"),
+      count(lit(1)).cast("long").as("v__"))
+    val dec = "decimal(38,0)"
+    val scored = graft.Caches.register(joined
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("c_a"), col("c_b"),
+        ExactRound.ratioScaledBig(
+          (col("c_a") + 1L).cast(dec) * (col("nb__") + col("v__")),
+          (col("c_b") + 1L).cast(dec) * (col("na__") + col("v__")), 6)
+          .as("score_e6"))
+      .persist())
+    val up = RankOps.topK(scored, k, col("score_e6"), col("token"))
+      .withColumn("direction", lit("a_heavy"))
+    val down = RankOps.topK(scored, k, col("score_e6"), col("token"),
+        ascending = true)
+      .withColumn("direction", lit("b_heavy"))
+    up.union(down)
+      .select(col("direction"), col("token"), col("c_a"), col("c_b"),
+        col("score_e6"))
+  }
 }

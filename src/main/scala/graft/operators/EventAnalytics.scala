@@ -693,6 +693,39 @@ object EventAnalytics {
           .as("tau_a_e6"))
   }
 
+  /** FANO FACTOR (index of dispersion) of daily counts per event
+    * type — variance-to-mean as the single exact rational
+    * F = (n·Σy² − (Σy)²) / (n·Σy), population variance over OBSERVED
+    * days (the [[rollingDailyMetrics]] convention — quiet calendar
+    * gaps are [[densifyDaily]]'s job): ≈10⁶ reads Poisson-like, ≫10⁶
+    * reads bursty/clumped, ≪10⁶ reads throttled/regular — the
+    * one-number burstiness summary next to [[burstHours]]'s hourly
+    * drill-down. Numerator is ≥ 0 by Cauchy–Schwarz; a single
+    * observed day reads 0 variance.
+    *
+    * Shape at scale: one daily tally shuffle + one per-type aggregate
+    * with Σy² in DECIMAL(38,0) (daily counts square past long at
+    * corpus scale). */
+  def fanoFactor(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val dec = "decimal(38,0)"
+    events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y__"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y__")).cast("long").as("n_events"),
+        sum(col("y__").cast(dec) * col("y__")).as("syy__"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        ExactRound.ratioScaledBig(
+          col("n_days").cast(dec) * col("syy__") -
+            col("n_events").cast(dec) * col("n_events"),
+          col("n_days").cast(dec) * col("n_events"), 6).as("fano_e6"))
+  }
+
   /** WEEK-OVER-WEEK trend card per event type — last 7 observed days
     * vs the prior 7, relative to the corpus horizon (data-derived,
     * rerun-stable): counts plus the exact e6 ratio (the "what spiked

@@ -1185,6 +1185,20 @@ object ScaleProbe {
         bands = 4, maxHamming = 3, maxBucket = 64)
     }
 
+    time("token_movers") {
+      val half = pmod(xxhash64(col("doc_id"), lit(121)), lit(2)) === 0
+      graft.operators.Drift.tokenMovers(docs.filter(half),
+        docs.filter(!half), "text", k = 20)
+    }
+    time("fano_factor") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(122)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(123)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.fanoFactor(ev, "t", "ts")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -243,6 +243,35 @@ class Round15bOpsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
   }
 
+  test("tokenMovers: add-1 smoothed cross-rate with zero-filled " +
+    "sides, both directions totally ordered") {
+    val a = Seq("x x y").toDF("text")
+    val b = Seq("y z").toDF("text")
+    // Na=3, Nb=2, V=3: x -> 3*5/(1*6)=2.5e6; y -> 2*5/(2*6)=833333;
+    // z -> 1*5/(2*6)=416667
+    val got = Drift.tokenMovers(a, b, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("a_heavy", "x")) == (2L, 0L, 2500000L))
+    assert(got(("a_heavy", "y")) == (1L, 1L, 833333L))
+    assert(got(("b_heavy", "z")) == (0L, 1L, 416667L))
+    assert(got(("b_heavy", "y")) == (1L, 1L, 833333L))
+  }
+
+  test("fanoFactor: variance-to-mean over observed days, constant " +
+    "series reads 0") {
+    val day = 86400L * 1000000000L
+    val ev = ((Seq.fill(1)(1L) ++ Seq.fill(3)(2L)).map(d => ("a", d)) ++
+      (Seq.fill(2)(1L) ++ Seq.fill(2)(2L)).map(d => ("b", d)))
+      .map { case (t, d) => (t, d * day) }.toDF("t", "ts")
+    val got = EventAnalytics.fanoFactor(ev, "t", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: counts [1,3] -> (2*10-16)/(2*4) = 0.5
+    assert(got("a") == (2L, 4L, 500000L))
+    assert(got("b") == (2L, 4L, 0L))
+  }
+
   test("streamingPatternDetect: latest strictly-earlier A within " +
     "the window anchors each B; state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
