@@ -652,4 +652,69 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus bin aggregate must feed the joins, not follow " +
         s"them:\n$p")
   }
+
+  test("linkPrediction: candidates come from EQUI wedge joins, never " +
+    "a cartesian; the edge set leaves as a left-anti") {
+    val e = (1 to 200).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("a", "b")
+    val p = plan(graft.operators.GraphRank.linkPrediction(e, "a", "b"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must ride equi-joins:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the left-anti edge " +
+      s"exclusion in:\n$p")
+  }
+
+  test("rankBiasedOverlap: both prefix ranks ride WindowGroupLimit " +
+    "(map-side size-depth heaps, not full per-group sorts)") {
+    val df = (0 until 400).map(i =>
+      (s"g${i % 7}", i.toLong, (i * 13 % 101).toLong,
+        (i * 7 % 103).toLong)).toDF("g", "id", "sa", "sb")
+    val p = plan(graft.operators.EvalMetrics.rankBiasedOverlap(
+      df, "g", "id", col("sa"), col("sb"), depth = 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank-filter shape must trigger the group-limit rewrite:\n$p")
+  }
+
+  test("exactSplit ranks via range partitioning with NO window " +
+    "operator (the groupRowNumber path)") {
+    val df = (0 until 500).map(i => (s"s${i % 5}", i.toLong))
+      .toDF("st", "k")
+    val p = plan(graft.operators.Sampling.exactSplit(df, "st", "k",
+      Seq(8, 1, 1), Seq("train", "val", "test")))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"a window operator appeared in exactSplit:\n$p")
+  }
+
+  test("positionAttribution windows partition by conversion — no " +
+    "corpus-wide single-partition stage") {
+    val ev = (0 until 300).map(i => (i.toLong % 20, i.toLong * 10,
+      i.toLong, if (i % 5 == 0) "purchase" else "view"))
+      .toDF("u", "ts", "id", "t")
+    val p = plan(graft.operators.EventAnalytics.positionAttribution(
+      ev, "u", "ts", "id", "t", "view", "purchase", 1000000L))
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no corpus-wide single-partition stage may exist:\n$p")
+  }
+
+  test("mannKendall's pair expansion is an equi-join on the type key") {
+    val ev = (0 until 400).map(i => (s"t${i % 4}",
+      (i % 50).toLong * 86400000000000L)).toDF("t", "ts")
+    val p = plan(graft.operators.EventAnalytics.mannKendall(
+      ev, "t", "ts"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the day-pair join must stay keyed on type:\n$p")
+  }
+
+  test("tokenMovers' two top-ks compile to TakeOrderedAndProject — " +
+    "per-partition heaps, no global sort") {
+    val a = (0 until 50).map(i => s"w${i % 9} w${i % 7}").toDF("text")
+    val b = (0 until 50).map(i => s"w${i % 5} w${i % 3}").toDF("text")
+    val p = plan(graft.operators.Drift.tokenMovers(a, b, "text", k = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap-based top-k in:\n$p")
+  }
 }
