@@ -2646,6 +2646,86 @@ object SparkEntry {
       EventAnalytics.fanoFactor(T(s, dir, "events"), "event_type",
         "ts")),
 
+    // ---- graph: INCREMENTAL PageRank delta — ranks before vs after
+    // landing the held-out order batch (o_orderkey % 5 = 0), top 50
+    // movers by |Δ|: the "what did this ingest do to centrality?"
+    // maintenance card (3-round ladders on both sides; nodes born in
+    // the batch read rank_before 0).
+    "q299_pagerank_delta" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      def edges(baseOnly: Boolean) = {
+        val oo = if (baseOnly) o.filter(col("o_orderkey") % 5 =!= 0)
+          else o
+        li.join(oo, li("l_orderkey") === oo("o_orderkey"))
+          .select((col("o_custkey") * 2L).as("src"),
+            (col("l_suppkey") * 2L + 1L).as("dst"))
+          .distinct()
+      }
+      val before = GraphRank.pageRank(edges(baseOnly = true),
+          "src", "dst", iterations = 3)
+        .select(col("node"), col("rank_e6").as("rank_before"))
+      val after = GraphRank.pageRank(edges(baseOnly = false),
+          "src", "dst", iterations = 3)
+        .select(col("node"), col("rank_e6").as("rank_after"))
+      val j = after.join(before, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank_before"), lit(0L)).as("rank_before"),
+          col("rank_after"),
+          (col("rank_after") - coalesce(col("rank_before"), lit(0L)))
+            .as("delta_e6"))
+      RankOps.topKMulti(j, 50, abs(col("delta_e6")), Seq(col("node")))
+    }),
+
+    // ---- attribution: CONVERSION-LAG histogram — per purchase the
+    // gap to its latest in-window view (the q289 anchor), bucketed by
+    // hour with e6 shares: the "how long does conversion take?" sheet.
+    "q300_conversion_lag" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u__"), col("event_id").as("cid__"),
+          col("ts").as("ct__"))
+      val touch = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("u__"), col("ts").as("tt__"))
+      val gaps = conv.join(touch, Seq("u__"))
+        .filter(col("tt__") < col("ct__") &&
+          col("ct__") - col("tt__") <= 24L * 3600L * 1000000000L)
+        .groupBy(col("cid__"))
+        .agg((max(col("ct__")) - max(col("tt__"))).as("gap__"))
+        .groupBy(call_function("div", col("gap__"),
+          lit(3600L * 1000000000L)).as("lag_hours"))
+        .agg(count(lit(1)).as("n_conversions"))
+      val tot = gaps.agg(sum(col("n_conversions")).cast("long")
+        .as("nt__"))
+      gaps.crossJoin(broadcast(tot))
+        .select(col("lag_hours"), col("n_conversions"),
+          graft.functions.ExactRound.ratioScaled(col("n_conversions"),
+            col("nt__"), 6).as("share_e6"))
+    }),
+
+    // ---- journeys: PATH TRIGRAMS — consecutive type triples per
+    // user in (ts, id) order, support as occurrences + distinct
+    // users, top 20: q141's transition matrix one step deeper, q271's
+    // entry paths without the "first 3 only" anchor.
+    "q301_path_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = T(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("user_id")).as("n_users"))
+      RankOps.topKMulti(tri, 20, col("n_occurrences"),
+        Seq(col("t1"), col("t2"), col("t3")))
+    }),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8421,6 +8501,78 @@ object SparkEntry {
              "CAST(n AS HUGEINT) * sy", 6)} AS fano_e6
          |FROM a""".stripMargin
     },
+
+    // q299: the q108 ladder twice (3 rounds) over base vs full edge
+    // sets, left-joined deltas, (|Δ| DESC, node) top 50
+    "q299_pagerank_delta" -> {
+      def ladder(tag: String, where: String) = {
+        def iter(k: Int) =
+          s"""r$tag$k AS (SELECT n.node,
+             |    (15000000 + 85 * coalesce(s.c, 0)) // 100 AS rank_e6
+             |  FROM nodes$tag n LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(sum(p.rank_e6 // d.deg) AS BIGINT) AS c
+             |    FROM edges$tag e JOIN r$tag${k - 1} p ON p.node = e.src
+             |    JOIN deg$tag d ON d.node = e.src GROUP BY 1) s
+             |    ON s.node = n.node)""".stripMargin
+        s"""edges$tag AS (SELECT DISTINCT o_custkey * 2 AS src,
+           |    l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  $where),
+           |nodes$tag AS (SELECT src AS node FROM edges$tag
+           |  UNION SELECT dst FROM edges$tag),
+           |deg$tag AS (SELECT src AS node, count(*) AS deg
+           |  FROM edges$tag GROUP BY 1),
+           |r${tag}0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6
+           |  FROM nodes$tag),
+           |${(1 to 3).map(iter).mkString(",\n")}""".stripMargin
+      }
+      s"""WITH ${ladder("b", "WHERE o_orderkey % 5 <> 0")},
+         |${ladder("f", "")}
+         |SELECT f.node, coalesce(b.rank_e6, 0) AS rank_before,
+         |  f.rank_e6 AS rank_after,
+         |  f.rank_e6 - coalesce(b.rank_e6, 0) AS delta_e6
+         |FROM rf3 f LEFT JOIN rb3 b ON b.node = f.node
+         |ORDER BY abs(f.rank_e6 - coalesce(b.rank_e6, 0)) DESC,
+         |  f.node ASC LIMIT 50""".stripMargin
+    },
+
+    // q300: per-conversion latest in-window view gap, hour buckets,
+    // e6 share of attributed conversions
+    "q300_conversion_lag" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH c AS (SELECT user_id AS u, event_id AS conv_id,
+         |    epoch_ns(ts) AS ct FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |t AS (SELECT user_id AS u, epoch_ns(ts) AS tt FROM events
+         |  WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |m AS (SELECT c.conv_id, max(c.ct) - max(t.tt) AS gap
+         |  FROM c JOIN t ON t.u = c.u
+         |  WHERE t.tt < c.ct AND c.ct - t.tt <= 86400000000000
+         |  GROUP BY 1),
+         |h AS (SELECT gap // 3600000000000 AS lag_hours,
+         |    count(*) AS n FROM m GROUP BY 1)
+         |SELECT lag_hours, n AS n_conversions,
+         |  ${ratioScaledSql("n", "(SELECT sum(n) FROM h)", 6)}
+         |    AS share_e6
+         |FROM h""".stripMargin
+    },
+
+    // q301: two leads per user stream, triple tally, (occurrences
+    // DESC, types ASC) top 20
+    "q301_path_trigrams" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS ts,
+        |    event_id AS id, event_type AS t1 FROM events
+        |  WHERE user_id IS NOT NULL),
+        |tr AS (SELECT u, t1,
+        |    lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, id)),
+        |g AS (SELECT t1, t2, t3, count(*) AS n_occurrences,
+        |    count(DISTINCT u) AS n_users
+        |  FROM tr WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT * FROM g
+        |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
+        |LIMIT 20""".stripMargin,
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A
