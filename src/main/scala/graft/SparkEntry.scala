@@ -2726,6 +2726,53 @@ object SparkEntry {
         Seq(col("t1"), col("t2"), col("t3")))
     }),
 
+    // ---- streaming × sketch: per-DAY approximate distinct users per
+    // type — HLL registers accumulate in the state store (256 bytes
+    // per open window×key, the constant-state reason streaming
+    // uniques scale), summarized after the sink; the md5 sketch is
+    // deterministic so the batch oracle reproduces it exactly.
+    "q302_stream_hll_window" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
+          col("user_id").cast("string").as("uid"))
+      val rng = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
+      val batched = ev.crossJoin(broadcast(rng))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 2L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("event_type"), col("tsSec"), col("uid"), col("b"))
+        .unionByName(rng.select(lit("zz_sentinel").as("event_type"),
+          (col("mx") + 172800L).as("tsSec"), lit("u0").as("uid"),
+          lit(2).cast("int").as("b")))
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q302-feed").toString
+      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val src = s.readStream
+        .schema("event_type STRING, tsSec LONG, uid STRING")
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val agg = graft.streaming.Streams.windowedHllDistinct(src, "ts",
+        windowLen = "1 day", watermark = "1 hour",
+        keyCols = Seq("event_type"), idCol = "uid")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q302-out").toString
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$outDir/wins")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/wins")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("win_start"), col("event_type"),
+          graft.expressions.HllSketch.hll_summary(col("regs")).as("h"))
+        .select(col("win_start"), col("event_type"),
+          col("h.v_zero").as("v_zero"), col("h.s40").as("s40"),
+          col("h.est_hll").as("est_hll"))
+    }),
+
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
     // live to the latest view strictly before it within 1 h (q273's
     // attribution anchor as an O(1)-state flatMapGroupsWithState);
@@ -8573,6 +8620,51 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q302: the q109 register ladder with the epoch-aligned day
+    // window as an extra group key; every (type, day) emits because
+    // the sentinel pushes the watermark past the last real window
+    "q302_stream_hll_window" -> {
+      val bucket = s"(${nibSql("h16", 1)} * 16 + ${nibSql("h16", 2)})"
+      val whi = (3 to 8)
+        .map(i => nibSql("h16", i) + s" * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val ladder = (1 to 39).map(k =>
+        s"WHEN w >= ${BigInt(2).pow(56 - k)} THEN $k").mkString(" ")
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    (epoch_ns(ts) // 86400000000000) * 86400 AS win_start,
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h16
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hb AS (SELECT event_type, win_start, $bucket AS bucket,
+         |    CAST($whi AS HUGEINT) * 4294967296 +
+         |      ${hex32Sql("h16", 9)} AS w
+         |  FROM h),
+         |ranked AS (SELECT event_type, win_start, bucket,
+         |    CASE $ladder ELSE 40 END AS rank FROM hb),
+         |regs AS (SELECT event_type, win_start, bucket,
+         |    max(rank) AS mx FROM ranked GROUP BY 1, 2, 3),
+         |grid AS (SELECT g.event_type, g.win_start, b.bucket
+         |  FROM (SELECT DISTINCT event_type, win_start FROM h) g,
+         |    (SELECT unnest(range(0, 256)) AS bucket) b),
+         |m AS (SELECT grid.event_type, grid.win_start, grid.bucket,
+         |    coalesce(regs.mx, 0) AS mj
+         |  FROM grid LEFT JOIN regs
+         |    ON regs.event_type = grid.event_type
+         |    AND regs.win_start = grid.win_start
+         |    AND regs.bucket = grid.bucket),
+         |s AS (SELECT event_type, win_start,
+         |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_zero,
+         |    CAST(sum(CAST(1 AS BIGINT) << (40 - mj)) AS BIGINT)
+         |      AS s40
+         |  FROM m GROUP BY 1, 2)
+         |SELECT win_start, event_type, v_zero, s40,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+         |    CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+         |    CAST(65536.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE) /
+         |    CAST(s40 AS DOUBLE) AS est_hll
+         |FROM s""".stripMargin
+    },
 
     // q289: per purchase the (a.ts DESC, a.id DESC) row_number()=1
     // view within the hour — "latest A if within window" = "latest A

@@ -38,6 +38,27 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("value_sum"))
 
+  /** Windowed APPROXIMATE-DISTINCT via the HLL register sketch — the
+    * streaming form of the q109 per-group HLL: per (event-time
+    * window, keys), the 256-register array accumulates in the state
+    * store (TypedImperativeAggregate buffers are mergeable, so
+    * partial aggregation and state-store merges are lossless — the
+    * q114 rollup property), and each closed window ships its
+    * registers for the caller to summarize. State is one 256-byte
+    * array per OPEN (window, key) — constant per key regardless of
+    * distinct-value volume, the reason a 100 TB/day stream can
+    * afford per-window uniques at all. The sketch is md5-based and
+    * deterministic, so a batch oracle reproduces it bit for bit. */
+  def windowedHllDistinct(stream: DataFrame, eventTime: String,
+      windowLen: String, watermark: String, keyCols: Seq[String],
+      idCol: String): DataFrame =
+    stream.withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen) +: keyCols.map(col): _*)
+      .agg(graft.expressions.HllSketch.hll_registers(col(idCol))
+        .as("regs"))
+      .select(unix_timestamp(col("window.start")).as("win_start") +:
+        keyCols.map(col) :+ col("regs"): _*)
+
   /** SLIDING-window counts/sums per key: each event lands in
     * `windowLen / slideLen` overlapping windows (Spark generates them
     * with one Expand — no self-join), each window emitting once its

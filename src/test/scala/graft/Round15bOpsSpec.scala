@@ -272,6 +272,43 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got("b") == (2L, 4L, 0L))
   }
 
+  test("windowedHllDistinct: streaming registers equal the batch " +
+    "sketch over the same rows (lossless state-store merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("event_ts", "t", "uid")
+    val agg = Streams.windowedHllDistinct(df, "event_ts", "1 day",
+      "1 hour", Seq("t"), "uid")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_hll").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), "g", "u1"),
+        (Timestamp.valueOf("2024-01-01 02:00:00"), "g", "u2"))
+      q.processAllAvailable()
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 03:00:00"), "g", "u3"),
+        (Timestamp.valueOf("2024-01-01 04:00:00"), "g", "u1"))
+      q.processAllAvailable()
+      val streamed = spark.table("win_hll")
+        .select(graft.expressions.HllSketch.hll_summary(col("regs"))
+          .as("h"))
+        .select(col("h.v_zero"), col("h.s40"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val batch = Seq("u1", "u2", "u3", "u1").toDF("uid")
+        .agg(graft.expressions.HllSketch.hll_registers(col("uid"))
+          .as("regs"))
+        .select(graft.expressions.HllSketch.hll_summary(col("regs"))
+          .as("h"))
+        .select(col("h.v_zero"), col("h.s40"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.length == 1 && streamed(0) == batch(0))
+    } finally q.stop()
+  }
+
   test("streamingPatternDetect: latest strictly-earlier A within " +
     "the window anchors each B; state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
