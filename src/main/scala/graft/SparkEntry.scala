@@ -2726,6 +2726,38 @@ object SparkEntry {
         Seq(col("t1"), col("t2"), col("t3")))
     }),
 
+    // ---- growth: NEW vs RETURNING daily actives — per day, actives
+    // split on "first observed day?", e6 returning share: cohort
+    // day-0 volume and stickiness in one table.
+    "q303_new_vs_returning" -> ((s, dir) =>
+      EventAnalytics.newVsReturning(T(s, dir, "events"), "user_id",
+        "ts")),
+
+    // ---- vectors: near-dup PAIR EXPLANATIONS — per 0.3-surface pair
+    // the top-3 dimensions by e12 dot-product contribution (q189's
+    // "why did these match?" card for embeddings instead of shingles).
+    "q304_vector_pair_explain" -> ((s, dir) => {
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val units = T(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("p__", "x__")))
+        .select(col("vec_id"), (col("p__") + 1L).as("dim"),
+          round(col("x__") * 1000000).cast("long").as("u__"))
+      pairs
+        .join(units.select(col("vec_id").as("id_a"), col("dim"),
+          col("u__").as("ua_e6")), Seq("id_a"))
+        .join(units.select(col("vec_id").as("id_b"), col("dim"),
+          col("u__").as("ub_e6")), Seq("id_b", "dim"))
+        .withColumn("contrib_e12",
+          (col("ua_e6").cast("decimal(38,0)") * col("ub_e6"))
+            .cast("long"))
+        .transform(df => RankOps.groupTopK(df, Seq("id_a", "id_b"), 3,
+          col("contrib_e12"), Seq(col("dim")), rankCol = "rnk"))
+        .select(col("id_a"), col("id_b"), col("dim"), col("ua_e6"),
+          col("ub_e6"), col("contrib_e12"), col("rnk"))
+    }),
+
     // ---- streaming × sketch: per-DAY approximate distinct users per
     // type — HLL registers accumulate in the state store (256 bytes
     // per open window×key, the constant-state reason streaming
@@ -8620,6 +8652,44 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q303: distinct (user, day), per-user min day, daily split with
+    // the e6 returning share
+    "q303_new_vs_returning" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH ud AS (SELECT DISTINCT user_id AS u,
+         |    epoch_ns(ts) // 86400000000000 AS day FROM events
+         |  WHERE user_id IS NOT NULL),
+         |f AS (SELECT u, min(day) AS d0 FROM ud GROUP BY 1),
+         |a AS (SELECT ud.day, count(*) AS n_active,
+         |    CAST(sum(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM ud JOIN f ON f.u = ud.u GROUP BY 1)
+         |SELECT day, n_active, n_new,
+         |  n_active - n_new AS n_returning,
+         |  ${ratioScaledSql("n_active - n_new", "n_active", 6)}
+         |    AS returning_share_e6
+         |FROM a""".stripMargin
+    },
+
+    // q304: the e6-unit embedding table joined to both pair
+    // endpoints, per-pair (contrib DESC, dim ASC) top 3
+    "q304_vector_pair_explain" ->
+      s"""WITH ${lshPairCtes("0.3")},
+         |pe AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+         |      0) AS BIGINT) AS u
+         |  FROM embeddings),
+         |c AS (SELECT p.id_a, p.id_b, a.dim, a.u AS ua_e6,
+         |    b.u AS ub_e6, CAST(a.u AS HUGEINT) * b.u AS contrib
+         |  FROM p JOIN pe a ON a.vec_id = p.id_a
+         |  JOIN pe b ON b.vec_id = p.id_b AND b.dim = a.dim),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+         |    ORDER BY contrib DESC, dim ASC) AS rnk FROM c)
+         |SELECT id_a, id_b, dim, ua_e6, ub_e6,
+         |  CAST(contrib AS BIGINT) AS contrib_e12, rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
 
     // q302: the q109 register ladder with the epoch-aligned day
     // window as an extra group key; every (type, day) emits because

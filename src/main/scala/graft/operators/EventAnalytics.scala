@@ -726,6 +726,36 @@ object EventAnalytics {
           col("n_days").cast(dec) * col("n_events"), 6).as("fano_e6"))
   }
 
+  /** NEW vs RETURNING daily active users — per day, actives split by
+    * "is this the user's FIRST observed day?", with the e6 returning
+    * share: the growth-accounting card next to [[churnLabels]]'
+    * forward-looking flag and [[rollingActiveUsers]]' window count
+    * (cohort-day-0 volume and stickiness in one table).
+    *
+    * Shape at scale: one distinct (user, day) shuffle, one per-user
+    * min-day aggregate (map-side combinable), a key join back, and
+    * the daily tally. No windows. */
+  def newVsReturning(events: DataFrame, userCol: String,
+      tsNanosCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val ud = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u__"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .distinct()
+    val first = ud.groupBy(col("u__"))
+      .agg(min(col("day")).as("d0__"))
+    ud.join(first, Seq("u__"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("d0__"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        ExactRound.ratioScaled(col("n_active") - col("n_new"),
+          col("n_active"), 6).as("returning_share_e6"))
+  }
+
   /** WEEK-OVER-WEEK trend card per event type — last 7 observed days
     * vs the prior 7, relative to the corpus horizon (data-derived,
     * rerun-stable): counts plus the exact e6 ratio (the "what spiked

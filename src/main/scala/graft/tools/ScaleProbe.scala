@@ -1199,6 +1199,14 @@ object ScaleProbe {
       graft.operators.EventAnalytics.fanoFactor(ev, "t", "ts")
     }
 
+    time("new_vs_returning") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(124)), lit(n / 16)).as("u"),
+        (pmod(xxhash64(col("id"), lit(125)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.newVsReturning(ev, "u", "ts")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -272,6 +272,18 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got("b") == (2L, 4L, 0L))
   }
 
+  test("newVsReturning: first-day actives are new, later days " +
+    "split exactly") {
+    val day = 86400L * 1000000000L
+    val ev = Seq((10L, 1L), (10L, 2L), (20L, 2L))
+      .map { case (u, d) => (u, d * day) }.toDF("u", "ts")
+    val got = EventAnalytics.newVsReturning(ev, "u", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (1L, 1L, 0L, 0L))
+    assert(got(2L) == (2L, 1L, 1L, 500000L))
+  }
+
   test("windowedHllDistinct: streaming registers equal the batch " +
     "sketch over the same rows (lossless state-store merge)") {
     implicit val sqlCtx = spark.sqlContext
