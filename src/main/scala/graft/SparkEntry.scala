@@ -2758,6 +2758,14 @@ object SparkEntry {
           col("ub_e6"), col("contrib_e12"), col("rnk"))
     }),
 
+    // ---- layout: HILBERT-curve pruning stats on q176's exact box —
+    // the locality experiment: same table, same 64 files, same
+    // predicate, Morton vs Hilbert file-skipping read side by side.
+    "q305_hilbert_pruning" -> ((s, dir) =>
+      HilbertLayout.pruningStats(T(s, dir, "orders"),
+        "o_totalprice", "o_custkey", bits = 8, nFiles = 64,
+        aLo = 50000.0, aHi = 100000.0, bLo = 100.0, bHi = 500.0)),
+
     // ---- streaming × sketch: per-DAY approximate distinct users per
     // type — HLL registers accumulate in the state store (256 bytes
     // per open window×key, the constant-state reason streaming
@@ -8652,6 +8660,62 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q305: the q176 quantize CTE feeding 8 unrolled xy2d stages
+    // (quadrant digit + reflect-and-swap, each SELECT reading the
+    // previous stage's hx/hy — the engine's chained projections term
+    // for term), then the same 64-slice pruning report
+    "q305_hilbert_pruning" -> {
+      val bits = 8
+      val n = 1L << bits
+      def iter(idx: Int, k: Int): String = {
+        val s = 1L << k
+        s"""h$idx AS (SELECT o_totalprice, o_custkey,
+           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+           |        CASE WHEN ((hx >> $k) & 1) = 1
+           |          THEN ${n - 1} - hy ELSE hy END
+           |      ELSE hx END AS hx,
+           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+           |        CASE WHEN ((hx >> $k) & 1) = 1
+           |          THEN ${n - 1} - hx ELSE hx END
+           |      ELSE hy END AS hy,
+           |    hd + ${s * s} * (CASE
+           |      WHEN ((hx >> $k) & 1) = 0 AND ((hy >> $k) & 1) = 0
+           |        THEN 0
+           |      WHEN ((hx >> $k) & 1) = 0 THEN 1
+           |      WHEN ((hy >> $k) & 1) = 1 THEN 2 ELSE 3 END) AS hd
+           |  FROM h${idx - 1})""".stripMargin
+      }
+      val stages = (1 to bits)
+        .map(i => iter(i, bits - i)).mkString(",\n")
+      s"""WITH b AS (SELECT
+         |    min(CAST(o_totalprice AS DOUBLE)) AS amn,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS amx,
+         |    min(CAST(o_custkey AS DOUBLE)) AS bmn,
+         |    max(CAST(o_custkey AS DOUBLE)) AS bmx
+         |  FROM orders),
+         |q AS (SELECT o_totalprice, o_custkey,
+         |    least(CAST(floor((CAST(o_totalprice AS DOUBLE) - amn)
+         |      * 256.0 / (amx - amn)) AS BIGINT), 255) AS qa,
+         |    least(CAST(floor((CAST(o_custkey AS DOUBLE) - bmn)
+         |      * 256.0 / (bmx - bmn)) AS BIGINT), 255) AS qb
+         |  FROM orders, b
+         |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+         |h0 AS (SELECT o_totalprice, o_custkey, qa AS hx, qb AS hy,
+         |    CAST(0 AS BIGINT) AS hd FROM q),
+         |$stages,
+         |f AS (SELECT (hd * 64) // 65536 AS file_id,
+         |    count(*) AS n_rows,
+         |    min(CAST(o_totalprice AS DOUBLE)) AS min_a,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS max_a,
+         |    min(CAST(o_custkey AS DOUBLE)) AS min_b,
+         |    max(CAST(o_custkey AS DOUBLE)) AS max_b
+         |  FROM h$bits GROUP BY 1)
+         |SELECT file_id, n_rows, min_a, max_a, min_b, max_b,
+         |  (min_a <= 100000.0 AND max_a >= 50000.0 AND
+         |   min_b <= 500.0 AND max_b >= 100.0) AS scanned
+         |FROM f""".stripMargin
+    },
 
     // q303: distinct (user, day), per-user min day, daily split with
     // the e6 returning share

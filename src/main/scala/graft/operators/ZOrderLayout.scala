@@ -29,7 +29,7 @@ object ZOrderLayout {
   /** Quantize `x` against [mn, mx] to `bits` bits: floor((x−mn)·2^bits/
     * (mx−mn)) clamped to 2^bits−1. Op order is fixed and mirrored in
     * the oracle. */
-  private def quantize(x: Column, mn: Double, mx: Double, bits: Int): Column = {
+  private[operators] def quantize(x: Column, mn: Double, mx: Double, bits: Int): Column = {
     val cells = (1L << bits).toDouble
     if (mx <= mn) lit(0L)
     else least(
@@ -111,4 +111,53 @@ object ZOrderLayout {
           col("min_b") <= bHi && col("max_b") >= bLo)
   }
 
+}
+
+/** HILBERT-curve write layout — [[ZOrderLayout]]'s sibling with the
+  * locality-tighter curve: consecutive Hilbert indexes are ALWAYS
+  * grid-adjacent (Morton order takes long diagonal jumps at quadrant
+  * boundaries), so equal-width index slices are tighter rectangles
+  * and a box predicate scans fewer files — the reason Databricks
+  * liquid clustering moved off Z-order. Index = the classical
+  * iterative xy2d walk (quadrant digit + reflect-and-swap rotation
+  * per bit, high to low), unrolled to `bits` chained projection
+  * stages of pure integer CASE arithmetic — whole-stage-codegen'd in
+  * Spark and mirrored term for term in oracle SQL. Same NULL and
+  * constant-dimension contracts as [[ZOrderLayout.assign]]. */
+object HilbertLayout {
+
+  def assign(df: DataFrame, colA: String, colB: String, bits: Int = 8,
+      hCol: String = "h"): DataFrame = {
+    require(bits >= 1 && bits <= 15, "bits in [1, 15]")
+    val (aMn, aMx, bMn, bMx) = ZOrderLayout.bounds(df, colA, colB)
+    val h = graft.expressions.HilbertIndex(
+      ZOrderLayout.quantize(col(colA), aMn, aMx, bits),
+      ZOrderLayout.quantize(col(colB), bMn, bMx, bits), bits)
+    df.withColumn(hCol,
+      when(col(colA).isNotNull && col(colB).isNotNull, h)
+        .otherwise(lit(null).cast("long")))
+  }
+
+  /** [[ZOrderLayout.pruningStats]] on the Hilbert index — run both on
+    * the same box to read the locality gap directly. */
+  def pruningStats(df: DataFrame, colA: String, colB: String,
+      bits: Int, nFiles: Int,
+      aLo: Double, aHi: Double, bLo: Double, bHi: Double): DataFrame = {
+    require(nFiles >= 1 && nFiles <= (1L << (2 * bits)),
+      "need 1 <= nFiles <= 4^bits")
+    val hSpace = 1L << (2 * bits)
+    assign(df, colA, colB, bits)
+      .filter(col("h").isNotNull)
+      .withColumn("file_id",
+        expr(s"(h * ${nFiles.toLong}) div $hSpace"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA).cast("double")).as("min_a"),
+        max(col(colA).cast("double")).as("max_a"),
+        min(col(colB).cast("double")).as("min_b"),
+        max(col(colB).cast("double")).as("max_b"))
+      .withColumn("scanned",
+        col("min_a") <= aHi && col("max_a") >= aLo &&
+          col("min_b") <= bHi && col("max_b") >= bLo)
+  }
 }

@@ -1207,6 +1207,17 @@ object ScaleProbe {
       graft.operators.EventAnalytics.newVsReturning(ev, "u", "ts")
     }
 
+    time("hilbert_pruning") {
+      val d2 = spark.range(n).select(
+        (pmod(xxhash64(col("id"), lit(126)), lit(100000)) / 10.0)
+          .as("a"),
+        pmod(xxhash64(col("id"), lit(127)), lit(50000)).cast("double")
+          .as("b"))
+      graft.operators.HilbertLayout.pruningStats(d2, "a", "b",
+        bits = 8, nFiles = 64, aLo = 1000.0, aHi = 3000.0,
+        bLo = 10000.0, bHi = 20000.0)
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -272,6 +272,28 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got("b") == (2L, 4L, 0L))
   }
 
+  test("HilbertLayout: the canonical 4x4 curve — bijection, known " +
+    "corners, and every consecutive pair grid-adjacent") {
+    val pts = for { x <- 0 to 3; y <- 0 to 3 }
+      yield (x.toDouble, y.toDouble)
+    val got = HilbertLayout.assign(pts.toDF("a", "b"), "a", "b",
+        bits = 2)
+      .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt)
+        -> r.getLong(2)).toMap
+    assert(got.values.toSet == (0L to 15L).toSet)
+    assert(got((0, 0)) == 0L && got((1, 0)) == 1L &&
+      got((1, 1)) == 2L && got((0, 1)) == 3L)
+    assert(got((3, 0)) == 15L && got((0, 3)) == 5L &&
+      got((3, 3)) == 10L)
+    val byD = got.map(_.swap)
+    // the Hilbert property Morton lacks: consecutive indexes are
+    // always grid neighbors (Manhattan distance 1)
+    assert((0 to 14).forall { i =>
+      val (x1, y1) = byD(i.toLong); val (x2, y2) = byD(i.toLong + 1)
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    })
+  }
+
   test("newVsReturning: first-day actives are new, later days " +
     "split exactly") {
     val day = 86400L * 1000000000L
