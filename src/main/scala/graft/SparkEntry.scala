@@ -2766,6 +2766,46 @@ object SparkEntry {
         "o_totalprice", "o_custkey", bits = 8, nFiles = 64,
         aLo = 50000.0, aHi = 100000.0, bLo = 100.0, bHi = 500.0)),
 
+    // ---- indicators: MAX DRAWDOWN of daily order value per priority
+    // — running peak, (drawdown DESC, day ASC) argmax, cents units:
+    // the F5 MACD's risk-side sibling from the reference domain.
+    "q306_max_drawdown" -> ((s, dir) =>
+      TechnicalIndicators.maxDrawdown(T(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        TimeFns.floorDiv(unix_micros(col("o_orderdate")
+          .cast("timestamp")), 86400L * 1000000L),
+        expr("cast(round(o_totalprice * 100, 0) as long)"))),
+
+    // ---- indicators: simple-average RSI(14) per priority — windowed
+    // gains/(gains+losses) as exact e6 over day-over-day deltas.
+    "q307_rsi" -> ((s, dir) =>
+      TechnicalIndicators.rsiSimple(T(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        TimeFns.floorDiv(unix_micros(col("o_orderdate")
+          .cast("timestamp")), 86400L * 1000000L),
+        expr("cast(round(o_totalprice * 100, 0) as long)"),
+        window = 14)),
+
+    // ---- indicators: BOLLINGER ±2σ breakout counts per priority —
+    // the band test on squares ((n·x−Σx)² vs 4·(n·Σx²−(Σx)²)), no
+    // square root anywhere in the lineage.
+    "q308_bollinger" -> ((s, dir) =>
+      TechnicalIndicators.bollingerBreakouts(T(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        TimeFns.floorDiv(unix_micros(col("o_orderdate")
+          .cast("timestamp")), 86400L * 1000000L),
+        expr("cast(round(o_totalprice * 100, 0) as long)"),
+        window = 20)),
+
+    // ---- indicators: daily VWAP over lineitem — Σ(extended cents) /
+    // Σ(qty) per ship day, exact e4.
+    "q309_vwap" -> ((s, dir) =>
+      TechnicalIndicators.vwapDaily(T(s, dir, "lineitem"),
+        TimeFns.floorDiv(unix_micros(col("l_shipdate")
+          .cast("timestamp")), 86400L * 1000000L),
+        expr("cast(round(l_extendedprice * 100, 0) as long)"),
+        expr("cast(round(l_quantity, 0) as long)"))),
+
     // ---- streaming × sketch: per-DAY approximate distinct users per
     // type — HLL registers accumulate in the state store (256 bytes
     // per open window×key, the constant-state reason streaming
@@ -8660,6 +8700,96 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q306: daily cents tally, prefix-max peak, (dd DESC, day ASC)
+    // argmax per priority
+    "q306_max_drawdown" ->
+      """WITH d AS (SELECT o_orderpriority AS g,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT g, day, v, max(v) OVER w AS peak
+        |  FROM d WINDOW w AS (PARTITION BY g ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |r AS (SELECT g, day, v, peak, peak - v AS dd,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY peak - v DESC, day ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_days
+        |  FROM p)
+        |SELECT g AS o_orderpriority, n_days, dd AS max_drawdown,
+        |  day AS at_day, peak, v AS trough
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // q307: lagged deltas, 14-row gain/loss window sums, e6 gain
+    // share
+    "q307_rsi" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH d AS (SELECT o_orderpriority AS g,
+         |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS v
+         |  FROM orders GROUP BY 1, 2),
+         |dl AS (SELECT g, day,
+         |    v - lag(v) OVER (PARTITION BY g ORDER BY day) AS delta
+         |  FROM d),
+         |f AS (SELECT * FROM dl WHERE delta IS NOT NULL),
+         |w AS (SELECT g, day, delta,
+         |    CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+         |      OVER win AS BIGINT) AS gn,
+         |    CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+         |      OVER win AS BIGINT) AS ls,
+         |    CAST(count(*) OVER win AS BIGINT) AS win_rows
+         |  FROM f WINDOW win AS (PARTITION BY g ORDER BY day
+         |    ROWS 13 PRECEDING))
+         |SELECT g AS o_orderpriority, day, delta, win_rows,
+         |  ${ratioScaledSql("gn", "gn + ls", 6)} AS rsi_e6
+         |FROM w""".stripMargin
+    },
+
+    // q308: 20-row window stats, the squared band test in HUGEINT,
+    // per-priority breakout tally
+    "q308_bollinger" ->
+      """WITH d AS (SELECT o_orderpriority AS g,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT g, v,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(v) OVER win AS BIGINT) AS sx,
+        |    sum(CAST(v AS HUGEINT) * v) OVER win AS sxx
+        |  FROM d WINDOW win AS (PARTITION BY g ORDER BY day
+        |    ROWS 19 PRECEDING)),
+        |b AS (SELECT g, CAST(n AS HUGEINT) * v - sx AS dev,
+        |    ((CAST(n AS HUGEINT) * v - sx) *
+        |     (CAST(n AS HUGEINT) * v - sx)) >
+        |      4 * (CAST(n AS HUGEINT) * sxx -
+        |        CAST(sx AS HUGEINT) * sx) AS brk
+        |  FROM w)
+        |SELECT g AS o_orderpriority, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN brk AND dev > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN brk AND dev < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q309: one daily aggregate, e4 extended/qty ratio
+    "q309_vwap" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH l AS (SELECT
+         |    (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pq,
+         |    CAST(round(l_quantity, 0) AS BIGINT) AS q
+         |  FROM lineitem),
+         |a AS (SELECT day, count(*) AS n_lines,
+         |    CAST(sum(pq) AS BIGINT) AS sum_extended,
+         |    CAST(sum(q) AS BIGINT) AS sum_qty
+         |  FROM l GROUP BY 1)
+         |SELECT day, n_lines, sum_extended, sum_qty,
+         |  ${ratioScaledSql("sum_extended", "sum_qty", 4)} AS vwap_e4
+         |FROM a""".stripMargin
+    },
 
     // q305: the q176 quantize CTE feeding 8 unrolled xy2d stages
     // (quadrant digit + reflect-and-swap, each SELECT reading the

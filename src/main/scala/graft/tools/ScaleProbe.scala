@@ -1218,6 +1218,25 @@ object ScaleProbe {
         bLo = 10000.0, bHi = 20000.0)
     }
 
+    time("technical_indicators") {
+      // drawdown + bollinger on the same generated daily surface:
+      // one daily tally feeding calendar-bounded per-group windows
+      val ev = spark.range(n).select(
+        concat(lit("g"), pmod(xxhash64(col("id"), lit(128)), lit(20))
+          .cast("string")).as("g"),
+        pmod(xxhash64(col("id"), lit(129)), lit(2000)).as("dy"),
+        (pmod(xxhash64(col("id"), lit(130)), lit(10000)) + 1L).as("v"))
+      graft.operators.TechnicalIndicators.maxDrawdown(ev, Seq("g"),
+          col("dy"), col("v"))
+        .unionByName(graft.operators.TechnicalIndicators
+          .bollingerBreakouts(ev, Seq("g"), col("dy"), col("v"),
+            window = 20)
+          .select(col("g"), col("n_days"), col("n_above"),
+            col("n_below"), lit(0L).as("x"), lit(0L).as("y"))
+          .toDF("g", "n_days", "max_drawdown", "at_day", "peak",
+            "trough"))
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -294,6 +294,54 @@ class Round15bOpsSpec extends SparkSpec {
     })
   }
 
+  test("maxDrawdown: running peak, (dd DESC, day ASC) argmax") {
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 15L))
+      .map { case (dy, v) => ("g", dy, v) }.toDF("g", "dy", "v")
+    val got = TechnicalIndicators.maxDrawdown(d, Seq("g"), col("dy"),
+      col("v")).collect()(0)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == (4L, 15L, 3L, 20L, 5L))
+  }
+
+  test("rsiSimple: windowed gain share over deltas, first day " +
+    "emits no row") {
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 15L))
+      .map { case (dy, v) => ("g", dy, v) }.toDF("g", "dy", "v")
+    val got = TechnicalIndicators.rsiSimple(d, Seq("g"), col("dy"),
+        col("v"), window = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 3 && !got.contains(1L))
+    assert(got(2L) == (10L, 1L, 1000000L))
+    assert(got(3L) == (-15L, 2L, 400000L)) // 10/(10+15)
+    assert(got(4L) == (10L, 2L, 400000L))
+  }
+
+  test("bollingerBreakouts: the squared 2-sigma test flags the jump " +
+    "(a single outlier needs window >= 6 to clear z = 2)") {
+    val vals = Seq.fill(6)(10L) :+ 30L
+    val d = vals.zipWithIndex
+      .map { case (v, i) => ("g", (i + 1).toLong, v) }
+      .toDF("g", "dy", "v")
+    val got = TechnicalIndicators.bollingerBreakouts(d, Seq("g"),
+      col("dy"), col("v"), window = 6).collect()(0)
+    // day 7's window [10 x5, 30]: dev^2 = 10000 > 4*(6*1400-6400)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (7L, 1L, 0L))
+  }
+
+  test("vwapDaily: exact e4 extended/qty ratio per day") {
+    val d = Seq((1L, 100L, 2L), (1L, 50L, 1L), (2L, 10L, 3L))
+      .toDF("dy", "pq", "q")
+    val got = TechnicalIndicators.vwapDaily(d, col("dy"), col("pq"),
+        col("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) == (2L, 150L, 3L, 500000L))
+    assert(got(2L) == (1L, 10L, 3L, 33333L))
+  }
+
   test("newVsReturning: first-day actives are new, later days " +
     "split exactly") {
     val day = 86400L * 1000000000L
