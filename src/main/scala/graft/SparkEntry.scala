@@ -2766,6 +2766,21 @@ object SparkEntry {
         "o_totalprice", "o_custkey", bits = 8, nFiles = 64,
         aLo = 50000.0, aHi = 100000.0, bLo = 100.0, bHi = 500.0)),
 
+    // ---- time series: LEAD-LAG scan, views vs purchases — signed
+    // squared Pearson at each lag in [-7, 7] over the zero-filled
+    // calendar (two-stage integer ladder, no sqrt): does engagement
+    // LEAD conversion, and by how many days?
+    "q310_lead_lag" -> ((s, dir) =>
+      EventAnalytics.leadLagScan(T(s, dir, "events"), "event_type",
+        "ts", typeX = "view", typeY = "purchase", maxLag = 7)),
+
+    // ---- time series: SEASONAL-NAIVE backtest — predict each day
+    // with day-7-earlier over the zero-filled horizon; e4 MAE and e6
+    // WAPE per type, the baseline every forecast must beat.
+    "q311_seasonal_naive" -> ((s, dir) =>
+      EventAnalytics.seasonalNaiveBacktest(T(s, dir, "events"),
+        "event_type", "ts", period = 7)),
+
     // ---- indicators: MAX DRAWDOWN of daily order value per priority
     // — running peak, (drawdown DESC, day ASC) argmax, cents units:
     // the F5 MACD's risk-side sibling from the reference domain.
@@ -8700,6 +8715,73 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q310: densified x/y series, 15-row lag frame joined on the
+    // shifted day, per-lag moments, the q275 two-stage ladder on
+    // sign(num)·num²/(dx·dy)
+    "q310_lead_lag" ->
+      """WITH b AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS c
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |h AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+        |cal AS (SELECT CAST(unnest(range(h.d0, h.d1 + 1)) AS BIGINT)
+        |    AS day FROM h),
+        |x AS (SELECT cal.day, coalesce(b.c, 0) AS x FROM cal
+        |  LEFT JOIN b ON b.t = 'view' AND b.day = cal.day),
+        |y AS (SELECT cal.day, coalesce(b.c, 0) AS y FROM cal
+        |  LEFT JOIN b ON b.t = 'purchase' AND b.day = cal.day),
+        |lg AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+        |j AS (SELECT lg.lag, x.x, y.y
+        |  FROM lg CROSS JOIN y JOIN x ON x.day = y.day - lg.lag),
+        |ag AS (SELECT lag, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM j GROUP BY 1),
+        |r AS (SELECT lag, n_days,
+        |    CAST(n_days AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n_days AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS dx,
+        |    CAST(n_days AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS dy
+        |  FROM ag)
+        |SELECT lag, n_days,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    CAST((((abs(num) * 1000) // dx) * abs(num) * 1000) // dy
+        |      AS BIGINT)
+        |  ELSE 0 END AS r2_signed_e6
+        |FROM r""".stripMargin,
+
+    // q311: densified per-type series self-joined at day-7, exact e4
+    // MAE + e6 WAPE
+    "q311_seasonal_naive" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH b AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |h AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+         |cal AS (SELECT ty.t,
+         |    CAST(unnest(range(h.d0, h.d1 + 1)) AS BIGINT) AS day
+         |  FROM (SELECT DISTINCT t FROM b) ty CROSS JOIN h),
+         |dn AS (SELECT cal.t, cal.day, coalesce(b.c, 0) AS y
+         |  FROM cal LEFT JOIN b ON b.t = cal.t AND b.day = cal.day),
+         |e AS (SELECT a.t, abs(a.y - p.y) AS err, a.y
+         |  FROM dn a JOIN dn p ON p.t = a.t AND p.day = a.day - 7
+         |  WHERE a.day >= (SELECT d0 FROM h) + 7),
+         |ag AS (SELECT t, count(*) AS n,
+         |    CAST(sum(err) AS BIGINT) AS se,
+         |    CAST(sum(y) AS BIGINT) AS sa FROM e GROUP BY 1)
+         |SELECT t AS event_type, n AS n_days_eval,
+         |  se AS sum_abs_err, sa AS sum_actual,
+         |  ${ratioScaledSql("se", "n", 4)} AS mae_e4,
+         |  ${ratioScaledSql("se", "sa", 6)} AS wape_e6
+         |FROM ag""".stripMargin
+    },
 
     // q306: daily cents tally, prefix-max peak, (dd DESC, day ASC)
     // argmax per priority

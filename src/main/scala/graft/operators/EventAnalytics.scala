@@ -756,6 +756,122 @@ object EventAnalytics {
           col("n_active"), 6).as("returning_share_e6"))
   }
 
+  /** LEAD–LAG scan between two event types' daily series — for every
+    * lag in [−maxLag, maxLag], the signed squared Pearson correlation
+    * of (x_d, y_{d+lag}) over the zero-filled calendar overlap, as an
+    * exact integer: sign(num) · num²·10⁶ / (denx·deny) through the
+    * q275 two-stage ladder (Cauchy–Schwarz bounds the intermediate at
+    * 10³·deny, so DECIMAL(38,0) never overflows where a single num²
+    * would at corpus scale). The "does views LEAD purchases, and by
+    * how many days?" card — read the argmax row.
+    *
+    * Shape at scale: two daily tallies densified over the bounded
+    * calendar (sequence-explode off a 1-row horizon), one
+    * (2·maxLag+1)-row lag frame cross-joined and equi-joined on the
+    * shifted day, one aggregate per lag. Everything is calendar-
+    * bounded. */
+  def leadLagScan(events: DataFrame, typeCol: String,
+      tsNanosCol: String, typeX: String, typeY: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = events
+      .select(col(typeCol).as("t__"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .filter(col("t__").isin(typeX, typeY))
+      .groupBy(col("t__"), col("day"))
+      .agg(count(lit(1)).as("c__"))
+    val horizon = base.agg(min(col("day")).as("d0__"),
+      max(col("day")).as("d1__"))
+    val cal = horizon
+      .select(explode(sequence(col("d0__"), col("d1__"))).as("day"))
+    def dense(t: String, out: String) = cal
+      .join(base.filter(col("t__") === t).select(col("day"),
+        col("c__")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("c__"), lit(0L)).as(out))
+    val x = dense(typeX, "x__")
+    val y = dense(typeY, "y__")
+    val lags = horizon
+      .select(explode(sequence(lit(-maxLag), lit(maxLag))).as("l0__"))
+      .select(col("l0__").cast("long").as("lag"))
+    val shifted = lags.crossJoin(y)
+      .select(col("lag"), (col("day") - col("lag")).as("day"),
+        col("y__"))
+    val j = shifted.join(x, Seq("day"))
+    val ag = j.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x__")).cast("long").as("sx__"),
+        sum(col("y__")).cast("long").as("sy__"),
+        sum(dec(col("x__")) * col("y__")).as("sxy__"),
+        sum(dec(col("x__")) * col("x__")).as("sxx__"),
+        sum(dec(col("y__")) * col("y__")).as("syy__"))
+    val num = dec(col("n_days")) * col("sxy__") -
+      dec(col("sx__")) * col("sy__")
+    val denx = dec(col("n_days")) * col("sxx__") -
+      dec(col("sx__")) * col("sx__")
+    val deny = dec(col("n_days")) * col("syy__") -
+      dec(col("sy__")) * col("sy__")
+    ag.select(col("lag"), col("n_days"),
+        num.as("num__"), denx.as("dx__"), deny.as("dy__"))
+      .select(col("lag"), col("n_days"),
+        when(col("dx__") > 0 && col("dy__") > 0,
+          when(col("num__") < 0, lit(-1L)).otherwise(lit(1L)) *
+            call_function("div",
+              call_function("div", abs(col("num__")) * lit(1000L),
+                col("dx__")) * abs(col("num__")) * lit(1000L),
+              col("dy__")).cast("long"))
+          .otherwise(lit(0L)).as("r2_signed_e6"))
+  }
+
+  /** SEASONAL-NAIVE backtest per event type — predict each calendar
+    * day's count with the count 7 days earlier (the forecasting
+    * baseline every fancier model must beat), over the zero-filled
+    * horizon: absolute-error sum, exact e4 MAE, and e6 WAPE
+    * (Σ|err|/Σactual — the denominator-robust form; per-day MAPE
+    * divides by zero on quiet days and is deliberately absent).
+    * Evaluation starts on the horizon's 8th day so every scored day
+    * has a 7-back reference.
+    *
+    * Shape at scale: one daily tally, a calendar densify off the
+    * 1-row horizon, one self-join on (type, day−7), one aggregate. */
+  def seasonalNaiveBacktest(events: DataFrame, typeCol: String,
+      tsNanosCol: String, period: Int = 7): DataFrame = {
+    require(period >= 1, "period must be >= 1")
+    import graft.functions.ExactRound
+    val base = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c__"))
+    val horizon = base.agg(min(col("day")).as("d0__"),
+      max(col("day")).as("d1__"))
+    val cal = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        explode(sequence(col("d0__"), col("d1__"))).as("day"),
+        col("d0__"))
+    val dense = cal
+      .join(base, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("d0__"),
+        coalesce(col("c__"), lit(0L)).as("y__"))
+    dense.alias("a")
+      .join(dense.alias("p"),
+        col("a.event_type") === col("p.event_type") &&
+          col("p.day") === col("a.day") - period)
+      .filter(col("a.day") >= col("a.d0__") + period)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_days_eval"),
+        sum(abs(col("a.y__") - col("p.y__"))).cast("long")
+          .as("sum_abs_err"),
+        sum(col("a.y__")).cast("long").as("sum_actual"))
+      .select(col("event_type"), col("n_days_eval"),
+        col("sum_abs_err"), col("sum_actual"),
+        ExactRound.ratioScaled(col("sum_abs_err"), col("n_days_eval"),
+          4).as("mae_e4"),
+        ExactRound.ratioScaled(col("sum_abs_err"), col("sum_actual"),
+          6).as("wape_e6"))
+  }
+
   /** WEEK-OVER-WEEK trend card per event type — last 7 observed days
     * vs the prior 7, relative to the corpus horizon (data-derived,
     * rerun-stable): counts plus the exact e6 ratio (the "what spiked

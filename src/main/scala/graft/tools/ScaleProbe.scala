@@ -1237,6 +1237,25 @@ object ScaleProbe {
             "trough"))
     }
 
+    time("lead_lag_scan") {
+      val ev = spark.range(n).select(
+        when(pmod(xxhash64(col("id"), lit(131)), lit(2)) === 0,
+          lit("view")).otherwise(lit("purchase")).as("t"),
+        (pmod(xxhash64(col("id"), lit(132)), lit(2000)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.leadLagScan(ev, "t", "ts",
+        "view", "purchase", maxLag = 7)
+    }
+    time("seasonal_naive") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(133)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(134)), lit(2000)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.seasonalNaiveBacktest(ev, "t",
+        "ts")
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

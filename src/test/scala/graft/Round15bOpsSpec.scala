@@ -342,6 +342,37 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got(2L) == (1L, 10L, 3L, 33333L))
   }
 
+  test("leadLagScan: a series shifted by exactly 2 days reads " +
+    "r2 = +1e6 at lag 2") {
+    val day = 86400L * 1000000000L
+    val pat = Seq(1, 3, 1, 1, 3, 1)
+    val ev = (pat.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("view", (i + 1).toLong * day)) } ++
+      pat.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("purchase", (i + 3).toLong * day)) })
+      .toDF("t", "ts")
+    val got = EventAnalytics.leadLagScan(ev, "t", "ts", "view",
+        "purchase", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size == 7)
+    assert(got(2L) == (6L, 1000000L))
+    assert(got(0L)._2 < 1000000L && got(-2L)._2 < 1000000L)
+  }
+
+  test("seasonalNaiveBacktest: day-7 predictor over the zero-filled " +
+    "horizon, exact MAE and WAPE") {
+    val day = 86400L * 1000000000L
+    val counts = Seq(2, 1, 2, 1, 2, 1, 2, 1, 2)
+    val ev = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("a", (i + 1).toLong * day)) }.toDF("t", "ts")
+    val got = EventAnalytics.seasonalNaiveBacktest(ev, "t", "ts")
+      .collect()(0)
+    // eval days 8, 9: errors |1-2| and |2-1|; actuals 1 + 2
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == (2L, 2L, 3L, 10000L, 666667L))
+  }
+
   test("newVsReturning: first-day actives are new, later days " +
     "split exactly") {
     val day = 86400L * 1000000000L
