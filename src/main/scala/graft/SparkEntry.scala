@@ -2766,6 +2766,49 @@ object SparkEntry {
         "o_totalprice", "o_custkey", bits = 8, nFiles = 64,
         aLo = 50000.0, aHi = 100000.0, bLo = 100.0, bHi = 500.0)),
 
+    // ---- dedup: SYMSPELL distance-1 vocabulary pairs — symmetric-
+    // delete candidates + exact levenshtein verify, the typo/variant
+    // family n-gram blocking misses at short lengths. The synthetic
+    // corpus vocabulary is typo-free (zero distance-1 pairs exist),
+    // so the gate INJECTS them by construction: every 10th doc
+    // appends its first word with the 2nd char deleted — the
+    // q193/q281 synthesized-payload pattern, mirrored in the oracle.
+    "q312_symspell_pairs" -> ((s, dir) => {
+      val fw = element_at(TextFns.words(col("text")), 1)
+      val noisy = T(s, dir, "documents").select(
+        when(col("doc_id") % 10 === 0 && length(fw) >= 5 &&
+            octet_length(fw) === length(fw),
+          concat(col("text"), lit(" "), substring(fw, 1, 1),
+            fw.substr(lit(3), length(fw))))
+          .otherwise(col("text")).as("text"))
+      Dedup.symmetricDeletePairs(noisy, "text", minLen = 4)
+    }),
+
+    // ---- planner QA: JOIN-CARDINALITY estimator audit — the
+    // textbook |L|x|R| / max(ndv) estimate vs the actual
+    // lineitem x part fanout, error as exact e6: the "can I trust
+    // the stats?" card before a 100 TB join reorders on them.
+    "q313_join_estimate" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"))
+      val pt = T(s, dir, "part").select(col("p_partkey"))
+      val stats = li
+        .agg(count(lit(1)).as("n_left"),
+          count_distinct(col("l_partkey")).as("ndv_left"))
+        .crossJoin(pt.agg(count(lit(1)).as("n_right"),
+          count_distinct(col("p_partkey")).as("ndv_right")))
+      val actual = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_actual"))
+      stats.crossJoin(actual)
+        .withColumn("n_estimate", call_function("div",
+          col("n_left").cast("decimal(38,0)") * col("n_right"),
+          greatest(col("ndv_left"), col("ndv_right"))
+            .cast("decimal(38,0)")).cast("long"))
+        .select(col("n_left"), col("ndv_left"), col("n_right"),
+          col("ndv_right"), col("n_actual"), col("n_estimate"),
+          graft.functions.ExactRound.ratioScaled(col("n_estimate"),
+            col("n_actual"), 6).as("est_over_actual_e6"))
+    }),
+
     // ---- time series: LEAD-LAG scan, views vs purchases — signed
     // squared Pearson at each lag in [-7, 7] over the zero-filled
     // calendar (two-stage integer ladder, no sqrt): does engagement
@@ -8715,6 +8758,57 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q312: the typo-injection construction (first word, 2nd char
+    // deleted, every 10th doc), then the deletion-variant expansion
+    // as a list comprehension, shared-variant join, levenshtein
+    // verify (both engines' classic unit-cost edit distance on
+    // ASCII-pure words)
+    "q312_symspell_pairs" ->
+      s"""WITH d0 AS (SELECT doc_id, text, ($wordsSql)[1] AS fw
+         |  FROM documents),
+         |documents2 AS (SELECT CASE WHEN doc_id % 10 = 0
+         |      AND length(fw) >= 5 AND strlen(fw) = length(fw)
+         |    THEN text || ' ' || substring(fw, 1, 1) ||
+         |      substring(fw, 3, length(fw))
+         |    ELSE text END AS text FROM d0),
+         |tok AS (SELECT unnest(${wordsSql}) AS w FROM documents2),
+         |v0 AS (SELECT w, count(*) AS c FROM tok
+         |  WHERE length(w) >= 4 AND strlen(w) = length(w)
+         |  GROUP BY 1),
+         |vr AS (SELECT w, unnest(list_append(
+         |    [substring(w, 1, i - 1) || substring(w, i + 1, length(w))
+         |     for i in range(1, length(w) + 1)], w)) AS v
+         |  FROM v0),
+         |p AS (SELECT DISTINCT a.w AS w1, b.w AS w2
+         |  FROM vr a JOIN vr b ON a.v = b.v AND a.w < b.w),
+         |f AS (SELECT w1, w2 FROM p WHERE levenshtein(w1, w2) <= 1)
+         |SELECT f.w1, f.w2, a.c AS c1, b.c AS c2
+         |FROM f JOIN v0 a ON a.w = f.w1
+         |JOIN v0 b ON b.w = f.w2""".stripMargin,
+
+    // q313: exact counts/ndv both sides, the |L|*|R|/max(ndv)
+    // estimate via HUGEINT floor division, e6 est/actual ratio
+    "q313_join_estimate" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH l AS (SELECT count(*) AS n_left,
+         |    count(DISTINCT l_partkey) AS ndv_left FROM lineitem),
+         |r AS (SELECT count(*) AS n_right,
+         |    count(DISTINCT p_partkey) AS ndv_right FROM part),
+         |a AS (SELECT count(*) AS n_actual
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |e AS (SELECT l.n_left, l.ndv_left, r.n_right, r.ndv_right,
+         |    a.n_actual,
+         |    CAST((CAST(l.n_left AS HUGEINT) * r.n_right) //
+         |      greatest(l.ndv_left, r.ndv_right) AS BIGINT)
+         |      AS n_estimate
+         |  FROM l, r, a)
+         |SELECT n_left, ndv_left, n_right, ndv_right, n_actual,
+         |  n_estimate,
+         |  ${ratioScaledSql("n_estimate", "n_actual", 6)}
+         |    AS est_over_actual_e6
+         |FROM e""".stripMargin
+    },
 
     // q310: densified x/y series, 15-row lag frame joined on the
     // shifted day, per-lag moments, the q275 two-stage ladder on

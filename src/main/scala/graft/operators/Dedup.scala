@@ -1021,4 +1021,46 @@ object Dedup {
         (col("pos__") + k).cast("long").as("end__"))
     sweepAndRebuild(toks, removals, idCol)
   }
+
+  /** SYMMETRIC-DELETE fuzzy vocabulary pairs (SymSpell / FastSS) —
+    * every pair of corpus words at Levenshtein distance 1, found
+    * WITHOUT an all-pairs product: each word expands to itself plus
+    * its |w| single-deletion variants, candidates are words sharing a
+    * variant (distance-1 pairs always do: a substitution deletes the
+    * differing position on both sides, an insertion/deletion makes
+    * one word a variant of the other), and an exact `levenshtein`
+    * check kills the distance-2 survivors (e.g. transposed "ab"/"ba"
+    * share variants). The typo/variant-spelling candidate family the
+    * n-gram Jaccard and edit-blocked fuzzy joins (q22/q96) miss at
+    * short lengths.
+    *
+    * Only ASCII-pure words of >= minLen chars enter (multi-byte
+    * lengths and the two engines' levenshtein agree trivially there;
+    * short words drown in collisions). Shape at scale: the expansion
+    * is (|w|+1)× the VOCABULARY (not the corpus), the variant join is
+    * an equi-join whose bucket sizes are bounded by alphabet-adjacent
+    * words, and the verify runs only on candidates. */
+  def symmetricDeletePairs(df: DataFrame, textCol: String,
+      minLen: Int = 4): DataFrame = {
+    val vocab = graft.Caches.register(df
+      .select(explode(graft.functions.TextFns.words(col(textCol)))
+        .as("w"))
+      .filter(length(col("w")) >= minLen &&
+        octet_length(col("w")) === length(col("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist())
+    val variants = vocab.select(col("w"),
+      explode(concat(array(col("w")),
+        expr("transform(sequence(1, length(w)), i -> " +
+          "concat(substring(w, 1, i - 1), " +
+          "substring(w, i + 1, length(w))))"))).as("v"))
+    variants.select(col("v"), col("w").as("w1"))
+      .join(variants.select(col("v"), col("w").as("w2")), Seq("v"))
+      .filter(col("w1") < col("w2"))
+      .select(col("w1"), col("w2")).distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .join(vocab.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(vocab.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c1"), col("c2"))
+  }
 }

@@ -1256,6 +1256,13 @@ object ScaleProbe {
         "ts")
     }
 
+    time("symspell_pairs") {
+      // corpus-token tally dominates; the deletion expansion is
+      // vocabulary-sized by construction
+      graft.operators.Dedup.symmetricDeletePairs(docs, "text",
+        minLen = 2)
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -373,6 +373,18 @@ class Round15bOpsSpec extends SparkSpec {
       got.getLong(4), got.getLong(5)) == (2L, 2L, 3L, 10000L, 666667L))
   }
 
+  test("symmetricDeletePairs: deletion and substitution pairs found, " +
+    "transpositions (distance 2) killed by the verify") {
+    val docs = Seq("hello helo hxllo abcd abdc hello").toDF("text")
+    val got = Dedup.symmetricDeletePairs(docs, "text", minLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // abcd/abdc share deletion variants abc/abd but are distance 2
+    assert(got.keySet == Set(("hello", "helo"), ("hello", "hxllo")))
+    assert(got(("hello", "helo")) == (2L, 1L))
+    assert(got(("hello", "hxllo")) == (2L, 1L))
+  }
+
   test("newVsReturning: first-day actives are new, later days " +
     "split exactly") {
     val day = 86400L * 1000000000L
