@@ -2809,6 +2809,26 @@ object SparkEntry {
             col("n_actual"), 6).as("est_over_actual_e6"))
     }),
 
+    // ---- stats: ETA SQUARED of event value across types — the
+    // variance-explained effect size (exact floored-e6 integer form,
+    // numerator clamped against flooring dust): chi-square's numeric
+    // sibling.
+    "q314_eta_squared" -> ((s, dir) =>
+      GroupStats.etaSquared(T(s, dir, "events"), "event_type",
+        expr("cast(round(value * 100, 0) as long)"))),
+
+    // ---- monitoring: WEEKLY exact quantile bands per type — q164's
+    // quantile grid over (type, week) buckets: p50/p90 of e2 event
+    // value per week, the drift-aware percentile trend.
+    "q315_weekly_quantiles" -> ((s, dir) =>
+      GroupStats.quantileGrid(
+        T(s, dir, "events").select(col("event_type"),
+          TimeFns.floorDiv(col("ts"), 7L * 86400L * 1000000000L)
+            .as("week"),
+          expr("cast(round(value * 100, 0) as long)").as("vu__")),
+        Seq("event_type", "week"), col("vu__"),
+        permilles = Seq(500, 900))),
+
     // ---- time series: LEAD-LAG scan, views vs purchases — signed
     // squared Pearson at each lag in [-7, 7] over the zero-filled
     // calendar (two-stage integer ladder, no sqrt): does engagement
@@ -8758,6 +8778,49 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q314: per-group (n, Σ, Σ²) with HUGEINT squares, per-term
+    // floored e6 sums of squares, clamped numerator, one division
+    "q314_eta_squared" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pg AS (SELECT g, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(s) AS BIGINT) AS st, sum(q) AS qt,
+        |    sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS b6
+        |  FROM pg),
+        |e AS (SELECT n_rows, n_groups, b6, qt,
+        |    (CAST(st AS HUGEINT) * st * 1000000) // n_rows AS gm
+        |  FROM t)
+        |SELECT n_rows, n_groups,
+        |  CASE WHEN CAST(qt AS HUGEINT) * 1000000 - gm > 0 THEN
+        |    CAST((greatest(b6 - gm, 0) * 1000000) //
+        |      (CAST(qt AS HUGEINT) * 1000000 - gm) AS BIGINT)
+        |  ELSE 0 END AS eta2_e6
+        |FROM e""".stripMargin,
+
+    // q315: the q164 pick convention over (type, week) buckets
+    "q315_weekly_quantiles" -> {
+      def pick(q: Int) =
+        s"""max(CASE WHEN rn = (n * $q + 999) // 1000 THEN u END)
+           |    AS p${q}_units""".stripMargin
+      s"""WITH c AS (SELECT event_type,
+         |    epoch_ns(ts) // 604800000000000 AS week,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS u
+         |  FROM events),
+         |r AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, week
+         |      ORDER BY u) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, week) AS n
+         |  FROM c WHERE u IS NOT NULL))
+         |SELECT event_type, week, count(*) AS n,
+         |  ${pick(500)},
+         |  ${pick(900)}
+         |FROM r GROUP BY 1, 2""".stripMargin
+    },
 
     // q312: the typo-injection construction (first word, 2nd char
     // deleted, every 10th doc), then the deletion-variant expansion

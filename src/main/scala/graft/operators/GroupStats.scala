@@ -346,6 +346,52 @@ object GroupStats {
     * [[RobustScore.madZScore]] window form — rank via
     * [[ScalableRank.groupRowNumber]] when one group dominates), then
     * a map-side-combinable aggregate. */
+  /** ANOVA effect size — ETA SQUARED (SS_between / SS_total) of a
+    * numeric column across groups, as one e6 integer: "how much of
+    * the value's variance does the grouping explain?" — the
+    * effect-size companion to [[chiSquare]]'s categorical
+    * independence and the q261 regressions. Integer form:
+    * SS_between·10⁶ = Σ_g (s_g²·10⁶ div n_g) − (S²·10⁶ div N) and
+    * SS_total·10⁶ = Σx²·10⁶ − (S²·10⁶ div N), each term floored once
+    * (order-independent, mirrored by the oracle's `//`), with the
+    * numerator clamped at 0 against flooring dust. A constant column
+    * reads 0 by the zero-denominator convention.
+    *
+    * Shape at scale: one per-group aggregate (Σ, Σ², n — map-side
+    * combinable, Σ² in DECIMAL(38,0)) and a |groups|-row rollup. */
+  def etaSquared(df: DataFrame, groupCol: String,
+      valueUnits: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // exact floor division that STAYS in DECIMAL(38,0): Spark's `div`
+    // always returns LONG, and a per-group s²·10⁶/n term exceeds long
+    // at corpus scale (the 2M probe tripped ANSI overflow) — subtract
+    // the remainder, then the division is exact and representable.
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val pg = df.select(col(groupCol).as("g__"),
+        valueUnits.cast("long").as("v__"))
+      .filter(col("v__").isNotNull)
+      .groupBy(col("g__"))
+      .agg(count(lit(1)).as("n__"),
+        sum(col("v__")).cast("long").as("s__"),
+        sum(dec(col("v__")) * col("v__")).as("q__"))
+    val t = pg.agg(sum(col("n__")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_groups"),
+      sum(col("s__")).cast("long").as("st__"),
+      sum(col("q__")).as("qt__"),
+      sum(fdiv(dec(col("s__")) * col("s__") * lit(1000000L),
+        dec(col("n__")))).as("b6__"))
+    val gm = fdiv(dec(col("st__")) * col("st__") * lit(1000000L),
+      dec(col("n_rows")))
+    val den = dec(col("qt__")) * lit(1000000L) - gm
+    t.select(col("n_rows"), col("n_groups"),
+      when(den > lit(0L),
+        fdiv(greatest(dec(col("b6__")) - gm,
+          lit(0L).cast("decimal(38,0)")) * lit(1000000L), den)
+          .cast("long"))
+        .otherwise(lit(0L)).as("eta2_e6"))
+  }
+
   def quantileGrid(df: DataFrame, groupCols: Seq[String],
       valueUnits: Column,
       permilles: Seq[Int] = Seq(250, 500, 750, 950)): DataFrame = {

@@ -1263,6 +1263,12 @@ object ScaleProbe {
         minLen = 2)
     }
 
+    time("eta_squared") {
+      graft.operators.GroupStats.etaSquared(
+        df.filter(col("m1").isNotNull), "seg",
+        (col("m1") * 100).cast("long"))
+    }
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -385,6 +385,21 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got(("hello", "hxllo")) == (2L, 1L))
   }
 
+  test("etaSquared: full separation reads 1e6, identical groups 0, " +
+    "constant column 0 by the zero-denominator rule") {
+    val full = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 3L))
+      .toDF("g", "v")
+    assert(GroupStats.etaSquared(full, "g", col("v"))
+      .collect()(0).getLong(2) == 1000000L)
+    val same = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    assert(GroupStats.etaSquared(same, "g", col("v"))
+      .collect()(0).getLong(2) == 0L)
+    val const = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(GroupStats.etaSquared(const, "g", col("v"))
+      .collect()(0).getLong(2) == 0L)
+  }
+
   test("newVsReturning: first-day actives are new, later days " +
     "split exactly") {
     val day = 86400L * 1000000000L
