@@ -2809,6 +2809,32 @@ object SparkEntry {
             col("n_actual"), 6).as("est_over_actual_e6"))
     }),
 
+    // ---- compliance: FORGET-CASCADE plan — for an md5-sampled
+    // tombstone set of customers (rate 16/256), the rows a
+    // right-to-be-forgotten delete would cascade to per table
+    // (customer → orders → lineitem), with e6 shares: the blast-
+    // radius estimate a deletion job prints before running.
+    "q316_forget_cascade" -> ((s, dir) => {
+      val doomed = Sampling.hashSample(
+        T(s, dir, "customer").select(col("c_custkey")), "c_custkey",
+        rate256 = 16)
+      val ord = T(s, dir, "orders")
+        .join(doomed, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      val li = T(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      def card(name: String, del: DataFrame, total: DataFrame) =
+        del.agg(count(lit(1)).as("n_delete"))
+          .crossJoin(total.agg(count(lit(1)).as("n_total")))
+          .select(lit(name).as("table_name"), col("n_delete"),
+            col("n_total"),
+            graft.functions.ExactRound.ratioScaled(col("n_delete"),
+              col("n_total"), 6).as("share_e6"))
+      card("customer", doomed, T(s, dir, "customer"))
+        .unionByName(card("orders", ord, T(s, dir, "orders")))
+        .unionByName(card("lineitem", li, T(s, dir, "lineitem")))
+    }),
+
     // ---- stats: ETA SQUARED of event value across types — the
     // variance-explained effect size (exact floored-e6 integer form,
     // numerator clamped against flooring dust): chi-square's numeric
@@ -8778,6 +8804,30 @@ object SparkEntry {
         |SELECT * FROM g
         |ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
         |LIMIT 20""".stripMargin,
+
+    // q316: the md5-band tombstone set cascaded through the key
+    // chain, per-table counts + e6 shares
+    "q316_forget_cascade" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH doomed AS (SELECT c_custkey FROM customer
+         |  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+         |    < '10'),
+         |o AS (SELECT o_orderkey FROM orders
+         |  JOIN doomed ON o_custkey = c_custkey),
+         |l AS (SELECT l_orderkey FROM lineitem
+         |  JOIN o ON l_orderkey = o_orderkey),
+         |c AS (
+         |  SELECT 'customer' AS table_name,
+         |    (SELECT count(*) FROM doomed) AS n_delete,
+         |    (SELECT count(*) FROM customer) AS n_total
+         |  UNION ALL SELECT 'orders', (SELECT count(*) FROM o),
+         |    (SELECT count(*) FROM orders)
+         |  UNION ALL SELECT 'lineitem', (SELECT count(*) FROM l),
+         |    (SELECT count(*) FROM lineitem))
+         |SELECT table_name, n_delete, n_total,
+         |  ${ratioScaledSql("n_delete", "n_total", 6)} AS share_e6
+         |FROM c""".stripMargin
+    },
 
     // q314: per-group (n, Σ, Σ²) with HUGEINT squares, per-term
     // floored e6 sums of squares, clamped numerator, one division
