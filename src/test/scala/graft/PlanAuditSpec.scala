@@ -717,4 +717,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected heap-based top-k in:\n$p")
   }
+
+  test("symmetricDeletePairs: the variant join stays an equi-join — " +
+    "no cartesian/nested-loop candidate product") {
+    val docs = (0 until 60).map(i => s"word$i words$i").toDF("text")
+    val p = plan(graft.operators.Dedup.symmetricDeletePairs(
+      docs, "text", minLen = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the shared-variant equi-join:\n$p")
+  }
+
+  test("stupidBackoff: all count joins are keyed; the only row " +
+    "product is the broadcast 1-row token total") {
+    val ref = (0 until 40).map(i => s"a b c w$i").toDF("text")
+    val scored = (0 until 20).map(i => s"a b x$i").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val p = plan(graft.operators.NgramLm.stupidBackoff(
+      ref, scored, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian may appear (the 1-row N total rides a " +
+        s"broadcast):\n$p")
+  }
+
+  test("HilbertLayout.assign is ONE projection stage — the codegen'd " +
+    "expression, not collapsed per-bit CASE chains") {
+    val d = spark.range(100).select(
+      (col("id") % 10).cast("double").as("a"),
+      (col("id") / 10).cast("double").as("b"))
+    val p = plan(graft.operators.HilbertLayout.assign(d, "a", "b",
+      bits = 8))
+    assert(p.contains("hilbertindex") || p.contains("HilbertIndex"),
+      s"expected the native expression in:\n$p")
+    assert(!p.contains("Exchange"),
+      s"index assignment must be a narrow map:\n$p")
+  }
 }

@@ -373,6 +373,19 @@ class Round15bOpsSpec extends SparkSpec {
       got.getLong(4), got.getLong(5)) == (2L, 2L, 3L, 10000L, 666667L))
   }
 
+  test("HilbertIndex.xy2d: bits=4 is a bijection onto 0..255 and " +
+    "every consecutive index is grid-adjacent") {
+    import graft.expressions.HilbertIndex
+    val pts = for { x <- 0 until 16; y <- 0 until 16 }
+      yield ((x, y), HilbertIndex.xy2d(4, x.toLong, y.toLong))
+    val byD = pts.map { case (xy, d) => d -> xy }.toMap
+    assert(byD.keySet == (0L until 256L).toSet)
+    assert((0L until 255L).forall { i =>
+      val (x1, y1) = byD(i); val (x2, y2) = byD(i + 1)
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    })
+  }
+
   test("symmetricDeletePairs: deletion and substitution pairs found, " +
     "transpositions (distance 2) killed by the verify") {
     val docs = Seq("hello helo hxllo abcd abdc hello").toDF("text")
