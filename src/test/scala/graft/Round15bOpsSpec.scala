@@ -373,6 +373,51 @@ class Round15bOpsSpec extends SparkSpec {
       got.getLong(4), got.getLong(5)) == (2L, 2L, 3L, 10000L, 666667L))
   }
 
+  test("property: round-15 score surfaces stay in their declared " +
+    "ranges on seeded random inputs") {
+    val rnd = new scala.util.Random(15)
+    // tCloseness EMD in [0, 1e6]
+    val priv = (1 to 400).map(_ => (s"q${rnd.nextInt(6)}",
+      rnd.nextInt(12).toLong)).toDF("q", "v")
+    PrivacyAudit.tCloseness(priv, Seq("q"), col("v"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L, r) }
+    // RBO_min in [0, 1e6] and never exceeds the identical-ranking sum
+    val rbo = (1 to 300).map(i => (s"g${rnd.nextInt(5)}", i.toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("g", "id", "sa", "sb")
+    EvalMetrics.rankBiasedOverlap(rbo, "g", "id", col("sa"),
+        col("sb"), depth = 10)
+      .collect().foreach { r =>
+        assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L, r) }
+    // linkPrediction jaccard in (0, 1e6]; emitted pairs non-adjacent
+    val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+      .toDF("a", "b")
+    val eSet = edges.collect().map(r => (math.min(r.getLong(0),
+      r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    GraphRank.linkPrediction(edges, "a", "b").collect().foreach { r =>
+      val j = r.getLong(5)
+      assert(j > 0L && j <= 1000000L, r)
+      assert(!eSet.contains((r.getLong(0), r.getLong(1))), r)
+    }
+    // etaSquared in [0, 1e6]
+    val eta = (1 to 400).map(_ => (s"g${rnd.nextInt(7)}",
+      rnd.nextInt(2000).toLong - 1000L)).toDF("g", "v")
+    val e2 = GroupStats.etaSquared(eta, "g", col("v"))
+      .collect()(0).getLong(2)
+    assert(e2 >= 0L && e2 <= 1000000L)
+    // rsiSimple in [0, 1e6]
+    val day = 86400L * 1000000000L
+    val rsiEv = (1 to 500).map(_ => ("t",
+      (rnd.nextInt(40) + 1).toLong * day)).toDF("t", "ts")
+    TechnicalIndicators.rsiSimple(rsiEv, Seq("t"),
+        graft.functions.TimeFns.floorDiv(col("ts"), day), lit(1L),
+        window = 5)
+      .collect().foreach { r =>
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, r) }
+  }
+
   test("HilbertIndex.xy2d: bits=4 is a bijection onto 0..255 and " +
     "every consecutive index is grid-adjacent") {
     import graft.expressions.HilbertIndex
