@@ -155,11 +155,22 @@ object Bench {
     // require-crashing (which would fail the run AFTER the expensive
     // measurement succeeded): shrink the slowest-k map until it fits,
     // down to a minimal totals-only line that always does.
+    // Contention self-defense (r15 verdict): the tail must not be able
+    // to present load-contaminated medians as plan regressions. A box
+    // whose 1-min loadavg already exceeds cpus/4 at start, or whose
+    // monotonic-growth flags survived the self-heal extras, is marked
+    // contended:true right in the guaranteed-to-parse line — readers
+    // (and BENCH_DIFF consumers) must re-run on a quiet box before
+    // treating its medians as regressions.
+    val contended = (loadBefore > cpus.toDouble / 4.0) ||
+      monotonicQs.size >= 3
     def compactLine(k: Int): String = {
       val slowest = ops.sortBy(-_._2._1).take(k)
         .map { case (q, (med, _, _)) => "\"" + q + f"\":$med%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"n_queries":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      val monoTail = monotonicQs.take(5).map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"contended":$contended,"n_monotonic":${monotonicQs.size},"monotonic_growth_queries":$monoTail,"n_queries":${results.size},"n_ops":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }
     val compact = (10 to 0 by -5).map(compactLine)
       .find(_.length < 1900)

@@ -41,8 +41,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Caches {
   private var nextId = 0L
+  // (id, registering thread id, frame) — the thread id makes the
+  // mark()/releaseSince() bracket THREAD-CONFINED (r15 verdict #6):
+  // a concurrent pipeline runner's operators register on their own
+  // threads, so one runner's release cannot drop another's
+  // load-bearing persist.
   private val frames =
-    scala.collection.mutable.Buffer.empty[(Long, Dataset[_])]
+    scala.collection.mutable.Buffer.empty[(Long, Long, Dataset[_])]
 
   /** Register an operator-persisted frame; returns it unchanged.
     * Entries whose cache was already dropped externally (e.g.
@@ -52,10 +57,10 @@ object Caches {
     * call for the JVM lifetime. */
   def register[T <: Dataset[_]](df: T): T = synchronized {
     val live = frames.filter(
-      _._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      _._3.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     frames.clear()
     frames ++= live
-    frames += ((nextId, df))
+    frames += ((nextId, Thread.currentThread().getId, df))
     nextId += 1
     df
   }
@@ -63,26 +68,33 @@ object Caches {
   /** Number of registered (not yet released) frames. */
   def registered: Int = synchronized(frames.size)
 
-  /** A scope token: caches registered from now on belong to the scope
-    * and are released together by [[releaseSince]]. Cheap (a counter
-    * read); nesting works as long as inner scopes release before outer
-    * ones (stack discipline).
+  /** A scope token: caches registered from now on BY THIS THREAD
+    * belong to the scope and are released together by
+    * [[releaseSince]]. Cheap (a counter read); nesting works as long
+    * as inner scopes release before outer ones (stack discipline).
     *
-    * NOT safe under concurrent operator construction: a frame another
-    * thread registers between mark() and releaseSince() falls inside
-    * the scope and gets unpersisted with it (correctness survives —
-    * Spark recomputes — but the other operator's load-bearing persist
-    * is gone). Concurrent callers should serialize scope brackets or
-    * use [[unpersistAll(session*]] boundaries instead. */
+    * Thread-confined: registrations are stamped with the registering
+    * thread, and [[releaseSince]] only releases frames the CALLING
+    * thread registered inside the bracket — a frame another thread
+    * registers between mark() and releaseSince() is untouched, so
+    * concurrent operator construction on separate threads is safe.
+    * (Operators build plans synchronously on the calling thread, so
+    * an operator's internal persists always carry its caller's
+    * thread id.) A bracket opened on one thread cannot be released
+    * from another — hand work across threads only at whole-bracket
+    * granularity, or use [[unpersistAll(session*]] boundaries. */
   def mark(): Long = synchronized(nextId)
 
-  /** Unpersist every frame registered at or after `scope` (a [[mark]]
-    * token); earlier registrations — other operators' still-lazy
-    * results — keep their caches. Returns how many were released. */
+  /** Unpersist every frame the CALLING THREAD registered at or after
+    * `scope` (a [[mark]] token); earlier registrations and other
+    * threads' frames — other operators' still-lazy results — keep
+    * their caches. Returns how many were released. */
   def releaseSince(scope: Long, blocking: Boolean = false): Int =
     synchronized {
-      val (mine, keep) = frames.partition(_._1 >= scope)
-      mine.foreach(_._2.unpersist(blocking))
+      val me = Thread.currentThread().getId
+      val (mine, keep) =
+        frames.partition(f => f._1 >= scope && f._2 == me)
+      mine.foreach(_._3.unpersist(blocking))
       frames.clear()
       frames ++= keep
       mine.size
@@ -93,7 +105,7 @@ object Caches {
     * and concurrent registration. */
   def unpersistAll(blocking: Boolean = false): Int = synchronized {
     val n = frames.size
-    frames.foreach(_._2.unpersist(blocking))
+    frames.foreach(_._3.unpersist(blocking))
     frames.clear()
     n
   }
@@ -103,8 +115,8 @@ object Caches {
     * backing another session's still-lazy results. */
   def unpersistAll(session: SparkSession, blocking: Boolean): Int =
     synchronized {
-      val (mine, keep) = frames.partition(_._2.sparkSession eq session)
-      mine.foreach(_._2.unpersist(blocking))
+      val (mine, keep) = frames.partition(_._3.sparkSession eq session)
+      mine.foreach(_._3.unpersist(blocking))
       frames.clear()
       frames ++= keep
       mine.size

@@ -811,8 +811,21 @@ object Dedup {
     * untouched, so this composes with any pair producer (exact kernel,
     * MinHash, SimHash, embedding LSH) at full corpus scale. */
   def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
-    val nonReps = connectedComponents(pairs, aCol, bCol, maxIter)
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
+    keepRepresentativesFromComponents(df, idCol,
+      connectedComponents(pairs, aCol, bCol, maxIter))
+
+  /** [[keepRepresentatives]] over an ALREADY-LABELED (node, component)
+    * map — the consumer half of a STAGED component store (r15 verdict:
+    * every component consumer re-ran the propagation from the pair
+    * surface; at 100 TB the label map is computed once per corpus
+    * stamp, exactly like the staged band-key store, and every
+    * consumer reads it). Labels are deterministic (min reachable id),
+    * so `fromComponents(staged) == keepRepresentatives(pairs)`
+    * exactly. */
+  def keepRepresentativesFromComponents(df: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val nonReps = components
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(nonReps, Seq(idCol), "left_anti")
@@ -832,11 +845,20 @@ object Dedup {
     * lineage float-free (pass quality_e4, not quality). */
   def keepBestRepresentatives(df: DataFrame, idCol: String,
       scoreCol: String, pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    keepBestRepresentativesFromComponents(df, idCol, scoreCol,
+      connectedComponents(pairs, aCol, bCol, maxIter))
+
+  /** [[keepBestRepresentatives]] over a staged (node, component) map —
+    * see [[keepRepresentativesFromComponents]] for the staging
+    * contract. */
+  def keepBestRepresentativesFromComponents(df: DataFrame,
+      idCol: String, scoreCol: String,
+      components: DataFrame): DataFrame = {
     // internal names carry the __ suffix so a caller's own
     // "component" column (e.g. connectedComponents output fed back
     // in) cannot collide
-    val comp = connectedComponents(pairs, aCol, bCol, maxIter)
+    val comp = components
       .select(col("node").as(idCol), col("component").as("comp__"))
     val member = df.join(comp, Seq(idCol))
     val w = Window.partitionBy(col("comp__"))

@@ -416,6 +416,16 @@ object EvalMetrics {
     // (at p = 9/10, depth 12: ~3.7e17 < 2^63)
     require(depth >= 1 && depth <= 12, "depth must be in [1, 12]")
     require(0 < pNum && pNum < pDen, "need 0 < pNum < pDen")
+    // Non-default rationals can overflow the precomputed long term
+    // constants (e.g. pDen ≥ 38 at depth 12 wraps pDen^12·12) — fail
+    // loudly instead of silently wrapping. `ov ≤ depth` bounds the
+    // numerator's runtime factor.
+    require(BigInt(pDen).pow(depth) * depth <= Long.MaxValue,
+      s"pDen^depth*depth overflows long (pDen=$pDen, depth=$depth)")
+    require(BigInt(1000000L) * BigInt(pNum).pow(depth - 1) *
+      (pDen - pNum) * depth <= Long.MaxValue,
+      s"1e6*pNum^(depth-1)*(pDen-pNum)*depth overflows long " +
+        s"(pNum=$pNum, pDen=$pDen, depth=$depth)")
     val base = df.select(col(groupCol).as("g__"), col(idCol).as("id__"),
       scoreA.as("sa__"), scoreB.as("sb__"))
     val ra = RankOps.groupTopK(base, Seq("g__"), depth, col("sa__"),

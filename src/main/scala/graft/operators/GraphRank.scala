@@ -136,8 +136,21 @@ object GraphRank {
       .distinct()
   }
 
+  /** `maxCenterDegree` > 0 caps the WEDGE CENTER degree (r15 verdict
+    * #2, the q225 bucket-cap pattern): a viral hub of degree d
+    * otherwise yields d·(d−1)/2 wedge pairs — quadratic in a
+    * data-dependent quantity. Centers above the cap are excluded
+    * from wedge enumeration BEFORE the self-join (their wedges are
+    * dropped wholesale, a documented recall trade: common_neighbors
+    * becomes a lower bound counting low-degree shared neighbors
+    * only, and candidate pairs whose every common neighbor is a hub
+    * disappear — for near-dup curation those pairs are exactly the
+    * "everything resembles the template" noise). Reported deg_a /
+    * deg_b stay TRUE degrees from the uncapped graph, so jaccard_e6
+    * under a cap is a lower bound of the uncapped score. 0 = exact
+    * (no cap). */
   def linkPrediction(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String, maxCenterDegree: Int = 0): DataFrame = {
     import graft.functions.ExactRound
     val e = graft.Caches.register(pairs
       .select(least(col(aCol), col(bCol)).as("u"),
@@ -150,8 +163,13 @@ object GraphRank {
     val deg = graft.Caches.register(adj
       .groupBy(col("c__").as("node")).agg(count(lit(1)).as("degree"))
       .persist())
-    adj.select(col("c__"), col("n__").as("u"))
-      .join(adj.select(col("c__"), col("n__").as("v")), Seq("c__"))
+    val centers =
+      if (maxCenterDegree <= 0) adj
+      else adj.join(
+        deg.filter(col("degree") <= maxCenterDegree)
+          .select(col("node").as("c__")), Seq("c__"), "left_semi")
+    centers.select(col("c__"), col("n__").as("u"))
+      .join(centers.select(col("c__"), col("n__").as("v")), Seq("c__"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"))

@@ -185,9 +185,19 @@ object Sampling {
     * (keyCol, rep_id, split). */
   def clusterAwareSplit(df: DataFrame, keyCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      weights: Seq[Int], labels: Seq[String]): DataFrame = {
-    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("node", keyCol)
+      weights: Seq[Int], labels: Seq[String]): DataFrame =
+    clusterAwareSplitFromComponents(df, keyCol,
+      Dedup.connectedComponents(pairs, aCol, bCol), weights, labels)
+
+  /** [[clusterAwareSplit]] over an ALREADY-LABELED (node, component)
+    * map — the consumer half of a staged component store
+    * ([[Dedup.keepRepresentativesFromComponents]] has the staging
+    * contract); labels are deterministic, so the staged path is
+    * row-for-row identical to the inline one. */
+  def clusterAwareSplitFromComponents(df: DataFrame, keyCol: String,
+      components: DataFrame, weights: Seq[Int],
+      labels: Seq[String]): DataFrame = {
+    val comp = components.withColumnRenamed("node", keyCol)
     val withRep = df.select(col(keyCol))
       .join(comp, Seq(keyCol), "left")
       .withColumn("rep_id", coalesce(col("component"), col(keyCol)))

@@ -120,10 +120,14 @@ object ZOrderLayout {
   * and a box predicate scans fewer files — the reason Databricks
   * liquid clustering moved off Z-order. Index = the classical
   * iterative xy2d walk (quadrant digit + reflect-and-swap rotation
-  * per bit, high to low), unrolled to `bits` chained projection
-  * stages of pure integer CASE arithmetic — whole-stage-codegen'd in
-  * Spark and mirrored term for term in oracle SQL. Same NULL and
-  * constant-dimension contracts as [[ZOrderLayout.assign]]. */
+  * per bit, high to low). On the Spark side this is ONE codegen'd
+  * [[graft.expressions.HilbertIndex]] Catalyst expression running the
+  * per-bit loop imperatively per row (the chained-projection form was
+  * abandoned for the measured ~3^bits CollapseProject substitution
+  * blowup; PlanAuditSpec pins the single-expression plan); only the
+  * DuckDB oracle mirrors the walk as `bits` unrolled SQL CASE stages.
+  * Same NULL and constant-dimension contracts as
+  * [[ZOrderLayout.assign]]. */
 object HilbertLayout {
 
   def assign(df: DataFrame, colA: String, colB: String, bits: Int = 8,

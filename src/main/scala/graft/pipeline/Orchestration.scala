@@ -23,7 +23,7 @@ object Orchestration {
         CsvIngest.readCsv(spark, path), CsvIngest.technicalMap)
       MergeByKey.upsert(spark, canonical, s"$warehouse/stock_data", "symbol")
       val scored = CompositeScorePipeline(
-        spark.read.parquet(s"$warehouse/stock_data"))
+        MergeByKey.readCommitted(spark, s"$warehouse/stock_data"))
       val rankings = scored.select(col("symbol"), col("market_cap_category"),
         col("composite_score"), current_timestamp().as("update_date"))
       MergeByKey.upsert(spark, rankings, s"$warehouse/stock_rankings", "symbol")
@@ -39,10 +39,10 @@ object Orchestration {
       val canonical = CsvIngest.canonicalize(
         CsvIngest.readCsv(spark, path), CsvIngest.fundamentalMap)
       MergeByKey.upsert(spark, canonical, s"$warehouse/stock_data", "symbol")
-      val stock = spark.read.parquet(s"$warehouse/stock_data")
+      val stock = MergeByKey.readCommitted(spark, s"$warehouse/stock_data")
       val scored = FundamentalScorePipeline(stock)
       val withCats = scored.join(
-        spark.read.parquet(s"$warehouse/stock_rankings")
+        MergeByKey.readCommitted(spark, s"$warehouse/stock_rankings")
           .select(col("symbol"), col("market_cap_category")),
         Seq("symbol"), "left")
       val ranked = FundamentalScorePipeline.withRanks(withCats)

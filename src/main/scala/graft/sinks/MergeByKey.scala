@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,15 +8,41 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.1 S7; ref uploadtodb.py:159-198 batched REST upsert).
   *
   * Files have no in-place MERGE, so: read existing ⟗ incoming on the key,
-  * per-column coalesce(new, old), write to a staging dir, atomic-ish swap
-  * (SURVEY §7 risk 4). Incoming wins per column only where it is
-  * non-null — matching Postgres upsert column semantics where every
+  * per-column coalesce(new, old), write a NEW VERSION directory, commit
+  * it with an atomic manifest flip. Incoming wins per column only where
+  * it is non-null — matching Postgres upsert column semantics where every
   * mapped column is overwritten, while letting a technical-only row merge
   * with an earlier fundamental-only row (ref: both pipelines upsert into
   * the same `stock_data`).
   *
   * `overwriteColumns`: when provided, ONLY these columns are taken from
   * the incoming side (ref S9 keyed-update sink, sectorscore.py:142-170).
+  *
+  * == Versioned commit (snapshot isolation, r15 verdict #5) ==
+  *
+  * Store layout:
+  * {{{
+  *   path/v=N/       immutable, fully-written version directories
+  *   path/_manifest  tiny file holding the committed version number N
+  * }}}
+  * A writer builds version N+1 COMPLETELY, then flips the manifest with
+  * an atomic rename (`FileContext.rename(..., Rename.OVERWRITE)` — a
+  * single metadata op on HDFS and local fs). Readers resolve the
+  * manifest first ([[readCommitted]]) and only ever see a version that
+  * finished writing: a reader that resolved N before the flip keeps
+  * scanning the untouched `v=N` directory while N+1 commits — snapshot
+  * isolation, not just "atomic if nobody reads mid-swap". This is the
+  * single-table core of a lakehouse manifest commit (Delta/Iceberg
+  * pattern, public design); multi-writer coordination would add a
+  * compare-and-swap on the manifest, documented out of scope here —
+  * the last flip wins.
+  *
+  * Retention: versions older than the previous one are deleted AFTER
+  * the flip (`retain = 2`), so an in-flight reader of the prior
+  * version has one full merge cycle of slack. Legacy flat stores
+  * (pre-versioned parquet directly under `path`) are read as version
+  * -1 and their root files garbage-collected on the first versioned
+  * commit.
   *
   * Scale: the merge is one full-outer shuffle join on the key. For
   * repeated merges at 100 TB the existing side should be bucketed by the
@@ -52,44 +79,121 @@ object MergeByKey {
     * extra pass. */
   case class MergeStats(incomingRows: Long, mergedRows: Long)
 
-  /** Merge `incoming` into the parquet dir at `path` (created if absent),
-    * staging the output and swapping directories so a failed write never
-    * clobbers the previous version. Returns count reconciliation stats.
-    */
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The committed version number, or None when the store has never
+    * had a versioned commit (absent, or a legacy flat parquet dir). */
+  def committedVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val manifest = new Path(s"$path/_manifest")
+    if (!f.exists(manifest)) None
+    else {
+      val in = f.open(manifest)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Read the committed snapshot of a versioned store; falls back to a
+    * flat parquet read for legacy (pre-versioned) directories so old
+    * stores keep resolving until their first versioned commit. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame =
+    committedVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"$path/v=$v")
+      case None => spark.read.parquet(path)
+    }
+
+  /** Atomically flip `path/_manifest` to `version`: write a temp file,
+    * rename over the manifest (Rename.OVERWRITE — atomic metadata op
+    * on HDFS and local fs). */
+  private def commitManifest(spark: SparkSession, path: String,
+      version: Long): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(s"$path/_manifest.tmp")
+    val manifest = new Path(s"$path/_manifest")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, manifest, Options.Rename.OVERWRITE)
+  }
+
+  /** Post-flip garbage collection: drop version dirs older than
+    * `retain` behind the committed one, plus legacy flat files left at
+    * the root by a pre-versioned store (their data is now inside the
+    * first committed version). Never touches the manifest or the
+    * committed/previous version dirs. */
+  private def gc(spark: SparkSession, path: String, committed: Long,
+      retain: Int = 2): Unit = {
+    val f = fs(spark, path)
+    f.listStatus(new Path(path)).foreach { st =>
+      val name = st.getPath.getName
+      val isVersion = name.startsWith("v=")
+      if (isVersion) {
+        val v = name.stripPrefix("v=").toLong
+        if (v <= committed - retain) f.delete(st.getPath, true)
+      } else if (!name.startsWith("_manifest")) {
+        // legacy flat parquet files (+ _SUCCESS) from before versioning
+        f.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Merge `incoming` into the versioned store at `path` (created if
+    * absent): build version N+1 fully, flip the manifest, GC. Readers
+    * concurrent with the merge keep their resolved snapshot throughout.
+    * Returns count reconciliation stats. */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
       key: String, overwriteColumns: Option[Seq[String]] = None,
       outputPartitions: Int = 0): MergeStats = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val merged =
-      if (!fs.exists(target)) incoming
-      else merge(spark.read.parquet(path), incoming, key, overwriteColumns)
+    val f = fs(spark, path)
+    val cur = committedVersion(spark, path)
+    val legacy = cur.isEmpty && f.exists(new Path(path)) &&
+      f.listStatus(new Path(path)).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val existing: Option[DataFrame] =
+      if (cur.isDefined) Some(readCommitted(spark, path))
+      else if (legacy) Some(spark.read.parquet(path))
+      else None
+    val merged = existing match {
+      case Some(e) => merge(e, incoming, key, overwriteColumns)
+      case None => incoming
+    }
     // repeated merges otherwise accumulate shuffle-partition-many small
     // files per cycle; hash-repartitioning on the key also keeps rows
     // with the same key in one file (compact + predictable)
     val out =
-      if (outputPartitions > 0)
-        merged.repartition(outputPartitions, org.apache.spark.sql.functions.col(key))
+      if (outputPartitions > 0) merged.repartition(outputPartitions, col(key))
       else merged
-    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
-    val backup = new org.apache.hadoop.fs.Path(path + "._old")
-    out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // count BEFORE the swap: the incoming lineage may itself read `path`
-    // (e.g. a score column derived from the previous table version), and
-    // re-executing it after the swap would hit replaced files
+    val next = cur.getOrElse(-1L) + 1L
+    out.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+    // count BEFORE the flip: the incoming lineage may itself read the
+    // committed snapshot (e.g. a score column derived from the previous
+    // table version); versioning keeps those files intact until GC, but
+    // counting first also survives retain-window eviction
     val incomingRows = incoming.count()
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(staging, target)
-    fs.delete(backup, true)
-    // the swap replaced every file under `path`: drop any cached listing
+    commitManifest(spark, path, next)
+    gc(spark, path, next)
+    // the store gained a version: drop any cached listing of the root
     spark.catalog.refreshByPath(path)
-    val mergedRows = spark.read.parquet(path).count()
+    val mergedRows = readCommitted(spark, path).count()
     MergeStats(incomingRows, mergedRows)
   }
 
-  /** S8 truncate-and-load (ref sectormerged_improved.py:629-645). */
-  def overwrite(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  /** S8 truncate-and-load (ref sectormerged_improved.py:629-645) — the
+    * same versioned commit with the new snapshot REPLACING the table:
+    * a reader mid-scan of the previous version is undisturbed; the
+    * next manifest resolution sees only the loaded snapshot. */
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val next = committedVersion(spark, path).getOrElse(-1L) + 1L
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+    commitManifest(spark, path, next)
+    gc(spark, path, next)
+    spark.catalog.refreshByPath(path)
+  }
 }

@@ -176,7 +176,12 @@ object Streams {
 
   case class TypedEvent(key: String, tsNanos: Long, eventId: Long,
     etype: String)
-  case class PatternState(aTs: Long, aId: Long)
+  /** Two-slot anchor state: `aTs`/`aId` is the latest A by (ts, id);
+    * `prevTs`/`prevId` (valid iff `hasPrev`) is the latest A whose ts
+    * is STRICTLY below `aTs` — the fallback anchor for a B that shares
+    * a timestamp with the latest A. Still O(1) per key. */
+  case class PatternState(aTs: Long, aId: Long,
+    prevTs: Long, prevId: Long, hasPrev: Boolean)
   case class PatternHit(key: String, a_event_id: Long,
     b_event_id: Long, gap_nanos: Long)
 
@@ -188,16 +193,19 @@ object Streams {
     *
     * Determinism: events are processed in (tsNanos, eventId) order
     * (batch-internal sort; the feed contract is time-ordered batches,
-    * the [[streamingThrottle]] harness), and "latest A" is the max
-    * (ts, id) A seen so far — an equal-timestamp A is excluded by the
-    * strict >, whichever side of the sort it lands on. Because any
-    * older A has a strictly larger gap, "latest A, if within window"
-    * equals "latest A within window", so the batch mirror is the
-    * row_number()=1 pick over (a.ts DESC, a.id DESC).
+    * the [[streamingThrottle]] harness). The batch mirror is the
+    * row_number()=1 pick over (a.ts DESC, a.id DESC) among As with
+    * a.ts STRICTLY below b.ts — so an A that shares b's timestamp
+    * must not SHADOW an older in-window A. The state therefore keeps
+    * two anchors: the latest A by (ts, id) and the latest A whose ts
+    * is strictly below it; a B matches the latest anchor whose ts is
+    * strictly below its own. Because any older A only widens the gap,
+    * "latest strictly-earlier A, if within window" equals "latest
+    * strictly-earlier A within window".
     *
-    * State is O(1) per key — the single latest-A (ts, id) pair — so
-    * the detector is watermark-free by construction; at 100 TB/day
-    * the state store holds |keys| fixed-size entries. */
+    * State is O(1) per key — two fixed-size (ts, id) slots — so the
+    * detector is watermark-free by construction; at 100 TB/day the
+    * state store holds |keys| fixed-size entries. */
   def streamingPatternDetect(
       events: org.apache.spark.sql.Dataset[TypedEvent], aType: String,
       bType: String, windowNanos: Long)
@@ -212,17 +220,33 @@ object Streams {
         (key: String, batch: Iterator[TypedEvent],
             state: GroupState[PatternState]) =>
           val out = Seq.newBuilder[PatternHit]
-          var lastA: Option[PatternState] = state.getOption
+          var st: Option[PatternState] = state.getOption
           batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
-            if (e.etype == bType) lastA.foreach { a =>
-              if (e.tsNanos > a.aTs && e.tsNanos - a.aTs <= windowNanos)
-                out += PatternHit(key, a.aId, e.eventId,
-                  e.tsNanos - a.aTs)
+            if (e.etype == bType) st.foreach { a =>
+              // Anchor = latest A strictly before this B; fall back to
+              // the strictly-earlier slot when the latest A shares
+              // this B's timestamp (the batch oracle's a.ts < b.ts).
+              val (anchorTs, anchorId, ok) =
+                if (a.aTs < e.tsNanos) (a.aTs, a.aId, true)
+                else if (a.hasPrev && a.prevTs < e.tsNanos)
+                  (a.prevTs, a.prevId, true)
+                else (0L, 0L, false)
+              if (ok && e.tsNanos - anchorTs <= windowNanos)
+                out += PatternHit(key, anchorId, e.eventId,
+                  e.tsNanos - anchorTs)
             }
-            if (e.etype == aType)
-              lastA = Some(PatternState(e.tsNanos, e.eventId))
+            if (e.etype == aType) st = Some(st match {
+              case Some(a) if e.tsNanos > a.aTs =>
+                // Old latest becomes the strictly-earlier fallback.
+                PatternState(e.tsNanos, e.eventId, a.aTs, a.aId, true)
+              case Some(a) => // same ts (sorted ⇒ larger id wins)
+                PatternState(e.tsNanos, e.eventId,
+                  a.prevTs, a.prevId, a.hasPrev)
+              case None =>
+                PatternState(e.tsNanos, e.eventId, 0L, 0L, false)
+            })
           }
-          lastA.foreach(state.update)
+          st.foreach(state.update)
           out.result().iterator
       }
   }

@@ -67,4 +67,39 @@ class CachesSpec extends SparkSpec {
     Caches.unpersistAll(blocking = true)
     assert(cachedRddCount === 0)
   }
+
+  test("releaseSince is thread-confined: a concurrent thread's " +
+    "registration inside the bracket survives") {
+    Caches.unpersistAll(blocking = true)
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val mine = Caches.register(
+      Seq(1L, 2L).toDF("a").persist())
+    mine.count()
+    val scope = Caches.mark()
+    val insideMine = Caches.register(
+      Seq(3L, 4L).toDF("b").persist())
+    insideMine.count()
+    // another thread registers INSIDE my bracket — pre-r16 this frame
+    // fell into the scope and lost its load-bearing persist
+    @volatile var otherFrame: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      otherFrame = Caches.register(
+        Seq(5L, 6L).toDF("c").persist())
+      otherFrame.count()
+    })
+    t.start(); t.join()
+    val before = Caches.registered
+    val released = Caches.releaseSince(scope, blocking = true)
+    assert(released === 1, "only the calling thread's in-scope frame")
+    assert(Caches.registered === before - 1)
+    assert(otherFrame.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "concurrent thread's persist must survive my bracket")
+    assert(mine.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "pre-scope frame must survive")
+    Caches.unpersistAll(blocking = true)
+    assert(cachedRddCount === 0)
+  }
 }

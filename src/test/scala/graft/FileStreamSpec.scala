@@ -30,14 +30,15 @@ class FileStreamSpec extends SparkSpec {
     Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v")
       .write.mode("append").parquet(src)
     runOnce()
-    assert(spark.read.parquet(target).rowsSet == Set(Seq("A", 1.0), Seq("B", 2.0)))
+    assert(graft.sinks.MergeByKey.readCommitted(spark, target).rowsSet ==
+      Set(Seq("A", 1.0), Seq("B", 2.0)))
 
     // second drop: B updated, C new — only the new file is processed
     Seq(("B", 20.0), ("C", 3.0)).toDF("k", "v")
       .write.mode("append").parquet(src)
     runOnce()
     spark.catalog.refreshByPath(target)
-    assert(spark.read.parquet(target).rowsSet ==
+    assert(graft.sinks.MergeByKey.readCommitted(spark, target).rowsSet ==
       Set(Seq("A", 1.0), Seq("B", 20.0), Seq("C", 3.0)))
   }
 

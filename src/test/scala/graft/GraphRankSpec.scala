@@ -77,4 +77,26 @@ class GraphRankSpec extends SparkSpec {
       4L -> None, 5L -> Some(20L)))
     graft.Caches.unpersistAll()
   }
+
+  test("linkPrediction maxCenterDegree drops the hub's wedges only; " +
+    "reported degrees stay true") {
+    // hub 0 (degree 3), spokes 1/2/3; 1-2 closes a triangle; 3-4 tail
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 4L))
+      .toDF("a", "b")
+    def rows(cap: Int) = graft.operators.GraphRank
+      .linkPrediction(e, "a", "b", maxCenterDegree = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val uncapped = rows(0)
+    assert(uncapped == Map(
+      (1L, 3L) -> ((1L, 2L, 2L, 333333L)),   // via center 0
+      (2L, 3L) -> ((1L, 2L, 2L, 333333L)),   // via center 0
+      (0L, 4L) -> ((1L, 3L, 1L, 333333L)))) // via center 3
+    // cap 2 excludes center 0 (degree 3): its wedge candidates vanish;
+    // (0,4) survives (center 3 has degree 2) and 0's REPORTED degree
+    // is still the true 3
+    val capped = rows(2)
+    assert(capped == Map((0L, 4L) -> ((1L, 3L, 1L, 333333L))))
+    graft.Caches.unpersistAll()
+  }
 }

@@ -28,31 +28,73 @@ class MergeByKeySpec extends SparkSpec {
     assert(out == Set(Seq("A", 9.0, "keep", 42L)))
   }
 
-  test("upsert to parquet: create then merge, staging swap leaves one dir") {
+  test("upsert to versioned store: create then merge, manifest resolves") {
     val dir = Files.createTempDirectory("graft_merge").toString + "/t"
     val first = Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v")
     MergeByKey.upsert(spark, first, dir, "k")
+    assert(MergeByKey.committedVersion(spark, dir) === Some(0L))
     val second = Seq(("B", 20.0), ("C", 3.0)).toDF("k", "v")
     MergeByKey.upsert(spark, second, dir, "k")
-    val out = spark.read.parquet(dir).rowsSet
+    assert(MergeByKey.committedVersion(spark, dir) === Some(1L))
+    val out = MergeByKey.readCommitted(spark, dir).rowsSet
     assert(out == Set(Seq("A", 1.0), Seq("B", 20.0), Seq("C", 3.0)))
-    assert(!new java.io.File(dir + "._staging").exists())
-    assert(!new java.io.File(dir + "._old").exists())
   }
 
   test("upsert with outputPartitions bounds the file count") {
     val dir = Files.createTempDirectory("graft_merge_parts").toString + "/t"
     val df = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "v")
     MergeByKey.upsert(spark, df, dir, "k", outputPartitions = 2)
-    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val files = new java.io.File(dir + "/v=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
     assert(files == 2)
-    assert(spark.read.parquet(dir).count() == 1000)
+    assert(MergeByKey.readCommitted(spark, dir).count() == 1000)
   }
 
   test("overwrite: truncate-and-load") {
     val dir = Files.createTempDirectory("graft_ovw").toString + "/t"
     MergeByKey.overwrite(Seq(("A", 1)).toDF("k", "v"), dir)
     MergeByKey.overwrite(Seq(("B", 2)).toDF("k", "v"), dir)
-    assert(spark.read.parquet(dir).rowsSet == Set(Seq("B", 2)))
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet == Set(Seq("B", 2)))
+  }
+
+  test("snapshot isolation: a reader's resolved snapshot survives a " +
+    "concurrent merge commit (r15 verdict #5)") {
+    val dir = Files.createTempDirectory("graft_snap").toString + "/t"
+    MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    // reader resolves the manifest NOW (v=0) and holds the plan lazily
+    val snapshot = MergeByKey.readCommitted(spark, dir)
+    // two writers commit v=1 and v=2 under the reader; retain=2 keeps
+    // v=1, deletes v=0 only at the v=2 commit — so materialize after
+    // ONE commit (the documented one-merge-cycle slack), then again
+    // to show the snapshot is stable across repeated actions
+    MergeByKey.upsert(spark, Seq(("B", 2.0)).toDF("k", "v"), dir, "k")
+    assert(snapshot.rowsSet == Set(Seq("A", 1.0)),
+      "reader mid-cycle must still see its resolved version")
+    assert(snapshot.rowsSet == Set(Seq("A", 1.0)), "re-read is stable")
+    // a FRESH resolution sees the new commit
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet ==
+      Set(Seq("A", 1.0), Seq("B", 2.0)))
+  }
+
+  test("retention: versions older than the previous are GC'd; legacy " +
+    "flat stores migrate on first versioned commit") {
+    val dir = Files.createTempDirectory("graft_gc").toString + "/t"
+    // legacy flat store written without versioning
+    Seq(("A", 1.0)).toDF("k", "v").write.parquet(dir)
+    // first versioned commit migrates: reads flat data as existing
+    MergeByKey.upsert(spark, Seq(("B", 2.0)).toDF("k", "v"), dir, "k")
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet ==
+      Set(Seq("A", 1.0), Seq("B", 2.0)))
+    // legacy root files gone after the commit
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    MergeByKey.upsert(spark, Seq(("C", 3.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("D", 4.0)).toDF("k", "v"), dir, "k")
+    val versions = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    assert(versions.toSeq == Seq("v=1", "v=2"),
+      "retain=2: committed + previous only")
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet == Set(
+      Seq("A", 1.0), Seq("B", 2.0), Seq("C", 3.0), Seq("D", 4.0)))
   }
 }

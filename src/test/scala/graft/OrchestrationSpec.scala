@@ -32,7 +32,7 @@ class OrchestrationSpec extends SparkSpec {
     val scored = Orchestration.runTechnical(
       spark, s"$dir/Technicals_*.csv", wh)
     assert(scored.isDefined)
-    val rankings = spark.read.parquet(s"$wh/stock_rankings")
+    val rankings = graft.sinks.MergeByKey.readCommitted(spark, s"$wh/stock_rankings")
     assert(rankings.count() == 6)
     assert(rankings.filter($"market_cap_category" === "Large Cap").count() == 6)
     assert(rankings.select($"composite_score").filter($"composite_score" =!= 0.0).count() > 0)
@@ -50,13 +50,13 @@ class OrchestrationSpec extends SparkSpec {
 
     val ranked = Orchestration.runFundamental(spark, s"$dir/funda_*.csv", wh)
     assert(ranked.isDefined)
-    val stock = spark.read.parquet(s"$wh/stock_data")
+    val stock = graft.sinks.MergeByKey.readCommitted(spark, s"$wh/stock_data")
     // technical AND fundamental columns coexist on merged rows
     val aaa = stock.filter($"symbol" === "AAA").collect()(0)
     assert(aaa.getAs[Double]("rsi_14_1_day") == 61.0)
     assert(aaa.getAs[Double]("return_on_equity_ttm") == 25.0)
 
-    val finalRankings = spark.read.parquet(s"$wh/stock_rankings")
+    val finalRankings = graft.sinks.MergeByKey.readCommitted(spark, s"$wh/stock_rankings")
     assert(finalRankings.columns.contains("fundamental_score"))
     assert(finalRankings.filter($"fundamental_rank" >= 1).count() == 6)
 
@@ -74,7 +74,7 @@ class OrchestrationSpec extends SparkSpec {
     val scored = Orchestration.runGroupMomentum(spark, sectors, wh,
       "sector_data", "sector")
     assert(scored.columns.contains("normalized_score_3m"))
-    val stored = spark.read.parquet(s"$wh/sector_data")
+    val stored = graft.sinks.MergeByKey.readCommitted(spark, s"$wh/sector_data")
     assert(stored.count() == 3)
     assert(stored.filter($"normalized_score_3m".isNotNull).count() == 3)
   }

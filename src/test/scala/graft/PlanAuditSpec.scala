@@ -665,6 +665,26 @@ class PlanAuditSpec extends SparkSpec {
       s"exclusion in:\n$p")
   }
 
+  test("linkPrediction maxCenterDegree: the hub cap is a LeftSemi " +
+    "against the degree table BEFORE the wedge self-join fans out") {
+    val e = (1 to 200).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("a", "b")
+    val p = plan(graft.operators.GraphRank.linkPrediction(
+      e, "a", "b", maxCenterDegree = 3))
+    assert(p.contains("LeftSemi"),
+      s"expected the degree-cap semi-join in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"capped wedge enumeration must stay on equi-joins:\n$p")
+    // differential: the uncapped plan has NO semi-join, so the
+    // LeftSemi above is exactly the cap, sitting on the adjacency
+    // input that feeds the wedge self-join
+    val uncapped = plan(graft.operators.GraphRank.linkPrediction(
+      e, "a", "b"))
+    assert(!uncapped.contains("LeftSemi"),
+      s"uncapped plan unexpectedly grew a semi-join:\n$uncapped")
+  }
+
   test("rankBiasedOverlap: both prefix ranks ride WindowGroupLimit " +
     "(map-side size-depth heaps, not full per-group sorts)") {
     val df = (0 until 400).map(i =>

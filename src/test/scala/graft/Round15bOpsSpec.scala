@@ -527,17 +527,26 @@ class Round15bOpsSpec extends SparkSpec {
         Streams.TypedEvent("u", 200L, 4L, "purchase"))
       q.processAllAvailable()
       // batch 2: the batch-1 A@20 is stale; A@210(id5) then B@215
-      // (id6) anchors on it; equal-ts A is excluded by the strict >
+      // (id6) anchors on it; the equal-ts A@300(id7) must NOT shadow
+      // the older in-window A@210 — B@300(id8) falls back to it
+      // (gap 90), exactly the batch oracle's a.ts < b.ts pick
       input.addData(
         Streams.TypedEvent("u", 210L, 5L, "view"),
         Streams.TypedEvent("u", 215L, 6L, "purchase"),
         Streams.TypedEvent("u", 300L, 7L, "view"),
         Streams.TypedEvent("u", 300L, 8L, "purchase"))
       q.processAllAvailable()
+      // batch 3, key v: equal-ts A whose strictly-earlier fallback is
+      // OUT of window -> no hit (fallback honors the window bound)
+      input.addData(
+        Streams.TypedEvent("v", 10L, 9L, "view"),
+        Streams.TypedEvent("v", 400L, 10L, "view"),
+        Streams.TypedEvent("v", 400L, 11L, "purchase"))
+      q.processAllAvailable()
       val got = spark.table("stream_pattern")
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
-      assert(got == Set((2L, 3L, 5L), (5L, 6L, 5L)))
+      assert(got == Set((2L, 3L, 5L), (5L, 6L, 5L), (5L, 8L, 90L)))
     } finally q.stop()
   }
 }
