@@ -2513,6 +2513,40 @@ object SparkEntry {
           round(col("cosine") * 10000)),
         "u", "v", maxCenterDegree = 2)),
 
+    // ---- model-eval: MARKOV NEXT-EVENT BACKTEST — q122's transition
+    // matrix actually scored: train on the first half of the horizon
+    // (by target-event day), argmax successor per from_type (ties to
+    // smallest to_type), top-1 accuracy on the second half; unseen
+    // from_types predict NULL and score 0 — the cold-start rate is
+    // part of the card.
+    "q318_markov_backtest" -> ((s, dir) =>
+      EventAnalytics.markovBacktest(
+        T(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // ---- retention: discrete-time CHURN HAZARD table — at_risk /
+    // churned / hazard_e6 per day-offset since first activity,
+    // right-censored at the corpus horizon; the per-step-ratio form
+    // is the exact (product-free) Kaplan–Meier surface.
+    "q319_churn_hazard" -> ((s, dir) =>
+      EventAnalytics.churnHazard(T(s, dir, "events"), "user_id",
+        "ts")),
+
+    // ---- stats: THEIL–SEN robust trend per event type — the median
+    // pairwise day-slope of the daily count series (floored e6 keys,
+    // lower-median row_number pick), q285's outlier-proof sibling.
+    "q320_theilsen" -> ((s, dir) =>
+      EventAnalytics.theilSen(T(s, dir, "events"), "event_type",
+        "ts")),
+
+    // ---- stats: WALD–WOLFOWITZ RUNS TEST per event type — runs of
+    // above/below-median days vs the exact expected run count
+    // 1 + 2·n₁·n₂/(n₁+n₂) at e6; fewer runs = trending, more =
+    // oscillating (the sqrt-free z surface).
+    "q321_runs_test" -> ((s, dir) =>
+      EventAnalytics.runsTest(T(s, dir, "events"), "event_type",
+        "ts")),
+
     // ---- monitoring: ROLLING 7-day OLS slope per event type —
     // q120's moving average says where the level is; this says how
     // fast it's moving (events/day of drift, signed e6 via Cramer on
@@ -8393,6 +8427,113 @@ object SparkEntry {
          |    AS jaccard_e6
          |FROM ne JOIN deg du ON du.node = ne.u
          |JOIN deg dv ON dv.node = ne.v""".stripMargin
+    },
+
+    // q318: per-user lead pairs tagged train/test at the horizon
+    // midpoint by TARGET-event day; train argmax (n DESC, to ASC);
+    // NULL-predicted (cold-start) groups kept
+    "q318_markov_backtest" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS ts,
+         |    event_id AS eid, event_type AS ft,
+         |    epoch_ns(ts) // 86400000000000 AS day FROM events
+         |  WHERE user_id IS NOT NULL),
+         |tr AS (SELECT ft AS from_type, lead(ft) OVER w AS to_type,
+         |    lead(day) OVER w AS to_day
+         |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
+         |t2 AS (SELECT * FROM tr WHERE to_type IS NOT NULL),
+         |h AS (SELECT min(to_day) AS d0, max(to_day) AS d1 FROM t2),
+         |tag AS (SELECT from_type, to_type,
+         |    to_day >= ((d0 + d1) // 2) + 1 AS is_test
+         |  FROM t2 CROSS JOIN h),
+         |tc AS (SELECT from_type, to_type, count(*) AS n FROM tag
+         |  WHERE NOT is_test GROUP BY 1, 2),
+         |pred AS (SELECT from_type, to_type AS predicted FROM (
+         |    SELECT from_type, to_type, row_number() OVER (
+         |      PARTITION BY from_type ORDER BY n DESC, to_type ASC)
+         |      AS rn FROM tc) WHERE rn = 1),
+         |sc AS (SELECT tag.from_type, pred.predicted,
+         |    count(*) AS n_test,
+         |    CAST(sum(CASE WHEN tag.to_type = pred.predicted THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM tag LEFT JOIN pred ON pred.from_type = tag.from_type
+         |  WHERE tag.is_test GROUP BY 1, 2)
+         |SELECT from_type, predicted, n_test, n_correct,
+         |  ${ratioScaledSql("n_correct", "n_test", 6)} AS acc_e6
+         |FROM sc""".stripMargin
+    },
+
+    // q319: per-user (first, last) days, 1-row horizon, per-user
+    // offset unnest bounded by min(lifetime, observability); ended =
+    // last < horizon (corpus-edge users are censored, never churned)
+    "q319_churn_hazard" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH e AS (SELECT user_id AS u,
+         |    epoch_ns(ts) // 86400000000000 AS day FROM events
+         |  WHERE user_id IS NOT NULL),
+         |pu AS (SELECT u, min(day) AS f, max(day) AS l FROM e
+         |  GROUP BY 1),
+         |h AS (SELECT max(l) AS hh FROM pu),
+         |sp AS (SELECT l - f AS life, hh - f AS obs, l < hh AS ended
+         |  FROM pu CROSS JOIN h),
+         |ar AS (SELECT CAST(unnest(range(0, least(life, obs) + 1))
+         |    AS BIGINT) AS o FROM sp),
+         |arc AS (SELECT o, count(*) AS at_risk FROM ar GROUP BY 1),
+         |ch AS (SELECT life AS o, count(*) AS churned FROM sp
+         |  WHERE ended GROUP BY 1)
+         |SELECT arc.o AS offset, arc.at_risk,
+         |  coalesce(ch.churned, 0) AS churned,
+         |  ${ratioScaledSql("coalesce(ch.churned, 0)", "arc.at_risk",
+             6)} AS hazard_e6
+         |FROM arc LEFT JOIN ch ON ch.o = arc.o""".stripMargin
+    },
+
+    // q320: per-type daily tally, day-pair self-join (calendar², not
+    // events²), e6 slope keys truncated toward zero (integer div and
+    // integer // share that convention on negatives — measured),
+    // lower-median row_number pick over the total (s, dy, dx) order
+    "q320_theilsen" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.t, b.y - a.y AS dy, b.day - a.day AS dx,
+        |    (b.y - a.y) * 1000000 // (b.day - a.day) AS s
+        |  FROM d a JOIN d b ON b.t = a.t AND a.day < b.day),
+        |r AS (SELECT t, s, row_number() OVER (PARTITION BY t
+        |      ORDER BY s, dy, dx) AS rn,
+        |    count(*) OVER (PARTITION BY t) AS np FROM p)
+        |SELECT t AS event_type, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(s AS BIGINT) AS slope_e6
+        |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
+
+    // q321: per-type lower-median of daily counts, median-tie days
+    // discarded, IS DISTINCT FROM breaks count the runs; expected
+    // runs as the exact 1 + 2ab/(a+b) rational at e6
+    "q321_runs_test" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH d AS (SELECT event_type AS t,
+         |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT t, y AS med FROM (SELECT t, y,
+         |    row_number() OVER (PARTITION BY t ORDER BY y, day) AS rn,
+         |    count(*) OVER (PARTITION BY t) AS n FROM d)
+         |  WHERE rn = (n + 1) // 2),
+         |s AS (SELECT d.t, d.day,
+         |    CASE WHEN d.y > m.med THEN 1 ELSE -1 END AS sg
+         |  FROM d JOIN m ON m.t = d.t WHERE d.y <> m.med),
+         |b AS (SELECT t, sg, CASE WHEN lag(sg) OVER (PARTITION BY t
+         |      ORDER BY day) IS DISTINCT FROM sg THEN 1 ELSE 0 END
+         |    AS brk FROM s),
+         |g AS (SELECT t,
+         |    CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_above,
+         |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_below,
+         |    CAST(sum(brk) AS BIGINT) AS runs FROM b GROUP BY 1)
+         |SELECT t AS event_type, n_above, n_below, runs,
+         |  1000000 + ${ratioScaledSql("2 * n_above * n_below",
+             "n_above + n_below", 6)} AS expected_runs_e6
+         |FROM g""".stripMargin
     },
 
     // q285: daily tally, 7-row window sums, signed Cramer ladder in

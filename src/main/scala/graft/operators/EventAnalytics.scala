@@ -1021,6 +1021,199 @@ object EventAnalytics {
         last(col("vmax__"), ignoreNulls = true).over(w).as("carry_max"))
   }
 
+  /** Markov NEXT-EVENT BACKTEST — does yesterday's transition matrix
+    * predict tomorrow's events? Transitions (q122's lead pairs) are
+    * split at the corpus-horizon midpoint by the day of the TARGET
+    * event (train: strictly before; test: at/after — the predictor
+    * never sees a test-day event as a target). The per-from_type
+    * argmax successor from the TRAIN half (ties to the
+    * lexicographically smallest to_type — the argmax-tie discipline)
+    * is scored on the TEST half: top-1 accuracy per from_type. A
+    * from_type unseen in training predicts NULL and scores 0 on its
+    * test rows — reported, not dropped (the honest cold-start rate).
+    *
+    * Shape at scale: the per-user lead window (bounded per-user
+    * partitions), one (from, to, split)-keyed aggregate, and
+    * type²-bounded tables after that; the argmax window runs over
+    * |types| rows per partition. */
+  def markovBacktest(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"),
+        col(tsCol).div_(86400L * 1000000000L).as("day__"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("to_day", lead(col("day__"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type"), col("to_day"))
+    val horizon = trans.agg(min(col("to_day")).as("d0__"),
+      max(col("to_day")).as("d1__"))
+    val tagged = trans.crossJoin(broadcast(horizon))
+      .withColumn("is_test",
+        col("to_day") >= graft.functions.TimeFns.floorDiv(
+          col("d0__") + col("d1__"), 2L) + 1L)
+    val trainCounts = tagged.filter(!col("is_test"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n__"))
+    val pw = Window.partitionBy(col("from_type"))
+      .orderBy(col("n__").desc, col("to_type").asc)
+    val predictor = trainCounts
+      .withColumn("rn__", row_number().over(pw))
+      .filter(col("rn__") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    tagged.filter(col("is_test"))
+      .join(broadcast(predictor), Seq("from_type"), "left")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("from_type"), col("predicted"), col("n_test"),
+        col("n_correct"),
+        graft.functions.ExactRound.ratioScaled(col("n_correct"),
+          col("n_test"), 6).as("acc_e6"))
+  }
+
+  /** Discrete-time CHURN HAZARD table — retention analytics done
+    * exactly: per day-offset k since a user's first activity,
+    * at_risk(k) = users observable at offset k (first_day + k ≤
+    * horizon) whose lifetime (last−first) has not ended before k,
+    * churned(k) = users whose activity ENDED exactly at offset k and
+    * who are not right-censored (last_day < horizon — a user still
+    * active at the corpus edge never counts as churn), and
+    * hazard_e6 = churned/at_risk. The per-step-ratio form sidesteps
+    * the inexact survival product (Kaplan–Meier's Π(1−h) needs
+    * floating point; the hazard column IS the exact statistic).
+    *
+    * Shape at scale: one per-user aggregate, a 1-row broadcast
+    * horizon, then each user explodes to its ≤ (horizon − first_day)
+    * observable offsets — calendar-bounded (the q286 densify
+    * discipline), so rows = users × O(days), linear with a bounded
+    * constant, map-side-combinable tallies after. */
+  def churnHazard(events: DataFrame, userCol: String,
+      tsNanosCol: String): DataFrame = {
+    val day = col(tsNanosCol).div_(86400L * 1000000000L)
+    val perUser = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol), day.as("day__"))
+      .groupBy(col(userCol))
+      .agg(min(col("day__")).as("f__"), max(col("day__")).as("l__"))
+    val horizon = perUser.agg(max(col("l__")).as("h__"))
+    val spans = perUser.crossJoin(broadcast(horizon))
+      .select((col("l__") - col("f__")).as("life__"),
+        (col("h__") - col("f__")).as("obs__"),
+        (col("l__") < col("h__")).as("ended__"))
+    val atRisk = spans
+      .select(explode(sequence(lit(0L),
+        least(col("life__"), col("obs__")))).as("offset"))
+      .groupBy(col("offset")).agg(count(lit(1)).as("at_risk"))
+    val churned = spans
+      .filter(col("ended__"))
+      .groupBy(col("life__").as("offset"))
+      .agg(count(lit(1)).as("churned"))
+    atRisk.join(churned, Seq("offset"), "left")
+      .select(col("offset"), col("at_risk"),
+        coalesce(col("churned"), lit(0L)).as("churned"),
+        graft.functions.ExactRound.ratioScaled(
+          coalesce(col("churned"), lit(0L)), col("at_risk"), 6)
+          .as("hazard_e6"))
+  }
+
+  /** THEIL–SEN robust trend per event type — the median of all
+    * pairwise day-slopes of the daily count series (Sen 1968), the
+    * outlier-proof twin of [[rollingSlope]]'s OLS: one corrupt day
+    * moves OLS, not the pairwise median.
+    *
+    * Exactness: each pair's slope ships as the e6 quotient
+    * `(yj−yi)·1e6 / (dj−di)` TRUNCATED TOWARD ZERO — Spark's integer
+    * `div` and DuckDB's integer `//` share exactly that convention
+    * on negatives (DuckDB's `//` floors only never: measured, it
+    * truncates ints and plain-divides doubles); the median is the
+    * lower-median row_number pick over (slope_e6, dy, dx) — a total
+    * deterministic order, so engine and oracle select the same pair
+    * even where two distinct rationals share a truncated key (the
+    * reported statistic is DEFINED on the truncated keys).
+    *
+    * Shape at scale: the pair join is per-type over DAILY rows —
+    * days(≤ calendar)², never events²; the median window partitions
+    * by type over those bounded pairs. */
+  def theilSen(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.y") - col("a.y")).as("dy__"),
+        (col("b.day") - col("a.day")).as("dx__"))
+      .withColumn("slope_e6",
+        call_function("div", col("dy__") * 1000000L, col("dx__")))
+    val mw = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_e6"), col("dy__"), col("dx__"))
+    val cw = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn__", row_number().over(mw))
+      .withColumn("n_pairs", count(lit(1)).over(cw))
+      .filter(col("rn__") ===
+        graft.functions.TimeFns.floorDiv(col("n_pairs") + 1L, 2L))
+      .select(col("event_type"), col("n_pairs"), col("slope_e6"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST on each type's daily count series —
+    * "is the series random around its median, or does it trend/
+    * oscillate?": days are signed above/below the per-type lower
+    * median (ties WITH the median are discarded, the standard
+    * treatment), runs = maximal same-sign streaks counted in day
+    * order, and the expected run count under randomness ships as the
+    * exact rational `1 + 2·n₁·n₂/(n₁+n₂)` at e6. Fewer runs than
+    * expected ⇒ trending; more ⇒ oscillating. (The z-score needs a
+    * sqrt — the run count vs its exact expectation is the log-free
+    * gate surface, the q127 TVD-over-PSI discipline.)
+    *
+    * Shape at scale: all windows partition by type over DAILY rows —
+    * calendar-bounded, never event-bounded. */
+  def runsTest(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val medw = Window.partitionBy(col("event_type"))
+      .orderBy(col("y"), col("day"))
+    val cw = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn__", row_number().over(medw))
+      .withColumn("n__", count(lit(1)).over(cw))
+      .filter(col("rn__") ===
+        graft.functions.TimeFns.floorDiv(col("n__") + 1L, 2L))
+      .select(col("event_type"), col("y").as("med__"))
+    val signed = daily.join(med, "event_type")
+      .filter(col("y") =!= col("med__"))
+      .select(col("event_type"), col("day"),
+        when(col("y") > col("med__"), 1L).otherwise(-1L).as("s__"))
+    val ow = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signed
+      .withColumn("brk__",
+        when(lag(col("s__"), 1).over(ow).isNull ||
+          lag(col("s__"), 1).over(ow) =!= col("s__"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("s__") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s__") === -1L, 1L).otherwise(0L)).as("n_below"),
+        sum(col("brk__")).as("runs"))
+      .select(col("event_type"), col("n_above"), col("n_below"),
+        col("runs"),
+        (lit(1000000L) + graft.functions.ExactRound.ratioScaled(
+          lit(2L) * col("n_above") * col("n_below"),
+          col("n_above") + col("n_below"), 6)).as("expected_runs_e6"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

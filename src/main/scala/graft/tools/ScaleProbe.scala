@@ -1120,6 +1120,45 @@ object ScaleProbe {
         "a", "b", maxCenterDegree = 64)
     }
 
+    // r16 batch A: backtest/retention/robust-trend/randomness cards —
+    // each collapses events to per-(key, day) rows first, so the
+    // windows and pair joins run over calendar-bounded frames
+    time("markov_backtest") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(110)), lit(n / 100)).as("u"),
+        (pmod(xxhash64(col("id"), lit(111)), lit(60)) *
+          86400000000000L +
+          pmod(xxhash64(col("id"), lit(112)), lit(86400000L)) * 1000L)
+          .as("ts"),
+        col("id").as("eid"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(113)), lit(8))
+          .cast("string")).as("t"))
+      graft.operators.EventAnalytics.markovBacktest(ev, "u", "ts",
+        "eid", "t")
+    }
+    time("churn_hazard") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(114)), lit(n / 20)).as("u"),
+        (pmod(xxhash64(col("id"), lit(115)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.churnHazard(ev, "u", "ts")
+    }
+    time("theil_sen") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(116)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(117)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.theilSen(ev, "t", "ts")
+    }
+    time("runs_test") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(118)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(119)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.runsTest(ev, "t", "ts")
+    }
     time("rolling_slope") {
       val ev = spark.range(n).select(
         concat(lit("t"), pmod(xxhash64(col("id"), lit(103)), lit(20))

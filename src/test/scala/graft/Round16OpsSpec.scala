@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-16 operator semantics: Markov next-event backtest, discrete
+  * churn hazard, Theil–Sen robust trend, Wald–Wolfowitz runs test —
+  * each against a hand-computed fixture. */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400L * 1000000000L
+
+  test("markovBacktest: midpoint split by target day, train argmax " +
+    "with smallest-type ties, cold-start predicts NULL") {
+    // u1 transitions (target day): A->B@0, B->A@1, A->B@1 (train,
+    // split day = (0+3)//2+1 = 2), B->A@3, A->C@3 (test).
+    // u2: Z->B@3 (test) with Z unseen in training.
+    val ev = Seq(
+      ("u1", 0L * DAY, 1L, "A"), ("u1", 0L * DAY + 1L, 2L, "B"),
+      ("u1", 1L * DAY, 3L, "A"), ("u1", 1L * DAY + 1L, 4L, "B"),
+      ("u1", 3L * DAY, 5L, "A"), ("u1", 3L * DAY + 1L, 6L, "C"),
+      ("u2", 0L * DAY, 7L, "Z"), ("u2", 3L * DAY, 8L, "B"))
+      .toDF("u", "ts", "eid", "t")
+    val got = EventAnalytics.markovBacktest(ev, "u", "ts", "eid", "t")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+    assert(got == Map(
+      "A" -> ((Some("B"), 1L, 0L, 0L)),       // predicted B, saw C
+      "B" -> ((Some("A"), 1L, 1L, 1000000L)), // predicted A, saw A
+      "Z" -> ((None, 1L, 0L, 0L))))           // cold start
+  }
+
+  test("churnHazard: at-risk exposure per offset, corpus-edge users " +
+    "censored (never churned)") {
+    // u1 day0 only (life 0, churn@0); u2 days0-2 (churn@2);
+    // u3 days1-4 (ends at horizon 4 -> censored); u4 day4 only
+    // (censored). at_risk: k0:4, k1:2, k2:2, k3:1.
+    val ev = Seq(
+      ("u1", 0L), ("u2", 0L), ("u2", 1L), ("u2", 2L),
+      ("u3", 1L), ("u3", 4L), ("u4", 4L))
+      .map { case (u, d) => (u, d * DAY) }.toDF("u", "ts")
+    val got = EventAnalytics.churnHazard(ev, "u", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      0L -> ((4L, 1L, 250000L)),
+      1L -> ((2L, 0L, 0L)),
+      2L -> ((2L, 1L, 500000L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
+  test("theilSen: lower-median pairwise slope; negative quotients " +
+    "truncate toward zero on both engines") {
+    // T1 daily counts day0:1 day1:3 day2:2 -> slopes e6
+    // {2000000, 500000, -1000000}, median 500000 of 3 pairs.
+    // T2 day0:3 day19:1 -> -2e6 div 19 = -105263 (truncation, the
+    // measured DuckDB integer-// convention).
+    val rows =
+      Seq.fill(1)(("T1", 0L)) ++ Seq.fill(3)(("T1", 1L)) ++
+        Seq.fill(2)(("T1", 2L)) ++
+        Seq.fill(3)(("T2", 0L)) ++ Seq.fill(1)(("T2", 19L))
+    val ev = rows.map { case (t, d) => (t, d * DAY) }.toDF("t", "ts")
+    val got = EventAnalytics.theilSen(ev, "t", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("T1" -> ((3L, 500000L)),
+      "T2" -> ((1L, -105263L))))
+  }
+
+  test("runsTest: median-tie days discarded, runs counted in day " +
+    "order, exact expected-run rational") {
+    // Counts by day: [1,5,1,5,5,1,9]; lower median 5; signs by day
+    // (ties dropped): -,-,-,+ -> runs 2, n_above 1, n_below 3,
+    // expected = 1e6 + 2*1*3/4 e6 = 2500000.
+    val counts = Seq(1, 5, 1, 5, 5, 1, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("A", d.toLong * DAY)) }
+    val ev = rows.toDF("t", "ts")
+    val got = EventAnalytics.runsTest(ev, "t", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", 1L, 3L, 2L, 2500000L)))
+  }
+}
