@@ -2547,6 +2547,50 @@ object SparkEntry {
       EventAnalytics.runsTest(T(s, dir, "events"), "event_type",
         "ts")),
 
+    // ---- corpus audit: CONCENTRATION card per source — Gini + HHI
+    // of token mass across documents ("half the tokens sit in 2% of
+    // docs"), exact e6 rationals on range-partitioned ranks and
+    // DECIMAL(38,0) sums.
+    "q322_concentration" -> ((s, dir) =>
+      GroupStats.concentration(T(s, dir, "documents"), "source",
+        "doc_id",
+        size(graft.functions.TextFns.words(col("text"))).cast("long"))),
+
+    // ---- curation: COLEMAN–LIAU READABILITY per doc — the
+    // syllable-free grade-level formula as an exact e2 integer
+    // ((588·L − 2960·S) div W − 1580, both engines truncating);
+    // letters/words/sentences counted in one scan.
+    "q323_readability" -> ((s, dir) =>
+      TextAnalysis.readability(T(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // ---- dedup ROI: SAVINGS BY SOURCE — the staged component map
+    // (q47's store) joined to per-doc token counts: docs/tokens that
+    // min-id representative dedup would drop, per source, with the
+    // e6 savings share — the "is dedup worth it here?" sheet.
+    "q324_dedup_savings" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFns.words(col("text"))).cast("long")
+          .as("toks__"))
+      val cc = stagedNearDupComponents(s, dir)
+      docs
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("drop__", col("component").isNotNull &&
+          col("component") =!= col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("drop__"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("toks__")).as("tokens_total"),
+          sum(when(col("drop__"), col("toks__")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          col("tokens_total"), col("tokens_dropped"),
+          graft.functions.ExactRound.ratioScaled(col("tokens_dropped"),
+            col("tokens_total"), 6).as("savings_e6"))
+    }),
+
     // ---- monitoring: ROLLING 7-day OLS slope per event type —
     // q120's moving average says where the level is; this says how
     // fast it's moving (events/day of drift, signed e6 via Cramer on
@@ -8533,6 +8577,72 @@ object SparkEntry {
          |SELECT t AS event_type, n_above, n_below, runs,
          |  1000000 + ${ratioScaledSql("2 * n_above * n_below",
              "n_above + n_below", 6)} AS expected_runs_e6
+         |FROM g""".stripMargin
+    },
+
+    // q322: per-source (x, doc_id) ranks, HUGEINT sums, the sorted
+    // Lorenz identity for Gini and share-squares for HHI
+    "q322_concentration" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT source, doc_id, len($wordsSql) AS x
+         |  FROM documents),
+         |r AS (SELECT source, x,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY x, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM t),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(x) AS HUGEINT) AS tot,
+         |    CAST(sum((2 * rn - n - 1) * x) AS HUGEINT) AS gnum,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_members, CAST(tot AS BIGINT) AS total,
+         |  ${ratioScaledSql("gnum", "n_members * tot", 6)} AS gini_e6,
+         |  ${ratioScaledSql("sq", "tot * tot", 6)} AS hhi_e6
+         |FROM g""".stripMargin
+    },
+
+    // q323: letters/terminators via global regexp_replace lengths,
+    // words via the corpus convention, integer-div truncation (q320)
+    "q323_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS n_letters,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_words,
+         |    CAST(greatest(length(
+         |      regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT)
+         |      AS n_sentences
+         |  FROM documents)
+         |SELECT doc_id, n_letters, n_words, n_sentences,
+         |  (n_letters * 588 - n_sentences * 2960) // n_words - 1580
+         |    AS cli_e2
+         |FROM c WHERE n_words > 0""".stripMargin,
+
+    // q324: q47's recursive component labels joined to per-doc token
+    // counts; dropped = labeled member that is not its component rep
+    "q324_dedup_savings" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a),
+         |cc AS (SELECT node, least(node, min(r)) AS component
+         |  FROM cl GROUP BY node),
+         |d AS (SELECT doc_id, source, len($wordsSql) AS toks
+         |  FROM documents),
+         |j AS (SELECT d.source, d.toks,
+         |    cc.component IS NOT NULL AND cc.component <> d.doc_id
+         |      AS dropped
+         |  FROM d LEFT JOIN cc ON cc.node = d.doc_id),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN dropped THEN toks ELSE 0 END)
+         |      AS BIGINT) AS tokens_dropped
+         |  FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_dropped, tokens_total,
+         |  tokens_dropped,
+         |  ${ratioScaledSql("tokens_dropped", "tokens_total", 6)}
+         |    AS savings_e6
          |FROM g""".stripMargin
     },
 

@@ -650,4 +650,35 @@ object TextAnalysis {
       Seq(groupCol), col("x__"), col("y__"))
       .withColumnRenamed("n", "n_types")
   }
+
+  /** COLEMAN–LIAU READABILITY per document — the grade-level formula
+    * built from letters/words/sentences ONLY (no syllable counting,
+    * so it is exactly computable from counts — the reason it beats
+    * Flesch for a cross-engine gate):
+    * `CLI = 5.88·L/W − 29.6·S/W − 15.8`, shipped as the e2 integer
+    * `(588·L − 2960·S) div W − 1580` (both engines truncate integer
+    * division toward zero — the q320 convention; the numerator may go
+    * negative on choppy text). Letters = [A-Za-z] codepoints,
+    * sentences = terminator count [.!?] floored at 1 (headline-style
+    * docs have none), words = the corpus whitespace convention.
+    *
+    * One scan, all counts via regexp_replace-length — no explode, no
+    * shuffle; the quality-filter companion to [[qualitySignals]]
+    * ("too hard/too easy for the target mix" as a grade number). */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val letters = length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+      .cast("long")
+    val sentences = greatest(
+      length(regexp_replace(col(textCol), "[^.!?]", "")).cast("long"),
+      lit(1L))
+    val nWords = size(TextFns.words(col(textCol))).cast("long")
+    df.select(col(idCol), letters.as("n_letters"),
+        nWords.as("n_words"), sentences.as("n_sentences"))
+      .filter(col("n_words") > 0L)
+      .withColumn("cli_e2",
+        call_function("div",
+          col("n_letters") * 588L - col("n_sentences") * 2960L,
+          col("n_words")) - 1580L)
+  }
 }

@@ -137,6 +137,11 @@ object ScaleProbe {
     time("pii_scrub") {
       PiiScrub.scrub(docs, "doc_id", "text")
     }
+    time("readability_cli") {
+      // per-doc Coleman–Liau (q323) — q218's per-source FK card keeps
+      // the probe name "readability"
+      TextAnalysis.readability(docs, "doc_id", "text")
+    }
 
     // ---- round-7 operators: sketches, layout, joins, export
     // A DIVERSE corpus for the pairwise dedup probes: `docs` above is
@@ -1123,6 +1128,14 @@ object ScaleProbe {
     // r16 batch A: backtest/retention/robust-trend/randomness cards —
     // each collapses events to per-(key, day) rows first, so the
     // windows and pair joins run over calendar-bounded frames
+    time("concentration") {
+      // the skewed seg column (40% in S0) exercises the
+      // range-partitioned rank path under concentration itself
+      graft.operators.GroupStats.concentration(
+        df.select(col("seg"), col("id"),
+          (col("m2") * 10).cast("long").as("v")),
+        "seg", "id", col("v"))
+    }
     time("markov_backtest") {
       val ev = spark.range(n).select(
         pmod(xxhash64(col("id"), lit(110)), lit(n / 100)).as("u"),

@@ -83,4 +83,32 @@ class Round16OpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(got.toSeq == Seq(("A", 1L, 3L, 2L, 2500000L)))
   }
+
+  test("concentration: equal shares read gini 0 / hhi 1e6÷n; a " +
+    "monopoly reads gini (n−1)/n / hhi 1e6") {
+    val df = Seq(("s", 1L, 5L), ("s", 2L, 5L), ("s", 3L, 5L),
+      ("s", 4L, 5L),
+      ("t", 1L, 0L), ("t", 2L, 0L), ("t", 3L, 0L), ("t", 4L, 10L))
+      .toDF("g", "id", "x")
+    val got = GroupStats.concentration(df, "g", "id", col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("s") == ((4L, 20L, 0L, 250000L)))
+    assert(got("t") == ((4L, 10L, 750000L, 1000000L)))
+  }
+
+  test("readability: Coleman–Liau e2 with truncating division and " +
+    "the sentence floor") {
+    // "Abc de. Fg!": L=7, W=3, S=2 ->
+    // (7*588 - 2*2960) div 3 - 1580 = -601 - 1580 = -2181
+    // "no terminators here": L=17, W=3, S=floor(0)=1 ->
+    // (9996 - 2960) div 3 - 1580 = 2345 - 1580 = 765
+    val df = Seq((1L, "Abc de. Fg!"), (2L, "no terminators here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((7L, 3L, 2L, -2181L)))
+    assert(got(2L) == ((17L, 3L, 1L, 765L)))
+  }
 }
