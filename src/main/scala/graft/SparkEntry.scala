@@ -2564,6 +2564,52 @@ object SparkEntry {
       TextAnalysis.readability(T(s, dir, "documents"), "doc_id",
         "text")),
 
+    // ---- CDC analytics: STATE DWELL TIMES — q123's SCD2 intervals
+    // rolled to per-state duration stats (closed versions only;
+    // open versions counted, never averaged): how long does a user
+    // SIT in each event-type state?
+    "q325_state_dwell" -> ((s, dir) => {
+      val hist = SnapshotDiff.scd2History(T(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      val dwellSec = call_function("div",
+        col("valid_to_ns") - col("valid_from_ns"), lit(1000000000L))
+      hist.groupBy(col("value"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to_ns").isNull, 1L).otherwise(0L))
+            .as("n_open"),
+          sum(when(col("valid_to_ns").isNotNull, 1L).otherwise(0L))
+            .as("n_closed"),
+          sum(when(col("valid_to_ns").isNotNull, dwellSec)
+            .otherwise(0L)).as("total_dwell_sec"))
+        .select(col("value"), col("n_versions"), col("n_open"),
+          col("n_closed"), col("total_dwell_sec"),
+          graft.functions.ExactRound.ratioScaled(
+            col("total_dwell_sec"), col("n_closed"), 2)
+            .as("avg_dwell_sec_e2"))
+    }),
+
+    // ---- stats: daily AUTOCORRELATION per type at lags 1..7 —
+    // q310's signed-squared-Pearson ladder on the series against
+    // itself; lag-7 structure = weekly seasonality, lag-1 = momentum.
+    "q326_acf" -> ((s, dir) =>
+      EventAnalytics.acfDaily(T(s, dir, "events"), "event_type",
+        "ts", maxLag = 7)),
+
+    // ---- baskets: FREQUENT TRIPLES — the A-priori level above
+    // q126's pairs, same capped-basket contract (structural C(64,3)
+    // bound), e6 support share.
+    "q327_basket_triples" -> ((s, dir) =>
+      CoOccurrence.basketTriples(T(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2L, maxBasketSize = 64)),
+
+    // ---- embeddings: CENTROID SHIFT per label between the two
+    // vec_id-parity halves — exact squared-L2 of mean vectors via
+    // cross-multiplied rationals (e12 units); a label missing from
+    // either half reports NULL.
+    "q328_centroid_shift" -> ((s, dir) =>
+      Prototypes.centroidShift(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(2)) === 1)),
+
     // ---- dedup ROI: SAVINGS BY SOURCE — the staged component map
     // (q47's store) joined to per-doc token counts: docs/tokens that
     // min-id representative dedup would drop, per source, with the
@@ -8616,6 +8662,113 @@ object SparkEntry {
          |  (n_letters * 588 - n_sentences * 2960) // n_words - 1580
          |    AS cli_e2
          |FROM c WHERE n_words > 0""".stripMargin,
+
+    // q325: q123's SCD2 CTE rolled to per-state dwell stats; closed
+    // durations truncate to whole seconds (integer div, q320)
+    "q325_state_dwell" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH $scd2Ctes,
+         |dw AS (SELECT value, count(*) AS n_versions,
+         |    CAST(sum(CASE WHEN valid_to_ns IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_open,
+         |    CAST(sum(CASE WHEN valid_to_ns IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_closed,
+         |    CAST(sum(CASE WHEN valid_to_ns IS NOT NULL THEN
+         |      (valid_to_ns - valid_from_ns) // 1000000000 ELSE 0 END)
+         |      AS BIGINT) AS total_dwell_sec
+         |  FROM hist GROUP BY 1)
+         |SELECT value, n_versions, n_open, n_closed, total_dwell_sec,
+         |  ${ratioScaledSql("total_dwell_sec", "n_closed", 2)}
+         |    AS avg_dwell_sec_e2
+         |FROM dw""".stripMargin
+    },
+
+    // q326: zero-filled per-type daily series self-joined at lags
+    // 1..7; q310's two-stage |num|·1000 ladder for sign(r)·r² e6
+    "q326_acf" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT ty.t, CAST(unnest(range(h.d0, h.d1 + 1))
+        |    AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT t FROM d) ty CROSS JOIN h),
+        |dn AS (SELECT cal.t, cal.day, coalesce(d.c, 0) AS x
+        |  FROM cal LEFT JOIN d ON d.t = cal.t AND d.day = cal.day),
+        |lg AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |j AS (SELECT a.t, lg.lag, a.x AS x, b.x AS y
+        |  FROM dn a CROSS JOIN lg
+        |  JOIN dn b ON b.t = a.t AND b.day = a.day + lg.lag),
+        |ag AS (SELECT t, lag, count(*) AS n_days,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT)
+        |      AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM j GROUP BY 1, 2),
+        |f AS (SELECT t, lag, n_days,
+        |    n_days * sxy - sx * sy AS num,
+        |    n_days * sxx - sx * sx AS dx,
+        |    n_days * syy - sy * sy AS dy FROM ag)
+        |SELECT t AS event_type, lag, n_days,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(num) * 1000 // dx) * abs(num) * 1000 // dy)
+        |      AS BIGINT)
+        |  ELSE 0 END AS r2_signed_e6
+        |FROM f""".stripMargin,
+
+    // q327: q126's capped-basket surface taken to ordered triples
+    "q327_basket_triples" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |    FROM lineitem),
+         |f AS (SELECT b, i FROM (SELECT b, i,
+         |      count(*) OVER (PARTITION BY b) AS bs FROM it)
+         |  WHERE bs <= 64),
+         |nb AS (SELECT count(DISTINCT b) AS n FROM f),
+         |tr AS (SELECT a.i AS item_a, c.i AS item_b, e3.i AS item_c,
+         |    count(*) AS n_co
+         |  FROM f a JOIN f c ON c.b = a.b AND a.i < c.i
+         |  JOIN f e3 ON e3.b = a.b AND c.i < e3.i
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         |SELECT item_a, item_b, item_c, n_co,
+         |  ${ratioScaledSql("n_co", "(SELECT n FROM nb)", 6)}
+         |    AS support_e6
+         |FROM tr""".stripMargin
+    },
+
+    // q328: e6 units, per-(label, parity-half, dim) integer sums,
+    // cross-multiplied mean difference squared in HUGEINT, e12 ratio;
+    // single-half labels keep a NULL distance via the left join
+    "q328_centroid_shift" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH u AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+         |      AS BIGINT) AS u
+         |  FROM embeddings),
+         |t AS (SELECT vec_id, label, vec_id % 2 = 1 AS hb
+         |  FROM embeddings),
+         |s AS (SELECT t.label, t.hb, u.dim, count(*) AS n,
+         |    CAST(sum(u.u) AS HUGEINT) AS s
+         |  FROM u JOIN t ON t.vec_id = u.vec_id GROUP BY 1, 2, 3),
+         |a AS (SELECT label, dim, n AS na, s AS sa FROM s
+         |  WHERE NOT hb),
+         |b AS (SELECT label, dim, n AS nb, s AS sb FROM s WHERE hb),
+         |p AS (SELECT a.label, max(a.na) AS n_a, max(b.nb) AS n_b,
+         |    sum((a.sa * b.nb - b.sb * a.na) *
+         |        (a.sa * b.nb - b.sb * a.na)) AS num
+         |  FROM a JOIN b ON b.label = a.label AND b.dim = a.dim
+         |  GROUP BY 1)
+         |SELECT l.label, p.n_a, p.n_b,
+         |  CASE WHEN p.num IS NOT NULL THEN
+         |    ${ratioScaledSql("p.num",
+             "CAST(p.n_a AS HUGEINT) * p.n_b * p.n_a * p.n_b", 0)}
+         |  ELSE NULL END AS shift_sq_e12
+         |FROM (SELECT DISTINCT label FROM embeddings) l
+         |LEFT JOIN p ON p.label = l.label""".stripMargin
+    },
 
     // q324: q47's recursive component labels joined to per-doc token
     // counts; dropped = labeled member that is not its component rep

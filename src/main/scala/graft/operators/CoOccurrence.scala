@@ -107,4 +107,38 @@ object CoOccurrence {
           col("n_ante").cast("decimal(38,0)") * col("n_cons"), 6)
           .as("lift_e6"))
   }
+
+  /** Frequent ITEM TRIPLES — the A-priori level above [[basketPairs]]:
+    * ordered item triples (a < b < c) co-occurring in ≥ `minSupport`
+    * capped baskets, with the e6 support share against the capped
+    * basket count. The candidate space is pruned STRUCTURALLY, not by
+    * an A-priori pass: the same `maxBasketSize` cap bounds per-basket
+    * expansion at C(cap, 3) — the documented cap trade
+    * ([[basketPairs]]' contract); a hot basket above the cap is
+    * catalog noise, not signal, and is excluded identically at every
+    * level so pair and triple supports stay consistent.
+    *
+    * Shape at scale: two self-equi-joins on the basket key over the
+    * capped (basket, item) table, then one tally. */
+  def basketTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
+    import graft.functions.ExactRound
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
+    val totB = capped.select(col("b__")).distinct()
+      .agg(count(lit(1)).as("nb__"))
+    capped.select(col("b__"), col("it__").as("item_a"))
+      .join(capped.select(col("b__"), col("it__").as("item_b")),
+        Seq("b__"))
+      .filter(col("item_a") < col("item_b"))
+      .join(capped.select(col("b__"), col("it__").as("item_c")),
+        Seq("b__"))
+      .filter(col("item_b") < col("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+      .crossJoin(broadcast(totB))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("n_co"),
+        ExactRound.ratioScaled(col("n_co"), col("nb__"), 6)
+          .as("support_e6"))
+  }
 }

@@ -823,6 +823,68 @@ object EventAnalytics {
           .otherwise(lit(0L)).as("r2_signed_e6"))
   }
 
+  /** DAILY AUTOCORRELATION function per event type — [[leadLagScan]]
+    * turned on itself: for every type and lag 1..`maxLag`, the
+    * signed squared Pearson (e6, the q310 two-stage quotient ladder —
+    * sign(r)·r², sqrt-free) between the zero-filled daily count
+    * series and its own lag-shifted copy. Strong positive ACF at lag
+    * 7 = weekly seasonality; at lag 1 = day-to-day momentum — the
+    * "does this stream have structure?" card a forecasting choice
+    * starts from.
+    *
+    * Shape at scale: one daily tally, a per-type calendar densify
+    * off the 1-row global horizon, a lag × days equi-join per type —
+    * everything after the first aggregate is calendar-bounded. */
+  def acfDaily(events: DataFrame, typeCol: String,
+      tsNanosCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c__"))
+    val horizon = base.agg(min(col("day")).as("d0__"),
+      max(col("day")).as("d1__"))
+    val cal = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        explode(sequence(col("d0__"), col("d1__"))).as("day"))
+    val dense = cal.join(base, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c__"), lit(0L)).as("x__"))
+    val lags = horizon
+      .select(explode(sequence(lit(1), lit(maxLag))).as("l0__"))
+      .select(col("l0__").cast("long").as("lag"))
+    val shifted = dense.crossJoin(broadcast(lags))
+      .select(col("event_type"), col("lag"),
+        (col("day") - col("lag")).as("day"), col("x__").as("y__"))
+    val j = shifted.join(dense, Seq("event_type", "day"))
+    val ag = j.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x__")).cast("long").as("sx__"),
+        sum(col("y__")).cast("long").as("sy__"),
+        sum(dec(col("x__")) * col("y__")).as("sxy__"),
+        sum(dec(col("x__")) * col("x__")).as("sxx__"),
+        sum(dec(col("y__")) * col("y__")).as("syy__"))
+    val num = dec(col("n_days")) * col("sxy__") -
+      dec(col("sx__")) * col("sy__")
+    val denx = dec(col("n_days")) * col("sxx__") -
+      dec(col("sx__")) * col("sx__")
+    val deny = dec(col("n_days")) * col("syy__") -
+      dec(col("sy__")) * col("sy__")
+    ag.select(col("event_type"), col("lag"), col("n_days"),
+        num.as("num__"), denx.as("dx__"), deny.as("dy__"))
+      .select(col("event_type"), col("lag"), col("n_days"),
+        when(col("dx__") > 0 && col("dy__") > 0,
+          when(col("num__") < 0, lit(-1L)).otherwise(lit(1L)) *
+            call_function("div",
+              call_function("div", abs(col("num__")) * lit(1000L),
+                col("dx__")) * abs(col("num__")) * lit(1000L),
+              col("dy__")).cast("long"))
+          .otherwise(lit(0L)).as("r2_signed_e6"))
+  }
+
   /** SEASONAL-NAIVE backtest per event type — predict each calendar
     * day's count with the count 7 days earlier (the forecasting
     * baseline every fancier model must beat), over the zero-filled

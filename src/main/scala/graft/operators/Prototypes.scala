@@ -398,4 +398,52 @@ object Prototypes {
       .groupBy(col("id__"))
       .agg(min(col("d2__")).as("md__"))
   }
+
+  /** CENTROID SHIFT between two halves of a labeled embedding corpus —
+    * "did this class's representation move?": per label, the squared
+    * L2 distance between the two halves' per-dimension mean vectors,
+    * EXACTLY. Means never materialize as rounded values: per dim the
+    * difference is the rational (sA·nB − sB·nA)/(nA·nB), so the
+    * squared distance is Σ_dim (sA·nB − sB·nA)² over (nA·nB)² — one
+    * exact e12-unit ratio per label (units are e6, so the distance
+    * lands in e12 — the [[simplifiedSilhouette]] convention). A label
+    * missing from either half reports NULL distance (no centroid to
+    * compare), kept via the left join — the honest
+    * appeared/disappeared signal.
+    *
+    * Shape at scale: unitsE6's posexplode, ONE map-side-combinable
+    * (label, half, dim) aggregate, a labels×dims self-join, a
+    * per-label rollup. */
+  def centroidShift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, halfB: org.apache.spark.sql.Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tagged = emb.select(col(idCol).cast("long").as("id__"),
+      col(labelCol).as("label"), halfB.as("hb__"))
+    val units = unitsE6(emb, idCol, vecCol)
+      .join(tagged, "id__")
+    val sums = units.groupBy(col("label"), col("hb__"), col("dim"))
+      .agg(count(lit(1)).as("n__"), sum(col("u__")).as("s__"))
+    val a = sums.filter(!col("hb__"))
+      .select(col("label"), col("dim"), col("n__").as("na__"),
+        col("s__").as("sa__"))
+    val b = sums.filter(col("hb__"))
+      .select(col("label"), col("dim"), col("n__").as("nb__"),
+        col("s__").as("sb__"))
+    val diff = (col("sa__").cast(dec) * col("nb__") -
+      col("sb__").cast(dec) * col("na__"))
+    val per = a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      // n is constant across dims within (label, half); max() is the
+      // deterministic pick
+      .agg(max(col("na__")).as("n_a"), max(col("nb__")).as("n_b"),
+        sum((diff * diff).cast(dec)).as("num__"))
+    tagged.select(col("label")).distinct()
+      .join(per, Seq("label"), "left")
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("num__").isNotNull,
+          ExactRound.ratioScaledBig(col("num__"),
+            (col("n_a").cast(dec) * col("n_b")) *
+              (col("n_a").cast(dec) * col("n_b")), 0))
+          .as("shift_sq_e12"))
+  }
 }

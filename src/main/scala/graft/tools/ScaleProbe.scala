@@ -396,6 +396,12 @@ object ScaleProbe {
     val labeledVecs = spark.range(nDocs).select(col("id").as("vec_id"),
       array(vecCols: _*).as("embedding"),
       pmod(xxhash64(col("id"), lit(36)), lit(100)).cast("int").as("label"))
+    time("centroid_shift") {
+      // n/10 64-dim vectors, 100 labels, parity halves: the explode
+      // is rows x dims, everything after is (label, half, dim) sums
+      graft.operators.Prototypes.centroidShift(labeledVecs, "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(2)) === 1)
+    }
     time("hard_negatives_batch") {
       // n/10 64-dim vectors, 100 labels, 5 anchors: one corpus scan,
       // two-phase top-k — the probe scales the scan, not the anchors
@@ -522,6 +528,11 @@ object ScaleProbe {
     }
     time("cooccurrence_baskets") {
       graft.operators.CoOccurrence.basketPairs(
+        df.select(pmod(col("id"), lit(n / 5)).as("b"), col("nat").as("i")),
+        "b", "i", minSupport = 2L)
+    }
+    time("basket_triples") {
+      graft.operators.CoOccurrence.basketTriples(
         df.select(pmod(col("id"), lit(n / 5)).as("b"), col("nat").as("i")),
         "b", "i", minSupport = 2L)
     }
@@ -1179,6 +1190,14 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit(104)), lit(60)) *
           86400000000000L).as("ts"))
       graft.operators.EventAnalytics.rollingSlope(ev, "t", "ts", 7)
+    }
+    time("acf_daily") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(120)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(121)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.acfDaily(ev, "t", "ts", 7)
     }
     time("densify_ffill") {
       val ev = spark.range(n).select(

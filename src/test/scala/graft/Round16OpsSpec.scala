@@ -111,4 +111,52 @@ class Round16OpsSpec extends SparkSpec {
     assert(got(1L) == ((7L, 3L, 2L, -2181L)))
     assert(got(2L) == ((17L, 3L, 1L, 765L)))
   }
+
+  test("acfDaily: perfect alternation reads -1e6 at lag 1 and +1e6 " +
+    "at lag 2; a constant series reads 0") {
+    // type A counts by day: [2,4,2,4,2,4]; type B constant 3
+    val aCounts = Seq(2, 4, 2, 4, 2, 4)
+    val rows = aCounts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("A", d.toLong * DAY)) } ++
+      (0 until 6).flatMap(d => Seq.fill(3)(("B", d.toLong * DAY)))
+    val got = EventAnalytics.acfDaily(rows.toDF("t", "ts"), "t", "ts",
+      maxLag = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("A", 1L)) == ((5L, -1000000L)))
+    assert(got(("A", 2L)) == ((4L, 1000000L)))
+    assert(got(("B", 1L)) == ((5L, 0L)))   // zero variance -> 0
+    // lags beyond the overlap horizon emit no row
+    assert(!got.contains(("A", 6L)))
+  }
+
+  test("basketTriples: C(s,3) expansion over capped baskets, " +
+    "min-support filter, e6 support share") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, 40L),
+      (3L, 10L), (3L, 20L))
+      .toDF("b", "i")
+    val got = CoOccurrence.basketTriples(df, "b", "i",
+      minSupport = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4))))
+    assert(got.toSeq == Seq(((10L, 20L, 30L), (2L, 666667L))))
+    graft.Caches.unpersistAll()
+  }
+
+  test("centroidShift: exact squared-L2 between half centroids in " +
+    "e12; single-half labels report NULL") {
+    val emb = Seq(
+      (2L, Array(1.0f, 0.0f), "X"),  // even -> half A
+      (3L, Array(0.0f, 1.0f), "X"),  // odd  -> half B
+      (4L, Array(0.5f, 0.5f), "Y"))  // only half A
+      .toDF("vec_id", "embedding", "label")
+    val got = Prototypes.centroidShift(emb, "vec_id", "embedding",
+      "label", pmod(col("vec_id"), lit(2)) === 1)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // |(1,0) - (0,1)|^2 = 2 -> 2e12
+    assert(got == Map("X" -> Some(2000000000000L), "Y" -> None))
+  }
 }
