@@ -2564,6 +2564,42 @@ object SparkEntry {
       TextAnalysis.readability(T(s, dir, "documents"), "doc_id",
         "text")),
 
+    // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
+    // q257's KS integrated over the whole value axis: cross-
+    // multiplied ECDF gaps × interval widths, exact e2 units.
+    "q329_wasserstein" -> ((s, dir) =>
+      Drift.wasserstein1GroupVsRest(T(s, dir, "documents"), "source",
+        col("n_chars"))),
+
+    // ---- graph: 2-HOP REACH over the 1-NN best-neighbor graph —
+    // degree + two-step coverage per node, hub middles capped at
+    // degree 8 (the q317 semi-join discipline; true degrees
+    // reported).
+    "q330_two_hop_reach" -> ((s, dir) =>
+      GraphRank.twoHopReach(
+        GraphRank.bestNeighborEdges(
+          lshNearDupPairs(s, dir, threshold = 0.3), "id_a", "id_b",
+          round(col("cosine") * 10000)),
+        "u", "v", maxCenterDegree = 8)),
+
+    // ---- ETL: UNPIVOT (wide → long melt) — lineitem's numeric
+    // metrics to (key, metric, value_e2) rows via the native unpivot
+    // operator (Expand, one scan, no join).
+    "q331_unpivot" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long").as("quantity_e2"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("extendedprice_e2"),
+          (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("long").as("discount_e2"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity_e2"), col("extendedprice_e2"),
+            col("discount_e2")),
+          "metric", "value_e2")),
+
     // ---- CDC analytics: STATE DWELL TIMES — q123's SCD2 intervals
     // rolled to per-state duration stats (closed versions only;
     // open versions counted, never averaged): how long does a user
@@ -8662,6 +8698,84 @@ object SparkEntry {
          |  (n_letters * 588 - n_sentences * 2960) // n_words - 1580
          |    AS cli_e2
          |FROM c WHERE n_words > 0""".stripMargin,
+
+    // q329: q257's grid/window CTEs with the gap integrated — each
+    // gap × its interval to the next distinct value, e2 units ratio
+    "q329_wasserstein" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH gv AS (SELECT source AS g, n_chars AS v, count(*) AS c
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pv AS (SELECT v, sum(c) AS cv FROM gv GROUP BY 1),
+         |pg AS (SELECT g, sum(c) AS na FROM gv GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM gv),
+         |grid AS (SELECT pg.g, pv.v, pg.na, t.n - pg.na AS nb, pv.cv,
+         |    coalesce(gv.c, 0) AS cgv
+         |  FROM pg CROSS JOIN pv
+         |  LEFT JOIN gv ON gv.g = pg.g AND gv.v = pv.v
+         |  CROSS JOIN tot t),
+         |cum AS (SELECT g, v, na, nb,
+         |    sum(cgv) OVER w AS cuma, sum(cv) OVER w AS cumall,
+         |    coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0)
+         |      AS dv
+         |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tm AS (SELECT g, na, nb,
+         |    abs(CAST(cuma AS HUGEINT) * nb -
+         |      CAST(cumall - cuma AS HUGEINT) * na) * dv AS t
+         |  FROM cum),
+         |sm AS (SELECT g, na, nb, sum(t) AS s FROM tm
+         |  GROUP BY 1, 2, 3)
+         |SELECT g AS source, CAST(na AS BIGINT) AS n_group,
+         |  CAST(nb AS BIGINT) AS n_rest,
+         |  ${ratioScaledSql("s", "CAST(na AS HUGEINT) * nb", 2)}
+         |    AS w1_units_e2
+         |FROM sm""".stripMargin
+    },
+
+    // q330: q284's 1-NN edge CTEs; middles filtered by deg <= 8, the
+    // direct ∪ two-step target set counted distinct per node
+    "q330_two_hop_reach" ->
+      s"""WITH ${lshPairCtes("0.3")},
+         |dr AS (SELECT id_a AS id, id_b AS nbr,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
+         |  UNION ALL SELECT id_b, id_a,
+         |    CAST(round(cosine * 10000, 0) AS BIGINT) FROM p),
+         |best AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, nbr ASC) AS rn FROM dr)
+         |  WHERE rn = 1),
+         |cp AS (SELECT DISTINCT least(id, nbr) AS a,
+         |    greatest(id, nbr) AS b FROM best),
+         |es AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+         |deg AS (SELECT a AS node, count(*) AS d FROM es GROUP BY 1),
+         |two AS (SELECT w1.b AS s, w2.b AS t
+         |  FROM es w1 JOIN es w2 ON w2.a = w1.a AND w1.b <> w2.b
+         |  JOIN deg dc ON dc.node = w1.a AND dc.d <= 8),
+         |rch AS (SELECT s, count(DISTINCT t) AS reach_2hop FROM (
+         |    SELECT a AS s, b AS t FROM es
+         |    UNION ALL SELECT s, t FROM two) GROUP BY 1)
+         |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+         |  rch.reach_2hop
+         |FROM deg JOIN rch ON rch.s = deg.node""".stripMargin,
+
+    // q331: UNION ALL mirror of the Expand — metric names are the
+    // engine's value column names
+    "q331_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS ep,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS dc FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'quantity_e2' AS metric,
+        |  q AS value_e2 FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice_e2',
+        |  ep FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount_e2',
+        |  dc FROM b""".stripMargin,
 
     // q325: q123's SCD2 CTE rolled to per-state dwell stats; closed
     // durations truncate to whole seconds (integer div, q320)

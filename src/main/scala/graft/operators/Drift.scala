@@ -275,6 +275,61 @@ object Drift {
         (-col("best__.nv__")).as("at_units"))
   }
 
+  /** WASSERSTEIN-1 (earth-mover) distance per group vs the rest of
+    * the corpus — [[ksGroupVsRest]]'s integral twin: where KS reports
+    * the single worst ECDF gap, W1 integrates EVERY gap over the
+    * value axis, `W1 = Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·(vᵢ₊₁ − vᵢ)` on the
+    * distinct-value grid — the binning-free "how much mass must move,
+    * and how far" statistic (KS can't tell a small persistent shift
+    * from a sharp local one; W1 can). Exact: cross-multiplied integer
+    * ECDF gaps (the KS discipline), gap·Δv terms summed in
+    * DECIMAL(38,0), one e2 ratio per group — `w1_units_e2` is the
+    * distance in VALUE UNITS scaled by 100.
+    *
+    * Shape at scale: identical to [[ksGroupVsRest]] — distinct-value
+    * tallies, a groups×values grid, per-group prefix-sum windows over
+    * the bounded value grid; the extra lead() rides the same window
+    * sort. */
+  def wasserstein1GroupVsRest(df: DataFrame, groupCol: String,
+      valueUnits: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val gv = graft.Caches.register(df
+      .select(col(groupCol).as("g__"), valueUnits.cast("long").as("v__"))
+      .filter(col("v__").isNotNull && col("g__").isNotNull)
+      .groupBy(col("g__"), col("v__")).agg(count(lit(1)).as("c_gv__"))
+      .persist())
+    val perVal = gv.groupBy(col("v__")).agg(sum(col("c_gv__")).as("c_v__"))
+    val perGrp = gv.groupBy(col("g__")).agg(sum(col("c_gv__")).as("na__"))
+    val totN = gv.agg(sum(col("c_gv__")).as("n__"))
+    val grid = broadcast(perGrp.crossJoin(broadcast(totN)))
+      .crossJoin(perVal)
+      .join(gv, Seq("g__", "v__"), "left")
+      .select(col("g__"), col("v__"), col("na__"),
+        (col("n__") - col("na__")).as("nb__"), col("c_v__"),
+        coalesce(col("c_gv__"), lit(0L)).as("c_gv__"))
+    val w = Window.partitionBy(col("g__")).orderBy(col("v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.partitionBy(col("g__")).orderBy(col("v__"))
+    val terms = grid
+      .withColumn("cuma__", sum(col("c_gv__")).over(w))
+      .withColumn("cumall__", sum(col("c_v__")).over(w))
+      // the last grid value carries no interval (both ECDFs are 1
+      // there anyway — its gap is identically 0)
+      .withColumn("dv__",
+        coalesce(lead(col("v__"), 1).over(lw) - col("v__"), lit(0L)))
+      .select(col("g__"), col("na__"), col("nb__"),
+        (abs(col("cuma__").cast(dec) * col("nb__") -
+          (col("cumall__") - col("cuma__")).cast(dec) * col("na__")) *
+          col("dv__")).cast(dec).as("t__"))
+    terms.groupBy(col("g__"), col("na__"), col("nb__"))
+      .agg(sum(col("t__")).as("s__"))
+      .select(col("g__").as(groupCol), col("na__").as("n_group"),
+        col("nb__").as("n_rest"),
+        ExactRound.ratioScaledBig(col("s__"),
+          col("na__").cast(dec) * col("nb__"), 2).as("w1_units_e2"))
+  }
+
   /** TOP TOKEN MOVERS between two corpora — per token the add-1
     * smoothed relative-rate ratio
     * ((c_a+1)/(N_a+V)) / ((c_b+1)/(N_b+V)) as the exact e6 rational

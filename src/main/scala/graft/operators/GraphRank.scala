@@ -185,6 +185,45 @@ object GraphRank {
           .as("jaccard_e6"))
   }
 
+  /** 2-HOP REACH per node — |N(v)| and |N(N(v)) ∪ N(v) \ {v}|: how
+    * much of the graph a node can see in two steps (the local
+    * influence/coverage card next to [[linkPrediction]]'s pairwise
+    * scores). Middles expand through the same degree-cap semi-join as
+    * [[linkPrediction]]'s wedge centers (`maxCenterDegree` — a hub
+    * middle of degree d contributes d² (v, w) rows; the cap drops
+    * hub-mediated reach wholesale, the documented recall trade), while
+    * `degree` always reports the TRUE uncapped degree. */
+  def twoHopReach(pairs: DataFrame, aCol: String, bCol: String,
+      maxCenterDegree: Int = 0): DataFrame = {
+    val e = graft.Caches.register(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist())
+    val adj = e.select(col("u").as("c__"), col("v").as("n__"))
+      .union(e.select(col("v").as("c__"), col("u").as("n__")))
+    val deg = graft.Caches.register(adj
+      .groupBy(col("c__").as("node")).agg(count(lit(1)).as("degree"))
+      .persist())
+    val mids =
+      if (maxCenterDegree <= 0) adj
+      else adj.join(
+        deg.filter(col("degree") <= maxCenterDegree)
+          .select(col("node").as("c__")), Seq("c__"), "left_semi")
+    val two = mids.select(col("c__"), col("n__").as("s__"))
+      .join(mids.select(col("c__"), col("n__").as("t__")), Seq("c__"))
+      .filter(col("s__") =!= col("t__"))
+      .select(col("s__"), col("t__"))
+    val reach = adj.select(col("c__").as("s__"), col("n__").as("t__"))
+      .union(two)
+      .distinct()
+      .groupBy(col("s__").as("node"))
+      .agg(count(lit(1)).as("reach_2hop"))
+    deg.join(reach, Seq("node"))
+      .select(col("node"), col("degree"), col("reach_2hop"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L)
       : DataFrame = {

@@ -977,6 +977,21 @@ object ScaleProbe {
         df.filter(col("m1").isNotNull).select(col("seg"), col("m1")),
         "seg", (col("m1") * 100).cast("long"))
     }
+    time("wasserstein_group_vs_rest") {
+      // same grid allowance as ks_group_vs_rest; the extra lead()
+      // rides the same per-group window sort
+      graft.operators.Drift.wasserstein1GroupVsRest(
+        df.filter(col("m1").isNotNull).select(col("seg"), col("m1")),
+        "seg", (col("m1") * 100).cast("long"))
+    }
+    time("two_hop_reach") {
+      // the link_prediction background graph with hub middles capped
+      val e = spark.range(n / 4).select(
+        pmod(xxhash64(col("id"), lit(101)), lit(n / 8)).as("a"),
+        pmod(xxhash64(col("id"), lit(102)), lit(n / 8)).as("b"))
+      graft.operators.GraphRank.twoHopReach(e, "a", "b",
+        maxCenterDegree = 64)
+    }
     time("streaks") {
       // 2M events, 100k users over a 60-day horizon: per-user
       // distinct-day partitions bounded by the calendar

@@ -159,4 +159,36 @@ class Round16OpsSpec extends SparkSpec {
     // |(1,0) - (0,1)|^2 = 2 -> 2e12
     assert(got == Map("X" -> Some(2000000000000L), "Y" -> None))
   }
+
+  test("wasserstein1GroupVsRest: gap × interval integral, exact e2 " +
+    "units; identical distributions read 0") {
+    // A = {0, 10}, B = {10, 10}: at v=0 the ECDF gap is 1/2 over an
+    // interval of 10 -> W1 = 5 -> 500 e2 (symmetric for B).
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 10L), ("B", 10L))
+      .toDF("g", "v")
+    val got = Drift.wasserstein1GroupVsRest(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("A" -> 500L, "B" -> 500L))
+    val same = Seq(("A", 1L), ("A", 9L), ("B", 1L), ("B", 9L))
+      .toDF("g", "v")
+    val got2 = Drift.wasserstein1GroupVsRest(same, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got2 == Map("A" -> 0L, "B" -> 0L))
+    graft.Caches.unpersistAll()
+  }
+
+  test("twoHopReach: path graph reach, hub-middle cap drops " +
+    "two-step coverage only (degrees stay true)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    def rows(cap: Int) = GraphRank.twoHopReach(e, "a", "b", cap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0) == Map(1L -> ((1L, 2L)), 2L -> ((2L, 3L)),
+      3L -> ((2L, 3L)), 4L -> ((1L, 2L))))
+    // cap 1: only degree-1 middles (1 and 4) survive, each with a
+    // single neighbor -> no two-step pairs at all
+    assert(rows(1) == Map(1L -> ((1L, 1L)), 2L -> ((2L, 2L)),
+      3L -> ((2L, 2L)), 4L -> ((1L, 1L))))
+    graft.Caches.unpersistAll()
+  }
 }
