@@ -2564,6 +2564,26 @@ object SparkEntry {
       TextAnalysis.readability(T(s, dir, "documents"), "doc_id",
         "text")),
 
+    // ---- data-eng: LINEAR INTERPOLATION over calendar gaps —
+    // q286's densify with the numeric blend: gaps get the exact
+    // truncated-e6 linear value between anchors, edges stay NULL.
+    // Days ≡1 (mod 3) are held out of the tally BY CONSTRUCTION so
+    // the interpolation arm provably fires (the q193 discipline).
+    "q332_interpolate" -> ((s, dir) => {
+      val day = TimeFns.floorDiv(col("ts"), 86400L * 1000000000L)
+      EventAnalytics.interpolateDaily(
+        T(s, dir, "events").filter(pmod(day, lit(3)) =!= 1),
+        "event_type", "ts")
+    }),
+
+    // ---- graph: truncated KATZ CENTRALITY over the staged purchase
+    // graph — Σ αᵗ·(walks of length t), α=1/2, 3 rounds of the exact
+    // integer ladder (q108's discipline with attenuation instead of
+    // stochastic normalization).
+    "q333_katz" -> ((s, dir) =>
+      GraphRank.katzCentrality(stagedPurchaseEdges(s, dir), "src",
+        "dst", iterations = 3, attNum = 1L, attDen = 2L)),
+
     // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
     // q257's KS integrated over the whole value axis: cross-
     // multiplied ECDF gaps × interval widths, exact e2 units.
@@ -8698,6 +8718,63 @@ object SparkEntry {
          |  (n_letters * 588 - n_sentences * 2960) // n_words - 1580
          |    AS cli_e2
          |FROM c WHERE n_words > 0""".stripMargin,
+
+    // q332: q286's calendar + IGNORE-NULLS anchors both directions;
+    // the blend numerator may be negative → // truncation (q320);
+    // the mod-3 holdout mirrors the engine's constructed gaps
+    "q332_interpolate" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+        |  FROM events
+        |  WHERE (epoch_ns(ts) // 86400000000000) % 3 <> 1
+        |  GROUP BY 1, 2),
+        |h AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT ty.t, CAST(unnest(range(h.d0, h.d1 + 1))
+        |    AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT t FROM d) ty CROSS JOIN h),
+        |j AS (SELECT cal.t, cal.day, d.n FROM cal
+        |  LEFT JOIN d ON d.t = cal.t AND d.day = cal.day),
+        |a AS (SELECT t, day, n,
+        |    last_value(CASE WHEN n IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wb AS pd,
+        |    last_value(n IGNORE NULLS) OVER wb AS pv,
+        |    first_value(CASE WHEN n IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wf AS nd,
+        |    first_value(n IGNORE NULLS) OVER wf AS nv
+        |  FROM j WINDOW wb AS (PARTITION BY t ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY t ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT t AS event_type, day, n IS NOT NULL AS observed,
+        |  CASE WHEN n IS NOT NULL THEN n * 1000000
+        |       WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+        |         pv * 1000000 +
+        |         ((nv - pv) * 1000000 * (day - pd)) // (nd - pd)
+        |       ELSE NULL END AS value_e6
+        |FROM a""".stripMargin,
+
+    // q333: q108's edge/node CTEs, 3 unrolled attenuation rounds,
+    // one truncating div per node-round
+    "q333_katz" -> {
+      def iter(k: Int) =
+        s"""x$k AS (SELECT n.node,
+           |    (1 * coalesce(s.c, 0)) // 2 AS x
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.x) AS BIGINT) AS c
+           |    FROM edges e JOIN x${k - 1} p ON p.node = e.src
+           |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT n.node, x1.x + x2.x + x3.x AS katz_e6
+         |FROM nodes n JOIN x1 ON x1.node = n.node
+         |JOIN x2 ON x2.node = n.node
+         |JOIN x3 ON x3.node = n.node""".stripMargin
+    },
 
     // q329: q257's grid/window CTEs with the gap integrated — each
     // gap × its interval to the next distinct value, e2 units ratio

@@ -1276,6 +1276,58 @@ object EventAnalytics {
           col("n_above") + col("n_below"), 6)).as("expected_runs_e6"))
   }
 
+  /** LINEAR INTERPOLATION over the zero-gap calendar —
+    * [[densifyDaily]]'s numeric sibling: observed days carry their
+    * count exactly (×1e6); a missing day between two observed
+    * anchors carries the exact linear blend
+    * `prev + (next − prev)·(d − d_prev)/(d_next − d_prev)` as a
+    * truncated e6 integer (integer div ↔ `//`, the q320 convention —
+    * counts are non-negative but the SLOPE may not be, so truncation
+    * is the shared rule); days before the first or after the last
+    * observation stay NULL (no extrapolation — the honest edge).
+    *
+    * Shape at scale: one daily tally, the q286 calendar densify off
+    * the 1-row horizon, two IGNORE NULLS anchor carries (one window
+    * each direction) over calendar-bounded partitions. */
+  def interpolateDaily(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n__"))
+    val horizon = daily.agg(min(col("day")).as("d0__"),
+      max(col("day")).as("d1__"))
+    val cal = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        explode(sequence(col("d0__"), col("d1__"))).as("day"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchored = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pd__",
+        last(when(col("n__").isNotNull, col("day")),
+          ignoreNulls = true).over(wb))
+      .withColumn("pv__",
+        last(col("n__"), ignoreNulls = true).over(wb))
+      .withColumn("nd__",
+        first(when(col("n__").isNotNull, col("day")),
+          ignoreNulls = true).over(wf))
+      .withColumn("nv__",
+        first(col("n__"), ignoreNulls = true).over(wf))
+    anchored.select(col("event_type"), col("day"),
+      col("n__").isNotNull.as("observed"),
+      when(col("n__").isNotNull, col("n__") * 1000000L)
+        .otherwise(when(col("pd__").isNotNull && col("nd__").isNotNull,
+          col("pv__") * 1000000L + call_function("div",
+            (col("nv__") - col("pv__")) * 1000000L *
+              (col("day") - col("pd__")),
+            col("nd__") - col("pd__"))))
+        .as("value_e6"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

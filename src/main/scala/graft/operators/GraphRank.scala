@@ -224,6 +224,55 @@ object GraphRank {
       .select(col("node"), col("degree"), col("reach_2hop"))
   }
 
+  /** KATZ CENTRALITY (truncated) — `Σ_{t=1..T} αᵗ·(Aᵗ·1)ᵢ`, the
+    * walk-counting cousin of [[pageRank]]: every incoming walk of
+    * length t contributes αᵗ, so hubs fed by hubs outrank hubs fed
+    * by leaves even without the stochastic normalization. Exact
+    * integer ladder: x₀ = 1e6 per node; per round
+    * `x_t(i) = (attNum·Σ_{j→i} x_{t−1}(j)) div attDen` (one
+    * truncating div per node-round, mirrored by the oracle's `//`);
+    * katz_e6 = Σ_{t≥1} x_t. T fixed and small — the standard
+    * truncated-Katz deployment; α must be < 1/λ_max for the infinite
+    * series, which truncation sidesteps.
+    *
+    * Shape at scale: the [[pageRank]] discipline — edges distinct +
+    * repartitioned once, per-round one equi-join + one aggregate,
+    * labels localCheckpoint'ed so the plan does not double. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, attNum: Long = 1L, attDen: Long = 2L)
+      : DataFrame = {
+    require(iterations >= 1 && attNum >= 1 && attDen > attNum,
+      "need iterations >= 1 and 0 < attNum/attDen < 1")
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var x = nodes.select(col("node"), lit(1000000L).as("x__"))
+      .localCheckpoint(true)
+    val rounds = (1 to iterations).map { _ =>
+      val inSum = e.join(x.select(col("node").as("src"), col("x__")),
+          "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("x__")).cast("long").as("s__"))
+      x = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"), call_function("div",
+          lit(attNum) * coalesce(col("s__"), lit(0L)), lit(attDen))
+          .as("x__"))
+        .localCheckpoint(true)
+      x
+    }
+    rounds.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("x__")).cast("long").as("katz_e6"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L)
       : DataFrame = {

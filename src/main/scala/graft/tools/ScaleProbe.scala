@@ -862,6 +862,14 @@ object ScaleProbe {
           pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
       graft.operators.GraphRank.pageRank(edges, "s", "d", iterations = 5)
     }
+    time("katz_centrality") {
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000)).as("s"),
+        pmod(xxhash64(col("id"), lit(82)),
+          pmod(xxhash64(col("id"), lit(83)), lit(50000)) + 1).as("d"))
+      graft.operators.GraphRank.katzCentrality(edges, "s", "d",
+        iterations = 3)
+    }
     time("triangle_stats") {
       // half the edges are 5-cliques over consecutive ids (n/20 groups
       // × 10 edges → 10 real triangles each), half hash-random pairs
@@ -1223,6 +1231,16 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit(107)), lit(1000)) / 10.0)
           .as("v"))
       graft.operators.EventAnalytics.densifyDaily(ev, "t", "ts", "v")
+    }
+    time("interpolate_daily") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(122)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(123)), lit(60)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.interpolateDaily(
+        ev.filter(pmod(graft.functions.TimeFns.floorDiv(col("ts"),
+          86400L * 1000000000L), lit(3)) =!= 1), "t", "ts")
     }
     time("rbo") {
       // 1000 groups x ~2000 rows: the WindowGroupLimit heap keeps

@@ -191,4 +191,35 @@ class Round16OpsSpec extends SparkSpec {
       3L -> ((2L, 2L)), 4L -> ((1L, 1L))))
     graft.Caches.unpersistAll()
   }
+
+  test("interpolateDaily: exact truncated blend between anchors, " +
+    "NULL outside a type's observed span") {
+    // A: day0 count 2, day3 count 8 -> days 1/2 blend 4e6/6e6.
+    // B: only day1 -> day0 and days 2-3 have no anchor pair -> NULL.
+    val rows = Seq.fill(2)(("A", 0L)) ++ Seq.fill(8)(("A", 3L)) ++
+      Seq.fill(4)(("B", 1L))
+    val ev = rows.map { case (t, d) => (t, d * DAY) }.toDF("t", "ts")
+    val got = EventAnalytics.interpolateDaily(ev, "t", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(("A", 0L)) == ((true, Some(2000000L))))
+    assert(got(("A", 1L)) == ((false, Some(4000000L))))
+    assert(got(("A", 2L)) == ((false, Some(6000000L))))
+    assert(got(("A", 3L)) == ((true, Some(8000000L))))
+    assert(got(("B", 0L)) == ((false, None)))
+    assert(got(("B", 1L)) == ((true, Some(4000000L))))
+    assert(got(("B", 2L)) == ((false, None)))
+    assert(got(("B", 3L)) == ((false, None)))
+  }
+
+  test("katzCentrality: hand-computed attenuation ladder on a chain") {
+    // 1->2->3, alpha=1/2, 3 rounds: x1 = (0, 5e5, 5e5),
+    // x2 = (0, 0, 25e4), x3 = 0 -> katz (0, 5e5, 75e4)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = GraphRank.katzCentrality(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 750000L))
+    graft.Caches.unpersistAll()
+  }
 }
