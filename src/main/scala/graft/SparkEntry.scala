@@ -2584,6 +2584,56 @@ object SparkEntry {
       GraphRank.katzCentrality(stagedPurchaseEdges(s, dir), "src",
         "dst", iterations = 3, attNum = 1L, attDen = 2L)),
 
+    // ---- graph×dedup: PARTITION MODULARITY of the embedding LABEL
+    // partition over the staged near-dup graph — "do the labels and
+    // the similarity clusters agree?" as Newman's Q, per-label e12
+    // contributions from exact integer tallies.
+    "q334_label_modularity" -> ((s, dir) =>
+      GraphRank.partitionModularity(
+        lshNearDupPairs(s, dir, threshold = 0.45)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b",
+        T(s, dir, "embeddings"), "vec_id", "label")),
+
+    // ---- experimentation: DIFF-IN-DIFF card — hash-parity arms,
+    // midpoint pre/post split, purchases-per-user cell means (half-up
+    // e6) and the DiD estimate on the rounded cells.
+    "q335_diff_in_diff" -> ((s, dir) =>
+      EventAnalytics.diffInDiff(T(s, dir, "events"), "user_id", "ts",
+        "event_type", convType = "purchase")),
+
+    // ---- source format: ORC ROUNDTRIP — orders normalized to exact
+    // columns (e2 cents, epoch-day), staged to an ORC store (real
+    // write), read back through the ORC scan, and checksummed per
+    // status against the parquet-side oracle: a wrong type mapping,
+    // dropped row, or column swap breaks the hash.
+    "q336_orc_roundtrip" -> ((s, dir) => {
+      val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val back = Tables.stagedOrc(s, s"$root/orc-orders-$stamp") {
+        T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(round(o_totalprice * 100, 0) as long)")
+            .as("price_e2"),
+          TimeFns.floorDiv(unix_micros(col("o_orderdate")
+            .cast("timestamp")), 86400L * 1000000L).as("order_day"))
+      }
+      back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_e2")).as("sum_price_e2"),
+          sum(col("o_custkey") * lit(1000003L) + col("order_day"))
+            .as("xsum"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("order_day")).as("max_day"))
+    }),
+
+    // ---- stats: ONE-SPLIT CHANGEPOINT per event type — the binary-
+    // segmentation first step over the daily-count series, argmax of
+    // the exact between-segment sum-of-squares gain.
+    "q337_changepoint" -> ((s, dir) =>
+      EventAnalytics.changepointDaily(T(s, dir, "events"),
+        "event_type", "ts")),
+
     // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
     // q257's KS integrated over the whole value axis: cross-
     // multiplied ECDF gaps × interval widths, exact e2 units.
@@ -8775,6 +8825,123 @@ object SparkEntry {
          |JOIN x2 ON x2.node = n.node
          |JOIN x3 ON x3.node = n.node""".stripMargin
     },
+
+    // q334: the LSH pair CTEs (p = unique verified pairs), per-label
+    // internal-edge and endpoint tallies, the two-term HUGEINT ladder
+    "q334_label_modularity" ->
+      s"""WITH ${lshPairCtes("0.45")},
+         |lab AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |m AS (SELECT count(*) AS m FROM p),
+         |wl AS (SELECT la.label AS la, lb.label AS lb
+         |  FROM p JOIN lab la ON la.node = p.id_a
+         |  JOIN lab lb ON lb.node = p.id_b),
+         |ein AS (SELECT la AS label, count(*) AS ein FROM wl
+         |  WHERE la = lb GROUP BY 1),
+         |deg AS (SELECT label, count(*) AS d FROM (
+         |  SELECT la AS label FROM wl
+         |  UNION ALL SELECT lb FROM wl) u GROUP BY 1),
+         |mem AS (SELECT CAST(label AS BIGINT) AS label,
+         |    count(*) AS n_members FROM embeddings GROUP BY 1)
+         |SELECT mem.label, mem.n_members,
+         |  coalesce(ein.ein, 0) AS n_in_edges,
+         |  coalesce(deg.d, 0) AS degree_sum,
+         |  CASE WHEN m.m > 0 THEN
+         |    CAST((CAST(coalesce(ein.ein, 0) AS HUGEINT) *
+         |      1000000000000) // m.m AS BIGINT) -
+         |    CAST((CAST(coalesce(deg.d, 0) AS HUGEINT) *
+         |      coalesce(deg.d, 0) * 1000000000000) //
+         |      (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT)
+         |  ELSE 0 END AS q_e12
+         |FROM mem LEFT JOIN ein USING (label)
+         |LEFT JOIN deg USING (label) CROSS JOIN m""".stripMargin,
+
+    // q335: hash-parity arms (sign-safe mod), midpoint split, per-arm
+    // user-mean cells via the shared half-up e6 ratio, DiD on the
+    // rounded cells
+    "q335_diff_in_diff" ->
+      s"""WITH d AS (SELECT user_id AS u,
+         |    epoch_ns(ts) // 86400000000000 AS day, event_type AS t
+         |  FROM events),
+         |h AS (SELECT (min(day) + max(day) + 1) // 2 AS split FROM d),
+         |users AS (SELECT DISTINCT u, ((u % 2) + 2) % 2 AS arm FROM d),
+         |conv AS (SELECT d.u,
+         |    CASE WHEN d.day >= h.split THEN 1 ELSE 0 END AS post,
+         |    count(*) AS n
+         |  FROM d CROSS JOIN h WHERE d.t = 'purchase' GROUP BY 1, 2),
+         |pu AS (SELECT users.u, users.arm,
+         |    coalesce(sum(CASE WHEN conv.post = 0 THEN conv.n END), 0)
+         |      AS pre,
+         |    coalesce(sum(CASE WHEN conv.post = 1 THEN conv.n END), 0)
+         |      AS post
+         |  FROM users LEFT JOIN conv ON conv.u = users.u GROUP BY 1, 2),
+         |arm AS (SELECT arm, count(*) AS nu, sum(pre) AS spre,
+         |    sum(post) AS spost
+         |  FROM pu GROUP BY 1),
+         |cells AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN arm = 1 THEN nu END), 0)
+         |    AS BIGINT) AS n_treat,
+         |  CAST(coalesce(sum(CASE WHEN arm = 0 THEN nu END), 0)
+         |    AS BIGINT) AS n_ctrl,
+         |  CAST(coalesce(sum(CASE WHEN arm = 1 THEN spre END), 0)
+         |    AS BIGINT) AS tpre,
+         |  CAST(coalesce(sum(CASE WHEN arm = 1 THEN spost END), 0)
+         |    AS BIGINT) AS tpost,
+         |  CAST(coalesce(sum(CASE WHEN arm = 0 THEN spre END), 0)
+         |    AS BIGINT) AS cpre,
+         |  CAST(coalesce(sum(CASE WHEN arm = 0 THEN spost END), 0)
+         |    AS BIGINT) AS cpost
+         |  FROM arm),
+         |r AS (SELECT n_treat, n_ctrl,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "tpre", "n_treat", 6)} AS treat_pre_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "tpost", "n_treat", 6)} AS treat_post_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "cpre", "n_ctrl", 6)} AS ctrl_pre_e6,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "cpost", "n_ctrl", 6)} AS ctrl_post_e6
+         |  FROM cells)
+         |SELECT *, (treat_post_e6 - treat_pre_e6) -
+         |  (ctrl_post_e6 - ctrl_pre_e6) AS did_e6 FROM r""".stripMargin,
+
+    // q336: the parquet-side mirror of the ORC roundtrip checksums —
+    // any ORC type/row/column infidelity breaks the hash
+    "q336_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_e2,
+        |  CAST(sum(o_custkey * 1000003 + (epoch_ns(o_orderdate)
+        |    // 1000000000) // 86400) AS BIGINT) AS xsum,
+        |  min(o_orderkey) AS min_key,
+        |  max((epoch_ns(o_orderdate) // 1000000000) // 86400)
+        |    AS max_day
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q337: cumulative/total window sums per type, the three-term
+    // truncating SS ladder, row_number argmax (gain desc, day asc)
+    "q337_changepoint" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT t, day,
+        |    sum(x) OVER (PARTITION BY t ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    row_number() OVER (PARTITION BY t ORDER BY day) AS rn,
+        |    sum(x) OVER (PARTITION BY t) AS s,
+        |    count(*) OVER (PARTITION BY t) AS n
+        |  FROM d),
+        |g AS (SELECT t, day, rn AS n_left, n - rn AS n_right,
+        |    CAST((CAST(cs AS HUGEINT) * cs * 1000000) // rn AS BIGINT)
+        |    + CAST((CAST(s - cs AS HUGEINT) * (s - cs) * 1000000) //
+        |      (n - rn) AS BIGINT)
+        |    - CAST((CAST(s AS HUGEINT) * s * 1000000) // n AS BIGINT)
+        |      AS gain_e6
+        |  FROM sc WHERE rn < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY t
+        |    ORDER BY gain_e6 DESC, day ASC) AS rr FROM g)
+        |SELECT t AS event_type, day AS split_day, n_left, n_right,
+        |  gain_e6 FROM r WHERE rr = 1""".stripMargin,
 
     // q329: q257's grid/window CTEs with the gap integrated — each
     // gap × its interval to the next distinct value, e2 units ratio

@@ -72,6 +72,24 @@ object Tables {
     spark.read.parquet(s"$storeDir/data")
   }
 
+  /** [[stagedParquet]]'s ORC sibling — build-once semantics with the
+    * same `_staged` marker, but the store is an ORC dataset (Spark's
+    * built-in `orc` source, zstd-compressed columnar like parquet,
+    * the other lakehouse interchange format a 100 TB pipeline is
+    * routinely handed). Exists so the ORC read AND write paths are
+    * first-class gated surfaces, not a doc claim. */
+  def stagedOrc(spark: SparkSession, storeDir: String)
+      (build: => DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      build.write.mode("overwrite").orc(s"$storeDir/data")
+      fs.create(marker, true).close()
+    }
+    spark.read.orc(s"$storeDir/data")
+  }
+
   /** Latest-file selection (SURVEY §2.1 S2, ref uploadtodb.py:46-57):
     * resolve newest path matching a glob by modification time, driver-side,
     * before handing the single path to a distributed scan.

@@ -1328,6 +1328,118 @@ object EventAnalytics {
         .as("value_e6"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES card — the canonical quasi-experiment
+    * readout: users split into a deterministic treatment/control arm
+    * (`pmod(user, 2)` — a stand-in for the experiment-assignment
+    * column a real pipeline would carry), the horizon split into
+    * pre/post at the midpoint day `(d_min + d_max + 1) floordiv 2`,
+    * the metric = `convType` events per user per period. One row:
+    * per-arm user counts, the four cell means (half-up e6 via
+    * [[graft.functions.ExactRound.ratioScaled]] — denominator is the
+    * arm's user count, so inactive users count as zeros), and
+    * `did_e6 = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)` computed
+    * on the already-rounded cell means (documented convention — both
+    * engines subtract the same longs).
+    *
+    * Shape at scale: one distinct over users, one (user, period)
+    * pre-aggregate of the conversion events (map-side combinable),
+    * one left join user←cells, two tiny aggregates; the horizon is a
+    * 1-row broadcast. Nothing is per-event past the first tally. */
+  def diffInDiff(events: DataFrame, userCol: String, tsNanosCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    import graft.functions.ExactRound
+    val day = col(tsNanosCol).div_(86400L * 1000000000L)
+    val split = events.select(day.as("day__"))
+      .agg(graft.functions.TimeFns.floorDiv(
+        min(col("day__")) + max(col("day__")) + 1, 2).as("split__"))
+    val users = events.select(col(userCol).cast("long").as("u__"))
+      .distinct()
+      .select(col("u__"), pmod(col("u__"), lit(2L)).as("arm__"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).cast("long").as("u__"), day.as("cd__"))
+      .crossJoin(broadcast(split))
+      .select(col("u__"), (col("cd__") >= col("split__")).as("post__"))
+      .groupBy(col("u__"), col("post__")).agg(count(lit(1)).as("n__"))
+    val perArm = users.join(conv, Seq("u__"), "left")
+      .groupBy(col("u__"), col("arm__"))
+      .agg(sum(when(!col("post__"), col("n__"))).as("pre__"),
+        sum(when(col("post__"), col("n__"))).as("post2__"))
+      .groupBy(col("arm__"))
+      .agg(count(lit(1)).as("nu__"),
+        sum(coalesce(col("pre__"), lit(0L))).as("spre__"),
+        sum(coalesce(col("post2__"), lit(0L))).as("spost__"))
+    def cell(arm: Int, c: String) =
+      sum(when(col("arm__") === arm, col(c))).cast("long")
+    perArm.agg(
+        coalesce(cell(1, "nu__"), lit(0L)).as("n_treat"),
+        coalesce(cell(0, "nu__"), lit(0L)).as("n_ctrl"),
+        coalesce(cell(1, "spre__"), lit(0L)).as("tpre__"),
+        coalesce(cell(1, "spost__"), lit(0L)).as("tpost__"),
+        coalesce(cell(0, "spre__"), lit(0L)).as("cpre__"),
+        coalesce(cell(0, "spost__"), lit(0L)).as("cpost__"))
+      .select(col("n_treat"), col("n_ctrl"),
+        ExactRound.ratioScaled(col("tpre__"), col("n_treat"), 6)
+          .as("treat_pre_e6"),
+        ExactRound.ratioScaled(col("tpost__"), col("n_treat"), 6)
+          .as("treat_post_e6"),
+        ExactRound.ratioScaled(col("cpre__"), col("n_ctrl"), 6)
+          .as("ctrl_pre_e6"),
+        ExactRound.ratioScaled(col("cpost__"), col("n_ctrl"), 6)
+          .as("ctrl_post_e6"))
+      .withColumn("did_e6",
+        (col("treat_post_e6") - col("treat_pre_e6")) -
+          (col("ctrl_post_e6") - col("ctrl_pre_e6")))
+  }
+
+  /** ONE-SPLIT CHANGEPOINT (binary segmentation, first step) over each
+    * type's daily-count series: the boundary between observed days
+    * maximizing the between-segment sum-of-squares
+    * `gain = S_L²/n_L + S_R²/n_R − S²/n` (the variance-reduction
+    * objective; Scott–Knott / CART's split criterion). Exact integer
+    * surface: each term ships as `(S²·10⁶) div n` with DECIMAL(38,0)
+    * headroom — a shared truncating convention, so gain_e6 can sit ±1
+    * off the rounded real value but is bit-identical across engines;
+    * argmax is gain desc, day asc (max(struct) ↔ the oracle's
+    * row_number, the house tie rule). `split_day` = last day of the
+    * left segment. Types with a single observed day emit nothing (no
+    * split exists). Long headroom: S²·10⁶/n_side caps at ~9.2e18 —
+    * fine until a single type's total count nears 3e6·√days.
+    *
+    * Shape at scale: one daily tally (map-side combinable), one
+    * cumulative window per type over DAYS (calendar-bounded, not
+    * data-bounded), one argmax aggregate. */
+  def changepointDaily(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val daily = events.select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x__"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val all = Window.partitionBy(col("event_type"))
+    def term(s: Column, n: Column) = call_function("div",
+      s.cast("decimal(38,0)") * s * lit(1000000L),
+      n.cast("decimal(38,0)")).cast("long")
+    val scored = daily
+      .withColumn("cs__", sum(col("x__"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn__", row_number().over(w).cast("long"))
+      .withColumn("s__", sum(col("x__")).over(all))
+      .withColumn("n__", count(lit(1)).over(all))
+      .filter(col("rn__") < col("n__"))
+      .select(col("event_type"), col("day"),
+        col("rn__").as("n_left"),
+        (col("n__") - col("rn__")).as("n_right"),
+        (term(col("cs__"), col("rn__")) +
+          term(col("s__") - col("cs__"), col("n__") - col("rn__")) -
+          term(col("s__"), col("n__"))).as("gain_e6"))
+    scored.groupBy(col("event_type"))
+      .agg(max(struct(col("gain_e6"), (-col("day")).as("negday__"),
+        col("n_left"), col("n_right"))).as("b__"))
+      .select(col("event_type"), (-col("b__.negday__")).as("split_day"),
+        col("b__.n_left").as("n_left"), col("b__.n_right").as("n_right"),
+        col("b__.gain_e6").as("gain_e6"))
+  }
+
   /** True FLOOR division as a Column op (delegates to
     * [[graft.functions.TimeFns.floorDiv]]) — Spark's bare `div`
     * truncates toward zero, which disagrees with the oracle's `//` on

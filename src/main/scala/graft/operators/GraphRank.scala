@@ -273,6 +273,59 @@ object GraphRank {
       .agg(sum(col("x__")).cast("long").as("katz_e6"))
   }
 
+  /** PARTITION MODULARITY (Newman–Girvan) — per-label contribution
+    * `Q_l = e_l/m − (d_l/2m)²` over an undirected unique-pair edge
+    * list: `e_l` = edges with both endpoints labeled l, `d_l` = edge
+    * endpoints labeled l, m = total edges. Σ_l Q_l is the classic
+    * cluster-vs-partition agreement score; per-label rows localize
+    * WHICH label's members clump in the graph. Exact integer surface:
+    * `q_e12 = (e_l·10¹²) div m − (d_l²·10¹²) div (4m²)`, one
+    * truncating div per term (both non-negative → truncation = floor
+    * = the oracle's `//`), DECIMAL(38,0) intermediates (d_l²·10¹²
+    * stays inside 38 digits up to m ≈ 10¹² edges).
+    *
+    * Shape at scale: two hash joins edge→label (the label table is
+    * the small side — broadcast when dims allow), two per-label
+    * tallies, a 1-row total broadcast. Never materializes anything
+    * per-pair beyond the input edges. */
+  def partitionModularity(pairs: DataFrame, aCol: String, bCol: String,
+      members: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val lab = members.select(col(nodeCol).cast("long").as("node__"),
+      col(labelCol).cast("long").as("label"))
+    val p = pairs.select(col(aCol).cast("long").as("a__"),
+      col(bCol).cast("long").as("b__"))
+    val m1 = p.agg(count(lit(1)).as("m__"))
+    val wl = p
+      .join(lab.select(col("node__").as("a__"), col("label").as("la__")),
+        "a__")
+      .join(lab.select(col("node__").as("b__"), col("label").as("lb__")),
+        "b__")
+    val ein = wl.filter(col("la__") === col("lb__"))
+      .groupBy(col("la__").as("label"))
+      .agg(count(lit(1)).as("in__"))
+    val deg = wl.select(col("la__").as("label"))
+      .unionByName(wl.select(col("lb__").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("d__"))
+    val e12 = lit(1000000000000L)
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .join(ein, Seq("label"), "left")
+      .join(deg, Seq("label"), "left")
+      .crossJoin(broadcast(m1))
+      .select(col("label"), col("n_members"),
+        coalesce(col("in__"), lit(0L)).as("n_in_edges"),
+        coalesce(col("d__"), lit(0L)).as("degree_sum"),
+        when(col("m__") > 0,
+          call_function("div",
+            coalesce(col("in__"), lit(0L)).cast("decimal(38,0)") * e12,
+            col("m__").cast("decimal(38,0)")).cast("long") -
+          call_function("div",
+            coalesce(col("d__"), lit(0L)).cast("decimal(38,0)") *
+              coalesce(col("d__"), lit(0L)) * e12,
+            col("m__").cast("decimal(38,0)") * col("m__") * lit(4L))
+            .cast("long"))
+          .otherwise(lit(0L)).as("q_e12"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L)
       : DataFrame = {

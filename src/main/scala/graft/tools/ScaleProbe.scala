@@ -870,6 +870,15 @@ object ScaleProbe {
       graft.operators.GraphRank.katzCentrality(edges, "s", "d",
         iterations = 3)
     }
+    time("partition_modularity") {
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(84)), lit(100000)).as("a"),
+        pmod(xxhash64(col("id"), lit(85)), lit(100000)).as("b"))
+      val mem = spark.range(100000).select(col("id").as("node"),
+        pmod(col("id"), lit(50)).as("lab"))
+      graft.operators.GraphRank.partitionModularity(edges, "a", "b",
+        mem, "node", "lab")
+    }
     time("triangle_stats") {
       // half the edges are 5-cliques over consecutive ids (n/20 groups
       // × 10 edges → 10 real triangles each), half hash-random pairs
@@ -1241,6 +1250,35 @@ object ScaleProbe {
       graft.operators.EventAnalytics.interpolateDaily(
         ev.filter(pmod(graft.functions.TimeFns.floorDiv(col("ts"),
           86400L * 1000000000L), lit(3)) =!= 1), "t", "ts")
+    }
+    time("diff_in_diff") {
+      val ev = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(124)), lit(200000)).as("u"),
+        (pmod(xxhash64(col("id"), lit(125)), lit(60)) *
+          86400000000000L).as("ts"),
+        when(pmod(xxhash64(col("id"), lit(126)), lit(4)) === 0,
+          lit("purchase")).otherwise(lit("view")).as("t"))
+      graft.operators.EventAnalytics.diffInDiff(ev, "u", "ts", "t",
+        "purchase")
+    }
+    time("changepoint_daily") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(127)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(128)), lit(365)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.changepointDaily(ev, "t", "ts")
+    }
+    time("orc_roundtrip") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-orc-probe").toString
+      val back = graft.Tables.stagedOrc(spark, dir) {
+        spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1000)).as("k"),
+          pmod(xxhash64(col("id"), lit(7)), lit(1000000000L)).as("v"))
+      }
+      back.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
     }
     time("rbo") {
       // 1000 groups x ~2000 rows: the WindowGroupLimit heap keeps

@@ -213,6 +213,74 @@ class Round16OpsSpec extends SparkSpec {
     assert(got(("B", 3L)) == ((false, None)))
   }
 
+  test("partitionModularity: exact two-term ladder; isolated-label " +
+    "zero row") {
+    // Edges 1-2, 2-3, 3-4 (m=3); labels {1,2}->0, {3,4}->1, {5}->2.
+    // e_0 = e_1 = 1, d_0 = d_1 = 3 ->
+    // q_e12 = 1e12//3 - 9e12//36 = 333333333333 - 250000000000.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val mem = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("node", "lab")
+    val got = GraphRank.partitionModularity(e, "a", "b", mem, "node",
+      "lab").collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      0L -> ((2L, 1L, 3L, 83333333333L)),
+      1L -> ((2L, 1L, 3L, 83333333333L)),
+      2L -> ((1L, 0L, 0L, 0L))))
+  }
+
+  test("diffInDiff: hand-computed cells over hash-parity arms and the " +
+    "midpoint split") {
+    // Days 0-3 -> split 2. Treat (odd users 1,3): pre 1, post 3.
+    // Ctrl (even 2,4): pre 2, post 3. Views pin the horizon + users.
+    val rows = Seq(
+      ("p", 1L, 0L), ("p", 1L, 2L), ("p", 1L, 2L), ("p", 1L, 2L),
+      ("p", 2L, 1L), ("p", 2L, 1L), ("p", 2L, 3L), ("p", 2L, 3L),
+      ("p", 4L, 3L),
+      ("v", 3L, 0L), ("v", 4L, 0L), ("v", 1L, 3L))
+    val ev = rows.map { case (t, u, d) =>
+      (if (t == "p") "purchase" else "view", u, d * DAY)
+    }.toDF("t", "u", "ts")
+    val got = EventAnalytics.diffInDiff(ev, "u", "ts", "t", "purchase")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((2L, 2L)))
+    assert((got.getLong(2), got.getLong(3)) == ((500000L, 1500000L)))
+    assert((got.getLong(4), got.getLong(5)) == ((1000000L, 1500000L)))
+    assert(got.getLong(6) == 500000L)
+  }
+
+  test("changepointDaily: argmax of the exact between-segment SS " +
+    "gain, day-asc tie rule") {
+    // A: days 0,1 count 1; days 2,3 count 5 -> best split after day 1
+    // (gain 2e6 + 50e6 - 36e6 = 16e6).
+    val rows = Seq(0L -> 1, 1L -> 1, 2L -> 5, 3L -> 5)
+      .flatMap { case (d, c) => Seq.fill(c)(("A", d * DAY)) }
+    val got = EventAnalytics.changepointDaily(
+      rows.toDF("t", "ts"), "t", "ts").collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      (("A", 1L, 2L, 2L, 16000000L)))
+  }
+
+  test("stagedOrc: roundtrip fidelity and build-once marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-spec")
+      .toString
+    var builds = 0
+    def build = {
+      builds += 1
+      Seq((1L, "x", 100L), (2L, "y", -5L)).toDF("k", "s", "v")
+    }
+    val first = graft.Tables.stagedOrc(spark, dir)(build)
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(first == Seq((1L, "x", 100L), (2L, "y", -5L)))
+    val second = graft.Tables.stagedOrc(spark, dir)(build)
+      .count()
+    assert(second == 2L && builds == 1)
+  }
+
   test("katzCentrality: hand-computed attenuation ladder on a chain") {
     // 1->2->3, alpha=1/2, 3 rounds: x1 = (0, 5e5, 5e5),
     // x2 = (0, 0, 25e4), x3 = 0 -> katz (0, 5e5, 75e4)
