@@ -2634,6 +2634,41 @@ object SparkEntry {
       EventAnalytics.changepointDaily(T(s, dir, "events"),
         "event_type", "ts")),
 
+    // ---- text: TEXTRANK keywords — PageRank's exact integer ladder
+    // run directly on the string word-co-occurrence graph (adjacent
+    // tokens, undirected), corpus top-20 by (rank desc, word asc).
+    "q338_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(T(s, dir, "documents"), "doc_id", "text",
+        iterations = 5, topK = 20)),
+
+    // ---- eval: BRIER DECOMPOSITION — the q215/q203 score+label
+    // surface (quality rational e6 vs gopher keep) summarized as
+    // reliability / resolution / uncertainty over 10 equal-width bins.
+    "q339_brier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (num, den) = TextAnalysis.qualityRational()
+      val scored = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ExactRound.ratioScaled(num, den, 6)
+            .as("p_e6"))
+      val label = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .select(col("doc_id"), col("keep"))
+      EvalMetrics.brierDecomposition(scored.join(label, "doc_id"),
+        "p_e6", "keep")
+    }),
+
+    // ---- graph: LOCAL CLUSTERING COEFFICIENT over the co-purchase
+    // item graph (q126's capped-basket pairs at support >= 2 — the
+    // q193 discipline: support 3 closes zero wedges at gate scale) —
+    // wedge self-join closed by a left-semi probe against the edges.
+    "q340_local_clustering" -> ((s, dir) =>
+      GraphRank.localClustering(
+        CoOccurrence.basketPairs(T(s, dir, "lineitem"), "l_orderkey",
+          "l_partkey", minSupport = 2L, maxBasketSize = 64)
+          .select(col("item_a"), col("item_b")),
+        "item_a", "item_b")),
+
     // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
     // q257's KS integrated over the whole value axis: cross-
     // multiplied ECDF gaps × interval widths, exact e2 units.
@@ -8917,6 +8952,118 @@ object SparkEntry {
         |  max((epoch_ns(o_orderdate) // 1000000000) // 86400)
         |    AS max_day
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q338: the q125 token stream -> adjacent distinct bigrams ->
+    // symmetric string-keyed edges, the q108 rank ladder unrolled 5
+    // rounds, top-20 by (rank desc, word asc)
+    "q338_textrank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (SELECT n.node,
+           |    (15000000 + 85 * coalesce(s.c, 0)) // 100 AS rank_e6
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(p.rank_e6 // d.deg) AS BIGINT) AS c
+           |    FROM edges e JOIN r${k - 1} p ON p.node = e.src
+           |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+           |    ON s.node = n.node)""".stripMargin
+      s"""WITH dd AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+         |    unnest(ws) AS w FROM dd),
+         |bi AS (SELECT DISTINCT a.w AS w1, b.w AS w2
+         |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  WHERE a.w <> b.w),
+         |edges AS (SELECT w1 AS src, w2 AS dst FROM bi
+         |  UNION SELECT w2, w1 FROM bi),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges
+         |  GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6
+         |  FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node AS word, rank_e6 FROM r5
+         |ORDER BY rank_e6 DESC, word ASC LIMIT 20""".stripMargin
+    },
+
+    // q339: q215's t/j score+label chain at e6, equal-width bins with
+    // the top fold, truncated bin means, DECIMAL-safe squared sums,
+    // one truncating e6 quotient per component
+    "q339_brier" -> {
+      import graft.functions.ExactRound.ratioScaledSql
+      s"""WITH t AS (SELECT doc_id,
+         |    ${ratioScaledSql(qScoreNum, qScoreDen, 6)} AS p,
+         |    $qNWords AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS BIGINT) AS nsp,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + length(regexp_replace(text, '\\.{3,}|…', '@', 'g'))
+         |      - length(regexp_replace(text, '\\.{3,}|…', '', 'g'))
+         |      AS BIGINT) AS nsym,
+         |    CAST(len(list_filter($wordsSql,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+         |      AS nstop
+         |  FROM documents),
+         |j AS (SELECT p, CASE WHEN ((nw >= 50 AND nw <= 100000)
+         |      AND (nsp >= 3 * nw AND nsp <= 10 * nw)
+         |      AND (10 * nsym < nw) AND (nstop >= 2))
+         |    THEN 1 ELSE 0 END AS yi
+         |  FROM t),
+         |b AS (SELECT least(p // 100000, 9) AS bin, p, yi FROM j),
+         |g AS (SELECT bin, count(*) AS n, sum(p) AS sp, sum(yi) AS sy,
+         |    sum(CAST(p - 1000000 * yi AS HUGEINT) *
+         |      (p - 1000000 * yi)) AS sq
+         |  FROM b GROUP BY 1),
+         |s AS (SELECT n, sy, sq,
+         |    CAST(sp AS HUGEINT) // n AS pbar,
+         |    (CAST(sy AS HUGEINT) * 1000000) // n AS ybar FROM g),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(sy) AS BIGINT) AS gsy, sum(sq) AS gsq FROM g),
+         |tot2 AS (SELECT *, (CAST(gsy AS HUGEINT) * 1000000) // nn
+         |    AS gybar FROM tot),
+         |agg AS (SELECT max(nn) AS n_rows, max(gsy) AS gsy,
+         |    max(gsq) AS gsq,
+         |    sum((pbar - ybar) * (pbar - ybar) * n) AS rel,
+         |    sum((ybar - gybar) * (ybar - gybar) * n) AS res
+         |  FROM s CROSS JOIN tot2)
+         |SELECT n_rows,
+         |  CAST(gsq // (CAST(n_rows AS HUGEINT) * 1000000) AS BIGINT)
+         |    AS brier_e6,
+         |  CAST(rel // (CAST(n_rows AS HUGEINT) * 1000000) AS BIGINT)
+         |    AS reliability_e6,
+         |  CAST(res // (CAST(n_rows AS HUGEINT) * 1000000) AS BIGINT)
+         |    AS resolution_e6,
+         |  CAST((CAST(gsy AS HUGEINT) * (n_rows - gsy) * 1000000) //
+         |    (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT)
+         |    AS uncertainty_e6
+         |FROM agg""".stripMargin
+    },
+
+    // q340: q126's capped-basket pair CTEs (support 2 — support 3
+    // leaves zero closed wedges at gate scale, a dead arm) as the
+    // edge set, wedge
+    // self-join closed against the canonical pairs, half-up e6 ratio
+    "q340_local_clustering" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |    FROM lineitem),
+         |f AS (SELECT b, i FROM (SELECT b, i,
+         |      count(*) OVER (PARTITION BY b) AS bs FROM it)
+         |  WHERE bs <= 64),
+         |e AS (SELECT a.i AS u, c.i AS v
+         |  FROM f a JOIN f c ON c.b = a.b AND a.i < c.i
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |es AS (SELECT u AS c, v AS n FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT c AS node, count(*) AS degree FROM es
+         |  GROUP BY 1),
+         |tri AS (SELECT w1.c AS node, count(*) AS t
+         |  FROM es w1 JOIN es w2 ON w2.c = w1.c AND w1.n < w2.n
+         |  JOIN e ON e.u = w1.n AND e.v = w2.n
+         |  GROUP BY 1)
+         |SELECT deg.node, deg.degree,
+         |  coalesce(tri.t, 0) AS triangles,
+         |  ${graft.functions.ExactRound.ratioScaledSql(
+              "2 * coalesce(tri.t, 0)",
+              "deg.degree * (deg.degree - 1)", 6)} AS lcc_e6
+         |FROM deg LEFT JOIN tri ON tri.node = deg.node""".stripMargin,
 
     // q337: cumulative/total window sums per type, the three-term
     // truncating SS ladder, row_number argmax (gain desc, day asc)

@@ -452,4 +452,75 @@ object EvalMetrics {
         coalesce(col(s"ov__$depth"), lit(0L)).as("overlap_at_depth"),
         terms.reduce(_ + _).as("rbo_min_e6"))
   }
+
+  /** BRIER SCORE with the Murphy (1973) decomposition — the
+    * calibration card's summary row: over e6-scaled probabilities and
+    * a boolean outcome, `brier = reliability − resolution +
+    * uncertainty` (up to the documented truncations),
+    *   brier       = (1/N)·Σ (p − y)²,
+    *   reliability = (1/N)·Σ_k n_k·(p̄_k − ȳ_k)²   (bin miscalibration),
+    *   resolution  = (1/N)·Σ_k n_k·(ȳ_k − ȳ)²      (bin discrimination),
+    *   uncertainty = ȳ·(1 − ȳ),
+    * binned by equal-width probability bins (p = 10⁶ folds into the
+    * top bin). Exact integer lineage: bin means truncate once
+    * (`div` ↔ `//`, non-negative → floor), the squared terms then
+    * aggregate in DECIMAL(38,0), and each component ships as one
+    * truncating e6 quotient — bit-identical across engines; the
+    * decomposition identity holds to the rounding, which is why the
+    * identity itself is NOT hashed. O(N) single pass + a bins-sized
+    * reduce; nothing pairwise. */
+  def brierDecomposition(df: DataFrame, scoreE6Col: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6, got $nBins")
+    val dec = "decimal(38,0)"
+    val p = col(scoreE6Col).cast("long")
+    val y = when(col(labelCol).cast("boolean"), lit(1L))
+      .otherwise(lit(0L))
+    val rows = df.select(p.as("p__"), y.as("y__"),
+      least(call_function("div", p, lit(1000000L / nBins)),
+        lit(nBins - 1L)).as("bin__"))
+    val byBin = rows.groupBy(col("bin__"))
+      .agg(count(lit(1)).as("n__"),
+        sum(col("p__")).cast("long").as("sp__"),
+        sum(col("y__")).cast("long").as("sy__"),
+        sum(((col("p__") - lit(1000000L) * col("y__")) *
+          (col("p__") - lit(1000000L) * col("y__"))).cast(dec))
+          .as("sq__"))
+    val binStats = byBin.select(col("n__"), col("sy__"), col("sq__"),
+      call_function("div", col("sp__"), col("n__")).as("pbar__"),
+      call_function("div", col("sy__") * lit(1000000L), col("n__"))
+        .as("ybar__"))
+    val g = byBin.agg(sum(col("n__")).cast("long").as("nn__"),
+        sum(col("sy__")).cast("long").as("gsy__"),
+        sum(col("sq__")).as("gsq__"))
+      .select(col("nn__"), col("gsy__"), col("gsq__"),
+        call_function("div", col("gsy__") * lit(1000000L), col("nn__"))
+          .as("gybar__"))
+    binStats.crossJoin(broadcast(g))
+      .agg(max(col("nn__")).as("n_rows"),
+        max(col("gsy__")).as("gsy__"),
+        max(col("gsq__")).as("gsq__"),
+        sum(((col("pbar__") - col("ybar__")) *
+          (col("pbar__") - col("ybar__"))).cast(dec) * col("n__"))
+          .as("rel__"),
+        sum(((col("ybar__") - col("gybar__")) *
+          (col("ybar__") - col("gybar__"))).cast(dec) * col("n__"))
+          .as("res__"))
+      .select(col("n_rows"),
+        call_function("div", col("gsq__"),
+          col("n_rows").cast(dec) * lit(1000000L)).cast("long")
+          .as("brier_e6"),
+        call_function("div", col("rel__"),
+          col("n_rows").cast(dec) * lit(1000000L)).cast("long")
+          .as("reliability_e6"),
+        call_function("div", col("res__"),
+          col("n_rows").cast(dec) * lit(1000000L)).cast("long")
+          .as("resolution_e6"),
+        call_function("div",
+          col("gsy__").cast(dec) * (col("n_rows") - col("gsy__")) *
+            lit(1000000L),
+          col("n_rows").cast(dec) * col("n_rows")).cast("long")
+          .as("uncertainty_e6"))
+  }
 }

@@ -273,6 +273,54 @@ object GraphRank {
       .agg(sum(col("x__")).cast("long").as("katz_e6"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — `2·T_i / (d_i·(d_i−1))`
+    * with T_i = triangles through i, the classic "are my neighbors
+    * each other's neighbors" density (Watts–Strogatz). Wedges
+    * enumerate through each node as center ([[linkPrediction]]'s
+    * self-join) and CLOSE against the canonical edge set via one
+    * left-semi probe; the ratio ships half-up e6
+    * ([[graft.functions.ExactRound.ratioScaled]] — degree < 2 reads
+    * 0, the den-0 convention). `maxCenterDegree` > 0 applies the
+    * q225/q317 hub-cap trade: wedge centers above the cap are
+    * excluded before the self-join AND dropped from the output (an
+    * over-cap node's triangle count would be a silent lower bound —
+    * omitting the row is the honest contract). */
+  def localClustering(pairs: DataFrame, aCol: String, bCol: String,
+      maxCenterDegree: Int = 0): DataFrame = {
+    import graft.functions.ExactRound
+    val e = graft.Caches.register(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist())
+    val adj = e.select(col("u").as("c__"), col("v").as("n__"))
+      .union(e.select(col("v").as("c__"), col("u").as("n__")))
+    val deg = graft.Caches.register(adj
+      .groupBy(col("c__").as("node")).agg(count(lit(1)).as("degree"))
+      .persist())
+    val centers =
+      if (maxCenterDegree <= 0) adj
+      else adj.join(
+        deg.filter(col("degree") <= maxCenterDegree)
+          .select(col("node").as("c__")), Seq("c__"), "left_semi")
+    val tri = centers.select(col("c__"), col("n__").as("u"))
+      .join(centers.select(col("c__"), col("n__").as("v")), Seq("c__"))
+      .filter(col("u") < col("v"))
+      .join(e, Seq("u", "v"), "left_semi")
+      .groupBy(col("c__").as("node"))
+      .agg(count(lit(1)).as("triangles"))
+    val out =
+      if (maxCenterDegree <= 0) deg
+      else deg.filter(col("degree") <= maxCenterDegree)
+    out.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        ExactRound.ratioScaled(
+          lit(2L) * coalesce(col("triangles"), lit(0L)),
+          col("degree") * (col("degree") - 1L), 6).as("lcc_e6"))
+  }
+
   /** PARTITION MODULARITY (Newman–Girvan) — per-label contribution
     * `Q_l = e_l/m − (d_l/2m)²` over an undirected unique-pair edge
     * list: `e_l` = edges with both endpoints labeled l, `d_l` = edge

@@ -681,4 +681,65 @@ object TextAnalysis {
           col("n_letters") * 588L - col("n_sentences") * 2960L,
           col("n_words")) - 1580L)
   }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word co-occurrence graph: adjacent-token
+    * bigrams ([[collocations]]' tokenization and `lead` windows)
+    * become undirected unweighted edges, ranks run the exact
+    * [[GraphRank.pageRank]] integer ladder (e6 mass, d = 85/100,
+    * fixed rounds) DIRECTLY ON STRING NODES — no vocabulary-id
+    * detour, no global window — and the top-k words ship through a
+    * TakeOrdered (rank desc, word asc; words are unique so the order
+    * is total).
+    *
+    * Shape at scale: the bigram scan is per-doc windows; the edge
+    * list is vocabulary²-bounded (far smaller than the corpus),
+    * distinct-ed, hash-partitioned by src and persisted once; each
+    * round is one join + one aggregate over vocabulary-sized state,
+    * localCheckpoint-ed to keep lineage flat. */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+      iterations: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(iterations >= 1 && topK >= 1, "need iterations/topK >= 1")
+    val toks = df.select(col(idCol).as("doc__"),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos__", "w__")))
+    val byDoc = Window.partitionBy(col("doc__")).orderBy(col("pos__"))
+    val bi = toks.withColumn("w2__", lead(col("w__"), 1).over(byDoc))
+      .filter(col("w2__").isNotNull && col("w__") =!= col("w2__"))
+      .select(col("w__").as("a__"), col("w2__").as("b__"))
+    val edges = graft.Caches.register(
+      bi.select(col("a__").as("src"), col("b__").as("dst"))
+        .unionByName(bi.select(col("b__").as("src"),
+          col("a__").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.register(
+      edges.select(col("src").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.Caches.register(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg__"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("src"), col("rank_e6")),
+          "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank_e6 div deg__").as("c__"))
+        .groupBy(col("dst")).agg(sum(col("c__")).as("in__"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"),
+          expr("(15000000 + 85 * coalesce(in__, 0)) div 100")
+            .as("rank_e6"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("word"), col("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("word").asc)
+      .limit(topK)
+  }
 }

@@ -879,6 +879,28 @@ object ScaleProbe {
       graft.operators.GraphRank.partitionModularity(edges, "a", "b",
         mem, "node", "lab")
     }
+    time("local_clustering") {
+      // 500k nodes, ~8 avg degree -> ~16M wedges, the honest
+      // uncapped cost; the hub cap is spec-covered
+      val edges = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(86)), lit(500000)).as("a"),
+        pmod(xxhash64(col("id"), lit(87)), lit(500000)).as("b"))
+      graft.operators.GraphRank.localClustering(edges, "a", "b")
+    }
+    time("textrank") {
+      val docs = spark.range(n / 8).select(col("id").as("doc"),
+        concat_ws(" ", (0 until 8).map(i => concat(lit("w"),
+          pmod(xxhash64(col("id"), lit(130 + i)), lit(5000))
+            .cast("string"))): _*).as("text"))
+      graft.operators.TextAnalysis.textRank(docs, "doc", "text",
+        iterations = 5, topK = 20)
+    }
+    time("brier_decomposition") {
+      val sc = spark.range(n).select(
+        pmod(xxhash64(col("id"), lit(140)), lit(1000001)).as("p"),
+        (pmod(xxhash64(col("id"), lit(141)), lit(100)) < 50).as("y"))
+      graft.operators.EvalMetrics.brierDecomposition(sc, "p", "y")
+    }
     time("triangle_stats") {
       // half the edges are 5-cliques over consecutive ids (n/20 groups
       // × 10 edges → 10 real triangles each), half hash-random pairs

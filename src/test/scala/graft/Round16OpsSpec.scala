@@ -281,6 +281,49 @@ class Round16OpsSpec extends SparkSpec {
     assert(second == 2L && builds == 1)
   }
 
+  test("textRank: two rounds of the string-keyed rank ladder on a " +
+    "3-word graph") {
+    // "a b a b" + "a c": edges a-b, a-c. Round 1: r(a)=1850000,
+    // r(b)=r(c)=575000. Round 2: r(a)=1127500, r(b)=r(c)=936250.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc", "text")
+    val got = TextAnalysis.textRank(docs, "doc", "text",
+      iterations = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1127500L), ("b", 936250L),
+      ("c", 936250L)))
+    graft.Caches.unpersistAll()
+  }
+
+  test("brierDecomposition: hand-computed Murphy components over two " +
+    "occupied bins, p = 1e6 folds into the top bin") {
+    val df = Seq((50000L, false), (50000L, true), (950000L, true),
+      (1000000L, true)).toDF("p", "y")
+    val got = EvalMetrics.brierDecomposition(df, "p", "y").collect()
+      .head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      ((4L, 226875L, 101562L, 62500L, 187500L)))
+  }
+
+  test("localClustering: triangle + pendant, half-up e6, hub cap " +
+    "drops over-cap rows") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphRank.localClustering(e, "a", "b").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)), 3L -> ((3L, 1L, 333333L)),
+      4L -> ((1L, 0L, 0L))))
+    graft.Caches.unpersistAll()
+    val capped = GraphRank.localClustering(e, "a", "b",
+      maxCenterDegree = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(capped == Map(1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)), 4L -> ((1L, 0L, 0L))))
+    graft.Caches.unpersistAll()
+  }
+
   test("katzCentrality: hand-computed attenuation ladder on a chain") {
     // 1->2->3, alpha=1/2, 3 rounds: x1 = (0, 5e5, 5e5),
     // x2 = (0, 0, 25e4), x3 = 0 -> katz (0, 5e5, 75e4)
