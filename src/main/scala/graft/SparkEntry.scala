@@ -2669,6 +2669,50 @@ object SparkEntry {
           .select(col("item_a"), col("item_b")),
         "item_a", "item_b")),
 
+    // ---- sampling: CLASS-BALANCED OVERSAMPLING, materialized — the
+    // gate aggregates the actual per-copy row stream and must match
+    // the oracle's closed form exactly (rep + deterministic remainder
+    // on the smallest ids).
+    "q341_class_balance" -> ((s, dir) => {
+      val m = Sampling.oversampleBalanced(T(s, dir, "embeddings"),
+        "vec_id", "label")
+      m.groupBy(col("label"))
+        .agg(sum(when(col("copy_idx") === 1L, 1L).otherwise(0L))
+            .cast("long").as("n_source"),
+          count(lit(1)).as("n_materialized"),
+          max(col("copy_idx")).as("max_copies"))
+    }),
+
+    // ---- privacy: GENERALIZATION LADDER — k-anonymity coarsening
+    // sweep over acctbal bucket widths (true floor on the signed
+    // balances), per-width class stats and the k-ok verdict.
+    "q342_generalization_ladder" -> ((s, dir) =>
+      PrivacyAudit.generalizationLadder(T(s, dir, "customer"),
+        "c_mktsegment",
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+        widths = Seq(1000L, 10000L, 100000L, 1000000L), k = 10L)),
+
+    // ---- maintenance: INCREMENTAL JOIN-AGGREGATE — q132's merge
+    // with the join folded in (the IVM delta rule: the delta batch
+    // joins the STATIC broadcast dim before its partial state is
+    // merged); the merged state must equal the full recompute.
+    "q343_ivm_join_agg" -> ((s, dir) => {
+      val priceE2 = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      def joined(f: DataFrame) = f.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))
+      val base = AggMaintenance.aggState(
+        joined(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)),
+        Seq("c_nationkey"), priceE2)
+      val delta = AggMaintenance.aggState(
+        joined(o.filter(pmod(col("o_orderkey"), lit(5)) === 0)),
+        Seq("c_nationkey"), priceE2)
+      AggMaintenance.mergeStates(base, delta, Seq("c_nationkey"))
+    }),
+
     // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
     // q257's KS integrated over the whole value axis: cross-
     // multiplied ECDF gaps × interval widths, exact e2 units.
@@ -9064,6 +9108,55 @@ object SparkEntry {
               "2 * coalesce(tri.t, 0)",
               "deg.degree * (deg.degree - 1)", 6)} AS lcc_e6
          |FROM deg LEFT JOIN tri ON tri.node = deg.node""".stripMargin,
+
+    // q341: the closed form the materialized stream must reproduce —
+    // target = majority count, rep = target // n, remainder bumps
+    // max_copies when it is nonzero
+    "q341_class_balance" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+        |    count(*) AS n FROM embeddings GROUP BY 1),
+        |t AS (SELECT max(n) AS target FROM c)
+        |SELECT label, n AS n_source,
+        |  CAST(t.target AS BIGINT) AS n_materialized,
+        |  (t.target // n) + CASE WHEN t.target % n > 0 THEN 1 ELSE 0
+        |    END AS max_copies
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // q342: widths via unnest, TRUE floor bucketing spelled as the
+    // pmod-subtract form (balances are signed), two tallies
+    "q342_generalization_ladder" ->
+      """WITH w AS (SELECT CAST(unnest([1000, 10000, 100000, 1000000])
+        |    AS BIGINT) AS width_e2),
+        |r AS (SELECT c_mktsegment AS cat,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v FROM customer),
+        |cl AS (SELECT w.width_e2, r.cat,
+        |    (r.v - (((r.v % w.width_e2) + w.width_e2) % w.width_e2))
+        |      // w.width_e2 AS bucket,
+        |    count(*) AS sz
+        |  FROM r CROSS JOIN w GROUP BY 1, 2, 3)
+        |SELECT width_e2, count(*) AS n_classes,
+        |  min(sz) AS min_class_size,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows,
+        |  min(sz) >= 10 AS k_ok
+        |FROM cl GROUP BY 1""".stripMargin,
+
+    // q343: the merged base+delta state must equal this full
+    // recompute through the join (q132's oracle with the dim folded)
+    "q343_ivm_join_agg" ->
+      s"""WITH u AS (SELECT c_nationkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS u
+         |  FROM orders JOIN customer ON c_custkey = o_custkey),
+         |s AS (SELECT c_nationkey, count(*) AS n,
+         |    sum(CAST(u AS HUGEINT)) AS s, min(u) AS mn, max(u) AS mx
+         |  FROM u GROUP BY 1)
+         |SELECT c_nationkey, n, CAST(s AS BIGINT) AS sum_units,
+         |  mn AS min_units, mx AS max_units,
+         |  ${graft.functions.ExactRound.ratioScaledSignedSql(
+              "s", "n", 0)} AS mean_units
+         |FROM s""".stripMargin,
 
     // q337: cumulative/total window sums per type, the three-term
     // truncating SS ladder, row_number argmax (gain desc, day asc)

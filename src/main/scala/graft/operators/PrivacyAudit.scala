@@ -94,4 +94,39 @@ object PrivacyAudit {
           col("class_size").cast("decimal(38,0)") * col("n__")
             * (col("m__") - lit(1L)), 6).as("emd_e6")): _*)
   }
+
+  /** GENERALIZATION LADDER — the k-anonymization coarsening sweep
+    * (Mondrian/Datafly's outer loop, reference: the same k-threshold
+    * audits as [[kAnonymity]]): a numeric quasi-identifier is
+    * bucketed at each candidate width and, per width, the audit
+    * reports how far the (categorical, bucket) equivalence classes
+    * are from k: class count, smallest class, rows living in
+    * violating classes, and the k-ok verdict. The analyst picks the
+    * narrowest passing width — the ladder emits all levels so the
+    * utility/privacy trade stays visible.
+    *
+    * Bucketing is TRUE floor division (negative balances exist), the
+    * pmod-subtract form on both engines. Shape at scale: one explode
+    * of the |widths|-literal array (a documented |widths|× scan
+    * fan-out — widths is 3-5 in practice), one groupBy to classes,
+    * one groupBy to levels; nothing pairwise, no windows. */
+  def generalizationLadder(df: DataFrame, quasiCat: String,
+      quasiNumE2: Column, widths: Seq[Long], k: Long): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0) && k >= 1,
+      "need positive widths and k >= 1")
+    val rows = df.select(col(quasiCat).as("cat__"),
+        quasiNumE2.cast("long").as("v__"))
+      .select(col("cat__"), col("v__"),
+        explode(array(widths.map(lit): _*)).as("width_e2"))
+    val bucket = call_function("div",
+      col("v__") - pmod(col("v__"), col("width_e2")), col("width_e2"))
+    rows.groupBy(col("width_e2"), col("cat__"), bucket.as("bucket__"))
+      .agg(count(lit(1)).as("sz__"))
+      .groupBy(col("width_e2"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz__")).as("min_class_size"),
+        sum(when(col("sz__") < k, col("sz__")).otherwise(0L))
+          .cast("long").as("n_violating_rows"),
+        (min(col("sz__")) >= k).as("k_ok"))
+  }
 }

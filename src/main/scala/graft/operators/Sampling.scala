@@ -418,4 +418,40 @@ object Sampling {
         coalesce(col("n_train_overlap"), lit(0L)).as("n_train_overlap"),
         col("first_day"), col("last_day"))
   }
+
+  /** CLASS-BALANCED OVERSAMPLING, materialized — every label is
+    * brought up to exactly the majority class's count: each row gets
+    * `rep = target div n_label` copies, and the `extra = target −
+    * rep·n_label` smallest ids in the label get one more (the
+    * deterministic remainder rule, [[exactSplit]]'s discipline). The
+    * output is the per-copy row stream `(id, label, copy_idx)` — what
+    * a training shuffle actually consumes; per-label counts of the
+    * materialized frame equal the target EXACTLY, which is the
+    * cross-check the gate hashes against the closed form.
+    *
+    * Shape at scale: one per-label tally + a 1-row target broadcast,
+    * the remainder ranking via [[ScalableRank.groupRowNumber]] (range
+    * partition + offsets, never a per-label window), one
+    * `explode(sequence)` whose fan-out IS the oversampling itself. */
+  def oversampleBalanced(df: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id__"),
+      col(labelCol).cast("long").as("label__"))
+    val counts = base.groupBy(col("label__"))
+      .agg(count(lit(1)).as("nl__"))
+    val target = counts.agg(max(col("nl__")).as("target__"))
+    val plan = counts.crossJoin(broadcast(target))
+      .select(col("label__"),
+        call_function("div", col("target__"), col("nl__")).as("rep__"),
+        (col("target__") - call_function("div", col("target__"),
+          col("nl__")) * col("nl__")).as("extra__"))
+    val ranked = ScalableRank.groupRowNumber(base, Seq("label__"),
+      Seq(col("id__")), rnCol = "rn__", nCol = "nn__")
+    ranked.join(broadcast(plan), Seq("label__"))
+      .select(col("id__"), col("label__"),
+        (col("rep__") + when(col("rn__") <= col("extra__"), 1L)
+          .otherwise(0L)).as("copies__"))
+      .select(col("id__").as("id"), col("label__").as("label"),
+        explode(sequence(lit(1L), col("copies__"))).as("copy_idx"))
+  }
 }

@@ -901,6 +901,40 @@ object ScaleProbe {
         (pmod(xxhash64(col("id"), lit(141)), lit(100)) < 50).as("y"))
       graft.operators.EvalMetrics.brierDecomposition(sc, "p", "y")
     }
+    time("oversample_balanced") {
+      // near-uniform 1000 labels: fan-out stays ~n (the probe times
+      // the ranking + explode machinery, not a pathological target)
+      val df2 = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id"), lit(142)), lit(1000)).as("lab"))
+      graft.operators.Sampling.oversampleBalanced(df2, "id", "lab")
+    }
+    time("generalization_ladder") {
+      val df2 = spark.range(n).select(
+        concat(lit("c"), pmod(xxhash64(col("id"), lit(143)), lit(5))
+          .cast("string")).as("cat"),
+        (pmod(xxhash64(col("id"), lit(144)), lit(2000000)) -
+          1000000L).as("v"))
+      graft.operators.PrivacyAudit.generalizationLadder(df2, "cat",
+        col("v"), widths = Seq(1000L, 10000L, 100000L, 1000000L),
+        k = 10L)
+    }
+    time("ivm_join_agg") {
+      val fact = spark.range(n).select(col("id").as("k__"),
+        pmod(xxhash64(col("id"), lit(145)), lit(100000)).as("ck"),
+        pmod(xxhash64(col("id"), lit(146)), lit(1000000)).as("v"))
+      val dim = spark.range(100000).select(col("id").as("ck"),
+        pmod(col("id"), lit(25)).as("nat"))
+      def joined(f: org.apache.spark.sql.DataFrame) =
+        f.join(broadcast(dim), "ck")
+      val base = graft.operators.AggMaintenance.aggState(
+        joined(fact.filter(pmod(col("k__"), lit(5)) =!= 0)),
+        Seq("nat"), col("v"))
+      val delta = graft.operators.AggMaintenance.aggState(
+        joined(fact.filter(pmod(col("k__"), lit(5)) === 0)),
+        Seq("nat"), col("v"))
+      graft.operators.AggMaintenance.mergeStates(base, delta,
+        Seq("nat"))
+    }
     time("triangle_stats") {
       // half the edges are 5-cliques over consecutive ids (n/20 groups
       // × 10 edges → 10 real triangles each), half hash-random pairs

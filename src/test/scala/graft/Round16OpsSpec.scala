@@ -281,6 +281,40 @@ class Round16OpsSpec extends SparkSpec {
     assert(second == 2L && builds == 1)
   }
 
+  test("oversampleBalanced: exact target counts, remainder on the " +
+    "smallest ids") {
+    // Label 0: ids 1..5 (majority, n=5). Label 1: ids 10,11 (n=2,
+    // rep=2, extra=1 -> id 10 gets 3 copies, id 11 gets 2).
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map((_, 0L)) ++
+      Seq(10L, 11L).map((_, 1L))).toDF("vec_id", "label")
+    val m = Sampling.oversampleBalanced(df, "vec_id", "label")
+    val perId = m.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId(10L) == 3L && perId(11L) == 2L)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(perId(_) == 1L))
+    val perLabel = m.groupBy("label").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perLabel == Map(0L -> 5L, 1L -> 5L))
+  }
+
+  test("generalizationLadder: signed floor buckets, per-width class " +
+    "stats and k verdict") {
+    // Width 10: values -15,-5 land in buckets -2,-1 (floor, NOT
+    // truncation); width 100: all four rows of cat A join one bucket.
+    val df = Seq(("A", -15L), ("A", -5L), ("A", 5L), ("A", 15L),
+      ("B", 5L)).toDF("cat", "v")
+    val got = PrivacyAudit.generalizationLadder(df, "cat", col("v"),
+      widths = Seq(10L, 100L), k = 2L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // w=10: A has buckets -2,-1,0,1 (size 1 each), B bucket 0 (1)
+    assert(got(10L) == ((5L, 1L, 5L, false)))
+    // w=100: A bucket -1 {-15,-5} size 2, A bucket 0 {5,15} size 2,
+    // B bucket 0 size 1
+    assert(got(100L) == ((3L, 1L, 1L, false)))
+  }
+
   test("textRank: two rounds of the string-keyed rank ladder on a " +
     "3-word graph") {
     // "a b a b" + "a c": edges a-b, a-c. Round 1: r(a)=1850000,
