@@ -772,4 +772,84 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"index assignment must be a narrow map:\n$p")
   }
+
+  // ---- round-16 additions ----
+
+  test("textRank tops out via TakeOrdered, never a global sort") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7}"))
+      .toDF("doc", "text")
+    val p = plan(graft.operators.TextAnalysis.textRank(
+      docs, "doc", "text", iterations = 1, topK = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the top-k heap in:\n$p")
+    graft.Caches.unpersistAll()
+  }
+
+  test("oversampleBalanced ranks via range partitioning with NO " +
+    "window; the fan-out is a Generate") {
+    val df = (0 until 300).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("vec_id", "label")
+    val p = plan(graft.operators.Sampling.oversampleBalanced(
+      df, "vec_id", "label"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected the groupRowNumber range exchange in:\n$p")
+    assert(!p.contains("Window"),
+      s"a window operator appeared in oversampleBalanced:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the explode fan-out in:\n$p")
+  }
+
+  test("localClustering closes wedges with a LeftSemi probe over " +
+    "equi-joins, never a cartesian") {
+    val e = (1 to 200).map(i => (i.toLong, (i % 23).toLong))
+      .toDF("a", "b")
+    val p = plan(graft.operators.GraphRank.localClustering(e, "a", "b"))
+    assert(p.contains("LeftSemi"),
+      s"expected the closing-edge semi-join in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must ride equi-joins:\n$p")
+    graft.Caches.unpersistAll()
+  }
+
+  test("brierDecomposition is pure aggregation — no window, no " +
+    "cartesian; the 1-row totals ride a broadcast") {
+    val df = (0 until 400).map(i =>
+      ((i * 2503L) % 1000001L, i % 3 == 0)).toDF("p", "y")
+    val p = plan(graft.operators.EvalMetrics.brierDecomposition(
+      df, "p", "y"))
+    assert(!p.contains("Window"),
+      s"a window operator appeared in brierDecomposition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a cartesian appeared in brierDecomposition:\n$p")
+  }
+
+  test("generalizationLadder: one explode Generate, no window, no " +
+    "cartesian") {
+    val df = (0 until 300).map(i => (s"c${i % 4}", i.toLong - 150L))
+      .toDF("cat", "v")
+    val p = plan(graft.operators.PrivacyAudit.generalizationLadder(
+      df, "cat", col("v"), widths = Seq(10L, 100L), k = 5L))
+    assert(p.contains("Generate"),
+      s"expected the widths explode in:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"unexpected operator in generalizationLadder:\n$p")
+  }
+
+  test("partitionModularity joins labels by equi-hash; only the " +
+    "1-row total is a broadcast nested loop") {
+    val e = (1 to 200).map(i => (i.toLong, (i % 31).toLong))
+      .toDF("a", "b")
+    val mem = (0 until 250).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("node", "lab")
+    val p = plan(graft.operators.GraphRank.partitionModularity(
+      e, "a", "b", mem, "node", "lab"))
+    assert(!p.contains("CartesianProduct"),
+      s"a cartesian appeared in partitionModularity:\n$p")
+    // the single BNLJ is the broadcast of the 1-row edge total
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"more than the 1-row-total BNLJ in:\n$p")
+  }
 }
