@@ -455,19 +455,22 @@ object EvalMetrics {
 
   /** BRIER SCORE with the Murphy (1973) decomposition — the
     * calibration card's summary row: over e6-scaled probabilities and
-    * a boolean outcome, `brier = reliability − resolution +
-    * uncertainty` (up to the documented truncations),
+    * a boolean outcome,
     *   brier       = (1/N)·Σ (p − y)²,
     *   reliability = (1/N)·Σ_k n_k·(p̄_k − ȳ_k)²   (bin miscalibration),
     *   resolution  = (1/N)·Σ_k n_k·(ȳ_k − ȳ)²      (bin discrimination),
     *   uncertainty = ȳ·(1 − ȳ),
     * binned by equal-width probability bins (p = 10⁶ folds into the
-    * top bin). Exact integer lineage: bin means truncate once
-    * (`div` ↔ `//`, non-negative → floor), the squared terms then
-    * aggregate in DECIMAL(38,0), and each component ships as one
-    * truncating e6 quotient — bit-identical across engines; the
-    * decomposition identity holds to the rounding, which is why the
-    * identity itself is NOT hashed. O(N) single pass + a bins-sized
+    * top bin). Murphy's `brier = reliability − resolution +
+    * uncertainty` is an identity only when forecasts are CONSTANT
+    * within each bin (Murphy's discrete-forecast setting); binning a
+    * continuous score leaves a non-negative within-bin-variance
+    * residual, so the components are reported as diagnostics and the
+    * identity is deliberately not part of the contract. Exact integer
+    * lineage: bin means truncate once (`div` ↔ `//`, non-negative →
+    * floor), the squared terms then aggregate in DECIMAL(38,0), and
+    * each component ships as one truncating e6 quotient —
+    * bit-identical across engines. O(N) single pass + a bins-sized
     * reduce; nothing pairwise. */
   def brierDecomposition(df: DataFrame, scoreE6Col: String,
       labelCol: String, nBins: Int = 10): DataFrame = {

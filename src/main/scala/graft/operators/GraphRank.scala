@@ -340,8 +340,11 @@ object GraphRank {
       members: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
     val lab = members.select(col(nodeCol).cast("long").as("node__"),
       col(labelCol).cast("long").as("label"))
+    // enforce the unique-pair contract (the [[localClustering]] /
+    // [[katzCentrality]] discipline): a caller handing duplicate
+    // edges must not silently get duplicate-weighted tallies
     val p = pairs.select(col(aCol).cast("long").as("a__"),
-      col(bCol).cast("long").as("b__"))
+      col(bCol).cast("long").as("b__")).distinct()
     val m1 = p.agg(count(lit(1)).as("m__"))
     val wl = p
       .join(lab.select(col("node__").as("a__"), col("label").as("la__")),

@@ -367,4 +367,113 @@ class Round16OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 750000L))
     graft.Caches.unpersistAll()
   }
+
+  test("property: round-16 surfaces hold their declared invariants " +
+    "on seeded random inputs") {
+    val rnd = new scala.util.Random(16)
+    val day = 86400L * 1000000000L
+
+    // partitionModularity: each q_e12 <= 1e12; Σ in-edges <= m;
+    // Σ degree_sum = 2m (every endpoint is labeled here)
+    val e = (1 to 300).map(_ => (rnd.nextInt(80).toLong,
+      rnd.nextInt(80).toLong)).filter(p => p._1 != p._2).toDF("a", "b")
+    val mem = (0 until 80).map(i => (i.toLong, (i % 6).toLong))
+      .toDF("node", "lab")
+    val mod = GraphRank.partitionModularity(e, "a", "b", mem, "node",
+      "lab").collect()
+    // the operator distincts DIRECTED pairs; recompute its m the same way
+    val mDirected = e.distinct().count()
+    mod.foreach(r => assert(r.getLong(4) <= 1000000000000L, r))
+    assert(mod.map(_.getLong(2)).sum <= mDirected)
+    assert(mod.map(_.getLong(3)).sum == 2 * mDirected)
+
+    // localClustering: triangles <= d(d-1)/2, lcc in [0, 1e6]
+    GraphRank.localClustering(e, "a", "b").collect().foreach { r =>
+      val (d, t, l) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t <= d * (d - 1) / 2, r)
+      assert(l >= 0L && l <= 1000000L, r)
+    }
+    graft.Caches.unpersistAll()
+
+    // katzCentrality: non-negative; in-degree-0 nodes score exactly 0
+    val katz = GraphRank.katzCentrality(e, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hasIn = e.collect().map(_.getLong(1)).toSet
+    katz.foreach { case (node, x) =>
+      assert(x >= 0L)
+      if (!hasIn.contains(node)) assert(x == 0L, s"source node $node")
+    }
+    graft.Caches.unpersistAll()
+
+    // interpolateDaily: observed rows carry n*1e6; gap rows sit
+    // within [min, max] of SOME pair of values (use global bounds)
+    val ev = (1 to 500).map(_ => (s"t${rnd.nextInt(4)}",
+      rnd.nextInt(30).toLong * day)).toDF("t", "ts")
+    val interp = EventAnalytics.interpolateDaily(ev, "t", "ts")
+      .collect()
+    val vals = interp.filter(_.getBoolean(2)).map(_.getLong(3))
+    interp.filter(r => !r.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) >= vals.min && r.getLong(3) <= vals.max, r) }
+
+    // changepointDaily: n_left + n_right = observed days; gain >= -2
+    // (one truncation unit per term)
+    val cps = EventAnalytics.changepointDaily(ev, "t", "ts").collect()
+    val daysPerType = ev.select(col("t"),
+        graft.functions.TimeFns.floorDiv(col("ts"), day).as("d"))
+      .distinct().groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cps.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == daysPerType(r.getString(0)))
+      assert(r.getLong(4) >= -2L, r)
+    }
+
+    // brierDecomposition: brier and uncertainty recomputed exactly in
+    // BigInt must match the engine; rel/res stay in [0, 1e6] (the
+    // 3-term identity is NOT asserted — binned continuous forecasts
+    // carry a within-bin-variance residual, see the scaladoc)
+    val scRows = (1 to 600).map(_ => (rnd.nextInt(1000001).toLong,
+      rnd.nextBoolean()))
+    val sc = scRows.toDF("p", "y")
+    val br = EvalMetrics.brierDecomposition(sc, "p", "y").collect()(0)
+    val (bri, rel, res, unc) =
+      (br.getLong(1), br.getLong(2), br.getLong(3), br.getLong(4))
+    val nBig = BigInt(scRows.size)
+    val expBrier = scRows.map { case (p, y) =>
+      val d = BigInt(p) - (if (y) 1000000L else 0L); d * d }.sum /
+      (nBig * 1000000L)
+    val sy = BigInt(scRows.count(_._2))
+    val expUnc = sy * (nBig - sy) * 1000000L / (nBig * nBig)
+    assert(BigInt(bri) == expBrier && BigInt(unc) == expUnc,
+      s"engine ($bri, $unc) vs recomputed ($expBrier, $expUnc)")
+    Seq(rel, res).foreach(v => assert(v >= 0L && v <= 1000000L))
+
+    // oversampleBalanced: every label lands exactly on the target;
+    // per-id copy counts within a label differ by at most 1
+    val ob = Sampling.oversampleBalanced(
+      (1 to 400).map(i => (i.toLong, rnd.nextInt(7).toLong))
+        .toDF("vec_id", "label"), "vec_id", "label")
+    val perLabel = ob.groupBy("label").count().collect()
+      .map(_.getLong(1)).distinct
+    assert(perLabel.length == 1, s"unbalanced: ${perLabel.toSeq}")
+    ob.groupBy("label", "id").count()
+      .groupBy("label").agg(max(col("count")).as("mx"),
+        min(col("count")).as("mn"))
+      .collect().foreach(r =>
+        assert(r.getLong(1) - r.getLong(2) <= 1L, r))
+
+    // generalizationLadder over chained widths (each divides the
+    // next): classes merge only -> n_classes and violating rows
+    // non-increasing, min class size non-decreasing
+    val gl = PrivacyAudit.generalizationLadder(
+      (1 to 500).map(_ => (s"c${rnd.nextInt(3)}",
+        rnd.nextInt(4000).toLong - 2000L)).toDF("cat", "v"),
+      "cat", col("v"), widths = Seq(10L, 100L, 1000L), k = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq((10L, 100L), (100L, 1000L)).foreach { case (w1, w2) =>
+      assert(gl(w2)._1 <= gl(w1)._1, s"classes grew $w1->$w2")
+      assert(gl(w2)._2 >= gl(w1)._2, s"min size shrank $w1->$w2")
+      assert(gl(w2)._3 <= gl(w1)._3, s"violating rows grew $w1->$w2")
+    }
+  }
 }
