@@ -358,6 +358,48 @@ class Round16OpsSpec extends SparkSpec {
     graft.Caches.unpersistAll()
   }
 
+  test("stagedOrc: type fidelity across timestamp, decimal, array " +
+    "and null columns") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orc-types").toString
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+        BigDecimal("12345.67"), Seq(1.5f, -2.25f), Option("x")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.0"),
+        BigDecimal("-0.01"), Seq.empty[Float], Option.empty[String]))
+      .toDF("k", "ts", "dec", "arr", "s")
+      .select(col("k"), col("ts"),
+        col("dec").cast("decimal(18,2)").as("dec"), col("arr"),
+        col("s"))
+    val back = graft.Tables.stagedOrc(spark, dir)(src)
+      .orderBy("k").collect()
+    assert(back(0).getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"))
+    assert(back(1).getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("1969-12-31 23:59:59.0"))
+    assert(back(0).getDecimal(2) ==
+      new java.math.BigDecimal("12345.67"))
+    assert(back(1).getDecimal(2) == new java.math.BigDecimal("-0.01"))
+    assert(back(0).getSeq[Float](3) == Seq(1.5f, -2.25f))
+    assert(back(1).getSeq[Float](3).isEmpty)
+    assert(back(0).getString(4) == "x" && back(1).isNullAt(4))
+  }
+
+  test("diffInDiff: an empty arm reads zero means (the den-0 " +
+    "convention), counts stay exact") {
+    // All users even -> treatment arm empty.
+    val ev = Seq(("purchase", 2L, 0L), ("purchase", 2L, 3L),
+      ("view", 4L, 0L), ("view", 4L, 3L))
+      .map { case (t, u, d) => (t, u, d * DAY) }.toDF("t", "u", "ts")
+    val got = EventAnalytics.diffInDiff(ev, "u", "ts", "t", "purchase")
+      .collect().head
+    // split = (0+3+1)//2 = 2: u2 has pre@0, post@3 -> ctrl means 5e5/5e5
+    assert((got.getLong(0), got.getLong(1)) == ((0L, 2L)))
+    assert((got.getLong(2), got.getLong(3)) == ((0L, 0L)))
+    assert((got.getLong(4), got.getLong(5)) == ((500000L, 500000L)))
+    assert(got.getLong(6) == 0L)
+  }
+
   test("katzCentrality: hand-computed attenuation ladder on a chain") {
     // 1->2->3, alpha=1/2, 3 rounds: x1 = (0, 5e5, 5e5),
     // x2 = (0, 0, 25e4), x3 = 0 -> katz (0, 5e5, 75e4)
