@@ -18,31 +18,52 @@ import org.apache.spark.sql.functions._
   * `overwriteColumns`: when provided, ONLY these columns are taken from
   * the incoming side (ref S9 keyed-update sink, sectorscore.py:142-170).
   *
-  * == Versioned commit (snapshot isolation, r15 verdict #5) ==
+  * == Versioned commit (snapshot isolation + multi-writer CAS) ==
   *
   * Store layout:
   * {{{
-  *   path/v=N/       immutable, fully-written version directories
-  *   path/_manifest  tiny file holding the committed version number N
+  *   path/v=N/          immutable, fully-written version directories
+  *   path/_manifest     tiny file holding the committed version number N
+  *   path/.stage-<uuid> invisible per-writer staging dirs (pre-claim)
+  *   path/_legacy       migration tombstone: pre-versioned entries to GC
   * }}}
-  * A writer builds version N+1 COMPLETELY, then flips the manifest with
-  * an atomic rename (`FileContext.rename(..., Rename.OVERWRITE)` — a
-  * single metadata op on HDFS and local fs). Readers resolve the
-  * manifest first ([[readCommitted]]) and only ever see a version that
-  * finished writing: a reader that resolved N before the flip keeps
-  * scanning the untouched `v=N` directory while N+1 commits — snapshot
-  * isolation, not just "atomic if nobody reads mid-swap". This is the
-  * single-table core of a lakehouse manifest commit (Delta/Iceberg
-  * pattern, public design); multi-writer coordination would add a
-  * compare-and-swap on the manifest, documented out of scope here —
-  * the last flip wins.
+  * A writer stages version N+1 COMPLETELY in a private `.stage-<uuid>`
+  * directory, then CLAIMS the version with an atomic
+  * rename-without-overwrite onto `v=N+1` (`FileContext.rename` with
+  * `Rename.NONE` — fails if the destination exists, a single metadata op
+  * on HDFS and local fs). Exactly one concurrent writer wins the claim;
+  * the loser deletes its staging dir, waits for the winner's manifest
+  * flip, and RETRIES its merge against the winner's committed snapshot —
+  * a compare-and-swap loop, so concurrent upserts serialize instead of
+  * interleaving files in a shared directory. Only the claim winner for
+  * N+1 ever flips the manifest to N+1, and a claimant of N+2 exists only
+  * after observing the manifest at N+1, so manifest flips are strictly
+  * monotone. Readers resolve the manifest first ([[readCommitted]]) and
+  * only ever see a version that finished writing: a reader that resolved
+  * N before the flip keeps scanning the untouched `v=N` directory while
+  * N+1 commits — snapshot isolation. This is the single-table core of a
+  * lakehouse manifest commit (Delta/Iceberg pattern, public design).
+  *
+  * Crash window: a writer that dies AFTER claiming `v=N+1` but BEFORE
+  * flipping the manifest leaves the claim dir orphaned; concurrent
+  * losers time out waiting for the flip and fail loudly naming the
+  * orphan (remediation: delete the orphan dir or flip the manifest by
+  * hand after inspecting it). A writer that dies pre-claim leaves only
+  * an invisible `.stage-*` dir, which never affects readers.
   *
   * Retention: versions older than the previous one are deleted AFTER
   * the flip (`retain = 2`), so an in-flight reader of the prior
   * version has one full merge cycle of slack. Legacy flat stores
-  * (pre-versioned parquet directly under `path`) are read as version
-  * -1 and their root files garbage-collected on the first versioned
-  * commit.
+  * (pre-versioned parquet directly under `path` — flat files OR
+  * partitioned directory layouts, detected by probing the path as
+  * parquet) are read as the existing side on the first versioned
+  * commit; their root entries are recorded in a `_legacy` tombstone at
+  * migration and deleted only at the NEXT commit's GC, so a reader
+  * that resolved the store via the flat fallback gets the same
+  * one-cycle slack as versioned readers. GC deletes nothing it cannot
+  * positively identify: expired `v=N` dirs and tombstoned legacy
+  * entries only — foreign files or directories under the store root
+  * are never touched.
   *
   * Scale: the merge is one full-outer shuffle join on the key. For
   * repeated merges at 100 TB the existing side should be bucketed by the
@@ -83,18 +104,22 @@ object MergeByKey {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The committed version number, or None when the store has never
-    * had a versioned commit (absent, or a legacy flat parquet dir). */
+    * had a versioned commit (absent, or a legacy flat parquet dir).
+    * Reads the manifest to EOF — `InputStream.read` may return fewer
+    * bytes than the file holds, and a short read of "12" as "1" would
+    * silently resolve an older (possibly GC'd) snapshot — and fails
+    * loudly on an empty or non-numeric manifest rather than guessing. */
   def committedVersion(spark: SparkSession, path: String): Option[Long] = {
     val f = fs(spark, path)
     val manifest = new Path(s"$path/_manifest")
     if (!f.exists(manifest)) None
     else {
-      val in = f.open(manifest)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-      } finally in.close()
+      val s = readFully(spark, manifest).trim
+      if (s.isEmpty || !s.forall(c => c.isDigit || c == '-') || s == "-")
+        throw new IllegalStateException(
+          s"corrupt manifest at $manifest: '$s' is not a version number — " +
+            "restore it to the highest fully-written v=N before reading")
+      Some(s.toLong)
     }
   }
 
@@ -107,13 +132,14 @@ object MergeByKey {
       case None => spark.read.parquet(path)
     }
 
-  /** Atomically flip `path/_manifest` to `version`: write a temp file,
-    * rename over the manifest (Rename.OVERWRITE — atomic metadata op
-    * on HDFS and local fs). */
+  /** Atomically flip `path/_manifest` to `version`: write a writer-
+    * private temp file, rename over the manifest (Rename.OVERWRITE —
+    * atomic metadata op on HDFS and local fs). Only ever called by the
+    * claim winner of `version`, which keeps flips monotone. */
   private def commitManifest(spark: SparkSession, path: String,
       version: Long): Unit = {
     val f = fs(spark, path)
-    val tmp = new Path(s"$path/_manifest.tmp")
+    val tmp = new Path(s"$path/.manifest-${java.util.UUID.randomUUID()}")
     val manifest = new Path(s"$path/_manifest")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
@@ -122,78 +148,227 @@ object MergeByKey {
     fc.rename(tmp, manifest, Options.Rename.OVERWRITE)
   }
 
-  /** Post-flip garbage collection: drop version dirs older than
-    * `retain` behind the committed one, plus legacy flat files left at
-    * the root by a pre-versioned store (their data is now inside the
-    * first committed version). Never touches the manifest or the
-    * committed/previous version dirs. */
+  /** CAS claim of a version directory: rename the fully-staged dir onto
+    * `v=N` WITHOUT overwrite. Exactly one concurrent claimant succeeds;
+    * the rest observe the existing destination and return false. */
+  private def claimVersion(spark: SparkSession, stage: Path,
+      dest: Path): Boolean = {
+    val fc = FileContext.getFileContext(stage.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(stage, dest, Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        // some FileSystems surface the existing destination as a plain
+        // IOException — treat as a lost race only when dest exists
+        if (fs(spark, dest.toString).exists(dest)) false else throw e
+    }
+  }
+
+  /** Block until the manifest reaches `version` (a lost claim means the
+    * winner is mid-commit). Fails loudly after `timeoutMs` naming the
+    * orphaned claim dir — the crashed-winner window documented above. */
+  private def awaitCommit(spark: SparkSession, path: String, version: Long,
+      timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (committedVersion(spark, path).getOrElse(-1L) < version) {
+      if (System.nanoTime() > deadline) throw new IllegalStateException(
+        s"lost the claim on $path/v=$version but its writer never " +
+          "flipped the manifest (crashed mid-commit?) — inspect and " +
+          "delete the orphan dir or flip _manifest to it by hand")
+      Thread.sleep(50)
+    }
+  }
+
+  /** Is this root entry positively identifiable as parquet writer
+    * output — flat data files, writer sidecars, or a `col=value`
+    * partition directory? Only such entries are ever tombstoned for
+    * legacy GC; anything else at the root is foreign content and is
+    * left alone forever. (A legacy partition column literally named
+    * `v` would collide with the version layout and is unsupported.) */
+  private def looksLikeParquetOutput(name: String): Boolean =
+    name.endsWith(".parquet") || name.endsWith(".crc") ||
+      name == "_SUCCESS" || name == "_metadata" ||
+      name == "_common_metadata" || name.startsWith("part-") ||
+      (name.contains("=") && !name.startsWith("v="))
+
+  /** Entries the migration commit will tombstone: the root entries the
+    * legacy read actually consumed, filtered to positively-identified
+    * parquet output. Recorded at the moment the legacy data is READ,
+    * so GC later deletes exactly what the migration consumed — never
+    * a guess. */
+  private def legacyRootEntries(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("v=") || n.startsWith("_manifest") ||
+        n.startsWith(".stage-") || n.startsWith(".manifest-") ||
+        n == "_legacy")
+      .filter(looksLikeParquetOutput).toSeq
+  }
+
+  private def writeLegacyTombstone(spark: SparkSession, path: String,
+      entries: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(s"$path/_legacy"), true)
+    try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small control file to EOF (see [[committedVersion]] for why
+    * a single read() call is not enough). */
+  private def readFully(spark: SparkSession, p: Path): String = {
+    val in = fs(spark, p.toString).open(p)
+    val bytes = new java.io.ByteArrayOutputStream()
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
+  /** Post-flip garbage collection. Deletes ONLY what it can positively
+    * identify: `v=N` dirs at least `retain` behind the committed
+    * version, and — one full commit cycle after a legacy migration —
+    * the root entries the `_legacy` tombstone recorded as consumed by
+    * that migration (its `#v=M` header says which commit wrote it; the
+    * migration's own gc call sees committed == M and leaves everything
+    * for the deferred cycle). Unknown files/dirs at the root are never
+    * touched (a store path accidentally shared with other content must
+    * not lose it), and live `.stage-*` dirs belong to in-flight
+    * writers. */
   private def gc(spark: SparkSession, path: String, committed: Long,
       retain: Int = 2): Unit = {
     val f = fs(spark, path)
     f.listStatus(new Path(path)).foreach { st =>
       val name = st.getPath.getName
-      val isVersion = name.startsWith("v=")
-      if (isVersion) {
+      if (name.startsWith("v=")) {
         val v = name.stripPrefix("v=").toLong
         if (v <= committed - retain) f.delete(st.getPath, true)
-      } else if (!name.startsWith("_manifest")) {
-        // legacy flat parquet files (+ _SUCCESS) from before versioning
-        f.delete(st.getPath, true)
+      }
+    }
+    val tomb = new Path(s"$path/_legacy")
+    if (f.exists(tomb)) {
+      val lines = readFully(spark, tomb).split("\n")
+        .map(_.trim).filter(_.nonEmpty)
+      val writtenAt = lines.headOption.filter(_.startsWith("#v="))
+        .map(_.stripPrefix("#v=").toLong).getOrElse(0L)
+      if (committed > writtenAt) {
+        lines.filterNot(_.startsWith("#")).foreach { entry =>
+          val p = new Path(s"$path/$entry")
+          if (f.exists(p)) f.delete(p, true)
+        }
+        f.delete(tomb, false)
       }
     }
   }
 
+  /** Directory-aware legacy detection: a pre-versioned store may be
+    * flat root files OR a partitioned/nested parquet layout with no
+    * root `*.parquet` at all. Probe by reading ONLY the positively-
+    * identified parquet entries (with `basePath` so partition columns
+    * survive) — a foreign file sitting next to the legacy data must
+    * neither break the probe nor exclude the data from the merge. */
+  private def probeLegacy(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dataEntries = legacyRootEntries(spark, path)
+      .filterNot(n => n.endsWith(".crc") || n == "_SUCCESS" ||
+        n == "_metadata" || n == "_common_metadata")
+    if (dataEntries.isEmpty) None
+    else try {
+      val df = spark.read.option("basePath", path)
+        .parquet(dataEntries.map(n => s"$path/$n"): _*)
+      df.schema // force schema resolution
+      Some(df)
+    } catch { case _: Exception => None }
+  }
+
   /** Merge `incoming` into the versioned store at `path` (created if
-    * absent): build version N+1 fully, flip the manifest, GC. Readers
-    * concurrent with the merge keep their resolved snapshot throughout.
-    * Returns count reconciliation stats. */
+    * absent): stage version N+1 fully in a private dir, claim `v=N+1`
+    * with an atomic no-overwrite rename, flip the manifest, GC. A lost
+    * claim (concurrent writer) waits for the winner's flip and retries
+    * the merge against the NEW committed snapshot — CAS semantics, up
+    * to `maxAttempts` rounds. Readers concurrent with the merge keep
+    * their resolved snapshot throughout. Returns count reconciliation
+    * stats. */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
       key: String, overwriteColumns: Option[Seq[String]] = None,
-      outputPartitions: Int = 0): MergeStats = {
+      outputPartitions: Int = 0, maxAttempts: Int = 5): MergeStats = {
     val f = fs(spark, path)
-    val cur = committedVersion(spark, path)
-    val legacy = cur.isEmpty && f.exists(new Path(path)) &&
-      f.listStatus(new Path(path)).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val existing: Option[DataFrame] =
-      if (cur.isDefined) Some(readCommitted(spark, path))
-      else if (legacy) Some(spark.read.parquet(path))
-      else None
-    val merged = existing match {
-      case Some(e) => merge(e, incoming, key, overwriteColumns)
-      case None => incoming
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = committedVersion(spark, path)
+      val legacyDf = if (cur.isEmpty) probeLegacy(spark, path) else None
+      val legacyEntries =
+        if (legacyDf.isDefined) legacyRootEntries(spark, path) else Seq.empty
+      val existing: Option[DataFrame] =
+        if (cur.isDefined) Some(readCommitted(spark, path)) else legacyDf
+      val merged = existing match {
+        case Some(e) => merge(e, incoming, key, overwriteColumns)
+        case None => incoming
+      }
+      // repeated merges otherwise accumulate shuffle-partition-many small
+      // files per cycle; hash-repartitioning on the key also keeps rows
+      // with the same key in one file (compact + predictable)
+      val out =
+        if (outputPartitions > 0) merged.repartition(outputPartitions, col(key))
+        else merged
+      val next = cur.getOrElse(-1L) + 1L
+      val stage = new Path(s"$path/.stage-${java.util.UUID.randomUUID()}")
+      out.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // count BEFORE the flip: the incoming lineage may itself read the
+      // committed snapshot (e.g. a score column derived from the previous
+      // table version); versioning keeps those files intact until GC, but
+      // counting first also survives retain-window eviction
+      val incomingRows = incoming.count()
+      if (claimVersion(spark, stage, new Path(s"$path/v=$next"))) {
+        if (legacyEntries.nonEmpty)
+          writeLegacyTombstone(spark, path,
+            s"#v=$next" +: legacyEntries)
+        commitManifest(spark, path, next)
+        gc(spark, path, next)
+        // the store gained a version: drop any cached listing of the root
+        spark.catalog.refreshByPath(path)
+        return MergeStats(incomingRows, readCommitted(spark, path).count())
+      }
+      // lost the race: discard the stage, wait for the winner's commit
+      // so the retry merges against it (re-merging is required — the
+      // staged data was computed against a now-stale snapshot)
+      f.delete(stage, true)
+      if (attempt >= maxAttempts) throw new IllegalStateException(
+        s"upsert to $path lost the version claim $maxAttempts times — " +
+          "writer contention exceeds the CAS retry budget")
+      awaitCommit(spark, path, next)
     }
-    // repeated merges otherwise accumulate shuffle-partition-many small
-    // files per cycle; hash-repartitioning on the key also keeps rows
-    // with the same key in one file (compact + predictable)
-    val out =
-      if (outputPartitions > 0) merged.repartition(outputPartitions, col(key))
-      else merged
-    val next = cur.getOrElse(-1L) + 1L
-    out.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
-    // count BEFORE the flip: the incoming lineage may itself read the
-    // committed snapshot (e.g. a score column derived from the previous
-    // table version); versioning keeps those files intact until GC, but
-    // counting first also survives retain-window eviction
-    val incomingRows = incoming.count()
-    commitManifest(spark, path, next)
-    gc(spark, path, next)
-    // the store gained a version: drop any cached listing of the root
-    spark.catalog.refreshByPath(path)
-    val mergedRows = readCommitted(spark, path).count()
-    MergeStats(incomingRows, mergedRows)
+    throw new IllegalStateException("unreachable")
   }
 
   /** S8 truncate-and-load (ref sectormerged_improved.py:629-645) — the
-    * same versioned commit with the new snapshot REPLACING the table:
-    * a reader mid-scan of the previous version is undisturbed; the
-    * next manifest resolution sees only the loaded snapshot. */
-  def overwrite(df: DataFrame, path: String): Unit = {
+    * same staged-claim-flip commit with the new snapshot REPLACING the
+    * table: a reader mid-scan of the previous version is undisturbed;
+    * the next manifest resolution sees only the loaded snapshot. A lost
+    * claim just re-derives the next version (no re-merge needed — the
+    * load does not depend on prior content). */
+  def overwrite(df: DataFrame, path: String, maxAttempts: Int = 5): Unit = {
     val spark = df.sparkSession
-    val next = committedVersion(spark, path).getOrElse(-1L) + 1L
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
-    commitManifest(spark, path, next)
-    gc(spark, path, next)
-    spark.catalog.refreshByPath(path)
+    val f = fs(spark, path)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val next = committedVersion(spark, path).getOrElse(-1L) + 1L
+      val stage = new Path(s"$path/.stage-${java.util.UUID.randomUUID()}")
+      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      if (claimVersion(spark, stage, new Path(s"$path/v=$next"))) {
+        commitManifest(spark, path, next)
+        gc(spark, path, next)
+        spark.catalog.refreshByPath(path)
+        return
+      }
+      f.delete(stage, true)
+      if (attempt >= maxAttempts) throw new IllegalStateException(
+        s"overwrite of $path lost the version claim $maxAttempts times")
+      awaitCommit(spark, path, next)
+    }
   }
 }

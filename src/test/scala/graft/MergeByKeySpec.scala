@@ -77,7 +77,7 @@ class MergeByKeySpec extends SparkSpec {
   }
 
   test("retention: versions older than the previous are GC'd; legacy " +
-    "flat stores migrate on first versioned commit") {
+    "flat stores migrate with one-cycle deferred cleanup") {
     val dir = Files.createTempDirectory("graft_gc").toString + "/t"
     // legacy flat store written without versioning
     Seq(("A", 1.0)).toDF("k", "v").write.parquet(dir)
@@ -85,10 +85,17 @@ class MergeByKeySpec extends SparkSpec {
     MergeByKey.upsert(spark, Seq(("B", 2.0)).toDF("k", "v"), dir, "k")
     assert(MergeByKey.readCommitted(spark, dir).rowsSet ==
       Set(Seq("A", 1.0), Seq("B", 2.0)))
-    // legacy root files gone after the commit
-    assert(!new java.io.File(dir).listFiles()
-      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // legacy root files SURVIVE the migration commit (a reader that
+    // resolved the store via the flat-parquet fallback gets the same
+    // one-merge-cycle slack as versioned readers) ...
+    assert(new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "legacy files must outlive the migration commit by one cycle")
     MergeByKey.upsert(spark, Seq(("C", 3.0)).toDF("k", "v"), dir, "k")
+    // ... and are gone after the NEXT commit's gc
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "legacy files must be tombstone-GC'd one commit after migration")
     MergeByKey.upsert(spark, Seq(("D", 4.0)).toDF("k", "v"), dir, "k")
     val versions = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted
@@ -96,5 +103,95 @@ class MergeByKeySpec extends SparkSpec {
       "retain=2: committed + previous only")
     assert(MergeByKey.readCommitted(spark, dir).rowsSet == Set(
       Seq("A", 1.0), Seq("B", 2.0), Seq("C", 3.0), Seq("D", 4.0)))
+  }
+
+  test("legacy detection is directory-aware: a PARTITIONED pre-versioned " +
+    "store (no root .parquet files) merges instead of being dropped") {
+    val dir = Files.createTempDirectory("graft_gc_part").toString + "/t"
+    Seq(("A", 1.0, "x"), ("B", 2.0, "y")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(dir)
+    MergeByKey.upsert(spark, Seq(("C", 3.0, "x")).toDF("k", "v", "p"),
+      dir, "k")
+    // the nested legacy data is IN the merge, not treated as fresh
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet ==
+      Set(Seq("A", 1.0, "x"), Seq("B", 2.0, "y"), Seq("C", 3.0, "x")))
+    // partition dirs survive the migration commit, gone one cycle later
+    def partDirs() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p=")).toSeq
+    assert(partDirs().nonEmpty, "deferred cleanup keeps partition dirs")
+    MergeByKey.upsert(spark, Seq(("D", 4.0, "z")).toDF("k", "v", "p"),
+      dir, "k")
+    assert(partDirs().isEmpty, "tombstoned partition dirs GC'd next cycle")
+  }
+
+  test("gc never deletes foreign content it cannot positively identify") {
+    val dir = Files.createTempDirectory("graft_gc_foreign").toString + "/t"
+    Seq(("A", 1.0)).toDF("k", "v").write.parquet(dir)
+    // a foreign file and dir that are NOT parquet writer output
+    val notes = new java.io.File(dir, "notes")
+    notes.mkdirs()
+    Files.writeString(notes.toPath.resolve("readme.txt"), "keep me")
+    Files.writeString(new java.io.File(dir, "owner.txt").toPath, "keep")
+    MergeByKey.upsert(spark, Seq(("B", 2.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("C", 3.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("D", 4.0)).toDF("k", "v"), dir, "k")
+    assert(new java.io.File(dir, "notes/readme.txt").exists(),
+      "foreign dir must survive every gc cycle")
+    assert(new java.io.File(dir, "owner.txt").exists(),
+      "foreign file must survive every gc cycle")
+    assert(MergeByKey.readCommitted(spark, dir).count() == 4)
+  }
+
+  test("manifest robustness: multi-digit versions read to EOF; corrupt " +
+    "manifests fail loudly instead of resolving a wrong snapshot") {
+    val dir = Files.createTempDirectory("graft_manifest").toString + "/t"
+    MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    // hand-flip to a multi-digit version: the read must return ALL
+    // digits (a short read of '1234567890' as '1' would silently
+    // resolve an older snapshot). Drop the local-FS checksum sidecar
+    // first — hand-editing the file invalidates it.
+    def handWrite(content: String): Unit = {
+      new java.io.File(dir, "._manifest.crc").delete()
+      Files.writeString(new java.io.File(dir, "_manifest").toPath, content)
+    }
+    handWrite("1234567890\n")
+    assert(MergeByKey.committedVersion(spark, dir) === Some(1234567890L))
+    handWrite("")
+    val eEmpty = intercept[IllegalStateException] {
+      MergeByKey.committedVersion(spark, dir)
+    }
+    assert(eEmpty.getMessage.contains("corrupt manifest"))
+    handWrite("vNaN")
+    val eBad = intercept[IllegalStateException] {
+      MergeByKey.committedVersion(spark, dir)
+    }
+    assert(eBad.getMessage.contains("corrupt manifest"))
+  }
+
+  test("CAS: two racing writers — exactly one wins each version claim, " +
+    "the loser retries against the winner's snapshot, nothing orphaned") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft_cas").toString + "/t"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(k: String, v: Double) = Future {
+      val df = Seq((k, v)).toDF("k", "v")
+      barrier.await()
+      MergeByKey.upsert(spark, df, dir, "k")
+    }
+    val (sa, sb) = (writer("A", 1.0), writer("B", 2.0))
+    val statsA = Await.result(sa, 120.seconds)
+    val statsB = Await.result(sb, 120.seconds)
+    assert(statsA.incomingRows == 1 && statsB.incomingRows == 1)
+    // both rows landed: the loser re-merged against the winner's commit
+    assert(MergeByKey.readCommitted(spark, dir).rowsSet ==
+      Set(Seq("A", 1.0), Seq("B", 2.0)))
+    // versions serialized: v=0 (winner) then v=1 (retried loser)
+    assert(MergeByKey.committedVersion(spark, dir) === Some(1L))
+    val entries = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(entries.filter(_.startsWith("v=")) == Set("v=0", "v=1"))
+    assert(!entries.exists(_.startsWith(".stage-")),
+      "losing writers must clean up their staging dirs")
   }
 }
