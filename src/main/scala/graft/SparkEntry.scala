@@ -40,17 +40,21 @@ object SparkEntry {
     * staged path is pair-for-pair identical and the oracle is
     * untouched. q30 keeps the unstaged embeddingNearDup build as the
     * from-scratch gate of the signing stage itself. */
-  private def lshNearDupPairs(s: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
+  /** The staged full-corpus band-key store behind [[lshNearDupPairs]]
+    * and every other LSH consumer (range counts, batch probes). */
+  private def stagedEmbKeys(s: SparkSession, dir: String): DataFrame = {
     val stamp = Dedup.sourceStamp(s, s"$dir/embeddings.parquet")
     val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "target/graft-stage")
-    val keys = SimilaritySearch.stagedBandKeys(
+    SimilaritySearch.stagedBandKeys(
       T(s, dir, "embeddings"), "vec_id", "embedding",
       s"$root/embkeys-full-$stamp-b$lshBaseBits-n$lshBands-r$lshBitsPerBand",
       lshBaseBits, lshBands, lshBitsPerBand)
-    SimilaritySearch.embeddingNearDupFromKeys(keys,
-      T(s, dir, "embeddings"), "vec_id", "embedding", threshold)
   }
+
+  private def lshNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    SimilaritySearch.embeddingNearDupFromKeys(stagedEmbKeys(s, dir),
+      T(s, dir, "embeddings"), "vec_id", "embedding", threshold)
 
   /** Round 16: the near-dup COMPONENT-LABEL map at the suite's
     * standard 0.45 threshold, staged once per (corpus stamp, LSH
@@ -2713,6 +2717,66 @@ object SparkEntry {
       AggMaintenance.mergeStates(base, delta, Seq("c_nationkey"))
     }),
 
+    // ---- maintenance: INCREMENTAL COMPONENT MAP — q343's IVM
+    // discipline on the near-dup graph (r16 verdict #2): the staged
+    // (node, component) map of the STANDING pairs (both endpoints
+    // ≢ 0 mod 7 — yesterday's corpus) merged with the DELTA batch
+    // (pairs touching a "new" doc) must equal the full recompute
+    // over every pair; the oracle is exactly q47's recursive-CTE
+    // closure, so merge == rebuild is hash-gated cross-engine.
+    "q344_incremental_components" -> ((s, dir) => {
+      val pairs = lshNearDupPairs(s, dir, threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      val standingEnds =
+        pmod(col("id_a"), lit(7)) =!= 0 && pmod(col("id_b"), lit(7)) =!= 0
+      val staged = Dedup.connectedComponents(
+        pairs.filter(standingEnds), "id_a", "id_b")
+      Dedup.mergeComponentMap(staged, pairs.filter(!standingEnds),
+        "id_a", "id_b")
+    }),
+
+    // ---- privacy: RECURSIVE (c,l)-DIVERSITY — the dominance test
+    // k/l flags miss (q66's class can hold l values yet be 99% one
+    // value): r1 < c·Σ_{i≥l} r_i per class, exact integer cross-
+    // multiplication with c = 1/1, l = 3.
+    "q345_recursive_ldiversity" -> ((s, dir) =>
+      PrivacyAudit.recursiveLDiversity(T(s, dir, "customer"),
+        Seq("c_mktsegment"), "c_nationkey", l = 3, cNum = 1L, cDen = 1L)),
+
+    // ---- graph: LANDMARK HARMONIC CENTRALITY within 3 hops on the
+    // staged purchase graph (q254's seed sample) — Σ 1e6 div dist
+    // over reached nodes, the disconnected-safe closeness.
+    "q346_harmonic_centrality" -> ((s, dir) =>
+      GraphRank.harmonicCentrality(stagedPurchaseEdges(s, dir),
+        "src", "dst",
+        T(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") * 2L).as("node")),
+        "node", maxHops = 3)),
+
+    // ---- analytics: KENDALL tau-a between event types' daily count
+    // series — rank concordance over aligned day pairs, all-integer
+    // with the q320 truncating-div convention.
+    "q347_kendall_daily" -> ((s, dir) =>
+      EventAnalytics.kendallDailyPairs(T(s, dir, "events"),
+        "event_type", "ts")),
+
+    // ---- analytics: DAY-OF-WEEK SEASONAL PROFILE — per (type, epoch
+    // day mod 7) the lower-median daily count + the worst single-day
+    // deviation from it; the seasonal-naive anomaly baseline.
+    "q348_dow_seasonality" -> ((s, dir) =>
+      EventAnalytics.dowSeasonality(T(s, dir, "events"),
+        "event_type", "ts")),
+
+    // ---- similarity: RANGE COUNT per anchor — neighborhood size +
+    // max cosine (e4) within radius 0.3 from the staged band-key
+    // index; the radius twin of q82's batched top-k.
+    "q349_ann_range_count" -> ((s, dir) =>
+      SimilaritySearch.rangeCountFromKeys(stagedEmbKeys(s, dir),
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        T(s, dir, "embeddings").filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id")),
+        "vec_id", threshold = 0.3)),
+
     // ---- drift: WASSERSTEIN-1 per source vs rest on doc length —
     // q257's KS integrated over the whole value axis: cross-
     // multiplied ECDF gaps × interval widths, exact e2 units.
@@ -2990,22 +3054,32 @@ object SparkEntry {
     // maintenance card (3-round ladders on both sides; nodes born in
     // the batch read rank_before 0).
     "q299_pagerank_delta" -> ((s, dir) => {
-      val o = T(s, dir, "orders").select(col("o_orderkey"),
-        col("o_custkey"))
-      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
-        col("l_suppkey"))
-      def edges(baseOnly: Boolean) = {
-        val oo = if (baseOnly) o.filter(col("o_orderkey") % 5 =!= 0)
-          else o
-        li.join(oo, li("l_orderkey") === oo("o_orderkey"))
+      // r17 (r16 verdict perf note): the "before" ladder is the
+      // STANDING corpus's ranks — an incremental pipeline never
+      // recomputes yesterday's PageRank, it stages it once per corpus
+      // stamp (deterministic exact-integer ladder, so the staged rows
+      // are bit-identical to an inline build); the "after" ladder
+      // rides the staged purchase-edge store every graph gate shares.
+      // Per-query work drops from two full ladders to one.
+      val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet") + "-" +
+        Dedup.sourceStamp(s, s"$dir/lineitem.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val before = Tables.stagedParquet(s,
+          s"$root/pr-before-$stamp-i3") {
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"))
+        val oo = o.filter(col("o_orderkey") % 5 =!= 0)
+        val baseEdges = li.join(oo, li("l_orderkey") === oo("o_orderkey"))
           .select((col("o_custkey") * 2L).as("src"),
             (col("l_suppkey") * 2L + 1L).as("dst"))
           .distinct()
+        GraphRank.pageRank(baseEdges, "src", "dst", iterations = 3)
+          .select(col("node"), col("rank_e6").as("rank_before"))
       }
-      val before = GraphRank.pageRank(edges(baseOnly = true),
-          "src", "dst", iterations = 3)
-        .select(col("node"), col("rank_e6").as("rank_before"))
-      val after = GraphRank.pageRank(edges(baseOnly = false),
+      val after = GraphRank.pageRank(stagedPurchaseEdges(s, dir),
           "src", "dst", iterations = 3)
         .select(col("node"), col("rank_e6").as("rank_after"))
       val j = after.join(before, Seq("node"), "left")
@@ -9157,6 +9231,125 @@ object SparkEntry {
          |  ${graft.functions.ExactRound.ratioScaledSignedSql(
               "s", "n", 0)} AS mean_units
          |FROM s""".stripMargin,
+
+    // q344: the incremental merge must equal the full transitive
+    // closure over ALL pairs — identical to q47's oracle (the
+    // standing/delta split exists only on the engine side; IVM's
+    // contract is that the oracle cannot tell).
+    "q344_incremental_components" ->
+      s"""WITH RECURSIVE ${lshPairCtes("0.45")},
+         |cl(node, r) AS (SELECT a, b FROM e
+         |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a)
+         |SELECT node, least(node, min(r)) AS component
+         |FROM cl GROUP BY node""".stripMargin,
+
+    // q345: frequency rank per class (count desc, value asc), exact
+    // cross-multiplied dominance verdict
+    "q345_recursive_ldiversity" ->
+      """WITH cnt AS (SELECT c_mktsegment, c_nationkey AS sv,
+        |    count(*) AS c FROM customer GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c DESC, sv ASC) AS rk FROM cnt)
+        |SELECT c_mktsegment,
+        |  CAST(sum(c) AS BIGINT) AS class_size,
+        |  count(*) AS n_sensitive,
+        |  max(CASE WHEN rk = 1 THEN c END) AS r1,
+        |  CAST(sum(CASE WHEN rk >= 3 THEN c ELSE 0 END) AS BIGINT)
+        |    AS tail_from_l,
+        |  count(*) >= 3 AND max(CASE WHEN rk = 1 THEN c END) * 1 <
+        |    sum(CASE WHEN rk >= 3 THEN c ELSE 0 END) * 1 AS recursive_ok
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q346: the purchase double cover, three dedup'd hop expansions
+    // from the seed sample, min-hop per (seed, node), truncated
+    // reciprocal sum
+    "q346_harmonic_centrality" ->
+      """WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src AS u, dst AS v FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |s AS (SELECT c_custkey * 2 AS seed FROM customer
+        |  WHERE c_custkey % 100 = 0),
+        |d1 AS (SELECT s.seed, e.v AS node FROM s JOIN e ON e.u = s.seed
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT d1.seed, e.v AS node FROM d1 JOIN e ON e.u = d1.node
+        |  GROUP BY 1, 2),
+        |d3 AS (SELECT d2.seed, e.v AS node FROM d2 JOIN e ON e.u = d2.node
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT seed, node, min(hops) AS hops FROM (
+        |    SELECT seed, node, 1 AS hops FROM d1
+        |    UNION ALL SELECT seed, node, 2 FROM d2
+        |    UNION ALL SELECT seed, node, 3 FROM d3)
+        |  WHERE node <> seed GROUP BY 1, 2)
+        |SELECT seed AS node, count(*) AS n_reached,
+        |  CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
+        |FROM dd GROUP BY 1""".stripMargin,
+
+    // q347: aligned daily grid per type pair, day-pair sign census,
+    // truncating tau quotient
+    "q347_kendall_daily" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |al AS (SELECT a.t AS type_a, b.t AS type_b, a.day AS day,
+        |    a.y AS xa, b.y AS xb
+        |  FROM d a JOIN d b ON b.day = a.day AND a.t < b.t),
+        |pp AS (SELECT i.type_a, i.type_b,
+        |    (j.xa - i.xa) * (j.xb - i.xb) AS prod
+        |  FROM al i JOIN al j ON j.type_a = i.type_a
+        |    AND j.type_b = i.type_b AND i.day < j.day)
+        |SELECT type_a, type_b, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_concordant,
+        |  CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_discordant,
+        |  CAST(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ties,
+        |  CAST((sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) * 1000000
+        |    // count(*) AS BIGINT) AS tau_a_e6
+        |FROM pp GROUP BY 1, 2""".stripMargin,
+
+    // q348: lower-median pick per (type, dow) via row_number, max
+    // absolute residual on the join-back
+    "q348_dow_seasonality" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day % 7 AS dow, day, y FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, dow
+        |      ORDER BY y ASC, day ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, dow) AS n
+        |  FROM dw),
+        |m AS (SELECT event_type, dow, n AS n_days, y AS median_y
+        |  FROM r WHERE rn = (n + 1) // 2)
+        |SELECT dw.event_type, dw.dow, m.n_days, m.median_y,
+        |  max(abs(dw.y - m.median_y)) AS max_abs_resid
+        |FROM dw JOIN m ON m.event_type = dw.event_type AND m.dow = dw.dow
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q349: anchor-filtered band-key join (the q179 bipartite shape,
+    // anchor side kept), candidate-only cosine verify, per-anchor
+    // count + e4 max
+    "q349_ann_range_count" ->
+      s"""WITH $lshKeyCtes,
+         |cand AS (SELECT a.vec_id AS anchor_id, b.vec_id AS other_id
+         |  FROM lsh_keys a JOIN lsh_keys b ON b.band = a.band
+         |    AND b.bkey = a.bkey AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 17 = 0 GROUP BY 1, 2),
+         |dotp AS (SELECT c.anchor_id, c.other_id, sum(ea.x * eb.x) AS dot
+         |  FROM cand c JOIN ex ea ON ea.vec_id = c.anchor_id
+         |    JOIN ex eb ON eb.vec_id = c.other_id AND eb.i = ea.i
+         |  GROUP BY 1, 2),
+         |r AS (SELECT anchor_id,
+         |    dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cos
+         |  FROM dotp JOIN nm na ON na.vec_id = anchor_id
+         |    JOIN nm nb ON nb.vec_id = other_id
+         |  WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.3)
+         |SELECT anchor_id, count(*) AS n_in_range,
+         |  max(CAST(round(cos * 10000, 0) AS BIGINT)) AS max_cosine_e4
+         |FROM r GROUP BY 1""".stripMargin,
 
     // q337: cumulative/total window sums per type, the three-term
     // truncating SS ladder, row_number argmax (gain desc, day asc)

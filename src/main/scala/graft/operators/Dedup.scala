@@ -804,6 +804,44 @@ object Dedup {
     labels.select(col("node"), col("comp").as("component"))
   }
 
+  /** Incremental maintenance of a STAGED (node, component) map — the
+    * IVM discipline (q343's merge-equals-recompute contract) applied to
+    * the near-dup graph: given the staged label map of the standing
+    * corpus and a DELTA batch of candidate pairs (a daily crawl's new
+    * near-dup edges, from the same staged band-key index via
+    * incremental probing), produce the label map of the UNION graph
+    * without touching the standing pair surface.
+    *
+    * Correctness: each staged row (node → component) is an edge to the
+    * component's minimum id, which is itself a member node — so the
+    * staged map is a star contraction that preserves BOTH the standing
+    * graph's connectivity and its minimum ids exactly. Running the same
+    * min-label propagation over (star edges ∪ delta pairs) therefore
+    * yields, node for node, what [[connectedComponents]] over
+    * (standing pairs ∪ delta pairs) yields: merge == full recompute,
+    * hash-exact (gated by q344 against the full recursive-CTE oracle).
+    *
+    * Scale: the input is |staged map| + |delta| edges — NOT the
+    * standing pair surface, which at near-dup densities is the larger
+    * object and at 100 TB lives only in cold storage. Stars have
+    * diameter 2, so unless the delta chains many components together
+    * the propagation converges in 2-3 rounds; a full rebuild pays
+    * corpus-wide candidate generation plus propagation over every
+    * standing pair (the `staged_components_build` probe) every batch.
+    * This is the difference between a 10-minute and a 10-hour nightly
+    * dedup refresh. */
+  def mergeComponentMap(staged: DataFrame, deltaPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // self-edges (rep → rep) ride along harmlessly and guarantee every
+    // staged node survives into the merged map even if the delta is
+    // disjoint from it
+    val starEdges = staged
+      .select(col("node").as(aCol), col("component").as(bCol))
+    connectedComponents(
+      starEdges.unionByName(deltaPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+  }
+
   /** Keep ONE representative (the minimum id) per near-dup cluster: rows
     * of `df` minus every pair-list node that is not its component's
     * minimum. Nodes not in any pair are singletons and always kept. The

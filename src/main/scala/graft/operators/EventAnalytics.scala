@@ -1198,15 +1198,32 @@ object EventAnalytics {
     * reported statistic is DEFINED on the truncated keys).
     *
     * Shape at scale: the pair join is per-type over DAILY rows —
-    * days(≤ calendar)², never events²; the median window partitions
-    * by type over those bounded pairs. */
+    * O(D²) pairs where D = the type's distinct-day count, never
+    * events²; the median window partitions by type over those bounded
+    * pairs. D is bounded by the calendar horizon (10 years ≈ 3,652
+    * days ≈ 6.7M pairs/type — one task's work), and `maxDays` makes
+    * the bound explicit the way [[CoOccurrence.basketPairs]]'
+    * `maxBasketSize` does: any type whose series exceeds it fails
+    * loudly (lazy `raise_error` on the load-bearing day column, so
+    * Catalyst cannot prune the guard) instead of silently queuing a
+    * quadratic blowup — re-aggregate to weeks or raise the knob. */
   def theilSen(events: DataFrame, typeCol: String,
-      tsNanosCol: String): DataFrame = {
+      tsNanosCol: String, maxDays: Int = 4096): DataFrame = {
+    require(maxDays > 1, "maxDays must exceed 1")
+    val dWin = Window.partitionBy(col("event_type"))
     val daily = events
       .select(col(typeCol).as("event_type"),
         col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("y"))
+      .withColumn("n_days__", count(lit(1)).over(dWin))
+      .withColumn("day", when(col("n_days__") > maxDays,
+        raise_error(concat(lit("theilSen: event_type '"),
+          col("event_type").cast("string"),
+          lit(s"' exceeds maxDays=$maxDays daily points — the O(D²) " +
+            "pair join would blow up; aggregate coarser or raise maxDays"))))
+        .otherwise(col("day")))
+      .drop("n_days__")
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
@@ -1224,6 +1241,100 @@ object EventAnalytics {
       .filter(col("rn__") ===
         graft.functions.TimeFns.floorDiv(col("n_pairs") + 1L, 2L))
       .select(col("event_type"), col("n_pairs"), col("slope_e6"))
+  }
+
+  /** KENDALL CONCORDANCE (tau-a) between every pair of event types'
+    * daily count series — "do logins and purchases move together
+    * day-over-day?" as a RANK statistic: over the days both types were
+    * observed, count day pairs where the two series move in the same
+    * direction (concordant), opposite (discordant), or tie in either
+    * series; tau_a = (nc − nd) / C(D,2). Rank concordance survives the
+    * outliers and level shifts that wreck Pearson on count data
+    * ([[GroupStats.pearson]]'s caveat), and every quantity here is an
+    * exact integer — tau ships as the toward-zero-truncated e6
+    * quotient (Spark integral `div` == DuckDB `//` on ints, the
+    * [[theilSen]] convention).
+    *
+    * Shape at scale: the day-pair join is per TYPE-PAIR over daily
+    * aggregates — O(T²·D²) with D calendar-bounded and guarded by the
+    * same `maxDays` raise_error discipline as [[theilSen]]; never
+    * events². */
+  def kendallDailyPairs(events: DataFrame, typeCol: String,
+      tsNanosCol: String, maxDays: Int = 4096): DataFrame = {
+    require(maxDays > 1, "maxDays must exceed 1")
+    val dWin = Window.partitionBy(col("t__"))
+    val daily = events
+      .select(col(typeCol).as("t__"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("t__"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("n_days__", count(lit(1)).over(dWin))
+      .withColumn("day", when(col("n_days__") > maxDays,
+        raise_error(concat(lit("kendallDailyPairs: event_type '"),
+          col("t__").cast("string"),
+          lit(s"' exceeds maxDays=$maxDays daily points — the O(D²) " +
+            "pair join would blow up; aggregate coarser or raise maxDays"))))
+        .otherwise(col("day")))
+      .drop("n_days__")
+    val aligned = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.t__") < col("b.t__"))
+      .select(col("a.t__").as("type_a"), col("b.t__").as("type_b"),
+        col("a.day").as("day"), col("a.y").as("xa"), col("b.y").as("xb"))
+    val dayPairs = aligned.as("i").join(aligned.as("j"),
+        col("i.type_a") === col("j.type_a") &&
+          col("i.type_b") === col("j.type_b") &&
+          col("i.day") < col("j.day"))
+      .select(col("i.type_a").as("type_a"), col("i.type_b").as("type_b"),
+        ((col("j.xa") - col("i.xa")) * (col("j.xb") - col("i.xb")))
+          .as("prod__"))
+    dayPairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("prod__") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_concordant"),
+        sum(when(col("prod__") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_discordant"),
+        sum(when(col("prod__") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_ties"))
+      .withColumn("tau_a_e6", call_function("div",
+        (col("n_concordant") - col("n_discordant")) * 1000000L,
+        col("n_pairs")))
+  }
+
+  /** DAY-OF-WEEK SEASONAL PROFILE per event type — the classic
+    * seasonal-naive baseline: per (type, epoch-day mod 7) the LOWER
+    * MEDIAN of the daily counts (the [[theilSen]] row_number pick —
+    * a real observed value, deterministic under ties) plus the worst
+    * deviation any single day shows against its weekday's median.
+    * The profile is what a volume-anomaly monitor alerts against
+    * ("Tuesday looks like a Sunday"), and median beats mean here for
+    * the same robustness reason Theil–Sen beats OLS.
+    *
+    * All-integer surface: counts, lower-median counts, |y − median|.
+    * Shape at scale: daily aggregate → one bounded window per
+    * (type, dow) over ≤ calendar/7 rows → join back + re-aggregate;
+    * never events-sized windows. */
+  def dowSeasonality(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        col(tsNanosCol).div_(86400L * 1000000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val mw = Window.partitionBy(col("event_type"), col("dow"))
+      .orderBy(col("y").asc, col("day").asc)
+    val cw = Window.partitionBy(col("event_type"), col("dow"))
+    val medians = daily
+      .withColumn("rn__", row_number().over(mw))
+      .withColumn("n_days", count(lit(1)).over(cw))
+      .filter(col("rn__") ===
+        graft.functions.TimeFns.floorDiv(col("n_days") + 1L, 2L))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("y").as("median_y"))
+    daily.join(medians, Seq("event_type", "dow"))
+      .groupBy(col("event_type"), col("dow"), col("n_days"),
+        col("median_y"))
+      .agg(max(abs(col("y") - col("median_y"))).as("max_abs_resid"))
   }
 
   /** WALD–WOLFOWITZ RUNS TEST on each type's daily count series —

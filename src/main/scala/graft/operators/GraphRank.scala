@@ -643,6 +643,56 @@ object GraphRank {
     dist
   }
 
+  /** HARMONIC CENTRALITY within a hop horizon, per LANDMARK — for each
+    * seed node, Σ over nodes reachable in ≤ `maxHops` of 1/dist, the
+    * standard disconnected-graph-safe closeness (Boldi & Vigna 2014;
+    * unreachable nodes contribute 0 instead of breaking the mean).
+    * Reciprocals ship as the truncated e6 integers `1000000 div d`
+    * (d=1 → 1000000, d=2 → 500000, d=3 → 333333), so the statistic is
+    * DEFINED on integer units and mirrors exactly cross-engine.
+    *
+    * Landmark form is the scale discipline: exact all-pairs harmonic
+    * is O(n·m); production ranks a seed SAMPLE (or the HyperBall
+    * sketch, out of scope) — here the frontier table is keyed
+    * (seed, node) and each round is one adjacency join + a min-dist
+    * re-aggregate, [[bfsHops]]' loop with the seed dimension riding
+    * along. Seeds with no edges vanish from the output (no reachable
+    * peers — their harmonic sum is an empty sum).
+    *
+    * Output: (node = the seed, n_reached, harmonic_e6). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, "need maxHops >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val fwd = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val adj = graft.Caches.register(fwd
+      .union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var dist = seeds.select(col(seedCol).cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj
+        .join(dist.select(col("seed"), col("node").as("u"), col("hops")),
+          "u")
+        .select(col("seed"), col("v").as("node"),
+          (col("hops") + 1L).as("hops"))
+      dist = dist.union(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist.filter(col("node") =!= col("seed"))
+      .groupBy(col("seed").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(call_function("div", lit(1000000L), col("hops")))
+          .cast("long").as("harmonic_e6"))
+  }
+
   /** k-CORE decomposition by iterative peeling — the maximal subgraph
     * where every node keeps degree ≥ k (the "dense heart" of a
     * near-dup graph: a k-core that survives aggressive peeling is a

@@ -129,4 +129,47 @@ object PrivacyAudit {
           .cast("long").as("n_violating_rows"),
         (min(col("sz__")) >= k).as("k_ok"))
   }
+
+  /** RECURSIVE (c,l)-diversity (Machanavajjhala et al., TKDD 2007 §4)
+    * — the sharper rung between [[kAnonymity]]'s distinct-l flag and
+    * [[tCloseness]]: a class can hold l distinct sensitive values yet
+    * still leak when one value dominates ("99% of this zip's rows say
+    * 'flu'"). Per equivalence class, rank sensitive values by
+    * frequency (count desc, value asc — a total deterministic order)
+    * and test r₁ < c · (r_l + r_{l+1} + …): the most common value must
+    * be outweighed, by factor c, by the tail from rank l on. c ships
+    * as the rational cNum/cDen so the comparison is exact integer
+    * cross-multiplication — no float ever enters the verdict.
+    *
+    * Output per class: class size, distinct sensitive count, the top
+    * frequency r1, the tail sum from rank l, and `recursive_ok`
+    * (r1·cDen < cNum·tail; vacuously false when fewer than l distinct
+    * values exist — the class fails plain l-diversity first).
+    *
+    * Shape at scale: one (class, value) count aggregate, one window
+    * rank PARTITIONED BY CLASS over the distinct-value rows (bounded
+    * by the sensitive domain, never the row count), one class
+    * re-aggregate. */
+  def recursiveLDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int, cNum: Long, cDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "recursive (c,l)-diversity needs l >= 2")
+    require(cNum > 0 && cDen > 0, "c must be a positive rational")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("sv__")): _*)
+      .agg(count(lit(1)).as("cnt__"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("cnt__").desc, col("sv__").asc)
+    counts.withColumn("rk__", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("cnt__")).cast("long").as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(when(col("rk__") === 1, col("cnt__"))).as("r1"),
+        sum(when(col("rk__") >= l, col("cnt__")).otherwise(0L))
+          .cast("long").as("tail_from_l"))
+      .withColumn("recursive_ok",
+        col("n_sensitive") >= l &&
+          col("r1") * cDen < col("tail_from_l") * cNum)
+  }
 }

@@ -164,11 +164,25 @@ object SimilaritySearch {
   def crossLabelNearDup(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, threshold: Double,
       lsh: Boolean = false): DataFrame = {
-    val labels = df.select(col(idCol).cast("long").as("id__"),
-      col(labelCol).cast("long").as("lab__"))
     val pairs =
       if (lsh) embeddingNearDup(df, idCol, vecCol, threshold)
       else embeddingNearDupExact(df, idCol, vecCol, threshold)
+    crossLabelNearDupFromPairs(pairs, df, idCol, labelCol)
+  }
+
+  /** The label-attach half of [[crossLabelNearDup]] over an ALREADY-
+    * BUILT (id_a, id_b, cosine) pair surface — the consumer shape for
+    * a STAGED pair store (r16 verdict #3): a production pipeline
+    * verifies the near-dup pairs once per corpus stamp (from the
+    * staged band-key index) and every downstream audit — label noise
+    * here, label propagation, component maintenance — reads that one
+    * table instead of re-running candidate generation + cosine verify
+    * per consumer. Pure equi-joins on the (small) surviving pair list;
+    * never touches vectors. */
+  def crossLabelNearDupFromPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val labels = df.select(col(idCol).cast("long").as("id__"),
+      col(labelCol).cast("long").as("lab__"))
     pairs
       .join(labels.select(col("id__").as("id_a"), col("lab__").as("label_a")),
         "id_a")
@@ -588,6 +602,44 @@ object SimilaritySearch {
       .withColumn("cosine", VectorFns.cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** RANGE SEARCH over the staged band-key index — per anchor, HOW
+    * MANY corpus vectors sit within the cosine radius, plus the
+    * closest one's similarity (e4 integer units): the "how crowded is
+    * this embedding's neighborhood" statistic behind dedup-pressure
+    * dashboards and radius-based blocklists, where top-k is the wrong
+    * shape because the answer IS the count. Candidates come from
+    * band-key co-membership (anchor keys semi-join the standing key
+    * table — the [[lshProbe]] pruning, batched); the exact cosine
+    * verify touches candidates only, and anchors whose neighborhood is
+    * empty vanish (an empty count is an empty group, not a zero row).
+    *
+    * Shape at scale: anchors are a bounded batch, so their key rows
+    * broadcast; one pkey-equi-join against the staged index, one
+    * candidate-pair verify, one per-anchor aggregate. */
+  def rangeCountFromKeys(keys: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, anchors: DataFrame,
+      anchorCol: String, threshold: Double): DataFrame = {
+    val aKeys = keys.join(
+      broadcast(anchors.select(col(anchorCol).as("id")).distinct()), "id")
+    val cand = aKeys.select(col("id").as("anchor_id"), col("pkey"))
+      .join(keys.select(col("id").as("other_id"), col("pkey")), "pkey")
+      .filter(col("anchor_id") =!= col("other_id"))
+      .select(col("anchor_id"), col("other_id"))
+      .dropDuplicates("anchor_id", "other_id")
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("anchor_id"), col("vec").as("va")),
+        "anchor_id")
+      .join(vecs.select(col("id").as("other_id"), col("vec").as("vb")),
+        "other_id")
+      .withColumn("cosine", VectorFns.cosineNative(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_in_range"),
+        max(round(col("cosine") * 10000, 0).cast("long"))
+          .as("max_cosine_e4"))
   }
 
   /** Incremental embedding near-dup — pairs with at least one endpoint

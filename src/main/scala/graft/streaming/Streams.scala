@@ -179,7 +179,16 @@ object Streams {
   /** Two-slot anchor state: `aTs`/`aId` is the latest A by (ts, id);
     * `prevTs`/`prevId` (valid iff `hasPrev`) is the latest A whose ts
     * is STRICTLY below `aTs` — the fallback anchor for a B that shares
-    * a timestamp with the latest A. Still O(1) per key. */
+    * a timestamp with the latest A. Still O(1) per key.
+    *
+    * STATE-SCHEMA COMPATIBILITY: this case class grew from 2 to 5
+    * fields in r16 (the equal-timestamp shadow fix) — a checkpoint
+    * written by the 2-field encoder will NOT restore into this shape.
+    * This repo's detectors run with fresh per-run checkpoints, so
+    * nothing here migrates; a deployment whose checkpoint outlives
+    * the upgrade must start a NEW checkpoint location (or a new query
+    * name) for the detector — the standard Structured Streaming
+    * state-evolution discipline. */
   case class PatternState(aTs: Long, aId: Long,
     prevTs: Long, prevId: Long, hasPrev: Boolean)
   case class PatternHit(key: String, a_event_id: Long,

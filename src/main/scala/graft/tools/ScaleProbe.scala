@@ -51,17 +51,37 @@ object ScaleProbe {
         .otherwise((pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100.0)))
       .withColumn("m2", (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 10.0))
 
+    // Artifact header (r16 verdict #4): record the box's 1-min loadavg
+    // before the suite, so a contended run is adjudicable from the
+    // artifact alone — the same defense BENCH grew in r12/r16.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    emit(f"""{"header":"scale","rows":$n,"repeats":2,"load_before":${loadAvg()}%.2f}""")
+
     // by-name: operators with eager internals (checkpointing iterative
-    // loops) must run INSIDE the timer, not at argument evaluation
-    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+    // loops) must run INSIDE the timer, not at argument evaluation.
+    // r16 verdict #4: each probe runs TWICE and reports sec = MIN plus
+    // both raw samples — contention inflates wall time but never
+    // deflates it, so min is the quiet estimate and a within-probe
+    // spread > 2x marks the samples themselves as noisy
+    // (tools/scale_diff.py adjudicates cross-round drift from these).
+    def timeRuns(name: String)(run: Int => org.apache.spark.sql.DataFrame): Unit = {
       if (!only.forall(_.contains(name))) return
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      emit(f"""{"probe":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-      // scalable rank/percentile and clustering persist internally;
-      // isolate probes like Verify/Bench do
-      spark.catalog.clearCache()
+      val runs = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        run(i).write.format("noop").mode("overwrite").save()
+        // scalable rank/percentile and clustering persist internally;
+        // isolate probes (and the repeat) like Verify/Bench do
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      emit(f"""{"probe":"$name","rows":$n,"sec":${runs.min}%.2f,""" +
+        s""""sec_runs":[${runs.map(r => f"$r%.2f").mkString(",")}]}""")
     }
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      timeRuns(name)(_ => df)
 
     time("hierarchical_zscore") {
       HierarchicalZScore(df, Seq("m1" -> 0.6, "m2" -> 0.4),
@@ -432,17 +452,9 @@ object ScaleProbe {
         sourced.select(col("id"), col("source"), col("toks")),
         "source", "toks", "id", cap = 1000)
     }
-    time("label_noise_pairs_lsh") {
-      // LSH kernel at the REALISTIC label-noise threshold 0.8
-      // (adaptiveBands ≈ 120): the exact triangle twin is the
-      // declared-O(n²) gate shape, unpayable at probe volumes, and the
-      // 0.45 gate threshold exists only because the synthetic corpus
-      // is i.i.d. noise — at 0.45 adaptiveBands derives ~3,055 bands
-      // (the operator scaladoc's documented 25× regime), whose 200k ×
-      // 3k exploded keys are a deliberate-cost choice, not a default
-      graft.operators.SimilaritySearch.crossLabelNearDup(labeledVecs,
-        "vec_id", "embedding", "label", threshold = 0.8, lsh = true)
-    }
+    // label_noise_pairs_lsh moved below the staged-surface builds
+    // (r16 verdict #3): it now consumes the staged verified-pair
+    // store instead of re-running candidate generation + verify.
 
     // ---- round-11 operators
     time("line_dedup") {
@@ -573,33 +585,67 @@ object ScaleProbe {
         s""""all_pairs":$allVecPairs,""" +
         s""""sub_quadratic":${buckets.getLong(2) * 100 < allVecPairs}}""")
     }
-    // r16 (r15 verdict #1): the probes now mirror production's TWO
-    // staging layers — band keys signed once (stagedBandKeys), the
-    // component-label map built once (stagedParquet over CC of the
-    // staged-key pair surface) — and every composite consumer reads
-    // the staged stores, so its probe measures ONLY its own cost.
-    // The build costs are probes of their own; connected_components
-    // above stays the from-scratch gate of the propagation kernel.
+    // r16 (r15 verdict #1) + r17 (r16 verdict #3): the probes mirror
+    // production's THREE staging layers — band keys signed once
+    // (stagedBandKeys), the verified PAIR surface built once from
+    // those keys (stagedParquet at the graph-feeding 0.3 floor; every
+    // higher-threshold consumer filters the stored cosine), and the
+    // component-label map built once — and every composite consumer
+    // reads the staged stores, so its probe measures ONLY its own
+    // cost. The build costs are probes of their own, sampled twice
+    // into separate store dirs so both samples are REAL builds (a
+    // second touch of the same store would measure a parquet read);
+    // connected_components above stays the from-scratch gate of the
+    // propagation kernel.
     val probeStage = java.nio.file.Files
       .createTempDirectory("graft-probe-stage").toString
-    def probeVecKeys() = graft.operators.SimilaritySearch
+    def probeVecKeys(sfx: String = "") = graft.operators.SimilaritySearch
       .stagedBandKeys(labeledVecs, "vec_id", "embedding",
-        s"$probeStage/embkeys", 512, 96, 16)
-    time("staged_band_keys_build") { probeVecKeys() }
-    def probeComponents() = graft.Tables.stagedParquet(spark,
-      s"$probeStage/comps") {
+        s"$probeStage/embkeys$sfx", 512, 96, 16)
+    timeRuns("staged_band_keys_build") { i =>
+      probeVecKeys(if (i == 1) "" else s"-s$i")
+    }
+    def probePairs(sfx: String = "") = graft.Tables.stagedParquet(spark,
+      s"$probeStage/pairs$sfx") {
+      graft.operators.SimilaritySearch.embeddingNearDupFromKeys(
+        probeVecKeys(), labeledVecs, "vec_id", "embedding",
+        threshold = 0.3)
+    }
+    timeRuns("staged_pairs_build") { i =>
+      probePairs(if (i == 1) "" else s"-s$i")
+    }
+    def probeComponents(sfx: String = "") = graft.Tables.stagedParquet(spark,
+      s"$probeStage/comps$sfx") {
       graft.operators.Dedup.connectedComponents(
         graft.operators.SimilaritySearch.embeddingNearDupFromKeys(
           probeVecKeys(), labeledVecs, "vec_id", "embedding",
           threshold = 0.45).select(col("id_a"), col("id_b")),
         "id_a", "id_b")
     }
-    time("staged_components_build") { probeComponents() }
+    timeRuns("staged_components_build") { i =>
+      probeComponents(if (i == 1) "" else s"-s$i")
+    }
+    // incremental component maintenance (r16 verdict #2): a delta
+    // batch of nDocs/100 pseudo-random pairs merged into the staged
+    // label map — the nightly-refresh path, which must cost a small
+    // fraction of staged_components_build's full rebuild
+    time("component_map_delta_merge") {
+      val delta = spark.range(nDocs / 100)
+        .select(pmod(xxhash64(col("id"), lit(70)), lit(nDocs)).as("id_a"),
+          pmod(xxhash64(col("id"), lit(71)), lit(nDocs)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      graft.operators.Dedup.mergeComponentMap(probeComponents(), delta,
+        "id_a", "id_b")
+    }
+    time("label_noise_pairs_lsh") {
+      // consumer cost only: filter the staged 0.3-floor pair store to
+      // the realistic label-noise threshold 0.8, attach labels
+      graft.operators.SimilaritySearch.crossLabelNearDupFromPairs(
+        probePairs().filter(col("cosine") >= 0.8), labeledVecs,
+        "vec_id", "label")
+    }
     time("label_propagation_lsh") {
-      val pairs = graft.operators.SimilaritySearch
-        .embeddingNearDupFromKeys(probeVecKeys(), labeledVecs,
-          "vec_id", "embedding", threshold = 0.3)
-        .select(col("id_a"), col("id_b"))
+      val pairs = probePairs().select(col("id_a"), col("id_b"))
       val nodes = labeledVecs.select(col("vec_id"),
         when(pmod(col("vec_id"), lit(4)) === 0,
           col("label").cast("long")).as("label"))
@@ -1497,6 +1543,58 @@ object ScaleProbe {
       graft.operators.GroupStats.etaSquared(
         df.filter(col("m1").isNotNull), "seg",
         (col("m1") * 100).cast("long"))
+    }
+
+    // ---- round-17 operators
+    time("recursive_ldiversity") {
+      graft.operators.PrivacyAudit.recursiveLDiversity(
+        df.select(col("seg"), col("nat")), Seq("seg"), "nat",
+        l = 3, cNum = 1L, cDen = 1L)
+    }
+    time("harmonic_centrality") {
+      // the connected_components fixture graph (5-chains + one long
+      // chain) with a 20-landmark sample: per-landmark BFS cost, not
+      // all-pairs
+      val clusterEdges = spark.range(n).filter(pmod(col("id"), lit(5)) =!= 4)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val seeds = spark.range(20).select((col("id") * (n / 20)).as("node"))
+      graft.operators.GraphRank.harmonicCentrality(clusterEdges,
+        "src", "dst", seeds, "node", maxHops = 3)
+    }
+    time("kendall_daily") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(135)), lit(8))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(136)), lit(400)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.kendallDailyPairs(ev, "t", "ts")
+    }
+    time("dow_seasonality") {
+      val ev = spark.range(n).select(
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(137)), lit(20))
+          .cast("string")).as("t"),
+        (pmod(xxhash64(col("id"), lit(138)), lit(2000)) *
+          86400000000000L).as("ts"))
+      graft.operators.EventAnalytics.dowSeasonality(ev, "t", "ts")
+    }
+    time("ann_range_count") {
+      // 200 anchors against the staged key store: broadcast anchor
+      // keys, candidate-only verify, per-anchor aggregate
+      graft.operators.SimilaritySearch.rangeCountFromKeys(
+        probeVecKeys(), labeledVecs, "vec_id", "embedding",
+        spark.range(200).select((col("id") * (nDocs / 200)).as("vec_id")),
+        "vec_id", threshold = 0.45)
+    }
+    time("component_map_delta_merge_large") {
+      // a 10x-larger delta (nDocs/10 pairs) — the merge must stay far
+      // under the staged_components_build rebuild even when the batch
+      // is a tenth of the corpus
+      val delta = spark.range(nDocs / 10)
+        .select(pmod(xxhash64(col("id"), lit(72)), lit(nDocs)).as("id_a"),
+          pmod(xxhash64(col("id"), lit(73)), lit(nDocs)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      graft.operators.Dedup.mergeComponentMap(probeComponents(), delta,
+        "id_a", "id_b")
     }
 
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>

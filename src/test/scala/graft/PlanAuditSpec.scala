@@ -852,4 +852,55 @@ class PlanAuditSpec extends SparkSpec {
       .count(_ == "BroadcastNestedLoopJoin") <= 1,
       s"more than the 1-row-total BNLJ in:\n$p")
   }
+
+  test("rangeCountFromKeys: the anchor batch moves by broadcast; the " +
+    "index join and the vector fetches stay equi-joins") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val keys = SimilaritySearch.bandKeyRows(vecs, "vec_id", "embedding",
+      baseBits = 64, bands = 8, bitsPerBand = 8)
+    val p = plan(SimilaritySearch.rangeCountFromKeys(keys, vecs,
+      "vec_id", "embedding",
+      (0L until 5L).toDF("vec_id"), "vec_id", threshold = 0.5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchors must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join crept into rangeCountFromKeys:\n$p")
+  }
+
+  test("kendallDailyPairs: the day-pair expansion is an equi-join on " +
+    "the type-pair key, never a cartesian") {
+    val DAY = 86400L * 1000000000L
+    val ev = (0 until 400).map(i =>
+      (s"t${i % 4}", (i % 25).toLong * DAY + 1L)).toDF("t", "ts")
+    val p = plan(graft.operators.EventAnalytics.kendallDailyPairs(
+      ev, "t", "ts"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pair expansion in kendallDailyPairs:\n$p")
+  }
+
+  test("recursiveLDiversity windows partition by the class key — no " +
+    "single-partition stage") {
+    val df = (0 until 400).map(i => (s"c${i % 4}", (i % 13).toLong))
+      .toDF("seg", "sv")
+    val p = plan(graft.operators.PrivacyAudit.recursiveLDiversity(
+      df, Seq("seg"), "sv", l = 3, cNum = 1L, cDen = 1L))
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"corpus-wide single-partition stage in recursiveLDiversity:\n$p")
+  }
+
+  test("dowSeasonality: bounded (type, dow) windows only — no " +
+    "single-partition stage, no cartesian") {
+    val DAY = 86400L * 1000000000L
+    val ev = (0 until 400).map(i =>
+      (s"t${i % 4}", (i % 30).toLong * DAY + 1L)).toDF("t", "ts")
+    val p = plan(graft.operators.EventAnalytics.dowSeasonality(
+      ev, "t", "ts"))
+    assert(!p.toLowerCase.contains("singlepartition") &&
+      !p.contains("CartesianProduct"),
+      s"unexpected stage in dowSeasonality:\n$p")
+  }
 }

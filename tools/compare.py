@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [jsonOut]
 
 For each query dir under verifyOutDir: load the Spark parquet result,
 run the matching oracle_sql.json entry in DuckDB against the sfDir
 tables, sort columns by name and rows by all columns, compare values
 (exact for non-floats, tiny tolerance report for floats).
+
+When jsonOut is given, writes a self-defending per-query artifact
+(r16 verdict #1: the round-16 driver CORRECTNESS artifact arrived as
+an empty {} and nothing recorded the real gate result) — status per
+query plus the gate-environment stamp, committed as
+CORRECTNESS_LOCAL_r{N}.json at round close. tools/tripwire.py checks
+the driver's artifact against it.
 """
 import sys, json, glob, math
 import duckdb
@@ -19,7 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     # Gate-environment stamp (r7 q71/q72 were DuckDB-version divergence;
     # record what compared so "passes locally, fails on driver" is
     # diagnosable). Merges the engine-side stamp Verify wrote, if any.
@@ -40,24 +47,30 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
+    statuses = {}
     for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         name = qdir.split("/")[-1]
         try:
             spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{qdir}/*.parquet")],
                                  ignore_index=True)
         except ValueError:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            statuses[name] = "fail: no spark output"; continue
         if name not in oracle:
-            print(f"rows-only {name}: {len(spark_df)} rows"); n_rowsonly += 1; continue
+            print(f"rows-only {name}: {len(spark_df)} rows"); n_rowsonly += 1
+            statuses[name] = f"rows-only: {len(spark_df)} rows"; continue
         try:
             oracle_df = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
+            statuses[name] = f"fail: oracle SQL error: {e}"; continue
         s, o = canon(spark_df.copy()), canon(oracle_df.copy())
         if list(s.columns) != list(o.columns):
-            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_fail += 1
+            statuses[name] = f"fail: columns {list(s.columns)} vs {list(o.columns)}"; continue
         if len(s) != len(o):
-            print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1
+            statuses[name] = f"fail: rows {len(s)} vs {len(o)}"; continue
         bad = []
         dtype_bad = []
         for c in s.columns:
@@ -103,16 +116,26 @@ def main(sf_dir, out_dir):
                              for c, sd, od in dtype_bad)
             print(f"FAIL {name}: dtype mismatch — {msgs}")
             n_fail += 1
+            statuses[name] = f"fail: dtype mismatch — {msgs}"
         elif bad:
             msgs = ", ".join(f"{c}: {n} diffs" + (f" (max abs {m:.3g})" if m is not None else "")
                              for c, n, m in bad)
             print(f"FAIL {name}: {len(s)} rows; {msgs}")
             n_fail += 1
+            statuses[name] = f"fail: {msgs}"
         else:
             print(f"PASS {name}: {len(s)} rows, {len(s.columns)} cols (exact)")
             n_pass += 1
+            statuses[name] = f"pass: {len(s)} rows (exact)"
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_rowsonly, "n_queries": len(statuses),
+                       "gate_env": env, "queries": statuses},
+                      f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
