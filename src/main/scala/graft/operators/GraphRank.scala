@@ -738,6 +738,60 @@ object GraphRank {
     deg
   }
 
+  /** k-TRUSS decomposition by iterative edge peeling — the EDGE-level
+    * sharpening of [[kCore]]: keep only edges supported by ≥ k−2
+    * triangles within the surviving subgraph (Cohen 2008). A k-core
+    * can be a sparse hub star; a k-truss is held together by actual
+    * triangle mass, which on a near-dup graph separates template
+    * clusters (clique-like, high truss) from chained borderline pairs
+    * (trees, zero support). Runs `rounds` fixed peels; peeling is
+    * monotone (edge sets only shrink), so once a round is a no-op
+    * every later round is too — ANY fixed `rounds` at or past the
+    * peel depth is exact, and the unrolled oracle runs the same
+    * count either way.
+    *
+    * Support counting: each wedge (c; x<y) over the directed double
+    * cover closes against the canonical edge list exactly when (x,y)
+    * is an edge, and each triangle {p,q,r} contributes EXACTLY one
+    * closure per edge (the wedge centered at the opposite vertex), so
+    * support(x,y) = common-neighbor count with no multi-counting and
+    * no explode — the [[localClustering]] wedge-closure kernel with an
+    * inner join in place of the LeftSemi. Output: surviving (u, v,
+    * support) with support measured in the surviving subgraph; empty
+    * when no edge reaches the truss within the horizon.
+    *
+    * Shape at scale: per round one self-join on the wedge center (the
+    * degree² expansion every triangle algorithm pays — cap hub degrees
+    * upstream the q317/q330 way when the graph has them), one
+    * canonical-edge equi-join, one count; edge sets localCheckpoint'ed
+    * between rounds like every iterative ladder here. */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+    var e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var out = e.select(col("u"), col("v"), lit(0L).as("support"))
+    for (_ <- 1 to rounds) {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val wedges = und.as("a").join(und.as("b"),
+          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+        .select(col("a.v").as("x"), col("b.v").as("y"))
+      out = wedges
+        .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .groupBy(col("x").as("u"), col("y").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
+      e = out.select(col("u"), col("v"))
+    }
+    out
+  }
+
   /** Degree ASSORTATIVITY of an undirected edge list — Pearson r
     * between endpoint degrees over the directed double cover (each
     * edge contributes both (deg_u, deg_v) and (deg_v, deg_u), the

@@ -1585,6 +1585,21 @@ object ScaleProbe {
         spark.range(200).select((col("id") * (nDocs / 200)).as("vec_id")),
         "vec_id", threshold = 0.45)
     }
+    time("weighted_jaccard") {
+      graft.operators.Dedup.weightedJaccardPairs(diverseDocs,
+        "doc_id", "text", n = 3, thrNum = 1L, thrDen = 2L)
+    }
+    time("ktruss") {
+      // chain + skip edges: every interior node closes triangles
+      // (i, i+1, i+2); degree is bounded at 4 so the wedge expansion
+      // stays linear in edges
+      val edges = spark.range(n / 4)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+        .union(spark.range(n / 4)
+          .select(col("id").as("a"), (col("id") + 2).as("b")))
+      graft.operators.GraphRank.kTruss(edges, "a", "b", k = 4,
+        rounds = 2)
+    }
     time("component_map_delta_merge_large") {
       // a 10x-larger delta (nDocs/10 pairs) — the merge must stay far
       // under the staged_components_build rebuild even when the batch

@@ -96,6 +96,34 @@ class Round17OpsSpec extends SparkSpec {
     assert(got == Set(Seq(0L, 1L, 10000L)))
   }
 
+  test("weightedJaccardPairs: N div df integer weights, cross-" +
+    "multiplied threshold, exact e6 score") {
+    // shingles — d1/d2: {a b c, b c d}; d3: {a b c, b c q}. N=3,
+    // w(a b c)=3//3=1, w(b c d)=3//2=1, w(b c q)=3//1=3.
+    // sums: d1=d2=2, d3=4. (1,2): inter 2, union 2 -> 1.0 kept;
+    // (1,3)/(2,3): inter 1, union 5 -> 0.2 dropped at 1/2.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+      n = 3, thrNum = 1L, thrDen = 2L).rowsSet
+    assert(got == Set(Seq(1L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("kTruss: K4 survives k=4 peeling, a lone triangle and a pendant " +
+    "chain peel away; k=3 keeps the triangle") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val tri = Seq((7L, 8L), (8L, 9L), (7L, 9L))
+    val chain = Seq((4L, 15L), (15L, 16L))
+    val edges = (k4 ++ tri ++ chain).toDF("a", "b")
+    val t4 = GraphRank.kTruss(edges, "a", "b", k = 4, rounds = 2).rowsSet
+    assert(t4 == k4.map { case (u, v) => Seq(u, v, 2L) }.toSet,
+      "k=4: exactly the K4 edges, each with support 2")
+    val t3 = GraphRank.kTruss(edges, "a", "b", k = 3, rounds = 2).rowsSet
+    assert(t3 == (k4.map { case (u, v) => Seq(u, v, 2L) } ++
+      tri.map { case (u, v) => Seq(u, v, 1L) }).toSet,
+      "k=3: K4 plus the triangle; the pendant chain peels")
+  }
+
   test("theilSen: maxDays guard fails loudly on an over-long daily " +
     "series instead of queuing the O(D^2) pair join") {
     val DAY = 86400L * 1000000000L
