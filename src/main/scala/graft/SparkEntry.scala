@@ -2762,6 +2762,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")), "id_a", "id_b",
         k = 3, rounds = 3)),
 
+    // ---- ETL: ROLLUP grouping sets — the hierarchy-subtotal operator
+    // (Expand under the hood: detail, per-flag, grand total in ONE
+    // scan, no self-union), grouping_id disambiguates real nulls from
+    // subtotal nulls.
+    "q352_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("qty_e2"),
+          grouping_id().as("gid"))),
+
+    // ---- ETL: CUBE grouping sets — all 2² aggregation lattices of
+    // (returnflag, linestatus) in one Expand scan.
+    "q353_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("qty_e2"),
+          grouping_id().as("gid"))),
+
     // ---- privacy: RECURSIVE (c,l)-DIVERSITY — the dominance test
     // k/l flags miss (q66's class can hold l values yet be 99% one
     // value): r1 < c·Σ_{i≥l} r_i per class, exact integer cross-
@@ -9326,6 +9348,25 @@ object SparkEntry {
       s"""WITH ${lshPairCtes("0.3")},
          |${kTrussCtes(k = 3, rounds = 3)}
          |SELECT u, v, support FROM te3""".stripMargin,
+
+    // q352/q353: native GROUP BY ROLLUP/CUBE; GROUPING bitmask uses
+    // the same first-arg-most-significant convention as Spark's
+    // grouping_id
+    "q352_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_e2,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q353_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_e2,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // q345: frequency rank per class (count desc, value asc), exact
     // cross-multiplied dominance verdict

@@ -124,6 +124,19 @@ class Round17OpsSpec extends SparkSpec {
       "k=3: K4 plus the triangle; the pendant chain peels")
   }
 
+  test("rollup grouping sets: grouping_id separates a REAL null from " +
+    "a subtotal null") {
+    val df = Seq(("A", Option("X")), ("A", Option.empty[String]),
+      ("B", Option("X"))).toDF("f", "s")
+    val got = df.rollup(col("f"), col("s"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid")).rowsSet
+    assert(got == Set(
+      Seq("A", "X", 1L, 0L), Seq("A", null, 1L, 0L),   // real null, gid 0
+      Seq("B", "X", 1L, 0L),
+      Seq("A", null, 2L, 1L), Seq("B", null, 1L, 1L),  // subtotals
+      Seq(null, null, 3L, 3L)))                        // grand total
+  }
+
   test("theilSen: maxDays guard fails loudly on an over-long daily " +
     "series instead of queuing the O(D^2) pair join") {
     val DAY = 86400L * 1000000000L
