@@ -38,9 +38,10 @@ SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT="BENCH_LOCAL_r${N}.json" \
   sbt -batch "runMain graft.Bench" | grep '"metric"' || true
 PREV_BENCH=$(ls BENCH_LOCAL_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1)
+RED=0
 if [ -n "${PREV_BENCH}" ]; then
   echo "== bench diff vs ${PREV_BENCH} =="
-  python3 tools/bench_diff.py "BENCH_LOCAL_r${N}.json" "${PREV_BENCH}" BENCH_DIFF.json
+  python3 tools/bench_diff.py "BENCH_LOCAL_r${N}.json" "${PREV_BENCH}" BENCH_DIFF.json || RED=1
 fi
 
 echo "== scale probes =="
@@ -49,11 +50,15 @@ SPARK_GRAFT_SCALE_OUT="SCALE_r${N}.json" \
 PREV_SCALE=$(ls SCALE_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1)
 if [ -n "${PREV_SCALE}" ]; then
   echo "== scale diff vs ${PREV_SCALE} =="
-  python3 tools/scale_diff.py "SCALE_r${N}.json" "${PREV_SCALE}" SCALE_DIFF.json || true
+  python3 tools/scale_diff.py "SCALE_r${N}.json" "${PREV_SCALE}" SCALE_DIFF.json || RED=1
 fi
 
 if [ -f "CORRECTNESS_r${N}.json" ]; then
   echo "== driver-artifact tripwire =="
-  python3 tools/tripwire.py "CORRECTNESS_r${N}.json"
+  python3 tools/tripwire.py "CORRECTNESS_r${N}.json" || RED=1
+fi
+if [ "$RED" = "1" ]; then
+  echo "== round close: diff tripwires flagged — adjudicate the reports =="
+  exit 1
 fi
 echo "== round close green =="
