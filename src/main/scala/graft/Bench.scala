@@ -30,6 +30,19 @@ object Bench {
     // the plan, not first-query class-loading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Stage pre-build (r17 verdict #3): build every staged store
+    // (target/graft-stage) in this labeled untimed phase so a fresh
+    // checkout pays first-touch builds HERE, not inside whichever timed
+    // query hits each store first (the r17 driver artifact read q278 at
+    // 65.35 s vs 3.26 s warm and q23 at 25.23 s vs 0.65 s — cold-stage
+    // inflation indistinguishable from a regression without this
+    // accounting). stage_build_sec lands in the artifact; near zero on
+    // a warm checkout.
+    val stageT0 = System.nanoTime()
+    val stageBuilds = SparkEntry.prebuildStages(spark, sfDir)
+    val stageBuildSec = (System.nanoTime() - stageT0) / 1e9
+    val stageJson = stageBuilds.map { case (k, sec) =>
+      "\"" + k + f"\":$sec%.3f" }.mkString("{", ",", "}")
     // optional name filter for local iteration (driver passes no args)
     val selected = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
@@ -133,7 +146,7 @@ object Bench {
       "re-shingle + band join + exact-Jaccard verify"
     val loadAfter = loadAvg()
     val monoJson = monotonicQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val richLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"monotonic_growth_queries":$monoJson,"notes":"$notes","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir"}"""
+    val richLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"stage_build_sec":$stageBuildSec%.3f,"stage_builds":$stageJson,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"monotonic_growth_queries":$monoJson,"notes":"$notes","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir"}"""
     // Persist the full per-query map as a file artifact: the r9 driver
     // artifact had "parsed":null with a truncated stdout tail that lost
     // 20 queries' timings — a file can be lifted whole regardless of
@@ -170,7 +183,7 @@ object Bench {
         .mkString("{", ",", "}")
       val monoTail = monotonicQs.take(5).map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"contended":$contended,"n_monotonic":${monotonicQs.size},"monotonic_growth_queries":$monoTail,"n_queries":${results.size},"n_ops":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","audit_sec":$auditSec%.3f,"total_with_audit":${total + auditSec}%.3f,"stage_build_sec":$stageBuildSec%.3f,"repeats":$repeats,"spread":$spread%.2f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"contended":$contended,"n_monotonic":${monotonicQs.size},"monotonic_growth_queries":$monoTail,"n_queries":${results.size},"n_ops":${ops.size},"slowest":$slowest,"queries":$slowest,"artifact":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }
     val compact = (10 to 0 by -5).map(compactLine)
       .find(_.length < 1900)

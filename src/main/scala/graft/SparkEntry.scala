@@ -134,6 +134,42 @@ object SparkEntry {
       s"$root/minhash-$stamp-n3-h64-b32", n = 3, numHashes = 64, bands = 32)
   }
 
+  /** Touch every staged store the query surface builds lazily on first
+    * use (r17 verdict #3): Bench drives this in a labeled UNTIMED
+    * phase before the timed repeats and reports it as
+    * `stage_build_sec`, so a fresh checkout (the driver's reality)
+    * never reads 20–39× first-touch inflation on q23/q73/q278/q344 as
+    * a plan regression. Every builder is eager-on-miss (the staged
+    * helpers write the store during the call; for queries with inline
+    * staged builds, constructing the plan triggers them), so no result
+    * materialization is needed. Returns (store, build_seconds) — near
+    * zero per store on a warm checkout. Keep one entry per staged
+    * store: a store missing from this list shows up as an inflated
+    * first sample in the artifact's query_runs, which is the tripwire
+    * for list drift. */
+  def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def t(name: String)(body: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[stage-prebuild] $name failed: ${e.getMessage}")
+      }
+      s.catalog.clearCache()
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      t("embkeys_full") { stagedEmbKeys(s, dir) },
+      t("neardup_components") { stagedNearDupComponents(s, dir) },
+      t("bpe_model") { stagedBpeModel(s, dir) },
+      t("purchase_edges") { stagedPurchaseEdges(s, dir) },
+      t("docs_minhash_index") { stagedDocsIndex(s, dir) },
+      t("embkeys_standing_q179") {
+        queries("q179_incremental_embedding_neardup")(s, dir) },
+      t("orc_store_q336") { queries("q336_orc_roundtrip")(s, dir) },
+      t("standing_components_q344") {
+        queries("q344_incremental_components")(s, dir) },
+      t("pr_before_q299") { queries("q299_pagerank_delta")(s, dir) })
+  }
+
   /** Exact order-independent sum of a 2dp/4dp money column. */
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -2754,13 +2790,15 @@ object SparkEntry {
         "text", n = 3, thrNum = 1L, thrDen = 2L)),
 
     // ---- graph: k-TRUSS decomposition of the near-dup graph — edges
-    // supported by ≥ k−2 triangles in the surviving subgraph, 3 fixed
-    // peels (monotone, so extra rounds are no-ops); the edge-level
-    // sharpening of q163's k-core.
+    // supported by ≥ k−2 triangles in the surviving subgraph, peeled
+    // to the detected fixpoint (r18: self-enforcing convergence); the
+    // edge-level sharpening of q163's k-core. The oracle unrolls 5
+    // peels — rounds past the fixpoint are no-ops, so any unroll ≥ the
+    // data's peel depth matches, and the gate fails loudly if the
+    // depth ever exceeds the unroll.
     "q351_ktruss" -> ((s, dir) =>
       GraphRank.kTruss(lshNearDupPairs(s, dir, threshold = 0.3)
-        .select(col("id_a"), col("id_b")), "id_a", "id_b",
-        k = 3, rounds = 3)),
+        .select(col("id_a"), col("id_b")), "id_a", "id_b", k = 3)),
 
     // ---- ETL: ROLLUP grouping sets — the hierarchy-subtotal operator
     // (Expand under the hood: detail, per-flag, grand total in ONE
@@ -2801,6 +2839,24 @@ object SparkEntry {
         T(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
           .select((col("c_custkey") * 2L).as("node")),
         "node", maxHops = 3)),
+
+    // ---- graph: HYPERBALL neighborhood-function sketch — q346's
+    // all-nodes companion (r17 verdict #7): every node carries a
+    // 16-register md5-derived HLL of its ≤3-hop ball, merged
+    // register-wise per round; the gate hashes the deterministic
+    // register content (n_set, sum_rho) and the raw integer HLL
+    // estimate. Rides the shared staged purchase-edge store.
+    "q354_hyperball" -> ((s, dir) =>
+      GraphRank.hyperBall(stagedPurchaseEdges(s, dir), "src", "dst",
+        rounds = 3)),
+
+    // ---- graph: NEIGHBORHOOD-FUNCTION CURVE — HyperBall's
+    // effective-diameter statistic: per radius t, the graph-level sum
+    // of every node's raw sketch estimate (≈ pairs within distance
+    // t); one register ladder serves every radius.
+    "q355_neighborhood_curve" -> ((s, dir) =>
+      GraphRank.hyperBallCurve(stagedPurchaseEdges(s, dir), "src",
+        "dst", rounds = 2)),
 
     // ---- analytics: KENDALL tau-a between event types' daily count
     // series — rank concordance over aligned day pairs, all-integer
@@ -5371,16 +5427,58 @@ object SparkEntry {
     * common-neighbor count — each triangle closes exactly one wedge
     * per edge), and the ≥ k−2 filter. Ends at `te<rounds>`(u, v,
     * support). Peeling is monotone, so rounds past the peel depth are
-    * no-ops — mirroring GraphRank.kTruss's fixed-rounds contract. */
+    * no-ops — mirroring GraphRank.kTruss's fixed-rounds contract.
+    *
+    * Wedges are enumerated by sorting each node's neighbor list and
+    * expanding ordered index pairs (x from positions, y from the list
+    * suffix) — NOT via a `b.u = a.u AND a.v < b.v` self-join: DuckDB
+    * 1.0.0 plans that mixed equality+inequality ON clause as a
+    * cross-graph IEJoin (the r17 gate blocker — 367 s for this query,
+    * ~40 min for q327's triple form) instead of
+    * hash-join-on-u-then-filter. The list expansion keeps equality as
+    * the only join predicate anywhere in the chain.
+    *
+    * Every per-round CTE is `AS MATERIALIZED`: DuckDB 1.0.0 inlines a
+    * CTE at each reference, and te<r> is referenced three times per
+    * round (both UNION ALL branches of the double cover + the closure
+    * join) — un-materialized, the chain re-evaluates upstream rounds
+    * exponentially (a 5-round unroll ran >10 min; materialized it runs
+    * ~2 s). */
+  /** Rewrite every CTE definition in `sql` to `AS MATERIALIZED` —
+    * DuckDB 1.0.0 inlines a CTE body at each reference, so the
+    * unrolled fixed-point ladders (HITS, k-core, BFS, link
+    * prediction, two-hop) re-evaluate all upstream rounds once per
+    * reference and the gate cost grows exponentially with ladder
+    * depth: q242's oracle measured 23 s un-materialized vs 0.1 s
+    * materialized at sf0.01 (r18; the same inlining made a 5-round
+    * k-truss unroll run >10 min). Only safe for oracles with no
+    * RECURSIVE CTEs and no WINDOW clauses — neither form accepts
+    * MATERIALIZED. `name AS (` is unambiguous in our SQL: column
+    * aliases are `expr AS name` and derived tables `(...) AS name`,
+    * so the pattern only ever hits CTE definitions. */
+  private def materializedCtes(sql: String): String = {
+    require(!sql.contains("RECURSIVE") && !sql.contains("WINDOW "),
+      "materializedCtes cannot wrap RECURSIVE CTEs or WINDOW clauses")
+    sql.replaceAll("""([A-Za-z_][A-Za-z0-9_]*) AS \(""",
+      "$1 AS MATERIALIZED (")
+  }
+
   private def kTrussCtes(k: Int, rounds: Int): String = {
     val sb = new StringBuilder(
-      "te0 AS (SELECT id_a AS u, id_b AS v FROM p GROUP BY 1, 2)")
+      "te0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p GROUP BY 1, 2)")
     for (r <- 0 until rounds) {
       sb.append(s""",
-         |tund$r AS (SELECT u, v FROM te$r UNION ALL SELECT v, u FROM te$r),
-         |te${r + 1} AS (SELECT w.x AS u, w.y AS v, count(*) AS support
-         |  FROM (SELECT a.v AS x, b.v AS y FROM tund$r a
-         |    JOIN tund$r b ON b.u = a.u AND a.v < b.v) w
+         |tund$r AS MATERIALIZED (SELECT u, v FROM te$r
+         |  UNION ALL SELECT v, u FROM te$r),
+         |adj$r AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS vs
+         |  FROM tund$r GROUP BY u),
+         |wp$r AS MATERIALIZED (SELECT vs,
+         |    UNNEST(generate_series(1, len(vs) - 1)) AS x FROM adj$r),
+         |w$r AS MATERIALIZED (SELECT vs[x] AS x, UNNEST(vs[x + 1:]) AS y
+         |  FROM wp$r),
+         |te${r + 1} AS MATERIALIZED (
+         |  SELECT w.x AS u, w.y AS v, count(*) AS support
+         |  FROM w$r w
          |  JOIN te$r t ON t.u = w.x AND t.v = w.y
          |  GROUP BY 1, 2
          |  HAVING count(*) >= ${k - 2})""".stripMargin)
@@ -8084,17 +8182,18 @@ object SparkEntry {
            |    (coalesce(r.raw, 0) * 1000000) //
            |      (SELECT sum(raw) FROM hr$t) AS s
            |  FROM srcs sr LEFT JOIN hr$t r USING (node))""".stripMargin
-      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
-         |    l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |srcs AS (SELECT DISTINCT src AS node FROM edges),
-         |dsts AS (SELECT DISTINCT dst AS node FROM edges),
-         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM srcs),
-         |${(1 to 3).map(iter).mkString(",\n")}
-         |SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_e6
-         |FROM h3
-         |UNION ALL
-         |SELECT node, 'auth', CAST(s AS BIGINT) FROM a3""".stripMargin
+      materializedCtes(
+        s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+           |    l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |srcs AS (SELECT DISTINCT src AS node FROM edges),
+           |dsts AS (SELECT DISTINCT dst AS node FROM edges),
+           |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM srcs),
+           |${(1 to 3).map(iter).mkString(",\n")}
+           |SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_e6
+           |FROM h3
+           |UNION ALL
+           |SELECT node, 'auth', CAST(s AS BIGINT) FROM a3""".stripMargin)
     },
 
     // q253: full r×c grid (empty cells carry expected mass too); the
@@ -8790,7 +8889,7 @@ object SparkEntry {
     // canonical pairs, neighborhood Jaccard e6
     "q284_link_prediction" -> {
       import graft.functions.ExactRound.ratioScaledSql
-      s"""WITH ${lshPairCtes("0.3")},
+      materializedCtes(s"""WITH ${lshPairCtes("0.3")},
          |dr AS (SELECT id_a AS id, id_b AS nbr,
          |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
          |  UNION ALL SELECT id_b, id_a,
@@ -8814,7 +8913,7 @@ object SparkEntry {
          |  ${ratioScaledSql("ne.cn", "du.d + dv.d - ne.cn", 6)}
          |    AS jaccard_e6
          |FROM ne JOIN deg du ON du.node = ne.u
-         |JOIN deg dv ON dv.node = ne.v""".stripMargin
+         |JOIN deg dv ON dv.node = ne.v""".stripMargin)
     },
 
     // q317: q284 with the wedge join restricted to centers of degree
@@ -8822,7 +8921,7 @@ object SparkEntry {
     // degree table); reported degrees stay uncapped
     "q317_link_prediction_capped" -> {
       import graft.functions.ExactRound.ratioScaledSql
-      s"""WITH ${lshPairCtes("0.3")},
+      materializedCtes(s"""WITH ${lshPairCtes("0.3")},
          |dr AS (SELECT id_a AS id, id_b AS nbr,
          |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
          |  UNION ALL SELECT id_b, id_a,
@@ -8847,7 +8946,7 @@ object SparkEntry {
          |  ${ratioScaledSql("ne.cn", "du.d + dv.d - ne.cn", 6)}
          |    AS jaccard_e6
          |FROM ne JOIN deg du ON du.node = ne.u
-         |JOIN deg dv ON dv.node = ne.v""".stripMargin
+         |JOIN deg dv ON dv.node = ne.v""".stripMargin)
     },
 
     // q318: per-user lead pairs tagged train/test at the horizon
@@ -9346,8 +9445,8 @@ object SparkEntry {
     // 0.3 graph; each triangle closes exactly one wedge per edge
     "q351_ktruss" ->
       s"""WITH ${lshPairCtes("0.3")},
-         |${kTrussCtes(k = 3, rounds = 3)}
-         |SELECT u, v, support FROM te3""".stripMargin,
+         |${kTrussCtes(k = 3, rounds = 5)}
+         |SELECT u, v, support FROM te5""".stripMargin,
 
     // q352/q353: native GROUP BY ROLLUP/CUBE; GROUPING bitmask uses
     // the same first-arg-most-significant convention as Spark's
@@ -9410,6 +9509,133 @@ object SparkEntry {
         |SELECT seed AS node, count(*) AS n_reached,
         |  CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
         |FROM dd GROUP BY 1""".stripMargin,
+
+    // q354: exact ≤3-hop balls for every node (materialized hop
+    // expansions), then the md5-register mirror — bucket = hex digit
+    // 1, rho = leading zero bits of hex digits 2..16 + 1 (all-zero ⇒
+    // 61) — register-wise max per (node, bucket), and the same
+    // integer raw-HLL quotient in HUGEINT
+    "q354_hyperball" -> materializedCtes(
+      """WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src AS u, dst AS v FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |n0 AS (SELECT DISTINCT u AS node FROM e),
+        |d1 AS (SELECT u AS node, v AS r FROM e),
+        |d2 AS (SELECT d1.node, e.v AS r FROM d1 JOIN e ON e.u = d1.r
+        |  GROUP BY 1, 2),
+        |d3 AS (SELECT d2.node, e.v AS r FROM d2 JOIN e ON e.u = d2.r
+        |  GROUP BY 1, 2),
+        |ball AS (SELECT node, r FROM (
+        |    SELECT node, node AS r FROM n0
+        |    UNION SELECT node, r FROM d1
+        |    UNION SELECT node, r FROM d2
+        |    UNION SELECT node, r FROM d3)),
+        |hh AS (SELECT node, md5(CAST(r AS VARCHAR)) AS h FROM ball),
+        |rr AS (SELECT node,
+        |    strpos('0123456789abcdef', substring(h, 1, 1)) - 1
+        |      AS bucket,
+        |    CASE WHEN ltrim(substring(h, 2, 15), '0') = '' THEN 61
+        |      ELSE (len(substring(h, 2, 15)) -
+        |          len(ltrim(substring(h, 2, 15), '0'))) * 4 +
+        |        CASE WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 8 THEN 0
+        |          WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 4 THEN 1
+        |          WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 2 THEN 2
+        |          ELSE 3 END + 1 END AS rho
+        |  FROM hh),
+        |regs AS (SELECT node, bucket, max(rho) AS rho FROM rr
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT node, count(*) AS n_set,
+        |    CAST(sum(rho) AS BIGINT) AS sum_rho,
+        |    sum(CAST(CAST(1 AS BIGINT) << (61 - rho) AS HUGEINT))
+        |      AS sum_set
+        |  FROM regs GROUP BY 1)
+        |SELECT node, n_set, sum_rho,
+        |  CAST((CAST(673000 AS HUGEINT) * 256 *
+        |      CAST(2305843009213693952 AS HUGEINT)) //
+        |    (sum_set + (16 - n_set) *
+        |      CAST(2305843009213693952 AS HUGEINT)) AS BIGINT)
+        |    AS nf_raw_e6
+        |FROM agg""".stripMargin),
+
+    // q355: one (node, r, min-radius) membership table, register
+    // values computed ONCE per distinct reached id, then per-radius
+    // register-max + the q354 raw-HLL quotient, summed graph-wide
+    "q355_neighborhood_curve" -> materializedCtes(
+      """WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src AS u, dst AS v FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |n0 AS (SELECT DISTINCT u AS node FROM e),
+        |d1 AS (SELECT u AS node, v AS r FROM e),
+        |d2 AS (SELECT d1.node, e.v AS r FROM d1 JOIN e ON e.u = d1.r
+        |  GROUP BY 1, 2),
+        |mem AS (SELECT node, r, min(t) AS tmin FROM (
+        |    SELECT node, node AS r, 0 AS t FROM n0
+        |    UNION ALL SELECT node, r, 1 FROM d1
+        |    UNION ALL SELECT node, r, 2 FROM d2) GROUP BY 1, 2),
+        |rh AS (SELECT r, md5(CAST(r AS VARCHAR)) AS h FROM
+        |  (SELECT DISTINCT r FROM mem)),
+        |rv AS (SELECT r,
+        |    strpos('0123456789abcdef', substring(h, 1, 1)) - 1
+        |      AS bucket,
+        |    CASE WHEN ltrim(substring(h, 2, 15), '0') = '' THEN 61
+        |      ELSE (len(substring(h, 2, 15)) -
+        |          len(ltrim(substring(h, 2, 15), '0'))) * 4 +
+        |        CASE WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 8 THEN 0
+        |          WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 4 THEN 1
+        |          WHEN strpos('0123456789abcdef',
+        |            substring(ltrim(substring(h, 2, 15), '0'), 1, 1))
+        |            - 1 >= 2 THEN 2
+        |          ELSE 3 END + 1 END AS rho
+        |  FROM rh),
+        |r0 AS (SELECT m.node, rv.bucket, max(rv.rho) AS rho FROM mem m
+        |  JOIN rv ON rv.r = m.r WHERE m.tmin <= 0 GROUP BY 1, 2),
+        |r1 AS (SELECT m.node, rv.bucket, max(rv.rho) AS rho FROM mem m
+        |  JOIN rv ON rv.r = m.r WHERE m.tmin <= 1 GROUP BY 1, 2),
+        |r2 AS (SELECT m.node, rv.bucket, max(rv.rho) AS rho FROM mem m
+        |  JOIN rv ON rv.r = m.r WHERE m.tmin <= 2 GROUP BY 1, 2),
+        |a0 AS (SELECT node, count(*) AS n_set,
+        |    sum(CAST(CAST(1 AS BIGINT) << (61 - rho) AS HUGEINT))
+        |      AS sum_set FROM r0 GROUP BY 1),
+        |a1 AS (SELECT node, count(*) AS n_set,
+        |    sum(CAST(CAST(1 AS BIGINT) << (61 - rho) AS HUGEINT))
+        |      AS sum_set FROM r1 GROUP BY 1),
+        |a2 AS (SELECT node, count(*) AS n_set,
+        |    sum(CAST(CAST(1 AS BIGINT) << (61 - rho) AS HUGEINT))
+        |      AS sum_set FROM r2 GROUP BY 1),
+        |c0 AS (SELECT 0 AS t, count(*) AS n_nodes,
+        |    CAST(sum(CAST((CAST(673000 AS HUGEINT) * 256 *
+        |        CAST(2305843009213693952 AS HUGEINT)) //
+        |      (sum_set + (16 - n_set) *
+        |        CAST(2305843009213693952 AS HUGEINT)) AS BIGINT))
+        |      AS BIGINT) AS sum_nf_raw_e6 FROM a0),
+        |c1 AS (SELECT 1 AS t, count(*) AS n_nodes,
+        |    CAST(sum(CAST((CAST(673000 AS HUGEINT) * 256 *
+        |        CAST(2305843009213693952 AS HUGEINT)) //
+        |      (sum_set + (16 - n_set) *
+        |        CAST(2305843009213693952 AS HUGEINT)) AS BIGINT))
+        |      AS BIGINT) AS sum_nf_raw_e6 FROM a1),
+        |c2 AS (SELECT 2 AS t, count(*) AS n_nodes,
+        |    CAST(sum(CAST((CAST(673000 AS HUGEINT) * 256 *
+        |        CAST(2305843009213693952 AS HUGEINT)) //
+        |      (sum_set + (16 - n_set) *
+        |        CAST(2305843009213693952 AS HUGEINT)) AS BIGINT))
+        |      AS BIGINT) AS sum_nf_raw_e6 FROM a2)
+        |SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        |UNION ALL SELECT * FROM c2""".stripMargin),
 
     // q347: aligned daily grid per type pair, day-pair sign census,
     // truncating tau quotient
@@ -9539,7 +9765,7 @@ object SparkEntry {
     // q330: q284's 1-NN edge CTEs; middles filtered by deg <= 8, the
     // direct ∪ two-step target set counted distinct per node
     "q330_two_hop_reach" ->
-      s"""WITH ${lshPairCtes("0.3")},
+      materializedCtes(s"""WITH ${lshPairCtes("0.3")},
          |dr AS (SELECT id_a AS id, id_b AS nbr,
          |    CAST(round(cosine * 10000, 0) AS BIGINT) AS c FROM p
          |  UNION ALL SELECT id_b, id_a,
@@ -9560,7 +9786,7 @@ object SparkEntry {
          |    UNION ALL SELECT s, t FROM two) GROUP BY 1)
          |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
          |  rch.reach_2hop
-         |FROM deg JOIN rch ON rch.s = deg.node""".stripMargin,
+         |FROM deg JOIN rch ON rch.s = deg.node""".stripMargin),
 
     // q331: UNION ALL mirror of the Expand — metric names are the
     // engine's value column names
@@ -9634,7 +9860,13 @@ object SparkEntry {
         |  ELSE 0 END AS r2_signed_e6
         |FROM f""".stripMargin,
 
-    // q327: q126's capped-basket surface taken to ordered triples
+    // q327: q126's capped-basket surface taken to ordered triples.
+    // Triples are expanded from each basket's sorted item list
+    // (ordered index x, then y from positions, then the suffix past y)
+    // rather than a triple self-join: DuckDB 1.0.0 planned the
+    // `a.i < c.i` ON conditions as cross-basket IEJoins (~40 min /
+    // ~90 GB at sf0.01 — the r17 gate blocker); the list form runs in
+    // under a second and equality never appears in a join at all.
     "q327_basket_triples" -> {
       import graft.functions.ExactRound.ratioScaledSql
       s"""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
@@ -9643,11 +9875,15 @@ object SparkEntry {
          |      count(*) OVER (PARTITION BY b) AS bs FROM it)
          |  WHERE bs <= 64),
          |nb AS (SELECT count(DISTINCT b) AS n FROM f),
-         |tr AS (SELECT a.i AS item_a, c.i AS item_b, e3.i AS item_c,
-         |    count(*) AS n_co
-         |  FROM f a JOIN f c ON c.b = a.b AND a.i < c.i
-         |  JOIN f e3 ON e3.b = a.b AND c.i < e3.i
-         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         |bl AS (SELECT b, list(i ORDER BY i) AS items FROM f GROUP BY b),
+         |p1 AS (SELECT items,
+         |    UNNEST(generate_series(1, len(items) - 2)) AS x FROM bl),
+         |p2 AS (SELECT items, x,
+         |    UNNEST(generate_series(x + 1, len(items) - 1)) AS y FROM p1),
+         |p3 AS (SELECT items[x] AS item_a, items[y] AS item_b,
+         |    UNNEST(items[y + 1:]) AS item_c FROM p2),
+         |tr AS (SELECT item_a, item_b, item_c, count(*) AS n_co
+         |  FROM p3 GROUP BY 1, 2, 3 HAVING count(*) >= 2)
          |SELECT item_a, item_b, item_c, n_co,
          |  ${ratioScaledSql("n_co", "(SELECT n FROM nb)", 6)}
          |    AS support_e6
@@ -10733,14 +10969,15 @@ object SparkEntry {
            |    UNION ALL SELECT v AS node FROM e$t) GROUP BY 1),
            |a$t AS (SELECT node FROM d$t WHERE degree >= 8)"""
           .stripMargin
-      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS u,
-         |    l_suppkey * 2 + 1 AS v
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |a0 AS (SELECT u AS node FROM e
-         |  UNION SELECT v AS node FROM e),
-         |${(1 to 4).map(peel).mkString(",\n")}
-         |SELECT node, degree FROM d4 WHERE degree >= 8"""
-        .stripMargin
+      materializedCtes(
+        s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS u,
+           |    l_suppkey * 2 + 1 AS v
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |a0 AS (SELECT u AS node FROM e
+           |  UNION SELECT v AS node FROM e),
+           |${(1 to 4).map(peel).mkString(",\n")}
+           |SELECT node, degree FROM d4 WHERE degree >= 8"""
+          .stripMargin)
     },
 
     // q263: first purchase strictly after first signup; observed-

@@ -744,11 +744,18 @@ object GraphRank {
     * can be a sparse hub star; a k-truss is held together by actual
     * triangle mass, which on a near-dup graph separates template
     * clusters (clique-like, high truss) from chained borderline pairs
-    * (trees, zero support). Runs `rounds` fixed peels; peeling is
-    * monotone (edge sets only shrink), so once a round is a no-op
-    * every later round is too — ANY fixed `rounds` at or past the
-    * peel depth is exact, and the unrolled oracle runs the same
-    * count either way.
+    * (trees, zero support). Peels to the FIXPOINT: because peeling is
+    * monotone (edge sets only shrink), a round that leaves the edge
+    * count unchanged left the edge SET unchanged, and every later
+    * round is a no-op — so the first stable round IS convergence,
+    * detected from the count the per-round localCheckpoint already
+    * materializes (r17 verdict #4: a fixed `rounds` contract relied on
+    * rounds ≥ peel depth being asserted but never detected; peel
+    * cascades — e.g. a triangle strip under k=4 unravels one edge pair
+    * per round — make any fixed horizon a silent wrong answer).
+    * `maxRounds` is a safety cap only: exceeding it throws rather than
+    * returning an unconverged edge set. Termination is guaranteed —
+    * every non-final round removes at least one edge.
     *
     * Support counting: each wedge (c; x<y) over the directed double
     * cover closes against the canonical edge list exactly when (x,y)
@@ -766,8 +773,8 @@ object GraphRank {
     * canonical-edge equi-join, one count; edge sets localCheckpoint'ed
     * between rounds like every iterative ladder here. */
   def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      rounds: Int): DataFrame = {
-    require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "need k >= 3 and maxRounds >= 1")
     var e = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
@@ -775,7 +782,15 @@ object GraphRank {
       .distinct()
       .localCheckpoint(true)
     var out = e.select(col("u"), col("v"), lit(0L).as("support"))
-    for (_ <- 1 to rounds) {
+    var prev = e.count()
+    var round = 0
+    // a no-op round (count unchanged under shrink-only peeling) is the
+    // fixpoint; the confirming round also computes the final supports
+    while (prev > 0L) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"kTruss did not converge within $maxRounds peel rounds " +
+          s"($prev edges still shrinking) — raise maxRounds")
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val wedges = und.as("a").join(und.as("b"),
@@ -788,6 +803,9 @@ object GraphRank {
         .filter(col("support") >= (k - 2).toLong)
         .localCheckpoint(true)
       e = out.select(col("u"), col("v"))
+      val n = out.count()
+      if (n == prev) return out
+      prev = n
     }
     out
   }
@@ -822,5 +840,128 @@ object GraphRank {
     val cover = both.select(col("du__").as("x__"), col("dv__").as("y__"))
       .union(both.select(col("dv__").as("x__"), col("du__").as("y__")))
     GroupStats.pearson(cover, Seq.empty, col("x__"), col("y__"))
+  }
+
+  /** HyperBall-style NEIGHBORHOOD-FUNCTION sketch (Boldi & Vigna
+    * 2013; Palmer et al. 2002 ANF) — the all-nodes companion of
+    * [[harmonicCentrality]]'s landmark form: every node carries a
+    * 16-register HLL counter of the nodes within `rounds` hops, and
+    * each round merges every node's counter with its neighbors'
+    * (register-wise max). State is O(m) per node regardless of how
+    * many nodes are reachable — THE scale trade vs the exact
+    * (seed, node) frontier, which is Θ(reachable pairs).
+    *
+    * Determinism contract (the q36/q37 sketch-gating discipline): the
+    * element hash is the md5 HEX of the node id rendered as a string —
+    * register index = first hex digit (m = 16, p = 4), rho = leading
+    * zero BITS of the next 15 hex digits + 1 (all-zero ⇒ 61) — so two
+    * engines compute bit-identical registers and the raw estimate is
+    * exact integer SQL: est_e6 = floor(α₁₆·m²·2⁶¹·10⁶ / Σⱼ 2^(61−Mⱼ))
+    * with unset registers contributing 2⁶¹ (Mⱼ = 0) and α₁₆ = 0.673
+    * (Flajolet et al. 2007). The RAW estimator only — no small-range
+    * linear-counting branch — because the gated value is the
+    * deterministic sketch content, not a production cardinality
+    * claim; consumers wanting corrected counts read n_set/sum_rho and
+    * apply their own correction.
+    *
+    * Shape at scale: registers live as (node, bucket, rho) rows —
+    * ≤ 16 per node; each round is one adjacency equi-join + one
+    * map-side-combinable max aggregate on (node, bucket), the
+    * [[pageRank]] loop discipline with localCheckpoint between
+    * rounds. No windows, no per-node arrays to skew a partition. */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame =
+    hyperBallRegisterLadder(edges, srcCol, dstCol, rounds).last._2
+
+  /** Per-round register states behind [[hyperBall]]: (t, per-node
+    * summary frame) for t = 0..rounds. Exposed so [[hyperBallCurve]]
+    * can read every radius without re-running the merge ladder. */
+  private def hyperBallRegisterLadder(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): Seq[(Int, DataFrame)] = {
+    require(rounds >= 1, "need rounds >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val fwd = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val adj = graft.Caches.register(fwd
+      .union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = adj.select(col("u").as("node")).distinct()
+    // md5-hex register derivation, shared bit-for-bit with the oracle:
+    // bucket = hex digit 1; rho from hex digits 2..16 (60 bits)
+    val h = md5(col("node").cast("string"))
+    val tail15 = substring(h, 2, 15)
+    val trimmed = ltrim(tail15, "0")
+    val zlen = length(tail15) - length(trimmed)
+    val d1 = conv(substring(trimmed, 1, 1), 16, 10).cast("long")
+    val rho = when(length(trimmed) === 0, lit(61L))
+      .otherwise(zlen.cast("long") * 4L +
+        when(d1 >= 8L, 0L).when(d1 >= 4L, 1L)
+          .when(d1 >= 2L, 2L).otherwise(3L) + 1L)
+    var regs = nodes
+      .select(col("node"),
+        conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
+        rho.as("rho"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, DataFrame)]
+    out += 0 -> summarizeRegisters(regs)
+    for (t <- 1 to rounds) {
+      val prop = adj
+        .join(regs.select(col("node").as("u"), col("bucket"),
+          col("rho")), "u")
+        .select(col("v").as("node"), col("bucket"), col("rho"))
+      regs = regs.union(prop)
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      out += t -> summarizeRegisters(regs)
+    }
+    out.result()
+  }
+
+  /** (node, n_set, sum_rho, nf_raw_e6) from (node, bucket, rho) rows —
+    * raw HLL estimate in exact integers: Σⱼ 2^(61−Mⱼ) over all 16
+    * registers (unset ⇒ 2⁶¹), numerator α₁₆·m²·2⁶¹·10⁶ =
+    * 673000·256·2⁶¹ < 10³⁸ (DECIMAL(38,0) / HUGEINT end to end). */
+  private def summarizeRegisters(regs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val two61 = lit(2305843009213693952L) // 2^61
+    regs
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_set"),
+        sum(col("rho")).cast("long").as("sum_rho"),
+        sum(call_function("shiftleft", lit(1L),
+          (lit(61) - col("rho")).cast("int")).cast(dec))
+          .as("sum_set__"))
+      .select(col("node"), col("n_set"), col("sum_rho"),
+        call_function("div",
+          lit(673000L).cast(dec) * lit(256L) * two61.cast(dec),
+          col("sum_set__") +
+            (lit(16L).cast(dec) - col("n_set").cast(dec)) *
+              two61.cast(dec))
+          .cast("long").as("nf_raw_e6"))
+  }
+
+  /** NEIGHBORHOOD-FUNCTION CURVE — HyperBall's headline statistic
+    * (Palmer et al. 2002; Boldi & Vigna 2013 run it for effective-
+    * diameter estimation): for each radius t = 0..rounds, the
+    * graph-level sum of every node's raw sketch estimate, i.e. the
+    * (approximate) number of (u, v) pairs within distance t. The
+    * curve's knee is the graph's effective diameter; consumers read
+    * d_eff(q) = min t with curve(t) ≥ q·curve(rounds). One ladder run
+    * serves every radius — the per-round summaries come from the same
+    * register states the final ball uses. Output: (t, n_nodes,
+    * sum_nf_raw_e6), one row per radius. */
+  def hyperBallCurve(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    val ladder = hyperBallRegisterLadder(edges, srcCol, dstCol, rounds)
+    ladder.map { case (t, summary) =>
+      summary.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("nf_raw_e6")).cast("long").as("sum_nf_raw_e6"))
+        .select(lit(t).as("t"), col("n_nodes"), col("sum_nf_raw_e6"))
+    }.reduce(_.unionByName(_))
   }
 }

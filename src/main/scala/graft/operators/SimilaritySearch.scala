@@ -571,7 +571,11 @@ object SimilaritySearch {
     * [[embeddingNearDup]]'s inline bucket stage and [[stagedBandKeys]]. */
   def bandKeyRows(df: DataFrame, idCol: String, vecCol: String,
       baseBits: Int, bands: Int, bitsPerBand: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // dim probe must survive an EMPTY frame (a nightly refresh whose
+    // delta batch has no rows): any dim yields the same empty result
+    // with the correct schema, so the fallback never reaches data
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
     df.select(col(idCol).as("id"),
       explode(graft.expressions.HyperplaneBandKeys(
         col(vecCol), dim, baseBits, bands, bitsPerBand)).as("pkey"))

@@ -55,6 +55,58 @@ object Orchestration {
       ranked
     }
 
+  /** NIGHTLY NEAR-DUP REFRESH (r17 verdict #8) — the staging chain the
+    * per-query gates exercise piecewise (q179 incremental pairs, q344
+    * component merge, q41 sink) wired end-to-end as the production
+    * cycle the README tells:
+    *
+    *   1. standing band keys from (or created into) the staged key
+    *      store at `stageDir` — the standing corpus is never re-signed;
+    *   2. the delta batch signs only itself, joins the standing keys
+    *      for candidates, cosine-verifies candidates only;
+    *   3. yesterday's committed (node, component) label map merges
+    *      with the delta pairs (star contraction ∪ delta — merge ==
+    *      full recompute, the q344 contract). First night, with no
+    *      committed map, the full standing pair surface from the
+    *      staged keys feeds connectedComponents instead;
+    *   4. the merged map upserts through the merge-by-key sink — the
+    *      snapshot readers keep resolving while the refresh runs.
+    *
+    * After the refresh the batch belongs to the standing corpus;
+    * the next night's caller stages keys for the grown corpus (the
+    * stores are stamp-keyed, so growth forces a key re-stage while
+    * the LABEL map still rides the committed table + delta merge).
+    * Returns the newly committed label map. */
+  def runNearDupRefresh(spark: SparkSession, standing: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, stageDir: String, warehouse: String,
+      baseBits: Int, bands: Int, bitsPerBand: Int): DataFrame = {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val keys = SimilaritySearch.stagedBandKeys(standing, idCol, vecCol,
+      stageDir, baseBits, bands, bitsPerBand)
+    val vectors = standing.unionByName(batch)
+    val deltaPairs = SimilaritySearch.incrementalEmbeddingNearDup(
+      keys, vectors, batch, idCol, vecCol, threshold,
+      baseBits, bands, bitsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val table = s"$warehouse/neardup_components"
+    val merged = MergeByKey.committedVersion(spark, table) match {
+      case Some(_) =>
+        Dedup.mergeComponentMap(
+          MergeByKey.readCommitted(spark, table)
+            .select(col("node"), col("component")),
+          deltaPairs, "id_a", "id_b")
+      case None =>
+        val standingPairs = SimilaritySearch.embeddingNearDupFromKeys(
+          keys, standing, idCol, vecCol, threshold)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(
+          standingPairs.unionByName(deltaPairs), "id_a", "id_b")
+    }
+    MergeByKey.upsert(spark, merged, table, "node")
+    MergeByKey.readCommitted(spark, table)
+  }
+
   /** §3.3 sector/industry momentum flow: merged group table → parse +
     * min-max + 3-horizon scores → keyed update of the score columns
     * only (S9). */

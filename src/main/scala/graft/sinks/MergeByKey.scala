@@ -136,9 +136,20 @@ object MergeByKey {
     * private temp file, rename over the manifest (Rename.OVERWRITE —
     * atomic metadata op on HDFS and local fs). Only ever called by the
     * claim winner of `version`, which keeps flips monotone. */
-  private def commitManifest(spark: SparkSession, path: String,
+  private[graft] def commitManifest(spark: SparkSession, path: String,
       version: Long): Unit = {
     val f = fs(spark, path)
+    // Monotone-flip guard (r17 ADVICE, high): a stale writer that read
+    // cur=N long ago can win the claim of v=N+1 AFTER concurrent
+    // writers advanced the manifest to N+3 and gc (retain=2) deleted
+    // the original v=N+1 — flipping N+3 -> N+1 here would silently
+    // drop their committed upserts. Refuse to ever move backward; the
+    // caller's recheck makes this unreachable, this is the backstop.
+    committedVersion(spark, path).foreach { cur =>
+      if (cur >= version) throw new IllegalStateException(
+        s"refusing to flip $path/_manifest backward: committed v=$cur " +
+          s">= claimed v=$version (stale CAS claim after GC)")
+    }
     val tmp = new Path(s"$path/.manifest-${java.util.UUID.randomUUID()}")
     val manifest = new Path(s"$path/_manifest")
     val out = f.create(tmp, true)
@@ -243,8 +254,12 @@ object MergeByKey {
     val f = fs(spark, path)
     f.listStatus(new Path(path)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("v=")) {
-        val v = name.stripPrefix("v=").toLong
+      // suffix must parse as a version: a foreign `v=x` entry (e.g. a
+      // legacy partition column named v) is never-touch content, not a
+      // permanent NumberFormatException for every later commit
+      val suffix = name.stripPrefix("v=")
+      if (name.startsWith("v=") && suffix.nonEmpty && suffix.forall(_.isDigit)) {
+        val v = suffix.toLong
         if (v <= committed - retain) f.delete(st.getPath, true)
       }
     }
@@ -280,7 +295,18 @@ object MergeByKey {
         .parquet(dataEntries.map(n => s"$path/$n"): _*)
       df.schema // force schema resolution
       Some(df)
-    } catch { case _: Exception => None }
+    } catch {
+      // Only an AnalysisException (schema inference rejected the
+      // content) means "not legacy parquet". Anything else — an
+      // IOException, a corrupt footer in a positively-identified
+      // parquet entry — must NOT read as None (r17 ADVICE, medium):
+      // readCommitted never falls back once a manifest exists, so
+      // swallowing it would make the first versioned commit contain
+      // only incoming rows and the flat-store data would silently
+      // disappear from the committed view. Rethrow so a flaky or
+      // corrupt read fails THIS commit instead.
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   /** Merge `incoming` into the versioned store at `path` (created if
@@ -322,24 +348,44 @@ object MergeByKey {
       // table version); versioning keeps those files intact until GC, but
       // counting first also survives retain-window eviction
       val incomingRows = incoming.count()
-      if (claimVersion(spark, stage, new Path(s"$path/v=$next"))) {
-        if (legacyEntries.nonEmpty)
-          writeLegacyTombstone(spark, path,
-            s"#v=$next" +: legacyEntries)
-        commitManifest(spark, path, next)
-        gc(spark, path, next)
-        // the store gained a version: drop any cached listing of the root
-        spark.catalog.refreshByPath(path)
-        return MergeStats(incomingRows, readCommitted(spark, path).count())
+      val claimed = new Path(s"$path/v=$next")
+      if (claimVersion(spark, stage, claimed)) {
+        // Stale-claim recheck (r17 ADVICE, high): the claim can succeed
+        // against a GC'd slot — a writer that read cur=N and staged
+        // slowly wins v=N+1 after concurrent writers advanced the
+        // manifest past it and gc deleted the original v=N+1. Winning
+        // the claim is only a lock when the manifest still reads
+        // next-1; otherwise our merge base is stale — discard the
+        // claimed dir and retry against the new snapshot. (When the
+        // recheck passes, nothing can advance the manifest before our
+        // flip: any later commit must first claim v=next, which we
+        // hold.)
+        if (committedVersion(spark, path).getOrElse(-1L) != next - 1L) {
+          f.delete(claimed, true)
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"upsert to $path lost the version claim $maxAttempts times — " +
+              "writer contention exceeds the CAS retry budget")
+          // no awaitCommit: the manifest has already moved past next-1
+        } else {
+          if (legacyEntries.nonEmpty)
+            writeLegacyTombstone(spark, path,
+              s"#v=$next" +: legacyEntries)
+          commitManifest(spark, path, next)
+          gc(spark, path, next)
+          // the store gained a version: drop any cached listing of the root
+          spark.catalog.refreshByPath(path)
+          return MergeStats(incomingRows, readCommitted(spark, path).count())
+        }
+      } else {
+        // lost the race: discard the stage, wait for the winner's commit
+        // so the retry merges against it (re-merging is required — the
+        // staged data was computed against a now-stale snapshot)
+        f.delete(stage, true)
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"upsert to $path lost the version claim $maxAttempts times — " +
+            "writer contention exceeds the CAS retry budget")
+        awaitCommit(spark, path, next)
       }
-      // lost the race: discard the stage, wait for the winner's commit
-      // so the retry merges against it (re-merging is required — the
-      // staged data was computed against a now-stale snapshot)
-      f.delete(stage, true)
-      if (attempt >= maxAttempts) throw new IllegalStateException(
-        s"upsert to $path lost the version claim $maxAttempts times — " +
-          "writer contention exceeds the CAS retry budget")
-      awaitCommit(spark, path, next)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -359,16 +405,26 @@ object MergeByKey {
       val next = committedVersion(spark, path).getOrElse(-1L) + 1L
       val stage = new Path(s"$path/.stage-${java.util.UUID.randomUUID()}")
       df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      if (claimVersion(spark, stage, new Path(s"$path/v=$next"))) {
-        commitManifest(spark, path, next)
-        gc(spark, path, next)
-        spark.catalog.refreshByPath(path)
-        return
+      val claimed = new Path(s"$path/v=$next")
+      if (claimVersion(spark, stage, claimed)) {
+        // same stale-claim recheck as upsert: a claim won against a
+        // GC'd slot must not flip the manifest backward
+        if (committedVersion(spark, path).getOrElse(-1L) != next - 1L) {
+          f.delete(claimed, true)
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"overwrite of $path lost the version claim $maxAttempts times")
+        } else {
+          commitManifest(spark, path, next)
+          gc(spark, path, next)
+          spark.catalog.refreshByPath(path)
+          return
+        }
+      } else {
+        f.delete(stage, true)
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"overwrite of $path lost the version claim $maxAttempts times")
+        awaitCommit(spark, path, next)
       }
-      f.delete(stage, true)
-      if (attempt >= maxAttempts) throw new IllegalStateException(
-        s"overwrite of $path lost the version claim $maxAttempts times")
-      awaitCommit(spark, path, next)
     }
   }
 }

@@ -183,14 +183,64 @@ object Streams {
     *
     * STATE-SCHEMA COMPATIBILITY: this case class grew from 2 to 5
     * fields in r16 (the equal-timestamp shadow fix) — a checkpoint
-    * written by the 2-field encoder will NOT restore into this shape.
-    * This repo's detectors run with fresh per-run checkpoints, so
-    * nothing here migrates; a deployment whose checkpoint outlives
-    * the upgrade must start a NEW checkpoint location (or a new query
-    * name) for the detector — the standard Structured Streaming
-    * state-evolution discipline. */
+    * written by the raw 2-field encoder would NOT restore into this
+    * shape. Since r18 the detector stores its state through
+    * [[StateEnvelope]] with [[PatternStateCodec]]: the STORE schema is
+    * frozen at (version, payload) so Spark's state-schema check never
+    * trips, v1 (2-field) payloads migrate to the 5-field shape with
+    * `hasPrev = false` (exactly what a fresh 2-field restore carried),
+    * and an unknown version fails loudly instead of misreading bytes. */
   case class PatternState(aTs: Long, aId: Long,
     prevTs: Long, prevId: Long, hasPrev: Boolean)
+
+  /** Versioned state envelope (r17 verdict #6): stateful operators
+    * store `(version, payload)` instead of their state case class, so
+    * the state-store schema NEVER changes across deploys — evolution
+    * happens in the codec, where old versions get an explicit decoder
+    * (restore-by-design) and unknown versions get an explicit error
+    * (fail-loudly-by-design), not Spark's opaque schema-check abort. */
+  case class StateEnvelope(version: Int, payload: Array[Byte])
+
+  /** A codec for one operator's state: `encode` writes the CURRENT
+    * version's payload; `decode` must handle every version ever
+    * shipped (or throw with the version named). Payloads are
+    * fixed-layout ByteBuffer fields, not Java serialization — the
+    * bytes are a contract. */
+  trait VersionedStateCodec[S] extends Serializable {
+    def currentVersion: Int
+    def encode(s: S): Array[Byte]
+    def decode(version: Int, payload: Array[Byte]): S
+    final def wrap(s: S): StateEnvelope =
+      StateEnvelope(currentVersion, encode(s))
+    final def unwrap(e: StateEnvelope): S = decode(e.version, e.payload)
+  }
+
+  /** v1 (r15, 16 bytes): aTs, aId — the pre-shadow-fix anchor pair.
+    * v2 (r16+, 33 bytes): aTs, aId, prevTs, prevId, hasPrev. A v1
+    * payload restores as v2 with no fallback slot — bit-for-bit what
+    * a v1 checkpoint knew. */
+  object PatternStateCodec extends VersionedStateCodec[PatternState] {
+    val currentVersion = 2
+    def encode(s: PatternState): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.putLong(s.aTs).putLong(s.aId).putLong(s.prevTs).putLong(s.prevId)
+      b.put(if (s.hasPrev) 1.toByte else 0.toByte)
+      b.array()
+    }
+    def decode(version: Int, payload: Array[Byte]): PatternState = {
+      val b = java.nio.ByteBuffer.wrap(payload)
+      version match {
+        case 1 => PatternState(b.getLong(), b.getLong(), 0L, 0L,
+          hasPrev = false)
+        case 2 => PatternState(b.getLong(), b.getLong(), b.getLong(),
+          b.getLong(), b.get() != 0.toByte)
+        case v => throw new IllegalStateException(
+          s"PatternState payload version $v is newer than this " +
+            s"decoder (knows <= $currentVersion) — upgrade the job " +
+            "before restoring this checkpoint")
+      }
+    }
+  }
   case class PatternHit(key: String, a_event_id: Long,
     b_event_id: Long, gap_nanos: Long)
 
@@ -224,12 +274,13 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.key)
-      .flatMapGroupsWithState[PatternState, PatternHit](
+      .flatMapGroupsWithState[StateEnvelope, PatternHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[TypedEvent],
-            state: GroupState[PatternState]) =>
+            state: GroupState[StateEnvelope]) =>
           val out = Seq.newBuilder[PatternHit]
-          var st: Option[PatternState] = state.getOption
+          var st: Option[PatternState] =
+            state.getOption.map(PatternStateCodec.unwrap)
           batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
             if (e.etype == bType) st.foreach { a =>
               // Anchor = latest A strictly before this B; fall back to
@@ -255,7 +306,7 @@ object Streams {
                 PatternState(e.tsNanos, e.eventId, 0L, 0L, false)
             })
           }
-          st.foreach(state.update)
+          st.foreach(s => state.update(PatternStateCodec.wrap(s)))
           out.result().iterator
       }
   }

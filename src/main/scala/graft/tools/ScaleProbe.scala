@@ -1592,13 +1592,26 @@ object ScaleProbe {
     time("ktruss") {
       // chain + skip edges: every interior node closes triangles
       // (i, i+1, i+2); degree is bounded at 4 so the wedge expansion
-      // stays linear in edges
+      // stays linear in edges. k=3 converges in a handful of rounds
+      // (a small boundary cascade, then the stable-count confirm);
+      // k=4 would unravel the whole strip one step per round — the
+      // exact pathology the convergence-detected peel now refuses.
       val edges = spark.range(n / 4)
         .select(col("id").as("a"), (col("id") + 1).as("b"))
         .union(spark.range(n / 4)
           .select(col("id").as("a"), (col("id") + 2).as("b")))
-      graft.operators.GraphRank.kTruss(edges, "a", "b", k = 4,
-        rounds = 2)
+      graft.operators.GraphRank.kTruss(edges, "a", "b", k = 3)
+    }
+    time("hyperball") {
+      // the ktruss strip graph at n/4 nodes: per round one adjacency
+      // join + one (node, bucket) max-aggregate over <= 16 register
+      // rows per node — the register-merge shape that replaces the
+      // exact (seed, node) frontier at all-nodes scale
+      val edges = spark.range(n / 4)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+        .union(spark.range(n / 4)
+          .select(col("id").as("a"), (col("id") + 2).as("b")))
+      graft.operators.GraphRank.hyperBall(edges, "a", "b", rounds = 3)
     }
     time("component_map_delta_merge_large") {
       // a 10x-larger delta (nDocs/10 pairs) — the merge must stay far

@@ -194,4 +194,61 @@ class MergeByKeySpec extends SparkSpec {
     assert(!entries.exists(_.startsWith(".stage-")),
       "losing writers must clean up their staging dirs")
   }
+
+  test("manifest never flips backward: a stale CAS claim that would " +
+    "roll committed v=N back to v<N is refused (r17 ADVICE, high)") {
+    val dir = Files.createTempDirectory("graft_backflip").toString + "/t"
+    MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("B", 2.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("C", 3.0)).toDF("k", "v"), dir, "k")
+    assert(MergeByKey.committedVersion(spark, dir) === Some(2L))
+    // a stale writer that somehow reached the flip with an old claim
+    // must be stopped by the backstop guard, leaving the manifest at 2
+    val e = intercept[IllegalStateException] {
+      MergeByKey.commitManifest(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("backward"))
+    assert(MergeByKey.committedVersion(spark, dir) === Some(2L))
+    // equal version is also a refusal (re-flip of the same slot)
+    intercept[IllegalStateException] {
+      MergeByKey.commitManifest(spark, dir, 2L)
+    }
+    // forward flips still work
+    MergeByKey.upsert(spark, Seq(("D", 4.0)).toDF("k", "v"), dir, "k")
+    assert(MergeByKey.committedVersion(spark, dir) === Some(3L))
+  }
+
+  test("gc skips foreign v=<non-numeric> entries instead of failing " +
+    "every later commit (r17 ADVICE, low)") {
+    val dir = Files.createTempDirectory("graft_vx").toString + "/t"
+    MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    // foreign content whose name collides with the version layout
+    val foreign = new java.io.File(dir, "v=x")
+    foreign.mkdirs()
+    Files.writeString(new java.io.File(foreign, "keep.txt").toPath, "theirs")
+    // enough commits that gc actually runs past the retain window
+    (2 to 5).foreach { i =>
+      MergeByKey.upsert(spark, Seq((s"K$i", i.toDouble)).toDF("k", "v"), dir, "k")
+    }
+    assert(MergeByKey.committedVersion(spark, dir) === Some(4L))
+    assert(new java.io.File(foreign, "keep.txt").exists(),
+      "foreign v=x content must never be touched")
+  }
+
+  test("probeLegacy: unreadable parquet-named legacy content fails the " +
+    "commit loudly instead of silently dropping the legacy side " +
+    "(r17 ADVICE, medium)") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    // positively-identified parquet output name, garbage bytes: this
+    // is (possibly corrupt) legacy DATA — treating it as "no legacy
+    // store" would erase it from the first versioned commit
+    Files.write(new java.io.File(dir, "part-00000.parquet").toPath,
+      "not parquet at all".getBytes("UTF-8"))
+    intercept[Exception] {
+      MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    }
+    // no manifest was committed — the store is untouched for a human
+    assert(MergeByKey.committedVersion(spark, dir) === None)
+  }
 }

@@ -65,6 +65,47 @@ class OrchestrationSpec extends SparkSpec {
     assert(resp.contains("\"success\":true") && resp.contains("\"count\":6"))
   }
 
+  test("nightly near-dup refresh: first night builds the full map from " +
+    "the staged keys, the delta night merges == full recompute, both " +
+    "committed through the sink (r17 verdict #8)") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val dir = Files.createTempDirectory("graft_refresh")
+    val wh = s"$dir/warehouse"
+    val stage = s"$dir/stage/night1"
+    def vec(seed: Int): Array[Float] = (0 until 8).map { d =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, d))
+      (h % 1000) / 1000.0f
+    }.toArray
+    // standing: {1,2} are exact twins, 3 stands alone
+    val standing = Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(1)))
+      .toDF("vec_id", "embedding")
+    val night1 = Orchestration.runNearDupRefresh(spark, standing,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.999, stage, wh,
+      baseBits = 128, bands = 16, bitsPerBand = 8)
+    assert(night1.rowsSet == Set(Seq(1L, 1L), Seq(2L, 1L)),
+      "first night: full build labels the twin cluster, singletons absent")
+    // night 2: 4 joins cluster {1,2}; 5 pairs with the singleton 3
+    val batch = Seq((4L, vec(0)), (5L, vec(1))).toDF("vec_id", "embedding")
+    val night2 = Orchestration.runNearDupRefresh(spark, standing, batch,
+      "vec_id", "embedding", threshold = 0.999, stage, wh,
+      baseBits = 128, bands = 16, bitsPerBand = 8)
+    // merge == full recompute over the grown corpus (the q344 contract,
+    // here proven through the committed table, not just the operator)
+    val all = standing.unionByName(batch)
+    val fullPairs = SimilaritySearch.embeddingNearDupFromKeys(
+      SimilaritySearch.bandKeyRows(all, "vec_id", "embedding", 128, 16, 8),
+      all, "vec_id", "embedding", 0.999)
+    val full = Dedup.connectedComponents(fullPairs, "id_a", "id_b")
+    assert(night2.rowsSet == full.rowsSet,
+      "delta merge through the sink equals the full rebuild")
+    assert(night2.rowsSet == Set(Seq(1L, 1L), Seq(2L, 1L), Seq(4L, 1L),
+      Seq(3L, 3L), Seq(5L, 3L)))
+    // two sink commits happened: v=0 (night 1) then v=1 (night 2)
+    assert(graft.sinks.MergeByKey.committedVersion(spark,
+      s"$wh/neardup_components") === Some(1L))
+  }
+
   test("group momentum keyed update writes only score columns") {
     val dir = Files.createTempDirectory("graft_e2e_grp")
     val wh = s"$dir/warehouse"

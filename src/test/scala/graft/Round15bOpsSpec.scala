@@ -549,4 +549,28 @@ class Round15bOpsSpec extends SparkSpec {
       assert(got == Set((2L, 3L, 5L), (5L, 6L, 5L), (5L, 8L, 90L)))
     } finally q.stop()
   }
+
+  test("versioned state envelope: a v1 (2-field) PatternState payload " +
+    "restores through the v2 decoder; unknown versions fail loudly " +
+    "(r17 verdict #6)") {
+    import graft.streaming.Streams
+    import Streams.{PatternState, PatternStateCodec, StateEnvelope}
+    // a checkpoint written by the r15 2-field encoder: exactly
+    // (aTs, aId) as two big-endian longs under version tag 1
+    val v1 = java.nio.ByteBuffer.allocate(16).putLong(42L).putLong(7L)
+    val restored = PatternStateCodec.unwrap(StateEnvelope(1, v1.array()))
+    assert(restored == PatternState(42L, 7L, 0L, 0L, hasPrev = false),
+      "v1 restores with no fallback slot — what a v1 checkpoint knew")
+    // current-version round trip is exact
+    val s2 = PatternState(100L, 9L, 80L, 8L, hasPrev = true)
+    assert(PatternStateCodec.unwrap(PatternStateCodec.wrap(s2)) == s2)
+    assert(PatternStateCodec.wrap(s2).version == 2)
+    // a payload from the FUTURE must error with the version named,
+    // never misread bytes
+    val e = intercept[IllegalStateException] {
+      PatternStateCodec.unwrap(StateEnvelope(3,
+        PatternStateCodec.encode(s2)))
+    }
+    assert(e.getMessage.contains("version 3"))
+  }
 }

@@ -115,13 +115,35 @@ class Round17OpsSpec extends SparkSpec {
     val tri = Seq((7L, 8L), (8L, 9L), (7L, 9L))
     val chain = Seq((4L, 15L), (15L, 16L))
     val edges = (k4 ++ tri ++ chain).toDF("a", "b")
-    val t4 = GraphRank.kTruss(edges, "a", "b", k = 4, rounds = 2).rowsSet
+    val t4 = GraphRank.kTruss(edges, "a", "b", k = 4).rowsSet
     assert(t4 == k4.map { case (u, v) => Seq(u, v, 2L) }.toSet,
       "k=4: exactly the K4 edges, each with support 2")
-    val t3 = GraphRank.kTruss(edges, "a", "b", k = 3, rounds = 2).rowsSet
+    val t3 = GraphRank.kTruss(edges, "a", "b", k = 3).rowsSet
     assert(t3 == (k4.map { case (u, v) => Seq(u, v, 2L) } ++
       tri.map { case (u, v) => Seq(u, v, 1L) }).toSet,
       "k=3: K4 plus the triangle; the pendant chain peels")
+  }
+
+  test("kTruss converges past any fixed horizon: a triangle strip under " +
+    "k=4 unravels one step per round (peel depth > 3), only the K5 " +
+    "survives (r17 verdict #4)") {
+    // strip: nodes 1..8, edges (i,i+1) and (i,i+2) — triangles
+    // (i,i+1,i+2). Under k=4 each end edge has 1 supporting triangle,
+    // peels, and exposes the next: a 4-round cascade a fixed rounds=3
+    // contract would silently leave half-peeled.
+    val strip = (1L to 7L).map(i => (i, i + 1)) ++
+      (1L to 6L).map(i => (i, i + 2))
+    val k5 = for (i <- 101L to 105L; j <- (i + 1) to 105L) yield (i, j)
+    val edges = (strip ++ k5).toDF("a", "b")
+    val got = GraphRank.kTruss(edges, "a", "b", k = 4).rowsSet
+    assert(got == k5.map { case (u, v) => Seq(u, v, 3L) }.toSet,
+      "the whole strip must unravel; K5 edges each keep support 3")
+    // the cap is enforced, not advisory: too small a horizon throws
+    // instead of returning the half-peeled strip
+    val e = intercept[IllegalStateException] {
+      GraphRank.kTruss(edges, "a", "b", k = 4, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("rollup grouping sets: grouping_id separates a REAL null from " +

@@ -15,9 +15,17 @@ query plus the gate-environment stamp, committed as
 CORRECTNESS_LOCAL_r{N}.json at round close. tools/tripwire.py checks
 the driver's artifact against it.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, time
 import duckdb
 import pandas as pd
+
+# Per-oracle wall-time budget (seconds). The r17 gate blocker was an
+# oracle (q327) that DuckDB planned as a ~40-minute/90 GB IEJoin — it
+# merged with nothing flagging it, and the official driver artifact
+# went dark for two rounds. Any oracle over this budget now FAILS the
+# gate even when values match. Override with ORACLE_BUDGET_SEC
+# (0 disables).
+ORACLE_BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "60"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -48,6 +56,8 @@ def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     statuses = {}
+    oracle_secs = {}
+    over_budget = []
     for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         name = qdir.split("/")[-1]
         try:
@@ -60,10 +70,15 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"rows-only {name}: {len(spark_df)} rows"); n_rowsonly += 1
             statuses[name] = f"rows-only: {len(spark_df)} rows"; continue
         try:
+            t0 = time.monotonic()
             oracle_df = con.execute(oracle[name]).df()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
             statuses[name] = f"fail: oracle SQL error: {e}"; continue
+        if ORACLE_BUDGET_SEC and oracle_secs[name] > ORACLE_BUDGET_SEC:
+            over_budget.append((name, oracle_secs[name]))
         s, o = canon(spark_df.copy()), canon(oracle_df.copy())
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_fail += 1
@@ -124,17 +139,27 @@ def main(sf_dir, out_dir, json_out=None):
             n_fail += 1
             statuses[name] = f"fail: {msgs}"
         else:
-            print(f"PASS {name}: {len(s)} rows, {len(s.columns)} cols (exact)")
+            slow = f" [oracle {oracle_secs[name]:.1f}s]" if oracle_secs[name] > 5 else ""
+            print(f"PASS {name}: {len(s)} rows, {len(s.columns)} cols (exact){slow}")
             n_pass += 1
             statuses[name] = f"pass: {len(s)} rows (exact)"
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    if over_budget:
+        for name, sec in sorted(over_budget, key=lambda x: -x[1]):
+            print(f"ORACLE BUDGET EXCEEDED {name}: {sec:.1f}s > "
+                  f"{ORACLE_BUDGET_SEC:.0f}s — a gate this slow blinds the "
+                  "driver's correctness artifact (r17 q327); restructure the "
+                  "oracle SQL (equi-join-first, no inequality ON conditions)")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
                        "n_rows_only": n_rowsonly, "n_queries": len(statuses),
+                       "oracle_budget_sec": ORACLE_BUDGET_SEC,
+                       "n_over_budget": len(over_budget),
+                       "oracle_sec": oracle_secs,
                        "gate_env": env, "queries": statuses},
                       f, indent=1, sort_keys=True)
-    return 1 if n_fail else 0
+    return 1 if (n_fail or over_budget) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],

@@ -37,7 +37,9 @@ echo "== bench =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_BENCH_OUT="BENCH_LOCAL_r${N}.json" \
   sbt -batch "runMain graft.Bench" | grep '"metric"' || true
-PREV_BENCH=$(ls BENCH_LOCAL_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1)
+# `|| true`: with no previous-round artifact, grep exits 1 and pipefail
+# would abort the whole round close (r17 ADVICE) — no diff base is fine.
+PREV_BENCH=$(ls BENCH_LOCAL_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1 || true)
 RED=0
 if [ -n "${PREV_BENCH}" ]; then
   echo "== bench diff vs ${PREV_BENCH} =="
@@ -47,7 +49,7 @@ fi
 echo "== scale probes =="
 SPARK_GRAFT_SCALE_OUT="SCALE_r${N}.json" \
   sbt -batch "runMain graft.tools.ScaleProbe 2000000"
-PREV_SCALE=$(ls SCALE_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1)
+PREV_SCALE=$(ls SCALE_r*.json 2>/dev/null | grep -v "r${N}.json" | sort -V | tail -1 || true)
 if [ -n "${PREV_SCALE}" ]; then
   echo "== scale diff vs ${PREV_SCALE} =="
   python3 tools/scale_diff.py "SCALE_r${N}.json" "${PREV_SCALE}" SCALE_DIFF.json || RED=1
