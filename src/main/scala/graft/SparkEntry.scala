@@ -202,6 +202,27 @@ object SparkEntry {
     dest.toUri.getPath
   }
 
+  /** [[stageCsv]]'s JSONL sibling: stage `df` as exactly ONE
+    * line-delimited JSON file at csvGateRoot/name — the engine-written
+    * bytes the q356 oracle re-reads with DuckDB's read_json, so the
+    * JSON WRITE path is gated cross-engine, not just round-tripped
+    * through Spark's own reader. */
+  private def stageJsonl(s: SparkSession, df: DataFrame,
+      name: String): String = {
+    val tmp = s"$csvGateRoot/_tmp-${name.replace('/', '_')}"
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    val root = new org.apache.hadoop.fs.Path(csvGateRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$csvGateRoot/$name")
+    fs.mkdirs(dest.getParent)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    dest.toUri.getPath
+  }
+
   /** The q177/q181 stream-stream join harness: even event ids feed
     * the left stream, odd the right; each side ships three on-time
     * value slices plus a late fourth file; the join is same-uid with
@@ -2659,6 +2680,35 @@ object SparkEntry {
             .cast("timestamp")), 86400L * 1000000L).as("order_day"))
       }
       back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_e2")).as("sum_price_e2"),
+          sum(col("o_custkey") * lit(1000003L) + col("order_day"))
+            .as("xsum"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("order_day")).as("max_day"))
+    }),
+
+    // ---- source format: JSONL ROUNDTRIP — q336's sibling for the
+    // third lakehouse interchange format: orders normalized to exact
+    // columns, WRITTEN as line-delimited JSON (real Spark json write),
+    // read back through the schema-ful JSON scan, checksummed per
+    // status. The oracle re-reads the engine-written FILE with
+    // DuckDB's read_json — the bytes themselves are gated
+    // cross-engine, the q194 CSV-surface discipline.
+    "q356_jsonl_roundtrip" -> ((s, dir) => {
+      val out = T(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100, 0) as long)")
+          .as("price_e2"),
+        TimeFns.floorDiv(unix_micros(col("o_orderdate")
+          .cast("timestamp")), 86400L * 1000000L).as("order_day"))
+      val path = stageJsonl(s, out, "q356/orders.jsonl")
+      val schema = "o_orderkey long, o_custkey long, " +
+        "o_orderstatus string, price_e2 long, order_day long"
+      s.read.schema(schema).json(path)
+        .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price_e2")).as("sum_price_e2"),
           sum(col("o_custkey") * lit(1000003L) + col("order_day"))
@@ -9241,6 +9291,22 @@ object SparkEntry {
         |  max((epoch_ns(o_orderdate) // 1000000000) // 86400)
         |    AS max_day
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q356: the oracle reads the ENGINE-WRITTEN jsonl file — gating
+    // the write path's bytes, not just a same-engine roundtrip
+    "q356_jsonl_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+         |  CAST(sum(o_custkey * 1000003 + order_day) AS BIGINT)
+         |    AS xsum,
+         |  min(o_orderkey) AS min_key,
+         |  max(order_day) AS max_day
+         |FROM read_json('$csvGateRoot/q356/orders.jsonl',
+         |  format = 'newline_delimited',
+         |  columns = {o_orderkey: 'BIGINT', o_custkey: 'BIGINT',
+         |    o_orderstatus: 'VARCHAR', price_e2: 'BIGINT',
+         |    order_day: 'BIGINT'})
+         |GROUP BY 1""".stripMargin,
 
     // q338: the q125 token stream -> adjacent distinct bigrams ->
     // symmetric string-keyed edges, the q108 rank ladder unrolled 5

@@ -903,4 +903,19 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"unexpected stage in dowSeasonality:\n$p")
   }
+
+  test("hyperBall: register merge is equi-join + hash aggregate only — " +
+    "no window, no cartesian, no single-partition stage") {
+    val edges = (0L until 300L).map(i => (i, (i + 1) % 300L))
+      .toDF("a", "b")
+    val p = plan(graft.operators.GraphRank.hyperBall(edges, "a", "b",
+      rounds = 2))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join crept into hyperBall:\n$p")
+    assert(!p.contains("Window"),
+      s"a window operator appeared in hyperBall:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no corpus-wide single-partition stage may exist:\n$p")
+  }
 }
