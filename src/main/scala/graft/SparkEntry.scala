@@ -167,7 +167,11 @@ object SparkEntry {
       t("orc_store_q336") { queries("q336_orc_roundtrip")(s, dir) },
       t("standing_components_q344") {
         queries("q344_incremental_components")(s, dir) },
-      t("pr_before_q299") { queries("q299_pagerank_delta")(s, dir) })
+      t("pr_before_q299") { queries("q299_pagerank_delta")(s, dir) },
+      // session-catalog builds, not disk stores, but the same
+      // first-touch shape: the bucketed warehouse tables write once
+      // per session when the plan is constructed
+      t("bucketed_tables_q357") { queries("q357_bucketed_join")(s, dir) })
   }
 
   /** Exact order-independent sum of a 2dp/4dp money column. */
@@ -2715,6 +2719,33 @@ object SparkEntry {
             .as("xsum"),
           min(col("o_orderkey")).as("min_key"),
           max(col("order_day")).as("max_day"))
+    }),
+
+    // ---- layout: BUCKETED CO-LOCATED JOIN — orders and lineitem
+    // written bucketBy(16, orderkey) into the session warehouse, then
+    // joined WITHOUT a shuffle on either side (each bucketed scan
+    // already reports the hash partitioning; PlanAuditSpec pins the
+    // no-Exchange property). The VALUES are gated here: bucketing
+    // must change the plan, never the result.
+    "q357_bucketed_join" -> ((s, dir) => {
+      val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet") + "_" +
+        Dedup.sourceStamp(s, s"$dir/lineitem.parquet")
+      val o = Tables.bucketedTable(s, s"graft_bkt_orders_$stamp",
+        T(s, dir, "orders").select(col("o_orderkey").cast("long")
+          .as("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", buckets = 16)
+      val li = Tables.bucketedTable(s, s"graft_bkt_lineitem_$stamp",
+        T(s, dir, "lineitem").select(col("l_orderkey").cast("long")
+          .as("l_orderkey"),
+          expr("cast(round(l_extendedprice * 100, 0) as long)")
+            .as("price_e2")),
+        "l_orderkey", buckets = 16)
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("price_e2")).as("sum_price_e2"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
     }),
 
     // ---- stats: ONE-SPLIT CHANGEPOINT per event type — the binary-
@@ -9291,6 +9322,17 @@ object SparkEntry {
         |  max((epoch_ns(o_orderdate) // 1000000000) // 86400)
         |    AS max_day
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q357: the join itself, over the source parquet — bucketing is a
+    // layout property; values must be invariant to it
+    "q357_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_e2,
+        |  min(o_orderkey) AS min_key,
+        |  max(l_orderkey) AS max_key
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // q356: the oracle reads the ENGINE-WRITTEN jsonl file — gating
     // the write path's bytes, not just a same-engine roundtrip

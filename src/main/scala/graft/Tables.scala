@@ -51,6 +51,40 @@ object Tables {
     }
   }
 
+  /** Register (once per session) a BUCKETED table: `df` written with
+    * `bucketBy(buckets, key)` + `sortBy(key)` into the session
+    * warehouse under `name`, then read back through the catalog — the
+    * co-located-join primitive: two tables bucketed on their join keys
+    * with the same bucket count join WITHOUT a shuffle exchange on
+    * either side, because each scan already reports the bucket hash
+    * partitioning (at 100 TB this is the difference between moving
+    * both fact tables every query and moving neither). Bucket METADATA
+    * lives in the session catalog, not the files, so the table is
+    * (re)built once per session — a stale same-name directory from an
+    * earlier JVM is overwritten, never trusted (re-registering it as an
+    * external table would silently lose the bucket spec and the
+    * no-shuffle property with it). Callers put a source stamp in
+    * `name` so a regenerated corpus forces a rebuild. */
+  def bucketedTable(spark: SparkSession, name: String, df: => DataFrame,
+      key: String, buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(name)) {
+      // a location left by an earlier JVM whose in-memory catalog is
+      // gone blocks CREATE with LOCATION_ALREADY_EXISTS — it is
+      // untrusted by the contract above, so remove it before the
+      // rebuild rather than failing every later session
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.bucketBy(buckets, key).sortBy(key)
+        .format("parquet")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** Stage a deterministic derived table to `storeDir` on first touch
     * and read it back as parquet ever after — the generic form of the
     * staged MinHash / band-key / BPE stores: a production pipeline

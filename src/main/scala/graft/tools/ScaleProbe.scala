@@ -1589,7 +1589,10 @@ object ScaleProbe {
       graft.operators.Dedup.weightedJaccardPairs(diverseDocs,
         "doc_id", "text", n = 3, thrNum = 1L, thrDen = 2L)
     }
-    time("ktruss") {
+    // renamed from "ktruss" in r18: the workload changed (fixed-2-round
+    // k=4 peel -> convergence-detected k=3), so cross-round diffs must
+    // read it as a new probe, not a regression of the old one
+    time("ktruss_converge") {
       // chain + skip edges: every interior node closes triangles
       // (i, i+1, i+2); degree is bounded at 4 so the wedge expansion
       // stays linear in edges. k=3 converges in a handful of rounds
