@@ -171,7 +171,9 @@ object SparkEntry {
       // session-catalog builds, not disk stores, but the same
       // first-touch shape: the bucketed warehouse tables write once
       // per session when the plan is constructed
-      t("bucketed_tables_q357") { queries("q357_bucketed_join")(s, dir) })
+      t("bucketed_tables_q357") { queries("q357_bucketed_join")(s, dir) },
+      t("partitioned_orders_q358") {
+        queries("q358_partition_pruned")(s, dir) })
   }
 
   /** Exact order-independent sum of a 2dp/4dp money column. */
@@ -2746,6 +2748,32 @@ object SparkEntry {
           sum(col("price_e2")).as("sum_price_e2"),
           min(col("o_orderkey")).as("min_key"),
           max(col("l_orderkey")).as("max_key"))
+    }),
+
+    // ---- layout: PARTITION-PRUNED SCAN — orders staged once in a
+    // hive-partitioned layout (o_orderstatus=X/ directories); the
+    // status filter reaches the scan as a PartitionFilter, so only the
+    // matching directory is read (PlanAuditSpec pins the pruning).
+    // Values gated against the unpartitioned source: layout must
+    // change the I/O, never the result.
+    "q358_partition_pruned" -> ((s, dir) => {
+      val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val store = Tables.stagedPartitionedParquet(s,
+          s"$root/orders-by-status-$stamp", "o_orderstatus") {
+        T(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          expr("cast(round(o_totalprice * 100, 0) as long)")
+            .as("price_e2"),
+          col("o_orderstatus"))
+      }
+      store.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_e2")).as("sum_price_e2"),
+          min(col("o_orderkey")).as("min_key"))
     }),
 
     // ---- stats: ONE-SPLIT CHANGEPOINT per event type — the binary-
@@ -9322,6 +9350,16 @@ object SparkEntry {
         |  max((epoch_ns(o_orderdate) // 1000000000) // 86400)
         |    AS max_day
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q358: the filtered aggregate over the source parquet —
+    // partitioning is a layout property; values must be invariant
+    "q358_partition_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_e2,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
 
     // q357: the join itself, over the source parquet — bucketing is a
     // layout property; values must be invariant to it

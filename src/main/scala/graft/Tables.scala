@@ -85,6 +85,26 @@ object Tables {
     spark.table(name)
   }
 
+  /** [[stagedParquet]] with a HIVE-PARTITIONED layout: the build is
+    * written `partitionBy(partitionCol)` so the store's directory tree
+    * carries the column (`col=value/…`), and any reader filtering on
+    * it scans ONLY the matching directories — partition pruning, the
+    * layout lever that turns "read 100 TB, keep 1%" into "read 1%"
+    * (`PartitionFilters` in the scan node; PlanAuditSpec pins it).
+    * Same `_staged` marker commit discipline as the flat form. */
+  def stagedPartitionedParquet(spark: SparkSession, storeDir: String,
+      partitionCol: String)(build: => DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_staged")
+    if (!fs.exists(marker)) {
+      build.write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(s"$storeDir/data")
+      fs.create(marker, true).close()
+    }
+    spark.read.parquet(s"$storeDir/data")
+  }
+
   /** Stage a deterministic derived table to `storeDir` on first touch
     * and read it back as parquet ever after — the generic form of the
     * staged MinHash / band-key / BPE stores: a production pipeline

@@ -949,4 +949,24 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("hive-partitioned store: an equality filter on the partition " +
+    "column reaches the scan as a PartitionFilter, never a row filter") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_partprune").toString
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}", i * 7L))
+      .toDF("id", "status", "v")
+    val store = graft.Tables.stagedPartitionedParquet(spark,
+      s"$dir/by-status", "status")(df)
+    val p = plan(store.filter(col("status") === "s1")
+      .groupBy(col("status")).agg(count(lit(1)).as("n")))
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("s1"),
+      s"the status predicate must prune partitions at the scan:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(status)"),
+      s"the partition predicate must not degrade to a data filter:\n$p")
+    // the store layout really is hive-partitioned directories
+    assert(new java.io.File(s"$dir/by-status/data/status=s1").isDirectory)
+  }
 }
