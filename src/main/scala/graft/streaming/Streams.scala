@@ -95,11 +95,11 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[StateEnvelope, ClosedSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[StateEnvelope]) =>
           val sorted = batch.toSeq.sortBy(e => (e.tsSec, e.value))
-          var cur = state.getOption
+          var cur = state.getOption.map(SessionStateCodec.unwrap)
           val closed = Seq.newBuilder[ClosedSession]
           sorted.foreach { e =>
             cur match {
@@ -113,7 +113,7 @@ object Streams {
                 cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.value))
             }
           }
-          cur.foreach(state.update)
+          cur.foreach(s => state.update(SessionStateCodec.wrap(s)))
           closed.result().iterator
       }
   }
@@ -159,17 +159,19 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gap = minGapSeconds * 1000000000L
     events.groupByKey(_.key)
-      .flatMapGroupsWithState[ThrottleState, SpacedEvent](
+      .flatMapGroupsWithState[StateEnvelope, SpacedEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[SpacedEvent],
-            state: GroupState[ThrottleState]) =>
+            state: GroupState[StateEnvelope]) =>
           val out = Seq.newBuilder[SpacedEvent]
-          var last = state.getOption.map(_.lastTs)
+          var last = state.getOption.map(ThrottleStateCodec.unwrap)
+            .map(_.lastTs)
           batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
             if (last.forall(l => e.tsNanos - l > gap)) out += e
             last = Some(e.tsNanos)
           }
-          last.foreach(l => state.update(ThrottleState(l)))
+          last.foreach(l =>
+            state.update(ThrottleStateCodec.wrap(ThrottleState(l))))
           out.result().iterator
       }
   }
@@ -213,6 +215,11 @@ object Streams {
     final def wrap(s: S): StateEnvelope =
       StateEnvelope(currentVersion, encode(s))
     final def unwrap(e: StateEnvelope): S = decode(e.version, e.payload)
+    protected final def unknownVersion(v: Int): Nothing =
+      throw new IllegalStateException(
+        s"${getClass.getSimpleName.stripSuffix("$")} payload version $v " +
+          s"is newer than this decoder (knows <= $currentVersion) — " +
+          "upgrade the job before restoring this checkpoint")
   }
 
   /** v1 (r15, 16 bytes): aTs, aId — the pre-shadow-fix anchor pair.
@@ -234,12 +241,101 @@ object Streams {
           hasPrev = false)
         case 2 => PatternState(b.getLong(), b.getLong(), b.getLong(),
           b.getLong(), b.get() != 0.toByte)
-        case v => throw new IllegalStateException(
-          s"PatternState payload version $v is newer than this " +
-            s"decoder (knows <= $currentVersion) — upgrade the job " +
-            "before restoring this checkpoint")
+        case v => unknownVersion(v)
       }
     }
+  }
+
+  /** v1 codecs for the remaining stateful operators — every stateful
+    * op stores through the envelope since r18, so the NEXT shape
+    * change on any of them is a new decoder case, not a checkpoint
+    * break. Doubles encode as raw IEEE-754 bits (bit-exact round
+    * trips, NaN-safe); maps encode key-sorted (canonical bytes). */
+  object ThrottleStateCodec extends VersionedStateCodec[ThrottleState] {
+    val currentVersion = 1
+    def encode(s: ThrottleState): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(s.lastTs).array()
+    def decode(version: Int, payload: Array[Byte]): ThrottleState =
+      version match {
+        case 1 => ThrottleState(java.nio.ByteBuffer.wrap(payload).getLong())
+        case v => unknownVersion(v)
+      }
+  }
+
+  object SessionStateCodec extends VersionedStateCodec[SessionState] {
+    val currentVersion = 1
+    def encode(s: SessionState): Array[Byte] =
+      java.nio.ByteBuffer.allocate(32).putLong(s.start).putLong(s.last)
+        .putLong(s.n)
+        .putLong(java.lang.Double.doubleToRawLongBits(s.sum)).array()
+    def decode(version: Int, payload: Array[Byte]): SessionState =
+      version match {
+        case 1 =>
+          val b = java.nio.ByteBuffer.wrap(payload)
+          SessionState(b.getLong(), b.getLong(), b.getLong(),
+            java.lang.Double.longBitsToDouble(b.getLong()))
+        case v => unknownVersion(v)
+      }
+  }
+
+  object CusumStateCodec extends VersionedStateCodec[CusumState] {
+    val currentVersion = 1
+    def encode(s: CusumState): Array[Byte] =
+      java.nio.ByteBuffer.allocate(24).putLong(s.day).putLong(s.cnt)
+        .putLong(s.s).array()
+    def decode(version: Int, payload: Array[Byte]): CusumState =
+      version match {
+        case 1 =>
+          val b = java.nio.ByteBuffer.wrap(payload)
+          CusumState(b.getLong(), b.getLong(), b.getLong())
+        case v => unknownVersion(v)
+      }
+  }
+
+  object EwmaStateCodec extends VersionedStateCodec[EwmaState] {
+    val currentVersion = 1
+    def encode(s: EwmaState): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 16 * s.ring.size + 16)
+      b.putInt(s.ring.size)
+      s.ring.foreach { dc => b.putLong(dc.day); b.putLong(dc.n) }
+      b.putLong(s.curDay).putLong(s.curCnt)
+      b.array()
+    }
+    def decode(version: Int, payload: Array[Byte]): EwmaState =
+      version match {
+        case 1 =>
+          val b = java.nio.ByteBuffer.wrap(payload)
+          val ring = Seq.fill(b.getInt())(DayCount(b.getLong(), b.getLong()))
+          EwmaState(ring, b.getLong(), b.getLong())
+        case v => unknownVersion(v)
+      }
+  }
+
+  object HHStateCodec extends VersionedStateCodec[HHState] {
+    val currentVersion = 1
+    def encode(s: HHState): Array[Byte] = {
+      val entries = s.counters.toSeq.sortBy(_._1)
+      val keyBytes = entries.map(_._1.getBytes("UTF-8"))
+      val b = java.nio.ByteBuffer.allocate(
+        12 + keyBytes.map(_.length + 12).sum)
+      b.putLong(s.n).putInt(entries.size)
+      entries.zip(keyBytes).foreach { case ((_, w), kb) =>
+        b.putInt(kb.length); b.put(kb); b.putLong(w)
+      }
+      b.array()
+    }
+    def decode(version: Int, payload: Array[Byte]): HHState =
+      version match {
+        case 1 =>
+          val b = java.nio.ByteBuffer.wrap(payload)
+          val n = b.getLong()
+          val counters = Seq.fill(b.getInt()) {
+            val kb = new Array[Byte](b.getInt()); b.get(kb)
+            new String(kb, "UTF-8") -> b.getLong()
+          }.toMap
+          HHState(n, counters)
+        case v => unknownVersion(v)
+      }
   }
   case class PatternHit(key: String, a_event_id: Long,
     b_event_id: Long, gap_nanos: Long)
@@ -335,12 +431,12 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val maxAge = powersE6.length - 1
     events.groupByKey(_.group)
-      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+      .flatMapGroupsWithState[StateEnvelope, EwmaPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (group: String, batch: Iterator[DayEvent],
-            state: GroupState[EwmaState]) =>
+            state: GroupState[StateEnvelope]) =>
           val out = Seq.newBuilder[EwmaPoint]
-          var st = state.getOption
+          var st = state.getOption.map(EwmaStateCodec.unwrap)
             .getOrElse(EwmaState(Nil, Long.MinValue, 0L))
           def close(s: EwmaState): EwmaState = {
             val ring = (s.ring :+ DayCount(s.curDay, s.curCnt))
@@ -357,7 +453,7 @@ object Streams {
               st = st.copy(curDay = e.day, curCnt = 1L)
             }
           }
-          state.update(st)
+          state.update(EwmaStateCodec.wrap(st))
           out.result().iterator
       }
   }
@@ -368,12 +464,13 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.group)
-      .flatMapGroupsWithState[CusumState, CusumPoint](
+      .flatMapGroupsWithState[StateEnvelope, CusumPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (group: String, batch: Iterator[DayEvent], state: GroupState[CusumState]) =>
+        (group: String, batch: Iterator[DayEvent],
+            state: GroupState[StateEnvelope]) =>
           val k = allowance.getOrElse(group, 1L)
           val out = Seq.newBuilder[CusumPoint]
-          var cur = state.getOption
+          var cur = state.getOption.map(CusumStateCodec.unwrap)
           batch.toSeq.sortBy(_.day).foreach { e =>
             cur match {
               case Some(st) if e.day == st.day =>
@@ -387,7 +484,7 @@ object Streams {
                 cur = Some(CusumState(e.day, 1L, 0L))
             }
           }
-          cur.foreach(state.update)
+          cur.foreach(s => state.update(CusumStateCodec.wrap(s)))
           out.result().iterator
       }
   }
@@ -415,16 +512,17 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[StateEnvelope, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[TimedSessionEvent], state: GroupState[SessionState]) =>
+        (userId: Long, batch: Iterator[TimedSessionEvent],
+            state: GroupState[StateEnvelope]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            val s = SessionStateCodec.unwrap(state.get)
             state.remove()
             Iterator.single(ClosedSession(userId, s.start, s.last, s.n, s.sum))
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.tsSec, e.value))
-            var cur = state.getOption
+            var cur = state.getOption.map(SessionStateCodec.unwrap)
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
               cur match {
@@ -439,7 +537,7 @@ object Streams {
               }
             }
             cur.foreach { s =>
-              state.update(s)
+              state.update(SessionStateCodec.wrap(s))
               // close when event time passes last + gap (seconds -> ms)
               state.setTimeoutTimestamp((s.last + gapSec) * 1000L)
             }
@@ -466,9 +564,11 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     events.groupByKey(_.group)
-      .mapGroupsWithState[HHState, HHSummary](GroupStateTimeout.NoTimeout) {
-        (group: String, batch: Iterator[ItemEvent], state: GroupState[HHState]) =>
-          val st = state.getOption.getOrElse(HHState(0L, Map.empty))
+      .mapGroupsWithState[StateEnvelope, HHSummary](GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[ItemEvent],
+            state: GroupState[StateEnvelope]) =>
+          val st = state.getOption.map(HHStateCodec.unwrap)
+            .getOrElse(HHState(0L, Map.empty))
           var n = st.n
           val buf = new java.util.HashMap[String, Long](k * 2)
           st.counters.foreach { case (it, w) => buf.put(it, w) }
@@ -490,7 +590,7 @@ object Streams {
           val m = scala.collection.immutable.TreeMap.newBuilder[String, Long]
           buf.forEach((it, w) => m += (it -> w))
           val counters = m.result()
-          state.update(HHState(n, counters))
+          state.update(HHStateCodec.wrap(HHState(n, counters)))
           HHSummary(group, n, counters)
       }
   }

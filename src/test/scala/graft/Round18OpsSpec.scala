@@ -87,6 +87,38 @@ class Round18OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("state codecs: every stateful operator's v1 payload round-trips " +
+    "bit-exactly (variable-length rings, canonical maps, raw IEEE " +
+    "doubles) and future versions fail loudly") {
+    import graft.streaming.Streams._
+    val sess = SessionState(10L, 99L, 7L, Double.NaN)
+    val sessBack = SessionStateCodec.unwrap(SessionStateCodec.wrap(sess))
+    assert(sessBack.start == 10L && sessBack.last == 99L &&
+      sessBack.n == 7L &&
+      java.lang.Double.doubleToRawLongBits(sessBack.sum) ==
+        java.lang.Double.doubleToRawLongBits(Double.NaN),
+      "doubles must survive as raw bits, NaN included")
+    val thr = ThrottleState(-5L)
+    assert(ThrottleStateCodec.unwrap(ThrottleStateCodec.wrap(thr)) == thr)
+    val cus = CusumState(19L, 3L, 42L)
+    assert(CusumStateCodec.unwrap(CusumStateCodec.wrap(cus)) == cus)
+    val ew = EwmaState(Seq(DayCount(1L, 2L), DayCount(3L, 4L)), 5L, 6L)
+    assert(EwmaStateCodec.unwrap(EwmaStateCodec.wrap(ew)) == ew)
+    val ewEmpty = EwmaState(Nil, Long.MinValue, 0L)
+    assert(EwmaStateCodec.unwrap(EwmaStateCodec.wrap(ewEmpty)) == ewEmpty)
+    val hh = HHState(100L, Map("b" -> 2L, "a" -> 1L, "ü" -> 3L))
+    assert(HHStateCodec.unwrap(HHStateCodec.wrap(hh)) == hh,
+      "maps (incl. multi-byte UTF-8 keys) must round-trip")
+    // canonical bytes: key order in the input map cannot change them
+    assert(HHStateCodec.encode(hh).toSeq ==
+      HHStateCodec.encode(HHState(100L,
+        Map("ü" -> 3L, "a" -> 1L, "b" -> 2L))).toSeq)
+    val e = intercept[IllegalStateException] {
+      HHStateCodec.unwrap(StateEnvelope(9, HHStateCodec.encode(hh)))
+    }
+    assert(e.getMessage.contains("version 9"))
+  }
+
   test("hyperBall: one round on an isolated pair merges exactly the " +
     "two nodes' own registers") {
     val edges = Seq((7L, 9L)).toDF("a", "b")
