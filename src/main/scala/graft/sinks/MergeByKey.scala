@@ -132,6 +132,31 @@ object MergeByKey {
       case None => spark.read.parquet(path)
     }
 
+  /** TIME-TRAVEL read: resolve a specific historical version of the
+    * store — "what did the table say before last night's merge?" is a
+    * one-call diff against `readCommitted`. Only versions inside the
+    * GC retain window still exist (gc keeps `retain` behind the
+    * committed head, default 2); asking for an evicted or future
+    * version fails loudly with the live range instead of resolving the
+    * wrong snapshot. */
+  def readVersion(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val cur = committedVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no versioned commits to time-travel into"))
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/v=$version")
+    if (version > cur || !f.exists(dir)) throw new IllegalStateException(
+      s"version $version of $path is not readable: committed head is " +
+        s"v=$cur and older versions may be GC'd (retain window) — " +
+        "live versions: " + f.listStatus(new Path(path))
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("v=") &&
+            n.stripPrefix("v=").forall(_.isDigit))
+          .sortBy(_.stripPrefix("v=").toLong).mkString(", "))
+    spark.read.parquet(dir.toString)
+  }
+
   /** Atomically flip `path/_manifest` to `version`: write a writer-
     * private temp file, rename over the manifest (Rename.OVERWRITE —
     * atomic metadata op on HDFS and local fs). Only ever called by the

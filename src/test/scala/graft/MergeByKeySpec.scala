@@ -235,6 +235,27 @@ class MergeByKeySpec extends SparkSpec {
       "foreign v=x content must never be touched")
   }
 
+  test("time travel: readVersion resolves any live historical snapshot; " +
+    "evicted and future versions fail loudly with the live range") {
+    val dir = Files.createTempDirectory("graft_tt").toString + "/t"
+    MergeByKey.upsert(spark, Seq(("A", 1.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("A", 2.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark, Seq(("A", 3.0)).toDF("k", "v"), dir, "k")
+    // head is v=2; v=1 is within the retain window, v=0 was GC'd
+    assert(MergeByKey.readVersion(spark, dir, 1L).rowsSet ==
+      Set(Seq("A", 2.0)))
+    assert(MergeByKey.readVersion(spark, dir, 2L).rowsSet ==
+      MergeByKey.readCommitted(spark, dir).rowsSet)
+    val evicted = intercept[IllegalStateException] {
+      MergeByKey.readVersion(spark, dir, 0L)
+    }
+    assert(evicted.getMessage.contains("live versions"))
+    val future = intercept[IllegalStateException] {
+      MergeByKey.readVersion(spark, dir, 99L)
+    }
+    assert(future.getMessage.contains("committed head is v=2"))
+  }
+
   test("probeLegacy: unreadable parquet-named legacy content fails the " +
     "commit loudly instead of silently dropping the legacy side " +
     "(r17 ADVICE, medium)") {
