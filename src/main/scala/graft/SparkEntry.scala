@@ -13208,7 +13208,8 @@ object SparkEntry {
         |UNION ALL SELECT 'bloom_decontaminate_superset', true
         |UNION ALL SELECT 'kmv_rel_err_bound', true
         |UNION ALL SELECT 'mg_tracked_bounds', true
-        |UNION ALL SELECT 'mg_no_missed_heavy', true""".stripMargin,
+        |UNION ALL SELECT 'mg_no_missed_heavy', true
+        |UNION ALL SELECT 'hyperball_register_exact', true""".stripMargin,
 
     // q59: quality formula mirrored from q18 (ExactRound integer
     // rational — see q18), integer token cumsum — DuckDB sum(BIGINT)

@@ -216,12 +216,69 @@ object AccuracyAudit {
         FrequentItems.mgGuaranteeAudit(bigrams, col("g"), k = 64))
     }
 
+    // --- HyperBall registers vs an exact driver-side BFS: the
+    // distributed register merge must produce, node for node, EXACTLY
+    // the registers computed from the true ≤1-hop ball (the md5
+    // derivation is deterministic, so this is set equality, not a
+    // tolerance — a wrong merge, a dropped propagation, or a hash
+    // divergence all break it; round-to-round monotone behavior is
+    // pinned by the hand-derived Round18OpsSpec fixtures, so one round
+    // keeps the audit cheap without losing the merge check). The graph
+    // is a bounded user→type bipartite slice of events; the
+    // independent re-derivation below shares NO code with
+    // GraphRank.hyperBall.
+    val fHyperball = Future(timed("hyperball_register_exact") {
+      // ONE events scan: the collected edge set both seeds the exact
+      // BFS and (as a LocalRelation) feeds the operator, so the two
+      // sides audit the IDENTICAL graph and the operator's internal
+      // rounds run on tiny in-memory frames
+      val edgeRows = boundedSet(events
+        .filter(col("user_id").isNotNull && col("user_id") < 500)
+        .select((col("user_id") * 2L).as("u"),
+          (pmod(xxhash64(col("event_type")), lit(64L)) * 2L + 1L).as("v"))
+        .distinct().as[(Long, Long)], "hyperball_edges")
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edgeRows.foreach { case (u, v) =>
+        adj(u) = adj(u) + v; adj(v) = adj(v) + u
+      }
+      def reg(node: Long): (Long, Long) = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(node.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(h.substring(0, 1), 16)
+        val tail = h.substring(1, 16)
+        val trimmed = tail.dropWhile(_ == '0')
+        val rho =
+          if (trimmed.isEmpty) 61L
+          else {
+            val z = (tail.length - trimmed.length).toLong
+            val d = java.lang.Long.parseLong(trimmed.substring(0, 1), 16)
+            z * 4L + (if (d >= 8) 0L else if (d >= 4) 1L
+              else if (d >= 2) 2L else 3L) + 1L
+          }
+        (bucket, rho)
+      }
+      val expected = adj.keySet.toSeq.map { n =>
+        val ball = Set(n) ++ adj(n)
+        val regs = ball.toSeq.map(reg).groupBy(_._1)
+          .map { case (b, rs) => b -> rs.map(_._2).max }
+        (n, regs.size.toLong, regs.values.sum)
+      }.toSet
+      val got = boundedSet(GraphRank.hyperBall(
+        edgeRows.toSeq.toDF("u", "v"), "u", "v", rounds = 1)
+        .select(col("node"), col("n_set"), col("sum_rho"))
+        .as[(Long, Long, Long)], "hyperball_registers")
+      got == expected
+    })
+
     val simhashOk = Await.result(fSimhash, Duration.Inf)
     val (annLshOk, ivfOk) = Await.result(fAnn, Duration.Inf)
     val (neardupOk, semOk) = Await.result(fPairs, Duration.Inf)
     val bloomOk = Await.result(fBloom, Duration.Inf)
     val kmvOk = Await.result(fKmv, Duration.Inf)
     val (mgBoundsOk, mgNoMiss) = Await.result(fMg, Duration.Inf)
+    val hyperballOk = Await.result(fHyperball, Duration.Inf)
 
     // every check above has collected its booleans — the slices are done
     cached.foreach(_.unpersist(blocking = false))
@@ -235,7 +292,8 @@ object AccuracyAudit {
       ("bloom_decontaminate_superset", bloomOk),
       ("kmv_rel_err_bound", kmvOk),
       ("mg_tracked_bounds", mgBoundsOk),
-      ("mg_no_missed_heavy", mgNoMiss)
+      ("mg_no_missed_heavy", mgNoMiss),
+      ("hyperball_register_exact", hyperballOk)
     ).toDF("check", "pass")
   }
 }
