@@ -173,7 +173,9 @@ object SparkEntry {
       // per session when the plan is constructed
       t("bucketed_tables_q357") { queries("q357_bucketed_join")(s, dir) },
       t("partitioned_orders_q358") {
-        queries("q358_partition_pruned")(s, dir) })
+        queries("q358_partition_pruned")(s, dir) },
+      // shares q358's fact store; this builds the tiny status dim
+      t("status_dim_q359") { queries("q359_dpp_join")(s, dir) })
   }
 
   /** Exact order-independent sum of a 2dp/4dp money column. */
@@ -2770,6 +2772,48 @@ object SparkEntry {
           col("o_orderstatus"))
       }
       store.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_e2")).as("sum_price_e2"),
+          min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // ---- layout: DYNAMIC PARTITION PRUNING — q358's 100 TB sibling:
+    // the status predicate lives on a tiny DIM table, not on the fact
+    // scan, and must reach the hive-partitioned fact store THROUGH the
+    // join — Spark reuses the dim's broadcast as a dynamicpruning
+    // subquery in the fact scan's PartitionFilters, so only the
+    // matching status directories are read (the J1/J2 broadcast-dim
+    // pattern at fact scale; PlanAuditSpec pins the dynamicpruning
+    // expression). Values gated against the unpartitioned source:
+    // pruning must change the I/O, never the result.
+    "q359_dpp_join" -> ((s, dir) => {
+      val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet")
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      // same staged store as q358 — built once, shared
+      val fact = Tables.stagedPartitionedParquet(s,
+          s"$root/orders-by-status-$stamp", "o_orderstatus") {
+        T(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          expr("cast(round(o_totalprice * 100, 0) as long)")
+            .as("price_e2"),
+          col("o_orderstatus"))
+      }
+      // the dim must be a FILE-backed table: a LocalRelation dim gets
+      // its filter constant-folded away and DPP never sees a selective
+      // predicate to prune with
+      val dim = Tables.stagedParquet(s, s"$root/status-dim-$stamp") {
+        T(s, dir, "orders").select(col("o_orderstatus").as("status"))
+          .distinct()
+          .withColumn("category",
+            when(col("status") === "F", lit("done"))
+              .when(col("status") === "O", lit("open"))
+              .otherwise(lit("pending")))
+      }
+      fact.join(dim.filter(col("category") === "done"),
+          col("o_orderstatus") === col("status"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price_e2")).as("sum_price_e2"),
@@ -5562,14 +5606,24 @@ object SparkEntry {
     * materialized at sf0.01 (r18; the same inlining made a 5-round
     * k-truss unroll run >10 min). Only safe for oracles with no
     * RECURSIVE CTEs and no WINDOW clauses — neither form accepts
-    * MATERIALIZED. `name AS (` is unambiguous in our SQL: column
-    * aliases are `expr AS name` and derived tables `(...) AS name`,
-    * so the pattern only ever hits CTE definitions. */
+    * MATERIALIZED. Outside string literals, `name AS (` is unambiguous
+    * in SQL: column aliases are `expr AS name`, derived tables are
+    * `(...) AS name(cols)`, so the pattern only ever hits CTE
+    * definitions — but a string LITERAL containing the pattern would
+    * be silently corrupted by a blind replaceAll (r18 ADVICE), so the
+    * rewrite is applied per quote-delimited segment and literals pass
+    * through untouched ('' escaping splits into empty inside-segments,
+    * which the alternation handles). */
   private def materializedCtes(sql: String): String = {
     require(!sql.contains("RECURSIVE") && !sql.contains("WINDOW "),
       "materializedCtes cannot wrap RECURSIVE CTEs or WINDOW clauses")
-    sql.replaceAll("""([A-Za-z_][A-Za-z0-9_]*) AS \(""",
-      "$1 AS MATERIALIZED (")
+    // split on ': even-index segments are outside string literals
+    sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0)
+        seg.replaceAll("""([A-Za-z_][A-Za-z0-9_]*) AS \(""",
+          "$1 AS MATERIALIZED (")
+      else seg
+    }.mkString("'")
   }
 
   private def kTrussCtes(k: Int, rounds: Int): String = {
@@ -9359,6 +9413,22 @@ object SparkEntry {
         |    AS BIGINT) AS sum_price_e2,
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+
+    // q359: the dim-filtered join over the source parquet — dynamic
+    // pruning is a plan property; values must be invariant to it
+    "q359_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderstatus AS status,
+        |    CASE o_orderstatus WHEN 'F' THEN 'done'
+        |      WHEN 'O' THEN 'open' ELSE 'pending' END AS category
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_e2,
+        |  min(o_orderkey) AS min_key
+        |FROM orders JOIN dim ON o_orderstatus = dim.status
+        |WHERE dim.category = 'done'
         |GROUP BY 1""".stripMargin,
 
     // q357: the join itself, over the source parquet — bucketing is a

@@ -64,7 +64,17 @@ object Tables {
     * earlier JVM is overwritten, never trusted (re-registering it as an
     * external table would silently lose the bucket spec and the
     * no-shuffle property with it). Callers put a source stamp in
-    * `name` so a regenerated corpus forces a rebuild. */
+    * `name` so a regenerated corpus forces a rebuild.
+    *
+    * SINGLE-WRITER ASSUMPTION (r18 ADVICE): "catalog lacks the table ⇒
+    * the same-name warehouse dir is stale debris" is only sound when
+    * this session has the warehouse directory to itself. Two live
+    * sessions sharing one warehouse dir (or a persistent metastore out
+    * of sync with it) would let one session delete the other's table
+    * data mid-query. Every session in this repo uses its own default
+    * `spark-warehouse` under an exclusive working directory; a
+    * deployment with a shared warehouse must key `name` per session or
+    * point `spark.sql.warehouse.dir` at a session-scoped path. */
   def bucketedTable(spark: SparkSession, name: String, df: => DataFrame,
       key: String, buckets: Int): DataFrame = {
     if (!spark.catalog.tableExists(name)) {

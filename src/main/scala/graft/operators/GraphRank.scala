@@ -755,7 +755,14 @@ object GraphRank {
     * per round — make any fixed horizon a silent wrong answer).
     * `maxRounds` is a safety cap only: exceeding it throws rather than
     * returning an unconverged edge set. Termination is guaranteed —
-    * every non-final round removes at least one edge.
+    * every non-final round removes at least one edge — so the DEFAULT
+    * cap (`maxRounds = 0` = auto) is initial edge count + 1, the true
+    * termination bound: a legitimate long-diameter peel cascade (the
+    * k=4 triangle strip unravels one edge pair per round) can never
+    * trip it, while a broken shrink-monotonicity still fails loudly
+    * (r18 ADVICE: a fixed 64-round default threw on large legitimate
+    * inputs whose cascade depth scales with graph diameter). Pass an
+    * explicit positive `maxRounds` to bound wall time instead.
     *
     * Support counting: each wedge (c; x<y) over the directed double
     * cover closes against the canonical edge list exactly when (x,y)
@@ -773,8 +780,8 @@ object GraphRank {
     * canonical-edge equi-join, one count; edge sets localCheckpoint'ed
     * between rounds like every iterative ladder here. */
   def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      maxRounds: Int = 64): DataFrame = {
-    require(k >= 3 && maxRounds >= 1, "need k >= 3 and maxRounds >= 1")
+      maxRounds: Int = 0): DataFrame = {
+    require(k >= 3 && maxRounds >= 0, "need k >= 3 and maxRounds >= 0")
     var e = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
@@ -783,13 +790,16 @@ object GraphRank {
       .localCheckpoint(true)
     var out = e.select(col("u"), col("v"), lit(0L).as("support"))
     var prev = e.count()
+    // auto cap = the termination bound (every non-final round removes
+    // >= 1 edge), so only broken monotonicity can trip it
+    val cap = if (maxRounds > 0) maxRounds.toLong else prev + 1L
     var round = 0
     // a no-op round (count unchanged under shrink-only peeling) is the
     // fixpoint; the confirming round also computes the final supports
     while (prev > 0L) {
       round += 1
-      if (round > maxRounds) throw new IllegalStateException(
-        s"kTruss did not converge within $maxRounds peel rounds " +
+      if (round > cap) throw new IllegalStateException(
+        s"kTruss did not converge within $cap peel rounds " +
           s"($prev edges still shrinking) — raise maxRounds")
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -877,7 +887,24 @@ object GraphRank {
     * summary frame) for t = 0..rounds. Exposed so [[hyperBallCurve]]
     * can read every radius without re-running the merge ladder. */
   private def hyperBallRegisterLadder(edges: DataFrame, srcCol: String,
-      dstCol: String, rounds: Int): Seq[(Int, DataFrame)] = {
+      dstCol: String, rounds: Int): Seq[(Int, DataFrame)] =
+    hyperBallLadderWithRounds(edges, srcCol, dstCol, rounds)._1
+
+  /** [[hyperBallRegisterLadder]] plus the number of merge rounds
+    * actually COMPUTED — the register merge is monotone (rows are
+    * never removed, each (node, bucket) rho only grows), so a round
+    * that leaves (row count, Σrho) unchanged left the register SET
+    * unchanged and every later round is a no-op: the ladder stops
+    * joining at that fixed point and reuses the stable state for the
+    * remaining radii (the kTruss r18 self-detection discipline — a
+    * `rounds` horizon past the graph's diameter must cost diameter
+    * joins, not `rounds` joins). The OUTPUT contract is unchanged:
+    * still one summary per t = 0..rounds (the tail radii are the
+    * fixed-point state), so q354/q355 gate values are identical.
+    * Package-private so the early-stop is spec-observable. */
+  private[graft] def hyperBallLadderWithRounds(edges: DataFrame,
+      srcCol: String, dstCol: String,
+      rounds: Int): (Seq[(Int, DataFrame)], Int) = {
     require(rounds >= 1, "need rounds >= 1")
     import org.apache.spark.storage.StorageLevel
     val fwd = edges.select(col(srcCol).cast("long").as("u"),
@@ -905,20 +932,39 @@ object GraphRank {
         conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
         rho.as("rho"))
       .localCheckpoint(true)
+    // (row count, Σrho) is a sound fixed-point witness under the
+    // monotone merge: count unchanged ⇒ no new (node, bucket) row
+    // (rows never vanish), Σrho unchanged on the same rows ⇒ no rho
+    // grew. The regs frame is checkpointed, so this is one cheap
+    // aggregate over materialized rows per round.
+    def signature(r: DataFrame): (Long, Long) = {
+      val row = r.agg(count(lit(1)), coalesce(sum(col("rho")), lit(0L)))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var sig = signature(regs)
     val out = Seq.newBuilder[(Int, DataFrame)]
     out += 0 -> summarizeRegisters(regs)
+    var computed = 0
+    var fixed = false
     for (t <- 1 to rounds) {
-      val prop = adj
-        .join(regs.select(col("node").as("u"), col("bucket"),
-          col("rho")), "u")
-        .select(col("v").as("node"), col("bucket"), col("rho"))
-      regs = regs.union(prop)
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("rho")).as("rho"))
-        .localCheckpoint(true)
+      if (!fixed) {
+        val prop = adj
+          .join(regs.select(col("node").as("u"), col("bucket"),
+            col("rho")), "u")
+          .select(col("v").as("node"), col("bucket"), col("rho"))
+        regs = regs.union(prop)
+          .groupBy(col("node"), col("bucket"))
+          .agg(max(col("rho")).as("rho"))
+          .localCheckpoint(true)
+        computed += 1
+        val next = signature(regs)
+        if (next == sig) fixed = true
+        sig = next
+      }
       out += t -> summarizeRegisters(regs)
     }
-    out.result()
+    (out.result(), computed)
   }
 
   /** (node, n_set, sum_rho, nf_raw_e6) from (node, bucket, rho) rows —

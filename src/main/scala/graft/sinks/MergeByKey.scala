@@ -51,9 +51,14 @@ import org.apache.spark.sql.functions._
   * hand after inspecting it). A writer that dies pre-claim leaves only
   * an invisible `.stage-*` dir, which never affects readers.
   *
-  * Retention: versions older than the previous one are deleted AFTER
-  * the flip (`retain = 2`), so an in-flight reader of the prior
-  * version has one full merge cycle of slack. Legacy flat stores
+  * Retention: versions more than `retain - 1` behind the head are
+  * deleted AFTER the flip (`retain = 2` by default: head + one prior),
+  * so an in-flight reader of the prior version has one full merge
+  * cycle of slack. `retain` is surfaced on [[upsert]]/[[overwrite]] —
+  * a reader holding a snapshot across k concurrent commits needs
+  * `retain > k`, and a read of an evicted version fails with the NAMED
+  * retain-window error in [[readVersion]], never a raw
+  * FileNotFoundException mid-scan of a half-deleted directory. Legacy flat stores
   * (pre-versioned parquet directly under `path` — flat files OR
   * partitioned directory layouts, detected by probing the path as
   * parquet) are read as the existing side on the first versioned
@@ -132,13 +137,31 @@ object MergeByKey {
       case None => spark.read.parquet(path)
     }
 
+  /** Name of the per-version commit record the claim winner drops into
+    * `v=N` just before flipping the manifest (while it still holds the
+    * claim, so nothing can commit in between). Historical reads require
+    * it: a stale writer that wins a claim on a GC'd slot transiently
+    * creates a `v=K` dir (K < head) holding UNCOMMITTED merge output
+    * until its recheck deletes it — without the record, a concurrent
+    * time-travel read of K would return that wrong data as committed
+    * history (r18 ADVICE, medium). */
+  private val CommitRecord = "_graft_committed"
+
+  private def writeCommitRecord(spark: SparkSession, dir: Path): Unit = {
+    val out = fs(spark, dir.toString).create(new Path(dir, CommitRecord), true)
+    try out.write("committed".getBytes("UTF-8")) finally out.close()
+  }
+
   /** TIME-TRAVEL read: resolve a specific historical version of the
     * store — "what did the table say before last night's merge?" is a
     * one-call diff against `readCommitted`. Only versions inside the
     * GC retain window still exist (gc keeps `retain` behind the
-    * committed head, default 2); asking for an evicted or future
-    * version fails loudly with the live range instead of resolving the
-    * wrong snapshot. */
+    * committed head); asking for an evicted or future version fails
+    * loudly with the live range instead of resolving the wrong
+    * snapshot, and a surviving `v=` dir WITHOUT a commit record (a
+    * stale CAS claim mid-recheck, or debris from a GC failure) is
+    * rejected the same way rather than served as history. The head
+    * version needs no record — the manifest itself vouches for it. */
   def readVersion(spark: SparkSession, path: String,
       version: Long): DataFrame = {
     val cur = committedVersion(spark, path).getOrElse(
@@ -146,14 +169,21 @@ object MergeByKey {
         s"$path has no versioned commits to time-travel into"))
     val f = fs(spark, path)
     val dir = new Path(s"$path/v=$version")
-    if (version > cur || !f.exists(dir)) throw new IllegalStateException(
-      s"version $version of $path is not readable: committed head is " +
-        s"v=$cur and older versions may be GC'd (retain window) — " +
-        "live versions: " + f.listStatus(new Path(path))
-          .map(_.getPath.getName)
-          .filter(n => n.startsWith("v=") &&
-            n.stripPrefix("v=").forall(_.isDigit))
-          .sortBy(_.stripPrefix("v=").toLong).mkString(", "))
+    val committedRecord = version == cur ||
+      (f.exists(dir) && f.exists(new Path(dir, CommitRecord)))
+    if (version > cur || !f.exists(dir) || !committedRecord)
+      throw new IllegalStateException(
+        s"version $version of $path is not readable: committed head is " +
+          s"v=$cur, older versions may be GC'd (retain window), and a " +
+          "version dir without a commit record is an uncommitted stale " +
+          "claim, never history — live committed versions: " +
+          f.listStatus(new Path(path))
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("v=") &&
+              n.stripPrefix("v=").forall(_.isDigit))
+            .filter(n => n == s"v=$cur" ||
+              f.exists(new Path(s"$path/$n/$CommitRecord")))
+            .sortBy(_.stripPrefix("v=").toLong).mkString(", "))
     spark.read.parquet(dir.toString)
   }
 
@@ -344,7 +374,16 @@ object MergeByKey {
     * stats. */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
       key: String, overwriteColumns: Option[Seq[String]] = None,
-      outputPartitions: Int = 0, maxAttempts: Int = 5): MergeStats = {
+      outputPartitions: Int = 0, maxAttempts: Int = 5,
+      retain: Int = 2): MergeStats = {
+    // retain is the reader-slack contract: a reader pinned to version N
+    // keeps reading while up to retain-1 further commits land; commit
+    // retain+k evicts N and the reader (or a time-travel readVersion)
+    // fails with the NAMED retain-window error, never a raw
+    // FileNotFoundException from a half-deleted directory — size it to
+    // the store's slowest reader (e.g. a long training job holding a
+    // snapshot across many merge cycles needs retain > cycles).
+    require(retain >= 1, s"retain must keep at least the head (got $retain)")
     val f = fs(spark, path)
     var attempt = 0
     while (true) {
@@ -395,8 +434,12 @@ object MergeByKey {
           if (legacyEntries.nonEmpty)
             writeLegacyTombstone(spark, path,
               s"#v=$next" +: legacyEntries)
+          // commit record BEFORE the flip, while we still hold the claim
+          // (nothing can commit in between), so every version behind the
+          // head carries proof it was really committed — see readVersion
+          writeCommitRecord(spark, claimed)
           commitManifest(spark, path, next)
-          gc(spark, path, next)
+          gc(spark, path, next, retain)
           // the store gained a version: drop any cached listing of the root
           spark.catalog.refreshByPath(path)
           return MergeStats(incomingRows, readCommitted(spark, path).count())
@@ -421,8 +464,10 @@ object MergeByKey {
     * the next manifest resolution sees only the loaded snapshot. A lost
     * claim just re-derives the next version (no re-merge needed — the
     * load does not depend on prior content). */
-  def overwrite(df: DataFrame, path: String, maxAttempts: Int = 5): Unit = {
+  def overwrite(df: DataFrame, path: String, maxAttempts: Int = 5,
+      retain: Int = 2): Unit = {
     val spark = df.sparkSession
+    require(retain >= 1, s"retain must keep at least the head (got $retain)")
     val f = fs(spark, path)
     var attempt = 0
     while (true) {
@@ -439,8 +484,9 @@ object MergeByKey {
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"overwrite of $path lost the version claim $maxAttempts times")
         } else {
+          writeCommitRecord(spark, claimed)
           commitManifest(spark, path, next)
-          gc(spark, path, next)
+          gc(spark, path, next, retain)
           spark.catalog.refreshByPath(path)
           return
         }

@@ -189,9 +189,16 @@ object Streams {
     * shape. Since r18 the detector stores its state through
     * [[StateEnvelope]] with [[PatternStateCodec]]: the STORE schema is
     * frozen at (version, payload) so Spark's state-schema check never
-    * trips, v1 (2-field) payloads migrate to the 5-field shape with
-    * `hasPrev = false` (exactly what a fresh 2-field restore carried),
-    * and an unknown version fails loudly instead of misreading bytes. */
+    * trips on FUTURE payload evolutions — a v1-tagged payload decodes
+    * to the 5-field shape with `hasPrev = false`, and an unknown
+    * version fails loudly instead of misreading bytes. NOTE the
+    * envelope protects evolutions from r18 FORWARD only: pre-r18
+    * checkpoints stored the raw case class, not (version, payload), so
+    * switching to the envelope was itself a one-time state-schema
+    * break — a deployment holding a live pre-r18 checkpoint needs a
+    * fresh checkpoint location for this upgrade; its v1 decode branch
+    * exists for payloads an r18+ job explicitly wrote as v1, not for
+    * raw pre-envelope checkpoints (r18 ADVICE). */
   case class PatternState(aTs: Long, aId: Long,
     prevTs: Long, prevId: Long, hasPrev: Boolean)
 

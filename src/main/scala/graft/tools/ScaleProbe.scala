@@ -1628,6 +1628,79 @@ object ScaleProbe {
         "id_a", "id_b")
     }
 
+    // ---- layout probes (r18 verdict #5): q357/q358's plan-shape
+    // properties were gated only at sf0.01 — prove they hold at 2M
+    // rows, with the shape booleans IN the artifact so a silent
+    // layout-bypass (planner falls back to shuffle; filter degrades to
+    // a row predicate) reads as a red field, not a slow number.
+    def timeShaped(name: String, df: => org.apache.spark.sql.DataFrame,
+        shape: String => Seq[(String, Boolean)]): Unit = {
+      if (!only.forall(_.contains(name))) return
+      val q = df // build layouts once, OUTSIDE the timed runs
+      val shapeFields = shape(q.queryExecution.executedPlan.toString)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",", ",", "")
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      emit(f"""{"probe":"$name","rows":$n,"sec":${runs.min}%.2f,""" +
+        s""""sec_runs":[${runs.map(r => f"$r%.2f").mkString(",")}]""" +
+        shapeFields + "}")
+    }
+    // bucketed co-located join: n/4-row build side — far over any
+    // broadcast threshold at real scale, pinned here so the probe
+    // exercises the shuffle path bucketing exists to remove
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      timeShaped("bucketed_join", {
+        val o = graft.Tables.bucketedTable(spark, s"graft_scale_bkt_o_$n",
+          spark.range(n / 4).select(col("id").as("k"),
+            concat(lit("p"), pmod(xxhash64(col("id"), lit(80)), lit(5))
+              .cast("string")).as("prio")),
+          "k", buckets = 16)
+        val li = graft.Tables.bucketedTable(spark, s"graft_scale_bkt_li_$n",
+          spark.range(n).select(
+            pmod(xxhash64(col("id"), lit(81)), lit(n / 4)).as("fk"),
+            (col("id") * 3L).as("v")),
+          "fk", buckets = 16)
+        // aggregate on the BUCKET KEY so the whole plan — both scans,
+        // the join, and the aggregate — rides the bucket partitioning
+        // with zero Exchange (an agg on any other column would
+        // legitimately shuffle its own tiny post-join output)
+        o.join(li, o("k") === li("fk"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"))
+      }, p => Seq(
+        "exchange_free" -> !p.contains("Exchange"),
+        "bucketed_scan" -> p.contains("Bucketed: true")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    // hive-partitioned store: equality filter prunes to 1 of 8 status
+    // directories at the scan
+    timeShaped("partition_pruned", {
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val store = graft.Tables.stagedPartitionedParquet(spark,
+          s"$root/scale-by-status-$n", "status") {
+        spark.range(n).select(col("id"),
+          concat(lit("s"), pmod(xxhash64(col("id"), lit(82)), lit(8))
+            .cast("string")).as("status"),
+          (col("id") * 7L).as("v"))
+      }
+      store.filter(col("status") === "s3")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"))
+    }, p => Seq(
+      "partition_filter_at_scan" -> (p.contains("PartitionFilters: [") &&
+        p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("s3")),
+      "no_row_filter_fallback" ->
+        !p.contains("PushedFilters: [IsNotNull(status)")))
+
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         outLines.mkString("", "\n", "\n"))

@@ -9,20 +9,41 @@ import graft.operators.{AccuracyAudit, SimilaritySearch}
 class AccuracyAuditSpec extends SparkSpec {
   import spark.implicits._
 
+  // The exact expected check-name set: a size-only assert went stale in
+  // r18 when check #10 landed after the close suite run (sbt test ended
+  // the round red), and a size assert also can't catch one check being
+  // silently dropped while another is added. Keep this list in lockstep
+  // with AccuracyAudit's output rows.
+  private val expectedChecks = Set(
+    "simhash_pigeonhole_exact",
+    "ann_lsh_top10_overlap",
+    "ann_ivf_top10_overlap",
+    "embedding_lsh_recall",
+    "semantic_dedup_recall",
+    "bloom_decontaminate_superset",
+    "kmv_rel_err_bound",
+    "mg_tracked_bounds",
+    "mg_no_missed_heavy",
+    "hyperball_register_exact")
+
   test("accuracy audit passes on the smallest gate corpus") {
     val out = AccuracyAudit(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(out.size == 9)
+    assert(out.keySet == expectedChecks,
+      s"check set drifted: missing=${expectedChecks -- out.keySet} " +
+        s"unexpected=${out.keySet -- expectedChecks}")
     out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
   }
 
-  test("bounded audit slice still yields all nine checks, consistently paired") {
+  test("bounded audit slice still yields every check, consistently paired") {
     // at fleet scale the quadratic twins run over a deterministic
     // lowest-id slice; both sides of each check must see the SAME slice,
     // so every check still passes (possibly vacuously for near-dups)
     val out = AccuracyAudit(spark, "/root/testdata/sf0.001", maxAuditRows = 40)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(out.size == 9)
+    assert(out.keySet == expectedChecks,
+      s"check set drifted: missing=${expectedChecks -- out.keySet} " +
+        s"unexpected=${out.keySet -- expectedChecks}")
     out.foreach { case (check, pass) => assert(pass, s"check failed: $check") }
   }
 

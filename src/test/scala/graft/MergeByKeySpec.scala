@@ -249,11 +249,55 @@ class MergeByKeySpec extends SparkSpec {
     val evicted = intercept[IllegalStateException] {
       MergeByKey.readVersion(spark, dir, 0L)
     }
-    assert(evicted.getMessage.contains("live versions"))
+    assert(evicted.getMessage.contains("live committed versions"))
     val future = intercept[IllegalStateException] {
       MergeByKey.readVersion(spark, dir, 99L)
     }
     assert(future.getMessage.contains("committed head is v=2"))
+  }
+
+  test("retention contract: retain sizes reader slack across commits, " +
+    "eviction fails with the NAMED retain-window error, and a version " +
+    "dir without a commit record is never served as history") {
+    val dir = Files.createTempDirectory("graft_retain").toString + "/t"
+    // retain=4: a reader pinned to v=0 keeps resolving it while THREE
+    // further commits land (head walks 0->3, gc keeps head-3..head)
+    (1 to 4).foreach { i =>
+      MergeByKey.upsert(spark, Seq(("A", i.toDouble)).toDF("k", "v"),
+        dir, "k", retain = 4)
+    }
+    assert(MergeByKey.committedVersion(spark, dir) === Some(3L))
+    assert(MergeByKey.readVersion(spark, dir, 0L).rowsSet ==
+      Set(Seq("A", 1.0)), "retain=4 must keep v=0 across 3 commits")
+    // two more commits at the DEFAULT retain=2 evict everything behind
+    // head-1; the pinned reader's next resolve is the named error
+    (5 to 6).foreach { i =>
+      MergeByKey.upsert(spark, Seq(("A", i.toDouble)).toDF("k", "v"),
+        dir, "k")
+    }
+    assert(MergeByKey.committedVersion(spark, dir) === Some(5L))
+    val evicted = intercept[IllegalStateException] {
+      MergeByKey.readVersion(spark, dir, 0L)
+    }
+    assert(evicted.getMessage.contains("retain window"),
+      s"eviction must surface the retain-window contract: $evicted")
+    // stale-claim defense (r18 ADVICE, medium): a v=K dir BEHIND the
+    // head with no commit record is exactly what a stale writer's won-
+    // then-rechecked claim looks like mid-flight — it must read as
+    // "not history", never as data
+    val fake = new java.io.File(dir, "v=1")
+    fake.mkdirs()
+    Seq(("A", 999.0)).toDF("k", "v").write.mode("overwrite")
+      .parquet(fake.toString)
+    val stale = intercept[IllegalStateException] {
+      MergeByKey.readVersion(spark, dir, 1L)
+    }
+    assert(stale.getMessage.contains("uncommitted stale claim"),
+      s"a recordless v= dir must be rejected by name: $stale")
+    // the retained committed sibling (v=4, within retain=2 of head=5)
+    // still resolves — the record requirement rejects only impostors
+    assert(MergeByKey.readVersion(spark, dir, 4L).rowsSet ==
+      Set(Seq("A", 5.0)))
   }
 
   test("probeLegacy: unreadable parquet-named legacy content fails the " +

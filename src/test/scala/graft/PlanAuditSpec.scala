@@ -969,4 +969,34 @@ class PlanAuditSpec extends SparkSpec {
     // the store layout really is hive-partitioned directories
     assert(new java.io.File(s"$dir/by-status/data/status=s1").isDirectory)
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes the " +
+    "partitioned fact scan THROUGH the join — dynamicpruning subquery " +
+    "in the fact scan's PartitionFilters (q359's 100 TB shape)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}", i * 7L))
+      .toDF("id", "status", "v")
+    val store = graft.Tables.stagedPartitionedParquet(spark,
+      s"$dir/by-status", "status")(df)
+    // the dim must be file-backed: a LocalRelation's filter constant-
+    // folds away before the PartitionPruning rule looks for a
+    // selective predicate (same reason q359 stages its dim)
+    Seq(("s0", "keep"), ("s1", "drop"), ("s2", "drop"))
+      .toDF("dstatus", "category")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = store.join(dim.filter(col("category") === "keep"),
+        col("status") === col("dstatus"))
+      .groupBy(col("status")).agg(sum(col("v")).as("sv"))
+    val p = plan(q)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the dim filter must prune fact partitions through the join:\n$p")
+    // and the static-literal assert stays true for the same store: the
+    // two pruning modes coexist, DPP does not replace static pruning
+    val pStatic = plan(store.filter(col("status") === "s1")
+      .groupBy(col("status")).agg(count(lit(1)).as("n")))
+    assert(pStatic.contains("PartitionFilters: ["),
+      s"static pruning must still reach the scan:\n$pStatic")
+  }
 }

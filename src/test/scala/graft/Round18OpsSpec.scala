@@ -127,4 +127,28 @@ class Round18OpsSpec extends SparkSpec {
     assert(got == Set(Seq[Any](7L, ns, sr, est),
       Seq[Any](9L, ns, sr, est)))
   }
+
+  test("hyperBall: the register ladder self-detects its fixed point — " +
+    "a diameter-4 path at rounds=10 computes 5 merge rounds (4 growth " +
+    "+ 1 confirming no-op), and the tail radii reuse the stable state " +
+    "(r18 verdict #6)") {
+    // path 1-2-3-4-5: every ball saturates by t=4 (the diameter)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val (ladder, computed) = GraphRank.hyperBallLadderWithRounds(
+      edges, "a", "b", rounds = 10)
+    assert(computed == 5,
+      s"expected 4 growth rounds + 1 confirming round, got $computed")
+    // the OUTPUT contract is untouched: one summary per t = 0..10,
+    // and every radius >= 4 is the saturated state
+    assert(ladder.map(_._1) == (0 to 10))
+    val saturated = ladder(4)._2.rowsSet
+    assert(saturated == ladder(10)._2.rowsSet &&
+      saturated == ladder(5)._2.rowsSet,
+      "post-fixed-point radii must equal the saturated state")
+    // and saturation really is the full component for every node
+    val (ns, sr, est) = expected(Set(1L, 2L, 3L, 4L, 5L))
+    assert(saturated == Set(1L, 2L, 3L, 4L, 5L)
+      .map(n => Seq[Any](n, ns, sr, est)))
+  }
 }

@@ -15,12 +15,21 @@
 # 6. tools/tripwire.py over the DRIVER's CORRECTNESS_r<N>.json when it
 #    exists — a driver artifact with fewer entries than
 #    SparkEntry.queries fails loudly instead of reading as all-green.
+# 7. FULL sbt test — r18 ended with sbt test RED at HEAD because a
+#    post-close commit added an audit check without re-running the
+#    suite; the close now cannot go green over a red suite.
+# 8. Driver-window projection: estimate the driver's gate+bench wall
+#    time from this round's artifacts so suite growth is visible
+#    BEFORE the driver bench dies of it (r18: BENCH_r18.json rc=124).
 #
 # Each step's exit code matters; the script stops at the first red.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N=${1:?usage: round_close.sh <round number>}
 SF=${SPARK_GRAFT_SF_DIR_CORRECTNESS:-/root/testdata/sf0.01}
+
+echo "== full test suite (r18 lesson: a close over a red suite is void) =="
+sbt -batch test
 
 echo "== verify run A =="
 rm -rf /tmp/rc_verify_a && sbt -batch "runMain graft.Verify $SF /tmp/rc_verify_a"
@@ -59,6 +68,10 @@ if [ -f "CORRECTNESS_r${N}.json" ]; then
   echo "== driver-artifact tripwire =="
   python3 tools/tripwire.py "CORRECTNESS_r${N}.json" || RED=1
 fi
+echo "== driver-window projection =="
+python3 tools/project_driver_cost.py \
+  "CORRECTNESS_LOCAL_r${N}.json" "BENCH_LOCAL_r${N}.json" || RED=1
+
 if [ "$RED" = "1" ]; then
   echo "== round close: diff tripwires flagged — adjudicate the reports =="
   exit 1
