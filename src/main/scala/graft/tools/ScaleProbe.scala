@@ -1700,6 +1700,32 @@ object ScaleProbe {
           .contains("s3")),
       "no_row_filter_fallback" ->
         !p.contains("PushedFilters: [IsNotNull(status)")))
+    // dynamic partition pruning over the same store: the filter lives
+    // on a file-backed 8-row dim and must prune the fact scan THROUGH
+    // the broadcast join (q359's shape at 2M fact rows)
+    timeShaped("dpp_join", {
+      val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+        "target/graft-stage")
+      val store = graft.Tables.stagedPartitionedParquet(spark,
+          s"$root/scale-by-status-$n", "status") {
+        spark.range(n).select(col("id"),
+          concat(lit("s"), pmod(xxhash64(col("id"), lit(82)), lit(8))
+            .cast("string")).as("status"),
+          (col("id") * 7L).as("v"))
+      }
+      val dim = graft.Tables.stagedParquet(spark,
+          s"$root/scale-status-dim-$n") {
+        spark.range(8).select(
+          concat(lit("s"), col("id").cast("string")).as("dstatus"),
+          when(col("id") === 3, lit("keep")).otherwise(lit("drop"))
+            .as("category"))
+      }
+      store.join(dim.filter(col("category") === "keep"),
+          col("status") === col("dstatus"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"))
+    }, p => Seq(
+      "dynamic_pruning_at_scan" -> p.toLowerCase.contains("dynamicpruning")))
 
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
