@@ -2820,6 +2820,38 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"))
     }),
 
+    // ---- S7 versioned-sink CDC as a query: snapshot A (per-customer
+    // F-order totals) committed as v=0 through the REAL staged-claim-
+    // flip write path, snapshot B (O-order totals) upserted as v=1,
+    // then diffVersions time-travels both and labels every key
+    // added / changed / unchanged ("what did last night's merge
+    // change?" — upsert never removes). The store is a throwaway per
+    // invocation (each run pays the honest write+diff cost); the
+    // final 3-4 label rows are collected — bounded by the 4 possible
+    // labels — so the tmp store can be deleted before returning. The
+    // oracle re-derives the merge and the diff relationally.
+    "q360_version_diff" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir").stripSuffix("/")}" +
+        s"/graft-q360-${java.util.UUID.randomUUID()}"
+      def snap(status: String) = T(s, dir, "orders")
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey").cast("long").as("k"))
+        .agg(expr("cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)")
+          .as("val_e2"))
+      graft.sinks.MergeByKey.upsert(s, snap("F"), base, "k")
+      graft.sinks.MergeByKey.upsert(s, snap("O"), base, "k")
+      val diff = graft.sinks.MergeByKey.diffVersions(s, base, "k", 0L, 1L)
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      val rows = diff.as[(String, Long, Long, Long)].collect().toSeq
+      require(rows.length <= 4, "diff labels are a closed 4-value set")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      rows.toDF("change", "n_keys", "min_key", "max_key")
+    }),
+
     // ---- stats: ONE-SPLIT CHANGEPOINT per event type — the binary-
     // segmentation first step over the daily-count series, argmax of
     // the exact between-segment sum-of-squares gain.
@@ -9430,6 +9462,33 @@ object SparkEntry {
         |FROM orders JOIN dim ON o_orderstatus = dim.status
         |WHERE dim.category = 'done'
         |GROUP BY 1""".stripMargin,
+
+    // q360: the two snapshots, the merge (incoming wins where
+    // non-null), and the keyed diff, all re-derived relationally —
+    // any divergence in the sink's write path, time travel, or the
+    // null-safe change labeling breaks a label count
+    "q360_version_diff" ->
+      """WITH a AS (SELECT o_custkey AS k,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS val_e2
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |b AS (SELECT o_custkey AS k,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS val_e2
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |m AS (SELECT coalesce(b.k, a.k) AS k,
+        |    coalesce(b.val_e2, a.val_e2) AS val_e2
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k),
+        |d AS (SELECT coalesce(m.k, a.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN m.k IS NULL THEN 'removed'
+        |         WHEN m.val_e2 IS DISTINCT FROM a.val_e2 THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM a FULL OUTER JOIN m ON a.k = m.k)
+        |SELECT change, count(*) AS n_keys,
+        |  CAST(min(k) AS BIGINT) AS min_key,
+        |  CAST(max(k) AS BIGINT) AS max_key
+        |FROM d GROUP BY 1""".stripMargin,
 
     // q357: the join itself, over the source parquet — bucketing is a
     // layout property; values must be invariant to it

@@ -187,6 +187,36 @@ object MergeByKey {
     spark.read.parquet(dir.toString)
   }
 
+  /** KEYED DIFF between two committed versions — the CDC read the
+    * versioned layout makes one join away: "what did last night's
+    * merge change?" is `diffVersions(path, key, head-1, head)`.
+    * Output: one row per key present in either snapshot, labeled
+    * `added` (absent from vOld), `removed` (absent from vNew — a
+    * truncate-and-load can drop keys; upsert never does), `changed`
+    * (any shared non-key column differs, null-safe), or `unchanged`.
+    * Both versions must be inside the retain window ([[readVersion]]
+    * enforces the commit record + the named eviction error), so size
+    * `retain` to the diff horizon you need. One full-outer shuffle
+    * join on the key — the merge's own cost shape; at 100 TB bucket
+    * the store by the key and the diff co-locates like the merge. */
+  def diffVersions(spark: SparkSession, path: String, key: String,
+      vOld: Long, vNew: Long): DataFrame = {
+    val o = readVersion(spark, path, vOld).as("o")
+    val n = readVersion(spark, path, vNew).as("n")
+    val shared = o.columns.toSeq.intersect(n.columns.toSeq)
+      .filterNot(_ == key)
+    val anyChanged =
+      if (shared.isEmpty) lit(false)
+      else shared.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+        .reduce(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(coalesce(col(s"n.$key"), col(s"o.$key")).as(key),
+        when(col(s"o.$key").isNull, lit("added"))
+          .when(col(s"n.$key").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+  }
+
   /** Atomically flip `path/_manifest` to `version`: write a writer-
     * private temp file, rename over the manifest (Rename.OVERWRITE —
     * atomic metadata op on HDFS and local fs). Only ever called by the

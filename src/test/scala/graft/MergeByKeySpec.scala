@@ -300,6 +300,29 @@ class MergeByKeySpec extends SparkSpec {
       Set(Seq("A", 5.0)))
   }
 
+  test("diffVersions: keyed CDC between committed snapshots — added / " +
+    "changed / unchanged across an upsert, removed across an overwrite") {
+    val dir = Files.createTempDirectory("graft_diff").toString + "/t"
+    MergeByKey.upsert(spark,
+      Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v"), dir, "k")
+    MergeByKey.upsert(spark,
+      Seq(("B", 20.0), ("C", 3.0)).toDF("k", "v"), dir, "k")
+    assert(MergeByKey.diffVersions(spark, dir, "k", 0L, 1L).rowsSet ==
+      Set(Seq("A", "unchanged"), Seq("B", "changed"), Seq("C", "added")))
+    // overwrite CAN drop keys — the diff must label them removed
+    MergeByKey.overwrite(Seq(("B", 20.0)).toDF("k", "v"), dir)
+    assert(MergeByKey.diffVersions(spark, dir, "k", 1L, 2L).rowsSet ==
+      Set(Seq("A", "removed"), Seq("B", "unchanged"), Seq("C", "removed")))
+    // a null-safe compare: null -> value and value -> null are changes
+    val dir2 = Files.createTempDirectory("graft_diff2").toString + "/t"
+    MergeByKey.overwrite(
+      Seq(("A", Option.empty[Double]), ("B", Some(1.0))).toDF("k", "v"), dir2)
+    MergeByKey.overwrite(
+      Seq(("A", Some(2.0)), ("B", Option.empty[Double])).toDF("k", "v"), dir2)
+    assert(MergeByKey.diffVersions(spark, dir2, "k", 0L, 1L).rowsSet ==
+      Set(Seq("A", "changed"), Seq("B", "changed")))
+  }
+
   test("probeLegacy: unreadable parquet-named legacy content fails the " +
     "commit loudly instead of silently dropping the legacy side " +
     "(r17 ADVICE, medium)") {
