@@ -83,11 +83,12 @@ object Bench {
     //    total anyway, so extra repeats bought ~40 s of nothing on a
     //    loaded box.
     // Default sized so a QUIET box's full 3-repeat suite (~950 s wall
-    // at r18 volume) never crosses the 60% degrade threshold — the
-    // budget only bites on a contended box, where degraded medians
-    // beat a killed run with no artifact at all.
+    // at r18 volume) never crosses the 60% degrade threshold (1080 s),
+    // while a loaded driver box self-caps near 30 min — degraded
+    // medians beat a killed run with no artifact at all (BENCH_r18
+    // rc=124). tools/project_driver_cost.py reads the same default.
     val wallBudgetSec = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_WALL_BUDGET", "2400").toDouble
+      "SPARK_GRAFT_BENCH_WALL_BUDGET", "1800").toDouble
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
