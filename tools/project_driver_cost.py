@@ -27,12 +27,12 @@ import json, os, sys
 # Bench self-capping at its wall budget the projection is bounded by
 # construction — the warn exists to catch GATE/VERIFY growth and any
 # future un-capped phase.
-BUDGET_SEC = float(os.environ.get("DRIVER_WINDOW_BUDGET_SEC", "3000"))
+BUDGET_SEC = float(os.environ.get("DRIVER_WINDOW_BUDGET_SEC", "4000"))
 # Loaded driver boxes have measured 2-5x local timings (BENCH_r18 tail);
 # project with a middling contention factor rather than quiet-box truth.
 CONTENTION = float(os.environ.get("DRIVER_CONTENTION_FACTOR", "2.0"))
 # Bench degrades repeats past this wall budget (Bench.scala default).
-BENCH_WALL = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET", "1800"))
+BENCH_WALL = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET", "3000"))
 # Verify itself (Spark session + ~360 parquet writes at sf0.01) is not
 # timed per-query in any artifact; allow a flat floor for it.
 VERIFY_FLOOR_SEC = 300.0
