@@ -134,6 +134,293 @@ object SparkEntry {
       s"$root/minhash-$stamp-n3-h64-b32", n = 3, numHashes = 64, bands = 32)
   }
 
+  /** Source-stamped STAGED STREAM FEED (r20 optimization, r19 verdict
+    * #1b): a streaming gate's batch-file feed is a pure deterministic
+    * function of the `events` table and the stager code, so it is
+    * built ONCE per (corpus stamp, stager version, Spark version)
+    * under target/graft-stage — prebuildStages pays the build untimed
+    * and reports it as stage_build_sec — and every invocation replays
+    * the SAME files. Before r20, every bench sample re-derived the
+    * feed (events scan → crossJoin(range) → repartition → parquet
+    * write → rename) into a fresh /tmp dir and never deleted it:
+    * 2,357 leaked graft-* dirs / 4.3 GB after 19 rounds, with the
+    * stager I/O (not the streaming operator) dominating and
+    * destabilizing the streaming family's bench numbers. `ver` is the
+    * generator version (the ScaleProbe ADVICE lesson: a content stamp
+    * alone cannot see stager-code drift); the Spark version rides in
+    * the path so stageBatchFiles' 4.1.x batch-pinning check re-fires
+    * after an engine bump. The `_staged` marker commits AFTER the
+    * write (killed-writer discipline); FileStreamSource ignores
+    * `_`-prefixed names, so the marker never enters a micro-batch. */
+  private def stagedStreamFeed(s: SparkSession, dir: String, name: String,
+      ver: Int = 1)(build: => DataFrame): String = {
+    val stamp = Dedup.sourceStamp(s, s"$dir/events.parquet")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "target/graft-stage")
+    val feedDir = s"$root/feed-$name-v$ver-s${s.version}-$stamp"
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$feedDir/_staged")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true)
+      graft.streaming.Streams.stageBatchFiles(build, "b", feedDir)
+      fs.create(marker, true).close()
+    }
+    feedDir
+  }
+
+  /** Leak-proof per-invocation scratch dir (r19 verdict #1a + ADVICE
+    * q360 item): run `body` against a fresh temp dir (streaming sink +
+    * checkpoint, merge stores), EAGERLY materialize the small gate
+    * result via localCheckpoint, and delete the dir in a finally — on
+    * the failure path too. A checkpoint is correctness state for a
+    * restartable production stream, but each gate invocation is a
+    * complete AvailableNow run, so keeping it only accumulated debris
+    * (3 repeats × N rounds of never-deleted /tmp dirs). The eager
+    * localCheckpoint is what makes the delete safe: the returned frame
+    * no longer reads the dir. Gate outputs are small (sessions,
+    * windows, diff cards), so block-manager residency is negligible. */
+  private def withScratchDir(s: SparkSession, prefix: String)
+      (body: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(dir).localCheckpoint(true)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The q360 two-version MergeByKey store, staged once per corpus
+    * stamp (r19 verdict #4): the gate's subject is [[graft.sinks.MergeByKey.diffVersions]]
+    * — the CDC read between committed snapshots — but the pre-r20
+    * query body paid two full versioned upsert COMMITS (claim, write,
+    * manifest flip, commit record) into a fresh /tmp store on every
+    * invocation, ~4 s of write harness around a ~1 s diff, plus a
+    * leaked store on any failure (ADVICE r19 low). The upsert path
+    * itself stays gated end-to-end by q41/q42/q244; snapshot
+    * derivation is deterministic, so the staged store is byte-for-byte
+    * what the inline build produced and the oracle is untouched. */
+  private def stagedVersionStoreQ360(s: SparkSession, dir: String): String = {
+    val stamp = Dedup.sourceStamp(s, s"$dir/orders.parquet")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "target/graft-stage")
+    val base = s"$root/q360-store-v1-$stamp"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_staged")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true)
+      def snap(status: String) = T(s, dir, "orders")
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey").cast("long").as("k"))
+        .agg(expr("cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)")
+          .as("val_e2"))
+      graft.sinks.MergeByKey.upsert(s, snap("F"), s"$base/store", "k")
+      graft.sinks.MergeByKey.upsert(s, snap("O"), s"$base/store", "k")
+      fs.create(marker, true).close()
+    }
+    s"$base/store"
+  }
+
+  // ---- staged stream-feed builders (r20): one per distinct stager,
+  // each a deterministic function of the events table, so every feed
+  // is staged once per corpus stamp and shared across invocations AND
+  // across the queries that replay the same feed (q229 replays q169's
+  // late-data slices, q264 replays q224's day slices, q177/q181/q209
+  // share the ssj left/right pair). The derivations are verbatim the
+  // pre-r20 inline stagers — only WHERE the files live changed.
+
+  private def feedQ77(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q77") {
+      T(s, dir, "events")
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("item"),
+          pmod(col("event_id").cast("long"), lit(4)).cast("int").as("b"))
+    }
+
+  private def feedQ78(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q78") {
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("userId"),
+          tsSec.cast("long").as("tsSec"))
+      val maxTs = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
+      val sentinel = ev.select(col("userId")).distinct()
+        .crossJoin(broadcast(maxTs))
+        .select(col("userId"), (col("mx") + 1801L).as("tsSec"))
+      ev.crossJoin(broadcast(maxTs))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("userId"), col("tsSec"), col("b"))
+        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
+        .withColumn("value", lit(0.0))
+    }
+
+  /** q169's late-data slice feed — ALSO q229's (the sliding gate
+    * replays the identical stager; pre-r20 both derived it inline). */
+  private def feedQ169(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q169") {
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
+          round(col("value") * 100, 0).cast("long").as("v"),
+          col("event_id").cast("long").as("eid"))
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      ev.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === 0, lit(2))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 2L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("event_type"), col("tsSec"), col("v"), col("b"))
+        .unionByName(
+          rng.select(lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7200L).as("tsSec"), lit(0L).as("v"),
+              lit(3).cast("int").as("b"))
+            .unionByName(rng.select(
+              lit("zz_sentinel").as("event_type"),
+              (col("mx") + 7800L).as("tsSec"), lit(0L).as("v"),
+              lit(4).cast("int").as("b"))))
+    }
+
+  private def feedQ175(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q175") {
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("uid"),
+          tsSec.cast("long").as("tsSec"),
+          col("event_id").cast("long").as("eid"))
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      ev.crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === 0, lit(4))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 4L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .groupBy(col("uid"), col("b"))
+        .agg(min(col("tsSec")).as("tsSec"))
+        .select(col("uid"), col("tsSec"), col("b"))
+    }
+
+  private def feedQ182(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q182") {
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("userId"),
+          tsSec.cast("long").as("tsSec"))
+      val rng = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
+      ev.crossJoin(broadcast(rng))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("userId"), col("tsSec"), col("b"))
+    }
+
+  private def feedQ192(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q192") {
+      T(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("long").as("uid"),
+          pmod(col("event_id").cast("long"), lit(3)).cast("int").as("b"))
+    }
+
+  private def feedQ199(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q199") {
+      T(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("long").as("uid"),
+          pmod(col("event_id").cast("long"), lit(4)).cast("int").as("b"))
+    }
+
+  /** q224's day-slice feed — ALSO q264's (identical stager). */
+  private def feedQ224(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q224") {
+      val ev = T(s, dir, "events").select(
+        col("event_type").as("group"),
+        graft.functions.TimeFns.floorDiv(col("ts"),
+          86400L * 1000000000L).as("day"))
+      val mm = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val sentinel = ev.select(col("group")).distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("group"), (col("mx") + 1L).as("day"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("day") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("group"), col("day"), col("b"))
+        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
+    }
+
+  private def feedQ243(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q243") {
+      val ev = T(s, dir, "events").select(
+        concat(col("user_id").cast("string"), lit("|"),
+          col("event_type")).as("key"),
+        col("ts").as("tsNanos"),
+        col("event_id").cast("long").as("eventId"))
+      val mm = ev.agg(min(col("tsNanos")).as("mn"),
+        max(col("tsNanos")).as("mx"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("tsNanos") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("key"), col("tsNanos"), col("eventId"), col("b"))
+    }
+
+  private def feedQ289(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q289") {
+      val ev = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").as("tsNanos"),
+          col("event_id").cast("long").as("eventId"),
+          col("event_type").as("etype"))
+      val mm = ev.agg(min(col("tsNanos")).as("mn"),
+        max(col("tsNanos")).as("mx"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("b", call_function("div",
+            (col("tsNanos") - col("mn")) * 4L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("key"), col("tsNanos"), col("eventId"),
+          col("etype"), col("b"))
+    }
+
+  private def feedQ302(s: SparkSession, dir: String): String =
+    stagedStreamFeed(s, dir, "q302") {
+      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
+          col("user_id").cast("string").as("uid"))
+      val rng = ev.agg(min(col("tsSec")).as("mn"),
+        max(col("tsSec")).as("mx"))
+      ev.crossJoin(broadcast(rng))
+        .withColumn("b", call_function("div",
+            (col("tsSec") - col("mn")) * 2L,
+            col("mx") - col("mn") + 1L).cast("int"))
+        .select(col("event_type"), col("tsSec"), col("uid"), col("b"))
+        .unionByName(rng.select(lit("zz_sentinel").as("event_type"),
+          (col("mx") + 172800L).as("tsSec"), lit("u0").as("uid"),
+          lit(2).cast("int").as("b")))
+    }
+
+  /** The q177/q181/q209 stream-stream join feeds: even event ids left,
+    * odd right, three on-time value slices + a late fourth per side. */
+  private def feedSsj(s: SparkSession, dir: String, side: String): String =
+    stagedStreamFeed(s, dir, s"ssj-$side") {
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("long").as("uid"),
+          tsSec.cast("long").as("tsSec"),
+          col("event_id").cast("long").as("eid"))
+      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0 &&
+          pmod(col("eid"), lit(10)) =!= 5)
+        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
+      val (parity, lateMod) = if (side == "l") (0, 0) else (1, 5)
+      ev.filter(pmod(col("eid"), lit(2)) === parity)
+        .crossJoin(broadcast(rng))
+        .withColumn("b",
+          when(pmod(col("eid"), lit(10)) === lateMod, lit(3))
+            .otherwise(call_function("div",
+              (col("tsSec") - col("mn")) * 3L,
+              col("mx") - col("mn") + 1L)).cast("int"))
+        .select(col("uid"), col("tsSec"), col("b"))
+    }
+
   /** Touch every staged store the query surface builds lazily on first
     * use (r17 verdict #3): Bench drives this in a labeled UNTIMED
     * phase before the timed repeats and reports it as
@@ -175,7 +462,25 @@ object SparkEntry {
       t("partitioned_orders_q358") {
         queries("q358_partition_pruned")(s, dir) },
       // shares q358's fact store; this builds the tiny status dim
-      t("status_dim_q359") { queries("q359_dpp_join")(s, dir) })
+      t("status_dim_q359") { queries("q359_dpp_join")(s, dir) },
+      // r20: staged stream feeds (one stager each; q229 replays q169's
+      // feed, q264 replays q224's, q177/q181/q209 share the ssj pair)
+      // and the q360 two-version store — previously re-derived into
+      // leaked /tmp dirs on every bench sample (r19 verdict #1)
+      t("feed_q77") { feedQ77(s, dir) },
+      t("feed_q78") { feedQ78(s, dir) },
+      t("feed_q169_q229") { feedQ169(s, dir) },
+      t("feed_q175") { feedQ175(s, dir) },
+      t("feed_q182") { feedQ182(s, dir) },
+      t("feed_q192") { feedQ192(s, dir) },
+      t("feed_q199") { feedQ199(s, dir) },
+      t("feed_q224_q264") { feedQ224(s, dir) },
+      t("feed_q243") { feedQ243(s, dir) },
+      t("feed_q289") { feedQ289(s, dir) },
+      t("feed_q302") { feedQ302(s, dir) },
+      t("feed_ssj_l") { feedSsj(s, dir, "l") },
+      t("feed_ssj_r") { feedSsj(s, dir, "r") },
+      t("version_store_q360") { stagedVersionStoreQ360(s, dir) })
   }
 
   /** Exact order-independent sum of a 2dp/4dp money column. */
@@ -247,26 +552,9 @@ object SparkEntry {
     if (ev.isEmpty) {
       Seq.empty[(Long, Long, Long)].toDF("uid", "l_ts", "r_ts")
     } else {
-      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0 &&
-          pmod(col("eid"), lit(10)) =!= 5)
-        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
-      // per side: 3 value slices on-time, slice 3 = the late sample
-      def staged(side: DataFrame, lateMod: Int) = side
-        .crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(pmod(col("eid"), lit(10)) === lateMod, lit(3))
-            .otherwise(call_function("div",
-              (col("tsSec") - col("mn")) * 3L,
-              col("mx") - col("mn") + 1L)).cast("int"))
-        .select(col("uid"), col("tsSec"), col("b"))
-      val dirL = java.nio.file.Files
-        .createTempDirectory("graft-ssj-l").toString
-      val dirR = java.nio.file.Files
-        .createTempDirectory("graft-ssj-r").toString
-      graft.streaming.Streams.stageBatchFiles(
-        staged(ev.filter(pmod(col("eid"), lit(2)) === 0), 0), "b", dirL)
-      graft.streaming.Streams.stageBatchFiles(
-        staged(ev.filter(pmod(col("eid"), lit(2)) === 1), 5), "b", dirR)
+      // staged once per corpus stamp, shared by q177/q181/q209 (r20)
+      val dirL = feedSsj(s, dir, "l")
+      val dirR = feedSsj(s, dir, "r")
       def src(d: String, tCol: String) = s.readStream
         .schema("uid LONG, tsSec LONG")
         .option("maxFilesPerTrigger", "1").parquet(d)
@@ -276,18 +564,18 @@ object SparkEntry {
         src(dirL, "l_t"), src(dirR, "r_t"), "uid",
         "l_t", "r_t", gapSeconds = 3600L, watermark = "30 minutes",
         joinType = joinType)
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-ssj-out").toString
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$outDir/rows")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/rows")
-        .select(col("uid"), col("l_t_sec").as("l_ts"),
-          col("r_t_sec").as("r_ts"))
+      withScratchDir(s, "graft-ssj-out") { outDir =>
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$outDir/rows")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/rows")
+          .select(col("uid"), col("l_t_sec").as("l_ts"),
+            col("r_t_sec").as("r_ts"))
+      }
     }
   }
 
@@ -1705,26 +1993,7 @@ object SparkEntry {
         Seq.empty[(Long, String, Long, Long)]
           .toDF("win_start", "event_type", "n_events", "value_sum")
       } else {
-      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
-        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
-      val batched = ev.crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(pmod(col("eid"), lit(10)) === 0, lit(2))
-            .otherwise(call_function("div",
-              (col("tsSec") - col("mn")) * 2L,
-              col("mx") - col("mn") + 1L)).cast("int"))
-        .select(col("event_type"), col("tsSec"), col("v"), col("b"))
-        .unionByName(
-          rng.select(lit("zz_sentinel").as("event_type"),
-              (col("mx") + 7200L).as("tsSec"), lit(0L).as("v"),
-              lit(3).cast("int").as("b"))
-            .unionByName(rng.select(
-              lit("zz_sentinel").as("event_type"),
-              (col("mx") + 7800L).as("tsSec"), lit(0L).as("v"),
-              lit(4).cast("int").as("b"))))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q169-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ169(s, dir)
       val src = s.readStream
         .schema("event_type STRING, tsSec LONG, v LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -1732,18 +2001,18 @@ object SparkEntry {
       val agg = graft.streaming.Streams.windowedAgg(src, "ts",
         windowLen = "1 hour", watermark = "30 minutes",
         keyCols = Seq("event_type"), valueCol = "v")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q169-out").toString
-      val q = agg.writeStream.format("parquet")
-        .option("path", s"$outDir/wins")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/wins")
-        .select(col("window.start").cast("long").as("win_start"),
-          col("event_type"), col("n_events"), col("value_sum"))
+      withScratchDir(s, "graft-q169-out") { outDir =>
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$outDir/wins")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/wins")
+          .select(col("window.start").cast("long").as("win_start"),
+            col("event_type"), col("n_events"), col("value_sum"))
+      }
       }
     }),
 
@@ -1798,36 +2067,24 @@ object SparkEntry {
         .agg(call_function("div",
           sum(col("n")) + count(lit(1)) - 1L, count(lit(1))).as("k"))
         .as[(String, Long)].collect().toMap
-      val mm = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      val sentinel = ev.select(col("group")).distinct()
-        .crossJoin(broadcast(mm))
-        .select(col("group"), (col("mx") + 1L).as("day"))
-      val batched = ev.crossJoin(broadcast(mm))
-        .withColumn("b", call_function("div",
-            (col("day") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("group"), col("day"), col("b"))
-        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q224-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ224(s, dir)
       val src = s.readStream.schema("group STRING, day LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.DayEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q224-out").toString
-      val q = graft.streaming.Streams
-        .streamingCusum(src, allowance, hMult = 5L)
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/cusum")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/cusum")
-        .select(col("group").as("event_type"), col("day"),
-          col("n_events"), col("k"), col("cusum"), col("alarm"))
+      withScratchDir(s, "graft-q224-out") { outDir =>
+        val q = graft.streaming.Streams
+          .streamingCusum(src, allowance, hMult = 5L)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/cusum")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/cusum")
+          .select(col("group").as("event_type"), col("day"),
+            col("n_events"), col("k"), col("cusum"), col("alarm"))
+      }
     }),
 
     // ---- splits: purged/embargoed temporal split over events (last
@@ -1998,26 +2255,8 @@ object SparkEntry {
         Seq.empty[(Long, String, Long, Long)]
           .toDF("win_start", "event_type", "n_events", "value_sum")
       } else {
-      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
-        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
-      val batched = ev.crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(pmod(col("eid"), lit(10)) === 0, lit(2))
-            .otherwise(call_function("div",
-              (col("tsSec") - col("mn")) * 2L,
-              col("mx") - col("mn") + 1L)).cast("int"))
-        .select(col("event_type"), col("tsSec"), col("v"), col("b"))
-        .unionByName(
-          rng.select(lit("zz_sentinel").as("event_type"),
-              (col("mx") + 7200L).as("tsSec"), lit(0L).as("v"),
-              lit(3).cast("int").as("b"))
-            .unionByName(rng.select(
-              lit("zz_sentinel").as("event_type"),
-              (col("mx") + 7800L).as("tsSec"), lit(0L).as("v"),
-              lit(4).cast("int").as("b"))))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q229-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      // replays q169's staged feed — identical stager (r20)
+      val feedDir = feedQ169(s, dir)
       val src = s.readStream
         .schema("event_type STRING, tsSec LONG, v LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -2027,18 +2266,18 @@ object SparkEntry {
         watermark = "30 minutes",
         keyCols = Seq("event_type"), valueCol = "v")
       // (sliding variant of the q169 harness — same sink and sentinels)
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q229-out").toString
-      val q = agg.writeStream.format("parquet")
-        .option("path", s"$outDir/wins")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/wins")
-        .select(col("window.start").cast("long").as("win_start"),
-          col("event_type"), col("n_events"), col("value_sum"))
+      withScratchDir(s, "graft-q229-out") { outDir =>
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$outDir/wins")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/wins")
+          .select(col("window.start").cast("long").as("win_start"),
+            col("event_type"), col("n_events"), col("value_sum"))
+      }
       }
     }),
 
@@ -2143,42 +2382,28 @@ object SparkEntry {
     // oracle. Gaps straddling micro-batches ride in state.
     "q243_stream_throttle" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val ev = T(s, dir, "events").select(
-        concat(col("user_id").cast("string"), lit("|"),
-          col("event_type")).as("key"),
-        col("ts").as("tsNanos"),
-        col("event_id").cast("long").as("eventId"))
-      val mm = ev.agg(min(col("tsNanos")).as("mn"),
-        max(col("tsNanos")).as("mx"))
-      val batched = ev.crossJoin(broadcast(mm))
-        .withColumn("b", call_function("div",
-            (col("tsNanos") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("key"), col("tsNanos"), col("eventId"), col("b"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q243-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ243(s, dir)
       val src = s.readStream
         .schema("key STRING, tsNanos LONG, eventId LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.SpacedEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q243-out").toString
-      val q = graft.streaming.Streams
-        .streamingThrottle(src, minGapSeconds = 60L)
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/kept")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/kept")
-        .select(col("eventId").as("event_id"),
-          substring_index(col("key"), "|", 1).cast("long")
-            .as("user_id"),
-          substring_index(col("key"), "|", -1).as("event_type"),
-          col("tsNanos").as("ts"))
+      withScratchDir(s, "graft-q243-out") { outDir =>
+        val q = graft.streaming.Streams
+          .streamingThrottle(src, minGapSeconds = 60L)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/kept")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/kept")
+          .select(col("eventId").as("event_id"),
+            substring_index(col("key"), "|", 1).cast("long")
+              .as("user_id"),
+            substring_index(col("key"), "|", -1).as("event_type"),
+            col("tsNanos").as("ts"))
+      }
     }),
 
     // ---- multimodal: per-frame ZERO-CROSSING RATE of the q163
@@ -2305,41 +2530,26 @@ object SparkEntry {
     // q190's oracle row-for-row.
     "q264_stream_ewma" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val ev = T(s, dir, "events").select(
-        col("event_type").as("group"),
-        graft.functions.TimeFns.floorDiv(col("ts"),
-          86400L * 1000000000L).as("day"))
-      val mm = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      val sentinel = ev.select(col("group")).distinct()
-        .crossJoin(broadcast(mm))
-        .select(col("group"), (col("mx") + 1L).as("day"))
-      val batched = ev.crossJoin(broadcast(mm))
-        .withColumn("b", call_function("div",
-            (col("day") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("group"), col("day"), col("b"))
-        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q264-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      // replays q224's staged day-slice feed — identical stager (r20)
+      val feedDir = feedQ224(s, dir)
       val src = s.readStream.schema("group STRING, day LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.DayEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q264-out").toString
-      val q = graft.streaming.Streams
-        .streamingEwma(src,
-          EventAnalytics.decayPowersE6(4, 5, 30))
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/ewma")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/ewma")
-        .select(col("group").as("event_type"), col("day"),
-          col("n_events"), col("ewma_e6"))
+      withScratchDir(s, "graft-q264-out") { outDir =>
+        val q = graft.streaming.Streams
+          .streamingEwma(src,
+            EventAnalytics.decayPowersE6(4, 5, 30))
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/ewma")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/ewma")
+          .select(col("group").as("event_type"), col("day"),
+            col("n_events"), col("ewma_e6"))
+      }
     }),
 
     // ---- vectors: per-dimension INT8 quantization card — affine
@@ -2832,23 +3042,15 @@ object SparkEntry {
     // oracle re-derives the merge and the diff relationally.
     "q360_version_diff" -> ((s, dir) => {
       import s.implicits._
-      val base = s"${sys.props("java.io.tmpdir").stripSuffix("/")}" +
-        s"/graft-q360-${java.util.UUID.randomUUID()}"
-      def snap(status: String) = T(s, dir, "orders")
-        .filter(col("o_orderstatus") === status)
-        .groupBy(col("o_custkey").cast("long").as("k"))
-        .agg(expr("cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)")
-          .as("val_e2"))
-      graft.sinks.MergeByKey.upsert(s, snap("F"), base, "k")
-      graft.sinks.MergeByKey.upsert(s, snap("O"), base, "k")
+      // store staged once per corpus stamp (r19 verdict #4) — the
+      // timed path is the CDC diff itself, not the store build
+      val base = stagedVersionStoreQ360(s, dir)
       val diff = graft.sinks.MergeByKey.diffVersions(s, base, "k", 0L, 1L)
         .groupBy(col("change"))
         .agg(count(lit(1)).as("n_keys"),
           min(col("k")).as("min_key"), max(col("k")).as("max_key"))
       val rows = diff.as[(String, Long, Long, Long)].collect().toSeq
       require(rows.length <= 4, "diff labels are a closed 4-value set")
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       rows.toDF("change", "n_keys", "min_key", "max_key")
     }),
 
@@ -3618,22 +3820,7 @@ object SparkEntry {
     // uniques scale), summarized after the sink; the md5 sketch is
     // deterministic so the batch oracle reproduces it exactly.
     "q302_stream_hll_window" -> ((s, dir) => withShufflePartitions(s, 8) {
-      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
-        .select(col("event_type"), tsSec.cast("long").as("tsSec"),
-          col("user_id").cast("string").as("uid"))
-      val rng = ev.agg(min(col("tsSec")).as("mn"),
-        max(col("tsSec")).as("mx"))
-      val batched = ev.crossJoin(broadcast(rng))
-        .withColumn("b", call_function("div",
-            (col("tsSec") - col("mn")) * 2L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("event_type"), col("tsSec"), col("uid"), col("b"))
-        .unionByName(rng.select(lit("zz_sentinel").as("event_type"),
-          (col("mx") + 172800L).as("tsSec"), lit("u0").as("uid"),
-          lit(2).cast("int").as("b")))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q302-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ302(s, dir)
       val src = s.readStream
         .schema("event_type STRING, tsSec LONG, uid STRING")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -3641,22 +3828,22 @@ object SparkEntry {
       val agg = graft.streaming.Streams.windowedHllDistinct(src, "ts",
         windowLen = "1 day", watermark = "1 hour",
         keyCols = Seq("event_type"), idCol = "uid")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q302-out").toString
-      val q = agg.writeStream.format("parquet")
-        .option("path", s"$outDir/wins")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/wins")
-        .filter(col("event_type") =!= "zz_sentinel")
-        .select(col("win_start"), col("event_type"),
-          graft.expressions.HllSketch.hll_summary(col("regs")).as("h"))
-        .select(col("win_start"), col("event_type"),
-          col("h.v_zero").as("v_zero"), col("h.s40").as("s40"),
-          col("h.est_hll").as("est_hll"))
+      withScratchDir(s, "graft-q302-out") { outDir =>
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$outDir/wins")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/wins")
+          .filter(col("event_type") =!= "zz_sentinel")
+          .select(col("win_start"), col("event_type"),
+            graft.expressions.HllSketch.hll_summary(col("regs")).as("h"))
+          .select(col("win_start"), col("event_type"),
+            col("h.v_zero").as("v_zero"), col("h.s40").as("s40"),
+            col("h.est_hll").as("est_hll"))
+      }
     }),
 
     // ---- streaming: A→B PATTERN DETECTION — every purchase matched
@@ -3665,43 +3852,27 @@ object SparkEntry {
     // q243's time-quartile file feed, batch-SQL oracle.
     "q289_stream_pattern" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val ev = T(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id").cast("string").as("key"),
-          col("ts").as("tsNanos"),
-          col("event_id").cast("long").as("eventId"),
-          col("event_type").as("etype"))
-      val mm = ev.agg(min(col("tsNanos")).as("mn"),
-        max(col("tsNanos")).as("mx"))
-      val batched = ev.crossJoin(broadcast(mm))
-        .withColumn("b", call_function("div",
-            (col("tsNanos") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("key"), col("tsNanos"), col("eventId"),
-          col("etype"), col("b"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q289-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ289(s, dir)
       val src = s.readStream
         .schema("key STRING, tsNanos LONG, eventId LONG, etype STRING")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.TypedEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q289-out").toString
-      val q = graft.streaming.Streams
-        .streamingPatternDetect(src, aType = "view",
-          bType = "purchase", windowNanos = 3600L * 1000000000L)
-        .toDF()
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/hits")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/hits")
-        .select(col("key").cast("long").as("user_id"),
-          col("a_event_id"), col("b_event_id"), col("gap_nanos"))
+      withScratchDir(s, "graft-q289-out") { outDir =>
+        val q = graft.streaming.Streams
+          .streamingPatternDetect(src, aType = "view",
+            bType = "purchase", windowNanos = 3600L * 1000000000L)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/hits")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/hits")
+          .select(col("key").cast("long").as("user_id"),
+            col("a_event_id"), col("b_event_id"), col("gap_nanos"))
+      }
     }),
 
     // ---- dedup: THRESHOLD-SENSITIVITY curve — verified exact-
@@ -3776,16 +3947,18 @@ object SparkEntry {
     // store back. An "overwrite" that appended instead of truncating
     // would leak first-load rows into the read-back and fail the
     // row-count + hash gate — exactly the failure S8 guards against.
-    "q244_truncate_load" -> ((s, dir) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-q244").toString + "/store"
-      val snapshot = T(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-      graft.sinks.MergeByKey.overwrite(snapshot, store)
-      graft.sinks.MergeByKey.overwrite(
-        snapshot.filter(col("s_acctbal") > 0), store)
-      graft.sinks.MergeByKey.readCommitted(s, store)
-    }),
+    "q244_truncate_load" -> ((s, dir) =>
+      // the gate's subject IS the overwrite write path, so the store
+      // builds per invocation — but leak-proof and eagerly read (r20)
+      withScratchDir(s, "graft-q244") { work =>
+        val store = s"$work/store"
+        val snapshot = T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        graft.sinks.MergeByKey.overwrite(snapshot, store)
+        graft.sinks.MergeByKey.overwrite(
+          snapshot.filter(col("s_acctbal") > 0), store)
+        graft.sinks.MergeByKey.readCommitted(s, store)
+      }),
 
     // ---- corpus audit: CROSS-SOURCE CONTAINMENT matrix — for every
     // ordered source pair, shared distinct 3-grams and C(A→B) =
@@ -4088,52 +4261,48 @@ object SparkEntry {
         Seq.empty[(Long, String, Long, Long)]
           .toDF("graft_batch_id", "event_type", "n_events", "sum_uid")
       } else {
-        val batched = ev
-          .withColumn("b", pmod(col("eid"), lit(4)).cast("int"))
-          .select(col("event_type"), col("uid"), col("b"))
-        val stageDir = java.nio.file.Files
-          .createTempDirectory("graft-q199-stage").toString
-        val nFiles = graft.streaming.Streams
-          .stageBatchFiles(batched, "b", stageDir)
-        require(nFiles == 4, s"q199 expects 4 staged batches, got $nFiles")
-        val workDir = java.nio.file.Files
-          .createTempDirectory("graft-q199").toString
-        val (feedDir, sink, ckpt) =
-          (s"$workDir/feed", s"$workDir/rows", s"$workDir/ckpt")
-        val conf = s.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(workDir).getFileSystem(conf)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
-        val base = System.currentTimeMillis() - 60000L
-        def feed(i: Int): Unit = {
-          val name = f"batch-$i%05d.parquet"
-          val dst = new org.apache.hadoop.fs.Path(s"$feedDir/$name")
-          org.apache.hadoop.fs.FileUtil.copy(fs,
-            new org.apache.hadoop.fs.Path(s"$stageDir/$name"),
-            fs, dst, false, conf)
-          fs.setTimes(dst, base + i * 2000L, -1L)
+        val stageDir = feedQ199(s, dir)
+        withScratchDir(s, "graft-q199") { workDir =>
+          val (feedDir, sink, ckpt) =
+            (s"$workDir/feed", s"$workDir/rows", s"$workDir/ckpt")
+          val conf = s.sparkContext.hadoopConfiguration
+          val fs = new org.apache.hadoop.fs.Path(workDir).getFileSystem(conf)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+          require(fs.exists(new org.apache.hadoop.fs.Path(
+              s"$stageDir/batch-00003.parquet")),
+            "q199 expects 4 staged batches")
+          val base = System.currentTimeMillis() - 60000L
+          def feed(i: Int): Unit = {
+            val name = f"batch-$i%05d.parquet"
+            val dst = new org.apache.hadoop.fs.Path(s"$feedDir/$name")
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(s"$stageDir/$name"),
+              fs, dst, false, conf)
+            fs.setTimes(dst, base + i * 2000L, -1L)
+          }
+          def runOnce(): Unit = {
+            val src = s.readStream.schema("event_type STRING, uid LONG")
+              .option("maxFilesPerTrigger", "1").parquet(feedDir)
+            graft.streaming.Streams.runAvailableNow(
+              graft.streaming.Streams.idempotentAppendSink(src, sink), ckpt)
+              .awaitTermination()
+          }
+          feed(0); feed(1)
+          runOnce()
+          // tear batch 1: its offset entry stays, its commit record goes
+          // — the public checkpoint contract (offsets/ and commits/)
+          // defines exactly this as "batch ran, completion never
+          // recorded", and recovery must re-run it
+          val commit = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+          require(fs.exists(commit), "q199: no commit record for batch 1")
+          fs.delete(commit, false)
+          feed(2); feed(3)
+          runOnce()
+          s.read.parquet(sink)
+            .groupBy(col("graft_batch_id").cast("long").as("graft_batch_id"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n_events"), sum(col("uid")).as("sum_uid"))
         }
-        def runOnce(): Unit = {
-          val src = s.readStream.schema("event_type STRING, uid LONG")
-            .option("maxFilesPerTrigger", "1").parquet(feedDir)
-          graft.streaming.Streams.runAvailableNow(
-            graft.streaming.Streams.idempotentAppendSink(src, sink), ckpt)
-            .awaitTermination()
-        }
-        feed(0); feed(1)
-        runOnce()
-        // tear batch 1: its offset entry stays, its commit record goes
-        // — the public checkpoint contract (offsets/ and commits/)
-        // defines exactly this as "batch ran, completion never
-        // recorded", and recovery must re-run it
-        val commit = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
-        require(fs.exists(commit), "q199: no commit record for batch 1")
-        fs.delete(commit, false)
-        feed(2); feed(3)
-        runOnce()
-        s.read.parquet(sink)
-          .groupBy(col("graft_batch_id").cast("long").as("graft_batch_id"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n_events"), sum(col("uid")).as("sum_uid"))
       }
     }),
 
@@ -4285,29 +4454,24 @@ object SparkEntry {
       } else {
       val dim = ev.groupBy(col("event_type"))
         .agg((count(lit(1)) % 7L + 1L).as("type_weight"))
-      val batched = ev
-        .withColumn("b", pmod(col("eid"), lit(3)).cast("int"))
-        .select(col("event_type"), col("uid"), col("b"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q192-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ192(s, dir)
       val src = s.readStream.schema("event_type STRING, uid LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val enriched = graft.streaming.Streams.enrich(src, dim,
         "event_type", joinType = "left")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q192-out").toString
-      val q = enriched.writeStream.format("parquet")
-        .option("path", s"$outDir/rows")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/rows")
-        .groupBy(col("event_type"), col("type_weight"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("uid") * col("type_weight")).as("weighted_sum"))
+      withScratchDir(s, "graft-q192-out") { outDir =>
+        val q = enriched.writeStream.format("parquet")
+          .option("path", s"$outDir/rows")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/rows")
+          .groupBy(col("event_type"), col("type_weight"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("uid") * col("type_weight")).as("weighted_sum"))
+      }
       }
     }),
 
@@ -4425,36 +4589,23 @@ object SparkEntry {
       if (ev.isEmpty) {
         Seq.empty[(Long, Long)].toDF("uid", "ts_emitted")
       } else {
-      val rng = ev.filter(pmod(col("eid"), lit(10)) =!= 0)
-        .agg(min(col("tsSec")).as("mn"), max(col("tsSec")).as("mx"))
-      val batched = ev.crossJoin(broadcast(rng))
-        .withColumn("b",
-          when(pmod(col("eid"), lit(10)) === 0, lit(4))
-            .otherwise(call_function("div",
-              (col("tsSec") - col("mn")) * 4L,
-              col("mx") - col("mn") + 1L)).cast("int"))
-        .groupBy(col("uid"), col("b"))
-        .agg(min(col("tsSec")).as("tsSec"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q175-feed").toString
-      graft.streaming.Streams.stageBatchFiles(
-        batched.select(col("uid"), col("tsSec"), col("b")), "b", feedDir)
+      val feedDir = feedQ175(s, dir)
       val src = s.readStream.schema("uid LONG, tsSec LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("tsSec")))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q175-out").toString
-      val q = graft.streaming.Streams
-        .dedupByKey(src, "uid", "ts", "30 minutes")
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/rows")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/rows")
-        .select(col("uid"), col("tsSec").as("ts_emitted"))
+      withScratchDir(s, "graft-q175-out") { outDir =>
+        val q = graft.streaming.Streams
+          .dedupByKey(src, "uid", "ts", "30 minutes")
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/rows")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/rows")
+          .select(col("uid"), col("tsSec").as("ts_emitted"))
+      }
       }
     }),
 
@@ -4500,16 +4651,7 @@ object SparkEntry {
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("user_id", "session_start", "session_end", "n_events")
       } else {
-      val rng = ev.agg(min(col("tsSec")).as("mn"),
-        max(col("tsSec")).as("mx"))
-      val batched = ev.crossJoin(broadcast(rng))
-        .withColumn("b", call_function("div",
-            (col("tsSec") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("userId"), col("tsSec"), col("b"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q182-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      val feedDir = feedQ182(s, dir)
       val src = s.readStream.schema("userId LONG, tsSec LONG")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("tsSec")))
@@ -4517,22 +4659,22 @@ object SparkEntry {
         .withColumn("value", lit(0.0))
         .select(col("userId"), col("tsSec"), col("value"), col("ts"))
         .as[graft.streaming.Streams.TimedSessionEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q182-out").toString
-      val q = graft.streaming.Streams
-        .statefulSessionsTimeout(src, gapSec = 1800L)
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/sessions")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/sessions")
-        .select(col("userId").as("user_id"),
-          col("start").as("session_start"),
-          col("end").as("session_end"),
-          col("n").as("n_events"))
+      withScratchDir(s, "graft-q182-out") { outDir =>
+        val q = graft.streaming.Streams
+          .statefulSessionsTimeout(src, gapSec = 1800L)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/sessions")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/sessions")
+          .select(col("userId").as("user_id"),
+            col("start").as("session_start"),
+            col("end").as("session_end"),
+            col("n").as("n_events"))
+      }
       }
     }),
 
@@ -5122,11 +5264,7 @@ object SparkEntry {
         .select(col("event_type").as("group"),
           col("user_id").cast("string").as("item"),
           col("event_id").cast("long").as("eid"))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q77-feed").toString
-      graft.streaming.Streams.stageBatchFiles(
-        ev.withColumn("b", pmod(col("eid"), lit(4)).cast("int")).drop("eid"),
-        "b", feedDir)
+      val feedDir = feedQ77(s, dir)
       val src = s.readStream.schema("group STRING, item STRING")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.ItemEvent]
@@ -5189,51 +5327,40 @@ object SparkEntry {
       } else {
       val maxTs = ev.agg(min(col("tsSec")).as("mn"),
         max(col("tsSec")).as("mx"))
-      val sentinel = ev.select(col("userId")).distinct()
-        .crossJoin(broadcast(maxTs))
-        .select(col("userId"), (col("mx") + 1801L).as("tsSec"))
       // Batch membership by VALUE slice of the event-time range —
       // floor((ts-mn)·4 / span) ∈ [0,3] from two broadcast scalars
       // (r12: the previous ntile over a global unpartitioned window
       // sorted the whole table in ONE task; slicing by value keeps
       // batches time-ordered — b is monotone in ts, so cross-batch
       // state order is preserved and equal timestamps never split —
-      // with no global sort anywhere in the stager)
-      val batched = ev.crossJoin(broadcast(maxTs))
-        .withColumn("b", call_function("div",
-            (col("tsSec") - col("mn")) * 4L,
-            col("mx") - col("mn") + 1L).cast("int"))
-        .select(col("userId"), col("tsSec"), col("b"))
-        .unionByName(sentinel.withColumn("b", lit(4).cast("int")))
-        .withColumn("value", lit(0.0))
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q78-feed").toString
-      graft.streaming.Streams.stageBatchFiles(batched, "b", feedDir)
+      // with no global sort anywhere in the stager); staged once per
+      // corpus stamp in feedQ78 (r20)
+      val feedDir = feedQ78(s, dir)
       val src = s.readStream
         .schema("userId LONG, tsSec LONG, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
         .as[graft.streaming.Streams.SessionEvent]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-q78-out").toString
-      val q = graft.streaming.Streams
-        .statefulSessions(src, gapSec = 1800L)
-        .writeStream.format("parquet")
-        .option("path", s"$outDir/sessions")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$outDir/sessions")
-        // defensive: sentinel-only sessions never close (they ride in
-        // state when the stream ends) but a start at/after the sentinel
-        // must not leak into the gate if that ever changes
-        .crossJoin(broadcast(maxTs))
-        .filter(col("start") < col("mx") + 1801L)
-        .select(col("userId").as("user_id"),
-          col("start").as("session_start"),
-          col("end").as("session_end"),
-          col("n").as("n_events"))
+      withScratchDir(s, "graft-q78-out") { outDir =>
+        val q = graft.streaming.Streams
+          .statefulSessions(src, gapSec = 1800L)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/sessions")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/sessions")
+          // defensive: sentinel-only sessions never close (they ride in
+          // state when the stream ends) but a start at/after the sentinel
+          // must not leak into the gate if that ever changes
+          .crossJoin(broadcast(maxTs))
+          .filter(col("start") < col("mx") + 1801L)
+          .select(col("userId").as("user_id"),
+            col("start").as("session_start"),
+            col("end").as("session_end"),
+            col("n").as("n_events"))
+      }
       }
     }),
 

@@ -29,10 +29,16 @@ object Skyline {
   def paretoFront2D(df: DataFrame, xUnits: Column, yUnits: Column,
       idCols: Seq[String]): DataFrame = {
     require(idCols.nonEmpty, "need id columns to report survivors")
-    val pts = df
+    // pts feeds BOTH the candidate aggregate (materialized by the
+    // sweep's partition-max collect) and the final semi join — without
+    // the persist the caller's upstream lineage (q153: the full
+    // quality-signal text pass) recomputes once per consumer (r20,
+    // guide §5: cache only reused+expensive subtrees; this is both)
+    val pts = graft.Caches.register(df
       .select(idCols.map(col) :+ xUnits.cast("long").as("x_units") :+
         yUnits.cast("long").as("y_units"): _*)
       .filter(col("x_units").isNotNull && col("y_units").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = pts.groupBy(col("x_units"))
       .agg(max(col("y_units")).as("my__"))
     val swept = BudgetSelect.runningMaxExclusive(cands, col("my__"),

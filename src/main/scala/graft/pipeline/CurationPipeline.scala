@@ -103,12 +103,20 @@ object CurationPipeline {
     import spark.implicits._
     val reps = Dedup.exact(docs, idCol, textCol)
       .select(col("rep_id").as(idCol))
-    val deduped = docs.join(reps, Seq(idCol), "left_semi")
+    // deduped and pool each feed TWO consumers (their own stage count
+    // plus the next stage's lineage) — without the persists the exact-
+    // dedup pass and the quality/repetition text gates recompute once
+    // per consumer (r20, guide §5: reused + expensive ⇒ cache)
+    val deduped = graft.Caches.register(
+      docs.join(reps, Seq(idCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val decontaminated = graft.Caches.register(
       Decontaminate.clean(deduped, bench, idCol, textCol,
           n = cfg.gram, threshold = cfg.decontamThreshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pool = gatePool(decontaminated, idCol, textCol, cfg)
+    val pool = graft.Caches.register(
+      gatePool(decontaminated, idCol, textCol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sampled = Sampling.stratifiedSample(pool, "lang_stratum", idCol,
       cfg.quotaPerLang)
     Seq(
