@@ -383,18 +383,21 @@ object GraphRank {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "need iterations >= 1 and 0 <= dampNum <= dampDen")
     import org.apache.spark.storage.StorageLevel
-    val e = graft.Caches.register(edges
+    val dedup = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+    // out-degree attached to the cached edge list ONCE (r20): the
+    // per-iteration `join(deg, "src")` repeated an identical join
+    // `iterations` times for a value that never changes between
+    // rounds — same results, one fewer join per round.
+    val e = graft.Caches.register(dedup
+      .join(dedup.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val nodes = graft.Caches.register(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val deg = graft.Caches.register(
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (dampDen - dampNum) * 1000000L
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
@@ -402,7 +405,6 @@ object GraphRank {
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank_e6")), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("rank_e6 div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
@@ -435,21 +437,22 @@ object GraphRank {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "need iterations >= 1 and 0 <= dampNum <= dampDen")
     import org.apache.spark.storage.StorageLevel
-    val e = graft.Caches.register(edges
+    val collapsed = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("wgt__"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("wgt__")).cast("long").as("wgt__"))
+    // per-src out-weight attached to the cached edge list ONCE (r20,
+    // the pageRank deg change): it never changes between rounds
+    val e = graft.Caches.register(collapsed
+      .join(collapsed.groupBy(col("src"))
+        .agg(sum(col("wgt__")).cast("long").as("outw__")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val nodes = graft.Caches.register(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val ow = graft.Caches.register(
-      e.groupBy(col("src")).agg(sum(col("wgt__")).cast("long")
-        .as("outw__"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (dampDen - dampNum) * 1000000L
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
@@ -457,7 +460,6 @@ object GraphRank {
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank_e6")), "src")
-        .join(ow, "src")
         .select(col("dst"),
           expr("(cast(rank_e6 as decimal(38,0)) * wgt__) div outw__")
             .cast("long").as("c"))
@@ -495,10 +497,14 @@ object GraphRank {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "need iterations >= 1 and 0 <= dampNum <= dampDen")
     import org.apache.spark.storage.StorageLevel
-    val e = graft.Caches.register(edges
+    val dedup = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+    // out-degree attached to the cached edge list ONCE (r20, the
+    // pageRank deg change): it never changes between rounds
+    val e = graft.Caches.register(dedup
+      .join(dedup.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
@@ -510,9 +516,6 @@ object GraphRank {
         .select(col("node"),
           coalesce(col("is_seed__"), lit(0L)).as("is_seed__"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val deg = graft.Caches.register(
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (dampDen - dampNum) * 1000000L
     var ranks = nodes
       .select(col("node"), (col("is_seed__") * 1000000L).as("rank_e6"))
@@ -520,7 +523,6 @@ object GraphRank {
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank_e6")), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("rank_e6 div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
@@ -632,13 +634,22 @@ object GraphRank {
       .distinct()
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
+    // FRONTIER relaxation (r20, guide §1.2): with unit edge weights a
+    // node's shortest path enters through a node discovered exactly
+    // one round earlier, so only the rows whose FINAL hops equal the
+    // previous round number need to expand — re-joining the whole
+    // distance table re-expanded every settled node's neighborhood
+    // once per remaining round (the round-h expansion was |ball(h)|·deg
+    // instead of |sphere(h)|·deg) for identical min-agg output.
+    var frontier = dist
+    for (h <- 1 to maxHops) {
       val relaxed = adj
-        .join(dist.select(col("node").as("u"), col("hops")), "u")
-        .select(col("v").as("node"), (col("hops") + 1L).as("hops"))
+        .join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node"), lit(h.toLong).as("hops"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
+      frontier = dist.filter(col("hops") === h.toLong)
     }
     dist
   }
@@ -676,15 +687,20 @@ object GraphRank {
       .distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
+    // frontier relaxation with the seed dimension riding along — see
+    // [[bfsHops]] (r20): only (seed, node) rows first discovered in
+    // the previous round expand; settled rows re-expanding changed
+    // nothing through the min-agg but paid |ball|·deg per round.
+    var frontier = dist
+    for (h <- 1 to maxHops) {
       val relaxed = adj
-        .join(dist.select(col("seed"), col("node").as("u"), col("hops")),
-          "u")
+        .join(frontier.select(col("seed"), col("node").as("u")), "u")
         .select(col("seed"), col("v").as("node"),
-          (col("hops") + 1L).as("hops"))
+          lit(h.toLong).as("hops"))
       dist = dist.union(relaxed)
         .groupBy(col("seed"), col("node")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
+      frontier = dist.filter(col("hops") === h.toLong)
     }
     dist.filter(col("node") =!= col("seed"))
       .groupBy(col("seed").as("node"))

@@ -90,6 +90,50 @@ class Round10OpsSpec extends SparkSpec {
     assert(!got.exists(r => r.contains(5L)), "cross-block pairs excluded")
   }
 
+  test("byEditDistance bag prune is lossless: anagrams, case, fuzz " +
+      "(r20 kernel prune internals)") {
+    // The r20 letter-bag prune (lev >= bagL1/2 over the a-z subset)
+    // must never drop a true pair: anagram tails have bagL1 = 0 but
+    // lev > 0 (prune MUST pass them through to the DP kernel), and
+    // uppercase/digit edits are invisible to the a-z bag (bagL1
+    // underestimates — still a valid lower bound, never an over-
+    // estimate). Brute force is the arbiter, as in the test above.
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("abc", "acb", "bca", "xyz", "xYz", "x1z", "qrs")
+    val fuzz = (100L to 160L).map { i =>
+      (i, "blk " + Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val parts = (Seq(
+      (1L, "blk listen stop"),
+      (2L, "blk silent stop"),   // tail anagram: bagL1 = 0, lev = 4 (out)
+      (3L, "blk listen spot"),   // "stop"->"spot": bagL1 = 0, lev = 2 (in)
+      (4L, "blk Listen stop"),   // one case edit: invisible to the bag
+      (5L, "blk l1sten stop")    // digit edit: invisible to the bag
+    ) ++ fuzz).toDF("p_partkey", "p_name")
+    val got = FuzzyJoin.byEditDistance(parts, "p_partkey", "p_name",
+        maxDist = 3, minDist = 1)
+      .select($"key_a", $"key_b", $"lev").rowsSet
+    val rows = parts.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ka, na) <- rows; (kb, nb) <- rows if ka < kb
+      if na.split(" ")(0).toLowerCase == nb.split(" ")(0).toLowerCase
+      d = lev(na, nb) if d >= 1 && d <= 3
+    } yield Seq[Any](ka, kb, d.toLong)).toSet
+    assert(got == want)
+    assert(got.contains(Seq[Any](1L, 3L, 2L)), "anagram-tail pair kept")
+    assert(got.contains(Seq[Any](1L, 4L, 1L)), "case-edit pair kept")
+    assert(got.contains(Seq[Any](1L, 5L, 1L)), "digit-edit pair kept")
+  }
+
   test("byEditDistance maxBlockSize drops hot blocks") {
     val parts = ((1L to 20L).map(i => (i, s"hot name $i")) :+ (21L, "cold nam")
       :+ (22L, "cold name")).toDF("p_partkey", "p_name")

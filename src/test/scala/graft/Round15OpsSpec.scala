@@ -59,6 +59,22 @@ class Round15OpsSpec extends SparkSpec {
       got(99L) == 0L)
   }
 
+  test("bfsHops: frontier relaxation (r20) exact on cycles and " +
+    "converging paths — first discovery is final") {
+    // UNDIRECTED reading: 1-2-3-4 path, a 1-5-6-4 detour, and the
+    // 4-1 edge closing a cycle. Node 4 is reachable at hops 3 (via
+    // 2,3), hops 3 (via 5,6) AND hops 1 (direct) — the min must win
+    // even though only round-(h-1) discoveries expand, and the cycle
+    // must not re-enqueue settled node 1 or loop forever.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 6L),
+      (6L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = GraphRank.bfsHops(edges, "s", "d",
+        Seq(1L).toDF("node"), "node", maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 1L), (5L, 1L), (4L, 1L),
+      (3L, 2L), (6L, 2L)))
+  }
+
   test("orderedPairSupport: min(A) < max(B) is the existential " +
     "'some A strictly before some B'") {
     // u1: A@1 B@2 -> (A,B). u2: B@1 A@2 -> (B,A).

@@ -28,6 +28,14 @@ cd "$(dirname "$0")/.."
 N=${1:?usage: round_close.sh <round number>}
 SF=${SPARK_GRAFT_SF_DIR_CORRECTNESS:-/root/testdata/sf0.01}
 
+echo "== harness-debris sweep (r19 verdict #1: 2,357 leaked graft-* dirs) =="
+# The r20 streaming harness deletes its scratch dirs itself
+# (withScratchDir) and stages feeds under target/graft-stage; this
+# sweep clears any residue from pre-r20 checkouts or killed runs so
+# bench I/O never degrades across rounds. /tmp only — never the
+# staged stores.
+find /tmp -maxdepth 1 -name 'graft-*' -mmin +60 -exec rm -rf {} + 2>/dev/null || true
+
 echo "== full test suite (r18 lesson: a close over a red suite is void) =="
 sbt -batch test
 
