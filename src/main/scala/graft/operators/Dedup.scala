@@ -50,7 +50,11 @@ object Dedup {
     * (0 disables; a shingle that common carries no dedup signal). */
   def jaccardNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, n)
+    // persisted (r20): the explode feeds both self-join sides and the
+    // sizes aggregate (guide §5: reused + expensive ⇒ cache)
+    val sh = graft.Caches.register(
+      explodedShingles(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val filtered =
       if (maxDocFreq <= 0) sh
       else {
@@ -102,13 +106,18 @@ object Dedup {
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L): DataFrame = {
     require(thrNum > 0 && thrDen > 0, "threshold must be positive")
-    val sh = explodedShingles(df, idCol, textCol, n)
+    // both persisted (r20): sh feeds the idf table AND the weighted
+    // rows; ws feeds the doc sums AND both self-join sides
+    val sh = graft.Caches.register(
+      explodedShingles(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nDocs = sh.agg(count_distinct(col("doc")).as("n_docs__"))
     val w = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df__"))
       .crossJoin(broadcast(nDocs))
       .select(col("shingle"),
         call_function("div", col("n_docs__"), col("df__")).as("w__"))
-    val ws = sh.join(w, "shingle")
+    val ws = graft.Caches.register(sh.join(w, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sums = ws.groupBy(col("doc")).agg(sum(col("w__")).cast("long").as("sw__"))
     val inter = ws.as("a").join(ws.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -190,12 +199,17 @@ object Dedup {
         Window.partitionBy(col("doc"))
           .orderBy(col("df_").asc, col("shingle").asc)))
       .join(sizes, "doc")
-    // prefix length |s| - ceil(t·|s|) + 1, ceil via integer arithmetic
-    val prefix = ranked.filter(col("p") <=
+    // prefix length |s| - ceil(t·|s|) + 1, ceil via integer arithmetic.
+    // Persisted (r20): the prefix frame is BOTH sides of the candidate
+    // self-join below — without the persist the dfreq aggregate, the
+    // per-doc rarity window and the sizes join recomputed once per
+    // side (guide §5: reused + expensive ⇒ cache).
+    val prefix = graft.Caches.register(ranked.filter(col("p") <=
       col("n_sh") - expr(s"(n_sh * $thrNum + ${thrDen - 1}) div $thrDen")
         + lit(1L))
       .select(col("doc"), col("shingle"), col("p").cast("long").as("p"),
         col("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // The AllPairs/PPJoin refinements (Xiao et al., r11 advice) ride
     // the join condition, so pruned candidates never materialize:
     //  - LENGTH filter: J(a,b) >= t forces t·|a| <= |b| and t·|b| <= |a|
@@ -304,10 +318,13 @@ object Dedup {
     * are already distinct per source), and a sources² aggregate. */
   def sourceContainment(df: DataFrame, textCol: String,
       groupCol: String, n: Int = 3): DataFrame = {
-    val grams = explodedShingles(
+    // persisted (r20): the distinct TYPE table feeds the sizes
+    // aggregate and both sides of the inverted-index self-join
+    val grams = graft.Caches.register(explodedShingles(
         df.select(col(groupCol), col(textCol)), groupCol, textCol, n)
       .select(col("doc").as("src_a"), col("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = grams.groupBy(col("src_a"))
       .agg(count(lit(1)).as("n_grams_a"))
     grams
@@ -337,7 +354,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thrNum: Int = 6, thrDen: Int = 10,
       maxDocFreq: Long = 0L): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, n)
+    // persisted (r20): the shingle explode feeds both self-join sides
+    // AND the sizes aggregate — 3-4 consumers of the same text pass
+    val sh = graft.Caches.register(
+      explodedShingles(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val filtered =
       if (maxDocFreq <= 0) sh
       else {
