@@ -106,11 +106,11 @@ object Dedup {
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L): DataFrame = {
     require(thrNum > 0 && thrDen > 0, "threshold must be positive")
-    // both persisted (r20): sh feeds the idf table AND the weighted
-    // rows; ws feeds the doc sums AND both self-join sides
-    val sh = graft.Caches.register(
-      explodedShingles(df, idCol, textCol, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ws persisted (r20): it feeds the doc sums AND both self-join
+    // sides. sh itself is NOT persisted — measured A/B at sf0.1: its
+    // two consumers (idf table, weighted rows) cost less to recompute
+    // than the cache write+reads of the full exploded frame.
+    val sh = explodedShingles(df, idCol, textCol, n)
     val nDocs = sh.agg(count_distinct(col("doc")).as("n_docs__"))
     val w = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df__"))
       .crossJoin(broadcast(nDocs))
