@@ -587,6 +587,11 @@ object GraphRank {
         .join(hubs.select(col("node").as("src"), col("s_e6")), "src")
         .groupBy(col("dst")).agg(sum(col("s_e6")).as("raw__"))
         .withColumnRenamed("dst", "node")
+      // BOTH half-steps checkpoint eagerly — measured r20: leaving
+      // auths lazy re-evaluated its subtree ~4x per iteration
+      // (normalize references its input twice: the join AND the
+      // 1-row total aggregate, and hRaw's consumer does so again),
+      // 5.5 s -> 9.4 s. The double checkpoint is the cheaper shape.
       auths = normalize(aRaw, dsts).localCheckpoint(true)
       val hRaw = e
         .join(auths.select(col("node").as("dst"), col("s_e6")), "dst")
