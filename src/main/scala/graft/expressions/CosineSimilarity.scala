@@ -119,6 +119,13 @@ object GraftExpressions {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Thresholded Levenshtein via the Myers bit-parallel kernel —
+    * drop-in for `levenshtein(a, b, k)` (same value, same −1
+    * sentinel past the threshold). */
+  def levenshtein_within(a: Column, b: Column, k: Int): Column =
+    GraftSqlBridge.column(LevenshteinWithin(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), k))
+
   /** Make `cosine_similarity(a, b)` usable from spark.sql(...). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -250,9 +250,14 @@ object Dedup {
       n: Int = 3, thrNum: Long = 1L, thrDen: Long = 2L,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = prefixFilteredJaccard(df, idCol, textCol, n,
-      thrNum, thrDen)
-    val sh = explodedShingles(df, idCol, textCol, n)
+    // reuse the internal's PERSISTED shingle frame (r21): the
+    // previous form re-derived explodedShingles from scratch and
+    // consumed the fresh lineage 3x (both pair-side joins + dfreq)
+    // while the identical persisted frame already existed inside
+    // prefixFilteredJaccard — q189 paid the explode four times
+    val (cand, sh, sizes) =
+      prefixJaccardInternal(df, idCol, textCol, n, thrNum, thrDen)
+    val pairs = verifyPairs(cand, sh, sizes, thrNum.toDouble / thrDen)
     val dfreq = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("gram_df"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"))
@@ -1186,7 +1191,11 @@ object Dedup {
       .join(variants.select(col("v"), col("w").as("w2")), Seq("v"))
       .filter(col("w1") < col("w2"))
       .select(col("w1"), col("w2")).distinct()
-      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      // thresholded Myers kernel (r21): lev <= 1 iff the k=1 form
+      // returns a non-sentinel — same survivors as the unbounded
+      // builtin, without its full-matrix DP on the distance-2 kills
+      .filter(graft.expressions.GraftExpressions.levenshtein_within(
+        col("w1"), col("w2"), 1) >= 0)
       .join(vocab.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(vocab.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .select(col("w1"), col("w2"), col("c1"), col("c2"))

@@ -154,8 +154,12 @@ object FuzzyJoin {
       // kernel runs only on the survivors (q96: <1% of candidates)
       .filter(bagL1((0 until nSigs).map(i =>
         (col(s"a.sig${i}_"), col(s"b.sig${i}_")))) <= 2 * maxDist)
+      // Myers bit-parallel kernel (r21): identical contract to
+      // levenshtein(a, b, maxDist) — see LevenshteinWithin — at ~3x
+      // less per-pair work on the ASCII ≤64-byte fast path
       .withColumn("lev",
-        levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long"))
+        graft.expressions.GraftExpressions.levenshtein_within(
+          col("a.nm"), col("b.nm"), maxDist).cast("long"))
       // the thresholded kernel reports −1 past maxDist; minDist ≥ 1
       // (callers wanting 0 get exact dups from Dedup.exact) so the
       // between() filter drops the sentinel with no extra branch
@@ -193,7 +197,8 @@ object FuzzyJoin {
     base.join(probes, "rn")
       .filter(abs(length(col("nm0")) - length(col("nm"))) <= maxDist)
       .withColumn("lev",
-        levenshtein(col("nm0"), col("nm"), maxDist).cast("long"))
+        graft.expressions.GraftExpressions.levenshtein_within(
+          col("nm0"), col("nm"), maxDist).cast("long"))
       .filter(col("lev").between(minDist, maxDist))
       .select(least(col("k0"), col("k")).as("key_a"),
         greatest(col("k0"), col("k")).as("key_b"),

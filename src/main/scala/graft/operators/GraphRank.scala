@@ -299,16 +299,43 @@ object GraphRank {
     val deg = graft.Caches.register(adj
       .groupBy(col("c__").as("node")).agg(count(lit(1)).as("degree"))
       .persist())
-    val centers =
-      if (maxCenterDegree <= 0) adj
-      else adj.join(
-        deg.filter(col("degree") <= maxCenterDegree)
-          .select(col("node").as("c__")), Seq("c__"), "left_semi")
-    val tri = centers.select(col("c__"), col("n__").as("u"))
-      .join(centers.select(col("c__"), col("n__").as("v")), Seq("c__"))
-      .filter(col("u") < col("v"))
+    // Degree-ORDERED triangle enumeration (Chiba–Nishizeki / Latapy's
+    // compact-forward, r21): direct every edge from its lower-
+    // (degree, id) endpoint to the higher, enumerate wedges only at a
+    // triangle's MINIMUM vertex (out-neighbors ordered the same way),
+    // close with one LeftSemi equi-probe against the canonical edge
+    // set, then credit all three corners. Each triangle is found
+    // exactly ONCE and the wedge volume is Σ out-deg² with
+    // out-degree ≤ O(√m) — the previous per-center enumeration paid
+    // Σ deg² (hub-quadratic) and then found every triangle three
+    // times. Per-node counts are identical: a triangle through c is
+    // counted at its min corner and credited to c either way.
+    val dir = graft.Caches.register(e
+      .join(deg.select(col("node").as("u"), col("degree").as("du__")),
+        "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv__")),
+        "v")
+      .select(
+        when(col("du__") < col("dv__") ||
+            (col("du__") === col("dv__") && col("u") < col("v")),
+          struct(col("u").as("lo"), col("v").as("hi"),
+            col("dv__").as("dh")))
+          .otherwise(struct(col("v").as("lo"), col("u").as("hi"),
+            col("du__").as("dh")))
+          .as("d__"))
+      .select(col("d__.lo").as("lo"), col("d__.hi").as("hi"),
+        col("d__.dh").as("dh"))
+      .persist())
+    val tri = dir.as("x").join(dir.as("y"),
+        col("x.lo") === col("y.lo") &&
+          (col("x.dh") < col("y.dh") ||
+            (col("x.dh") === col("y.dh") && col("x.hi") < col("y.hi"))))
+      .select(col("x.lo").as("w0__"),
+        least(col("x.hi"), col("y.hi")).as("u"),
+        greatest(col("x.hi"), col("y.hi")).as("v"))
       .join(e, Seq("u", "v"), "left_semi")
-      .groupBy(col("c__").as("node"))
+      .select(explode(array(col("w0__"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))
     val out =
       if (maxCenterDegree <= 0) deg
@@ -583,20 +610,25 @@ object GraphRank {
       .localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e
+      // each half-step's raw in-mass is PERSISTED before normalize:
+      // normalize reads its input twice (the 1-row total aggregate
+      // broadcast AND the zero-fill probe join), so without the cache
+      // the edge join + aggregate ran twice per half-step — measured
+      // r21: 5.9 s -> ~4.4 s with the persist. (The r20 attempt to
+      // drop the eager checkpoints instead made it WORSE — leaving
+      // auths lazy re-evaluated its subtree ~4x per iteration,
+      // 5.5 s -> 9.4 s — so both half-steps still checkpoint.)
+      val aRaw = graft.Caches.register(e
         .join(hubs.select(col("node").as("src"), col("s_e6")), "src")
         .groupBy(col("dst")).agg(sum(col("s_e6")).as("raw__"))
         .withColumnRenamed("dst", "node")
-      // BOTH half-steps checkpoint eagerly — measured r20: leaving
-      // auths lazy re-evaluated its subtree ~4x per iteration
-      // (normalize references its input twice: the join AND the
-      // 1-row total aggregate, and hRaw's consumer does so again),
-      // 5.5 s -> 9.4 s. The double checkpoint is the cheaper shape.
+        .persist(StorageLevel.MEMORY_AND_DISK))
       auths = normalize(aRaw, dsts).localCheckpoint(true)
-      val hRaw = e
+      val hRaw = graft.Caches.register(e
         .join(auths.select(col("node").as("dst"), col("s_e6")), "dst")
         .groupBy(col("src")).agg(sum(col("s_e6")).as("raw__"))
         .withColumnRenamed("src", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK))
       hubs = normalize(hRaw, srcs).localCheckpoint(true)
     }
     hubs.select(col("node"), lit("hub").as("kind"),
@@ -979,9 +1011,14 @@ object GraphRank {
           .agg(max(col("rho")).as("rho"))
           .localCheckpoint(true)
         computed += 1
-        val next = signature(regs)
-        if (next == sig) fixed = true
-        sig = next
+        // the signature only gates LATER rounds — on the final round
+        // there are none, so the fixed-point probe would be a wasted
+        // aggregate job (r21; `computed` counts merges, not probes)
+        if (t < rounds) {
+          val next = signature(regs)
+          if (next == sig) fixed = true
+          sig = next
+        }
       }
       out += t -> summarizeRegisters(regs)
     }

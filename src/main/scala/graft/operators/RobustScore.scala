@@ -56,12 +56,17 @@ object RobustScore {
     val units = df
       .select(gcols :+ valueUnits.cast("long").as("u__"): _*)
       .filter(col("u__").isNotNull)
-    val ranked =
+    // PERSISTED (r21, guide §5): the ranked frame is a diamond — the
+    // median aggregate, the deviation chain, and (through med's and
+    // mad's lineage in the final attaches) two more consumers all
+    // re-derived the rank ladder without it; q149's gap ladder ran 4x
+    val ranked = graft.Caches.register((
       if (scalable) ScalableRank.groupRowNumber(units, groupCols,
         Seq(col("u__").asc), rnCol = "rn", nCol = "n")
       else units
         .withColumn("rn", row_number().over(wSort).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // NULL-SAFE stats joins throughout (StatsJoin.attach): a NULL group
     // KEY is a real group (window partitionBy treats it as one) whose
     // median a plain using-join would never match — its rows would lose
