@@ -135,17 +135,32 @@ object FuzzyJoin {
     // arithmetic — never string work
     val sigCols = bagSigs(col("nm")).zipWithIndex
       .map { case (c, i) => c.as(s"sig${i}_") }
+    // LENGTH BANDING on the join key (r21): lev ≤ maxDist forces
+    // |Δlen| ≤ maxDist, so cross-band pairs can never survive — put
+    // band = len div (2·maxDist+1) INTO the equi-key and replicate
+    // the right side to the ≤2 bands its admissible window
+    // [len−maxDist, len+maxDist] covers. Pairs whose lengths differ
+    // past the bound are then never MATERIALIZED (the length filter
+    // below still settles the within-band stragglers) — the pair
+    // expansion itself shrinks by the block's length spread, for a
+    // ≤2× replication of input ROWS (never pairs).
+    val bandW = 2 * maxDist + 1
     val a = blocked
       .select(col("*") +: sigCols: _*)
       .withColumn("salt_", pmod(hash(col("k")), lit(s)))
-      .repartition(col("blk"), col("salt_")).as("a")
+      .withColumn("band_", expr(s"length(nm) div $bandW"))
+      .repartition(col("blk"), col("salt_"), col("band_")).as("a")
     val b = blocked
       .select(col("*") +: sigCols: _*)
       .withColumn("salt_", explode(sequence(lit(0), lit(s - 1))))
-      .repartition(col("blk"), col("salt_")).as("b")
+      .withColumn("band_", explode(sequence(
+        expr(s"greatest(length(nm) - $maxDist, 0) div $bandW"),
+        expr(s"(length(nm) + $maxDist) div $bandW"))))
+      .repartition(col("blk"), col("salt_"), col("band_")).as("b")
     val nSigs = sigCols.size
     a.join(b, col("a.blk") === col("b.blk") &&
-        col("a.salt_") === col("b.salt_") && col("a.k") < col("b.k"))
+        col("a.salt_") === col("b.salt_") &&
+        col("a.band_") === col("b.band_") && col("a.k") < col("b.k"))
       // length prune first: |Δlen| ≤ maxDist is necessary for
       // lev ≤ maxDist and costs O(1) vs the DP kernel
       .filter(abs(length(col("a.nm")) - length(col("b.nm"))) <= maxDist)
