@@ -34,7 +34,15 @@ echo "== harness-debris sweep (r19 verdict #1: 2,357 leaked graft-* dirs) =="
 # sweep clears any residue from pre-r20 checkouts or killed runs so
 # bench I/O never degrades across rounds. /tmp only — never the
 # staged stores.
-find /tmp -maxdepth 1 -name 'graft-*' -mmin +60 -exec rm -rf {} + 2>/dev/null || true
+# Guarded (r21, ADVICE low): -mmin keys on the top-level dir mtime,
+# which does not update on nested writes — a >60-min-old LIVE
+# checkpoint would be swept mid-stream. Only sweep when no graft JVM
+# is running (check only, never kill by pattern).
+if pgrep -f 'graft\.(Bench|Verify|tools\.)' > /dev/null 2>&1; then
+  echo "  (skipped: a graft JVM is running)"
+else
+  find /tmp -maxdepth 1 -name 'graft-*' -mmin +60 -exec rm -rf {} + 2>/dev/null || true
+fi
 
 echo "== full test suite (r18 lesson: a close over a red suite is void) =="
 sbt -batch test
